@@ -1,0 +1,390 @@
+package graft.core
+
+import java.util.UUID
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine options — Spark-scale defaults replacing the reference's
+  * single-node geometry (`kv/option.go:21-33`).
+  *
+  * @param valueThreshold  values >= this many bytes go to the blob table
+  *                        (WiscKey separation; reference default 1024,
+  *                        `kv/utils/const.go:9`)
+  * @param compactTriggerFiles  number of live L0 generations that triggers
+  *                        compaction (analog of `NumLevelZeroTables`)
+  * @param rangePartitions target partition count for compaction output;
+  *                        on a real cluster, size so each partition's rows
+  *                        fit executor memory (~128-512 MB of key+value)
+  */
+final case class GraftOptions(
+    valueThreshold: Int = 1024,
+    compactTriggerFiles: Int = 8,
+    rangePartitions: Int = 32,
+    gcDiscardRatio: Double = 0.5)
+
+/** GraftDB — the reference's embedded LSM KV engine re-expressed Spark-first.
+  *
+  * Storage layout under `rootDir`:
+  *   - `data/<uuid>/`  sorted parquet segments ("generations"): level 0 =
+  *     freshly appended batches (the memtable-flush analog, reference
+  *     `kv/lsm/level.go:82-106`); level 1 = compacted, range-partitioned,
+  *     key-sorted output (reference compaction, `kv/lsm/compact.go:239-447`).
+  *   - `blobs/<uuid>/` parquet blob segments (the value-log analog,
+  *     reference `kv/vlog.go:366-484`).
+  *   - `MANIFEST.json`  atomic list of live segments + counters (reference
+  *     manifest, `kv/file/manifest.go`).
+  *
+  * Read semantics are merge-on-read: union of live segments, last-writer-wins
+  * by `version` (reference merge-iterator dedup, `kv/lsm/iterator.go:357-366`),
+  * then tombstone and TTL visibility filters (reference `kv/db.go:114-130`) —
+  * TTL strictly AFTER LWW so a newer expired version shadows an older live one.
+  *
+  * Scale design: no driver-side collects except point-get results; every
+  * lifecycle job is a linear scan plus at most one shuffle; compaction output
+  * is range-partitioned and key-sorted so parquet footer min/max stats prune
+  * files/row-groups on point and range reads, and a parquet bloom filter on
+  * `key` serves the negative-lookup role of the reference's per-SST bloom
+  * (`kv/utils/bloom_filter.go`).
+  */
+final class GraftDB(
+    val spark: SparkSession,
+    val rootDir: String,
+    val options: GraftOptions = GraftOptions()) {
+
+  private val manifest = new Manifest(rootDir)
+  private def newSegmentDir(kind: String): String =
+    s"$rootDir/$kind/${UUID.randomUUID().toString}"
+
+  // ---------------------------------------------------------------- write path
+
+  /** Upsert one entry (reference `Set`, `kv/db.go:71-87`). */
+  def set(key: Array[Byte], value: Array[Byte], ttlSeconds: Long = 0L): Unit = {
+    val exp = if (ttlSeconds == 0) 0L else System.currentTimeMillis() / 1000 + ttlSeconds
+    batchSet(Seq(KVEntry(key, value, 0L, exp, tombstone = false, null)))
+  }
+
+  /** Delete = tombstone append (reference `Del`, `kv/db.go:132-138`). */
+  def del(key: Array[Byte]): Unit = batchSet(Seq(KVEntry.tombstone(key)))
+
+  /** Group-commit a batch (reference `batchSet` write pipeline,
+    * `kv/db.go:191-285`). Entries later in the batch win over earlier
+    * duplicates (distinct versions are assigned in batch order).
+    */
+  def batchSet(entries: Seq[KVEntry]): Unit = {
+    if (entries.isEmpty) return
+    // Allocate a contiguous version range + blob ids in one manifest txn.
+    val nBlobs = entries.count(e =>
+      !e.tombstone && e.value != null && e.value.length >= options.valueThreshold)
+    var baseVersion = 0L
+    var baseBlob = 0L
+    manifest.commit { st =>
+      baseVersion = st.nextVersion; baseBlob = st.nextBlobId
+      st.copy(nextVersion = st.nextVersion + entries.size,
+        nextBlobId = st.nextBlobId + nBlobs)
+    }
+    var blobSeq = baseBlob
+    val blobs = Vector.newBuilder[Row]
+    val rows = entries.zipWithIndex.map { case (e, i) =>
+      val version = baseVersion + i
+      if (!e.tombstone && e.value != null && e.value.length >= options.valueThreshold) {
+        val id = blobSeq; blobSeq += 1
+        blobs += Row(id, e.value)
+        Row(e.key, null, version, e.expiresAt, false, id)
+      } else {
+        Row(e.key, if (e.tombstone) null else e.value, version, e.expiresAt,
+          e.tombstone, null)
+      }
+    }
+    val blobRows = blobs.result()
+    val blobMeta = if (blobRows.nonEmpty) {
+      val dir = newSegmentDir("blobs")
+      spark.createDataFrame(spark.sparkContext.parallelize(blobRows, 1),
+        KVEntry.blobSchema).write.mode(SaveMode.Overwrite).parquet(dir)
+      Some(BlobFileMeta(dir, blobRows.size.toLong))
+    } else None
+
+    val sorted = rows.sortBy(r => r.getAs[Array[Byte]](0))(UnsignedBytesOrdering)
+    val dir = newSegmentDir("data")
+    spark.createDataFrame(spark.sparkContext.parallelize(sorted, 1), KVEntry.schema)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(dir)
+    val meta = FileMeta(dir, level = 0,
+      Hex.encode(sorted.head.getAs[Array[Byte]](0)),
+      Hex.encode(sorted.last.getAs[Array[Byte]](0)),
+      rows.size.toLong, baseVersion)
+    manifest.commit(st => st.copy(
+      files = st.files :+ meta,
+      blobFiles = st.blobFiles ++ blobMeta))
+    maybeCompact()
+  }
+
+  /** Bulk ingest: a whole DataFrame `(key binary, value binary[, expiresAt
+    * long])` appended as one generation — the scale path (a streaming
+    * micro-batch or a load job). The whole batch shares one commit version
+    * (like the reference stamping one ts per Set, `kv/db.go:78`);
+    * intra-batch duplicate keys resolve by the deterministic tie-break in
+    * [[resolved]]. Blob ids come from `monotonically_increasing_id`
+    * (unique, shuffle-free) over a reserved id block.
+    */
+  def write(df: DataFrame): Unit = {
+    val spark0 = spark
+    var baseVersion = 0L
+    var baseBlob = 0L
+    manifest.commit { st =>
+      baseVersion = st.nextVersion; baseBlob = st.nextBlobId
+      // Blob-id block sized for monotonically_increasing_id's
+      // (partitionId << 33 | offset) layout: supports 4096 input partitions
+      // per batch. Ids are opaque; gaps are fine.
+      st.copy(nextVersion = st.nextVersion + 1, nextBlobId = st.nextBlobId + (1L << 45))
+    }
+    val withExp =
+      if (df.columns.contains("expiresAt")) df.withColumn("expiresAt", coalesce(col("expiresAt"), lit(0L)))
+      else df.withColumn("expiresAt", lit(0L))
+    val withCols = withExp
+      .withColumn("version", lit(baseVersion))
+      .withColumn("tombstone", col("value").isNull)
+      .withColumn("blobId",
+        when(length(col("value")) >= options.valueThreshold,
+          lit(baseBlob) + monotonically_increasing_id()).otherwise(lit(null).cast("long")))
+    val blobDir = newSegmentDir("blobs")
+    val blobDf = withCols.filter(col("blobId").isNotNull).select(col("blobId"), col("value"))
+    val blobCount = blobDf.count()
+    if (blobCount > 0) blobDf.write.mode(SaveMode.Overwrite).parquet(blobDir)
+    val dataDir = newSegmentDir("data")
+    withCols.select(
+        col("key"),
+        when(col("blobId").isNotNull, lit(null).cast("binary")).otherwise(col("value")).as("value"),
+        col("version"), col("expiresAt"), col("tombstone"), col("blobId"))
+      .repartitionByRange(options.rangePartitions, col("key"))
+      .sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(dataDir)
+    val mm = spark0.read.parquet(dataDir)
+      .agg(min(col("key")), max(col("key")), count(lit(1))).head()
+    val meta = FileMeta(dataDir, 0, Hex.encode(mm.getAs[Array[Byte]](0)),
+      Hex.encode(mm.getAs[Array[Byte]](1)), mm.getLong(2), baseVersion)
+    manifest.commit(st => st.copy(
+      files = st.files :+ meta,
+      blobFiles = if (blobCount > 0) st.blobFiles :+ BlobFileMeta(blobDir, blobCount)
+                  else st.blobFiles))
+    maybeCompact()
+  }
+
+  // ----------------------------------------------------------------- read path
+
+  private def readSegments(paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], KVEntry.schema)
+    else spark.read.schema(KVEntry.schema).parquet(paths: _*)
+
+  private def blobTable(): DataFrame = {
+    val st = manifest.load()
+    if (st.blobFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], KVEntry.blobSchema)
+    else spark.read.schema(KVEntry.blobSchema).parquet(st.blobFiles.map(_.path): _*)
+  }
+
+  /** Raw union of live segments (all versions, tombstones included). */
+  def rawLog(): DataFrame = readSegments(manifest.load().liveDataPaths)
+
+  /** The LWW-resolved view BEFORE visibility filters: one row per key —
+    * the newest version, whether live, deleted, or expired.
+    * (Reference merge iterator semantics, `kv/lsm/iterator.go:303-366`.)
+    */
+  def resolved(df: DataFrame): DataFrame = {
+    // version desc is the LWW order; the remaining columns are a
+    // deterministic tie-break for intra-batch duplicate keys (same version).
+    val w = Window.partitionBy(col("key")).orderBy(
+      col("version").desc, xxhash64(col("value")).desc, col("blobId").desc_nulls_last,
+      col("expiresAt").desc, col("tombstone").desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def visible(df: DataFrame, asOfUnixSec: Long): DataFrame =
+    df.filter(!col("tombstone") &&
+      (col("expiresAt") === 0L || col("expiresAt") > asOfUnixSec))
+
+  /** The merge-on-read user view: `(key, value, version, expiresAt)` with
+    * blob values resolved. This is what every read operator composes over.
+    */
+  def view(asOfUnixSec: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    val base = visible(resolved(rawLog()), asOfUnixSec)
+    val blobs = blobTable().withColumnRenamed("value", "__blobValue")
+    base.join(blobs, Seq("blobId"), "left")
+      .select(col("key"),
+        coalesce(col("value"), col("__blobValue")).as("value"),
+        col("version"), col("expiresAt"))
+  }
+
+  /** Point lookup (reference `Get`, `kv/db.go:89-118`). Manifest min/max
+    * pruning narrows to the few segments whose range covers the key; the
+    * parquet bloom filter + row-group stats prune inside each segment.
+    */
+  def get(key: Array[Byte]): Option[Array[Byte]] = {
+    val hex = Hex.encode(key)
+    val st = manifest.load()
+    val candidates = st.files.filter(f => f.minKeyHex <= hex && hex <= f.maxKeyHex)
+    if (candidates.isEmpty) return None
+    val hit = resolved(readSegments(candidates.map(_.path)).filter(col("key") === lit(key)))
+    val row = visible(hit, System.currentTimeMillis() / 1000).head(1)
+    row.headOption.map { r =>
+      if (r.isNullAt(r.fieldIndex("blobId"))) r.getAs[Array[Byte]]("value")
+      else {
+        val id = r.getAs[Long]("blobId")
+        blobTable().filter(col("blobId") === id).head().getAs[Array[Byte]]("value")
+      }
+    }
+  }
+
+  /** Ordered scan (reference `NewIterator`, `kv/iterator.go:19-79`), with
+    * range and prefix options. Prefix is implemented binary-safe via the
+    * [prefix, prefixSuccessor) range trick so it pushes down to parquet as
+    * two comparisons (the reference declared prefix but never enforced it,
+    * `kv/utils/iterator.go:16-19` — we implement it for real).
+    */
+  def scan(
+      from: Option[Array[Byte]] = None,
+      until: Option[Array[Byte]] = None,
+      prefix: Option[Array[Byte]] = None,
+      ascending: Boolean = true): DataFrame = {
+    var df = view()
+    from.foreach(f => df = df.filter(col("key") >= lit(f)))
+    until.foreach(u => df = df.filter(col("key") < lit(u)))
+    prefix.foreach { p =>
+      df = df.filter(col("key") >= lit(p))
+      GraftDB.prefixSuccessor(p).foreach(s => df = df.filter(col("key") < lit(s)))
+    }
+    df.orderBy(if (ascending) col("key").asc else col("key").desc)
+  }
+
+  // ------------------------------------------------------------ lifecycle jobs
+
+  private def maybeCompact(): Unit = {
+    val st = manifest.load()
+    if (st.files.count(_.level == 0) >= options.compactTriggerFiles) compact()
+  }
+
+  /** Compaction: THE natural Spark job (reference `compactBuildTables`,
+    * `kv/lsm/compact.go:239-447`): read live segments -> LWW-resolve ->
+    * drop tombstones and expired entries -> range-partition + key-sort ->
+    * write one level-1 generation; atomically swap the manifest. The
+    * reference's parallel subcompactions become range-partition tasks.
+    */
+  def compact(): Unit = {
+    val st0 = manifest.load()
+    if (st0.files.isEmpty) return
+    val inputs = st0.files
+    val now = System.currentTimeMillis() / 1000
+    val compacted = visible(resolved(readSegments(inputs.map(_.path))), now)
+    val outDir = newSegmentDir("data")
+    compacted
+      .repartitionByRange(options.rangePartitions, col("key"))
+      .sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(outDir)
+    val mm = spark.read.parquet(outDir)
+      .agg(min(col("key")), max(col("key")), count(lit(1))).head()
+    val maxVersion = inputs.map(_.createdVersion).max
+    val newMeta =
+      if (mm.isNullAt(0)) Vector.empty // everything was deleted/expired
+      else Vector(FileMeta(outDir, 1, Hex.encode(mm.getAs[Array[Byte]](0)),
+        Hex.encode(mm.getAs[Array[Byte]](1)), mm.getLong(2), maxVersion))
+    manifest.commit { st =>
+      val remaining = st.files.filterNot(f => inputs.exists(_.path == f.path))
+      st.copy(files = newMeta ++ remaining)
+    }
+    // Old segment dirs stay on disk until gc() — snapshot readers may still
+    // hold them (replaces the reference's iterator refcounts, kv/vlog_gc.go:364-390).
+  }
+
+  /** Blob GC (reference vlog GC, `kv/vlog_gc.go`): exact live-set via a
+    * semi-join (cheap at Spark scale — no sampling heuristics needed),
+    * rewrite survivors, swap manifest. Returns (liveBlobs, deadBlobs).
+    */
+  def gcBlobs(): (Long, Long) = {
+    val st0 = manifest.load()
+    if (st0.blobFiles.isEmpty) return (0L, 0L)
+    val liveRefs = resolved(readSegments(st0.liveDataPaths))
+      .filter(!col("tombstone") && col("blobId").isNotNull)
+      .select(col("blobId"))
+    val blobs = blobTable()
+    val total = blobs.count()
+    val live = blobs.join(liveRefs, Seq("blobId"), "left_semi")
+    val liveCount = live.count()
+    val dead = total - liveCount
+    if (total == 0 || dead.toDouble / total < options.gcDiscardRatio) return (liveCount, dead)
+    val outDir = newSegmentDir("blobs")
+    if (liveCount > 0) live.write.mode(SaveMode.Overwrite).parquet(outDir)
+    manifest.commit(st => st.copy(
+      blobFiles = if (liveCount > 0) Vector(BlobFileMeta(outDir, liveCount)) else Vector.empty))
+    (liveCount, dead)
+  }
+
+  /** Delete segment dirs no longer referenced by the manifest (orphan
+    * cleanup, reference `kv/file/manifest.go:227-243`). Call when no
+    * snapshot readers are active.
+    */
+  def vacuum(): Unit = {
+    val st = manifest.load()
+    val live = (st.files.map(_.path) ++ st.blobFiles.map(_.path)).toSet
+    for (kind <- Seq("data", "blobs")) {
+      val dir = new java.io.File(s"$rootDir/$kind")
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (!live.contains(f.getPath)) deleteRecursively(f)
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  def stats(): Map[String, Long] = {
+    val st = manifest.load()
+    Map(
+      "dataSegments" -> st.files.size.toLong,
+      "blobSegments" -> st.blobFiles.size.toLong,
+      "rows" -> st.files.map(_.rows).sum,
+      "nextVersion" -> st.nextVersion)
+  }
+}
+
+object GraftDB {
+  /** Smallest byte string strictly greater than every string with `p` as a
+    * prefix; None when p is all-0xff (scan to end of keyspace).
+    */
+  def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    val out = p.clone()
+    var i = out.length - 1
+    while (i >= 0) {
+      if ((out(i) & 0xff) != 0xff) {
+        out(i) = (out(i) + 1).toByte
+        return Some(java.util.Arrays.copyOf(out, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+}
+
+/** Unsigned lexicographic byte ordering == Go `bytes.Compare` == Spark
+  * BinaryType ordering — keeps driver-side batch sorting consistent with
+  * executor-side comparisons.
+  */
+object UnsignedBytesOrdering extends Ordering[Array[Byte]] {
+  def compare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val cmp = (a(i) & 0xff) - (b(i) & 0xff)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    a.length - b.length
+  }
+}

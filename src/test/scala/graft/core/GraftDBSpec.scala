@@ -1,0 +1,154 @@
+package graft.core
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Parity tests mirroring the reference's API round-trip suite
+  * (`kv/db_test.go`, `kv/vlog_test.go`) on the Spark engine.
+  */
+class GraftDBSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def freshDb(opts: GraftOptions = GraftOptions(compactTriggerFiles = 1000)): GraftDB = {
+    val dir = Files.createTempDirectory("graftdb").toString
+    new GraftDB(spark, dir, opts)
+  }
+  private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+  // special-char corpus like the reference's rand keys (kv/utils/rand.go:15-25)
+  private val charset = "0123456789abcdefXYZ~=+%^*/()[]{}/!@#$?"
+  private def randKey(rnd: scala.util.Random): Array[Byte] =
+    (Array.fill(8)(charset(rnd.nextInt(charset.length))) ++ "12345678").map(_.toByte)
+
+  test("set/get round-trip, 64 random entries (kv/db_test.go:36-49)") {
+    val db = freshDb()
+    val rnd = new scala.util.Random(42)
+    val entries = (0 until 64).map(i => (randKey(rnd), b(s"value-$i")))
+    db.batchSet(entries.map { case (k, v) => KVEntry(k, v) })
+    // last writer wins among duplicate random keys within the batch
+    val expected = entries.foldLeft(Map.empty[Seq[Byte], Array[Byte]]) {
+      case (m, (k, v)) => m + (k.toSeq -> v)
+    }
+    expected.foreach { case (k, v) =>
+      assert(db.get(k.toArray).map(_.toSeq).contains(v.toSeq))
+    }
+    assert(db.get(b("missing-key")).isEmpty)
+  }
+
+  test("delete hides key; re-insert resurrects (kv/db_test.go:59-105)") {
+    val db = freshDb()
+    db.set(b("k1"), b("v1"))
+    assert(db.get(b("k1")).map(new String(_)).contains("v1"))
+    db.del(b("k1"))
+    assert(db.get(b("k1")).isEmpty)
+    db.set(b("k1"), b("v2"))
+    assert(db.get(b("k1")).map(new String(_)).contains("v2"))
+  }
+
+  test("TTL: expired invisible; newer expired version shadows older live one") {
+    val db = freshDb()
+    db.set(b("ttl1"), b("x"), ttlSeconds = -100) // already expired
+    assert(db.get(b("ttl1")).isEmpty)
+    // newer expired shadows older live (SURVEY §7.4: TTL filtered AFTER LWW)
+    db.set(b("ttl2"), b("live"))
+    db.set(b("ttl2"), b("dead"), ttlSeconds = -100)
+    assert(db.get(b("ttl2")).isEmpty)
+    db.set(b("ttl3"), b("y"), ttlSeconds = 10000)
+    assert(db.get(b("ttl3")).map(new String(_)).contains("y"))
+  }
+
+  test("blob routing: large values round-trip via blob table (kv/vlog_test.go:25-94)") {
+    val db = freshDb(GraftOptions(valueThreshold = 32, compactTriggerFiles = 1000))
+    val big = Array.fill[Byte](1000)(7)
+    db.set(b("big"), big)
+    db.set(b("small"), b("s"))
+    assert(db.get(b("big")).map(_.toSeq).contains(big.toSeq))
+    assert(db.get(b("small")).map(new String(_)).contains("s"))
+    // view resolves blob values too
+    val rows = db.view().collect().map(r =>
+      new String(r.getAs[Array[Byte]]("key")) -> r.getAs[Array[Byte]]("value").length).toMap
+    assert(rows("big") == 1000 && rows("small") == 1)
+  }
+
+  test("scan: ordered, range, prefix, desc — binary-safe") {
+    val db = freshDb()
+    val keys = Seq("a", "ab", "abc", "b", "ba", "z~!", "z~#")
+    db.batchSet(keys.map(k => KVEntry(b(k), b(s"v-$k"))))
+    val asc = db.scan().collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(asc.toSeq == keys.sorted)
+    val desc = db.scan(ascending = false).collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(desc.toSeq == keys.sorted.reverse)
+    val pre = db.scan(prefix = Some(b("ab"))).collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(pre.toSeq == Seq("ab", "abc"))
+    val rng = db.scan(from = Some(b("ab")), until = Some(b("ba")))
+      .collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(rng.toSeq == Seq("ab", "abc", "b"))
+  }
+
+  test("prefixSuccessor: carry and all-0xff") {
+    assert(GraftDB.prefixSuccessor(Array[Byte](1, 2)).get.toSeq == Seq[Byte](1, 3))
+    assert(GraftDB.prefixSuccessor(Array(1.toByte, 0xff.toByte)).get.toSeq == Seq[Byte](2))
+    assert(GraftDB.prefixSuccessor(Array(0xff.toByte, 0xff.toByte)).isEmpty)
+  }
+
+  test("compaction preserves the merge-on-read view and drops dead entries") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000))
+    (0 until 5).foreach { gen =>
+      db.batchSet((0 until 20).map(i => KVEntry(b(f"key$i%03d"), b(s"g$gen-$i"))))
+    }
+    db.del(b("key000")); db.del(b("key001"))
+    db.set(b("exp"), b("x"), ttlSeconds = -10)
+    val before = db.view().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value")))
+      .toMap
+    assert(before.size == 18 && before("key005") == "g4-5")
+    db.compact()
+    val after = db.view().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value")))
+      .toMap
+    assert(after == before)
+    assert(db.stats()("dataSegments") == 1)
+    // raw log after compaction holds no tombstones/expired rows
+    assert(db.rawLog().filter("tombstone OR (expiresAt != 0 AND expiresAt < unix_timestamp())").count() == 0)
+    db.vacuum()
+    assert(after == db.view().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value"))).toMap)
+  }
+
+  test("blob GC rewrites only live blobs (kv/vlog_test.go:96-136)") {
+    val db = freshDb(GraftOptions(valueThreshold = 16, compactTriggerFiles = 1000, gcDiscardRatio = 0.3))
+    val mk = (i: Int) => Array.fill[Byte](64)(i.toByte)
+    (0 until 10).foreach(i => db.set(b(s"blob$i"), mk(i)))
+    (0 until 5).foreach(i => db.del(b(s"blob$i"))) // orphan 5 blobs
+    val (live, dead) = db.gcBlobs()
+    assert(live == 5 && dead == 5)
+    (5 until 10).foreach(i => assert(db.get(b(s"blob$i")).map(_.toSeq).contains(mk(i).toSeq)))
+    (0 until 5).foreach(i => assert(db.get(b(s"blob$i")).isEmpty))
+  }
+
+  test("bulk write path: DataFrame generation with blob routing") {
+    val db = freshDb(GraftOptions(valueThreshold = 50, compactTriggerFiles = 1000))
+    val rows = (0 until 200).map { i =>
+      org.apache.spark.sql.Row(b(f"bulk$i%04d"), Array.fill[Byte](if (i % 10 == 0) 80 else 8)(i.toByte))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    db.write(spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema))
+    assert(db.view().count() == 200)
+    assert(db.get(b("bulk0010")).map(_.length).contains(80))
+    assert(db.get(b("bulk0011")).map(_.length).contains(8))
+    // overwrite some via a second generation
+    db.batchSet(Seq(KVEntry(b("bulk0000"), b("overwritten"))))
+    assert(db.get(b("bulk0000")).map(new String(_)).contains("overwritten"))
+  }
+}
