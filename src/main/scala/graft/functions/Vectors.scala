@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector/hash primitives for similarity search and near-dedup, built from
+  * Spark's higher-order functions (`zip_with`/`aggregate`/`transform`) so
+  * they evaluate inside codegen with no UDF serialization. At 100 TB the
+  * hot loop (dot products over Array[Float]) is columnar parquet read +
+  * codegen'd arithmetic.
+  */
+object Vectors {
+
+  /** Dot product of two numeric arrays (computed in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** 64-bit SimHash over a token/shingle array: per element, xxhash64 picks
+    * 64 signed bit-votes; the sign of each summed vote becomes the output
+    * bit. Near-duplicate docs land within a small Hamming distance.
+    */
+  def simhash(elems: Column): Column = {
+    val votes = aggregate(
+      elems,
+      array_repeat(lit(0L), 64),
+      (acc, e) => {
+        val h = xxhash64(e)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0L, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** MinHash signature of `numHashes` seeded xxhash64 minima over an
+    * element array (shingles). Returns array<long> of length `numHashes`.
+    */
+  def minhash(elems: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(elems, e => xxhash64(e, seed))))
+
+  /** LSH band keys for a minhash signature: `numBands` hashes, each over a
+    * contiguous `rowsPerBand` slice. Docs sharing any band key are
+    * near-dup candidates. Returns array<struct<band:int, bh:long>>.
+    */
+  def lshBands(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(
+        b.cast("int").as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))), b).as("bh")))
+
+  /** Exact Jaccard similarity of two arrays treated as sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    val union = (size(ad) + size(bd)).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Random-hyperplane LSH bucket for a float vector: `bits` signs of dot
+    * products with deterministic pseudo-random hyperplanes (derived from
+    * xxhash64 of (dim, bit)). Vectors in the same bucket are ANN candidates.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val planes: Seq[Column] = (0 until bits).map { b =>
+      // pseudo-random +-1 hyperplane per (bit, dim) — computed per row but
+      // constant-folded by Catalyst since inputs are literals
+      val comps = (0 until dim).map { d =>
+        val h = xxhash64(lit(b.toLong * 10007L + d))
+        when(h.bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
+      }
+      (0 until dim).map(d => element_at(vec, d + 1).cast("double") * comps(d))
+        .reduce(_ + _)
+    }
+    planes.zipWithIndex.map { case (p, i) =>
+      when(p > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the sketch primitives.
+  *
+  * Why not higher-order functions: `transform`/`aggregate` lambdas are
+  * interpreted per element, and Catalyst's CollapseProject inlines a column
+  * reference into every use site — a minhash signature expressed as
+  * nested HOFs re-evaluates the shingle array once per hash seed per band
+  * (measured 250x blowup at sf0.01). A native expression evaluates its
+  * child ONCE and runs the seed/band loops as tight JVM code.
+  *
+  * Hashing uses Spark's own XXH64 (the `xxhash64` SQL function's core), so
+  * signatures stay consistent with SQL-side xxhash64 seeds.
+  */
+
+/** `minhash_bands(shingles, numBands, rowsPerBand)`: array<string> ->
+  * array<long> of `numBands` LSH band keys. Band j combines the minima of
+  * seeds [j*rowsPerBand, (j+1)*rowsPerBand).
+  */
+case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val numHashes = numBands * rowsPerBand
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var seed = 0
+      while (seed < numHashes) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed.toLong)
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = XXH64.hashLong(mins(b * rowsPerBand + r), acc)
+        r += 1
+      }
+      bands(b) = acc
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val numHashes = numBands * rowsPerBand
+      val mins = ctx.freshName("mins")
+      val bands = ctx.freshName("bands")
+      val i = ctx.freshName("i")
+      val seed = ctx.freshName("seed")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      s"""
+        long[] $mins = new long[$numHashes];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        for (int $i = 0; $i < $arr.numElements(); $i++) {
+          UTF8String $s = $arr.getUTF8String($i);
+          for (int $seed = 0; $seed < $numHashes; $seed++) {
+            long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), (long) $seed);
+            if ($h < $mins[$seed]) $mins[$seed] = $h;
+          }
+        }
+        long[] $bands = new long[$numBands];
+        for (int $b = 0; $b < $numBands; $b++) {
+          long $acc = (long) $b;
+          for (int $r = 0; $r < $rowsPerBand; $r++) {
+            $acc = $xxh.hashLong($mins[$b * $rowsPerBand + $r], $acc);
+          }
+          $bands[$b] = $acc;
+        }
+        ${ev.value} = new $gad($bands);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)`: array<string> -> 64-bit SimHash signature. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val bit = ctx.freshName("bit")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+        int[] $votes = new int[64];
+        for (int $i = 0; $i < $arr.numElements(); $i++) {
+          UTF8String $s = $arr.getUTF8String($i);
+          long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+          for (int $bit = 0; $bit < 64; $bit++) {
+            if ((($h >>> $bit) & 1L) == 1L) $votes[$bit]++; else $votes[$bit]--;
+          }
+        }
+        long $sig = 0L;
+        for (int $bit = 0; $bit < 64; $bit++) {
+          if ($votes[$bit] > 0) $sig |= (1L << $bit);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column API for the custom expressions. */
+  def minhash_bands(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(
+      MinHashBands(ColumnBridge.expression(shingles), numBands, rowsPerBand))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

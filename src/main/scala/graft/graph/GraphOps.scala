@@ -1,0 +1,95 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph capabilities: parity with the reference's adjacency-list-as-JSON
+  * storage queried by point lookups (`kv/db_test.go:107-179`), extended to
+  * real graph analytics on GraphX.
+  *
+  * The reference stores each user as a JSON value `{ID, Name, Follower[],
+  * Following[]}` under its ID and traverses by Get + JSON decode per hop.
+  * Here: `from_json` → explode → an edge DataFrame (one shuffle), then
+  * either pure-SQL hop queries (broadcast-joinable at any scale) or a
+  * GraphX `Graph` for iterative analytics.
+  */
+object GraphOps {
+
+  /** Parse the reference's user-JSON adjacency values into an edge list
+    * `(src, dst, kind)`. Input: (key string, json string).
+    */
+  def edgesFromAdjacencyJson(users: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val schema = "ID STRING, Name STRING, Follower ARRAY<STRING>, Following ARRAY<STRING>"
+    val parsed = users.withColumn("u", from_json(col(jsonCol), org.apache.spark.sql.types.StructType.fromDDL(schema)))
+    val follower = parsed.select(col("u.ID").as("src"),
+      explode(col("u.Follower")).as("dst"), lit("follower").as("kind"))
+    val following = parsed.select(col("u.ID").as("src"),
+      explode(col("u.Following")).as("dst"), lit("following").as("kind"))
+    follower.unionAll(following)
+  }
+
+  /** Build a GraphX graph from an edge DataFrame with long src/dst. */
+  def toGraph(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): Graph[Long, Int] = {
+    val edgeRdd = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0L)
+  }
+
+  /** Out/in degree per vertex as a DataFrame (pure SQL, no GraphX). */
+  def degrees(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("vertex")).agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col(dstCol).as("vertex")).agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("vertex"), "full_outer")
+      .select(col("vertex"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** k-hop neighborhood by iterated self-join (k small); at scale each hop
+    * is one shuffle join on the frontier, which stays tiny vs the edge set.
+    */
+  def kHop(edges: DataFrame, start: Long, k: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    var frontier = e.sparkSession.range(start, start + 1).select(col("id").as("vertex"))
+    var seen = frontier
+    for (_ <- 1 to k) {
+      frontier = e.join(broadcast(frontier), col("s") === col("vertex"))
+        .select(col("d").as("vertex")).distinct()
+        .join(seen, Seq("vertex"), "left_anti")
+      seen = seen.unionAll(frontier).distinct()
+    }
+    seen
+  }
+
+  /** PageRank via GraphX (fixed iteration count → deterministic). */
+  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    toGraph(edges).staticPageRank(iters).vertices
+      .map { case (id, rank) => (id, rank) }.toDF("vertex", "rank")
+  }
+
+  /** Connected components via GraphX; label = lowest vertex id in component. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    toGraph(edges).connectedComponents().vertices
+      .map { case (id, cc) => (id, cc) }.toDF("vertex", "component")
+  }
+
+  /** Triangle count per vertex — pure SQL 3-way self-join on canonicalized
+    * undirected edges (oracle-checkable), not GraphX's RDD implementation.
+    */
+  def triangleEdges(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"), col("e2.b") === col("e3.b") && col("e1.a") === col("e3.a"))
+      .select(col("e1.a").as("v1"), col("e1.b").as("v2"), col("e2.b").as("v3"))
+  }
+}

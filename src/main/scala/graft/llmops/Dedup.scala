@@ -1,0 +1,132 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.functions.expressions.HashExpressions
+
+/** Deduplication operators for training-data pipelines over a `documents`
+  * table `(doc_id long, text string, ...)`.
+  *
+  * Scale notes (100 TB discipline):
+  *  - exact dedup = one hash aggregation (map-side partial combine).
+  *  - MinHash-LSH = narrow per-row signature compute, one explode-shuffle on
+  *    band keys, candidate verification only within buckets — never the
+  *    O(n^2) cross join.
+  *  - groupWithin (same-source pairwise) is for bounded group sizes only;
+  *    the LSH path is the unbounded-scale route.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per normalized-text fingerprint.
+    * Returns (fingerprint, keep_id, dup_count).
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(Text.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** The surviving unique documents after exact dedup. */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. Output: (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold, deduplicated across bands.
+    *
+    * shingleK=3 word shingles; numHashes = numBands * rowsPerBand.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), Text.shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // one native-expression pass per row computes all band keys (the band
+    // index is folded into the band hash, so joining on `bh` alone is safe);
+    // only (id, bh) pairs enter the shuffle — never the shingle arrays
+    val bands = sh.select(col("id"),
+      explode(HashExpressions.minhash_bands(col("sh"), numBands, rowsPerBand)).as("bh"))
+    val candidates = bands.as("l").join(bands.as("r"),
+        col("l.bh") === col("r.bh") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(Vectors.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates = equal signature
+    * prefix bands (4 x 16-bit), verified by Hamming distance <= maxHamming.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        HashExpressions.simhash64(Text.tokens(col(textCol))).as("sig"))
+      .withColumn("band", explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("i"), call_function("shiftright", col("sig"), (b * 16).cast("int"))
+          .bitwiseAND(0xffffL).as("v")))))
+      .select(col("id"), col("sig"), col("band"))
+    sigs.as("l").join(sigs.as("r"),
+        col("l.band") === col("r.band") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Vectors.hamming64(col("l.sig"), col("r.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram (word-set) Jaccard pairs within bounded groups (e.g. the
+    * same `source`): pairwise inside each group only. SQL-oracle friendly.
+    */
+  def jaccardPairsWithin(
+      docs: DataFrame,
+      groupCol: String,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_distinct(Text.tokens(col(textCol))).as("ts"))
+    toks.as("l").join(toks.as("r"),
+        col("l.g") === col("r.g") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(Vectors.jaccard(col("l.ts"), col("r.ts")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. Brute force within LSH
+    * hyperplane buckets when `bucketBits > 0`, full cross-join when 0
+    * (test scale only).
+    */
+  def embeddingPairs(
+      emb: DataFrame,
+      threshold: Double,
+      dim: Int,
+      bucketBits: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB =
+      if (bucketBits > 0)
+        base.withColumn("b", Vectors.hyperplaneBucket(col("v"), dim, bucketBits))
+      else base.withColumn("b", lit(0L))
+    withB.as("l").join(withB.as("r"),
+        col("l.b") === col("r.b") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Vectors.cosine(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, processed per-partition
+  * in batches.
+  *
+  * The actual media decode is STUBBED (`decodeStub`) — codec libraries are
+  * not in this container — but the Spark-side contract is real and tested:
+  * schema, batch iteration via `mapPartitions` (the Scala analog of
+  * `mapInPandas`: one iterator per partition, vectorizable batch shape),
+  * partitioning by content hash, and the metadata struct a real decoder
+  * would fill.
+  */
+final case class MediaMeta(byte_len: Long, width: Int, height: Int, duration_ms: Long)
+
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))), nullable = true)))
+
+  /** Wrap any (id, binary) DataFrame as a media table with empty metadata. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, modality: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(modality).as("modality"),
+      col(payloadCol).cast("binary").as("payload"),
+      lit(null).cast(mediaSchema("meta").dataType).as("meta"))
+
+  /** STUB decoder: where a real pipeline would call an image/audio codec,
+    * we derive deterministic fake dimensions from the payload bytes. The
+    * surrounding plumbing (partition-batched iteration, struct fill) is the
+    * real production shape.
+    */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val decoded = media
+      .select(col("media_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // one iterator per partition — the mapInPandas batch shape; a real
+        // decoder would drain `batch` in vectorized chunks here
+        batch.map { case (mediaId, modality, payload) =>
+          val byteLen = payload.length.toLong
+          val w = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 1024)
+          val h = 16 + (math.abs(java.util.Arrays.hashCode(payload) * 31) % 1024)
+          val dur = if (modality == "image") 0L else byteLen / 4
+          (mediaId, modality, payload, MediaMeta(byteLen, w, h, dur))
+        }
+      }
+    decoded.toDF("media_id", "modality", "payload", "meta")
+  }
+
+  /** Deterministic frame/sample selection for video/audio: pick `n` sample
+    * offsets spread over the payload — stands in for frame extraction; the
+    * byte-slicing and explode shape match the real operator.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.select(col("media_id"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),
+        length(col("payload")).as("len"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        floor(col("frame_idx") * col("len") / n).as("byte_offset"))
+}

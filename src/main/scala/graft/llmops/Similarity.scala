@@ -1,0 +1,66 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small) query set
+  * against the full corpus — one narrow pass over the corpus, no shuffle on
+  * the corpus side, then a per-query top-k window. At 100 TB this is the
+  * right plan whenever |queries| is small: the corpus is scanned once and
+  * the k-way reduction is map-side.
+  *
+  * `lshTopK` is the scale path for large query sets: both sides bucketed by
+  * random-hyperplane LSH, candidates joined per bucket (with multi-probe on
+  * neighboring buckets left for a later round).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc,
+    * ties broken by neighbor_id asc for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * Recall < 1 by construction; bucketBits trades recall for cost.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      bucketBits: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("b", Vectors.hyperplaneBucket(col("cv"), dim, bucketBits))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("b", Vectors.hyperplaneBucket(col("qv"), dim, bucketBits))
+    val scored = c.join(q, Seq("b")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,591 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GraftDB, GraftOptions}
+import graft.functions.Text
+import graft.graph.GraphOps
+import graft.llmops.{Dedup, Multimodal, Similarity}
+import graft.operators.KVOps
+import graft.streaming.EventStream
+
+/** The driver-facing query catalog: every operator from SURVEY §2 plus the
+  * LLM-pipeline extension surface, each as a (Spark plan, DuckDB oracle SQL)
+  * pair. Conventions for oracle hash-parity:
+  *   - identical column names/aliases on both sides;
+  *   - a deterministic total ORDER BY on both sides;
+  *   - doubles rounded (2dp money, 6dp ratios); counts cast to long;
+  *   - event timestamps surfaced as epoch milliseconds (`unix_millis` /
+  *     `epoch_ms`) — the testdata `events.ts` is nanosecond-precision
+  *     parquet, which Spark truncates to micros while DuckDB keeps nanos,
+  *     so raw timestamps can never hash-match.
+  */
+object Catalog {
+
+  final case class QueryDef(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      headline: Boolean = false)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // the events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    // refuses by default; long nanos are also the determinism-friendly form
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with a ms-precision version column — the common KV framing:
+    * key = user_id, version = (ts_ms, event_id). `ts` is rebuilt as a real
+    * (micro-precision, UTC) timestamp for window functions; `ts_ms` is the
+    * integral epoch-milliseconds used for ordering and output.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val normSql =
+    """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  // ======================================================== A. relational ==
+
+  private val relational: Seq[(String, QueryDef)] = Seq(
+
+    "q1_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 6) AS avg_qty,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    "q3_top_orders" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          .select("l_orderkey", "o_date_ms", "revenue")
+      },
+      Some("""SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, epoch_ms(o_orderdate)
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      headline = true),
+
+    "q5_region_revenue" -> QueryDef(
+      (s, dir) => {
+        val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      headline = true),
+
+    "q_semi_join" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    "q_anti_join" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+        ORDER BY c_custkey""")),
+
+    "q_setop_intersect" -> QueryDef(
+      (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .intersect(t(s, dir, "customer").filter(col("c_acctbal") > 1000)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey"),
+      Some("""SELECT o_custkey AS custkey FROM orders
+        INTERSECT
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+        ORDER BY custkey""")),
+
+    "q_window_running" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 2).as("running_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        round(sum(value) OVER (PARTITION BY user_id
+          ORDER BY epoch_ms(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        FROM events ORDER BY event_id"""),
+      headline = true),
+
+    "q_topk_parts" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+        .limit(5),
+      Some("""SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_partkey ORDER BY revenue DESC, l_partkey LIMIT 5""")),
+
+    "q_distinct_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "q_rollup" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    "q_asof_signup" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            max(when(col("event_type") === "signup", col("ts_ms"))).over(w).as("last_signup_ms"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        max(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+          OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ms
+        FROM events ORDER BY event_id""")))
+
+  // ========================================================= B. KV parity ==
+
+  private def lwwLatest(s: SparkSession, dir: String): DataFrame =
+    KVOps.lwwResolve(events(s, dir), Seq("user_id"), Seq(col("ts_ms"), col("event_id")))
+
+  private val lwwLatestSql =
+    """(SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1)"""
+
+  private val kvParity: Seq[(String, QueryDef)] = Seq(
+
+    "kv_lww_latest" -> QueryDef(
+      (s, dir) => lwwLatest(s, dir)
+        .select(col("user_id"), col("event_id").as("latest_event_id"),
+          col("event_type").as("latest_type"))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id, event_id AS latest_event_id, event_type AS latest_type
+        FROM $lwwLatestSql ORDER BY user_id"""),
+      headline = true),
+
+    "kv_point_get" -> QueryDef(
+      (s, dir) => KVOps.lwwResolve(events(s, dir).filter(col("user_id") === 7),
+          Seq("user_id"), Seq(col("ts_ms"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value")),
+      Some("""SELECT user_id, event_id, event_type, round(value, 2) AS value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events WHERE user_id = 7)
+        WHERE rn = 1""")),
+
+    "kv_range_scan" -> QueryDef(
+      (s, dir) => KVOps.lwwResolve(
+          events(s, dir).filter(col("user_id") >= 5 && col("user_id") < 15),
+          Seq("user_id"), Seq(col("ts_ms"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("latest_event_id"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id AS latest_event_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events
+          WHERE user_id >= 5 AND user_id < 15)
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    "kv_prefix_scan" -> QueryDef(
+      (s, dir) => KVOps.prefixScan(t(s, dir, "documents"), "source", "src1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id"),
+      Some("""SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'
+        ORDER BY source, doc_id""")),
+
+    "kv_visible_set" -> QueryDef(
+      // full KV visibility semantics: LWW resolve, then tombstone
+      // (latest=='error') and TTL (latest older than cutoff) filters —
+      // strictly after resolution, mirroring kv/db.go:114-130.
+      (s, dir) => KVOps.visible(lwwLatest(s, dir),
+          tombstone = col("event_type") === "error",
+          expired = col("ts_ms") < lit(1705276800000L)) // 2024-01-15T00:00Z
+        .select(col("user_id"), col("event_id").as("latest_event_id"))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id, event_id AS latest_event_id FROM $lwwLatestSql
+        WHERE NOT (event_type = 'error') AND NOT (epoch_ms(ts) < 1705276800000)
+        ORDER BY user_id""")),
+
+    "kv_batch_union" -> QueryDef(
+      // merge of independently-written "generations" (memtable + L0s):
+      // union of three disjoint slices then LWW — same answer as
+      // kv_lww_latest via a different physical plan (SURVEY S2).
+      (s, dir) => {
+        val ev = events(s, dir)
+        val slices = (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+        KVOps.lwwResolve(slices.reduce(_ unionAll _), Seq("user_id"),
+            Seq(col("ts_ms"), col("event_id")))
+          .select(col("user_id"), col("event_id").as("latest_event_id"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, event_id AS latest_event_id FROM $lwwLatestSql
+        ORDER BY user_id""")),
+
+    "kv_engine_view" -> QueryDef(
+      // End-to-end through GraftDB itself: bulk-write events as KV pairs
+      // (value-separated: values >= 8 bytes route to the blob table), then
+      // a prefix scan over the merge-on-read view must reproduce the
+      // relational answer.
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q-view").toString
+        val db = new GraftDB(s, tmp,
+          GraftOptions(valueThreshold = 8, compactTriggerFiles = 1000))
+        val kv = t(s, dir, "events").select(
+          encode(concat(lpad(col("user_id").cast("string"), 4, "0"), lit("#"),
+            lpad(col("event_id").cast("string"), 6, "0")), "UTF-8").as("key"),
+          encode(col("event_type"), "UTF-8").as("value"))
+        db.write(kv)
+        db.scan(prefix = Some("0007#".getBytes("UTF-8")))
+          .select(decode(col("key"), "UTF-8").as("k"),
+            decode(col("value"), "UTF-8").as("v"))
+          .orderBy("k")
+      },
+      Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
+        event_type AS v FROM events WHERE user_id = 7 ORDER BY k"""),
+      headline = true),
+
+    "kv_engine_compact" -> QueryDef(
+      // Overwrites across generations + tombstones + compaction: the
+      // compacted view must equal the logical LWW answer.
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q-compact").toString
+        val db = new GraftDB(s, tmp, GraftOptions(compactTriggerFiles = 1000))
+        val ev = t(s, dir, "events")
+        val key = encode(concat(lpad(col("user_id").cast("string"), 4, "0"), lit("#"),
+          lpad(col("event_id").cast("string"), 6, "0")), "UTF-8").as("key")
+        db.write(ev.select(key, encode(concat(lit("old:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(key, encode(concat(lit("new:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .select(key, lit(null).cast("binary").as("value")))
+        db.compact()
+        db.scan(prefix = Some("0007#".getBytes("UTF-8")))
+          .select(decode(col("key"), "UTF-8").as("k"),
+            decode(col("value"), "UTF-8").as("v"))
+          .orderBy("k")
+      },
+      Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
+        CASE WHEN event_id % 2 = 0 THEN 'new:' || event_type
+             ELSE 'old:' || event_type END AS v
+        FROM events WHERE user_id = 7 AND event_id % 5 != 0 ORDER BY k""")))
+
+  // ============================================================== C. text ==
+
+  private val text: Seq[(String, QueryDef)] = Seq(
+
+    "text_tokens" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Text.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len($toksSql) AS n_tokens,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+        FROM documents ORDER BY doc_id""")),
+
+    "text_quality" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH q AS (SELECT doc_id, length(text) AS n_chars,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) END AS pr,
+          CASE WHEN len($toksSql) = 0 THEN 0.0
+               ELSE len(list_filter($toksSql, tk -> tk IN ($stopList)))::DOUBLE / len($toksSql) END AS sr
+          FROM documents)
+        SELECT doc_id, n_chars, round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+          round((least(n_chars / 500.0, 1.0) + least(sr * 4.0, 1.0) + greatest(1.0 - pr * 5.0, 0.0)) / 3.0, 6) AS quality
+        FROM q ORDER BY doc_id"""
+      },
+      headline = true),
+
+    "text_langid" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""WITH sc AS (SELECT doc_id, text,
+          len(list_filter($toksSql, tk -> tk IN ('the','and','of','is','to'))) AS s_en,
+          len(list_filter($toksSql, tk -> tk IN ('el','la','de','y','que'))) AS s_es,
+          len(list_filter($toksSql, tk -> tk IN ('der','die','und','das','ist'))) AS s_de,
+          len(list_filter($toksSql, tk -> tk IN ('le','la','et','les','des'))) AS s_fr
+          FROM documents)
+        SELECT doc_id, CASE
+          WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+          WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+          WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+          WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+          WHEN s_fr > 0 THEN 'fr'
+          ELSE 'und' END AS lang_pred
+        FROM sc ORDER BY doc_id""")),
+
+    "text_fingerprint" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""")))
+
+  // ============================================================= D. dedup ==
+
+  private val dedup: Seq[(String, QueryDef)] = Seq(
+
+    "dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents")).orderBy("fingerprint"),
+      Some(s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS keep_id,
+        count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY fingerprint"""),
+      headline = true),
+
+    "dedup_survivors" -> QueryDef(
+      (s, dir) => Dedup.exactSurvivors(t(s, dir, "documents"))
+        .select("doc_id").orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents WHERE doc_id IN
+        (SELECT min(doc_id) FROM documents GROUP BY md5($normSql))
+        ORDER BY doc_id""")),
+
+    "dedup_jaccard_pairs" -> QueryDef(
+      (s, dir) => Dedup.jaccardPairsWithin(t(s, dir, "documents"), "source", 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, source, list_distinct($toksSql) AS ts FROM documents)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+            round(len(list_intersect(l.ts, r.ts))::DOUBLE /
+              (len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts))), 6) AS jaccard
+          FROM toks l JOIN toks r ON l.source = r.source AND l.doc_id < r.doc_id)
+        WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""),
+      headline = true),
+
+    "dedup_minhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      None, // LSH banding isn't SQL-expressible; rows-only check
+      headline = true),
+
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    "dedup_embedding_pairs" -> QueryDef(
+      (s, dir) => Dedup.embeddingPairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+          threshold = 0.35, dim = 64)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM embeddings l JOIN embeddings r
+          ON l.vec_id < r.vec_id AND l.vec_id < 2000 AND r.vec_id < 2000
+        WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.35
+        ORDER BY id_a, id_b""")))
+
+  // ======================================================== E. similarity ==
+
+  private val similarity: Seq[(String, QueryDef)] = Seq(
+
+    "ann_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+            c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      headline = true),
+
+    "ann_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+            bucketBits = 6)
+          .orderBy("query_id", "rank")
+      },
+      None)) // approximate by construction; rows-only check
+
+  // ============================================================= F. graph ==
+
+  private def eventEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id").as("src"),
+      get_json_object(col("props"), "$.k").cast("long").as("dst"))
+
+  private val edgesSql =
+    """(SELECT user_id AS src, CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst FROM events)"""
+
+  private val graph: Seq[(String, QueryDef)] = Seq(
+
+    "graph_degree" -> QueryDef(
+      (s, dir) => GraphOps.degrees(eventEdges(s, dir)).orderBy("vertex"),
+      Some(s"""WITH e AS $edgesSql,
+        o AS (SELECT src AS vertex, count(*) AS c FROM e GROUP BY 1),
+        i AS (SELECT dst AS vertex, count(*) AS c FROM e GROUP BY 1)
+        SELECT coalesce(o.vertex, i.vertex) AS vertex,
+          coalesce(o.c, 0) AS out_degree, coalesce(i.c, 0) AS in_degree
+        FROM o FULL OUTER JOIN i ON o.vertex = i.vertex ORDER BY vertex"""),
+      headline = true),
+
+    "graph_2hop" -> QueryDef(
+      (s, dir) => GraphOps.kHop(eventEdges(s, dir), start = 1L, k = 2).orderBy("vertex"),
+      Some(s"""WITH e AS $edgesSql
+        SELECT DISTINCT vertex FROM (
+          SELECT CAST(1 AS BIGINT) AS vertex
+          UNION ALL SELECT dst FROM e WHERE src = 1
+          UNION ALL SELECT e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src = 1)
+        ORDER BY vertex""")),
+
+    "graph_triangles" -> QueryDef(
+      (s, dir) => GraphOps.triangleEdges(eventEdges(s, dir))
+        .agg(count(lit(1)).as("n_triangles")),
+      Some(s"""WITH e0 AS $edgesSql,
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e0 WHERE src <> dst)
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e2.b = e3.b AND e1.a = e3.a""")),
+
+    "graph_pagerank" -> QueryDef(
+      (s, dir) => GraphOps.pageRank(eventEdges(s, dir), iters = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex"),
+      None), // iterative; not SQL-expressible
+
+    "graph_cc" -> QueryDef(
+      (s, dir) => GraphOps.connectedComponents(eventEdges(s, dir)).orderBy("vertex"),
+      None))
+
+  // ============================================== G. streaming/multimodal ==
+
+  private val streamingMm: Seq[(String, QueryDef)] = Seq(
+
+    "stream_window_agg" -> QueryDef(
+      (s, dir) => EventStream.windowedAgg(events(s, dir))
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start_ms", "event_type"),
+      Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""),
+      headline = true),
+
+    "mm_binary_meta" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", "image")
+        Multimodal.decodeStub(media)
+          .select(col("media_id"), col("meta.byte_len").as("byte_len"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len
+        FROM documents ORDER BY media_id""")),
+
+    "mm_frame_sample" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", "video")
+        Multimodal.sampleFrames(media, 4).orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id, i AS frame_idx,
+        CAST(floor(i * octet_length(encode(text)) / 4) AS BIGINT) AS byte_offset
+        FROM documents, (SELECT unnest(range(4)) AS i) ORDER BY media_id, frame_idx""")))
+
+  // ================================================================ export ==
+
+  val defs: Seq[(String, QueryDef)] =
+    relational ++ kvParity ++ text ++ dedup ++ similarity ++ graph ++ streamingMm
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, q) => n -> q.fn }.toMap
+
+  def oracles: Map[String, String] =
+    defs.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
+
+  /** The bench headliners (driver BENCH_r{N}.json). */
+  def headlines: Seq[String] = defs.collect { case (n, q) if q.headline => n }
+}
