@@ -45,9 +45,16 @@ object Dedup {
       shingleK: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // sorted shingle sets: MinHashBands is order-insensitive, and the
+    // verification stage needs sorted input for the merge-scan Jaccard.
+    // Cached because it feeds three consumers (banding + both sides of the
+    // verification join) — materializing signatures once is the standard
+    // production shape for LSH dedup at scale.
     val sh = docs
-      .select(col(idCol).as("id"), Text.shingles(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).as("id"),
+        sort_array(Text.shingles(col(textCol), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .cache()
     // one native-expression pass per row computes all band keys (the band
     // index is folded into the band hash, so joining on `bh` alone is safe);
     // only (id, bh) pairs enter the shuffle — never the shingle arrays
@@ -60,7 +67,7 @@ object Dedup {
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", round(Vectors.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(HashExpressions.jaccard_sorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -98,11 +105,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
-      array_distinct(Text.tokens(col(textCol))).as("ts"))
+      sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts"))
     toks.as("l").join(toks.as("r"),
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(Vectors.jaccard(col("l.ts"), col("r.ts")), 6).as("jaccard"))
+        round(HashExpressions.jaccard_sorted(col("l.ts"), col("r.ts")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

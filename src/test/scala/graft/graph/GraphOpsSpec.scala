@@ -1,0 +1,71 @@
+package graft.graph
+
+import graft.core.{GraftDB, GraftOptions, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity with the reference's only graph workload (`kv/db_test.go:107-179`
+  * + `kv/user.json`): 100 users stored as JSON adjacency values under
+  * user-ID keys, verified by field-exact round-trip and 1-hop queries —
+  * then the analytics the reference README promises but never implements
+  * (PageRank, connected components) on the same graph.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // deterministic analog of the reference's generator (kv/db_test.go:114-143):
+  // 100 users, <=10 followers/following drawn from 0..99
+  private lazy val users: Seq[(String, String)] = {
+    val rnd = new scala.util.Random(7)
+    (0 until 100).map { i =>
+      val fol = Seq.fill(rnd.nextInt(11))(rnd.nextInt(100).toString)
+      val ing = Seq.fill(rnd.nextInt(11))(rnd.nextInt(100).toString)
+      val json = s"""{"ID":"$i","Name":"user-$i","Follower":[${fol.map(f => s""""$f"""").mkString(",")}],"Following":[${ing.map(f => s""""$f"""").mkString(",")}]}"""
+      (i.toString, json)
+    }
+  }
+
+  test("field-exact JSON round-trip through the KV engine (kv/db_test.go:145-179)") {
+    val db = new GraftDB(spark, java.nio.file.Files.createTempDirectory("graph-kv").toString,
+      GraftOptions(valueThreshold = 64, compactTriggerFiles = 1000))
+    db.batchSet(users.map { case (id, json) =>
+      graft.core.KVEntry(id.getBytes("UTF-8"), json.getBytes("UTF-8"))
+    })
+    users.foreach { case (id, json) =>
+      assert(db.get(id.getBytes("UTF-8")).map(new String(_, "UTF-8")).contains(json))
+    }
+  }
+
+  test("1-hop follower lookup matches the stored adjacency") {
+    import spark.implicits._
+    val df = users.toDF("key", "json")
+    val edges = GraphOps.edgesFromAdjacencyJson(df)
+    val u42Followers = edges.filter($"src" === "42" && $"kind" === "follower")
+      .select("dst").collect().map(_.getString(0)).sorted.toSeq
+    val expected = {
+      val json = users(42)._2
+      val fol = """"Follower":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
+      if (fol.isEmpty) Seq.empty else fol.split(",").map(_.replace("\"", "")).sorted.toSeq
+    }
+    assert(u42Followers == expected)
+  }
+
+  test("PageRank and connected components run on the user graph") {
+    import spark.implicits._
+    val edges = GraphOps.edgesFromAdjacencyJson(users.toDF("key", "json"))
+      .select($"src".cast("long").as("src"), $"dst".cast("long").as("dst"))
+    val pr = GraphOps.pageRank(edges, iters = 5).collect()
+    assert(pr.length == pr.map(_.getLong(0)).distinct.length && pr.nonEmpty)
+    assert(pr.map(_.getDouble(1)).forall(_ > 0))
+    val cc = GraphOps.connectedComponents(edges).collect()
+    assert(cc.nonEmpty && cc.map(_.getLong(1)).distinct.length >= 1)
+  }
+
+  test("kHop frontier expansion is exact on a chain graph") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L)).toDF("src", "dst")
+    val got = GraphOps.kHop(chain, start = 1L, k = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // start + hop1 {2} + hop2 {3}
+  }
+}
