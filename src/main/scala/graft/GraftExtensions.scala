@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expressions.{JaccardSorted, MinHashBands, SimHash64, WordShingles}
+
+/** SparkSessionExtensions hook: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the same surface
+  * as the Column API:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  *   SELECT simhash64(tokens), minhash_bands(shingles, 8, 4),
+  *          jaccard_sorted(a, b), word_shingles(tokens, 3) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intLit(args(1), "numBands"), intLit(args(2), "rowsPerBand"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (args: Seq[Expression]) => JaccardSorted(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intLit(args(1), "k"))))
+  }
+}
+
+object GraftExtensions {
+  /** Runtime registration for an already-built session (no config needed). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      args => MinHashBands(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int],
+        args(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sorted",
+      args => JaccardSorted(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      args => WordShingles(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+  }
+}

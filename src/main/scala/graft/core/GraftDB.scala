@@ -324,6 +324,33 @@ final class GraftDB(
     (liveCount, dead)
   }
 
+  /** Pull-based ordered iteration over the live view (reference
+    * `NewIterator` consumption shape): rows stream to the caller one
+    * partition at a time — no full collect.
+    */
+  def iterator(ascending: Boolean = true): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    scan(ascending = ascending).toLocalIterator().asScala
+  }
+
+  /** Sampling estimate of the dead-blob ratio — parity with the reference's
+    * GC sampler (`kv/vlog_gc.go:255-346`, ~1% of entries): exact counting
+    * via semi-join is affordable at Spark scale (see [[gcBlobs]]), but on a
+    * 100 TB blob table a 1% sample answers "is GC worth running?" with a
+    * fraction of the I/O.
+    */
+  def estimateDeadBlobRatio(fraction: Double = 0.01, seed: Long = 42L): Double = {
+    val st = manifest.load()
+    if (st.blobFiles.isEmpty) return 0.0
+    val sampled = blobTable().sample(withReplacement = false, fraction, seed)
+    val liveRefs = resolved(readSegments(st.liveDataPaths))
+      .filter(!col("tombstone") && col("blobId").isNotNull)
+      .select(col("blobId"))
+    val counts = sampled.join(liveRefs, Seq("blobId"), "left_anti").count().toDouble
+    val total = sampled.count().toDouble
+    if (total == 0) 0.0 else counts / total
+  }
+
   /** Delete segment dirs no longer referenced by the manifest (orphan
     * cleanup, reference `kv/file/manifest.go:227-243`). Call when no
     * snapshot readers are active.

@@ -44,17 +44,12 @@ object Text {
       (acc, b) => acc * lit(31L) + b)
 
   /** Word k-shingles (n-grams of tokens joined by space) of the normalized
-    * text — the unit set for Jaccard/MinHash dedup.
+    * text — the unit set for Jaccard/MinHash dedup. Returns a SORTED,
+    * deduplicated array (native expression; see WordShingles for why the
+    * HOF form was replaced).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      filter(
-        transform(
-          sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
-        s => length(s) > 0))
-  }
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.expressions.HashExpressions.word_shingles(tokens(text), k)
 
   private val stopwordList = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",

@@ -163,6 +163,46 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `word_shingles(tokens, k)`: array<string> -> sorted, deduplicated array
+  * of k-word shingles (space-joined). One pass; replaces an interpreted
+  * transform/slice/concat_ws HOF chain that took ~2ms/doc at bench.
+  */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val set = new java.util.TreeSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    val last = n - k
+    while (i <= last) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(space, parts: _*)
+      if (s.numBytes() > 0) set.add(s)
+      i += 1
+    }
+    // short docs (< k tokens) fall back to the whole-document shingle
+    if (set.isEmpty && n > 0) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(j); j += 1 }
+      val s = UTF8String.concatWs(space, parts: _*)
+      if (s.numBytes() > 0) set.add(s)
+    }
+    new GenericArrayData(set.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** `jaccard_sorted(a, b)`: exact Jaccard similarity of two pre-sorted,
   * pre-deduplicated string arrays via a single merge scan — no per-pair
   * hash-set allocation (array_intersect builds an OpenHashSet per call,
@@ -224,6 +264,10 @@ object HashExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Sorted distinct k-word shingles of a token array. */
+  def word_shingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), k))
 
   /** Jaccard over arrays that are ALREADY sorted+distinct (see
     * [[JaccardSorted]]); pair with `sort_array(array_distinct(...))`.

@@ -52,7 +52,7 @@ object Dedup {
     // production shape for LSH dedup at scale.
     val sh = docs
       .select(col(idCol).as("id"),
-        sort_array(Text.shingles(col(textCol), shingleK)).as("sh"))
+        Text.shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
     // one native-expression pass per row computes all band keys (the band

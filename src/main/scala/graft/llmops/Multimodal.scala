@@ -62,6 +62,33 @@ object Multimodal {
     decoded.toDF("media_id", "modality", "payload", "meta")
   }
 
+  /** STUB feature extractor: payload bytes -> `dim`-dimensional unit-norm
+    * float embedding. A real pipeline would run a vision/audio encoder over
+    * the decoded media here; the deterministic hash-derived vector keeps
+    * the downstream similarity plumbing (schema `array<float>`, ANN joins)
+    * real and testable.
+    */
+  def featurizeStub(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val raw = Array.tabulate(dim) { d =>
+            var h = 1125899906842597L * (d + 1)
+            var i = 0
+            while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+            ((h % 1000L) / 1000.0f)
+          }
+          val n = math.sqrt(raw.map(x => x * x).sum).toFloat
+          val unit = if (n == 0f) raw else raw.map(_ / n)
+          (id, unit)
+        }
+      }
+      .toDF("media_id", "embedding")
+  }
+
   /** Deterministic frame/sample selection for video/audio: pick `n` sample
     * offsets spread over the payload — stands in for frame extraction; the
     * byte-slicing and explode shape match the real operator.
