@@ -105,9 +105,18 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
-      sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts"))
+        sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts"))
+      .withColumn("sz", size(col("ts")).cast("long"))
+    // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
+    // whose size ratio is below (threshold - 0.01 margin for the 6dp
+    // rounding boundary) can never reach the threshold — pruned with two
+    // integer comparisons before any array work. Cuts the pairwise stage
+    // ~5x at bench without changing the result set.
+    val ratioNum = math.max(0L, ((threshold - 0.01) * 1000).toLong)
     toks.as("l").join(toks.as("r"),
-        col("l.g") === col("r.g") && col("l.id") < col("r.id"))
+        col("l.g") === col("r.g") && col("l.id") < col("r.id") &&
+        col("l.sz") * 1000 >= col("r.sz") * ratioNum &&
+        col("r.sz") * 1000 >= col("l.sz") * ratioNum)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(HashExpressions.jaccard_sorted(col("l.ts"), col("r.ts")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.core.{GraftDB, GraftOptions, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink coverage (SURVEY §2.5): the reference has only its own
+  * WAL/SST/vlog formats; the Spark engine gets parquet/orc/json/csv for
+  * free — proven here by round-tripping the engine's tables through each
+  * format and by ingesting a CSV source straight into a GraftDB.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+    test(s"$fmt round-trip preserves the events table") {
+      val dir = Files.createTempDirectory(s"src-$fmt").toString
+      val w = events.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(dir)
+      val r = spark.read.format(fmt)
+      val back = (if (fmt == "csv") r.option("header", "true").schema(events.schema) else r.schema(events.schema))
+        .load(dir)
+      assert(back.count() == events.count())
+      val a = events.orderBy("event_id").collect()
+      val b = back.orderBy("event_id").collect()
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("CSV source ingests into GraftDB (scan -> engine write path)") {
+    val dir = Files.createTempDirectory("src-csv-kv").toString
+    events.select(col("event_id"), col("event_type"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val csv = spark.read.option("header", "true")
+      .schema("event_id LONG, event_type STRING").csv(dir)
+    val db = new GraftDB(spark, Files.createTempDirectory("src-db").toString,
+      GraftOptions(compactTriggerFiles = 1000))
+    db.write(csv.select(
+      encode(col("event_id").cast("string"), "UTF-8").as("key"),
+      encode(col("event_type"), "UTF-8").as("value")))
+    assert(db.view().count() == events.count())
+    assert(db.get("42".getBytes("UTF-8")).isDefined)
+  }
+}
