@@ -150,8 +150,9 @@ final class GraftDB(
           lit(baseBlob) + monotonically_increasing_id()).otherwise(lit(null).cast("long")))
     val blobDir = newSegmentDir("blobs")
     val blobDf = withCols.filter(col("blobId").isNotNull).select(col("blobId"), col("value"))
-    val blobCount = blobDf.count()
-    if (blobCount > 0) blobDf.write.mode(SaveMode.Overwrite).parquet(blobDir)
+    blobDf.write.mode(SaveMode.Overwrite).parquet(blobDir)
+    // row count from parquet footers — no second scan of the input
+    val blobCount = spark0.read.schema(KVEntry.blobSchema).parquet(blobDir).count()
     val dataDir = newSegmentDir("data")
     withCols.select(
         col("key"),
@@ -164,10 +165,12 @@ final class GraftDB(
       .parquet(dataDir)
     val mm = spark0.read.parquet(dataDir)
       .agg(min(col("key")), max(col("key")), count(lit(1))).head()
-    val meta = FileMeta(dataDir, 0, Hex.encode(mm.getAs[Array[Byte]](0)),
-      Hex.encode(mm.getAs[Array[Byte]](1)), mm.getLong(2), baseVersion)
+    val meta =
+      if (mm.isNullAt(0)) Vector.empty // empty input batch
+      else Vector(FileMeta(dataDir, 0, Hex.encode(mm.getAs[Array[Byte]](0)),
+        Hex.encode(mm.getAs[Array[Byte]](1)), mm.getLong(2), baseVersion))
     manifest.commit(st => st.copy(
-      files = st.files :+ meta,
+      files = st.files ++ meta,
       blobFiles = if (blobCount > 0) st.blobFiles :+ BlobFileMeta(blobDir, blobCount)
                   else st.blobFiles))
     maybeCompact()
