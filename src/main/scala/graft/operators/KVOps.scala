@@ -48,4 +48,46 @@ object KVOps {
     until.foreach(u => out = out.filter(col(keyCol) < u))
     out.orderBy(if (ascending) col(keyCol).asc else col(keyCol).desc)
   }
+
+  /** Backward as-of join: for every left row, attach the payload of the
+    * most recent right row with the same keys and `rightTime <= leftTime`
+    * (inclusive). Output = left columns + `asof_<c>` for each payload
+    * column (null when no prior right row exists).
+    *
+    * Implementation is the union-window trick, not a join: both sides are
+    * tagged and unioned, then one window per key partition carries the
+    * latest right payload forward (`last(..., ignoreNulls)`). At scale this
+    * is ONE shuffle on the keys — compared to a range join it never
+    * explodes matching pairs, and skewed keys are handled by AQE like any
+    * other window shuffle. `rightOrderCol` breaks ties among right rows
+    * sharing a timestamp.
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightOrderCol: Option[String] = None): DataFrame = {
+    val payloadT = struct(payloadCols.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("long").as("__t"),
+        lit(0).as("__side"),
+        coalesce(rightOrderCol.map(col(_).cast("long")).getOrElse(lit(0L)), lit(0L)).as("__ord"),
+        payloadT.as("__payload")): _*)
+    val l = left.withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", lit(Long.MaxValue))
+      .withColumn("__payload", lit(null).cast(r.schema("__payload").dataType))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+    val outCols = left.columns.map(col).toSeq ++
+      payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c"))
+    carried.filter(col("__side") === 1).select(outCols: _*)
+  }
 }

@@ -207,6 +207,73 @@ object Catalog {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY rf, ls""")),
 
+    "q_scalar_dates" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          month(col("l_shipdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("yr", "mo"),
+      Some("""SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    "q_case_buckets" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .select(when(col("l_discount") < 0.02, "low")
+          .when(col("l_discount") < 0.05, "mid")
+          .otherwise("high").as("bucket"), col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 4).as("avg_price"))
+        .orderBy("bucket"),
+      Some("""SELECT CASE WHEN l_discount < 0.02 THEN 'low'
+                          WHEN l_discount < 0.05 THEN 'mid'
+                          ELSE 'high' END AS bucket,
+        count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+        FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    "q_string_funcs" -> QueryDef(
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          upper(substring(col("p_name"), 1, 6)).as("prefix6"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_brand, upper(substr(p_name, 1, 6)) AS prefix6,
+        length(p_name) AS name_len, replace(p_type, ' ', '_') AS type_u
+        FROM part ORDER BY p_partkey""")),
+
+    "q_asof_join" -> QueryDef(
+      // the generic as-of join OPERATOR (KVOps.asofJoinBackward — one
+      // shuffle, union-window form), oracled against DuckDB's native
+      // ASOF JOIN.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+        KVOps.asofJoinBackward(
+            ev.select(col("event_id"), col("user_id"), col("ts_ms")),
+            signups, keys = Seq("user_id"),
+            leftTime = "ts_ms", rightTime = "ts_ms",
+            payloadCols = Seq("value"), rightOrderCol = Some("event_id"))
+          .select(col("event_id"), col("user_id"),
+            round(col("asof_value"), 2).as("signup_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, round(s.value, 2) AS signup_value
+        FROM events e ASOF LEFT JOIN
+          (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+          ON e.user_id = s.user_id AND epoch_ms(e.ts) >= epoch_ms(s.ts)
+        ORDER BY e.event_id""")),
+
+    "q_skew_distinct" -> QueryDef(
+      // two-phase distinct count (Skew.distinctCountTwoPhase) — identical
+      // result to count(DISTINCT), skew-safe shuffle shape.
+      (s, dir) => graft.operators.Skew.distinctCountTwoPhase(
+          t(s, dir, "events"), Seq("event_type"), "user_id", "n_users")
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
     "q_asof_signup" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
