@@ -263,7 +263,8 @@ object Catalog {
         FROM events e ASOF LEFT JOIN
           (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
           ON e.user_id = s.user_id AND epoch_ms(e.ts) >= epoch_ms(s.ts)
-        ORDER BY e.event_id""")),
+        ORDER BY e.event_id"""),
+      headline = true),
 
     "q_skew_distinct" -> QueryDef(
       // two-phase distinct count (Skew.distinctCountTwoPhase) — identical
