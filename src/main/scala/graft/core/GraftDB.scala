@@ -163,18 +163,30 @@ final class GraftDB(
       .write.mode(SaveMode.Overwrite)
       .option("parquet.bloom.filter.enabled#key", "true")
       .parquet(dataDir)
-    val mm = spark0.read.parquet(dataDir)
-      .agg(min(col("key")), max(col("key")), count(lit(1))).head()
-    val meta =
-      if (mm.isNullAt(0)) Vector.empty // empty input batch
-      else Vector(FileMeta(dataDir, 0, Hex.encode(mm.getAs[Array[Byte]](0)),
-        Hex.encode(mm.getAs[Array[Byte]](1)), mm.getLong(2), baseVersion))
+    val metas = segmentFileMetas(dataDir, level = 0, baseVersion)
     manifest.commit(st => st.copy(
-      files = st.files ++ meta,
+      files = st.files ++ metas,
       blobFiles = if (blobCount > 0) st.blobFiles :+ BlobFileMeta(blobDir, blobCount)
                   else st.blobFiles))
     maybeCompact()
   }
+
+  /** Per-parquet-file manifest entries for a freshly written segment dir:
+    * one pass groups by `input_file_name` to collect each file's
+    * [minKey, maxKey] + row count. Range-partitioned output thus gets
+    * per-FILE pruning from the manifest (the reference's per-SST
+    * `[minKey,maxKey]` search, `kv/lsm/level_handler.go:45-64`) before
+    * parquet footers are even opened.
+    */
+  private def segmentFileMetas(dir: String, level: Int, baseVersion: Long): Vector[FileMeta] =
+    spark.read.schema(KVEntry.schema).parquet(dir)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("key")).as("mn"), max(col("key")).as("mx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => FileMeta(r.getString(0), level,
+        Hex.encode(r.getAs[Array[Byte]](1)), Hex.encode(r.getAs[Array[Byte]](2)),
+        r.getLong(3), baseVersion))
+      .toVector
 
   // ----------------------------------------------------------------- read path
 
@@ -270,16 +282,34 @@ final class GraftDB(
     if (st.files.count(_.level == 0) >= options.compactTriggerFiles) compact()
   }
 
-  /** Compaction: THE natural Spark job (reference `compactBuildTables`,
-    * `kv/lsm/compact.go:239-447`): read live segments -> LWW-resolve ->
-    * drop tombstones and expired entries -> range-partition + key-sort ->
-    * write one level-1 generation; atomically swap the manifest. The
-    * reference's parallel subcompactions become range-partition tasks.
+  /** Leveled compaction: THE natural Spark job (reference
+    * `compactBuildTables`, `kv/lsm/compact.go:239-447`). Inputs are the
+    * level-0 generations plus every level-1 file whose key range overlaps
+    * them (the reference's L0->Lbase merge): LWW-resolve -> drop tombstones
+    * and expired entries -> range-partition + key-sort -> write level-1
+    * files with per-file manifest stats; atomically swap the manifest.
+    * Non-overlapping level-1 files are untouched — write amplification is
+    * bounded by the overlap, not the table size. The reference's parallel
+    * subcompactions become range-partition tasks.
     */
-  def compact(): Unit = {
+  def compact(): Unit = compactInputs { st =>
+    val l0 = st.files.filter(_.level == 0)
+    if (l0.isEmpty) Vector.empty
+    else l0 ++ st.files.filter(f => f.level >= 1 && l0.exists(z => overlaps(z, f)))
+  }
+
+  /** Full rewrite of every live segment (the reference's Lmax->Lmax
+    * self-compaction role): reclaims all shadowed versions and dead rows.
+    */
+  def majorCompact(): Unit = compactInputs(_.files)
+
+  private def overlaps(a: FileMeta, b: FileMeta): Boolean =
+    !(a.maxKeyHex < b.minKeyHex || b.maxKeyHex < a.minKeyHex)
+
+  private def compactInputs(pick: ManifestState => Vector[FileMeta]): Unit = {
     val st0 = manifest.load()
-    if (st0.files.isEmpty) return
-    val inputs = st0.files
+    val inputs = pick(st0)
+    if (inputs.isEmpty) return
     val now = System.currentTimeMillis() / 1000
     val compacted = visible(resolved(readSegments(inputs.map(_.path))), now)
     val outDir = newSegmentDir("data")
@@ -289,19 +319,15 @@ final class GraftDB(
       .write.mode(SaveMode.Overwrite)
       .option("parquet.bloom.filter.enabled#key", "true")
       .parquet(outDir)
-    val mm = spark.read.parquet(outDir)
-      .agg(min(col("key")), max(col("key")), count(lit(1))).head()
     val maxVersion = inputs.map(_.createdVersion).max
-    val newMeta =
-      if (mm.isNullAt(0)) Vector.empty // everything was deleted/expired
-      else Vector(FileMeta(outDir, 1, Hex.encode(mm.getAs[Array[Byte]](0)),
-        Hex.encode(mm.getAs[Array[Byte]](1)), mm.getLong(2), maxVersion))
+    val newMetas = segmentFileMetas(outDir, level = 1, maxVersion)
     manifest.commit { st =>
       val remaining = st.files.filterNot(f => inputs.exists(_.path == f.path))
-      st.copy(files = newMeta ++ remaining)
+      st.copy(files = newMetas ++ remaining)
     }
-    // Old segment dirs stay on disk until gc() — snapshot readers may still
-    // hold them (replaces the reference's iterator refcounts, kv/vlog_gc.go:364-390).
+    // Old segment dirs stay on disk until vacuum() — snapshot readers may
+    // still hold them (replaces the reference's iterator refcounts,
+    // kv/vlog_gc.go:364-390).
   }
 
   /** Blob GC (reference vlog GC, `kv/vlog_gc.go`): exact live-set via a
@@ -360,11 +386,16 @@ final class GraftDB(
     */
   def vacuum(): Unit = {
     val st = manifest.load()
-    val live = (st.files.map(_.path) ++ st.blobFiles.map(_.path)).toSet
+    // normalize: manifest paths may be segment DIRS (batchSet) or
+    // individual part-FILES with a file: scheme (per-file metas)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val live = (st.files.map(_.path) ++ st.blobFiles.map(_.path)).map(norm)
     for (kind <- Seq("data", "blobs")) {
       val dir = new java.io.File(s"$rootDir/$kind")
       Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (!live.contains(f.getPath)) deleteRecursively(f)
+        val seg = f.getPath
+        val inUse = live.exists(p => p == seg || p.startsWith(seg + "/"))
+        if (!inUse) deleteRecursively(f)
       }
     }
   }
@@ -378,6 +409,7 @@ final class GraftDB(
     val st = manifest.load()
     Map(
       "dataSegments" -> st.files.size.toLong,
+      "level0Segments" -> st.files.count(_.level == 0).toLong,
       "blobSegments" -> st.blobFiles.size.toLong,
       "rows" -> st.files.map(_.rows).sum,
       "nextVersion" -> st.nextVersion)

@@ -43,6 +43,7 @@ object Dedup {
       numBands: Int = 8,
       rowsPerBand: Int = 4,
       shingleK: Int = 3,
+      maxBucketSize: Int = 5000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // sorted shingle sets: MinHashBands is order-insensitive, and the
@@ -58,8 +59,15 @@ object Dedup {
     // one native-expression pass per row computes all band keys (the band
     // index is folded into the band hash, so joining on `bh` alone is safe);
     // only (id, bh) pairs enter the shuffle — never the shingle arrays
-    val bands = sh.select(col("id"),
+    val bandsAll = sh.select(col("id"),
       explode(HashExpressions.minhash_bands(col("sh"), numBands, rowsPerBand)).as("bh"))
+    // skew guard: a degenerate band key shared by B docs would emit B^2/2
+    // candidate pairs from one reducer; buckets above maxBucketSize are
+    // dropped (their members still pair through their other bands). The
+    // cap costs one count aggregation over (id, bh) rows.
+    val smallBuckets = bandsAll.groupBy(col("bh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select(col("bh"))
+    val bands = bandsAll.join(smallBuckets, Seq("bh"))
     val candidates = bands.as("l").join(bands.as("r"),
         col("l.bh") === col("r.bh") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))

@@ -116,13 +116,36 @@ class GraftDBSpec extends AnyFunSuite {
       .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value")))
       .toMap
     assert(after == before)
-    assert(db.stats()("dataSegments") == 1)
+    assert(db.stats()("level0Segments") == 0)
     // raw log after compaction holds no tombstones/expired rows
     assert(db.rawLog().filter("tombstone OR (expiresAt != 0 AND expiresAt < unix_timestamp())").count() == 0)
     db.vacuum()
     assert(after == db.view().collect()
       .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value"))).toMap)
   }
+
+  test("leveled compaction: non-overlapping level-1 files are not rewritten") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4))
+    // build a compacted level-1 range over keys a*
+    db.batchSet((0 until 40).map(i => KVEntry(b(f"a$i%03d"), b(s"v$i"))))
+    db.compact()
+    val l1Paths = { val s = db.stats(); assert(s("level0Segments") == 0); dbFiles(db) }
+    // new L0 in a DISJOINT key range z* -> minor compact must keep a* files
+    db.batchSet((0 until 10).map(i => KVEntry(b(f"z$i%03d"), b(s"w$i"))))
+    db.compact()
+    val after = dbFiles(db)
+    assert(l1Paths.subsetOf(after), "disjoint level-1 files were rewritten")
+    assert(db.view().count() == 50)
+    // overlapping write DOES rewrite the touched range
+    db.batchSet(Seq(KVEntry(b("a005"), b("updated"))))
+    db.compact()
+    assert(db.get(b("a005")).map(new String(_)).contains("updated"))
+    assert(db.stats()("level0Segments") == 0)
+  }
+
+  private def dbFiles(db: GraftDB): Set[String] =
+    db.rawLog().select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
 
   test("blob GC rewrites only live blobs (kv/vlog_test.go:96-136)") {
     val db = freshDb(GraftOptions(valueThreshold = 16, compactTriggerFiles = 1000, gcDiscardRatio = 0.3))
