@@ -23,27 +23,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name expects an integer literal, got $other")
   }
 
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => { arity("simhash64", args, 1); SimHash64(args.head) }))
 
     ext.injectFunction((
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
-      (args: Seq[Expression]) => MinHashBands(args(0),
-        intLit(args(1), "numBands"), intLit(args(2), "rowsPerBand"))))
+      (args: Seq[Expression]) => { arity("minhash_bands", args, 3)
+        MinHashBands(args(0), intLit(args(1), "numBands"), intLit(args(2), "rowsPerBand")) }))
 
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
-      (args: Seq[Expression]) => JaccardSorted(args(0), args(1))))
+      (args: Seq[Expression]) => { arity("jaccard_sorted", args, 2)
+        JaccardSorted(args(0), args(1)) }))
 
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => WordShingles(args(0), intLit(args(1), "k"))))
+      (args: Seq[Expression]) => { arity("word_shingles", args, 2)
+        WordShingles(args(0), intLit(args(1), "k")) }))
   }
 }
 

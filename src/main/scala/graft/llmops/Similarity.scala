@@ -40,6 +40,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `numCentroids` cells; each query probes only its `nProbe`
+    * nearest cells. The scale path for large corpora AND large query sets:
+    * corpus is scanned once to assign cells (then the assignment is a
+    * materialized index), and each query touches ~nProbe/numCentroids of
+    * the data. Returns (query_id, neighbor_id, rank).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    val model = new KMeans().setK(numCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
+    val assigned = model.transform(c).drop("fv")
+    // centroid table is tiny: broadcast-joined against the queries, ranked
+    // by distance, keep nProbe cells per query
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(qCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Recall < 1 by construction; bucketBits trades recall for cost.
     */

@@ -547,6 +547,15 @@ object Catalog {
         WHERE rank <= 5 ORDER BY query_id, rank"""),
       headline = true),
 
+    "ann_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+            numCentroids = 16, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None), // k-means quantization; approximate, rows-only check
+
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -1,0 +1,36 @@
+package graft.llmops
+
+import graft.core.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ivfTopK: shape, no self-matches, and nontrivial recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, numCentroids = 8, nProbe = 3)
+      .collect()
+    assert(ivf.length == 10 * 5)
+    assert(ivf.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random 64-dim corpus, 3/8 cells probed: recall must beat random chance
+    assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
+  }
+
+  test("lshTopK returns ranked neighbors from matching buckets only") {
+    val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+      dim = 64, bucketBits = 4).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val ranks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length))
+    }
+  }
+}
