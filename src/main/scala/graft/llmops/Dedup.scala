@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 import graft.functions.expressions.HashExpressions
@@ -115,18 +116,36 @@ object Dedup {
     val toks = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
         sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts"))
       .withColumn("sz", size(col("ts")).cast("long"))
-    // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
-    // whose size ratio is below (threshold - 0.01 margin for the 6dp
-    // rounding boundary) can never reach the threshold — pruned with two
-    // integer comparisons before any array work. Cuts the pairwise stage
-    // ~5x at bench without changing the result set.
-    val ratioNum = math.max(0L, ((threshold - 0.01) * 1000).toLong)
-    toks.as("l").join(toks.as("r"),
-        col("l.g") === col("r.g") && col("l.id") < col("r.id") &&
-        col("l.sz") * 1000 >= col("r.sz") * ratioNum &&
-        col("r.sz") * 1000 >= col("l.sz") * ratioNum)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(HashExpressions.jaccard_sorted(col("l.ts"), col("r.ts")), 6).as("jaccard"))
+      .cache() // feeds prefix extraction + both sides of verification
+    // EXACT set-similarity join, AllPairs/PPJoin style:
+    //  1. order every document's tokens by global rarity (freq asc);
+    //  2. a pair with jaccard >= t MUST share a token among each side's
+    //     first (|s| - ceil(t*|s|) + 1) rarest tokens — candidates are
+    //     generated by joining only those short, rare prefixes;
+    //  3. verify candidates with the merge-scan JaccardSorted.
+    // Guaranteed superset of the true pairs (t' below t covers the 6dp
+    // rounding boundary), so the result set is identical to all-pairs.
+    val tPrime = math.max(0.0, threshold - 0.01)
+    val exploded = toks.select(col("g"), col("id"), col("sz"), explode(col("ts")).as("tok"))
+    val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("__f"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("__f").asc, col("tok").asc)
+    val prefixes = exploded.join(freq, Seq("tok"))
+      .withColumn("__pos", row_number().over(wDoc))
+      .filter(col("__pos") <= col("sz") - ceil(lit(tPrime) * col("sz")) + 1)
+      .select(col("g"), col("id"), col("tok"))
+    val ratioNum = math.max(0L, (tPrime * 1000).toLong)
+    val candidates = prefixes.as("l").join(prefixes.as("r"),
+        col("l.g") === col("r.g") && col("l.tok") === col("r.tok") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(toks.select(col("id").as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("ts").as("ts_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(col("sz_a") * 1000 >= col("sz_b") * ratioNum &&
+        col("sz_b") * 1000 >= col("sz_a") * ratioNum) // size-ratio bound
+      .select(col("id_a"), col("id_b"),
+        round(HashExpressions.jaccard_sorted(col("ts_a"), col("ts_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
