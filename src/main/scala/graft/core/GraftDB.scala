@@ -353,6 +353,16 @@ final class GraftDB(
     (liveCount, dead)
   }
 
+  /** Typed Dataset view of the resolved live entries — the compile-time-
+    * checked API surface (SURVEY §1.4: `Dataset[T]` where type safety
+    * helps, `DataFrame` where schema is dynamic).
+    */
+  def entries(): org.apache.spark.sql.Dataset[ResolvedEntry] = {
+    val spark0 = spark
+    import spark0.implicits._
+    view().as[ResolvedEntry]
+  }
+
   /** Pull-based ordered iteration over the live view (reference
     * `NewIterator` consumption shape): rows stream to the caller one
     * partition at a time — no full collect.

@@ -29,6 +29,13 @@ final case class KVEntry(
     tombstone: Boolean,
     blobId: java.lang.Long)
 
+/** A row of the resolved (post-LWW, post-visibility) user view. */
+final case class ResolvedEntry(
+    key: Array[Byte],
+    value: Array[Byte],
+    version: Long,
+    expiresAt: Long)
+
 object KVEntry {
   /** Schema of the persisted log table (one parquet generation per commit). */
   val schema: StructType = StructType(Seq(

@@ -629,6 +629,39 @@ object Catalog {
         FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""),
       headline = true),
 
+    "q_session_windows" -> QueryDef(
+      // gap-based sessionization (5-minute inactivity gap): the batch dual
+      // of streaming session windows, expressed as lag + running sum of
+      // session breaks — deterministic and oracle-checkable.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("brk",
+            when(lag(col("ts_ms"), 1).over(wOrd).isNull ||
+              col("ts_ms") - lag(col("ts_ms"), 1).over(wOrd) > 300000L, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("brk")).over(wRun))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+          .orderBy("user_id", "sess")
+      },
+      Some("""WITH x AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS tm,
+            CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 300000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        sessioned AS (
+          SELECT user_id, tm,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY tm, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM x)
+        SELECT user_id, sess, count(*) AS n_events,
+          min(tm) AS start_ms, max(tm) AS end_ms
+        FROM sessioned GROUP BY user_id, sess ORDER BY user_id, sess""")),
+
     "mm_binary_meta" -> QueryDef(
       (s, dir) => {
         val media = Multimodal.asMedia(

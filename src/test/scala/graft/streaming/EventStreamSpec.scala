@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * = the reference's group-commit pipeline, `kv/db.go:224-285`).
   */
 class EventStreamSpec extends AnyFunSuite {
-  private def spark = TestSpark.spark
+  private val spark = TestSpark.spark
 
   private def eventsBatch() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,6 +31,44 @@ class EventStreamSpec extends AnyFunSuite {
       val expected = EventStream.windowedAgg(batch)
         .orderBy("window_start", "event_type").collect()
       assert(streamed.length == expected.length && streamed.sameElements(expected))
+    } finally q.stop()
+  }
+
+  test("watermark drops data later than the bound in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.windowedAgg(df, windowDur = "1 hour", watermark = "1 hour")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_test").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: events up to 06:30 -> watermark advances to 05:30
+      input.addData((t("2024-01-01 04:10:00"), "click", 1.0),
+        (t("2024-01-01 06:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: both 03:00 and 04:20 are below the 05:30 watermark — the
+      // 04:00 window was already finalized and emitted, so BOTH are dropped
+      input.addData((t("2024-01-01 03:00:00"), "click", 100.0),
+        (t("2024-01-01 04:20:00"), "click", 1.0),
+        (t("2024-01-01 09:00:00"), "click", 1.0)) // pushes watermark to 08:00
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 12:00:00"), "click", 1.0)) // finalize all
+      q.processAllAvailable()
+      val out = spark.table("late_test")
+        .select(unix_millis(col("window_start")).as("w"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (java.time.Instant.ofEpochMilli(r.getLong(0)).toString,
+          (r.getLong(1), r.getDouble(2)))).toMap
+      // 04:00 window finalized with only the on-time 04:10 event; the late
+      // 03:00 and 04:20 arrivals never surface
+      assert(out("2024-01-01T04:00:00Z") == (1L, 1.0))
+      assert(!out.contains("2024-01-01T03:00:00Z"), "late event leaked past the watermark")
+      assert(out("2024-01-01T06:00:00Z") == (1L, 1.0))
+      assert(out("2024-01-01T09:00:00Z") == (1L, 1.0))
     } finally q.stop()
   }
 
