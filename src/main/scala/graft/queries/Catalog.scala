@@ -275,6 +275,48 @@ object Catalog {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1 ORDER BY event_type""")),
 
+    "q_cube" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_price"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    "q_percentiles" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "q_correlated" -> QueryDef(
+      // customers above their nation's average balance — the correlated
+      // scalar subquery, expressed as join+agg in Spark
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val natAvg = c.groupBy(col("c_nationkey"))
+          .agg(avg(col("c_acctbal")).as("nat_avg"))
+        c.join(broadcast(natAvg), Seq("c_nationkey"))
+          .filter(col("c_acctbal") > col("nat_avg"))
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")),
+
     "q_asof_signup" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
@@ -612,8 +654,20 @@ object Catalog {
       None), // iterative; not SQL-expressible
 
     "graph_cc" -> QueryDef(
+      // GraphX connected components (label = min vertex id in component),
+      // oracled against a DuckDB recursive-CTE reachability closure —
+      // feasible because the oracle runs at sf0.01 vertex counts.
       (s, dir) => GraphOps.connectedComponents(eventEdges(s, dir)).orderBy("vertex"),
-      None))
+      Some(s"""WITH RECURSIVE
+        e0 AS $edgesSql,
+        und AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+        verts AS (SELECT a AS v FROM und UNION SELECT b FROM und),
+        reach(a, b) AS (
+          SELECT v, v FROM verts
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        SELECT a AS vertex, min(b) AS component FROM reach
+        GROUP BY a ORDER BY vertex""")))
 
   // ============================================== G. streaming/multimodal ==
 
