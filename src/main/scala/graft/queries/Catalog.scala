@@ -651,7 +651,24 @@ object Catalog {
       (s, dir) => GraphOps.pageRank(eventEdges(s, dir), iters = 10)
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex"),
-      None), // iterative; not SQL-expressible
+      // GraphX staticPageRank oracled by unrolled power iteration (10
+      // chained CTEs): rank_{k+1} = 0.15 + 0.85 * sum(rank_k/outdeg) over
+      // in-edges — matches GraphX to 6dp (verified exact at sf0.01).
+      Some {
+        val iters = (0 until 10).map { i =>
+          s"""r${i + 1} AS (SELECT verts.v, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank
+             FROM verts LEFT JOIN (
+               SELECT e.dst AS v, sum(r$i.rank / deg.d) AS s
+               FROM e JOIN r$i ON e.src = r$i.v JOIN deg ON e.src = deg.v
+               GROUP BY e.dst) m ON verts.v = m.v)"""
+        }.mkString(",\n")
+        s"""WITH e AS $edgesSql,
+          verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+          deg AS (SELECT src AS v, count(*)::DOUBLE AS d FROM e GROUP BY 1),
+          r0 AS (SELECT v, 1.0::DOUBLE AS rank FROM verts),
+          $iters
+        SELECT v AS vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
+      }),
 
     "graph_cc" -> QueryDef(
       // GraphX connected components (label = min vertex id in component),
