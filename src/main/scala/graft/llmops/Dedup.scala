@@ -149,6 +149,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERING: connected components over the exact
+    * jaccard pair graph; every document maps to the lowest doc id in its
+    * near-dup cluster (itself when it has no duplicates). This is the
+    * operator a dedup pipeline actually ends with — keep one canonical
+    * doc per cluster.
+    */
+  def jaccardClusters(
+      docs: DataFrame,
+      groupCol: String,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = jaccardPairsWithin(docs, groupCol, threshold, idCol, textCol)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .withColumnRenamed("vertex", idCol)
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold. Brute force within LSH
     * hyperplane buckets when `bucketBits > 0`, full cross-join when 0
     * (test scale only).

@@ -95,13 +95,24 @@ object Similarity {
       k: Int,
       dim: Int,
       bucketBits: Int = 8,
+      multiProbe: Boolean = true,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("b", Vectors.hyperplaneBucket(col("cv"), dim, bucketBits))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("b", Vectors.hyperplaneBucket(col("qv"), dim, bucketBits))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("b0", Vectors.hyperplaneBucket(col("qv"), dim, bucketBits))
+    // multi-probe: also visit every bucket at Hamming distance 1 from the
+    // query's bucket — vectors near a hyperplane land on either side, and
+    // 1-bit probes recover most of that lost recall for bits+1 x the probes
+    val q =
+      if (multiProbe) {
+        val probes = Seq(col("b0")) ++
+          (0 until bucketBits).map(i => col("b0").bitwiseXOR(lit(1L << i)))
+        qBase.withColumn("b", explode(array(probes: _*)))
+      } else qBase.withColumn("b", col("b0"))
     val scored = c.join(q, Seq("b")).filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -548,6 +548,42 @@ object Catalog {
         WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""),
       headline = true),
 
+    "dedup_clusters" -> QueryDef(
+      // end-to-end dedup: exact near-dup pairs -> connected components ->
+      // canonical doc per cluster. Oracled by composing the pair SQL with
+      // a recursive-CTE closure.
+      (s, dir) => Dedup.jaccardClusters(t(s, dir, "documents"), "source", 0.8)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+        toks AS (SELECT doc_id, source, list_distinct($toksSql) AS ts FROM documents),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+              round(len(list_intersect(l.ts, r.ts))::DOUBLE /
+                (len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts))), 6) AS jaccard
+            FROM toks l JOIN toks r ON l.source = r.source AND l.doc_id < r.doc_id)
+          WHERE jaccard >= 0.8),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+        ORDER BY doc_id""")),
+
+    "text_top_terms" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+      Some(s"""SELECT tok, count(*) AS n FROM
+        (SELECT unnest($toksSql) AS tok FROM documents)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
+
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
         .orderBy("id_a", "id_b"),
