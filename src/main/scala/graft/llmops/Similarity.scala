@@ -86,6 +86,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Build and persist an IVF index: k-means centroids + the cell-assigned
+    * corpus, both as parquet under `indexDir`. At 100 TB this is the point
+    * — fit/assign once, then every query run is a broadcast centroid rank
+    * + a join against the (cell-partitioned) assignment table.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      indexDir: String,
+      numCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    val model = new KMeans().setK(numCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    model.transform(c).drop("fv")
+      .repartition(col("cell")) // co-locate cells for the probe join
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/assigned")
+  }
+
+  /** Query a persisted IVF index (see [[buildIvfIndex]]): probes `nProbe`
+    * cells per query; cell partition pruning limits the scan to the probed
+    * cells' files.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(qCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Recall < 1 by construction; bucketBits trades recall for cost.
     */

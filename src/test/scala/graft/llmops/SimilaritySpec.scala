@@ -23,6 +23,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
   }
 
+  test("persisted IVF index: build once, query path gives same results as inline") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, k = 4, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = Similarity.ivfTopK(emb, queries, k = 4, numCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == inline)
+    assert(indexed.size == 5 * 4)
+  }
+
   test("lshTopK returns ranked neighbors from matching buckets only") {
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
       dim = 64, bucketBits = 4).collect()
