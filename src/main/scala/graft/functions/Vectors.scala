@@ -25,46 +25,13 @@ object Vectors {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
-  /** 64-bit SimHash over a token/shingle array: per element, xxhash64 picks
-    * 64 signed bit-votes; the sign of each summed vote becomes the output
-    * bit. Near-duplicate docs land within a small Hamming distance.
-    */
-  def simhash(elems: Column): Column = {
-    val votes = aggregate(
-      elems,
-      array_repeat(lit(0L), 64),
-      (acc, e) => {
-        val h = xxhash64(e)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0L, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  // SimHash/MinHash/LSH-band signatures live in
+  // graft.functions.expressions (native Catalyst expressions): the
+  // higher-order-function forms were re-evaluated per element by
+  // CollapseProject inlining and are intentionally not provided here.
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
-
-  /** MinHash signature of `numHashes` seeded xxhash64 minima over an
-    * element array (shingles). Returns array<long> of length `numHashes`.
-    */
-  def minhash(elems: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(elems, e => xxhash64(e, seed))))
-
-  /** LSH band keys for a minhash signature: `numBands` hashes, each over a
-    * contiguous `rowsPerBand` slice. Docs sharing any band key are
-    * near-dup candidates. Returns array<struct<band:int, bh:long>>.
-    */
-  def lshBands(signature: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => struct(
-        b.cast("int").as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string"))), b).as("bh")))
 
   /** Exact Jaccard similarity of two arrays treated as sets. */
   def jaccard(a: Column, b: Column): Column = {
