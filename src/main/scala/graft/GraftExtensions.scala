@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{JaccardSorted, MinHashBands, SimHash64, WordShingles}
+import graft.functions.expressions.{JaccardSorted, MinHashBands, SimHash64, TextStats, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same surface
@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => { arity("word_shingles", args, 2)
         WordShingles(args(0), intLit(args(1), "k")) }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (args: Seq[Expression]) => { arity("text_stats", args, 1); TextStats(args.head) }))
   }
 }
 
@@ -68,5 +73,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("word_shingles",
       args => WordShingles(args(0),
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("text_stats",
+      args => TextStats(args.head), "built-in")
   }
 }

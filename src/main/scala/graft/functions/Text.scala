@@ -57,6 +57,15 @@ object Text {
 
   def stopwords: Seq[String] = stopwordList
 
+  /** Single-pass struct of (n_chars, punct_ratio, stopword_ratio, quality) —
+    * the form to use when selecting more than one of these stats: the
+    * composed columns below each re-derive the token array per use site
+    * (CollapseProject), which cost 6x recompute at bench. See
+    * [[graft.functions.expressions.TextStats]].
+    */
+  def stats(text: Column): Column =
+    graft.functions.expressions.TextExpressions.text_stats(text)
+
   /** Stopword ratio over whitespace tokens (0 when no tokens). */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)

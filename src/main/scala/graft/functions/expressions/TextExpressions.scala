@@ -1,0 +1,139 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text statistics.
+  *
+  * `text_stats(text)` -> struct<n_chars: long, punct_ratio: double,
+  * stopword_ratio: double, quality: double>.
+  *
+  * Why one expression instead of composing `Text.punctRatio` /
+  * `Text.stopwordRatio` / `Text.qualityScore`: CollapseProject inlines each
+  * derived column into every use site, so the composed form re-ran
+  * `split(trim(regexp_replace(lower(text))))` six times per row plus
+  * interpreted `filter(...)` HOF lambdas per token (9.3 s at sf0.1 for a
+  * query that should be sub-second — same pitfall already fixed for the
+  * sketches in HashExpressions). This expression walks the UTF-8 bytes
+  * exactly once and emits all four stats; repeated `GetStructField` uses of
+  * the same call are unified by whole-stage-codegen subexpression
+  * elimination, so the scan stays a single pass at any scale.
+  *
+  * Semantics are bit-compatible with the composed form (and the DuckDB
+  * oracle): `n_chars` = code-point length; `punct_ratio` = share of
+  * `[.,!?;:]` characters; `stopword_ratio` = stopword share of
+  * whitespace-delimited lowercase tokens (0.0 when no tokens); `quality` =
+  * (min(n_chars/500,1) + min(4*stopword_ratio,1) + max(1-5*punct_ratio,0))/3,
+  * unrounded — callers apply `round(_, 6)` like the original columns did.
+  */
+case class TextStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextStats.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $util.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object TextStats {
+
+  // Stopwords are <= 4 ASCII bytes; pack the case-folded bytes little-endian
+  // into an int for an allocation-free membership test. UTF-8 continuation
+  // bytes are >= 0x80, so multi-byte tokens can never collide with these.
+  private val stopwordsPacked: Array[Int] = {
+    val words = Seq(
+      "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+      "on", "with", "as", "at", "by", "from", "that", "this")
+    words.map { w =>
+      require(w.length <= 4 && w.forall(c => c >= 'a' && c <= 'z'))
+      w.getBytes("UTF-8").zipWithIndex
+        .map { case (b, i) => (b & 0xff) << (8 * i) }.sum
+    }.sorted.toArray
+  }
+
+  private final val MaxStopLen = 4
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  private def foldAscii(b: Byte): Int = {
+    val v = b & 0xff
+    if (v >= 'A' && v <= 'Z') v + 32 else v
+  }
+
+  /** One pass over the UTF-8 bytes; called from both interpreted eval and
+    * generated code (a static call keeps the expression inside
+    * whole-stage codegen without inlining a page of Java).
+    */
+  def compute(s: UTF8String): InternalRow = {
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val n = s.numBytes()
+    var nChars = 0L
+    var punct = 0L
+    var nToks = 0L
+    var stopHits = 0L
+    // current-token state: byte count and packed case-folded bytes
+    var tokLen = 0
+    var tokPacked = 0
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, offset + i)
+      val v = b & 0xff
+      // count code points: every byte that is not a UTF-8 continuation byte
+      if ((v & 0xc0) != 0x80) nChars += 1
+      if (b == '.' || b == ',' || b == '!' || b == '?' || b == ';' || b == ':') punct += 1
+      if (isWs(b)) {
+        if (tokLen > 0) {
+          nToks += 1
+          if (tokLen <= MaxStopLen &&
+              java.util.Arrays.binarySearch(stopwordsPacked, tokPacked) >= 0) stopHits += 1
+        }
+        tokLen = 0
+        tokPacked = 0
+      } else {
+        if (tokLen < MaxStopLen) tokPacked |= foldAscii(b) << (8 * tokLen)
+        tokLen += 1
+      }
+      i += 1
+    }
+    if (tokLen > 0) {
+      nToks += 1
+      if (tokLen <= MaxStopLen &&
+          java.util.Arrays.binarySearch(stopwordsPacked, tokPacked) >= 0) stopHits += 1
+    }
+    val pr = if (nChars == 0L) 0.0 else punct.toDouble / nChars
+    val sr = if (nToks == 0L) 0.0 else stopHits.toDouble / nToks
+    val lenScore = math.min(nChars.toDouble / 500.0, 1.0)
+    val stopScore = math.min(sr * 4.0, 1.0)
+    val punctPenalty = math.max(1.0 - pr * 5.0, 0.0)
+    val quality = (lenScore + stopScore + punctPenalty) / 3.0
+    new GenericInternalRow(Array[Any](nChars, pr, sr, quality))
+  }
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column API: struct of (n_chars, punct_ratio, stopword_ratio, quality). */
+  def text_stats(text: Column): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
+}

@@ -473,13 +473,16 @@ object Catalog {
         FROM documents ORDER BY doc_id""")),
 
     "text_quality" -> QueryDef(
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-          Text.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        val st = Text.stats(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            st.getField("n_chars").as("n_chars"),
+            round(st.getField("punct_ratio"), 6).as("punct_ratio"),
+            round(st.getField("stopword_ratio"), 6).as("stopword_ratio"),
+            round(st.getField("quality"), 6).as("quality"))
+          .orderBy("doc_id")
+      },
       Some {
         val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
         s"""WITH q AS (SELECT doc_id, length(text) AS n_chars,
@@ -765,7 +768,7 @@ object Catalog {
             sum(brk) OVER (PARTITION BY user_id ORDER BY tm, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
           FROM x)
-        SELECT user_id, sess, count(*) AS n_events,
+        SELECT user_id, sess::BIGINT AS sess, count(*) AS n_events,
           min(tm) AS start_ms, max(tm) AS end_ms
         FROM sessioned GROUP BY user_id, sess ORDER BY user_id, sess""")),
 

@@ -35,6 +35,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(s == 2.0 / 4.0)
   }
 
+  test("TextStats matches the composed column forms") {
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown fox, with a vengeance!? And so it goes; on and on.",
+      "", "   ", "a", "no stop words here whatsoever",
+      "the the the the", ".,!?;:", "多字节 文本 the cat", "x" * 600)
+    val df = texts.toDF("text")
+    val st = Text.stats(col("text"))
+    val got = df.select(
+      st.getField("n_chars"), st.getField("punct_ratio"),
+      st.getField("stopword_ratio"), st.getField("quality")).collect()
+    val want = df.select(
+      length(col("text")).cast("long"), Text.punctRatio(col("text")),
+      Text.stopwordRatio(col("text")),
+      // qualityScore rounds internally; compare unrounded composition
+      (least(length(col("text")).cast("double") / 500.0, lit(1.0)) +
+        least(Text.stopwordRatio(col("text")) * 4.0, lit(1.0)) +
+        greatest(lit(1.0) - Text.punctRatio(col("text")) * 5.0, lit(0.0))) / 3.0).collect()
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g.getLong(0) == w.getLong(0), s"n_chars for '$t'")
+      assert(math.abs(g.getDouble(1) - w.getDouble(1)) < 1e-12, s"punct for '$t'")
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-12, s"stop for '$t'")
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-12, s"quality for '$t'")
+    }
+  }
+
   test("langId picks marker language; CJK wins") {
     assert(one(Text.langId(col("text")), "the cat is on the mat and happy") == "en")
     assert(one(Text.langId(col("text")), "el perro y la casa de madrid que") == "es")
