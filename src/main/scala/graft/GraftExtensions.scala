@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{JaccardSorted, MinHashBands, SimHash64, TextStats, WordShingles}
+import graft.functions.expressions.{HyperplaneBucket, JaccardSorted, MinHashBands, SimHash64, TextStats, TopKBy, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same surface
@@ -55,6 +55,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       (args: Seq[Expression]) => { arity("text_stats", args, 1); TextStats(args.head) }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (args: Seq[Expression]) => { arity("hyperplane_bucket", args, 2)
+        HyperplaneBucket(args(0), intLit(args(1), "bits")) }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (args: Seq[Expression]) => { arity("topk_by", args, 3)
+        TopKBy(args(0), args(1), intLit(args(2), "k")).toAggregateExpression() }))
   }
 }
 
@@ -75,5 +87,11 @@ object GraftExtensions {
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       args => TextStats(args.head), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bucket",
+      args => HyperplaneBucket(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("topk_by",
+      args => TopKBy(args(0), args(1),
+        args(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
 }

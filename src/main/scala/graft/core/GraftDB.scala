@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   * @param rangePartitions target partition count for compaction output;
   *                        on a real cluster, size so each partition's rows
   *                        fit executor memory (~128-512 MB of key+value)
+  * @param l1TargetRows    total level-1 rows above which the largest L1
+  *                        file is promoted to level 2 (the analog of the
+  *                        reference's per-level size targets and scoring,
+  *                        `kv/lsm/compact.go:626-751`) — keeps L1 small so
+  *                        L0→L1 merges stay cheap under sustained ingest
   */
 final case class GraftOptions(
     valueThreshold: Int = 1024,
     compactTriggerFiles: Int = 8,
     rangePartitions: Int = 32,
-    gcDiscardRatio: Double = 0.5)
+    gcDiscardRatio: Double = 0.5,
+    l1TargetRows: Long = 4000000L)
 
 /** GraftDB — the reference's embedded LSM KV engine re-expressed Spark-first.
   *

@@ -22,12 +22,22 @@ final case class BlobFileMeta(path: String, rows: Long)
 /** The full engine state committed atomically. `nextVersion` is the
   * monotonic commit counter that replaces the reference's inverted-ts
   * versioning (`kv/utils/key.go:32-37`); `nextBlobId` allocates blob ids.
+  *
+  * `rangeBoundsHex` is the FIXED bucket grid (hex split keys, ascending)
+  * established by the first bulk write: every later segment write
+  * partitions against this grid instead of re-sampling its own range
+  * boundaries, so files from different generations align on the same
+  * sub-ranges and L0→L1 compaction stays local to the touched buckets
+  * (the analog of the reference's stable per-level key-range targets,
+  * `kv/lsm/compact.go:626-751`). Empty until the first multi-file write;
+  * json4s fills the default for manifests written before this field.
   */
 final case class ManifestState(
     nextVersion: Long,
     nextBlobId: Long,
     files: Vector[FileMeta],
-    blobFiles: Vector[BlobFileMeta]) {
+    blobFiles: Vector[BlobFileMeta],
+    rangeBoundsHex: Vector[String] = Vector.empty) {
   def liveDataPaths: Seq[String] = files.map(_.path)
 }
 

@@ -42,23 +42,16 @@ object Vectors {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** Random-hyperplane LSH bucket for a float vector: `bits` signs of dot
-    * products with deterministic pseudo-random hyperplanes (derived from
-    * xxhash64 of (dim, bit)). Vectors in the same bucket are ANN candidates.
+  /** Random-hyperplane LSH bucket for a float/double vector: `bits` signs
+    * of dot products with deterministic pseudo-random +-1 hyperplanes
+    * (drawn from xxhash64 of (bit, component)). Vectors in the same bucket
+    * are ANN candidates. Native expression — the previous Column-composition
+    * form built a dim x bits expression tree that broke codegen at real
+    * embedding dims (768+); see
+    * [[graft.functions.expressions.HyperplaneBucket]]. The `dim` parameter
+    * is retained for API stability but the dimension is read from the
+    * vector itself.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column = {
-    val planes: Seq[Column] = (0 until bits).map { b =>
-      // pseudo-random +-1 hyperplane per (bit, dim) — computed per row but
-      // constant-folded by Catalyst since inputs are literals
-      val comps = (0 until dim).map { d =>
-        val h = xxhash64(lit(b.toLong * 10007L + d))
-        when(h.bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
-      }
-      (0 until dim).map(d => element_at(vec, d + 1).cast("double") * comps(d))
-        .reduce(_ + _)
-    }
-    planes.zipWithIndex.map { case (p, i) =>
-      when(p > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column =
+    graft.functions.expressions.VectorExpressions.hyperplane_bucket(vec, bits)
 }

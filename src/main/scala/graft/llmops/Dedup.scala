@@ -49,14 +49,16 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     // sorted shingle sets: MinHashBands is order-insensitive, and the
     // verification stage needs sorted input for the merge-scan Jaccard.
-    // Cached because it feeds three consumers (banding + both sides of the
-    // verification join) — materializing signatures once is the standard
-    // production shape for LSH dedup at scale.
+    // `sh` feeds three consumers (banding + both sides of the verification
+    // join) but is deliberately NOT cached: a `.cache()` held by a returned
+    // lazy DataFrame can never be unpersisted safely and leaks executor
+    // memory across a long-lived session — and at 100 TB the shingle
+    // intermediate doesn't fit in cluster memory anyway. Recomputing the
+    // narrow scan+shingle stage per consumer is the scale-correct trade.
     val sh = docs
       .select(col(idCol).as("id"),
         Text.shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
     // one native-expression pass per row computes all band keys (the band
     // index is folded into the band hash, so joining on `bh` alone is safe);
     // only (id, bh) pairs enter the shuffle — never the shingle arrays
@@ -113,10 +115,11 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // feeds prefix extraction + both sides of verification; not cached for
+    // the same reason as minhashLshPairs' shingles — see the note there
     val toks = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
         sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts"))
       .withColumn("sz", size(col("ts")).cast("long"))
-      .cache() // feeds prefix extraction + both sides of verification
     // EXACT set-similarity join, AllPairs/PPJoin style:
     //  1. order every document's tokens by global rarity (freq asc);
     //  2. a pair with jaccard >= t MUST share a token among each side's

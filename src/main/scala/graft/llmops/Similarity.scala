@@ -4,20 +4,38 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
+import graft.functions.expressions.TopKExpressions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * `bruteForceTopK` is the exact baseline: broadcast the (small) query set
   * against the full corpus — one narrow pass over the corpus, no shuffle on
-  * the corpus side, then a per-query top-k window. At 100 TB this is the
+  * the corpus side, then a two-phase top-k aggregate. At 100 TB this is the
   * right plan whenever |queries| is small: the corpus is scanned once and
-  * the k-way reduction is map-side.
+  * the k-way reduction really is map-side (see [[topKPerQuery]]).
   *
   * `lshTopK` is the scale path for large query sets: both sides bucketed by
   * random-hyperplane LSH, candidates joined per bucket (with multi-probe on
   * neighboring buckets left for a later round).
   */
 object Similarity {
+
+  /** Two-phase top-k over scored `(query_id, neighbor_id, cos)` rows: the
+    * [[TopKExpressions.topk_by]] aggregate reduces each input partition to
+    * <= k entries per query BEFORE the shuffle (map-side partial
+    * aggregation), so the exchange carries <= k * numPartitions rows per
+    * query — never the full corpus's scores through one reducer, which is
+    * what a `row_number() OVER (PARTITION BY query_id)` window would do.
+    * Ranking order (cos desc, neighbor_id asc) matches the window form
+    * bit-for-bit, so oracled results are unchanged.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKExpressions.topk_by(col("cos"), col("neighbor_id"), k).as("__nb"))
+      .select(col("query_id"),
+        posexplode(col("__nb")).as(Seq("__pos", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
 
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank), rank 1..k by cosine desc,
@@ -33,11 +51,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
@@ -79,11 +93,7 @@ object Similarity {
     val scored = assigned.join(qCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Build and persist an IVF index: k-means centroids + the cell-assigned
@@ -138,11 +148,7 @@ object Similarity {
     val scored = assigned.join(qCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
@@ -173,10 +179,6 @@ object Similarity {
     val scored = c.join(q, Seq("b")).filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    topKPerQuery(scored, k)
   }
 }
