@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{HyperplaneBucket, JaccardSorted, MinHashBands, SimHash64, TextStats, TopKBy, WordShingles}
+import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket, JaccardSorted, MinHashBands, SimHash64, TextStats, TopKBy, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same surface
@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneBucket(args(0), intLit(args(1), "bits")) }))
 
     ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => { arity("cosine_sim", args, 2)
+        CosineSimilarity(args(0), args(1)) }))
+
+    ext.injectFunction((
       new FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (args: Seq[Expression]) => { arity("topk_by", args, 3)
@@ -90,6 +96,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("hyperplane_bucket",
       args => HyperplaneBucket(args(0),
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      args => CosineSimilarity(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("topk_by",
       args => TopKBy(args(0), args(1),
         args(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression(), "built-in")

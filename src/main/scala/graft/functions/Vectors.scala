@@ -3,27 +3,32 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector/hash primitives for similarity search and near-dedup, built from
-  * Spark's higher-order functions (`zip_with`/`aggregate`/`transform`) so
-  * they evaluate inside codegen with no UDF serialization. At 100 TB the
-  * hot loop (dot products over Array[Float]) is columnar parquet read +
-  * codegen'd arithmetic.
+/** Vector/hash primitives for similarity search and near-dedup. The hot
+  * kernels (cosine, LSH buckets) are native Catalyst expressions in
+  * [[graft.functions.expressions]] — Spark's higher-order functions
+  * (`zip_with`/`aggregate`) are CodegenFallback and evaluate their lambdas
+  * interpreted per element, which is the wrong kernel for an ANN hot loop.
+  * At 100 TB the hot path is columnar parquet read + one tight codegen'd
+  * loop per row.
   */
 object Vectors {
 
-  /** Dot product of two numeric arrays (computed in double). */
+  /** Dot product of two numeric arrays (computed in double).
+    * HOF form — interpreted; fine for one-off projections, NOT for hot
+    * loops (use [[cosine]], which is a native single-pass expression).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
-  }
+  /** Cosine similarity; 0 when either norm is 0. Native single-pass
+    * codegen'd expression (dot and both norms in one loop) — see
+    * [[graft.functions.expressions.CosineSimilarity]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosine_sim(a, b)
 
   // SimHash/MinHash/LSH-band signatures live in
   // graft.functions.expressions (native Catalyst expressions): the
@@ -48,10 +53,12 @@ object Vectors {
     * are ANN candidates. Native expression — the previous Column-composition
     * form built a dim x bits expression tree that broke codegen at real
     * embedding dims (768+); see
-    * [[graft.functions.expressions.HyperplaneBucket]]. The `dim` parameter
-    * is retained for API stability but the dimension is read from the
-    * vector itself.
+    * [[graft.functions.expressions.HyperplaneBucket]]. The dimension is
+    * read from the vector itself (the old 3-arg `dim` overload is gone —
+    * it was ignored, and silently ignoring an explicit dim is worse than
+    * not accepting one). `knuth = true` selects the SQL-replicable
+    * hyperplane family for oracle-checkable bucketing.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, bits: Int): Column =
-    graft.functions.expressions.VectorExpressions.hyperplane_bucket(vec, bits)
+  def hyperplaneBucket(vec: Column, bits: Int, knuth: Boolean = false): Column =
+    graft.functions.expressions.VectorExpressions.hyperplane_bucket(vec, bits, knuth)
 }

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -31,9 +31,15 @@ final class TopKByBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  // "a is worse than b" under the ranking order (score desc, id asc)
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // "a is worse than b" under the ranking order (score desc, id asc).
+  // java.lang.Double.compare gives NaN a total order (greater than every
+  // other value — matching Spark's window `ORDER BY score DESC` which also
+  // ranks NaN first), so a NaN score can never wedge at the heap root and
+  // block inserts the way raw </== comparisons (all false vs NaN) would.
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val cmp = java.lang.Double.compare(s1, s2)
+    cmp < 0 || (cmp == 0 && i1 > i2)
+  }
 
   private def siftUp(pos0: Int): Unit = {
     var pos = pos0
@@ -78,9 +84,12 @@ final class TopKByBuffer(val k: Int) {
     while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** Ids ordered best-first: (score desc, id asc). */
+  /** Ids ordered best-first: (score desc, id asc), NaN ranked first to
+    * match Spark's window `ORDER BY score DESC` NaN placement.
+    */
   def sortedIds: Array[Long] = {
-    val idx = (0 until size).sortBy(i => (-scores(i), ids(i)))
+    val idx = (0 until size).sortWith((a, b) =>
+      worse(scores(b), ids(b), scores(a), ids(a)))
     idx.map(ids).toArray
   }
 }
@@ -91,12 +100,21 @@ case class TopKBy(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKByBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKByBuffer]
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
 
   require(k > 0, "topk_by: k must be positive")
 
   override def left: Expression = score
   override def right: Expression = id
+
+  // Coerce (or reject) inputs at analysis time: update() reads the score as
+  // a primitive Double and the id as a primitive Long, so an int score or a
+  // string id must become an analysis error / implicit cast — never a
+  // runtime ClassCastException. The id column is documented as bigint
+  // (narrower integer ids up-cast losslessly). Declared as Seq[DataType]
+  // (a covariant narrowing of Seq[AbstractDataType], which is private[sql]).
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   * JVM code and the vector is read once. Dimension is taken from the array
   * itself, so one expression serves every embedding width.
   */
-case class HyperplaneBucket(child: Expression, bits: Int) extends UnaryExpression {
+case class HyperplaneBucket(child: Expression, bits: Int, knuth: Boolean = false)
+    extends UnaryExpression {
 
   require(bits > 0 && bits <= 63, "hyperplane_bucket: bits must be in [1, 63]")
 
@@ -34,12 +35,12 @@ case class HyperplaneBucket(child: Expression, bits: Int) extends UnaryExpressio
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], bits, isFloat)
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], bits, isFloat, knuth)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val util = HyperplaneBucket.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = $util.compute($arr, $bits, $isFloat);")
+      s"${ev.value} = $util.compute($arr, $bits, $isFloat, $knuth);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
@@ -50,8 +51,17 @@ object HyperplaneBucket {
 
   /** Shared by interpreted eval and generated code (the static-call shape
     * keeps whole-stage codegen tiny regardless of dimension).
+    *
+    * Two deterministic +-1 hyperplane families:
+    *  - `knuth = false`: signs from Spark's XXH64 (seed 42) — the default
+    *    for internal bucketing (lshTopK).
+    *  - `knuth = true`: signs from the Knuth multiplicative hash's high bit,
+    *    `((b*10007 + d + 1) * 2654435761) mod 2^32 >= 2^31` — pure int64
+    *    arithmetic an external SQL engine can replicate exactly, so the
+    *    bucket grid itself is oracle-checkable (used by the embedding-dedup
+    *    catalog query).
     */
-  def compute(arr: ArrayData, bits: Int, isFloat: Boolean): Long = {
+  def compute(arr: ArrayData, bits: Int, isFloat: Boolean, knuth: Boolean): Long = {
     val dim = arr.numElements()
     var bucket = 0L
     var b = 0
@@ -60,8 +70,10 @@ object HyperplaneBucket {
       var d = 0
       while (d < dim) {
         val v = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-        val h = XXH64.hashLong(b.toLong * 10007L + d, 42L)
-        dot += (if ((h & 1L) == 1L) v else -v)
+        val positive =
+          if (knuth) (((b.toLong * 10007L + d + 1L) * 2654435761L) & 0xffffffffL) >= 0x80000000L
+          else (XXH64.hashLong(b.toLong * 10007L + d, 42L) & 1L) == 1L
+        dot += (if (positive) v else -v)
         d += 1
       }
       if (dot > 0.0) bucket |= (1L << b)
@@ -71,10 +83,96 @@ object HyperplaneBucket {
   }
 }
 
+/** `cosine_sim(a, b)`: cosine similarity of two float/double vectors in ONE
+  * pass — dot product and both norms accumulate in the same loop, compiled
+  * into whole-stage codegen via a static call.
+  *
+  * Why a native expression: the higher-order-function form
+  * (`aggregate(zip_with(...))`) is CodegenFallback — every element bounces
+  * through interpreted lambda eval — and computing cosine as
+  * dot/(norm*norm) walked the arrays three separate times. In the ANN hot
+  * loops (every candidate pair scores one cosine) that interpreted 3-pass
+  * kernel dominated the profile.
+  *
+  * Numerics match the previous HOF form bit-for-bit: all accumulation is
+  * left-to-right in doubles, the denominator is `sqrt(na) * sqrt(nb)`, and
+  * a zero denominator yields 0.0. Null array elements count as 0.0;
+  * mismatched lengths yield NULL (the HOF form also degenerated to null).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression, side: String): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim: $side expects array<float> or array<double>, got $other")
+  }
+  private lazy val leftFloat = elemIsFloat(left, "left")
+  private lazy val rightFloat = elemIsFloat(right, "right")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else CosineSimilarity.compute(aa, bb, leftFloat, rightFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = CosineSimilarity.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $util.compute($a, $b, $leftFloat, $rightFloat);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+
+  /** Single pass: dot, |a|^2, |b|^2 in one loop. Shared by interpreted eval
+    * and generated code.
+    */
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0 else if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Column API: LSH bucket id (long) from `bits` hyperplane sign bits. */
-  def hyperplane_bucket(vec: Column, bits: Int): Column =
-    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), bits))
+  /** Column API: LSH bucket id (long) from `bits` hyperplane sign bits.
+    * `knuth = true` selects the SQL-replicable hyperplane family (see
+    * [[HyperplaneBucket.compute]]).
+    */
+  def hyperplane_bucket(vec: Column, bits: Int, knuth: Boolean = false): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), bits, knuth))
+
+  /** Column API: single-pass codegen'd cosine similarity. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -84,11 +84,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal signature
-    * prefix bands (4 x 16-bit), verified by Hamming distance <= maxHamming.
+    * bands (4 x 16-bit), verified by Hamming distance <= maxHamming.
+    *
+    * For maxHamming <= 3 this is EXACT over the signature space: 3 flipped
+    * bits can touch at most 3 of the 4 bands (pigeonhole), so every
+    * qualifying pair shares at least one band — banding is a complete
+    * candidate generator, not an approximation.
     */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 5000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sigs = docs
@@ -98,7 +104,15 @@ object Dedup {
         b => struct(b.as("i"), call_function("shiftright", col("sig"), (b * 16).cast("int"))
           .bitwiseAND(0xffffL).as("v")))))
       .select(col("id"), col("sig"), col("band"))
-    sigs.as("l").join(sigs.as("r"),
+    // skew guard (same shape as minhashLshPairs): a degenerate band value
+    // shared by B docs emits B^2/2 candidates from one reducer. Over-full
+    // buckets are dropped — members still pair through their other bands
+    // (though a bucket this hot usually means near-identical docs that the
+    // exact-dedup pass should have removed first).
+    val smallBands = sigs.groupBy(col("band")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select(col("band"))
+    val banded = sigs.join(smallBands, Seq("band"))
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         Vectors.hamming64(col("l.sig"), col("r.sig")).as("hamming"))
@@ -175,27 +189,52 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("canonical_id"))
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold. Brute force within LSH
-    * hyperplane buckets when `bucketBits > 0`, full cross-join when 0
-    * (test scale only).
+  /** Embedding near-dup pairs: cosine >= threshold among LSH-candidate
+    * pairs. The SCALE path (`bucketBits > 0`, the default): each vector
+    * gets a `bucketBits`-bit random-hyperplane bucket (the SQL-replicable
+    * Knuth family, so an external oracle can recompute the exact same
+    * grid); candidates are pairs whose buckets differ in AT MOST ONE bit —
+    * implemented as a 1-bit multi-probe explode on the left side joined on
+    * bucket equality, so the shuffle key is a scalar long and the join
+    * never goes all-pairs. Each qualifying pair matches exactly one probe
+    * (the probe values `b0, b0^1, b0^2, ...` are distinct), so no
+    * dedup pass is needed.
+    *
+    * The declared pair set is thus exactly
+    *   `{(a, b) : hamming(bucket_a, bucket_b) <= 1 AND cosine >= t}`
+    * — deterministic and oracle-checkable, with recall < 1 vs the true
+    * pair set by LSH construction (multi-probe recovers splits across one
+    * hyperplane; see DedupSpec's recall floor).
+    *
+    * `bucketBits = 0` is the exact all-pairs baseline: O(n^2) cross join,
+    * TEST SCALE ONLY — it exists to measure the bucketed path's recall in
+    * specs, never as a declared query plan.
     */
   def embeddingPairs(
       emb: DataFrame,
       threshold: Double,
-      dim: Int,
-      bucketBits: Int = 0,
+      bucketBits: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val withB =
-      if (bucketBits > 0)
-        base.withColumn("b", Vectors.hyperplaneBucket(col("v"), dim, bucketBits))
-      else base.withColumn("b", lit(0L))
-    withB.as("l").join(withB.as("r"),
-        col("l.b") === col("r.b") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Vectors.cosine(col("l.v"), col("r.v")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
+    if (bucketBits > 0) {
+      val withB = base.withColumn("b0",
+        Vectors.hyperplaneBucket(col("v"), bucketBits, knuth = true))
+      val probes = Seq(col("b0")) ++
+        (0 until bucketBits).map(i => col("b0").bitwiseXOR(lit(1L << i)))
+      val probed = withB.withColumn("b", explode(array(probes: _*)))
+      probed.as("l").join(withB.as("r"),
+          col("l.b") === col("r.b0") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          Vectors.cosine(col("l.v"), col("r.v")).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    } else {
+      base.as("l").join(base.as("r"), col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          Vectors.cosine(col("l.v"), col("r.v")).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
   }
 }

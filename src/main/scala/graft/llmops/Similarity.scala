@@ -164,9 +164,9 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("b", Vectors.hyperplaneBucket(col("cv"), dim, bucketBits))
+      .withColumn("b", Vectors.hyperplaneBucket(col("cv"), bucketBits))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("b0", Vectors.hyperplaneBucket(col("qv"), dim, bucketBits))
+      .withColumn("b0", Vectors.hyperplaneBucket(col("qv"), bucketBits))
     // multi-probe: also visit every bucket at Hamming distance 1 from the
     // query's bucket — vectors near a hyperplane land on either side, and
     // 1-bit probes recover most of that lost recall for bits+1 x the probes

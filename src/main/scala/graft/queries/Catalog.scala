@@ -599,14 +599,35 @@ object Catalog {
       None),
 
     "dedup_embedding_pairs" -> QueryDef(
+      // The BUCKETED plan over the FULL table (no row-count crutch): 4-bit
+      // Knuth-hyperplane buckets + 1-bit multi-probe, so the Spark side
+      // never builds an all-pairs join. The oracle recomputes the exact
+      // same bucket grid in SQL (the Knuth sign family is pure int64
+      // arithmetic) and brute-forces the declared pair set
+      //   {hamming(bucket) <= 1 AND cosine >= 0.35}
+      // — DuckDB may brute-force at sf0.01; the Spark plan must not.
       (s, dir) => Dedup.embeddingPairs(
-          t(s, dir, "embeddings").filter(col("vec_id") < 2000),
-          threshold = 0.35, dim = 64)
+          t(s, dir, "embeddings"), threshold = 0.35, bucketBits = 4)
         .orderBy("id_a", "id_b"),
-      Some("""SELECT l.vec_id AS id_a, r.vec_id AS id_b
-        FROM embeddings l JOIN embeddings r
-          ON l.vec_id < r.vec_id AND l.vec_id < 2000 AND r.vec_id < 2000
-        WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.35
+      Some("""WITH comp AS (
+          SELECT vec_id, b,
+            sum(CASE WHEN ((b*10007 + d + 1) * 2654435761) % 4294967296 >= 2147483648
+                THEN e ELSE -e END) AS s
+          FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) - 1 AS d
+                FROM embeddings),
+               (SELECT unnest(range(4)) AS b)
+          GROUP BY vec_id, b),
+        sig AS (
+          SELECT vec_id,
+            sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bkt
+          FROM comp GROUP BY vec_id)
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        JOIN sig sl ON sl.vec_id = l.vec_id
+        JOIN sig sr ON sr.vec_id = r.vec_id
+        WHERE bit_count(xor(sl.bkt, sr.bkt)) <= 1
+          AND list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.35
         ORDER BY id_a, id_b""")))
 
   // ======================================================== E. similarity ==
@@ -692,7 +713,10 @@ object Catalog {
         .orderBy("vertex"),
       // GraphX staticPageRank oracled by unrolled power iteration (10
       // chained CTEs): rank_{k+1} = 0.15 + 0.85 * sum(rank_k/outdeg) over
-      // in-edges — matches GraphX to 6dp (verified exact at sf0.01).
+      // in-edges, then the SPARK-18847 sink correction GraphX applies at
+      // the end (scale ranks so they sum to numVertices — a no-op when the
+      // graph has no dangling sinks, e.g. sf0.01, but required at scales
+      // where some dst vertices never appear as src, e.g. sf0.001).
       Some {
         val iters = (0 until 10).map { i =>
           s"""r${i + 1} AS (SELECT verts.v, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank
@@ -706,7 +730,9 @@ object Catalog {
           deg AS (SELECT src AS v, count(*)::DOUBLE AS d FROM e GROUP BY 1),
           r0 AS (SELECT v, 1.0::DOUBLE AS rank FROM verts),
           $iters
-        SELECT v AS vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
+        SELECT v AS vertex,
+          round(rank * (SELECT count(*)::DOUBLE FROM verts) / (SELECT sum(rank) FROM r10), 6) AS rank
+        FROM r10 ORDER BY vertex"""
       }),
 
     "graph_cc" -> QueryDef(
