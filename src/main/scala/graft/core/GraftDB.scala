@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * @param rangePartitions target partition count for compaction output;
   *                        on a real cluster, size so each partition's rows
   *                        fit executor memory (~128-512 MB of key+value)
-  * @param l1TargetRows    total level-1 rows above which the largest L1
-  *                        file is promoted to level 2 (the analog of the
-  *                        reference's per-level size targets and scoring,
-  *                        `kv/lsm/compact.go:626-751`) — keeps L1 small so
-  *                        L0→L1 merges stay cheap under sustained ingest
+  * @param l1TargetRows    total level-1 rows above which [[GraftDB.compact]]
+  *                        promotes the largest L1 file (merged with its
+  *                        overlapping L2 files) down to level 2 — the analog
+  *                        of the reference's per-level size targets and
+  *                        scoring (`kv/lsm/compact.go:626-751`). Keeps L1
+  *                        bounded so L0→L1 merges stay cheap under
+  *                        sustained ingest; dead entries are dropped only
+  *                        at the bottom level once L2 exists (tombstones
+  *                        must not vanish while older versions live below).
   */
 final case class GraftOptions(
     valueThreshold: Int = 1024,
@@ -160,21 +164,76 @@ final class GraftDB(
     // row count from parquet footers — no second scan of the input
     val blobCount = spark0.read.schema(KVEntry.blobSchema).parquet(blobDir).count()
     val dataDir = newSegmentDir("data")
-    withCols.select(
+    writeSegment(withCols.select(
         col("key"),
         when(col("blobId").isNotNull, lit(null).cast("binary")).otherwise(col("value")).as("value"),
-        col("version"), col("expiresAt"), col("tombstone"), col("blobId"))
-      .repartitionByRange(options.rangePartitions, col("key"))
-      .sortWithinPartitions("key")
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.bloom.filter.enabled#key", "true")
-      .parquet(dataDir)
+        col("version"), col("expiresAt"), col("tombstone"), col("blobId")),
+      dataDir)
     val metas = segmentFileMetas(dataDir, level = 0, baseVersion)
     manifest.commit(st => st.copy(
       files = st.files ++ metas,
       blobFiles = if (blobCount > 0) st.blobFiles :+ BlobFileMeta(blobDir, blobCount)
                   else st.blobFiles))
+    maybeCaptureGrid(metas)
     maybeCompact()
+  }
+
+  // ------------------------------------------------------------- segment write
+
+  /** Bucket id of `key` against the fixed grid: the number of split keys
+    * strictly below hex(key) — split key i is the INCLUSIVE upper bound of
+    * bucket i. Hex comparison == unsigned byte comparison (hex is an
+    * order-preserving encoding), evaluated on a pre-computed hex column so
+    * codegen shares the encode across the chain of comparisons.
+    */
+  private def bucketExpr(hexKey: Column, bounds: Vector[String]): Column =
+    bounds.foldLeft(lit(0)) { (acc, bnd) =>
+      acc + when(hexKey > lit(bnd), 1).otherwise(0)
+    }
+
+  /** Write one sorted segment directory. With a captured grid
+    * ([[ManifestState.rangeBoundsHex]]): rows are bucketed against the
+    * FIXED split keys and written one-bucket-per-file via `partitionBy`,
+    * so every generation's files align on the same sub-ranges and
+    * L0→L1 compaction touches only the dirty buckets instead of an
+    * unbounded overlap set (the analog of the reference's stable per-level
+    * key-range targets, `kv/lsm/compact.go:626-751`). Before the grid
+    * exists (first write): sample-based `repartitionByRange`, whose output
+    * boundaries then BECOME the grid (see [[maybeCaptureGrid]]).
+    */
+  private def writeSegment(df: DataFrame, dir: String): Unit = {
+    val bounds = manifest.load().rangeBoundsHex
+    val writer =
+      if (bounds.nonEmpty) {
+        df.withColumn("__hexKey", lower(hex(col("key"))))
+          .withColumn("__bucket", bucketExpr(col("__hexKey"), bounds))
+          .drop("__hexKey")
+          .repartition(bounds.size + 1, col("__bucket"))
+          .sortWithinPartitions(col("__bucket"), col("key"))
+          .write.partitionBy("__bucket")
+      } else {
+        df.repartitionByRange(options.rangePartitions, col("key"))
+          .sortWithinPartitions("key")
+          .write
+      }
+    writer.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .parquet(dir)
+  }
+
+  /** Establish the fixed bucket grid from the FIRST multi-file segment
+    * write: the sampled range boundaries of that write (each file's max
+    * key, ascending, all but the last) become the permanent split keys.
+    * No-op once captured; [[majorCompact]] clears the grid so a full
+    * rewrite re-samples it (the one sanctioned grid-refresh point).
+    */
+  private def maybeCaptureGrid(metas: Vector[FileMeta]): Unit = {
+    if (metas.size < 2) return
+    val bounds = metas.sortBy(_.minKeyHex).init.map(_.maxKeyHex)
+    manifest.commit { st =>
+      if (st.rangeBoundsHex.nonEmpty) st
+      else st.copy(rangeBoundsHex = bounds)
+    }
   }
 
   /** Per-parquet-file manifest entries for a freshly written segment dir:
@@ -184,8 +243,19 @@ final class GraftDB(
     * `[minKey,maxKey]` search, `kv/lsm/level_handler.go:45-64`) before
     * parquet footers are even opened.
     */
-  private def segmentFileMetas(dir: String, level: Int, baseVersion: Long): Vector[FileMeta] =
-    spark.read.schema(KVEntry.schema).parquet(dir)
+  private def segmentFileMetas(dir: String, level: Int, baseVersion: Long): Vector[FileMeta] = {
+    // enumerate part files directly (grid segments nest them under
+    // __bucket=N dirs; an all-dead compaction output has none at all) and
+    // read them as plain files — no partition discovery, so the manifest
+    // records concrete file paths that readSegments() can open one by one
+    def parquetFiles(f: java.io.File): Vector[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toVector.flatMap { c =>
+        if (c.isDirectory) parquetFiles(c)
+        else if (c.getName.endsWith(".parquet")) Vector(c) else Vector.empty
+      }
+    val files = parquetFiles(new java.io.File(dir.replaceFirst("^file:/+", "/")))
+    if (files.isEmpty) return Vector.empty
+    spark.read.schema(KVEntry.schema).parquet(files.map(_.getPath): _*)
       .groupBy(input_file_name().as("path"))
       .agg(min(col("key")).as("mn"), max(col("key")).as("mx"), count(lit(1)).as("n"))
       .collect()
@@ -193,6 +263,7 @@ final class GraftDB(
         Hex.encode(r.getAs[Array[Byte]](1)), Hex.encode(r.getAs[Array[Byte]](2)),
         r.getLong(3), baseVersion))
       .toVector
+  }
 
   // ----------------------------------------------------------------- read path
 
@@ -291,72 +362,168 @@ final class GraftDB(
   /** Leveled compaction: THE natural Spark job (reference
     * `compactBuildTables`, `kv/lsm/compact.go:239-447`). Inputs are the
     * level-0 generations plus every level-1 file whose key range overlaps
-    * them (the reference's L0->Lbase merge): LWW-resolve -> drop tombstones
-    * and expired entries -> range-partition + key-sort -> write level-1
-    * files with per-file manifest stats; atomically swap the manifest.
-    * Non-overlapping level-1 files are untouched — write amplification is
-    * bounded by the overlap, not the table size. The reference's parallel
-    * subcompactions become range-partition tasks.
+    * them (the reference's L0->Lbase merge): LWW-resolve -> drop dead
+    * entries (only while L1 is the bottom level — once L2 exists a dropped
+    * tombstone could resurrect an older L2 version) -> grid-bucket +
+    * key-sort -> write level-1 files with per-file manifest stats;
+    * atomically swap the manifest. Non-overlapping level-1 files are
+    * untouched — with the fixed grid, "overlapping" means exactly the
+    * dirty buckets, so write amplification is bounded by the touched
+    * range, not the table size. The reference's parallel subcompactions
+    * become the per-bucket write tasks.
+    *
+    * After the merge, L1 is scored against `l1TargetRows` (the reference's
+    * level scoring, `kv/lsm/compact.go:626-751`): while over target, the
+    * largest L1 file is promoted — merged with its overlapping L2 files,
+    * dead entries dropped (L2 is the bottom), written as L2.
     */
-  def compact(): Unit = compactInputs { st =>
-    val l0 = st.files.filter(_.level == 0)
-    if (l0.isEmpty) Vector.empty
-    else l0 ++ st.files.filter(f => f.level >= 1 && l0.exists(z => overlaps(z, f)))
+  def compact(): Unit = {
+    val hasL2 = manifest.load().files.exists(_.level >= 2)
+    compactInputs(st => {
+      val l0 = st.files.filter(_.level == 0)
+      if (l0.isEmpty) Vector.empty
+      else l0 ++ st.files.filter(f => f.level == 1 && l0.exists(z => overlaps(z, f)))
+    }, outputLevel = 1, dropDead = !hasL2)
+    promoteL1IfNeeded()
   }
 
-  /** Full rewrite of every live segment (the reference's Lmax->Lmax
-    * self-compaction role): reclaims all shadowed versions and dead rows.
+  /** L1→L2 promotion driven by `l1TargetRows`: each round moves the
+    * largest L1 file down, merging it with the L2 files it overlaps (with
+    * the fixed grid that is the same bucket, so promotion is local).
+    * Bounded rounds per call — under sustained ingest every compact()
+    * makes promotion progress without stalling the write path.
     */
-  def majorCompact(): Unit = compactInputs(_.files)
+  private def promoteL1IfNeeded(maxRounds: Int = 4): Unit = {
+    var round = 0
+    while (round < maxRounds) {
+      val st = manifest.load()
+      val l1 = st.files.filter(_.level == 1)
+      if (l1.map(_.rows).sum <= options.l1TargetRows) return
+      val victim = l1.maxBy(f => (f.rows, f.path))
+      compactInputs(st2 => {
+        val v = st2.files.filter(f => f.level == 1 && f.path == victim.path)
+        if (v.isEmpty) Vector.empty // raced away; nothing to promote
+        else v ++ st2.files.filter(f => f.level >= 2 && overlaps(victim, f))
+      }, outputLevel = 2, dropDead = true)
+      round += 1
+    }
+  }
+
+  /** Full rewrite of every live segment into the bottom level (the
+    * reference's Lmax->Lmax self-compaction role): reclaims all shadowed
+    * versions and dead rows, and re-samples the bucket grid (the one
+    * sanctioned grid-refresh point — key distributions drift).
+    */
+  def majorCompact(): Unit = {
+    manifest.commit(_.copy(rangeBoundsHex = Vector.empty))
+    compactInputs(_.files, outputLevel = 1, dropDead = true, captureGrid = true)
+  }
 
   private def overlaps(a: FileMeta, b: FileMeta): Boolean =
     !(a.maxKeyHex < b.minKeyHex || b.maxKeyHex < a.minKeyHex)
 
-  private def compactInputs(pick: ManifestState => Vector[FileMeta]): Unit = {
+  /** Shared merge job: LWW-resolve the picked inputs, optionally drop dead
+    * rows (ONLY when every older version of the inputs' keys is itself in
+    * the inputs — i.e. compacting into the bottom level), write one new
+    * segment at `outputLevel`, swap the manifest.
+    */
+  private def compactInputs(
+      pick: ManifestState => Vector[FileMeta],
+      outputLevel: Int,
+      dropDead: Boolean,
+      captureGrid: Boolean = false): Unit = {
     val st0 = manifest.load()
     val inputs = pick(st0)
     if (inputs.isEmpty) return
     val now = System.currentTimeMillis() / 1000
-    val compacted = visible(resolved(readSegments(inputs.map(_.path))), now)
+    val merged = resolved(readSegments(inputs.map(_.path)))
+    val compacted = if (dropDead) visible(merged, now) else merged
     val outDir = newSegmentDir("data")
-    compacted
-      .repartitionByRange(options.rangePartitions, col("key"))
-      .sortWithinPartitions("key")
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.bloom.filter.enabled#key", "true")
-      .parquet(outDir)
+    writeSegment(compacted, outDir)
     val maxVersion = inputs.map(_.createdVersion).max
-    val newMetas = segmentFileMetas(outDir, level = 1, maxVersion)
+    val newMetas = segmentFileMetas(outDir, level = outputLevel, maxVersion)
     manifest.commit { st =>
       val remaining = st.files.filterNot(f => inputs.exists(_.path == f.path))
       st.copy(files = newMetas ++ remaining)
     }
+    if (captureGrid) maybeCaptureGrid(newMetas)
     // Old segment dirs stay on disk until vacuum() — snapshot readers may
     // still hold them (replaces the reference's iterator refcounts,
     // kv/vlog_gc.go:364-390).
   }
 
-  /** Blob GC (reference vlog GC, `kv/vlog_gc.go`): exact live-set via a
-    * semi-join (cheap at Spark scale — no sampling heuristics needed),
-    * rewrite survivors, swap manifest. Returns (liveBlobs, deadBlobs).
+  /** Per-segment discard stats: (segment meta, live rows) for every blob
+    * segment, from ONE job — a semi-join against the live reference set,
+    * grouped by source file. The exact-count substitution for the
+    * reference's incrementally-maintained discard-stats map
+    * (`kv/vlog_gc.go:198-253`): at Spark scale one linear pass beats
+    * carrying mutable per-file counters through every write.
     */
-  def gcBlobs(): (Long, Long) = {
+  def blobSegmentStats(): Vector[(BlobFileMeta, Long)] = {
+    val st = manifest.load()
+    if (st.blobFiles.isEmpty) return Vector.empty
+    val liveRefs = resolved(readSegments(st.liveDataPaths))
+      .filter(!col("tombstone") && col("blobId").isNotNull)
+      .select(col("blobId"))
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val perFile = blobTable().withColumn("__file", input_file_name())
+      .join(liveRefs, Seq("blobId"), "left_semi")
+      .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+      .collect() // one row per blob part-FILE — tiny
+      .map(r => (norm(r.getString(0)), r.getLong(1)))
+    st.blobFiles.map { bf =>
+      val p = norm(bf.path)
+      val live = perFile.collect {
+        case (f, n) if f == p || f.startsWith(p + "/") => n
+      }.sum
+      (bf, live)
+    }
+  }
+
+  /** Blob GC, reference-shaped (`kv/vlog_gc.go:75-253`): pick the
+    * segment(s) with the WORST dead ratio past `gcDiscardRatio`, rewrite
+    * only their live rows, leave every other segment untouched — at 100 TB
+    * of blobs a GC run is proportional to the reclaimed garbage, never a
+    * full-table rewrite. Default one victim per call (the reference
+    * rewrites one vlog file per GC run); pass a larger `maxSegments` for a
+    * deeper sweep. Returns overall (liveBlobs, deadBlobs) counts from the
+    * same stats pass.
+    */
+  def gcBlobs(maxSegments: Int = 1): (Long, Long) = {
+    val stats = blobSegmentStats()
+    if (stats.isEmpty) return (0L, 0L)
+    val totalLive = stats.map(_._2).sum
+    val totalDead = stats.map { case (bf, live) => bf.rows - live }.sum
+    val victims = stats
+      .map { case (bf, live) =>
+        (bf, live, if (bf.rows == 0) 1.0 else (bf.rows - live).toDouble / bf.rows) }
+      .filter(_._3 >= options.gcDiscardRatio)
+      .sortBy { case (bf, _, ratio) => (-ratio, bf.path) }
+      .take(maxSegments)
+    if (victims.isEmpty) return (totalLive, totalDead)
     val st0 = manifest.load()
-    if (st0.blobFiles.isEmpty) return (0L, 0L)
     val liveRefs = resolved(readSegments(st0.liveDataPaths))
       .filter(!col("tombstone") && col("blobId").isNotNull)
       .select(col("blobId"))
-    val blobs = blobTable()
-    val total = blobs.count()
-    val live = blobs.join(liveRefs, Seq("blobId"), "left_semi")
-    val liveCount = live.count()
-    val dead = total - liveCount
-    if (total == 0 || dead.toDouble / total < options.gcDiscardRatio) return (liveCount, dead)
-    val outDir = newSegmentDir("blobs")
-    if (liveCount > 0) live.write.mode(SaveMode.Overwrite).parquet(outDir)
+    val replacements = victims.map { case (bf, liveCount, _) =>
+      if (liveCount == 0L) bf -> None // fully dead: just drop from manifest
+      else {
+        val outDir = newSegmentDir("blobs")
+        spark.read.schema(KVEntry.blobSchema).parquet(bf.path)
+          .join(liveRefs, Seq("blobId"), "left_semi")
+          .write.mode(SaveMode.Overwrite).parquet(outDir)
+        bf -> Some(BlobFileMeta(outDir, liveCount))
+      }
+    }.toMap
     manifest.commit(st => st.copy(
-      blobFiles = if (liveCount > 0) Vector(BlobFileMeta(outDir, liveCount)) else Vector.empty))
-    (liveCount, dead)
+      blobFiles = st.blobFiles.flatMap { bf =>
+        replacements.get(bf) match {
+          case None => Vector(bf) // not a victim: untouched
+          case Some(None) => Vector.empty
+          case Some(Some(nw)) => Vector(nw)
+        }
+      }))
+    (totalLive, totalDead)
   }
 
   /** Typed Dataset view of the resolved live entries — the compile-time-
@@ -430,6 +597,15 @@ final class GraftDB(
       "rows" -> st.files.map(_.rows).sum,
       "nextVersion" -> st.nextVersion)
   }
+
+  /** Total manifest-recorded rows at one level (L1 bound checks, tests). */
+  def levelRows(level: Int): Long =
+    manifest.load().files.filter(_.level == level).map(_.rows).sum
+
+  /** The captured fixed bucket grid (empty before the first multi-file
+    * write; see [[ManifestState.rangeBoundsHex]]).
+    */
+  def gridBounds(): Vector[String] = manifest.load().rangeBoundsHex
 }
 
 object GraftDB {
