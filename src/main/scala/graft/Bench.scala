@@ -6,11 +6,17 @@ import graft.queries.Catalog
   * prints one JSON line. Results are fully materialized through the noop
   * sink (count() would let Catalyst prune projections/sorts and under-report
   * the real work).
+  *
+  * Each query runs TWICE and reports the MIN: single-shot timings on a
+  * shared machine whipsaw with load (observed 0.4 s vs 15.5 s for the same
+  * query across rounds); min-of-2 keeps the number a property of the code,
+  * not the machine. Set SPARK_GRAFT_BENCH_RUNS to change.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,10 +31,13 @@ object Bench {
     catch { case _: Throwable => () }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (0 until runs).map(_ => once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -128,20 +128,30 @@ object Dedup {
       groupCol: String,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // feeds prefix extraction + both sides of verification; not cached for
-    // the same reason as minhashLshPairs' shingles — see the note there
-    val toks = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
-        sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts"))
-      .withColumn("sz", size(col("ts")).cast("long"))
-    // EXACT set-similarity join, AllPairs/PPJoin style:
-    //  1. order every document's tokens by global rarity (freq asc);
-    //  2. a pair with jaccard >= t MUST share a token among each side's
-    //     first (|s| - ceil(t*|s|) + 1) rarest tokens — candidates are
-    //     generated by joining only those short, rare prefixes;
-    //  3. verify candidates with the merge-scan JaccardSorted.
-    // Guaranteed superset of the true pairs (t' below t covers the 6dp
-    // rounding boundary), so the result set is identical to all-pairs.
+      textCol: String = "text"): DataFrame =
+    exactSetJaccardPairs(
+      docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+        sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts")),
+      threshold)
+
+  /** EXACT set-similarity self-join over `(g, id, ts sorted-distinct
+    * array<string>)`, AllPairs/PPJoin style:
+    *  1. order every set's elements by global rarity (freq asc);
+    *  2. a pair with jaccard >= t MUST share an element among each side's
+    *     first (|s| - ceil(t*|s|) + 1) rarest elements — candidates are
+    *     generated by joining only those short, rare prefixes;
+    *  3. verify candidates with the merge-scan JaccardSorted.
+    * Guaranteed superset of the true pairs (t' below t covers the 6dp
+    * rounding boundary), so the result set is identical to all-pairs —
+    * without ever building the all-pairs join. Also the exact ground truth
+    * the MinHash recall gate compares against (same algorithm, shingle
+    * sets, one global group).
+    *
+    * The set table feeds prefix extraction + both sides of verification
+    * but is not cached — see the note in [[minhashLshPairs]].
+    */
+  def exactSetJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val toks = sets.withColumn("sz", size(col("ts")).cast("long"))
     val tPrime = math.max(0.0, threshold - 0.01)
     val exploded = toks.select(col("g"), col("id"), col("sz"), explode(col("ts")).as("tok"))
     val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("__f"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftDB, GraftOptions}
 import graft.functions.Text
 import graft.graph.GraphOps
-import graft.llmops.{Dedup, Multimodal, Similarity}
+import graft.llmops.{Dedup, Multimodal, Recall, Similarity}
 import graft.operators.KVOps
 import graft.streaming.EventStream
 
@@ -274,6 +274,27 @@ object Catalog {
         .orderBy("event_type"),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    "q_salted_join" -> QueryDef(
+      // Skew.saltedJoin — row-identical to the plain equi-join (the salt
+      // spreads each hot key over saltFactor reducers); oracled against the
+      // unsalted SQL join, aggregated so the result is order-insensitive.
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.Skew.saltedJoin(l, o, Seq("l_orderkey"), saltFactor = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     "q_cube" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
@@ -593,10 +614,48 @@ object Catalog {
       None, // LSH banding isn't SQL-expressible; rows-only check
       headline = true),
 
+    "dedup_minhash_recall" -> QueryDef(
+      // Recall gate (oracled, unlike the rows-only pair query): MinHash-LSH
+      // pairs vs the EXACT shingle-jaccard pair set — computed by the same
+      // PPJoin rare-prefix algorithm as dedup_jaccard_pairs (never
+      // all-pairs), one global group. 8 bands x 4 rows at t=0.8 gives
+      // ~0.96+ expected banding recall; floor 0.8 is the tripwire.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Recall.gate(
+          Dedup.minhashLshPairs(docs, threshold = 0.8),
+          Dedup.exactSetJaccardPairs(
+            docs.select(lit(1).as("g"), col("doc_id").as("id"),
+              Text.shingles(col("text"), 3).as("ts")),
+            threshold = 0.8),
+          Seq("id_a", "id_b"), floor = 0.8, name = "minhash_recall")
+      },
+      Some("SELECT 'minhash_recall' AS gate, true AS floor_met")),
+
     "dedup_simhash_pairs" -> QueryDef(
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
         .orderBy("id_a", "id_b"),
       None),
+
+    "dedup_simhash_recall" -> QueryDef(
+      // SimHash banding is EXACT for maxHamming=3 over 4 bands (pigeonhole:
+      // 3 flipped bits touch at most 3 bands), so the gate certifies
+      // recall == 1.0. Ground truth is the all-pairs hamming join over the
+      // 8-byte signatures — a CERTIFICATION plan for verify scale, not a
+      // production operator (the production path IS dedup_simhash_pairs).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sigs = docs.select(col("doc_id").as("id"),
+          graft.functions.expressions.HashExpressions.simhash64(
+            Text.tokens(col("text"))).as("sig"))
+        val exact = sigs.as("l").join(sigs.as("r"), col("l.id") < col("r.id"))
+          .filter(graft.functions.Vectors.hamming64(col("l.sig"), col("r.sig")) <= 3)
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        Recall.gate(
+          Dedup.simhashPairs(docs, maxHamming = 3), exact,
+          Seq("id_a", "id_b"), floor = 0.999, name = "simhash_recall")
+      },
+      Some("SELECT 'simhash_recall' AS gate, true AS floor_met")),
 
     "dedup_embedding_pairs" -> QueryDef(
       // The BUCKETED plan over the FULL table (no row-count crutch): 4-bit
@@ -658,6 +717,22 @@ object Catalog {
       },
       None), // k-means quantization; approximate, rows-only check
 
+    "ann_ivf_recall" -> QueryDef(
+      // Recall gate for the rows-only IVF query: same parameters, compared
+      // against the exact brute-force top-k inside one plan. Measured
+      // recall@5: 0.52 at sf0.001, 0.62 at sf0.01 (4/16 probes on random
+      // synthetic vectors — nearly angle-uniform data is IVF's worst
+      // case); floor 0.4 is the regression tripwire.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Recall.gate(
+          Similarity.ivfTopK(emb, q, k = 5, numCentroids = 16, nProbe = 4),
+          Similarity.bruteForceTopK(emb, q, k = 5),
+          Seq("query_id", "neighbor_id"), floor = 0.4, name = "ivf_recall_at_5")
+      },
+      Some("SELECT 'ivf_recall_at_5' AS gate, true AS floor_met")),
+
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -665,7 +740,20 @@ object Catalog {
             bucketBits = 6)
           .orderBy("query_id", "rank")
       },
-      None)) // approximate by construction; rows-only check
+      None), // approximate by construction; rows-only check
+
+    "ann_lsh_recall" -> QueryDef(
+      // Recall gate for the rows-only LSH query (6 bits, 1-bit multi-probe
+      // — measured ~0.28 recall@5; floor 0.15 is the tripwire).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Recall.gate(
+          Similarity.lshTopK(emb, q, k = 5, dim = 64, bucketBits = 6),
+          Similarity.bruteForceTopK(emb, q, k = 5),
+          Seq("query_id", "neighbor_id"), floor = 0.15, name = "lsh_recall_at_5")
+      },
+      Some("SELECT 'lsh_recall_at_5' AS gate, true AS floor_met")))
 
   // ============================================================= F. graph ==
 
