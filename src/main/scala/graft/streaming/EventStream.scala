@@ -1,9 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
+
+/** One closed gap-session: emitted when the inactivity gap elapses past
+  * the watermark (or when a newer event proves the gap closed).
+  */
+final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+/** Open-session state carried between micro-batches by
+  * [[EventStream.sessionizeStream]].
+  */
+final case class OpenSession(startMs: Long, endMs: Long, n: Long)
 
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
@@ -55,4 +65,76 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) => db.write(batch) }
       .start()
+
+  /** Streaming exact dedup for ingest pipelines: keep the first row per
+    * `keyCol`, dropping re-arrivals within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — key-only dedup with
+    * watermark-evicted state). At 100 TB/day the state holds only the
+    * horizon's keys, not history. (Exactly the dedup-at-ingest a
+    * training-data pipeline runs before the heavier MinHash near-dup
+    * pass; the batch dual is `Dedup.exactSurvivors`.)
+    */
+  def dedupStream(docs: DataFrame, keyCol: String,
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
+
+  /** Gap-based sessionization with CUSTOM state — the streaming dual of
+    * the oracled batch `q_session_windows` query (same gap semantics),
+    * via `flatMapGroupsWithState` (SURVEY §1: KeyValueGroupedDataset
+    * custom state):
+    *
+    *  - state per user = the open session (start, end, count);
+    *  - events extend the session while within `gapMs`, otherwise the old
+    *    session is emitted closed and a new one opens;
+    *  - an `EventTimeTimeout` fires once the watermark passes
+    *    session end + gap, emitting the final session — no state leak for
+    *    users that go quiet (the state store holds only OPEN sessions).
+    *
+    * Works identically on a batch Dataset except that trailing open
+    * sessions are unemitted (batch has no timeout); callers flush those
+    * with a terminal batch or use the batch query.
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long = 300000L,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[OpenSession, Session](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+       state: GroupState[OpenSession]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(Session(user, s.startMs, s.endMs, s.n))
+        } else {
+          // micro-batch rows arrive unordered; sort before folding
+          val ts = rows.map(_._2.getTime).toArray
+          java.util.Arrays.sort(ts)
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          ts.foreach { t =>
+            cur match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                cur = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+              case Some(s) =>
+                closed ::= Session(user, s.startMs, s.endMs, s.n)
+                cur = Some(OpenSession(t, t, 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            // timeout must be in the watermark's future or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.reverse.iterator
+        }
+    }
+  }
 }

@@ -72,6 +72,59 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: gap splits, cross-batch state, timeout flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)] // (user_id, ts_ms)
+    val df = input.toDF().toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.sessionizeStream(df, gapMs = 1000L, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_test").start()
+    try {
+      // user 1: two events 500ms apart (one session), then a 4s gap
+      input.addData((1L, 1000L), (1L, 1500L))
+      q.processAllAvailable()
+      // same user after the gap: closes session (1000..1500, n=2) immediately;
+      // user 2 opens a session in the same batch
+      input.addData((1L, 6000L), (2L, 6100L))
+      q.processAllAvailable()
+      // advance the watermark far past everything: timeouts flush the
+      // remaining open sessions (watermark lags one batch -> two pushes)
+      input.addData((9L, 100000L)); q.processAllAvailable()
+      input.addData((9L, 200000L)); q.processAllAvailable()
+      val out = spark.table("sess_test").as[Session].collect()
+        .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+      assert(out.contains((1L, 1000L, 1500L, 2L)), s"gap-closed session missing: $out")
+      assert(out.contains((1L, 6000L, 6000L, 1L)), s"timeout-flushed session missing: $out")
+      assert(out.contains((2L, 6100L, 6100L, 1L)), s"user-2 session missing: $out")
+    } finally q.stop()
+  }
+
+  test("dedupStream keeps one row per key with watermark-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)] // (fingerprint, ts_ms)
+    val df = input.toDF().toDF("fingerprint", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.dedupStream(df, "fingerprint", watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test").start()
+    try {
+      input.addData(("a", 1000L), ("a", 1500L), ("b", 2000L))
+      q.processAllAvailable()
+      // duplicate key across batches at a DIFFERENT event time: still dropped
+      input.addData(("a", 2500L), ("c", 3000L))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").select("fingerprint").as[String].collect().sorted
+      assert(out.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("streaming ingestion into GraftDB: each micro-batch is a generation") {
     val batch = eventsBatch()
     val inDir = Files.createTempDirectory("stream-kv-in").toString
