@@ -687,7 +687,8 @@ object Catalog {
         JOIN sig sr ON sr.vec_id = r.vec_id
         WHERE bit_count(xor(sl.bkt, sr.bkt)) <= 1
           AND list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.35
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b"""),
+      headline = true))
 
   // ======================================================== E. similarity ==
 
