@@ -24,14 +24,22 @@ import org.apache.spark.sql.functions._
   *                        bounded so L0→L1 merges stay cheap under
   *                        sustained ingest; dead entries are dropped only
   *                        at the bottom level once L2 exists (tombstones
-  *                        must not vanish while older versions live below).
+  *                        must not vanish while older versions live below)
+  * @param bucketTargetRows grid-refinement trigger: a compacted file more
+  *                        than twice this size marks its bucket hot, and a
+  *                        new split key (the file's sampled median) is
+  *                        inserted into the fixed grid — future writes and
+  *                        compactions split the bucket, bounding per-file
+  *                        size under skewed ingest without a full-table
+  *                        rewrite
   */
 final case class GraftOptions(
     valueThreshold: Int = 1024,
     compactTriggerFiles: Int = 8,
     rangePartitions: Int = 32,
     gcDiscardRatio: Double = 0.5,
-    l1TargetRows: Long = 4000000L)
+    l1TargetRows: Long = 4000000L,
+    bucketTargetRows: Long = 4000000L)
 
 /** GraftDB — the reference's embedded LSM KV engine re-expressed Spark-first.
   *
@@ -385,6 +393,38 @@ final class GraftDB(
       else l0 ++ st.files.filter(f => f.level == 1 && l0.exists(z => overlaps(z, f)))
     }, outputLevel = 1, dropDead = !hasL2)
     promoteL1IfNeeded()
+    maybeRefineGrid()
+  }
+
+  /** Hot-bucket grid refinement: if a compacted (L1+) file holds more than
+    * 2x `bucketTargetRows`, insert its sampled median key as a new split
+    * key. Existing files are untouched (overlap checks use real file
+    * ranges, not the grid) — only FUTURE writes and compactions split the
+    * bucket, so refinement is metadata-only here and the oversized file
+    * splits the next time its bucket is dirty. One refinement per call
+    * keeps the work bounded under sustained skewed ingest.
+    */
+  private def maybeRefineGrid(): Unit = {
+    val st = manifest.load()
+    if (st.rangeBoundsHex.isEmpty) return // grid not established yet
+    val hot = st.files.filter(f => f.level >= 1 && f.rows > 2 * options.bucketTargetRows)
+    if (hot.isEmpty) return
+    val victim = hot.maxBy(f => (f.rows, f.path))
+    // sampled median of the file's keys: ~10k keys regardless of file size,
+    // so the driver-side collect stays bounded at any scale
+    val fraction = math.min(1.0, 20000.0 / victim.rows.toDouble)
+    val sampleKeys = spark.read.schema(KVEntry.schema).parquet(victim.path)
+      .select(col("key")).sample(withReplacement = false, fraction, seed = 42L)
+      .collect().map(_.getAs[Array[Byte]](0))
+    if (sampleKeys.length < 2) return
+    val sorted = sampleKeys.sorted(UnsignedBytesOrdering)
+    val median = Hex.encode(sorted(sorted.length / 2))
+    // a split at (or outside) the file's edge keys would be a no-op
+    if (median <= victim.minKeyHex || median >= victim.maxKeyHex) return
+    manifest.commit { s =>
+      if (s.rangeBoundsHex.contains(median)) s
+      else s.copy(rangeBoundsHex = (s.rangeBoundsHex :+ median).sorted)
+    }
   }
 
   /** L1→L2 promotion driven by `l1TargetRows`: each round moves the

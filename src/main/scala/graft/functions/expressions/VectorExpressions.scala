@@ -161,6 +161,68 @@ object CosineSimilarity {
   }
 }
 
+/** `NearestCentroid(vec, centroids)`: index of the squared-euclidean
+  * nearest centroid, with the centroid matrix baked into the expression
+  * (it is small by definition — a coarse quantizer has tens-to-thousands
+  * of cells). Assignment is a NARROW map: no crossJoin + window, no
+  * shuffle — the right shape for appending billions of rows to an IVF
+  * index. Euclidean metric and lowest-index tie-break mirror Spark ML
+  * KMeans `findClosest`, so appended assignments agree with
+  * `model.transform`.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroid: centroids must be non-empty")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearest_centroid expects array<float> or array<double>, got $other")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroid.compute(input.asInstanceOf[ArrayData], centroids, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = NearestCentroid.getClass.getName.stripSuffix("$")
+    // ship the matrix into the generated class once as a reference object
+    val matRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $util.compute($arr, $matRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def compute(arr: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int = {
+    val dim = arr.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(dim, cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val v = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) - cen(i)
+        d += v * v
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c } // strict < keeps lowest index on ties
+      c += 1
+    }
+    best
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -175,4 +237,8 @@ object VectorExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: squared-euclidean nearest-centroid index (narrow map). */
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
 }

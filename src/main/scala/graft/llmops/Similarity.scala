@@ -124,6 +124,32 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/assigned")
   }
 
+  /** Incrementally append vectors to a persisted IVF index (the streaming-
+    * ingest path [[buildIvfIndex]] lacks: rebuild-free). The centroid table
+    * is tiny by definition (a coarse quantizer), so it is collected once
+    * and baked into the native [[graft.functions.expressions.NearestCentroid]]
+    * expression — assignment is a NARROW map over the new rows (no
+    * crossJoin, no window, no shuffle except the partitionBy write), with
+    * the same euclidean metric and lowest-index tie-break as Spark ML
+    * KMeans, so appended cells agree with `model.transform`'s.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      newRows: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell",
+        graft.functions.expressions.VectorExpressions.nearest_centroid(col("cv"), centroids))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$indexDir/assigned")
+  }
+
   /** Query a persisted IVF index (see [[buildIvfIndex]]): probes `nProbe`
     * cells per query; cell partition pruning limits the scan to the probed
     * cells' files.

@@ -238,6 +238,40 @@ class GraftDBSpec extends AnyFunSuite {
       assert(db.get(b(f"g$i%04d")).map(new String(_)).contains(f"v-g$i%04d")))
   }
 
+  test("grid refinement: skewed ingest into one hot bucket adds a split key and bounds file size") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4,
+      bucketTargetRows = 50))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    def bulk(keys: Seq[String]): Unit = db.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(k => org.apache.spark.sql.Row(b(k), b(s"v-$k"))), 4), schema))
+    // establish the grid over the full a..z range
+    bulk(('a' to 'z').flatMap(c => (0 until 8).map(i => f"$c$i%03d")))
+    db.compact()
+    val bounds0 = db.gridBounds()
+    assert(bounds0.nonEmpty)
+    // hammer ONE narrow range: all new keys start with "m" -> one hot bucket
+    (0 until 3).foreach { gen =>
+      bulk((0 until 120).map(i => f"mm$gen%01d$i%04d"))
+      db.compact()
+    }
+    assert(db.gridBounds().size > bounds0.size,
+      "sustained skewed ingest never refined the grid")
+    // after refinement, another round must split the hot range across files
+    bulk((0 until 120).map(i => f"mz9$i%04d"))
+    db.compact()
+    val mFiles = db.rawLog()
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("key")).as("mn"))
+      .collect()
+    val hotFiles = mFiles.filter(r => new String(r.getAs[Array[Byte]]("mn")).startsWith("m"))
+    assert(hotFiles.length >= 2, s"hot range still in one file: ${mFiles.length} files total")
+    assert(db.view().count() == 26 * 8 + 3 * 120 + 120)
+    assert(db.get(b("mm20010")).map(new String(_)).contains("v-mm20010"))
+  }
+
   test("bulk write path: DataFrame generation with blob routing") {
     val db = freshDb(GraftOptions(valueThreshold = 50, compactTriggerFiles = 1000))
     val rows = (0 until 200).map { i =>

@@ -35,6 +35,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed.size == 5 * 4)
   }
 
+  test("appendToIvfIndex: incremental rows are assigned like model.transform and become findable") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val extra = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildIvfIndex(base, dir, numCentroids = 8, seed = 42L)
+    Similarity.appendToIvfIndex(spark, dir, extra)
+    // assignment parity: the narrow NearestCentroid map must agree with the
+    // (deterministic, seeded) KMeans model's own transform on the same rows
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fitDf = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    val model = new KMeans().setK(8).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitDf)
+    val want = model.transform(
+        extra.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+          .withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
+      .select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = spark.read.parquet(s"$dir/assigned")
+      .join(extra.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+      .select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want, "incremental assignment diverged from model.transform")
+    // appended vectors are reachable through the normal query path
+    val q = extra.limit(3)
+    val res = Similarity.ivfTopKIndexed(spark, dir, q, k = 3, nProbe = 8)
+    val neighbors = res.collect().map(_.getLong(1)).toSet
+    assert(res.count() == 3 * 3)
+    assert(neighbors.exists(id => id % 2 == 1), "appended vectors never surfaced as neighbors")
+  }
+
   test("lshTopK returns ranked neighbors from matching buckets only") {
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
       dim = 64, bucketBits = 4).collect()
