@@ -529,7 +529,8 @@ final class GraftDB(
     * deeper sweep. Returns overall (liveBlobs, deadBlobs) counts from the
     * same stats pass.
     */
-  def gcBlobs(maxSegments: Int = 1): (Long, Long) = {
+  def gcBlobs(maxSegments: Int = 1,
+      discardRatio: Double = options.gcDiscardRatio): (Long, Long) = {
     val stats = blobSegmentStats()
     if (stats.isEmpty) return (0L, 0L)
     val totalLive = stats.map(_._2).sum
@@ -537,7 +538,7 @@ final class GraftDB(
     val victims = stats
       .map { case (bf, live) =>
         (bf, live, if (bf.rows == 0) 1.0 else (bf.rows - live).toDouble / bf.rows) }
-      .filter(_._3 >= options.gcDiscardRatio)
+      .filter(_._3 >= discardRatio)
       .sortBy { case (bf, _, ratio) => (-ratio, bf.path) }
       .take(maxSegments)
     if (victims.isEmpty) return (totalLive, totalDead)
@@ -646,6 +647,15 @@ final class GraftDB(
     * write; see [[ManifestState.rangeBoundsHex]]).
     */
   def gridBounds(): Vector[String] = manifest.load().rangeBoundsHex
+
+  /** API parity with the reference's `Close` (`kv/db.go:144-157`): the
+    * reference drains its write channel, flushes the memtable, and stops
+    * background goroutines. Here every one of those has no analog — writes
+    * commit synchronously through the manifest, there is no mutable
+    * memtable, and lifecycle jobs run only when called — so close is a
+    * documented no-op. The SparkSession is caller-owned and NOT stopped.
+    */
+  def close(): Unit = ()
 }
 
 object GraftDB {

@@ -147,6 +147,22 @@ class GraftDBSpec extends AnyFunSuite {
     db.rawLog().select(org.apache.spark.sql.functions.input_file_name())
       .distinct().collect().map(_.getString(0)).toSet
 
+  test("vlog fixture: valueThreshold=0 routes every value to the blob table (kv/vlog_test.go:25-94)") {
+    val db = freshDb(GraftOptions(valueThreshold = 0, compactTriggerFiles = 1000))
+    val v1 = Array.fill[Byte](33)(1)
+    val v2 = Array.fill[Byte](34)(2)
+    db.set(b("samplekey"), v1)
+    db.set(b("samplekeyb"), v2)
+    assert(db.get(b("samplekey")).map(_.toSeq).contains(v1.toSeq))
+    assert(db.get(b("samplekeyb")).map(_.toSeq).contains(v2.toSeq))
+    assert(db.stats()("blobSegments") == 2)
+    // the LSM rows carry only blob pointers — no inline values at threshold 0
+    assert(db.rawLog().filter("value IS NOT NULL").count() == 0)
+    assert(db.rawLog().filter("blobId IS NOT NULL").count() == 2)
+    db.close() // parity no-op: the engine stays usable
+    assert(db.get(b("samplekey")).map(_.toSeq).contains(v1.toSeq))
+  }
+
   test("blob GC rewrites only live blobs (kv/vlog_test.go:96-136)") {
     val db = freshDb(GraftOptions(valueThreshold = 16, compactTriggerFiles = 1000, gcDiscardRatio = 0.3))
     val mk = (i: Int) => Array.fill[Byte](64)(i.toByte)
