@@ -189,15 +189,14 @@ final class GraftDB(
   // ------------------------------------------------------------- segment write
 
   /** Bucket id of `key` against the fixed grid: the number of split keys
-    * strictly below hex(key) — split key i is the INCLUSIVE upper bound of
-    * bucket i. Hex comparison == unsigned byte comparison (hex is an
-    * order-preserving encoding), evaluated on a pre-computed hex column so
-    * codegen shares the encode across the chain of comparisons.
+    * strictly below the key — split key i is the INCLUSIVE upper bound of
+    * bucket i. A native binary-search expression ([[GridBucket]]) rather
+    * than a fold of `when` terms: the Column form is an N-node tree that
+    * breaks past codegen limits at the O(10^5) buckets a 100 TB table
+    * needs; the expression is one O(log N) static call at any grid size.
     */
-  private def bucketExpr(hexKey: Column, bounds: Vector[String]): Column =
-    bounds.foldLeft(lit(0)) { (acc, bnd) =>
-      acc + when(hexKey > lit(bnd), 1).otherwise(0)
-    }
+  private def bucketExpr(key: Column, bounds: Vector[String]): Column =
+    graft.functions.expressions.VectorExpressions.grid_bucket(key, bounds)
 
   /** Write one sorted segment directory. With a captured grid
     * ([[ManifestState.rangeBoundsHex]]): rows are bucketed against the
@@ -213,9 +212,7 @@ final class GraftDB(
     val bounds = manifest.load().rangeBoundsHex
     val writer =
       if (bounds.nonEmpty) {
-        df.withColumn("__hexKey", lower(hex(col("key"))))
-          .withColumn("__bucket", bucketExpr(col("__hexKey"), bounds))
-          .drop("__hexKey")
+        df.withColumn("__bucket", bucketExpr(col("key"), bounds))
           .repartition(bounds.size + 1, col("__bucket"))
           .sortWithinPartitions(col("__bucket"), col("key"))
           .write.partitionBy("__bucket")

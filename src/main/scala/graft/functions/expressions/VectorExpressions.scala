@@ -223,6 +223,72 @@ object NearestCentroid {
   }
 }
 
+/** `GridBucket(key, bounds)`: bucket id of a binary key against a FIXED
+  * grid of split keys — the number of split keys strictly below the key
+  * (split key i is the inclusive upper bound of bucket i), via binary
+  * search over the decoded byte bounds.
+  *
+  * Why a native expression: the Column-composition form (a fold of
+  * `when(hex(key) > bound, 1)` terms) builds an N-node tree — harmless at
+  * 32 buckets, but a 100 TB table wants O(10^5) buckets, where the chain
+  * blows past JVM method/codegen limits and falls back to interpreted
+  * per-row eval (the HyperplaneBucket lesson). This is one static call and
+  * O(log N) unsigned byte comparisons at any grid size.
+  */
+case class GridBucket(child: Expression, boundsHex: Array[String])
+    extends UnaryExpression {
+
+  require(boundsHex.nonEmpty, "grid_bucket: bounds must be non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val bounds: Array[Array[Byte]] =
+    boundsHex.map(GridBucket.decodeHex)
+
+  override protected def nullSafeEval(input: Any): Any =
+    GridBucket.compute(input.asInstanceOf[Array[Byte]], bounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = GridBucket.getClass.getName.stripSuffix("$")
+    val ref = ctx.addReferenceObj("gridBounds", bounds, "byte[][]")
+    nullSafeCodeGen(ctx, ev, key =>
+      s"${ev.value} = $util.compute($key, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GridBucket =
+    copy(child = newChild)
+}
+
+object GridBucket {
+
+  def decodeHex(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  /** Unsigned-lexicographic compare == Spark BinaryType ordering. */
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Lower-bound binary search: the count of bounds strictly below key. */
+  def compute(key: Array[Byte], bounds: Array[Array[Byte]]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(bounds(mid), key) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -241,4 +307,11 @@ object VectorExpressions {
   /** Column API: squared-euclidean nearest-centroid index (narrow map). */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  /** Column API: fixed-grid bucket id of a binary key (O(log N) binary
+    * search at any grid size). `boundsHex` are hex-encoded split keys,
+    * ascending; split key i is the inclusive upper bound of bucket i.
+    */
+  def grid_bucket(key: Column, boundsHex: Seq[String]): Column =
+    ColumnBridge.column(GridBucket(ColumnBridge.expression(key), boundsHex.toArray))
 }

@@ -171,4 +171,25 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
     assert(viaAgg == viaWindow)
   }
+
+  test("grid_bucket: binary search matches the strictly-below-count contract") {
+    import graft.functions.expressions.{GridBucket, VectorExpressions}
+    import spark.implicits._
+    // bounds are INCLUSIVE upper bounds of their bucket
+    val bounds = Seq("41", "4142", "62") // "A", "AB", "b"
+    val keys = Seq("0", "A", "AA", "AB", "ABC", "b", "z", "")
+    val out = keys.map(_.getBytes("UTF-8")).toDF("key")
+      .select(VectorExpressions.grid_bucket(col("key"), bounds).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    //          "0" "A" "AA" "AB" "ABC" "b" "z" ""
+    assert(out == Seq(0, 0, 1, 1, 2, 2, 3, 0))
+    // direct compute agrees with a linear count at every probe
+    val bs = bounds.map(GridBucket.decodeHex).toArray
+    for (k <- keys) {
+      val kb = k.getBytes("UTF-8")
+      val linear = bounds.count(b =>
+        java.util.Arrays.compareUnsigned(GridBucket.decodeHex(b), kb) < 0)
+      assert(GridBucket.compute(kb, bs) == linear, s"key=$k")
+    }
+  }
 }
