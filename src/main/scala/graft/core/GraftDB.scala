@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   *                        sustained ingest; dead entries are dropped only
   *                        at the bottom level once L2 exists (tombstones
   *                        must not vanish while older versions live below)
-  * @param bucketTargetRows grid-refinement trigger: a compacted file more
-  *                        than twice this size marks its bucket hot, and a
-  *                        new split key (the file's sampled median) is
-  *                        inserted into the fixed grid — future writes and
-  *                        compactions split the bucket, bounding per-file
-  *                        size under skewed ingest without a full-table
-  *                        rewrite
+  * @param bucketTargetRows grid occupancy target. Refinement trigger: a
+  *                        compacted file more than TWICE this size marks
+  *                        its bucket hot, and a new split key (the file's
+  *                        sampled median) is inserted into the fixed grid —
+  *                        future writes and compactions split the bucket,
+  *                        bounding per-file size under skewed ingest
+  *                        without a full-table rewrite. Merge trigger (the
+  *                        inverse): two adjacent buckets whose combined
+  *                        level-1+ rows fall under HALF this size lose the
+  *                        split key between them, so delete-heavy
+  *                        workloads shrink the grid instead of stranding
+  *                        empty buckets. The 2x/0.5x band is B-tree-style
+  *                        hysteresis — the triggers cannot oscillate.
   */
 final case class GraftOptions(
     valueThreshold: Int = 1024,
@@ -391,6 +397,7 @@ final class GraftDB(
     }, outputLevel = 1, dropDead = !hasL2)
     promoteL1IfNeeded()
     maybeRefineGrid()
+    maybeMergeGrid()
   }
 
   /** Hot-bucket grid refinement: if a compacted (L1+) file holds more than
@@ -421,6 +428,40 @@ final class GraftDB(
     manifest.commit { s =>
       if (s.rangeBoundsHex.contains(median)) s
       else s.copy(rangeBoundsHex = (s.rangeBoundsHex :+ median).sorted)
+    }
+  }
+
+  /** Grid merge policy — the inverse of [[maybeRefineGrid]]: when deletes
+    * or TTL expiry shrink two ADJACENT buckets so far that the split key
+    * between them no longer earns its keep (combined level-1+ rows under
+    * `bucketTargetRows / 2`), remove that split. Metadata-only: existing
+    * files are untouched — only future writes and compactions see the
+    * merged bucket. The refine/merge pair forms a B-tree-style hysteresis
+    * band (split a file above 2x target, merge a pair below x/2 target), so
+    * the two triggers cannot oscillate on the same bucket. One removal per
+    * call; a two-bucket floor prevents a shrunken table from flip-flopping
+    * between grid collapse and re-capture — a table that small is
+    * [[majorCompact]]'s job (the sanctioned grid refresh).
+    */
+  private def maybeMergeGrid(): Unit = {
+    val st = manifest.load()
+    val bounds = st.rangeBoundsHex
+    if (bounds.size < 2) return
+    // count of split keys strictly below hexKey == bucket id (hex compare
+    // is unsigned byte compare; same contract as GridBucket)
+    def bucketOf(hexKey: String): Int = bounds.count(_ < hexKey)
+    val rows = Array.fill(bounds.size + 1)(0L)
+    st.files.filter(_.level >= 1).foreach { f =>
+      // a pre-grid file spanning several buckets charges them ALL its full
+      // row count: over-counting can only make merge more conservative
+      (bucketOf(f.minKeyHex) to bucketOf(f.maxKeyHex)).foreach(b => rows(b) += f.rows)
+    }
+    val (minSum, i) = (0 until bounds.size)
+      .map(b => (rows(b) + rows(b + 1), b)).min
+    if (minSum >= math.max(1L, options.bucketTargetRows / 2)) return
+    manifest.commit { s =>
+      if (s.rangeBoundsHex == bounds) s.copy(rangeBoundsHex = bounds.patch(i, Nil, 1))
+      else s // grid changed underneath us; skip this round
     }
   }
 

@@ -231,7 +231,10 @@ class GraftDBSpec extends AnyFunSuite {
   }
 
   test("fixed grid: second-generation compaction touches only dirty buckets") {
-    val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4))
+    // bucketTargetRows pins ~100-row buckets inside the [50, 200] hysteresis
+    // band so neither grid refinement nor grid merge fires mid-test
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4,
+      bucketTargetRows = 100))
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("key", BinaryType), StructField("value", BinaryType)))
@@ -286,6 +289,33 @@ class GraftDBSpec extends AnyFunSuite {
     assert(hotFiles.length >= 2, s"hot range still in one file: ${mFiles.length} files total")
     assert(db.view().count() == 26 * 8 + 3 * 120 + 120)
     assert(db.get(b("mm20010")).map(new String(_)).contains("v-mm20010"))
+  }
+
+  test("grid merge: delete-heavy workload removes split keys instead of stranding empty buckets") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4,
+      bucketTargetRows = 100))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    db.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 400).map(i => org.apache.spark.sql.Row(b(f"m$i%04d"), b(s"v$i"))), 4), schema))
+    db.compact()
+    val bounds0 = db.gridBounds()
+    assert(bounds0.size >= 2, s"need a multi-split grid to merge, got $bounds0")
+    // wipe the TOP half of the keyspace: its buckets drop to zero rows after
+    // the dead entries are dropped, and their splits stop earning their keep
+    db.batchSet((200 until 400).map(i => KVEntry.tombstone(b(f"m$i%04d"))))
+    db.compact()
+    (0 until bounds0.size).foreach(_ => db.compact()) // one merge per call
+    val bounds1 = db.gridBounds()
+    assert(bounds1.size < bounds0.size,
+      s"emptied buckets never merged: $bounds0 -> $bounds1")
+    assert(bounds1.nonEmpty, "merge must stop at the two-bucket floor, not collapse the grid")
+    // survivors intact, deletes honored
+    assert(db.view().count() == 200)
+    assert(db.get(b("m0100")).map(new String(_)).contains("v100"))
+    assert(db.get(b("m0300")).isEmpty)
   }
 
   test("bulk write path: DataFrame generation with blob routing") {
