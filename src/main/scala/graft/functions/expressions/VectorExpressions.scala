@@ -200,7 +200,66 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** `NearestCentroidDist(vec, centroids)`: squared euclidean distance to the
+  * nearest centroid — the per-row drift signal behind the IVF re-fit
+  * trigger (a batch whose mean distance is far above the fitted mean is
+  * drawn from a distribution the quantizer never saw). Same narrow-map
+  * shape, metric, and tie handling as [[NearestCentroid]].
+  */
+case class NearestCentroidDist(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroid_dist: centroids must be non-empty")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearest_centroid_dist expects array<float> or array<double>, got $other")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroid.computeDist(input.asInstanceOf[ArrayData], centroids, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = NearestCentroid.getClass.getName.stripSuffix("$")
+    val matRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $util.computeDist($arr, $matRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDist =
+    copy(child = newChild)
+}
+
 object NearestCentroid {
+
+  /** Squared euclidean distance to the nearest centroid (same loop as
+    * [[compute]], returning the distance instead of the index).
+    */
+  def computeDist(arr: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Double = {
+    val dim = arr.numElements()
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(dim, cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val v = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) - cen(i)
+        d += v * v
+        i += 1
+      }
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
+  }
+
   def compute(arr: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int = {
     val dim = arr.numElements()
     var best = 0
@@ -307,6 +366,12 @@ object VectorExpressions {
   /** Column API: squared-euclidean nearest-centroid index (narrow map). */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  /** Column API: squared-euclidean distance to the nearest centroid (the
+    * IVF drift signal; narrow map like [[nearest_centroid]]).
+    */
+  def nearest_centroid_dist(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidDist(ColumnBridge.expression(vec), centroids))
 
   /** Column API: fixed-grid bucket id of a binary key (O(log N) binary
     * search at any grid size). `boundsHex` are hex-encoded split keys,

@@ -122,6 +122,13 @@ object Similarity {
     model.transform(c).drop("fv")
       .repartition(col("cell")) // co-locate cells for the probe join
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/assigned")
+    // fit statistics, free from the KMeans summary: trainingCost is the sum
+    // of squared assignment distances — the baseline the drift trigger in
+    // [[appendToIvfIndex]] compares append batches against
+    val n = model.summary.clusterSizes.map(_.toLong).sum
+    Seq((numCentroids, n, model.summary.trainingCost))
+      .toDF("k", "n", "sumSqDist")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
   /** Incrementally append vectors to a persisted IVF index (the streaming-
@@ -132,22 +139,81 @@ object Similarity {
     * crossJoin, no window, no shuffle except the partitionBy write), with
     * the same euclidean metric and lowest-index tie-break as Spark ML
     * KMeans, so appended cells agree with `model.transform`'s.
+    *
+    * Drift trigger: the coarse quantizer is only as good as the data it was
+    * fitted on. Each append batch's mean squared assignment distance is
+    * compared against the index's running fit mean (persisted at build time
+    * from the KMeans `trainingCost`, maintained across appends); a batch
+    * whose mean exceeds `refitFactor` x the fit mean is drawn from a
+    * distribution the centroids never saw, so the index is RE-FITTED over
+    * old + new rows instead of silently appending rows that all land in a
+    * few far-away cells (where probe recall collapses). Re-fit cost is one
+    * full rebuild — the trigger's job is making that rare; the drift check
+    * itself is one narrow aggregate over the batch.
+    *
+    * Returns true when the batch triggered a re-fit. `refitFactor <= 0`
+    * disables the trigger (plain append), as does an index built before
+    * stats existed.
     */
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
       newRows: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      refitFactor: Double = 4.0,
+      seed: Long = 42L): Boolean = {
+    import spark.implicits._
+    import graft.functions.expressions.VectorExpressions
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
-    newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell",
-        graft.functions.expressions.VectorExpressions.nearest_centroid(col("cv"), centroids))
-      .repartition(col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell").parquet(s"$indexDir/assigned")
+    val rows = newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val assignedNew = rows
+      .withColumn("cell", VectorExpressions.nearest_centroid(col("cv"), centroids))
+    val statsPath = s"$indexDir/stats"
+    val stats =
+      if (refitFactor > 0 && new java.io.File(statsPath).exists())
+        spark.read.parquet(statsPath).collect().headOption
+      else None
+    stats match {
+      case Some(s) =>
+        val k = s.getAs[Int]("k")
+        val n = s.getAs[Long]("n")
+        val fitSum = s.getAs[Double]("sumSqDist")
+        val agg = rows.agg(
+          count(lit(1)).as("bn"),
+          sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
+          .head()
+        val bn = agg.getLong(0)
+        val bs = if (agg.isNullAt(1)) 0.0 else agg.getDouble(1)
+        val drifted = bn > 0 &&
+          bs / bn > refitFactor * (fitSum / math.max(1L, n))
+        if (drifted) {
+          // localCheckpoint materializes old + new before buildIvfIndex
+          // overwrites the very files the union plan would lazily re-read
+          val union = spark.read.parquet(s"$indexDir/assigned")
+            .select(col("neighbor_id"), col("cv"))
+            .unionByName(rows).localCheckpoint(true)
+          buildIvfIndex(union, indexDir, numCentroids = k,
+            idCol = "neighbor_id", vecCol = "cv", seed = seed)
+          true
+        } else {
+          assignedNew.repartition(col("cell"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("cell").parquet(s"$indexDir/assigned")
+          // fold the batch into the running fit stats so the baseline
+          // tracks the indexed population, not just the original fit
+          Seq((k, n + bn, fitSum + bs)).toDF("k", "n", "sumSqDist")
+            .write.mode("overwrite").parquet(statsPath)
+          false
+        }
+      case None =>
+        assignedNew.repartition(col("cell"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cell").parquet(s"$indexDir/assigned")
+        false
+    }
   }
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]): probes `nProbe`

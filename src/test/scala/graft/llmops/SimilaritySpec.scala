@@ -68,6 +68,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(neighbors.exists(id => id % 2 == 1), "appended vectors never surfaced as neighbors")
   }
 
+  test("IVF drift trigger: in-distribution append keeps the index, divergent append re-fits") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.buildIvfIndex(base, dir, numCentroids = 8, seed = 42L)
+    def centroidSnapshot() = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val c0 = centroidSnapshot()
+    // in-distribution batch: the odd half of the same corpus — no re-fit,
+    // centroids untouched, rows appended
+    val inDist = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 200)
+    assert(!Similarity.appendToIvfIndex(spark, dir, inDist),
+      "in-distribution append must not trigger a re-fit")
+    assert(centroidSnapshot() == c0)
+    // divergent batch: every component shifted +10 — mean assignment
+    // distance explodes past refitFactor x the fit mean
+    val far = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 200)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(10.0f)))
+    assert(Similarity.appendToIvfIndex(spark, dir, far),
+      "divergent append must trigger a re-fit")
+    val c1 = centroidSnapshot()
+    assert(c1.size == 8 && c1 != c0, "re-fit must produce new centroids at the same k")
+    // after the re-fit the quantizer covers the new region: shifted queries
+    // resolve to shifted neighbors with a SMALL probe count
+    val res = Similarity.ivfTopKIndexed(spark, dir, far.limit(3), k = 3, nProbe = 2)
+      .collect()
+    assert(res.length == 9)
+    assert(res.forall(_.getLong(1) >= 100000L),
+      s"shifted queries pulled pre-shift neighbors: ${res.mkString(",")}")
+  }
+
   test("lshTopK returns ranked neighbors from matching buckets only") {
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
       dim = 64, bucketBits = 4).collect()
