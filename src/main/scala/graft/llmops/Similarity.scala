@@ -100,6 +100,17 @@ object Similarity {
     * corpus, both as parquet under `indexDir`. At 100 TB this is the point
     * — fit/assign once, then every query run is a broadcast centroid rank
     * + a join against the (cell-partitioned) assignment table.
+    *
+    * Scale split between FIT and ASSIGN: iterative k-means over the full
+    * corpus is many full passes — a scale-killer at 100 TB, and pointless,
+    * since a coarse quantizer converges on a bounded sample (FAISS trains
+    * IVF on ~max(10^4, 256k) vectors regardless of corpus size). The fit
+    * runs on at most `fitSampleRows` rows (the whole corpus when smaller,
+    * so small-corpus results are bit-identical to a full fit); the
+    * assignment of ALL rows is then ONE narrow pass through the native
+    * [[graft.functions.expressions.NearestCentroid]] expression — spec-
+    * verified to agree with `model.transform` — with no ML-vector
+    * conversion on the big side.
     */
   def buildIvfIndex(
       corpus: DataFrame,
@@ -107,24 +118,33 @@ object Similarity {
       numCentroids: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L,
+      fitSampleRows: Long = 262144L): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    val total = c.count()
+    val fitInput =
+      if (fitSampleRows > 0 && total > fitSampleRows)
+        c.sample(withReplacement = false, fitSampleRows.toDouble / total, seed)
+      else c
     val model = new KMeans().setK(numCentroids).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
-    model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitInput.withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
+    val centroidArr = model.clusterCenters.map(_.toArray)
+    centroidArr.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    model.transform(c).drop("fv")
+    c.withColumn("cell",
+        graft.functions.expressions.VectorExpressions.nearest_centroid(col("cv"), centroidArr))
       .repartition(col("cell")) // co-locate cells for the probe join
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/assigned")
-    // fit statistics, free from the KMeans summary: trainingCost is the sum
-    // of squared assignment distances — the baseline the drift trigger in
-    // [[appendToIvfIndex]] compares append batches against
+    // fit statistics: trainingCost is the sum of squared assignment
+    // distances over the FIT rows — the baseline the drift trigger in
+    // [[appendToIvfIndex]] compares append batches against (a sample mean
+    // is an unbiased estimate of the corpus mean)
     val n = model.summary.clusterSizes.map(_.toLong).sum
     Seq((numCentroids, n, model.summary.trainingCost))
       .toDF("k", "n", "sumSqDist")

@@ -68,6 +68,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(neighbors.exists(id => id % 2 == 1), "appended vectors never surfaced as neighbors")
   }
 
+  test("buildIvfIndex fits on a bounded sample but assigns every row") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-sample").toString
+    // force the sampled-fit path: 500-row corpus, 100-row fit budget
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8, fitSampleRows = 100)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() == emb.count(), "assignment must cover the full corpus, not the fit sample")
+    assert(assigned.select("cell").distinct().count() > 1)
+    // a sample-fitted quantizer still recalls against brute force
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKIndexed(spark, dir, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"sample-fitted IVF recall $recall suspiciously low")
+  }
+
   test("IVF drift trigger: in-distribution append keeps the index, divergent append re-fits") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
     val base = emb.filter(col("vec_id") % 2 === 0)
