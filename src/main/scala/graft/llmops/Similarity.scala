@@ -69,20 +69,30 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      fitSampleRows: Long = 262144L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("fv", array_to_vector(col("cv").cast("array<double>")))
+    // fit on a bounded sample, assign every row natively — same scale
+    // split as [[buildIvfIndex]] (identical to a full fit for small corpora)
+    val total = c.count()
+    val fitInput =
+      if (fitSampleRows > 0 && total > fitSampleRows)
+        c.sample(withReplacement = false, fitSampleRows.toDouble / total, seed)
+      else c
     val model = new KMeans().setK(numCentroids).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(c)
-    val assigned = model.transform(c).drop("fv")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitInput.withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
+    val centroidArr = model.clusterCenters.map(_.toArray)
+    val assigned = c.withColumn("cell",
+      graft.functions.expressions.VectorExpressions.nearest_centroid(col("cv"), centroidArr))
     // centroid table is tiny: broadcast-joined against the queries, ranked
     // by distance, keep nProbe cells per query
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val centroids = centroidArr.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qCells = q.join(broadcast(centroids), lit(true))
       .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))
