@@ -854,6 +854,26 @@ object Catalog {
         FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""),
       headline = true),
 
+    "stream_enrich_join" -> QueryDef(
+      // stream-stream interval join run in batch mode: the SAME plan the
+      // streaming enrichment runs (EventStreamSpec proves batch == stream);
+      // purchases attributed to the user's clicks in the preceding hour
+      (s, dir) => {
+        val ev = events(s, dir)
+        def side(t: String) =
+          ev.filter(col("event_type") === t).select("event_id", "user_id", "ts")
+        graft.streaming.EventStream
+          .enrichJoin(side("click"), side("purchase"), windowMs = 3600000L)
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        c.event_id AS click_id
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY purchase_id, click_id""")),
+
     "q_session_windows" -> QueryDef(
       // gap-based sessionization (5-minute inactivity gap): the batch dual
       // of streaming session windows, expressed as lag + running sum of

@@ -78,6 +78,33 @@ object EventStream {
       tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
     docs.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join (the enrichment shape: attribute each
+    * purchase to the same user's clicks in the preceding `windowMs`).
+    * Works identically on batch frames — define the plan once, oracle it
+    * in batch, run it on streams.
+    *
+    * In streaming mode BOTH sides are stateful: Spark buffers each side's
+    * rows in the state store until the other side can no longer produce a
+    * match, and it derives that eviction bound FROM the join condition —
+    * which is why the time-interval predicate is part of the join instead
+    * of a post-filter. With the `2 hours` watermark, a buffered click is
+    * dropped once the purchase-side watermark passes click_ts + windowMs;
+    * state is bounded by the horizon's row rate, never by history.
+    */
+  def enrichJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMs: Long = 600000L, watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+    p.join(c,
+        col("click_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMs MILLISECOND"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
   /** Gap-based sessionization with CUSTOM state — the streaming dual of
     * the oracled batch `q_session_windows` query (same gap semantics),
     * via `flatMapGroupsWithState` (SURVEY §1: KeyValueGroupedDataset

@@ -125,6 +125,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch plan over the same data") {
+    val batch = eventsBatch()
+    val dir = Files.createTempDirectory("enrich-in").toString
+    batch.write.mode("overwrite").parquet(dir)
+    def side(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.filter(col("event_type") === t).select("event_id", "user_id", "ts")
+    val stream = EventStream.readEventsStream(spark, dir, batch.schema)
+    val joined = EventStream.enrichJoin(
+      side(stream, "click"), side(stream, "purchase"), windowMs = 3600000L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = EventStream.enrichJoin(
+        side(batch, "click"), side(batch, "purchase"), windowMs = 3600000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty, "fixture produced no purchase-click pairs; widen the window")
+      assert(streamed == expected,
+        s"stream/batch divergence: ${streamed.size} vs ${expected.size} pairs")
+    } finally q.stop()
+  }
+
   test("streaming ingestion into GraftDB: each micro-batch is a generation") {
     val batch = eventsBatch()
     val inDir = Files.createTempDirectory("stream-kv-in").toString
