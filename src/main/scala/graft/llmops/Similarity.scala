@@ -175,11 +175,14 @@ object Similarity {
     * compared against the index's running fit mean (persisted at build time
     * from the KMeans `trainingCost`, maintained across appends); a batch
     * whose mean exceeds `refitFactor` x the fit mean is drawn from a
-    * distribution the centroids never saw, so the index is RE-FITTED over
-    * old + new rows instead of silently appending rows that all land in a
-    * few far-away cells (where probe recall collapses). Re-fit cost is one
-    * full rebuild — the trigger's job is making that rare; the drift check
-    * itself is one narrow aggregate over the batch.
+    * distribution the centroids never saw, so the index is RE-FITTED —
+    * otherwise those rows all land in a few far-away cells where probe
+    * recall collapses. Re-fit cost is one full rebuild (with
+    * [[buildIvfIndex]]'s bounded-sample fit) — the trigger's job is making
+    * that rare. The drift metrics ride the append write itself via
+    * `Dataset.observe`, so the batch is read exactly once; on drift the
+    * re-fit rebuilds from the assignment table, which already contains the
+    * batch.
     *
     * Returns true when the batch triggered a re-fit. `refitFactor <= 0`
     * disables the trigger (plain append), as does an index built before
@@ -202,36 +205,41 @@ object Similarity {
     val assignedNew = rows
       .withColumn("cell", VectorExpressions.nearest_centroid(col("cv"), centroids))
     val statsPath = s"$indexDir/stats"
+    // existence check through the path's own FileSystem (works on any
+    // Hadoop-compatible store, not just the local FS)
     val stats =
-      if (refitFactor > 0 && new java.io.File(statsPath).exists())
-        spark.read.parquet(statsPath).collect().headOption
+      if (refitFactor > 0 && {
+        val p = new org.apache.hadoop.fs.Path(statsPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }) spark.read.parquet(statsPath).collect().headOption
       else None
     stats match {
       case Some(s) =>
         val k = s.getAs[Int]("k")
         val n = s.getAs[Long]("n")
         val fitSum = s.getAs[Double]("sumSqDist")
-        val agg = rows.agg(
-          count(lit(1)).as("bn"),
-          sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
-          .head()
-        val bn = agg.getLong(0)
-        val bs = if (agg.isNullAt(1)) 0.0 else agg.getDouble(1)
+        // drift metrics ride the append write: ONE pass over the batch
+        val obs = org.apache.spark.sql.Observation()
+        assignedNew.observe(obs,
+            count(lit(1)).as("bn"),
+            sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
+          .repartition(col("cell"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cell").parquet(s"$indexDir/assigned")
+        val m = obs.get
+        val bn = m("bn").asInstanceOf[Long]
+        val bs = m.get("bs").collect { case d: java.lang.Double => d.doubleValue }.getOrElse(0.0)
         val drifted = bn > 0 &&
           bs / bn > refitFactor * (fitSum / math.max(1L, n))
         if (drifted) {
-          // localCheckpoint materializes old + new before buildIvfIndex
-          // overwrites the very files the union plan would lazily re-read
-          val union = spark.read.parquet(s"$indexDir/assigned")
-            .select(col("neighbor_id"), col("cv"))
-            .unionByName(rows).localCheckpoint(true)
-          buildIvfIndex(union, indexDir, numCentroids = k,
+          // the assignment table already holds the batch; localCheckpoint
+          // materializes it before buildIvfIndex overwrites the same files
+          val all = spark.read.parquet(s"$indexDir/assigned")
+            .select(col("neighbor_id"), col("cv")).localCheckpoint(true)
+          buildIvfIndex(all, indexDir, numCentroids = k,
             idCol = "neighbor_id", vecCol = "cv", seed = seed)
           true
         } else {
-          assignedNew.repartition(col("cell"))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .partitionBy("cell").parquet(s"$indexDir/assigned")
           // fold the batch into the running fit stats so the baseline
           // tracks the indexed population, not just the original fit
           Seq((k, n + bn, fitSum + bs)).toDF("k", "n", "sumSqDist")
