@@ -106,10 +106,77 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ----------------------------------------------------- IVF index layout
+  //
+  // Generational: each build/re-fit writes a COMPLETE new generation under
+  // indexDir/g<N>/{centroids,assigned,stats} and then atomically points
+  // indexDir/MANIFEST.json at it — a writer never touches the live
+  // generation, so a re-fit that dies mid-write leaves the index exactly
+  // as it was (the GraftDB manifest pattern applied to the index). Old
+  // generations stay on disk for in-flight readers until vacuumIvfIndex.
+  // Indexes from the pre-manifest layout (tables at the indexDir root) are
+  // still readable: no MANIFEST.json resolves to the root paths.
+
+  private def ivfFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Live generation number: Some(n) under the manifest layout, None for
+    * a legacy root-layout (or empty) directory.
+    */
+  def ivfGeneration(spark: org.apache.spark.sql.SparkSession, indexDir: String): Option[Int] = {
+    val (fs, _) = ivfFs(spark, indexDir)
+    val mp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"gen"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    }
+  }
+
+  private def ivfPaths(spark: org.apache.spark.sql.SparkSession, indexDir: String): (String, String, String) =
+    ivfGeneration(spark, indexDir) match {
+      case Some(g) => (s"$indexDir/g$g/centroids", s"$indexDir/g$g/assigned", s"$indexDir/g$g/stats")
+      case None => (s"$indexDir/centroids", s"$indexDir/assigned", s"$indexDir/stats")
+    }
+
+  private def commitIvfGeneration(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, gen: Int): Unit = {
+    val (fs, _) = ivfFs(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"gen": $gen}""".getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not commit IVF manifest for gen $gen")
+  }
+
+  /** Delete all index generations except the live one (the explicit
+    * cleanup point, like GraftDB.vacuum — in-flight readers of old
+    * generations are the caller's concern).
+    */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Int = {
+    val (fs, root) = ivfFs(spark, indexDir)
+    ivfGeneration(spark, indexDir) match {
+      case None => 0
+      case Some(live) =>
+        val stale = fs.listStatus(root).filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && n.matches("g\\d+") && n != s"g$live"
+        }
+        stale.foreach(st => fs.delete(st.getPath, true))
+        stale.length
+    }
+  }
+
   /** Build and persist an IVF index: k-means centroids + the cell-assigned
-    * corpus, both as parquet under `indexDir`. At 100 TB this is the point
-    * — fit/assign once, then every query run is a broadcast centroid rank
-    * + a join against the (cell-partitioned) assignment table.
+    * corpus, both as parquet under a fresh generation of `indexDir` (see
+    * the layout note above). At 100 TB this is the point — fit/assign
+    * once, then every query run is a broadcast centroid rank + a join
+    * against the (cell-partitioned) assignment table.
     *
     * Scale split between FIT and ASSIGN: iterative k-means over the full
     * corpus is many full passes — a scale-killer at 100 TB, and pointless,
@@ -144,13 +211,17 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(fitInput.withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
     val centroidArr = model.clusterCenters.map(_.toArray)
+    // write the ENTIRE generation before the manifest flips — a failure
+    // anywhere below leaves the previous generation live and untouched
+    val nextGen = ivfGeneration(spark, indexDir).map(_ + 1).getOrElse(0)
+    val genDir = s"$indexDir/g$nextGen"
     centroidArr.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .write.mode("overwrite").parquet(s"$genDir/centroids")
     c.withColumn("cell",
         graft.functions.expressions.VectorExpressions.nearest_centroid(col("cv"), centroidArr))
       .repartition(col("cell")) // co-locate cells for the probe join
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/assigned")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/assigned")
     // fit statistics: trainingCost is the sum of squared assignment
     // distances over the FIT rows — the baseline the drift trigger in
     // [[appendToIvfIndex]] compares append batches against (a sample mean
@@ -158,7 +229,8 @@ object Similarity {
     val n = model.summary.clusterSizes.map(_.toLong).sum
     Seq((numCentroids, n, model.summary.trainingCost))
       .toDF("k", "n", "sumSqDist")
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
+      .write.mode("overwrite").parquet(s"$genDir/stats")
+    commitIvfGeneration(spark, indexDir, nextGen)
   }
 
   /** Incrementally append vectors to a persisted IVF index (the streaming-
@@ -198,13 +270,13 @@ object Similarity {
       seed: Long = 42L): Boolean = {
     import spark.implicits._
     import graft.functions.expressions.VectorExpressions
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val (centroidsPath, assignedPath, statsPath) = ivfPaths(spark, indexDir)
+    val centroids = spark.read.parquet(centroidsPath)
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
     val rows = newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val assignedNew = rows
       .withColumn("cell", VectorExpressions.nearest_centroid(col("cv"), centroids))
-    val statsPath = s"$indexDir/stats"
     // existence check through the path's own FileSystem (works on any
     // Hadoop-compatible store, not just the local FS)
     val stats =
@@ -225,19 +297,19 @@ object Similarity {
             sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
           .repartition(col("cell"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .partitionBy("cell").parquet(s"$indexDir/assigned")
+          .partitionBy("cell").parquet(assignedPath)
         val m = obs.get
         val bn = m("bn").asInstanceOf[Long]
         val bs = m.get("bs").collect { case d: java.lang.Double => d.doubleValue }.getOrElse(0.0)
         val drifted = bn > 0 &&
           bs / bn > refitFactor * (fitSum / math.max(1L, n))
         if (drifted) {
-          // the assignment table already holds the batch; localCheckpoint
-          // materializes it before buildIvfIndex overwrites the same files
-          val all = spark.read.parquet(s"$indexDir/assigned")
-            .select(col("neighbor_id"), col("cv")).localCheckpoint(true)
-          buildIvfIndex(all, indexDir, numCentroids = k,
-            idCol = "neighbor_id", vecCol = "cv", seed = seed)
+          // the live assignment table already holds the batch; the re-fit
+          // reads it while writing the NEXT generation, and the manifest
+          // only flips once that generation is complete — no
+          // read-your-own-overwrite hazard, no checkpoint needed
+          buildIvfIndex(spark.read.parquet(assignedPath).select(col("neighbor_id"), col("cv")),
+            indexDir, numCentroids = k, idCol = "neighbor_id", vecCol = "cv", seed = seed)
           true
         } else {
           // fold the batch into the running fit stats so the baseline
@@ -249,10 +321,20 @@ object Similarity {
       case None =>
         assignedNew.repartition(col("cell"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .partitionBy("cell").parquet(s"$indexDir/assigned")
+          .partitionBy("cell").parquet(assignedPath)
         false
     }
   }
+
+  /** The live generation's centroid table (readers should use this rather
+    * than assuming an on-disk layout).
+    */
+  def ivfCentroids(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(ivfPaths(spark, indexDir)._1)
+
+  /** The live generation's cell-assigned corpus. */
+  def ivfAssigned(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(ivfPaths(spark, indexDir)._2)
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]): probes `nProbe`
     * cells per query; cell partition pruning limits the scan to the probed
@@ -266,8 +348,8 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    val centroids = ivfCentroids(spark, indexDir)
+    val assigned = ivfAssigned(spark, indexDir)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qCells = q.join(broadcast(centroids), lit(true))
       .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))

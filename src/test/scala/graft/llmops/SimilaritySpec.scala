@@ -54,7 +54,7 @@ class SimilaritySpec extends AnyFunSuite {
           .withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
       .select("neighbor_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val got = spark.read.parquet(s"$dir/assigned")
+    val got = Similarity.ivfAssigned(spark, dir)
       .join(extra.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
       .select("neighbor_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -72,7 +72,7 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivf-sample").toString
     // force the sampled-fit path: 500-row corpus, 100-row fit budget
     Similarity.buildIvfIndex(emb, dir, numCentroids = 8, fitSampleRows = 100)
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val assigned = Similarity.ivfAssigned(spark, dir)
     assert(assigned.count() == emb.count(), "assignment must cover the full corpus, not the fit sample")
     assert(assigned.select("cell").distinct().count() > 1)
     // a sample-fitted quantizer still recalls against brute force
@@ -89,7 +89,7 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
     val base = emb.filter(col("vec_id") % 2 === 0)
     Similarity.buildIvfIndex(base, dir, numCentroids = 8, seed = 42L)
-    def centroidSnapshot() = spark.read.parquet(s"$dir/centroids").collect()
+    def centroidSnapshot() = Similarity.ivfCentroids(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     val c0 = centroidSnapshot()
     // in-distribution batch: the odd half of the same corpus — no re-fit,
@@ -114,6 +114,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.length == 9)
     assert(res.forall(_.getLong(1) >= 100000L),
       s"shifted queries pulled pre-shift neighbors: ${res.mkString(",")}")
+  }
+
+  test("IVF generations: re-fit writes a new generation, old one survives until vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-gen").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir, numCentroids = 8)
+    assert(Similarity.ivfGeneration(spark, dir).contains(0))
+    // force a drift re-fit
+    val far = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(10.0f)))
+    assert(Similarity.appendToIvfIndex(spark, dir, far))
+    assert(Similarity.ivfGeneration(spark, dir).contains(1),
+      "re-fit must commit the next generation")
+    // crash-safety evidence: the superseded generation is still on disk for
+    // in-flight readers, and the explicit vacuum removes exactly it
+    assert(new java.io.File(s"$dir/g0").exists())
+    assert(Similarity.vacuumIvfIndex(spark, dir) == 1)
+    assert(!new java.io.File(s"$dir/g0").exists())
+    assert(new java.io.File(s"$dir/g1").exists())
+    // live generation still answers queries after vacuum
+    assert(Similarity.ivfTopKIndexed(spark, dir, far.limit(2), k = 3, nProbe = 8).count() == 6)
   }
 
   test("lshTopK returns ranked neighbors from matching buckets only") {
