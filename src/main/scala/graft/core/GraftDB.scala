@@ -16,15 +16,22 @@ import org.apache.spark.sql.functions._
   * @param rangePartitions target partition count for compaction output;
   *                        on a real cluster, size so each partition's rows
   *                        fit executor memory (~128-512 MB of key+value)
-  * @param l1TargetRows    total level-1 rows above which [[GraftDB.compact]]
-  *                        promotes the largest L1 file (merged with its
-  *                        overlapping L2 files) down to level 2 — the analog
-  *                        of the reference's per-level size targets and
-  *                        scoring (`kv/lsm/compact.go:626-751`). Keeps L1
-  *                        bounded so L0→L1 merges stay cheap under
-  *                        sustained ingest; dead entries are dropped only
-  *                        at the bottom level once L2 exists (tombstones
-  *                        must not vanish while older versions live below)
+  * @param l1TargetRows    level-1 row target: the base of the geometric
+  *                        per-level size ladder (`levelTarget(L) =
+  *                        l1TargetRows * levelSizeMultiplier^(L-1)`, the
+  *                        reference's level scoring and dynamic targets,
+  *                        `kv/lsm/compact.go:626-751`). Any level over its
+  *                        target promotes its largest file (merged with
+  *                        the next level's overlapping files) one level
+  *                        down, so L1 stays small and L0→L1 merges stay
+  *                        cheap under sustained ingest; dead entries are
+  *                        dropped only when compacting into the bottom
+  *                        level (tombstones must not vanish while older
+  *                        versions live below)
+  * @param levelSizeMultiplier geometric fan-out between consecutive level
+  *                        targets (reference default 10; each level holds
+  *                        ~10x its parent, bounding write amplification to
+  *                        O(multiplier * depth) per row)
   * @param bucketTargetRows grid occupancy target. Refinement trigger: a
   *                        compacted file more than TWICE this size marks
   *                        its bucket hot, and a new split key (the file's
@@ -45,6 +52,7 @@ final case class GraftOptions(
     rangePartitions: Int = 32,
     gcDiscardRatio: Double = 0.5,
     l1TargetRows: Long = 4000000L,
+    levelSizeMultiplier: Int = 10,
     bucketTargetRows: Long = 4000000L)
 
 /** GraftDB — the reference's embedded LSM KV engine re-expressed Spark-first.
@@ -383,10 +391,12 @@ final class GraftDB(
     * range, not the table size. The reference's parallel subcompactions
     * become the per-bucket write tasks.
     *
-    * After the merge, L1 is scored against `l1TargetRows` (the reference's
-    * level scoring, `kv/lsm/compact.go:626-751`): while over target, the
-    * largest L1 file is promoted — merged with its overlapping L2 files,
-    * dead entries dropped (L2 is the bottom), written as L2.
+    * After the merge, every level is scored against its geometric target
+    * (the reference's level scoring, `kv/lsm/compact.go:626-751`): while
+    * some level is over target, its largest file is promoted into the next
+    * level, merged with that level's overlapping files — see
+    * [[promoteLevelsIfNeeded]]. Dead entries drop only at the bottom of
+    * the tree.
     */
   def compact(): Unit = {
     val hasL2 = manifest.load().files.exists(_.level >= 2)
@@ -395,7 +405,7 @@ final class GraftDB(
       if (l0.isEmpty) Vector.empty
       else l0 ++ st.files.filter(f => f.level == 1 && l0.exists(z => overlaps(z, f)))
     }, outputLevel = 1, dropDead = !hasL2)
-    promoteL1IfNeeded()
+    promoteLevelsIfNeeded()
     maybeRefineGrid()
     maybeMergeGrid()
   }
@@ -465,24 +475,53 @@ final class GraftDB(
     }
   }
 
-  /** L1→L2 promotion driven by `l1TargetRows`: each round moves the
-    * largest L1 file down, merging it with the L2 files it overlaps (with
-    * the fixed grid that is the same bucket, so promotion is local).
-    * Bounded rounds per call — under sustained ingest every compact()
-    * makes promotion progress without stalling the write path.
+  /** Row target for one level: `l1TargetRows * multiplier^(level-1)` — the
+    * reference's geometric level ladder (`levelTarget`,
+    * `kv/lsm/compact.go:709-751`), saturating instead of overflowing.
     */
-  private def promoteL1IfNeeded(maxRounds: Int = 4): Unit = {
+  private def levelTargetRows(level: Int): Long = {
+    var t = options.l1TargetRows
+    var l = 1
+    while (l < level) {
+      if (t > Long.MaxValue / options.levelSizeMultiplier) return Long.MaxValue
+      t *= options.levelSizeMultiplier
+      l += 1
+    }
+    t
+  }
+
+  /** Leveled promotion driven by the geometric targets: while some level
+    * exceeds its target, move that level's largest file one level down,
+    * merged with the NEXT level's overlapping files (Lx→Lx+1, the
+    * reference's compaction shape — with the fixed grid the overlap is the
+    * same bucket, so promotion is local). The shallowest over-target level
+    * goes first: it is the one throttling L0 ingest. Dead entries are
+    * dropped only when the output level is the bottom of the tree — a
+    * dropped tombstone above a deeper level would resurrect the older
+    * versions below it. Drains until every level meets its target (the
+    * reference's continuously-running compactors collapsed into the
+    * compact() call); `maxRounds` is a safety valve, not the steady state
+    * — under sustained ingest the over-target mass per call is bounded by
+    * the ingest since the last call, so the drain is a few rounds.
+    */
+  private def promoteLevelsIfNeeded(maxRounds: Int = 32): Unit = {
     var round = 0
     while (round < maxRounds) {
       val st = manifest.load()
-      val l1 = st.files.filter(_.level == 1)
-      if (l1.map(_.rows).sum <= options.l1TargetRows) return
-      val victim = l1.maxBy(f => (f.rows, f.path))
-      compactInputs(st2 => {
-        val v = st2.files.filter(f => f.level == 1 && f.path == victim.path)
-        if (v.isEmpty) Vector.empty // raced away; nothing to promote
-        else v ++ st2.files.filter(f => f.level >= 2 && overlaps(victim, f))
-      }, outputLevel = 2, dropDead = true)
+      val byLevel = st.files.filter(_.level >= 1).groupBy(_.level)
+      val overTarget = byLevel.keys.toSeq.sorted.find(l =>
+        byLevel(l).map(_.rows).sum > levelTargetRows(l))
+      overTarget match {
+        case None => return
+        case Some(l) =>
+          val victim = byLevel(l).maxBy(f => (f.rows, f.path))
+          val bottomBelow = st.files.exists(_.level > l + 1)
+          compactInputs(st2 => {
+            val v = st2.files.filter(f => f.level == l && f.path == victim.path)
+            if (v.isEmpty) Vector.empty // raced away; nothing to promote
+            else v ++ st2.files.filter(f => f.level == l + 1 && overlaps(victim, f))
+          }, outputLevel = l + 1, dropDead = !bottomBelow)
+      }
       round += 1
     }
   }

@@ -230,6 +230,33 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.get(b(someKey)).isEmpty)
   }
 
+  test("leveled promotion: geometric targets build L3+, deletes honored across the tree") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4,
+      l1TargetRows = 60, levelSizeMultiplier = 2)) // targets: L1=60, L2=120, L3=240
+    val rnd = new scala.util.Random(11)
+    (0 until 8).foreach { gen =>
+      db.batchSet((0 until 100).map { _ =>
+        val k = f"k${rnd.nextInt(500)}%04d"
+        KVEntry(b(k), b(s"g$gen-$k"))
+      })
+      db.compact()
+      // compact() drains promotions until every level meets its target
+      assert(db.levelRows(1) <= 60, s"L1 over target at gen $gen: ${db.levelRows(1)}")
+      assert(db.levelRows(2) <= 120, s"L2 over target at gen $gen: ${db.levelRows(2)}")
+    }
+    assert(db.levelRows(3) > 0, "geometric ladder never built level 3")
+    // the merged view is exact LWW through 4 levels
+    val view = db.view().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(view.nonEmpty && view.forall { case (k, v) => v.endsWith(s"-$k") })
+    // a delete must not resurrect: tombstones survive until the bottom
+    val someKey = view.keys.min
+    db.del(b(someKey))
+    db.compact()
+    assert(db.get(b(someKey)).isEmpty, "tombstone dropped above the bottom level")
+    assert(db.view().count() == view.size - 1)
+  }
+
   test("fixed grid: second-generation compaction touches only dirty buckets") {
     // bucketTargetRows pins ~100-row buckets inside the [50, 200] hysteresis
     // band so neither grid refinement nor grid merge fires mid-test
