@@ -21,9 +21,12 @@ class EngineFuzzSpec extends AnyFunSuite {
   test("random op program: view == in-memory LWW model at every lifecycle point") {
     val rnd = new scala.util.Random(20260812L)
     val db = new GraftDB(spark, Files.createTempDirectory("fuzz").toString,
+      // targets sized BELOW the ~60-key live set (30/60/120 at multiplier
+      // 2), so random compactions really do promote through L2/L3 and the
+      // bottom-level-only dead-dropping rule is what the model checks
       GraftOptions(valueThreshold = 12, compactTriggerFiles = 1000,
-        rangePartitions = 4, l1TargetRows = 120, bucketTargetRows = 60,
-        gcDiscardRatio = 0.3))
+        rangePartitions = 4, l1TargetRows = 30, levelSizeMultiplier = 2,
+        bucketTargetRows = 60, gcDiscardRatio = 0.3))
     val model = scala.collection.mutable.Map.empty[String, String]
     val keyspace = (0 until 60).map(i => f"k$i%03d")
     def randVal(): String = {
@@ -71,6 +74,8 @@ class EngineFuzzSpec extends AnyFunSuite {
       checkView(s"step $step")
     }
     db.compact(); checkView("final compact")
+    assert(db.levelRows(2) + db.levelRows(3) > 0,
+      "fuzz never promoted past L1 — targets no longer exercise the tree")
     db.gcBlobs(maxSegments = 100); checkView("blob GC")
     db.majorCompact(); checkView("major compact")
     db.vacuum(); checkView("vacuum")
