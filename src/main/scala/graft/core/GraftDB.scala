@@ -656,11 +656,26 @@ final class GraftDB(
 
   /** Pull-based ordered iteration over the live view (reference
     * `NewIterator` consumption shape): rows stream to the caller one
-    * partition at a time — no full collect.
+    * partition at a time — no full collect. `seek` starts at the first
+    * key >= it ascending (<= it descending) — the reference DECLARES
+    * `DBIterator.Seek` but ships it as an empty stub
+    * (`kv/iterator.go:78-79`); this implements the intended Badger
+    * semantics, pushed down to the scan as a range predicate rather than
+    * client-side skipping. `prefix` bounds iteration to one key prefix
+    * the same way.
     */
-  def iterator(ascending: Boolean = true): Iterator[Row] = {
+  def iterator(
+      ascending: Boolean = true,
+      seek: Option[Array[Byte]] = None,
+      prefix: Option[Array[Byte]] = None): Iterator[Row] = {
     import scala.jdk.CollectionConverters._
-    scan(ascending = ascending).toLocalIterator().asScala
+    // descending: keys <= seek, i.e. key < seek ++ 0x00 (the least key
+    // strictly above seek in unsigned byte order — exact, no 0xff games)
+    val (from, until) =
+      if (ascending) (seek, None)
+      else (None, seek.map(s => s :+ 0.toByte))
+    scan(from = from, until = until, prefix = prefix, ascending = ascending)
+      .toLocalIterator().asScala
   }
 
   /** Sampling estimate of the dead-blob ratio — parity with the reference's

@@ -100,6 +100,18 @@ class GraftDBSpec extends AnyFunSuite {
     assert(GraftDB.prefixSuccessor(Array(0xff.toByte, 0xff.toByte)).isEmpty)
   }
 
+  test("iterator seek: first key >= target ascending, <= target descending (kv/iterator.go:78-79 stub, implemented)") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000))
+    db.batchSet(Seq("a", "c", "e", "g").map(k => KVEntry(b(k), b(s"v$k"))))
+    def keys(it: Iterator[org.apache.spark.sql.Row]) =
+      it.map(r => new String(r.getAs[Array[Byte]]("key"))).toList
+    assert(keys(db.iterator(seek = Some(b("c")))) == List("c", "e", "g"))
+    assert(keys(db.iterator(seek = Some(b("d")))) == List("e", "g")) // between keys
+    assert(keys(db.iterator(ascending = false, seek = Some(b("d")))) == List("c", "a"))
+    assert(keys(db.iterator(ascending = false, seek = Some(b("e")))) == List("e", "c", "a"))
+    assert(keys(db.iterator(seek = Some(b("z")))) == Nil)
+  }
+
   test("compaction preserves the merge-on-read view and drops dead entries") {
     val db = freshDb(GraftOptions(compactTriggerFiles = 1000))
     (0 until 5).foreach { gen =>
