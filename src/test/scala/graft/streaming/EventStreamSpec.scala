@@ -149,6 +149,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: micro-batches enrich against a broadcast dimension") {
+    import spark.implicits._
+    val batch = eventsBatch()
+    val dir = Files.createTempDirectory("static-join-in").toString
+    batch.write.mode("overwrite").parquet(dir)
+    // static dimension: user segment buckets — broadcastable, no state
+    val dim = (0L until 100L).map(u => (u, if (u % 2 == 0) "even" else "odd"))
+      .toDF("user_id", "segment")
+    def joined(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id")
+        .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+    val stream = EventStream.readEventsStream(spark, dir, batch.schema)
+    val q = joined(stream).writeStream.outputMode("append")
+      .format("memory").queryName("static_join_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("static_join_test").collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      val expected = joined(batch).collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(expected.nonEmpty && streamed == expected)
+    } finally q.stop()
+  }
+
   test("streaming ingestion into GraftDB: each micro-batch is a generation") {
     val batch = eventsBatch()
     val inDir = Files.createTempDirectory("stream-kv-in").toString
