@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket, JaccardSorted, MinHashBands, SimHash64, TextStats, TopKBy, WordShingles}
+import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket, JaccardSorted, MinHashBands, RollingHash64, SimHash64, TextStats, TopKBy, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same surface
@@ -69,6 +69,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(args(0), args(1)) }))
 
     ext.injectFunction((
+      new FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (args: Seq[Expression]) => { arity("rolling_hash64", args, 1); RollingHash64(args.head) }))
+
+    ext.injectFunction((
       new FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (args: Seq[Expression]) => { arity("topk_by", args, 3)
@@ -98,6 +103,8 @@ object GraftExtensions {
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       args => CosineSimilarity(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash64",
+      args => RollingHash64(args.head), "built-in")
     reg.createOrReplaceTempFunction("topk_by",
       args => TopKBy(args(0), args(1),
         args(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression(), "built-in")

@@ -34,14 +34,13 @@ object Text {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** 64-bit rolling (polynomial) hash of the normalized text — the
-    * streaming-friendly fingerprint variant (base-31 Horner over UTF-8
-    * bytes, wrapping in Long). Pure HOF chain: no UDF.
+    * streaming-friendly fingerprint variant (base-31 Horner, wrapping in
+    * Long). Native single-pass expression; the HOF form
+    * (`aggregate(transform(split(...)))`) ran an interpreted lambda per
+    * character — see [[graft.functions.expressions.RollingHash64]].
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(split(normalize(text), ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, b) => acc * lit(31L) + b)
+    graft.functions.expressions.TextExpressions.rolling_hash64(normalize(text))
 
   /** Word k-shingles (n-grams of tokens joined by space) of the normalized
     * text — the unit set for Jaccard/MinHash dedup. Returns a SORTED,

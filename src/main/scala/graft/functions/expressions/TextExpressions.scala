@@ -135,10 +135,59 @@ object TextStats {
   }
 }
 
+/** `rolling_hash64(text)`: base-31 Horner hash over the string's UTF-16
+  * code units, wrapping in Long — the streaming-friendly fingerprint
+  * (order-sensitive, incrementally maintainable). Replaces the HOF form
+  * (`aggregate(transform(split(text, "")), ...)`) that evaluated an
+  * interpreted lambda per CHARACTER of every document; this is one static
+  * call walking the string once. Bit-compatible with the HOF form for all
+  * BMP text (`ascii` of a 1-char split = the UTF-16 unit value).
+  */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash64 expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = RollingHash64.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $util.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+object RollingHash64 {
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = h * 31L + str.charAt(i).toLong
+      i += 1
+    }
+    h
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column API: struct of (n_chars, punct_ratio, stopword_ratio, quality). */
   def text_stats(text: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
+
+  /** Column API: single-pass rolling (polynomial) fingerprint. */
+  def rolling_hash64(text: Column): Column =
+    ColumnBridge.column(RollingHash64(ColumnBridge.expression(text)))
 }

@@ -16,11 +16,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT simhash64(array('a','b')) AS sh,
                 minhash_bands(array('a b c','b c d'), 4, 2) AS mh,
                 jaccard_sorted(array('a','b','c'), array('b','c','d')) AS js,
-                word_shingles(array('a','b','c'), 2) AS ws""").head()
+                word_shingles(array('a','b','c'), 2) AS ws,
+                rolling_hash64('ab') AS rh""").head()
     assert(row.getLong(0) != 0L)
     assert(row.getSeq[Long](1).length == 4)
     assert(row.getDouble(2) == 0.5)
     assert(row.getSeq[String](3) == Seq("a b", "b c"))
+    assert(row.getLong(4) == 'a'.toLong * 31 + 'b'.toLong)
   }
 
   test("SQL and Column APIs agree") {

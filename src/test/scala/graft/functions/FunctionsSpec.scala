@@ -117,6 +117,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(Text.rollingHash(col("text")), "ab") != one(Text.rollingHash(col("text")), "ba"))
   }
 
+  test("rolling_hash64 native expression matches the HOF Horner form on real documents") {
+    // the superseded per-character HOF chain, kept here as the reference
+    // semantics the native expression must reproduce bit-for-bit. Under
+    // Spark 4's default ANSI mode the HOF form THROWS on any text long
+    // enough for the Horner product to wrap (a latent bug the native
+    // expression fixes — Java arithmetic wraps silently, which is the
+    // intended fingerprint semantics), so the reference values are
+    // computed with ANSI off.
+    def hofForm(text: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(split(Text.normalize(text), ""), ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, b) => acc * lit(31L) + b)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val native = docs.select(col("doc_id"), Text.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val hof =
+      try docs.select(col("doc_id"), hofForm(col("text")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    assert(native == hof, "native rolling hash diverged from the Horner reference")
+    // empty string folds to the HOF's zero seed
+    assert(one(Text.rollingHash(col("text")), "") == 0L)
+  }
+
   test("hyperplaneBucket is bit-compatible with the xxhash64 sign formula") {
     import spark.implicits._
     val dim = 8; val bits = 5
