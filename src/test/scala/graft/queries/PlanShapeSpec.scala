@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.core.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression gates: the scale story rests on optimizer
+  * properties (pushdown, broadcast, map-side truncation, no cartesian
+  * blowups) that a code change can silently lose while every value-level
+  * oracle stays green. These specs pin the load-bearing markers in the
+  * physical plan text, so losing one turns a perf regression into a red
+  * test (the `.explain("formatted")` loop from the build brief, made
+  * permanent).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Catalog.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("kv_prefix_scan: prefix reaches the parquet scan as two binary-range pushed filters") {
+    val p = plan("kv_prefix_scan")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(") && pushed.contains("LessThan("),
+      s"prefix did not push as a [start, successor) range: $pushed")
+  }
+
+  test("q5_region_revenue: every dimension join is broadcast, none sort-merge") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins are not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension join fell back to sort-merge — broadcast threshold or hints regressed")
+  }
+
+  test("ann_topk: top-k is a partial (map-side) aggregate, not a window funnel") {
+    val p = plan("ann_topk")
+    assert(p.contains("partial_topkby"),
+      "topk_by lost its partial-aggregation phase — the shuffle now carries every scored row")
+    assert(!p.contains("Window"), "ann_topk regressed to a window ranking")
+  }
+
+  test("dedup_embedding_pairs: the certified plan contains no cartesian or nested-loop join") {
+    val p = plan("dedup_embedding_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "embedding dedup regressed to an all-pairs join")
+  }
+
+  test("q1_agg: scan reads only the referenced columns with the date filter pushed") {
+    val p = plan("q1_agg")
+    val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_orderkey"),
+      s"column pruning lost: $scanLine")
+    assert(p.linesIterator.filter(_.contains("PushedFilters")).mkString.contains("l_shipdate"),
+      "shipdate filter not pushed to the scan")
+  }
+}
