@@ -608,6 +608,59 @@ object Catalog {
         (SELECT unnest($toksSql) AS tok FROM documents)
         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
+    "pipeline_curate" -> QueryDef(
+      // the full curation flow as ONE composed query — quality-score ->
+      // threshold filter -> exact dedup survivors -> per-language corpus
+      // stats. What a training-data pipeline actually runs; each stage is
+      // individually oracled elsewhere, this row proves they COMPOSE.
+      (s, dir) => {
+        val st = Text.stats(col("text"))
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            round(st.getField("quality"), 6).as("quality"))
+        val kept = scored.filter(col("quality") >= 0.5)
+        Dedup.exactSurvivors(kept)
+          .select(Text.langId(col("text")).as("lang"),
+            Text.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+            col("quality"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe")).as("n_tokens"),
+            round(avg(col("quality")), 6).as("avg_quality"))
+          .orderBy("lang")
+      },
+      Some {
+        val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH q AS (SELECT doc_id, text,
+          round((least(length(text) / 500.0, 1.0)
+               + least(CASE WHEN len($toksSql) = 0 THEN 0.0
+                       ELSE len(list_filter($toksSql, tk -> tk IN ($stopList)))::DOUBLE / len($toksSql) END * 4.0, 1.0)
+               + greatest(1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) END * 5.0, 0.0)) / 3.0, 6) AS quality
+          FROM documents),
+        kept AS (SELECT * FROM q WHERE quality >= 0.5),
+        surv AS (SELECT doc_id, text, quality FROM kept
+          WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5($normSql))),
+        sc AS (SELECT doc_id, text, quality,
+          len(list_filter($toksSql, tk -> tk IN ('the','and','of','is','to'))) AS s_en,
+          len(list_filter($toksSql, tk -> tk IN ('el','la','de','y','que'))) AS s_es,
+          len(list_filter($toksSql, tk -> tk IN ('der','die','und','das','ist'))) AS s_de,
+          len(list_filter($toksSql, tk -> tk IN ('le','la','et','les','des'))) AS s_fr
+          FROM surv),
+        lng AS (SELECT CASE
+            WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+          quality FROM sc)
+        SELECT lang, count(*) AS n_docs, sum(n_bpe)::BIGINT AS n_tokens,
+          round(avg(quality), 6) AS avg_quality
+        FROM lng GROUP BY lang ORDER BY lang"""
+      }),
+
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
         .orderBy("id_a", "id_b"),
