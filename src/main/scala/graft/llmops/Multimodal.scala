@@ -89,6 +89,33 @@ object Multimodal {
       .toDF("media_id", "embedding")
   }
 
+  /** STUB resize: a real pipeline decodes, RESIZES to the model's input
+    * dims, then featurizes. The stub replaces the payload with exactly
+    * `min(targetW * targetH, byte_len)` bytes sampled evenly across the
+    * original (order-preserving downsampling — the access pattern a real
+    * resampler has) and rewrites the metadata to the target dims, so the
+    * output length and meta are externally checkable while the pixel math
+    * stays behind the codec boundary. Same partition-batched shape as the
+    * other stubs.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, modality, payload) =>
+          val outLen = math.min(targetW * targetH, payload.length)
+          val out = Array.tabulate(outLen) { i =>
+            payload(((i.toLong * payload.length) / outLen).toInt)
+          }
+          val dur = if (modality == "image") 0L else outLen.toLong / 4
+          (id, modality, out, MediaMeta(outLen.toLong, targetW, targetH, dur))
+        }
+      }
+      .toDF("media_id", "modality", "payload", "meta")
+  }
+
   /** Deterministic frame/sample selection for video/audio: pick `n` sample
     * offsets spread over the payload — stands in for frame extraction; the
     * byte-slicing and explode shape match the real operator.

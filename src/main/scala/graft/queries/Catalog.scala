@@ -972,6 +972,26 @@ object Catalog {
       Some("""SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len
         FROM documents ORDER BY media_id""")),
 
+    "mm_resize" -> QueryDef(
+      // decode -> resize(8x8) -> checkable output: the resized payload is
+      // min(64, byte_len) evenly-sampled bytes and meta carries the target
+      // dims; the length/meta contract is the SQL-oracled part, the byte
+      // sampling itself is spec-verified (MultimodalSpec)
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", "image")
+        Multimodal.resizeStub(Multimodal.decodeStub(media), 8, 8)
+          .select(col("media_id"),
+            length(col("payload")).cast("long").as("out_len"),
+            col("meta.width").as("width"), col("meta.height").as("height"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+        least(64, octet_length(encode(text)))::BIGINT AS out_len,
+        8 AS width, 8 AS height
+        FROM documents ORDER BY media_id""")),
+
     "mm_frame_sample" -> QueryDef(
       (s, dir) => {
         val media = Multimodal.asMedia(

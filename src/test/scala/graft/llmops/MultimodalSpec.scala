@@ -36,6 +36,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("resizeStub: evenly-sampled payload at target dims, composes into featurize") {
+    val resized = Multimodal.resizeStub(Multimodal.decodeStub(docsMedia), 8, 8)
+    val r = resized.filter(col("media_id") === 0).head()
+    val payload = r.getAs[Array[Byte]]("payload")
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 8)
+    assert(meta.getAs[Long]("byte_len") == payload.length)
+    assert(payload.length <= 64)
+    // deterministic: same input, same sampled bytes
+    val again = Multimodal.resizeStub(Multimodal.decodeStub(docsMedia), 8, 8)
+      .filter(col("media_id") === 0).head().getAs[Array[Byte]]("payload")
+    assert(java.util.Arrays.equals(payload, again))
+    // order-preserving even sampling: first byte is the original first byte
+    val orig = docsMedia.filter(col("media_id") === 0).head().getAs[Array[Byte]]("payload")
+    assert(payload.head == orig.head)
+    // the resized table still feeds the featurize -> ANN path
+    val emb = Multimodal.featurizeStub(resized, dim = 8)
+    assert(emb.head().getSeq[Float](1).length == 8)
+  }
+
   test("sampleFrames emits n deterministic offsets per media") {
     val frames = Multimodal.sampleFrames(docsMedia, 4)
     assert(frames.filter(col("media_id") === 1).count() == 4)
