@@ -291,12 +291,12 @@ final class GraftDB(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], KVEntry.schema)
     else spark.read.schema(KVEntry.schema).parquet(paths: _*)
 
-  private def blobTable(): DataFrame = {
-    val st = manifest.load()
+  private def blobTable(): DataFrame = blobTableOf(manifest.load())
+
+  private def blobTableOf(st: ManifestState): DataFrame =
     if (st.blobFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], KVEntry.blobSchema)
     else spark.read.schema(KVEntry.blobSchema).parquet(st.blobFiles.map(_.path): _*)
-  }
 
   /** Raw union of live segments (all versions, tombstones included). */
   def rawLog(): DataFrame = readSegments(manifest.load().liveDataPaths)
@@ -321,13 +321,45 @@ final class GraftDB(
   /** The merge-on-read user view: `(key, value, version, expiresAt)` with
     * blob values resolved. This is what every read operator composes over.
     */
-  def view(asOfUnixSec: Long = System.currentTimeMillis() / 1000): DataFrame = {
-    val base = visible(resolved(rawLog()), asOfUnixSec)
-    val blobs = blobTable().withColumnRenamed("value", "__blobValue")
+  def view(asOfUnixSec: Long = System.currentTimeMillis() / 1000): DataFrame =
+    viewOf(manifest.load(), asOfUnixSec)
+
+  private[core] def viewOf(st: ManifestState, asOfUnixSec: Long): DataFrame = {
+    val base = visible(resolved(readSegments(st.liveDataPaths)), asOfUnixSec)
+    val blobs = blobTableOf(st).withColumnRenamed("value", "__blobValue")
     base.join(blobs, Seq("blobId"), "left")
       .select(col("key"),
         coalesce(col("value"), col("__blobValue")).as("value"),
         col("version"), col("expiresAt"))
+  }
+
+  // ---------------------------------------------------------------- snapshots
+
+  private val pinnedSnapshots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Snapshot]()
+
+  /** A read-only snapshot pinned to the CURRENT manifest state — the
+    * concrete form of the reference's iterator refcounts
+    * (`kv/vlog_gc.go:364-390`): compaction, GC, and new writes swap the
+    * manifest freely underneath it, but [[vacuum]] skips every file a
+    * live snapshot still references, so the snapshot keeps reading its
+    * frozen state until [[Snapshot.close]]. Refcounting is in-process,
+    * exactly like the reference's (a crashed process's pins die with it;
+    * the next vacuum reclaims).
+    */
+  def snapshot(): Snapshot = {
+    val s = new Snapshot(this, manifest.load())
+    pinnedSnapshots.add(s)
+    s
+  }
+
+  private[core] def unpin(s: Snapshot): Unit = pinnedSnapshots.remove(s)
+
+  private[core] def pinnedPaths(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    pinnedSnapshots.asScala.toSeq.flatMap { s =>
+      s.state.files.map(_.path) ++ s.state.blobFiles.map(_.path)
+    }
   }
 
   /** Point lookup (reference `Get`, `kv/db.go:89-118`). Manifest min/max
@@ -705,7 +737,9 @@ final class GraftDB(
     // normalize: manifest paths may be segment DIRS (batchSet) or
     // individual part-FILES with a file: scheme (per-file metas)
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
-    val live = (st.files.map(_.path) ++ st.blobFiles.map(_.path)).map(norm)
+    // files referenced by a live snapshot are as live as the manifest's
+    // own — the snapshot refcount rule (see [[snapshot]])
+    val live = (st.files.map(_.path) ++ st.blobFiles.map(_.path) ++ pinnedPaths()).map(norm)
     for (kind <- Seq("data", "blobs")) {
       val dir = new java.io.File(s"$rootDir/$kind")
       Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
@@ -748,6 +782,23 @@ final class GraftDB(
     * documented no-op. The SparkSession is caller-owned and NOT stopped.
     */
   def close(): Unit = ()
+}
+
+/** Read-only view of the database frozen at the manifest state current
+  * when [[GraftDB.snapshot]] was called. Reads ignore every later write,
+  * compaction, and GC; [[close]] releases the pin so a later
+  * [[GraftDB.vacuum]] may reclaim the superseded files. Reading after
+  * close (or from another process) is undefined once a vacuum has run —
+  * the same contract as the reference's refcounted iterators.
+  */
+final class Snapshot private[core] (db: GraftDB, private[core] val state: ManifestState)
+    extends AutoCloseable {
+
+  /** The frozen merge-on-read view (same shape as [[GraftDB.view]]). */
+  def view(asOfUnixSec: Long = System.currentTimeMillis() / 1000): org.apache.spark.sql.DataFrame =
+    db.viewOf(state, asOfUnixSec)
+
+  override def close(): Unit = db.unpin(this)
 }
 
 object GraftDB {

@@ -112,6 +112,31 @@ class GraftDBSpec extends AnyFunSuite {
     assert(keys(db.iterator(seek = Some(b("z")))) == Nil)
   }
 
+  test("snapshot: frozen reads survive compaction+vacuum until closed (vlog_gc.go:364-390 refcounts)") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000))
+    db.batchSet((0 until 30).map(i => KVEntry(b(f"s$i%03d"), b(s"old$i"))))
+    val snap = db.snapshot()
+    // the world moves on: overwrites, a delete, compaction, vacuum
+    db.batchSet((0 until 30).map(i => KVEntry(b(f"s$i%03d"), b(s"new$i"))))
+    db.del(b("s000"))
+    db.compact()
+    db.vacuum() // must NOT reclaim the snapshot's pinned segments
+    val now = db.view().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(now.size == 29 && now("s001") == "new1")
+    val frozen = snap.view().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(frozen.size == 30 && frozen("s000") == "old0" && frozen("s001") == "old1",
+      s"snapshot saw later writes: $frozen")
+    // close releases the pin; the next vacuum reclaims the old generation
+    val dataDir = new java.io.File(s"${db.rootDir}/data")
+    val before = dataDir.listFiles().length
+    snap.close()
+    db.vacuum()
+    assert(dataDir.listFiles().length < before, "vacuum reclaimed nothing after the pin was released")
+    assert(db.view().count() == 29)
+  }
+
   test("compaction preserves the merge-on-read view and drops dead entries") {
     val db = freshDb(GraftOptions(compactTriggerFiles = 1000))
     (0 until 5).foreach { gen =>
