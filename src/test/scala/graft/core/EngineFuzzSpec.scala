@@ -42,7 +42,12 @@ class EngineFuzzSpec extends AnyFunSuite {
       assert(got == model.toMap, s"view diverged from model after $tag")
     }
 
+    // mid-program snapshot: pinned state must read the model AS OF the pin,
+    // across every later write/compact/GC, until the end of the program
+    var snap: Option[(Snapshot, Map[String, String])] = None
+
     for (step <- 0 until 12) {
+      if (step == 5) snap = Some((db.snapshot(), model.toMap))
       rnd.nextInt(5) match {
         case 0 => // batchSet of random upserts (last-in-batch wins, like the model fold)
           val entries = (0 until 15).map { _ =>
@@ -79,6 +84,15 @@ class EngineFuzzSpec extends AnyFunSuite {
     db.gcBlobs(maxSegments = 100); checkView("blob GC")
     db.majorCompact(); checkView("major compact")
     db.vacuum(); checkView("vacuum")
+    // the pinned snapshot survived GC, major compaction AND vacuum (which
+    // must skip its files) — and still reads the model as of the pin
+    snap.foreach { case (s, frozen) =>
+      val got = s.view().collect()
+        .map(r => new String(r.getAs[Array[Byte]]("key")) ->
+          new String(r.getAs[Array[Byte]]("value"))).toMap
+      assert(got == frozen, "snapshot drifted from its pin-time model")
+      s.close()
+    }
     // point-get parity on the whole keyspace, through blob deref
     keyspace.foreach { k =>
       assert(db.get(b(k)).map(new String(_)) == model.get(k), s"get($k) diverged")
