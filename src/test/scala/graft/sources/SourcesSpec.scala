@@ -48,4 +48,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(db.view().count() == events.count())
     assert(db.get("42".getBytes("UTF-8")).isDefined)
   }
+
+  test("binaryFile source feeds the multimodal pipeline (raw files -> media table -> decode)") {
+    import graft.llmops.Multimodal
+    // stage raw "media" files on disk — the shape real image/audio ingest has
+    val dir = Files.createTempDirectory("src-bin").toFile
+    (0 until 8).foreach { i =>
+      val f = new java.io.File(dir, f"img_$i%02d.bin")
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Array.tabulate[Byte](64 + i * 16)(j => ((i * 31 + j) % 127).toByte))
+      finally out.close()
+    }
+    val raw = spark.read.format("binaryFile").load(dir.toString)
+    assert(raw.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    // file name -> media_id, content -> payload: the standard ingest mapping
+    val media = Multimodal.asMedia(
+      raw.select(
+        regexp_extract(col("path"), "img_(\\d+)\\.bin$", 1).cast("long").as("media_id"),
+        col("content")),
+      "media_id", "content", "image")
+    val decoded = Multimodal.decodeStub(media)
+    assert(decoded.count() == 8)
+    val r = decoded.filter(col("media_id") === 3).head()
+    assert(r.getStruct(r.fieldIndex("meta")).getAs[Long]("byte_len") == 64 + 3 * 16)
+  }
 }
