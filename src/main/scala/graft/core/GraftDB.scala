@@ -53,7 +53,12 @@ final case class GraftOptions(
     gcDiscardRatio: Double = 0.5,
     l1TargetRows: Long = 4000000L,
     levelSizeMultiplier: Int = 10,
-    bucketTargetRows: Long = 4000000L)
+    bucketTargetRows: Long = 4000000L) {
+  require(levelSizeMultiplier >= 2,
+    s"levelSizeMultiplier must be >= 2 (a geometric ladder), got $levelSizeMultiplier")
+  require(l1TargetRows > 0, s"l1TargetRows must be positive, got $l1TargetRows")
+  require(bucketTargetRows > 0, s"bucketTargetRows must be positive, got $bucketTargetRows")
+}
 
 /** GraftDB — the reference's embedded LSM KV engine re-expressed Spark-first.
   *
@@ -338,6 +343,11 @@ final class GraftDB(
   private val pinnedSnapshots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Snapshot]()
 
+  // pin-registration and vacuum are mutually exclusive: without this, a
+  // vacuum running between a snapshot's manifest.load() and its pin
+  // registration could delete the files the snapshot just captured
+  private val snapshotLock = new Object
+
   /** A read-only snapshot pinned to the CURRENT manifest state — the
     * concrete form of the reference's iterator refcounts
     * (`kv/vlog_gc.go:364-390`): compaction, GC, and new writes swap the
@@ -347,7 +357,7 @@ final class GraftDB(
     * exactly like the reference's (a crashed process's pins die with it;
     * the next vacuum reclaims).
     */
-  def snapshot(): Snapshot = {
+  def snapshot(): Snapshot = snapshotLock.synchronized {
     val s = new Snapshot(this, manifest.load())
     pinnedSnapshots.add(s)
     s
@@ -729,10 +739,11 @@ final class GraftDB(
   }
 
   /** Delete segment dirs no longer referenced by the manifest (orphan
-    * cleanup, reference `kv/file/manifest.go:227-243`). Call when no
-    * snapshot readers are active.
+    * cleanup, reference `kv/file/manifest.go:227-243`). Files referenced
+    * by a live [[snapshot]] are skipped — take a snapshot first if a
+    * reader must survive the vacuum.
     */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = snapshotLock.synchronized {
     val st = manifest.load()
     // normalize: manifest paths may be segment DIRS (batchSet) or
     // individual part-FILES with a file: scheme (per-file metas)

@@ -135,13 +135,15 @@ object TextStats {
   }
 }
 
-/** `rolling_hash64(text)`: base-31 Horner hash over the string's UTF-16
-  * code units, wrapping in Long — the streaming-friendly fingerprint
+/** `rolling_hash64(text)`: base-31 Horner hash over the string's Unicode
+  * CODE POINTS, wrapping in Long — the streaming-friendly fingerprint
   * (order-sensitive, incrementally maintainable). Replaces the HOF form
   * (`aggregate(transform(split(text, "")), ...)`) that evaluated an
-  * interpreted lambda per CHARACTER of every document; this is one static
-  * call walking the string once. Bit-compatible with the HOF form for all
-  * BMP text (`ascii` of a 1-char split = the UTF-16 unit value).
+  * interpreted lambda per character of every document; this is one static
+  * call walking the string once. Code points (not UTF-16 units) keep it
+  * bit-compatible with the HOF reference for ALL text including non-BMP:
+  * Java's zero-width split never separates a surrogate pair and Spark's
+  * `ascii` returns the code point of the first character.
   */
 case class RollingHash64(child: Expression) extends UnaryExpression {
 
@@ -173,8 +175,9 @@ object RollingHash64 {
     var h = 0L
     var i = 0
     while (i < str.length) {
-      h = h * 31L + str.charAt(i).toLong
-      i += 1
+      val cp = str.codePointAt(i)
+      h = h * 31L + cp.toLong
+      i += Character.charCount(cp)
     }
     h
   }

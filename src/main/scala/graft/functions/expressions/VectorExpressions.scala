@@ -321,8 +321,11 @@ case class GridBucket(child: Expression, boundsHex: Array[String])
 
 object GridBucket {
 
-  def decodeHex(s: String): Array[Byte] =
-    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  /** One hex codec for the whole engine: delegates to [[graft.core.Hex]]
+    * so driver-side bucketing (grid merge) and executor-side bucketing
+    * (this expression) can never drift apart.
+    */
+  def decodeHex(s: String): Array[Byte] = graft.core.Hex.decode(s)
 
   /** Unsigned-lexicographic compare == Spark BinaryType ordering. */
   private def cmp(a: Array[Byte], b: Array[Byte]): Int = {

@@ -99,13 +99,15 @@ object Multimodal {
     * other stubs.
     */
   def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"resize dims must be positive, got ${targetW}x$targetH")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, modality, payload) =>
-          val outLen = math.min(targetW * targetH, payload.length)
+          // long product: 65536x65536 overflows Int to 0 (or negative)
+          val outLen = math.min(targetW.toLong * targetH, payload.length.toLong).toInt
           val out = Array.tabulate(outLen) { i =>
             payload(((i.toLong * payload.length) / outLen).toInt)
           }

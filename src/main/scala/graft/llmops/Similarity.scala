@@ -138,9 +138,49 @@ object Similarity {
 
   private def ivfPaths(spark: org.apache.spark.sql.SparkSession, indexDir: String): (String, String, String) =
     ivfGeneration(spark, indexDir) match {
-      case Some(g) => (s"$indexDir/g$g/centroids", s"$indexDir/g$g/assigned", s"$indexDir/g$g/stats")
+      case Some(g) => (s"$indexDir/g$g/centroids", s"$indexDir/g$g/assigned", s"$indexDir/g$g/stats.json")
       case None => (s"$indexDir/centroids", s"$indexDir/assigned", s"$indexDir/stats")
     }
+
+  /** Fit statistics (k, n, sumSqDist). Stored as a tiny JSON FILE inside
+    * the generation — stats is the one artifact a non-drift append must
+    * update in place, and a file swaps atomically (FileContext OVERWRITE
+    * rename) where a parquet directory overwrite would leave a torn state
+    * on crash. Unreadable/absent stats degrade to None (plain appends, no
+    * drift trigger) rather than failing the append. Legacy root-layout
+    * indexes keep their parquet stats table, read through the same path.
+    */
+  private def readIvfStats(spark: org.apache.spark.sql.SparkSession,
+      statsPath: String): Option[(Int, Long, Double)] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(statsPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else if (statsPath.endsWith(".json")) {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        def num(field: String): Option[String] =
+          (s""""$field"\\s*:\\s*([-0-9.eE]+)""").r.findFirstMatchIn(text).map(_.group(1))
+        for (k <- num("k"); n <- num("n"); s <- num("sumSqDist"))
+          yield (k.toInt, n.toLong, s.toDouble)
+      } else {
+        spark.read.parquet(statsPath).collect().headOption.map { r =>
+          (r.getAs[Int]("k"), r.getAs[Long]("n"), r.getAs[Double]("sumSqDist"))
+        }
+      }
+    }.toOption.flatten
+
+  private def writeIvfStats(spark: org.apache.spark.sql.SparkSession,
+      statsPath: String, k: Int, n: Long, sumSqDist: Double): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(statsPath)
+    val tmp = new org.apache.hadoop.fs.Path(statsPath + ".tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"k": $k, "n": $n, "sumSqDist": $sumSqDist}""".getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   private def commitIvfGeneration(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, gen: Int): Unit = {
@@ -149,9 +189,11 @@ object Similarity {
     val dst = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
     val out = fs.create(tmp, true)
     try out.write(s"""{"gen": $gen}""".getBytes("UTF-8")) finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"could not commit IVF manifest for gen $gen")
+    // FileContext rename with OVERWRITE is the Hadoop-sanctioned ATOMIC
+    // replace — a plain delete-then-rename leaves a window with no
+    // manifest at all, where readers would fall back to the legacy layout
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Delete all index generations except the live one (the explicit
@@ -165,7 +207,10 @@ object Similarity {
       case Some(live) =>
         val stale = fs.listStatus(root).filter { st =>
           val n = st.getPath.getName
-          st.isDirectory && n.matches("g\\d+") && n != s"g$live"
+          // superseded generations, plus the pre-manifest root tables a
+          // legacy index leaves behind after its first manifest-era build
+          st.isDirectory && ((n.matches("g\\d+") && n != s"g$live") ||
+            n == "centroids" || n == "assigned" || n == "stats")
         }
         stale.foreach(st => fs.delete(st.getPath, true))
         stale.length
@@ -227,9 +272,7 @@ object Similarity {
     // [[appendToIvfIndex]] compares append batches against (a sample mean
     // is an unbiased estimate of the corpus mean)
     val n = model.summary.clusterSizes.map(_.toLong).sum
-    Seq((numCentroids, n, model.summary.trainingCost))
-      .toDF("k", "n", "sumSqDist")
-      .write.mode("overwrite").parquet(s"$genDir/stats")
+    writeIvfStats(spark, s"$genDir/stats.json", numCentroids, n, model.summary.trainingCost)
     commitIvfGeneration(spark, indexDir, nextGen)
   }
 
@@ -277,19 +320,9 @@ object Similarity {
     val rows = newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val assignedNew = rows
       .withColumn("cell", VectorExpressions.nearest_centroid(col("cv"), centroids))
-    // existence check through the path's own FileSystem (works on any
-    // Hadoop-compatible store, not just the local FS)
-    val stats =
-      if (refitFactor > 0 && {
-        val p = new org.apache.hadoop.fs.Path(statsPath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }) spark.read.parquet(statsPath).collect().headOption
-      else None
+    val stats = if (refitFactor > 0) readIvfStats(spark, statsPath) else None
     stats match {
-      case Some(s) =>
-        val k = s.getAs[Int]("k")
-        val n = s.getAs[Long]("n")
-        val fitSum = s.getAs[Double]("sumSqDist")
+      case Some((k, n, fitSum)) =>
         // drift metrics ride the append write: ONE pass over the batch
         val obs = org.apache.spark.sql.Observation()
         assignedNew.observe(obs,
@@ -313,9 +346,14 @@ object Similarity {
           true
         } else {
           // fold the batch into the running fit stats so the baseline
-          // tracks the indexed population, not just the original fit
-          Seq((k, n + bn, fitSum + bs)).toDF("k", "n", "sumSqDist")
-            .write.mode("overwrite").parquet(statsPath)
+          // tracks the indexed population, not just the original fit —
+          // an ATOMIC file swap (see readIvfStats); a torn parquet
+          // overwrite here would break every later append
+          if (statsPath.endsWith(".json"))
+            writeIvfStats(spark, statsPath, k, n + bn, fitSum + bs)
+          else // legacy root-layout index: keep its parquet stats table
+            Seq((k, n + bn, fitSum + bs)).toDF("k", "n", "sumSqDist")
+              .write.mode("overwrite").parquet(statsPath)
           false
         }
       case None =>

@@ -142,6 +142,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native == hof, "native rolling hash diverged from the Horner reference")
     // empty string folds to the HOF's zero seed
     assert(one(Text.rollingHash(col("text")), "") == 0L)
+    // non-BMP parity: Java's zero-width split keeps surrogate PAIRS whole
+    // and Spark's ascii yields the code point, so the native expression
+    // must fold one value per CODE POINT, not per UTF-16 unit
+    import spark.implicits._
+    val emoji = "a 😀 b" // a 😀 b
+    val nh = Seq(emoji).toDF("text").select(Text.rollingHash(col("text"))).head().getLong(0)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val hh =
+      try Seq(emoji).toDF("text").select(hofForm(col("text"))).head().getLong(0)
+      finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    assert(nh == hh, s"non-BMP divergence: native=$nh hof=$hh")
   }
 
   test("hyperplaneBucket is bit-compatible with the xxhash64 sign formula") {
