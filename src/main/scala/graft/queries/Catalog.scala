@@ -126,6 +126,50 @@ object Catalog {
         GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
       headline = true),
 
+    "q_outer_join" -> QueryDef(
+      // left outer with null-aware aggregation: customers WITHOUT orders
+      // surface with zero counts instead of vanishing (the join class the
+      // inner/semi/anti rows don't cover)
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+          Seq("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_totalprice")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_totalprice) AS n_orders,
+        round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    "q_rank_funcs" -> QueryDef(
+      // the ranking-function family over one window: rank/dense_rank/ntile/
+      // percent_rank/cume_dist (q_window_running covers frames; this covers
+      // the rank class). Deterministic: ordering key (o_totalprice, o_orderkey)
+      // is unique per partition.
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cdist
+        FROM orders WHERE o_orderkey % 7 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey""")),
+
     "q_semi_join" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
