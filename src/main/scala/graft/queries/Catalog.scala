@@ -170,6 +170,34 @@ object Catalog {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_orderkey""")),
 
+    "q_complex_types" -> QueryDef(
+      // array + map + json scalar functions with scalar outputs (arrays
+      // never cross the oracle boundary — element access and sizes do):
+      // json_extract on the events props column, a per-user sorted DISTINCT
+      // event-type array (size/first/last), and a map built from it
+      (s, dir) => events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sort_array(collect_set(col("event_type"))).as("types"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+        .select(col("user_id"),
+          size(col("types")).cast("long").as("n_types"),
+          element_at(col("types"), 1).as("first_type"),
+          element_at(col("types"), -1).as("last_type"),
+          element_at(map_from_arrays(col("types"),
+            transform(col("types"), t => length(t))), element_at(col("types"), 1))
+            .cast("long").as("first_type_len"),
+          col("k_sum"))
+        .orderBy("user_id"),
+      Some("""WITH u AS (SELECT user_id,
+          list_sort(list(DISTINCT event_type)) AS types,
+          sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum
+        FROM events GROUP BY user_id)
+        SELECT user_id, len(types)::BIGINT AS n_types,
+          types[1] AS first_type, types[-1] AS last_type,
+          length(types[1])::BIGINT AS first_type_len, k_sum
+        FROM u ORDER BY user_id""")),
+
     "q_semi_join" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
