@@ -731,7 +731,8 @@ object Catalog {
         SELECT lang, count(*) AS n_docs, sum(n_bpe)::BIGINT AS n_tokens,
           round(avg(quality), 6) AS avg_quality
         FROM lng GROUP BY lang ORDER BY lang"""
-      }),
+      },
+      headline = true),
 
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
