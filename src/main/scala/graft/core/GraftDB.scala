@@ -618,15 +618,25 @@ final class GraftDB(
     * (`kv/vlog_gc.go:198-253`): at Spark scale one linear pass beats
     * carrying mutable per-file counters through every write.
     */
-  def blobSegmentStats(): Vector[(BlobFileMeta, Long)] = {
-    val st = manifest.load()
-    if (st.blobFiles.isEmpty) return Vector.empty
-    val liveRefs = resolved(readSegments(st.liveDataPaths))
+  def blobSegmentStats(): Vector[(BlobFileMeta, Long)] =
+    blobSegmentStatsOf(manifest.load())
+
+  /** The live-reference set of one frozen manifest state: blob ids the
+    * LWW-resolved view still points at. Stats and GC rewrites must derive
+    * from the SAME state a single load produced — two loads straddling a
+    * concurrent delete would record rewrite row counts that disagree with
+    * the rewrite itself, skewing every later discard ratio.
+    */
+  private def liveBlobRefsOf(st: ManifestState): DataFrame =
+    resolved(readSegments(st.liveDataPaths))
       .filter(!col("tombstone") && col("blobId").isNotNull)
       .select(col("blobId"))
+
+  private def blobSegmentStatsOf(st: ManifestState): Vector[(BlobFileMeta, Long)] = {
+    if (st.blobFiles.isEmpty) return Vector.empty
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
-    val perFile = blobTable().withColumn("__file", input_file_name())
-      .join(liveRefs, Seq("blobId"), "left_semi")
+    val perFile = blobTableOf(st).withColumn("__file", input_file_name())
+      .join(liveBlobRefsOf(st), Seq("blobId"), "left_semi")
       .groupBy(col("__file")).agg(count(lit(1)).as("n"))
       .collect() // one row per blob part-FILE — tiny
       .map(r => (norm(r.getString(0)), r.getLong(1)))
@@ -650,7 +660,11 @@ final class GraftDB(
     */
   def gcBlobs(maxSegments: Int = 1,
       discardRatio: Double = options.gcDiscardRatio): (Long, Long) = {
-    val stats = blobSegmentStats()
+    // ONE manifest load feeds stats, victim pick, AND the rewrite's live
+    // set — so each rewritten segment's recorded row count is exactly the
+    // liveCount the stats pass measured (see [[liveBlobRefsOf]])
+    val st0 = manifest.load()
+    val stats = blobSegmentStatsOf(st0)
     if (stats.isEmpty) return (0L, 0L)
     val totalLive = stats.map(_._2).sum
     val totalDead = stats.map { case (bf, live) => bf.rows - live }.sum
@@ -661,10 +675,7 @@ final class GraftDB(
       .sortBy { case (bf, _, ratio) => (-ratio, bf.path) }
       .take(maxSegments)
     if (victims.isEmpty) return (totalLive, totalDead)
-    val st0 = manifest.load()
-    val liveRefs = resolved(readSegments(st0.liveDataPaths))
-      .filter(!col("tombstone") && col("blobId").isNotNull)
-      .select(col("blobId"))
+    val liveRefs = liveBlobRefsOf(st0)
     val replacements = victims.map { case (bf, liveCount, _) =>
       if (liveCount == 0L) bf -> None // fully dead: just drop from manifest
       else {

@@ -86,10 +86,15 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal signature
     * bands (4 x 16-bit), verified by Hamming distance <= maxHamming.
     *
-    * For maxHamming <= 3 this is EXACT over the signature space: 3 flipped
-    * bits can touch at most 3 of the 4 bands (pigeonhole), so every
-    * qualifying pair shares at least one band — banding is a complete
-    * candidate generator, not an approximation.
+    * For maxHamming <= 3 this is EXACT over the signature space — PROVIDED
+    * no band bucket exceeds `maxBucketSize`: 3 flipped bits can touch at
+    * most 3 of the 4 bands (pigeonhole), so every qualifying pair shares at
+    * least one band — banding is a complete candidate generator, not an
+    * approximation. The skew guard drops over-full buckets, and a pair
+    * whose ONLY shared band was dropped is lost; run
+    * [[simhashOverflowBands]] (same one aggregation the guard already
+    * pays) to check whether the guard tripped — an empty result certifies
+    * the exactness claim at this corpus + cap.
     */
   def simhashPairs(
       docs: DataFrame,
@@ -119,6 +124,26 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The band buckets [[simhashPairs]]'s skew guard would DROP at this
+    * `maxBucketSize`: (band struct, member count), empty when the guard is
+    * a no-op. A pipeline that relies on the maxHamming<=3 exactness
+    * guarantee should assert this is empty (or route the over-full buckets'
+    * members through exact dedup first — a bucket that hot is usually
+    * near-identical text the fingerprint pass removes anyway).
+    */
+  def simhashOverflowBands(
+      docs: DataFrame,
+      maxBucketSize: Int = 5000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(HashExpressions.simhash64(Text.tokens(col(textCol))).as("sig"))
+      .withColumn("band", explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("i"), call_function("shiftright", col("sig"), (b * 16).cast("int"))
+          .bitwiseAND(0xffffL).as("v")))))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucketSize)
 
   /** Exact n-gram (word-set) Jaccard pairs within bounded groups (e.g. the
     * same `source`): pairwise inside each group only. SQL-oracle friendly.

@@ -122,24 +122,67 @@ object Similarity {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Live generation number: Some(n) under the manifest layout, None for
-    * a legacy root-layout (or empty) directory.
+  /** The index manifest: live generation plus the SEALED append batches of
+    * that generation. An append stages its rows under
+    * `g<N>/append-<uuid>/` and only then commits the dir name here (one
+    * atomic manifest swap) — readers never see a torn batch, and a crash
+    * mid-stage leaves an unreferenced dir that [[vacuumIvfIndex]] removes
+    * (the same write-then-flip contract as every other index mutation).
     */
-  def ivfGeneration(spark: org.apache.spark.sql.SparkSession, indexDir: String): Option[Int] = {
+  private final case class IvfManifest(gen: Int, sealedDirs: Vector[String] = Vector.empty)
+
+  private implicit val ivfFmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def readIvfManifest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[IvfManifest] = {
     val (fs, _) = ivfFs(spark, indexDir)
     val mp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
     if (!fs.exists(mp)) None
     else {
       val in = fs.open(mp)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"gen"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      Some(org.json4s.jackson.Serialization.read[IvfManifest](text))
     }
   }
+
+  private def writeIvfManifest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: IvfManifest): Unit = {
+    val (fs, _) = ivfFs(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
+    val out = fs.create(tmp, true)
+    try out.write(org.json4s.jackson.Serialization.write(m).getBytes("UTF-8"))
+    finally out.close()
+    // FileContext rename with OVERWRITE is the Hadoop-sanctioned ATOMIC
+    // replace — a plain delete-then-rename leaves a window with no
+    // manifest at all, where readers would fall back to the legacy layout
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Live generation number: Some(n) under the manifest layout, None for
+    * a legacy root-layout (or empty) directory.
+    */
+  def ivfGeneration(spark: org.apache.spark.sql.SparkSession, indexDir: String): Option[Int] =
+    readIvfManifest(spark, indexDir).map(_.gen)
 
   private def ivfPaths(spark: org.apache.spark.sql.SparkSession, indexDir: String): (String, String, String) =
     ivfGeneration(spark, indexDir) match {
       case Some(g) => (s"$indexDir/g$g/centroids", s"$indexDir/g$g/assigned", s"$indexDir/g$g/stats.json")
       case None => (s"$indexDir/centroids", s"$indexDir/assigned", s"$indexDir/stats")
+    }
+
+  /** All live assignment roots: the generation's base `assigned` table
+    * plus every SEALED append batch (see [[IvfManifest]]). Every root is
+    * `partitionBy("cell")` parquet, so multi-root partition discovery
+    * keeps `cell` a partition column across the union.
+    */
+  private def ivfAssignedPaths(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] =
+    readIvfManifest(spark, indexDir) match {
+      case Some(m) =>
+        s"$indexDir/g${m.gen}/assigned" +: m.sealedDirs.map(d => s"$indexDir/g${m.gen}/$d")
+      case None => Seq(s"$indexDir/assigned")
     }
 
   /** Fit statistics (k, n, sumSqDist). Stored as a tiny JSON FILE inside
@@ -183,18 +226,8 @@ object Similarity {
   }
 
   private def commitIvfGeneration(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, gen: Int): Unit = {
-    val (fs, _) = ivfFs(spark, indexDir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json.tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"gen": $gen}""".getBytes("UTF-8")) finally out.close()
-    // FileContext rename with OVERWRITE is the Hadoop-sanctioned ATOMIC
-    // replace — a plain delete-then-rename leaves a window with no
-    // manifest at all, where readers would fall back to the legacy layout
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      indexDir: String, gen: Int): Unit =
+    writeIvfManifest(spark, indexDir, IvfManifest(gen)) // fresh gen: no sealed appends
 
   /** Delete all index generations except the live one (the explicit
     * cleanup point, like GraftDB.vacuum — in-flight readers of old
@@ -202,18 +235,28 @@ object Similarity {
     */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Int = {
     val (fs, root) = ivfFs(spark, indexDir)
-    ivfGeneration(spark, indexDir) match {
+    readIvfManifest(spark, indexDir) match {
       case None => 0
-      case Some(live) =>
+      case Some(m) =>
         val stale = fs.listStatus(root).filter { st =>
           val n = st.getPath.getName
           // superseded generations, plus the pre-manifest root tables a
           // legacy index leaves behind after its first manifest-era build
-          st.isDirectory && ((n.matches("g\\d+") && n != s"g$live") ||
+          st.isDirectory && ((n.matches("g\\d+") && n != s"g${m.gen}") ||
             n == "centroids" || n == "assigned" || n == "stats")
         }
         stale.foreach(st => fs.delete(st.getPath, true))
-        stale.length
+        // staged-but-never-sealed append dirs inside the LIVE generation
+        // (a crashed append's leftovers — unreferenced, invisible to reads)
+        val genPath = new org.apache.hadoop.fs.Path(s"$indexDir/g${m.gen}")
+        val torn =
+          if (!fs.exists(genPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(genPath).filter { st =>
+            st.isDirectory && st.getPath.getName.startsWith("append-") &&
+              !m.sealedDirs.contains(st.getPath.getName)
+          }
+        torn.foreach(st => fs.delete(st.getPath, true))
+        stale.length + torn.length
     }
   }
 
@@ -299,6 +342,13 @@ object Similarity {
     * re-fit rebuilds from the assignment table, which already contains the
     * batch.
     *
+    * Crash contract (manifest layout): the batch is STAGED under
+    * `g<N>/append-<uuid>/` and becomes visible only when the manifest
+    * swap seals it — a crash mid-stage leaves an unreferenced dir
+    * ([[vacuumIvfIndex]] reclaims it), never a torn batch in the live
+    * table. A legacy root-layout index (no manifest to seal into) keeps
+    * the weaker direct-append contract.
+    *
     * Returns true when the batch triggered a re-fit. `refitFactor <= 0`
     * disables the trigger (plain append), as does an index built before
     * stats existed.
@@ -314,6 +364,7 @@ object Similarity {
     import spark.implicits._
     import graft.functions.expressions.VectorExpressions
     val (centroidsPath, assignedPath, statsPath) = ivfPaths(spark, indexDir)
+    val manifest = readIvfManifest(spark, indexDir)
     val centroids = spark.read.parquet(centroidsPath)
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
@@ -321,27 +372,40 @@ object Similarity {
     val assignedNew = rows
       .withColumn("cell", VectorExpressions.nearest_centroid(col("cv"), centroids))
     val stats = if (refitFactor > 0) readIvfStats(spark, statsPath) else None
-    stats match {
-      case Some((k, n, fitSum)) =>
-        // drift metrics ride the append write: ONE pass over the batch
-        val obs = org.apache.spark.sql.Observation()
-        assignedNew.observe(obs,
-            count(lit(1)).as("bn"),
-            sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
-          .repartition(col("cell"))
+    // drift metrics ride the one batch write via Observation (stats=None
+    // skips the metric columns but the write path is identical)
+    val obs = org.apache.spark.sql.Observation()
+    val toWrite = if (stats.isDefined)
+      assignedNew.observe(obs,
+        count(lit(1)).as("bn"),
+        sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
+    else assignedNew
+    manifest match {
+      case Some(m) =>
+        // stage, then SEAL with one atomic manifest swap
+        val batchDir = s"append-${java.util.UUID.randomUUID().toString}"
+        toWrite.repartition(col("cell"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cell").parquet(s"$indexDir/g${m.gen}/$batchDir")
+        writeIvfManifest(spark, indexDir, m.copy(sealedDirs = m.sealedDirs :+ batchDir))
+      case None => // legacy root layout: no manifest to seal into
+        toWrite.repartition(col("cell"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .partitionBy("cell").parquet(assignedPath)
-        val m = obs.get
-        val bn = m("bn").asInstanceOf[Long]
-        val bs = m.get("bs").collect { case d: java.lang.Double => d.doubleValue }.getOrElse(0.0)
+    }
+    stats match {
+      case Some((k, n, fitSum)) =>
+        val met = obs.get
+        val bn = met("bn").asInstanceOf[Long]
+        val bs = met.get("bs").collect { case d: java.lang.Double => d.doubleValue }.getOrElse(0.0)
         val drifted = bn > 0 &&
           bs / bn > refitFactor * (fitSum / math.max(1L, n))
         if (drifted) {
-          // the live assignment table already holds the batch; the re-fit
-          // reads it while writing the NEXT generation, and the manifest
-          // only flips once that generation is complete — no
-          // read-your-own-overwrite hazard, no checkpoint needed
-          buildIvfIndex(spark.read.parquet(assignedPath).select(col("neighbor_id"), col("cv")),
+          // the batch is already sealed into the live generation, so the
+          // re-fit reads it through ivfAssigned while writing the NEXT
+          // generation; the manifest only flips once that generation is
+          // complete — no read-your-own-overwrite hazard
+          buildIvfIndex(ivfAssigned(spark, indexDir).select(col("neighbor_id"), col("cv")),
             indexDir, numCentroids = k, idCol = "neighbor_id", vecCol = "cv", seed = seed)
           true
         } else {
@@ -356,11 +420,7 @@ object Similarity {
               .write.mode("overwrite").parquet(statsPath)
           false
         }
-      case None =>
-        assignedNew.repartition(col("cell"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .partitionBy("cell").parquet(assignedPath)
-        false
+      case None => false
     }
   }
 
@@ -370,9 +430,16 @@ object Similarity {
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(ivfPaths(spark, indexDir)._1)
 
-  /** The live generation's cell-assigned corpus. */
+  /** The live generation's cell-assigned corpus: base table plus every
+    * sealed append batch. Each root is loaded separately (sibling roots
+    * under one generation dir would confuse partition inference) and
+    * unioned — `cell` stays a partition column per root, so a cell filter
+    * pushes through the union into every scan's partition filters.
+    */
   def ivfAssigned(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(ivfPaths(spark, indexDir)._2)
+    ivfAssignedPaths(spark, indexDir)
+      .map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_))
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]): probes `nProbe`
     * cells per query; cell partition pruning limits the scan to the probed
@@ -408,7 +475,6 @@ object Similarity {
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      dim: Int,
       bucketBits: Int = 8,
       multiProbe: Boolean = true,
       idCol: String = "vec_id",

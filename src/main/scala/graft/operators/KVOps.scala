@@ -31,12 +31,18 @@ object KVOps {
   def visible(resolved: DataFrame, tombstone: Column, expired: Column): DataFrame =
     resolved.filter(!tombstone && !expired)
 
-  /** Prefix scan (reference iterator `Options.Prefix`,
-    * `kv/utils/iterator.go:16-19` — declared there, implemented here):
-    * expressed as a sargable range so it pushes down to parquet.
+  /** Prefix scan over a STRING key column (reference iterator
+    * `Options.Prefix`, `kv/utils/iterator.go:16-19` — declared there,
+    * implemented here): `startsWith` is exact for every string (including
+    * ones containing U+FFFF, where the old `[prefix, prefix+"￿")`
+    * range trick silently dropped matches) and still pushes down to the
+    * parquet scan as a `StringStartsWith` predicate, pruning row groups on
+    * their min/max stats. Binary keys go through [[graft.core.GraftDB.scan]],
+    * whose `[prefix, prefixSuccessor)` range uses the exact carry-based
+    * byte successor.
     */
   def prefixScan(df: DataFrame, keyCol: String, prefix: String): DataFrame =
-    df.filter(col(keyCol) >= lit(prefix) && col(keyCol) < lit(prefix + "￿"))
+    df.filter(col(keyCol).startsWith(lit(prefix)))
 
   /** Range scan with optional bounds, ordered (reference `NewIterator`
     * asc/desc, `kv/lsm/iterator.go:232-436`).

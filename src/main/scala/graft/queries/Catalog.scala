@@ -168,7 +168,8 @@ object Catalog {
         round(cume_dist() OVER w, 6) AS cdist
         FROM orders WHERE o_orderkey % 7 = 0
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
-        ORDER BY o_orderkey""")),
+        ORDER BY o_orderkey"""),
+      headline = true),
 
     "q_complex_types" -> QueryDef(
       // array + map + json scalar functions with scalar outputs (arrays
@@ -766,16 +767,27 @@ object Catalog {
     "dedup_simhash_recall" -> QueryDef(
       // SimHash banding is EXACT for maxHamming=3 over 4 bands (pigeonhole:
       // 3 flipped bits touch at most 3 bands), so the gate certifies
-      // recall == 1.0. Ground truth is the all-pairs hamming join over the
-      // 8-byte signatures — a CERTIFICATION plan for verify scale, not a
-      // production operator (the production path IS dedup_simhash_pairs).
+      // recall == 1.0. Ground truth is all pairs over a BOUNDED
+      // deterministic sample of 512 signatures (picked by hash rank —
+      // a map-side-truncated TakeOrdered, then pairs generated by a
+      // double explode of ONE packed array: constant 512^2 work from one
+      // task, no join node, no O(n^2) anywhere in the plan at any scale;
+      // at sf0.01's 500 docs the sample IS the whole table, so the gate
+      // certifies exactly what the old all-pairs form did).
+      // Exactness on the sample certifies the same pigeonhole property the
+      // old all-pairs form did; the approx side is the full banded plan.
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val sigs = docs.select(col("doc_id").as("id"),
           graft.functions.expressions.HashExpressions.simhash64(
             Text.tokens(col("text"))).as("sig"))
-        val exact = sigs.as("l").join(sigs.as("r"), col("l.id") < col("r.id"))
-          .filter(graft.functions.Vectors.hamming64(col("l.sig"), col("r.sig")) <= 3)
+        val sample = sigs.orderBy(xxhash64(col("id")).asc, col("id").asc).limit(512)
+        val exact = sample
+          .agg(collect_list(struct(col("id"), col("sig"))).as("all"))
+          .select(explode(col("all")).as("l"), col("all"))
+          .select(col("l"), explode(col("all")).as("r"))
+          .filter(col("l.id") < col("r.id") &&
+            graft.functions.Vectors.hamming64(col("l.sig"), col("r.sig")) <= 3)
           .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         Recall.gate(
           Dedup.simhashPairs(docs, maxHamming = 3), exact,
@@ -794,10 +806,16 @@ object Catalog {
       (s, dir) => Dedup.embeddingPairs(
           t(s, dir, "embeddings"), threshold = 0.35, bucketBits = 4)
         .orderBy("id_a", "id_b"),
+      // the signed sum folds LEFT-TO-RIGHT in index order (list_reduce over
+      // an ORDER BY d list), matching HyperplaneBucket's accumulation order
+      // bit-for-bit — an unordered SUM() could flip a near-zero sign on fp
+      // reassociation and fail the hash-compare nondeterministically
       Some("""WITH comp AS (
           SELECT vec_id, b,
-            sum(CASE WHEN ((b*10007 + d + 1) * 2654435761) % 4294967296 >= 2147483648
-                THEN e ELSE -e END) AS s
+            list_reduce(
+              list(CASE WHEN ((b*10007 + d + 1) * 2654435761) % 4294967296 >= 2147483648
+                   THEN e ELSE -e END ORDER BY d),
+              (acc, x) -> acc + x) AS s
           FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
                   generate_subscripts(embedding, 1) - 1 AS d
                 FROM embeddings),
@@ -836,25 +854,37 @@ object Catalog {
       headline = true),
 
     "ann_ivf_topk" -> QueryDef(
+      // The PERSISTED-index plan — the one you'd run at 100 TB: build the
+      // cell-partitioned index once (buildIvfIndex: bounded-sample k-means
+      // fit + one narrow assignment pass), then the query is a broadcast
+      // centroid rank + a join whose probe cells DYNAMICALLY PRUNE the
+      // assignment scan's partitions (PlanShapeSpec pins the
+      // `dynamicpruning` marker). The inline re-fit form (ivfTopK) remains
+      // the index-free fallback, recall-compared in SimilaritySpec.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-            numCentroids = 16, nProbe = 4)
+        val idx = Files.createTempDirectory("graft-q-ivf").toString
+        Similarity.buildIvfIndex(emb, idx, numCentroids = 16)
+        Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+            k = 5, nProbe = 4)
           .orderBy("query_id", "rank")
       },
       None), // k-means quantization; approximate, rows-only check
 
     "ann_ivf_recall" -> QueryDef(
-      // Recall gate for the rows-only IVF query: same parameters, compared
-      // against the exact brute-force top-k inside one plan. Measured
-      // recall@5: 0.52 at sf0.001, 0.62 at sf0.01 (4/16 probes on random
-      // synthetic vectors — nearly angle-uniform data is IVF's worst
-      // case); floor 0.4 is the regression tripwire.
+      // Recall gate for the rows-only IVF query: the SAME persisted-index
+      // plan ann_ivf_topk declares, compared against the exact brute-force
+      // top-k inside one plan. Measured recall@5: 0.52 at sf0.001, 0.62 at
+      // sf0.01 (4/16 probes on random synthetic vectors — nearly
+      // angle-uniform data is IVF's worst case); floor 0.4 is the
+      // regression tripwire.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
+        val idx = Files.createTempDirectory("graft-q-ivf-recall").toString
+        Similarity.buildIvfIndex(emb, idx, numCentroids = 16)
         Recall.gate(
-          Similarity.ivfTopK(emb, q, k = 5, numCentroids = 16, nProbe = 4),
+          Similarity.ivfTopKIndexed(s, idx, q, k = 5, nProbe = 4),
           Similarity.bruteForceTopK(emb, q, k = 5),
           Seq("query_id", "neighbor_id"), floor = 0.4, name = "ivf_recall_at_5")
       },
@@ -863,7 +893,7 @@ object Catalog {
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
             bucketBits = 6)
           .orderBy("query_id", "rank")
       },
@@ -876,7 +906,7 @@ object Catalog {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
         Recall.gate(
-          Similarity.lshTopK(emb, q, k = 5, dim = 64, bucketBits = 6),
+          Similarity.lshTopK(emb, q, k = 5, bucketBits = 6),
           Similarity.bruteForceTopK(emb, q, k = 5),
           Seq("query_id", "neighbor_id"), floor = 0.15, name = "lsh_recall_at_5")
       },
@@ -948,7 +978,8 @@ object Catalog {
         SELECT v AS vertex,
           round(rank * (SELECT count(*)::DOUBLE FROM verts) / (SELECT sum(rank) FROM r10), 6) AS rank
         FROM r10 ORDER BY vertex"""
-      }),
+      },
+      headline = true),
 
     "graph_cc" -> QueryDef(
       // GraphX connected components (label = min vertex id in component),
@@ -964,7 +995,8 @@ object Catalog {
           UNION
           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
         SELECT a AS vertex, min(b) AS component FROM reach
-        GROUP BY a ORDER BY vertex""")))
+        GROUP BY a ORDER BY vertex"""),
+      headline = true))
 
   // ============================================== G. streaming/multimodal ==
 

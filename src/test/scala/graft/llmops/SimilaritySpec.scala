@@ -139,7 +139,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("lshTopK returns ranked neighbors from matching buckets only") {
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-      dim = 64, bucketBits = 4).collect()
+      bucketBits = 4).collect()
     assert(out.nonEmpty)
     val byQuery = out.groupBy(_.getLong(0))
     byQuery.values.foreach { rows =>
@@ -155,7 +155,7 @@ class SimilaritySpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(emb, queries, k = 5, dim = 64, bucketBits = 6)
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, bucketBits = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.15, s"multi-probe LSH recall $recall below floor 0.15")

@@ -20,12 +20,12 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
 
-  test("kv_prefix_scan: prefix reaches the parquet scan as two binary-range pushed filters") {
+  test("kv_prefix_scan: prefix reaches the parquet scan as a pushed StringStartsWith") {
     val p = plan("kv_prefix_scan")
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
-    assert(pushed.contains("GreaterThanOrEqual(") && pushed.contains("LessThan("),
-      s"prefix did not push as a [start, successor) range: $pushed")
+    assert(pushed.contains("StringStartsWith("),
+      s"prefix did not push to the scan as StringStartsWith: $pushed")
   }
 
   test("q5_region_revenue: every dimension join is broadcast, none sort-merge") {
@@ -46,6 +46,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("dedup_embedding_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "embedding dedup regressed to an all-pairs join")
+  }
+
+  test("ann_ivf_topk: probe cells dynamically prune the index scan's partitions") {
+    val p = plan("ann_ivf_topk")
+    assert(p.contains("dynamicpruning"),
+      "the assignment-table scan lost dynamic partition pruning on cell — " +
+        "every probe would read the whole index")
+  }
+
+  test("recall gates: no cartesian or nested-loop join in any declared recall plan") {
+    for (name <- Seq("dedup_simhash_recall", "dedup_minhash_recall",
+        "ann_ivf_recall", "ann_lsh_recall")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name contains a cartesian product — quadratic at scale")
+    }
   }
 
   test("q1_agg: scan reads only the referenced columns with the date filter pushed") {
