@@ -402,8 +402,9 @@ final class GraftDB(
       from: Option[Array[Byte]] = None,
       until: Option[Array[Byte]] = None,
       prefix: Option[Array[Byte]] = None,
-      ascending: Boolean = true): DataFrame = {
-    var df = view()
+      ascending: Boolean = true,
+      asOfUnixSec: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    var df = view(asOfUnixSec)
     from.foreach(f => df = df.filter(col("key") >= lit(f)))
     until.foreach(u => df = df.filter(col("key") < lit(u)))
     prefix.foreach { p =>
@@ -452,34 +453,55 @@ final class GraftDB(
     maybeMergeGrid()
   }
 
-  /** Hot-bucket grid refinement: if a compacted (L1+) file holds more than
-    * 2x `bucketTargetRows`, insert its sampled median key as a new split
-    * key. Existing files are untouched (overlap checks use real file
-    * ranges, not the grid) — only FUTURE writes and compactions split the
-    * bucket, so refinement is metadata-only here and the oversized file
-    * splits the next time its bucket is dirty. One refinement per call
-    * keeps the work bounded under sustained skewed ingest.
+  /** Hot-bucket grid refinement: every compacted (L1+) file holding more
+    * than 2x `bucketTargetRows` contributes sampled QUANTILE split keys —
+    * enough that its future buckets land at ~`bucketTargetRows` each — in
+    * ONE call, so a heavily skewed ingest converges within a single
+    * compact() instead of one-split-per-call lagging the workload.
+    * Existing files are untouched (overlap checks use real file ranges,
+    * not the grid) — only FUTURE writes and compactions split the bucket,
+    * so refinement is metadata-only here and the oversized file splits the
+    * next time its bucket is dirty. Bounded valves (splits per file, per
+    * call) keep the driver-side work and the manifest delta capped like
+    * [[promoteLevelsIfNeeded]]'s maxRounds; per-file sampling stays ~20k
+    * keys at any file size.
     */
-  private def maybeRefineGrid(): Unit = {
+  private def maybeRefineGrid(
+      maxSplitsPerFile: Int = 64, maxSplitsPerCall: Int = 256): Unit = {
     val st = manifest.load()
     if (st.rangeBoundsHex.isEmpty) return // grid not established yet
     val hot = st.files.filter(f => f.level >= 1 && f.rows > 2 * options.bucketTargetRows)
     if (hot.isEmpty) return
-    val victim = hot.maxBy(f => (f.rows, f.path))
-    // sampled median of the file's keys: ~10k keys regardless of file size,
-    // so the driver-side collect stays bounded at any scale
-    val fraction = math.min(1.0, 20000.0 / victim.rows.toDouble)
-    val sampleKeys = spark.read.schema(KVEntry.schema).parquet(victim.path)
-      .select(col("key")).sample(withReplacement = false, fraction, seed = 42L)
-      .collect().map(_.getAs[Array[Byte]](0))
-    if (sampleKeys.length < 2) return
-    val sorted = sampleKeys.sorted(UnsignedBytesOrdering)
-    val median = Hex.encode(sorted(sorted.length / 2))
-    // a split at (or outside) the file's edge keys would be a no-op
-    if (median <= victim.minKeyHex || median >= victim.maxKeyHex) return
+    var budget = maxSplitsPerCall
+    val splits = Vector.newBuilder[String]
+    for (victim <- hot.sortBy(f => (-f.rows, f.path)) if budget > 0) {
+      // one split per bucketTargetRows the file exceeds its target by,
+      // clamped by the valves — brings the file's range to ~target-sized
+      // buckets in one refinement round
+      val want = math.max(1, math.min(math.min(maxSplitsPerFile, budget),
+        (victim.rows / math.max(1L, options.bucketTargetRows)).toInt - 1))
+      val fraction = math.min(1.0, 20000.0 / victim.rows.toDouble)
+      val sampleKeys = spark.read.schema(KVEntry.schema).parquet(victim.path)
+        .select(col("key")).sample(withReplacement = false, fraction, seed = 42L)
+        .collect().map(_.getAs[Array[Byte]](0))
+      if (sampleKeys.length >= 2) {
+        val sorted = sampleKeys.sorted(UnsignedBytesOrdering)
+        val qs = (1 to want)
+          .map(j => Hex.encode(sorted(math.min(sorted.length - 1,
+            j * sorted.length / (want + 1)))))
+          // a split at (or outside) the file's edge keys would be a no-op
+          .filter(h => h > victim.minKeyHex && h < victim.maxKeyHex)
+          .distinct
+        splits ++= qs
+        budget -= qs.size
+      }
+    }
+    val add0 = splits.result().distinct
+    if (add0.isEmpty) return
     manifest.commit { s =>
-      if (s.rangeBoundsHex.contains(median)) s
-      else s.copy(rangeBoundsHex = (s.rangeBoundsHex :+ median).sorted)
+      val add = add0.filterNot(s.rangeBoundsHex.contains)
+      if (add.isEmpty) s
+      else s.copy(rangeBoundsHex = (s.rangeBoundsHex ++ add).sorted)
     }
   }
 
@@ -497,22 +519,39 @@ final class GraftDB(
     */
   private def maybeMergeGrid(): Unit = {
     val st = manifest.load()
-    val bounds = st.rangeBoundsHex
-    if (bounds.size < 2) return
-    // count of split keys strictly below hexKey == bucket id (hex compare
-    // is unsigned byte compare; same contract as GridBucket)
-    def bucketOf(hexKey: String): Int = bounds.count(_ < hexKey)
-    val rows = Array.fill(bounds.size + 1)(0L)
-    st.files.filter(_.level >= 1).foreach { f =>
-      // a pre-grid file spanning several buckets charges them ALL its full
-      // row count: over-counting can only make merge more conservative
-      (bucketOf(f.minKeyHex) to bucketOf(f.maxKeyHex)).foreach(b => rows(b) += f.rows)
+    val bounds0 = st.rangeBoundsHex
+    if (bounds0.size < 2) return
+    val l1 = st.files.filter(_.level >= 1)
+    // greedy fixpoint IN MEMORY: remove the weakest split, re-derive bucket
+    // loads against the shrunken grid, repeat — a delete-heavy workload
+    // collapses all its emptied buckets in one compact() call instead of
+    // one-split-per-call. Pure driver arithmetic over the manifest metas
+    // (no data read), bounded by the grid size; committed as ONE delta.
+    var bounds = bounds0
+    var changed = true
+    while (changed && bounds.size >= 2) {
+      changed = false
+      // count of split keys strictly below hexKey == bucket id (hex compare
+      // is unsigned byte compare; same contract as GridBucket)
+      val bs = bounds
+      def bucketOf(hexKey: String): Int = bs.count(_ < hexKey)
+      val rows = Array.fill(bs.size + 1)(0L)
+      l1.foreach { f =>
+        // a pre-grid file spanning several buckets charges them ALL its full
+        // row count: over-counting can only make merge more conservative
+        (bucketOf(f.minKeyHex) to bucketOf(f.maxKeyHex)).foreach(b => rows(b) += f.rows)
+      }
+      val (minSum, i) = (0 until bs.size)
+        .map(b => (rows(b) + rows(b + 1), b)).min
+      if (minSum < math.max(1L, options.bucketTargetRows / 2)) {
+        bounds = bounds.patch(i, Nil, 1)
+        changed = true
+      }
     }
-    val (minSum, i) = (0 until bounds.size)
-      .map(b => (rows(b) + rows(b + 1), b)).min
-    if (minSum >= math.max(1L, options.bucketTargetRows / 2)) return
+    if (bounds == bounds0) return
+    val merged = bounds
     manifest.commit { s =>
-      if (s.rangeBoundsHex == bounds) s.copy(rangeBoundsHex = bounds.patch(i, Nil, 1))
+      if (s.rangeBoundsHex == bounds0) s.copy(rangeBoundsHex = merged)
       else s // grid changed underneath us; skip this round
     }
   }

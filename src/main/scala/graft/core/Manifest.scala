@@ -1,6 +1,7 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.json4s._
 import org.json4s.jackson.Serialization
 
@@ -31,44 +32,214 @@ final case class BlobFileMeta(path: String, rows: Long)
   * (the analog of the reference's stable per-level key-range targets,
   * `kv/lsm/compact.go:626-751`). Empty until the first multi-file write;
   * json4s fills the default for manifests written before this field.
+  *
+  * `commitSeq` numbers commits; it anchors the change-log replay (a log
+  * record applies iff its seq is past the base snapshot's).
   */
 final case class ManifestState(
     nextVersion: Long,
     nextBlobId: Long,
     files: Vector[FileMeta],
     blobFiles: Vector[BlobFileMeta],
-    rangeBoundsHex: Vector[String] = Vector.empty) {
+    rangeBoundsHex: Vector[String] = Vector.empty,
+    commitSeq: Long = 0L) {
   def liveDataPaths: Seq[String] = files.map(_.path)
 }
 
-/** Replayable-log-free manifest: unlike the reference's append-only change
-  * log with rewrite thresholds (`kv/file/manifest.go:122-174,291-348`), we
-  * write the whole (tiny) state and commit via atomic rename — the same
-  * crash-consistency guarantee with none of the replay machinery. A single
-  * in-process lock serializes committers, mirroring the reference's single
-  * writer goroutine (`kv/db.go:224-285`).
+/** One committed change, O(touched files) in size — the reference's
+  * manifest change records (`kv/file/manifest.go:122-174`: ADD/DELETE per
+  * table) generalized to this engine's state. Counters are absolute (tiny
+  * and replay-friendly); file and grid changes are deltas. `clearBounds`
+  * precedes `addBounds` on apply, so a grid re-capture is
+  * `clear + add-all` and a refine/merge is a one-element delta.
   */
-final class Manifest(rootDir: String) {
+private[core] final case class ChangeRecord(
+    seq: Long,
+    nextVersion: Long,
+    nextBlobId: Long,
+    addFiles: Vector[FileMeta] = Vector.empty,
+    removePaths: Vector[String] = Vector.empty,
+    addBlobs: Vector[BlobFileMeta] = Vector.empty,
+    removeBlobPaths: Vector[String] = Vector.empty,
+    clearBounds: Boolean = false,
+    addBounds: Vector[String] = Vector.empty,
+    removeBounds: Vector[String] = Vector.empty)
+
+/** Change-log manifest, reference-shaped (`kv/file/manifest.go:122-174,
+  * 291-348`): a base snapshot (`MANIFEST.json`, atomic rename) plus an
+  * append-only record log (`MANIFEST.log`, one JSON line per commit).
+  * A commit appends ONE record sized by the files it touched — never the
+  * whole table's metadata — so at the O(10^5) files a 100 TB table
+  * implies, a 1-row `batchSet` writes ~hundreds of bytes, not tens of MB.
+  * Past `logCompactEvery` records the log folds into a fresh snapshot
+  * (the reference's rewrite threshold) and restarts empty.
+  *
+  * Crash contract:
+  *  - record append: a torn FINAL line (no trailing newline / unparsable)
+  *    is a crashed append of a commit that never returned — dropped on
+  *    replay. A torn or out-of-sequence record anywhere ELSE is real
+  *    corruption and fails loudly.
+  *  - snapshot compaction: snapshot rename is atomic; a crash before the
+  *    log truncation leaves stale records whose `seq <= base.commitSeq`,
+  *    which replay skips (idempotent).
+  *
+  * Reads are served from an in-process cached state, revalidated by two
+  * cheap file stats (size + mtime of snapshot and log) so a second
+  * Manifest instance on the same dir — the stateless-reopen path — still
+  * observes foreign commits. A single in-process lock serializes
+  * committers, mirroring the reference's single writer goroutine
+  * (`kv/db.go:224-285`).
+  */
+final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
   private implicit val fmts: Formats = DefaultFormats
   private val manifestPath: Path = Paths.get(rootDir, "MANIFEST.json")
   private val tmpPath: Path = Paths.get(rootDir, "MANIFEST.json.tmp")
+  private val logPath: Path = Paths.get(rootDir, "MANIFEST.log")
   private val lock = new Object
+
+  // cached state + the on-disk fingerprint it was derived from
+  private var cached: ManifestState = _
+  private var cachedStamp: (Long, Long, Long, Long) = _
+  private var logRecords: Int = 0
 
   Files.createDirectories(Paths.get(rootDir))
 
-  def load(): ManifestState = lock.synchronized {
-    if (Files.exists(manifestPath))
-      Serialization.read[ManifestState](Files.readString(manifestPath))
-    else ManifestState(1L, 1L, Vector.empty, Vector.empty)
+  private def stamp(): (Long, Long, Long, Long) = {
+    def sizeMtime(p: Path): (Long, Long) =
+      if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      else (-1L, -1L)
+    val (ms, mt) = sizeMtime(manifestPath)
+    val (ls, lt) = sizeMtime(logPath)
+    (ms, mt, ls, lt)
   }
 
-  /** Atomically transform the state. Returns the committed new state. */
+  private def applyRecord(st: ManifestState, r: ChangeRecord): ManifestState = {
+    val files =
+      if (r.removePaths.isEmpty && r.addFiles.isEmpty) st.files
+      else {
+        val rm = r.removePaths.toSet
+        st.files.filterNot(f => rm.contains(f.path)) ++ r.addFiles
+      }
+    val blobs =
+      if (r.removeBlobPaths.isEmpty && r.addBlobs.isEmpty) st.blobFiles
+      else {
+        val rm = r.removeBlobPaths.toSet
+        st.blobFiles.filterNot(b => rm.contains(b.path)) ++ r.addBlobs
+      }
+    val bounds0 = if (r.clearBounds) Vector.empty[String] else st.rangeBoundsHex
+    val bounds =
+      if (r.addBounds.isEmpty && r.removeBounds.isEmpty) bounds0
+      else {
+        val rm = r.removeBounds.toSet
+        (bounds0.filterNot(rm.contains) ++ r.addBounds).sorted
+      }
+    ManifestState(r.nextVersion, r.nextBlobId, files, blobs, bounds, r.seq)
+  }
+
+  /** Delta between two in-memory states, as the one record that replays
+    * `from`→`to`. Grid deltas reproduce `to.rangeBoundsHex` exactly
+    * because the grid is maintained sorted-ascending everywhere.
+    */
+  private def diff(from: ManifestState, to: ManifestState): ChangeRecord = {
+    val oldFiles = from.files.toSet
+    val newFiles = to.files.toSet
+    val oldBlobs = from.blobFiles.toSet
+    val newBlobs = to.blobFiles.toSet
+    val boundsCleared = to.rangeBoundsHex.isEmpty && from.rangeBoundsHex.nonEmpty
+    ChangeRecord(
+      seq = to.commitSeq,
+      nextVersion = to.nextVersion,
+      nextBlobId = to.nextBlobId,
+      addFiles = to.files.filterNot(oldFiles.contains),
+      removePaths = from.files.filterNot(newFiles.contains).map(_.path),
+      addBlobs = to.blobFiles.filterNot(oldBlobs.contains),
+      removeBlobPaths = from.blobFiles.filterNot(newBlobs.contains).map(_.path),
+      clearBounds = boundsCleared,
+      addBounds = to.rangeBoundsHex.filterNot(from.rangeBoundsHex.contains),
+      removeBounds =
+        if (boundsCleared) Vector.empty
+        else from.rangeBoundsHex.filterNot(to.rangeBoundsHex.contains))
+  }
+
+  private def coldLoad(): ManifestState = {
+    val base =
+      if (Files.exists(manifestPath))
+        Serialization.read[ManifestState](Files.readString(manifestPath))
+      else ManifestState(1L, 1L, Vector.empty, Vector.empty)
+    var st = base
+    logRecords = 0
+    if (Files.exists(logPath)) {
+      val lines = Files.readString(logPath, StandardCharsets.UTF_8).split("\n", -1)
+      var i = 0
+      while (i < lines.length) {
+        val line = lines(i)
+        val isLast = i >= lines.length - 2 // last element is "" after a clean trailing \n
+        if (line.nonEmpty) {
+          val parsed =
+            try Some(Serialization.read[ChangeRecord](line))
+            catch {
+              case e: Exception =>
+                if (isLast) None // torn append of an unacknowledged commit
+                else throw new IllegalStateException(
+                  s"corrupt manifest log record at $logPath line ${i + 1}", e)
+            }
+          parsed.foreach { r =>
+            if (r.seq > st.commitSeq) {
+              if (r.seq != st.commitSeq + 1)
+                throw new IllegalStateException(
+                  s"manifest log gap at $logPath: have seq ${st.commitSeq}, next record is ${r.seq}")
+              st = applyRecord(st, r)
+              logRecords += 1
+            } // seq <= commitSeq: stale pre-compaction record — skip
+          }
+        }
+        i += 1
+      }
+    }
+    st
+  }
+
+  def load(): ManifestState = lock.synchronized {
+    val s = stamp()
+    if (cached == null || s != cachedStamp) {
+      cached = coldLoad()
+      cachedStamp = s
+    }
+    cached
+  }
+
+  /** Atomically transform the state. Returns the committed new state.
+    * Cost is O(files touched by `f`), not O(all files): the commit appends
+    * one change record; only every `logCompactEvery` commits does the full
+    * snapshot rewrite run. A no-op transform commits nothing.
+    */
   def commit(f: ManifestState => ManifestState): ManifestState = lock.synchronized {
-    val next = f(load())
-    Files.writeString(tmpPath, Serialization.write(next))
+    val cur = load()
+    val next0 = f(cur)
+    if (next0 == cur) return cur // no-op: no record, no seq burn
+    val next = next0.copy(commitSeq = cur.commitSeq + 1)
+    val rec = diff(cur, next)
+    val line = Serialization.write(rec) + "\n"
+    Files.write(logPath, line.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    logRecords += 1
+    if (logRecords >= logCompactEvery) compactLog(next)
+    cached = next
+    cachedStamp = stamp()
+    next
+  }
+
+  /** Fold the log into a fresh base snapshot (the reference's manifest
+    * rewrite, `kv/file/manifest.go:291-348`). Snapshot rename is atomic;
+    * a crash before the log delete leaves only stale-seq records, which
+    * replay skips.
+    */
+  private def compactLog(st: ManifestState): Unit = {
+    Files.writeString(tmpPath, Serialization.write(st))
     Files.move(tmpPath, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    next
+    Files.deleteIfExists(logPath)
+    logRecords = 0
   }
 }
 

@@ -550,7 +550,73 @@ object Catalog {
       Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
         CASE WHEN event_id % 2 = 0 THEN 'new:' || event_type
              ELSE 'old:' || event_type END AS v
-        FROM events WHERE user_id = 7 AND event_id % 5 != 0 ORDER BY k""")))
+        FROM events WHERE user_id = 7 AND event_id % 5 != 0 ORDER BY k""")),
+
+    "kv_engine_ttl" -> QueryDef(
+      // TTL semantics END-TO-END through the engine, at a FIXED as-of time
+      // so the oracle is deterministic: gen2 overwrites every third key
+      // with an ALREADY-EXPIRED version (newer-expired must SHADOW
+      // older-live — TTL visibility is applied strictly after LWW,
+      // kv/db.go:114-130), gen3 refreshes every fifth key with a far-future
+      // expiry. Compaction runs in between, so expired-version dead-drop is
+      // exercised too (dropping an expired newest version may not resurrect
+      // the older live one below it).
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q-ttl").toString
+        val db = new GraftDB(s, tmp, GraftOptions(compactTriggerFiles = 1000))
+        val ev = t(s, dir, "events")
+        val key = encode(concat(lpad(col("user_id").cast("string"), 4, "0"), lit("#"),
+          lpad(col("event_id").cast("string"), 6, "0")), "UTF-8").as("key")
+        db.write(ev.select(key,
+          encode(concat(lit("old:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+          .select(key, encode(concat(lit("exp:"), col("event_type")), "UTF-8").as("value"))
+          .withColumn("expiresAt", lit(1000000000L)))  // 2001: long expired
+        db.write(ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .select(key, encode(concat(lit("fut:"), col("event_type")), "UTF-8").as("value"))
+          .withColumn("expiresAt", lit(3000000000L)))  // 2065: far future
+        db.compact()
+        db.scan(prefix = Some("0007#".getBytes("UTF-8")), asOfUnixSec = 2000000000L)
+          .select(decode(col("key"), "UTF-8").as("k"),
+            decode(col("value"), "UTF-8").as("v"))
+          .orderBy("k")
+      },
+      Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
+        CASE WHEN event_id % 5 = 0 THEN 'fut:' || event_type
+             ELSE 'old:' || event_type END AS v
+        FROM events WHERE user_id = 7 AND (event_id % 3 != 0 OR event_id % 5 = 0)
+        ORDER BY k""")),
+
+    "kv_engine_snapshot" -> QueryDef(
+      // Snapshot isolation END-TO-END: pin a snapshot at gen1, then
+      // overwrite half the keys, delete every fifth, compact AND vacuum —
+      // the pinned read must still serve gen1 exactly (vacuum skips files a
+      // live snapshot references; if pinning broke, the read either errors
+      // on deleted files or sees the new values — a red row either way).
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q-snap").toString
+        val db = new GraftDB(s, tmp, GraftOptions(compactTriggerFiles = 1000))
+        val ev = t(s, dir, "events")
+        val key = encode(concat(lpad(col("user_id").cast("string"), 4, "0"), lit("#"),
+          lpad(col("event_id").cast("string"), 6, "0")), "UTF-8").as("key")
+        db.write(ev.select(key,
+          encode(concat(lit("old:"), col("event_type")), "UTF-8").as("value")))
+        val snap = db.snapshot()
+        db.write(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(key, encode(concat(lit("new:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .select(key, lit(null).cast("binary").as("value")))
+        db.compact()
+        db.vacuum()
+        val p = "0007#".getBytes("UTF-8")
+        val succ = GraftDB.prefixSuccessor(p).get
+        snap.view().filter(col("key") >= lit(p) && col("key") < lit(succ))
+          .select(decode(col("key"), "UTF-8").as("k"),
+            decode(col("value"), "UTF-8").as("v"))
+          .orderBy("k")
+      },
+      Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
+        'old:' || event_type AS v FROM events WHERE user_id = 7 ORDER BY k""")))
 
   // ============================================================== C. text ==
 

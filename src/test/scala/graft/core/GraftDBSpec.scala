@@ -355,6 +355,28 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.get(b("mm20010")).map(new String(_)).contains("v-mm20010"))
   }
 
+  test("grid refinement converges in ONE compact call under heavy skew (quantile splits)") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4,
+      bucketTargetRows = 50))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    def bulk(keys: Seq[String]): Unit = db.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(k => org.apache.spark.sql.Row(b(k), b(s"v-$k"))), 4), schema))
+    bulk(('a' to 'z').flatMap(c => (0 until 8).map(i => f"$c$i%03d")))
+    db.compact()
+    val bounds0 = db.gridBounds()
+    // ONE massively skewed generation: 400 rows into one narrow range —
+    // an 8x-over-target file must yield MULTIPLE quantile splits in a
+    // single compact() (the old one-split-per-call valve would add 1)
+    bulk((0 until 400).map(i => f"mm$i%05d"))
+    db.compact()
+    val added = db.gridBounds().size - bounds0.size
+    assert(added >= 3,
+      s"single compact added only $added split(s) for an 8x-over-target file — refinement lags skew")
+    assert(db.view().count() == 26 * 8 + 400)
+  }
+
   test("grid merge: delete-heavy workload removes split keys instead of stranding empty buckets") {
     val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4,
       bucketTargetRows = 100))
@@ -370,8 +392,7 @@ class GraftDBSpec extends AnyFunSuite {
     // wipe the TOP half of the keyspace: its buckets drop to zero rows after
     // the dead entries are dropped, and their splits stop earning their keep
     db.batchSet((200 until 400).map(i => KVEntry.tombstone(b(f"m$i%04d"))))
-    db.compact()
-    (0 until bounds0.size).foreach(_ => db.compact()) // one merge per call
+    db.compact() // ONE call: the merge drains to fixpoint, not one split per call
     val bounds1 = db.gridBounds()
     assert(bounds1.size < bounds0.size,
       s"emptied buckets never merged: $bounds0 -> $bounds1")
@@ -397,5 +418,24 @@ class GraftDBSpec extends AnyFunSuite {
     // overwrite some via a second generation
     db.batchSet(Seq(KVEntry(b("bulk0000"), b("overwritten"))))
     assert(db.get(b("bulk0000")).map(new String(_)).contains("overwritten"))
+  }
+
+  test("manifest commit cost stays flat as the file count grows (change-log, not whole-state)") {
+    val dir = Files.createTempDirectory("graftdb-logcost").toString
+    val db = new GraftDB(spark, dir, GraftOptions(compactTriggerFiles = 100000))
+    val log = java.nio.file.Paths.get(dir, "MANIFEST.log")
+    def costOfOneSet(i: Int): Long = {
+      val before = if (Files.exists(log)) java.nio.file.Files.size(log) else 0L
+      db.set(b(f"key-$i%05d"), b("v"))
+      java.nio.file.Files.size(log) - before
+    }
+    val early = costOfOneSet(0)
+    (1 until 60).foreach(i => db.set(b(f"key-$i%05d"), b("v")))
+    val late = costOfOneSet(60)
+    // 61 live L0 segments vs 1: the appended bytes per 1-row set must not
+    // scale with the table's file count (the old whole-state rewrite did)
+    assert(late <= 2 * early,
+      s"1-row set wrote $late log bytes at 61 files vs $early at 1")
+    assert(db.view().count() == 61)
   }
 }

@@ -1,0 +1,131 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ManifestSpec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-manifest").toString
+
+  private def meta(i: Int, level: Int = 0): FileMeta =
+    FileMeta(s"data/seg-$i/part-0.parquet", level, f"$i%08x", f"$i%08x" + "ff", 100L, i.toLong)
+
+  private def addFile(m: Manifest, i: Int): Unit =
+    m.commit(st => st.copy(nextVersion = st.nextVersion + 1, files = st.files :+ meta(i)))
+
+  test("commit cost is O(changed files), not O(all files)") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 1000000) // never compact in this test
+    val log = Paths.get(dir, "MANIFEST.log")
+    addFile(m, 0)
+    val afterFirst = Files.size(log)
+    (1 until 500).foreach(addFile(m, _))
+    val before = Files.size(log)
+    addFile(m, 500)
+    val delta = Files.size(log) - before
+    // one 1-file commit appends about as many bytes with 500 live files as
+    // with 1 — the old whole-state rewrite would scale delta with the table
+    assert(delta <= 2 * afterFirst,
+      s"1-file commit appended $delta bytes at 500 files vs $afterFirst at 1 — commit cost scales with table size")
+    assert(m.load().files.size == 501)
+  }
+
+  test("log compacts into the snapshot past the threshold and restarts empty") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 10)
+    (0 until 25).foreach(addFile(m, _))
+    // 25 commits, threshold 10: at least two compactions happened; the log
+    // holds the post-compaction tail only
+    val logLines =
+      if (Files.exists(Paths.get(dir, "MANIFEST.log")))
+        Files.readString(Paths.get(dir, "MANIFEST.log")).count(_ == '\n')
+      else 0
+    assert(logLines < 10, s"log holds $logLines records past threshold 10")
+    val st = m.load()
+    assert(st.files.size == 25 && st.commitSeq == 25L)
+    // a fresh instance replays snapshot + tail to the same state
+    assert(new Manifest(dir).load() == st)
+  }
+
+  test("stateless reopen replays base + log to the committed state") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 1000)
+    (0 until 7).foreach(addFile(m, _))
+    m.commit(st => st.copy(files = st.files.filterNot(_.path == meta(3).path)))
+    m.commit(st => st.copy(rangeBoundsHex = Vector("aa", "cc")))
+    m.commit(st => st.copy(rangeBoundsHex = Vector("aa", "bb", "cc"))) // refine delta
+    m.commit(st => st.copy(blobFiles = st.blobFiles :+ BlobFileMeta("blobs/b0", 5L)))
+    val want = m.load()
+    val got = new Manifest(dir).load()
+    assert(got == want)
+    assert(got.files.size == 6 && got.rangeBoundsHex == Vector("aa", "bb", "cc"))
+  }
+
+  test("a second instance on the same dir observes foreign commits") {
+    val dir = tmpDir()
+    val a = new Manifest(dir)
+    val b = new Manifest(dir)
+    addFile(a, 0)
+    assert(b.load().files.size == 1, "instance b served a stale cache")
+    addFile(b, 1)
+    assert(a.load().files.size == 2, "instance a served a stale cache")
+  }
+
+  test("torn final record (crashed append) is dropped; earlier corruption fails loudly") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 1000)
+    (0 until 3).foreach(addFile(m, _))
+    val log = Paths.get(dir, "MANIFEST.log")
+    // simulate a crash mid-append: partial JSON, no trailing newline
+    Files.write(log, """{"seq":4,"nextVersion":99,"addFi""".getBytes,
+      StandardOpenOption.APPEND)
+    val st = new Manifest(dir).load()
+    assert(st.files.size == 3 && st.commitSeq == 3L, "torn tail must be dropped, not applied")
+    // corruption in the MIDDLE is not a crash signature — it must throw
+    val lines = Files.readString(log).split("\n").toVector
+    val mangled = (lines.take(1) :+ "{garbage}") ++ lines.drop(2)
+    Files.write(log, (mangled.mkString("\n") + "\n").getBytes)
+    assertThrows[IllegalStateException](new Manifest(dir).load())
+  }
+
+  test("stale records below the snapshot seq are skipped (crash between snapshot and truncate)") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 5)
+    (0 until 5).foreach(addFile(m, _)) // exactly at threshold: compacted, log gone
+    assert(!Files.exists(Paths.get(dir, "MANIFEST.log")))
+    // resurrect a stale pre-compaction record, as a crash-before-delete would
+    Files.write(Paths.get(dir, "MANIFEST.log"),
+      ("""{"seq":1,"nextVersion":2,"nextBlobId":1,"addFiles":[{"path":"data/ghost","level":0,""" +
+        """"minKeyHex":"00","maxKeyHex":"ff","rows":1,"createdVersion":1}],"removePaths":[],""" +
+        """"addBlobs":[],"removeBlobPaths":[],"clearBounds":false,"addBounds":[],"removeBounds":[]}""" + "\n").getBytes)
+    val st = new Manifest(dir).load()
+    assert(st.files.size == 5 && !st.files.exists(_.path == "data/ghost"),
+      "stale record was replayed over the newer snapshot")
+  }
+
+  test("no-op transforms commit nothing") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 1000)
+    addFile(m, 0)
+    val log = Paths.get(dir, "MANIFEST.log")
+    val before = Files.size(log)
+    val seqBefore = m.load().commitSeq
+    m.commit(identity)
+    assert(Files.size(log) == before && m.load().commitSeq == seqBefore)
+  }
+
+  test("pre-changelog manifests (whole-state JSON, no log) still load") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "MANIFEST.json"),
+      """{"nextVersion":7,"nextBlobId":3,"files":[{"path":"data/x","level":1,""" +
+        """"minKeyHex":"00","maxKeyHex":"ff","rows":42,"createdVersion":5}],"blobFiles":[]}""")
+    val st = new Manifest(dir).load()
+    assert(st.nextVersion == 7L && st.files.head.rows == 42L && st.commitSeq == 0L)
+    // and the first post-upgrade commit appends a v2 change record cleanly
+    val m = new Manifest(dir)
+    m.commit(s => s.copy(nextVersion = s.nextVersion + 1))
+    assert(new Manifest(dir).load().nextVersion == 8L)
+  }
+}

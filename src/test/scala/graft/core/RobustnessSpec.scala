@@ -34,10 +34,15 @@ class RobustnessSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("broken").toString
     val db = new GraftDB(spark, dir, GraftOptions(compactTriggerFiles = 1000))
     db.set(b("k"), b("v"))
-    // corrupt: point the manifest at a segment that does not exist
-    val mf = Paths.get(dir, "MANIFEST.json")
-    val txt = Files.readString(mf).replaceAll("data/[0-9a-f-]+", "data/deadbeef")
-    Files.writeString(mf, txt)
+    // corrupt: point the manifest at a segment that does not exist (the
+    // path may live in the base snapshot or the change log — mangle both)
+    for (name <- Seq("MANIFEST.json", "MANIFEST.log")) {
+      val mf = Paths.get(dir, name)
+      if (Files.exists(mf)) {
+        val txt = Files.readString(mf).replaceAll("data/[0-9a-f-]+", "data/deadbeef")
+        Files.writeString(mf, txt)
+      }
+    }
     val reopened = new GraftDB(spark, dir)
     intercept[Exception] { reopened.view().count() }
   }
