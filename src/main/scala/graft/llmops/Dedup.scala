@@ -67,7 +67,12 @@ object Dedup {
     // skew guard: a degenerate band key shared by B docs would emit B^2/2
     // candidate pairs from one reducer; buckets above maxBucketSize are
     // dropped (their members still pair through their other bands). The
-    // cap costs one count aggregation over (id, bh) rows.
+    // cap costs one count aggregation over (id, bh) rows. Measured note:
+    // the count-filter + self-join form beats a bucketized object-agg
+    // collect here — bandsAll is cheap native compute, so re-evaluating it
+    // per join side costs less than a non-codegen collect aggregate (the
+    // inverse trade of exactSetJaccardPairs, whose prefix pipeline is
+    // expensive — see the groupBy form there).
     val smallBuckets = bandsAll.groupBy(col("bh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select(col("bh"))
     val bands = bandsAll.join(smallBuckets, Seq("bh"))
@@ -186,10 +191,18 @@ object Dedup {
       .filter(col("__pos") <= col("sz") - ceil(lit(tPrime) * col("sz")) + 1)
       .select(col("g"), col("id"), col("tok"))
     val ratioNum = math.max(0L, (tPrime * 1000).toLong)
-    val candidates = prefixes.as("l").join(prefixes.as("r"),
-        col("l.g") === col("r.g") && col("l.tok") === col("r.tok") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // candidate generation by bucket AGGREGATION, not a prefix self-join:
+    // a self-join evaluates the whole explode→freq→window prefix pipeline
+    // once per side (nothing is cached — see [[minhashLshPairs]]); one
+    // groupBy + local double-explode pair generation halves that work.
+    // Bucket sizes are bounded by PPJoin's construction (prefixes hold
+    // each set's RAREST tokens), so the per-bucket collect stays small —
+    // the same B^2 blowup bound the join form had.
+    val candidates = prefixes.groupBy(col("g"), col("tok"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
     candidates
       .join(toks.select(col("id").as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a")), Seq("id_a"))

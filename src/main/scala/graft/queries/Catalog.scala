@@ -411,6 +411,51 @@ object Catalog {
           WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""")),
 
+    "q_approx_distinct" -> QueryDef(
+      // Sketch-based distinct counting (HLL++, Spark-native, rsd 2%) as a
+      // first-class operator, certified gate-style: the sketch answer per
+      // group must land within 5% of the exact count. The sketch value
+      // itself is approximate by construction (can't hash-match an
+      // oracle), but the ERROR BOUND is a hard property — a red row means
+      // the sketch path broke. At 100 TB this is the only sane way to
+      // count distincts per group in one narrow pass (no shuffle of the
+      // distinct values themselves, mergeable partial sketches).
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = ev.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        val e = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact"))
+        a.join(e, Seq("event_type"))
+          .agg(max(abs(col("approx") - col("exact")) / col("exact")).as("err"))
+          .select(lit("approx_distinct").as("gate"),
+            (col("err") <= 0.05).as("floor_met"))
+      },
+      Some("SELECT 'approx_distinct' AS gate, true AS floor_met")),
+
+    "q_approx_quantiles" -> QueryDef(
+      // Quantile sketch (Greenwald-Khanna percentile_approx, accuracy 10k)
+      // gate: per-group approximate median and p90 must land within 2% of
+      // the exact interpolated percentiles. The sketch's merge order
+      // varies with task scheduling, so the VALUE is nondeterministic —
+      // but the accuracy contract holds under any merge order, which is
+      // exactly what the gate certifies (and why a value-hash oracle
+      // would be wrong here).
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val a = l.groupBy(col("l_returnflag")).agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("m_a"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_a"),
+          expr("percentile(l_extendedprice, 0.5)").as("m_e"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_e"))
+        a.agg(max(greatest(
+            abs(col("m_a") - col("m_e")) / col("m_e"),
+            abs(col("p90_a") - col("p90_e")) / col("p90_e"))).as("err"))
+          .select(lit("approx_quantiles").as("gate"),
+            (col("err") <= 0.02).as("floor_met"))
+      },
+      Some("SELECT 'approx_quantiles' AS gate, true AS floor_met")),
+
     "q_asof_signup" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
