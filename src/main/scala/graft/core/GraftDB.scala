@@ -53,11 +53,14 @@ final case class GraftOptions(
     gcDiscardRatio: Double = 0.5,
     l1TargetRows: Long = 4000000L,
     levelSizeMultiplier: Int = 10,
-    bucketTargetRows: Long = 4000000L) {
+    bucketTargetRows: Long = 4000000L,
+    manifestLogCompactEvery: Int = 1024) {
   require(levelSizeMultiplier >= 2,
     s"levelSizeMultiplier must be >= 2 (a geometric ladder), got $levelSizeMultiplier")
   require(l1TargetRows > 0, s"l1TargetRows must be positive, got $l1TargetRows")
   require(bucketTargetRows > 0, s"bucketTargetRows must be positive, got $bucketTargetRows")
+  require(manifestLogCompactEvery > 0,
+    s"manifestLogCompactEvery must be positive, got $manifestLogCompactEvery")
 }
 
 /** GraftDB — the reference's embedded LSM KV engine re-expressed Spark-first.
@@ -89,7 +92,7 @@ final class GraftDB(
     val rootDir: String,
     val options: GraftOptions = GraftOptions()) {
 
-  private val manifest = new Manifest(rootDir)
+  private val manifest = new Manifest(rootDir, options.manifestLogCompactEvery)
   private def newSegmentDir(kind: String): String =
     s"$rootDir/$kind/${UUID.randomUUID().toString}"
 
@@ -188,8 +191,8 @@ final class GraftDB(
     val blobDir = newSegmentDir("blobs")
     val blobDf = withCols.filter(col("blobId").isNotNull).select(col("blobId"), col("value"))
     blobDf.write.mode(SaveMode.Overwrite).parquet(blobDir)
-    // row count from parquet footers — no second scan of the input
-    val blobCount = spark0.read.schema(KVEntry.blobSchema).parquet(blobDir).count()
+    // row count from parquet footers — driver-side metadata, no Spark job
+    val blobCount = footerRowCount(blobDir)
     val dataDir = newSegmentDir("data")
     writeSegment(withCols.select(
         col("key"),
@@ -260,18 +263,39 @@ final class GraftDB(
     }
   }
 
+  /** Total rows across a fresh parquet dir, from footers alone. */
+  private def footerRowCount(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(f: java.io.File): Vector[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toVector.flatMap { c =>
+        if (c.isDirectory) parquetFiles(c)
+        else if (c.getName.endsWith(".parquet")) Vector(c) else Vector.empty
+      }
+    val conf = spark.sparkContext.hadoopConfiguration
+    parquetFiles(new java.io.File(dir.replaceFirst("^file:/+", "/"))).map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf))
+      try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally rd.close()
+    }.sum
+  }
+
   /** Per-parquet-file manifest entries for a freshly written segment dir:
-    * one pass groups by `input_file_name` to collect each file's
-    * [minKey, maxKey] + row count. Range-partitioned output thus gets
-    * per-FILE pruning from the manifest (the reference's per-SST
-    * `[minKey,maxKey]` search, `kv/lsm/level_handler.go:45-64`) before
-    * parquet footers are even opened.
+    * each file's [minKey, maxKey] + row count come from its parquet FOOTER
+    * (row-group statistics on `key`, which Spark writes untruncated) — a
+    * driver-side metadata read, NOT a data scan. The old form re-scanned
+    * the entire generation through a groupBy(input_file_name) job, an
+    * O(generation) pass repeated on every write and compaction; footers
+    * make it O(files). Any file whose stats are missing falls back to the
+    * scan path for the whole dir — correctness never rests on optional
+    * metadata. Range-partitioned output thus gets per-FILE pruning from
+    * the manifest (the reference's per-SST `[minKey,maxKey]` search,
+    * `kv/lsm/level_handler.go:45-64`) before the files are even opened.
     */
   private def segmentFileMetas(dir: String, level: Int, baseVersion: Long): Vector[FileMeta] = {
     // enumerate part files directly (grid segments nest them under
     // __bucket=N dirs; an all-dead compaction output has none at all) and
-    // read them as plain files — no partition discovery, so the manifest
-    // records concrete file paths that readSegments() can open one by one
+    // record concrete file paths that readSegments() can open one by one
     def parquetFiles(f: java.io.File): Vector[java.io.File] =
       Option(f.listFiles()).getOrElse(Array.empty).toVector.flatMap { c =>
         if (c.isDirectory) parquetFiles(c)
@@ -279,14 +303,44 @@ final class GraftDB(
       }
     val files = parquetFiles(new java.io.File(dir.replaceFirst("^file:/+", "/")))
     if (files.isEmpty) return Vector.empty
-    spark.read.schema(KVEntry.schema).parquet(files.map(_.getPath): _*)
-      .groupBy(input_file_name().as("path"))
-      .agg(min(col("key")).as("mn"), max(col("key")).as("mx"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => FileMeta(r.getString(0), level,
-        Hex.encode(r.getAs[Array[Byte]](1)), Hex.encode(r.getAs[Array[Byte]](2)),
-        r.getLong(3), baseVersion))
-      .toVector
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fromFooters: Option[Vector[FileMeta]] = {
+      val metas = files.map { f =>
+        import scala.jdk.CollectionConverters._
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toVector
+          val rows = blocks.map(_.getRowCount).sum
+          val keyStats = blocks.map(b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "key").map(_.getStatistics))
+          if (rows == 0L ||
+              keyStats.exists(s => s.isEmpty || s.get == null || !s.get.hasNonNullValue)) None
+          else {
+            val mins = keyStats.map(_.get.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            val maxs = keyStats.map(_.get.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+            Some(FileMeta(f.getPath, level,
+              Hex.encode(mins.min(UnsignedBytesOrdering)),
+              Hex.encode(maxs.max(UnsignedBytesOrdering)),
+              rows, baseVersion))
+          }
+        } finally rd.close()
+      }
+      if (metas.forall(_.isDefined)) Some(metas.map(_.get)) else None
+    }
+    fromFooters.getOrElse {
+      spark.read.schema(KVEntry.schema).parquet(files.map(_.getPath): _*)
+        .groupBy(input_file_name().as("path"))
+        .agg(min(col("key")).as("mn"), max(col("key")).as("mx"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => FileMeta(r.getString(0), level,
+          Hex.encode(r.getAs[Array[Byte]](1)), Hex.encode(r.getAs[Array[Byte]](2)),
+          r.getLong(3), baseVersion))
+        .toVector
+    }
   }
 
   // ----------------------------------------------------------------- read path

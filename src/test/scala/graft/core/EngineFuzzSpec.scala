@@ -24,9 +24,12 @@ class EngineFuzzSpec extends AnyFunSuite {
       // targets sized BELOW the ~60-key live set (30/60/120 at multiplier
       // 2), so random compactions really do promote through L2/L3 and the
       // bottom-level-only dead-dropping rule is what the model checks
+      // manifestLogCompactEvery=7 forces several mid-program change-log
+      // compactions, so snapshot+replay churn runs UNDER the fuzz too
       GraftOptions(valueThreshold = 12, compactTriggerFiles = 1000,
         rangePartitions = 4, l1TargetRows = 30, levelSizeMultiplier = 2,
-        bucketTargetRows = 60, gcDiscardRatio = 0.3))
+        bucketTargetRows = 60, gcDiscardRatio = 0.3,
+        manifestLogCompactEvery = 7))
     val model = scala.collection.mutable.Map.empty[String, String]
     val keyspace = (0 until 60).map(i => f"k$i%03d")
     def randVal(): String = {
