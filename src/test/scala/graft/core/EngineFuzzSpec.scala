@@ -20,16 +20,17 @@ class EngineFuzzSpec extends AnyFunSuite {
 
   test("random op program: view == in-memory LWW model at every lifecycle point") {
     val rnd = new scala.util.Random(20260812L)
-    val db = new GraftDB(spark, Files.createTempDirectory("fuzz").toString,
-      // targets sized BELOW the ~60-key live set (30/60/120 at multiplier
-      // 2), so random compactions really do promote through L2/L3 and the
-      // bottom-level-only dead-dropping rule is what the model checks
-      // manifestLogCompactEvery=7 forces several mid-program change-log
-      // compactions, so snapshot+replay churn runs UNDER the fuzz too
-      GraftOptions(valueThreshold = 12, compactTriggerFiles = 1000,
-        rangePartitions = 4, l1TargetRows = 30, levelSizeMultiplier = 2,
-        bucketTargetRows = 60, gcDiscardRatio = 0.3,
-        manifestLogCompactEvery = 7))
+    val dir = Files.createTempDirectory("fuzz").toString
+    // targets sized BELOW the ~60-key live set (30/60/120 at multiplier
+    // 2), so random compactions really do promote through L2/L3 and the
+    // bottom-level-only dead-dropping rule is what the model checks;
+    // manifestLogCompactEvery=7 forces several mid-program change-log
+    // compactions, so snapshot+replay churn runs UNDER the fuzz too
+    val opts = GraftOptions(valueThreshold = 12, compactTriggerFiles = 1000,
+      rangePartitions = 4, l1TargetRows = 30, levelSizeMultiplier = 2,
+      bucketTargetRows = 60, gcDiscardRatio = 0.3,
+      manifestLogCompactEvery = 7)
+    var db = new GraftDB(spark, dir, opts)
     val model = scala.collection.mutable.Map.empty[String, String]
     val keyspace = (0 until 60).map(i => f"k$i%03d")
     def randVal(): String = {
@@ -50,6 +51,11 @@ class EngineFuzzSpec extends AnyFunSuite {
     var snap: Option[(Snapshot, Map[String, String])] = None
 
     for (step <- 0 until 12) {
+      // stateless REOPEN mid-program (before the pin at step 5 — pins are
+      // in-process and deliberately die with their instance): the fresh
+      // instance must rebuild the exact state from base snapshot + change
+      // log replay, and every later op runs against the replayed state
+      if (step == 3) { db = new GraftDB(spark, dir, opts); checkView("reopen") }
       if (step == 5) snap = Some((db.snapshot(), model.toMap))
       rnd.nextInt(5) match {
         case 0 => // batchSet of random upserts (last-in-batch wins, like the model fold)
