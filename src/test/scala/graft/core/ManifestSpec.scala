@@ -115,6 +115,27 @@ class ManifestSpec extends AnyFunSuite {
     assert(Files.size(log) == before && m.load().commitSeq == seqBefore)
   }
 
+  test("concurrent committers serialize: all commits land, seq stays contiguous") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 25) // compactions happen mid-race
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val futures = (0 until 8).map { w =>
+      Future {
+        (0 until 20).foreach { i =>
+          m.commit(st => st.copy(nextVersion = st.nextVersion + 1,
+            files = st.files :+ meta(w * 1000 + i)))
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 60.seconds)
+    val st = m.load()
+    assert(st.files.size == 160 && st.commitSeq == 160L && st.nextVersion == 161L)
+    // a cold replay (snapshot + post-compaction tail) reproduces it exactly
+    assert(new Manifest(dir).load() == st)
+  }
+
   test("pre-changelog manifests (whole-state JSON, no log) still load") {
     val dir = tmpDir()
     Files.createDirectories(Paths.get(dir))
