@@ -263,21 +263,35 @@ final class GraftDB(
     }
   }
 
+  /** Enumerate a segment dir's part files directly (grid segments nest
+    * them under `__bucket=N` dirs; an all-dead compaction output has none
+    * at all) — no partition discovery, so callers record concrete file
+    * paths that readSegments() can open one by one.
+    */
+  private def parquetPartFiles(dir: String): Vector[java.io.File] = {
+    def walk(f: java.io.File): Vector[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toVector.flatMap { c =>
+        if (c.isDirectory) walk(c)
+        else if (c.getName.endsWith(".parquet")) Vector(c) else Vector.empty
+      }
+    walk(new java.io.File(dir.replaceFirst("^file:/+", "/")))
+  }
+
+  /** Open one file's parquet footer, run `g`, close. */
+  private def withFooter[T](f: java.io.File)(
+      g: org.apache.parquet.hadoop.metadata.ParquetMetadata => T): T = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    try g(rd.getFooter) finally rd.close()
+  }
+
   /** Total rows across a fresh parquet dir, from footers alone. */
   private def footerRowCount(dir: String): Long = {
     import scala.jdk.CollectionConverters._
-    def parquetFiles(f: java.io.File): Vector[java.io.File] =
-      Option(f.listFiles()).getOrElse(Array.empty).toVector.flatMap { c =>
-        if (c.isDirectory) parquetFiles(c)
-        else if (c.getName.endsWith(".parquet")) Vector(c) else Vector.empty
-      }
-    val conf = spark.sparkContext.hadoopConfiguration
-    parquetFiles(new java.io.File(dir.replaceFirst("^file:/+", "/"))).map { f =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath), conf))
-      try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally rd.close()
-    }.sum
+    parquetPartFiles(dir).map(f =>
+      withFooter(f)(_.getBlocks.asScala.map(_.getRowCount).sum)).sum
   }
 
   /** Per-parquet-file manifest entries for a freshly written segment dir:
@@ -293,25 +307,13 @@ final class GraftDB(
     * `kv/lsm/level_handler.go:45-64`) before the files are even opened.
     */
   private def segmentFileMetas(dir: String, level: Int, baseVersion: Long): Vector[FileMeta] = {
-    // enumerate part files directly (grid segments nest them under
-    // __bucket=N dirs; an all-dead compaction output has none at all) and
-    // record concrete file paths that readSegments() can open one by one
-    def parquetFiles(f: java.io.File): Vector[java.io.File] =
-      Option(f.listFiles()).getOrElse(Array.empty).toVector.flatMap { c =>
-        if (c.isDirectory) parquetFiles(c)
-        else if (c.getName.endsWith(".parquet")) Vector(c) else Vector.empty
-      }
-    val files = parquetFiles(new java.io.File(dir.replaceFirst("^file:/+", "/")))
+    val files = parquetPartFiles(dir)
     if (files.isEmpty) return Vector.empty
-    val conf = spark.sparkContext.hadoopConfiguration
     val fromFooters: Option[Vector[FileMeta]] = {
       val metas = files.map { f =>
         import scala.jdk.CollectionConverters._
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.getPath), conf))
-        try {
-          val blocks = rd.getFooter.getBlocks.asScala.toVector
+        withFooter(f) { footer =>
+          val blocks = footer.getBlocks.asScala.toVector
           val rows = blocks.map(_.getRowCount).sum
           val keyStats = blocks.map(b =>
             b.getColumns.asScala.find(_.getPath.toDotString == "key").map(_.getStatistics))
@@ -327,7 +329,7 @@ final class GraftDB(
               Hex.encode(maxs.max(UnsignedBytesOrdering)),
               rows, baseVersion))
           }
-        } finally rd.close()
+        }
       }
       if (metas.forall(_.isDefined)) Some(metas.map(_.get)) else None
     }

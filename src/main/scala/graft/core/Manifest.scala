@@ -75,10 +75,13 @@ private[core] final case class ChangeRecord(
   * (the reference's rewrite threshold) and restarts empty.
   *
   * Crash contract:
-  *  - record append: a torn FINAL line (no trailing newline / unparsable)
-  *    is a crashed append of a commit that never returned — dropped on
-  *    replay. A torn or out-of-sequence record anywhere ELSE is real
-  *    corruption and fails loudly.
+  *  - record append: an UNTERMINATED final chunk (the trailing '\n' is the
+  *    last byte a successful append writes) is a crashed append of a
+  *    commit that never returned — dropped on replay, truncated by the
+  *    next commit before it appends (readers never truncate; only the
+  *    single writer does). An unparsable newline-TERMINATED record was
+  *    acknowledged to its committer, and an out-of-sequence record broke
+  *    the chain — both are real corruption and fail loudly.
   *  - snapshot compaction: snapshot rename is atomic; a crash before the
   *    log truncation leaves stale records whose `seq <= base.commitSeq`,
   *    which replay skips (idempotent).
@@ -101,6 +104,11 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
   private var cached: ManifestState = _
   private var cachedStamp: (Long, Long, Long, Long) = _
   private var logRecords: Int = 0
+  // byte length of the log's VALID prefix (complete, parsed records). A
+  // torn tail beyond it is truncated by the next commit — never appended
+  // after, which would merge the torn bytes and the new record into one
+  // unparsable line.
+  private var validLogBytes: Long = 0L
 
   Files.createDirectories(Paths.get(rootDir))
 
@@ -168,20 +176,30 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
       else ManifestState(1L, 1L, Vector.empty, Vector.empty)
     var st = base
     logRecords = 0
+    validLogBytes = 0L
     if (Files.exists(logPath)) {
-      val lines = Files.readString(logPath, StandardCharsets.UTF_8).split("\n", -1)
-      var i = 0
-      while (i < lines.length) {
-        val line = lines(i)
-        val isLast = i >= lines.length - 2 // last element is "" after a clean trailing \n
-        if (line.nonEmpty) {
+      val bytes = Files.readAllBytes(logPath)
+      // Byte-accurate line walk: ONLY an unterminated final chunk is a
+      // crash signature (the trailing '\n' is the last byte a successful
+      // append writes) and may be dropped. An unparsable NEWLINE-TERMINATED
+      // record was acknowledged to its committer — that is real corruption
+      // and fails loudly wherever it sits.
+      var start = 0
+      var lineNo = 0
+      while (start < bytes.length) {
+        var end = start
+        while (end < bytes.length && bytes(end) != '\n') end += 1
+        val terminated = end < bytes.length
+        lineNo += 1
+        if (end > start) {
+          val line = new String(bytes, start, end - start, StandardCharsets.UTF_8)
           val parsed =
             try Some(Serialization.read[ChangeRecord](line))
             catch {
               case e: Exception =>
-                if (isLast) None // torn append of an unacknowledged commit
+                if (!terminated) None // torn append of an unacknowledged commit
                 else throw new IllegalStateException(
-                  s"corrupt manifest log record at $logPath line ${i + 1}", e)
+                  s"corrupt manifest log record at $logPath line $lineNo", e)
             }
           parsed.foreach { r =>
             if (r.seq > st.commitSeq) {
@@ -192,8 +210,11 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
               logRecords += 1
             } // seq <= commitSeq: stale pre-compaction record — skip
           }
+          if (terminated) validLogBytes = (end + 1).toLong
+        } else if (terminated) {
+          validLogBytes = (end + 1).toLong // empty line: keep walking
         }
-        i += 1
+        start = end + 1
       }
     }
     st
@@ -220,8 +241,16 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
     val next = next0.copy(commitSeq = cur.commitSeq + 1)
     val rec = diff(cur, next)
     val line = Serialization.write(rec) + "\n"
+    // writer-side recovery: drop a torn tail BEFORE appending, so the new
+    // record starts its own line instead of merging with the torn bytes
+    // (readers never truncate — only the single writer does)
+    if (Files.exists(logPath) && Files.size(logPath) > validLogBytes) {
+      val ch = java.nio.channels.FileChannel.open(logPath, StandardOpenOption.WRITE)
+      try ch.truncate(validLogBytes) finally ch.close()
+    }
     Files.write(logPath, line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    validLogBytes += line.getBytes(StandardCharsets.UTF_8).length.toLong
     logRecords += 1
     if (logRecords >= logCompactEvery) compactLog(next)
     cached = next
@@ -240,6 +269,7 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
       StandardCopyOption.REPLACE_EXISTING)
     Files.deleteIfExists(logPath)
     logRecords = 0
+    validLogBytes = 0L
   }
 }
 

@@ -133,6 +133,15 @@ object Similarity {
 
   private implicit val ivfFmts: org.json4s.Formats = org.json4s.DefaultFormats
 
+  // serializes every index MUTATION (build commit, append stage+seal,
+  // vacuum) in-process — an unsynchronized read-modify-write of the
+  // manifest would let two appends both read the same sealedDirs and the
+  // last writer silently orphan the other's batch, and a vacuum running
+  // between an append's stage and seal would delete the staged dir out
+  // from under it. Cross-PROCESS writers are out of scope, same
+  // single-writer contract as the GraftDB manifest.
+  private val ivfLock = new Object
+
   private def readIvfManifest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[IvfManifest] = {
     val (fs, _) = ivfFs(spark, indexDir)
@@ -233,7 +242,7 @@ object Similarity {
     * cleanup point, like GraftDB.vacuum — in-flight readers of old
     * generations are the caller's concern).
     */
-  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Int = {
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Int = ivfLock.synchronized {
     val (fs, root) = ivfFs(spark, indexDir)
     readIvfManifest(spark, indexDir) match {
       case None => 0
@@ -284,7 +293,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L,
-      fitSampleRows: Long = 262144L): Unit = {
+      fitSampleRows: Long = 262144L): Unit = ivfLock.synchronized {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -381,13 +390,26 @@ object Similarity {
         sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
     else assignedNew
     manifest match {
-      case Some(m) =>
-        // stage, then SEAL with one atomic manifest swap
+      case Some(m) => ivfLock.synchronized {
+        // stage, then SEAL with one atomic manifest swap (under ivfLock so
+        // a concurrent append/vacuum cannot orphan the staged batch)
         val batchDir = s"append-${java.util.UUID.randomUUID().toString}"
+        val batchPath = s"$indexDir/g${m.gen}/$batchDir"
         toWrite.repartition(col("cell"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("cell").parquet(s"$indexDir/g${m.gen}/$batchDir")
-        writeIvfManifest(spark, indexDir, m.copy(sealedDirs = m.sealedDirs :+ batchDir))
+          .partitionBy("cell").parquet(batchPath)
+        // an EMPTY batch writes no parquet files — sealing the bare dir
+        // would make every later read of the index fail schema inference;
+        // drop the stage instead of sealing it
+        val (fs, _) = ivfFs(spark, indexDir)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(batchPath), true)
+        var hasParquet = false
+        while (!hasParquet && it.hasNext)
+          hasParquet = it.next().getPath.getName.endsWith(".parquet")
+        if (hasParquet)
+          writeIvfManifest(spark, indexDir, m.copy(sealedDirs = m.sealedDirs :+ batchDir))
+        else fs.delete(new org.apache.hadoop.fs.Path(batchPath), true)
+      }
       case None => // legacy root layout: no manifest to seal into
         toWrite.repartition(col("cell"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)

@@ -82,7 +82,18 @@ class ManifestSpec extends AnyFunSuite {
       StandardOpenOption.APPEND)
     val st = new Manifest(dir).load()
     assert(st.files.size == 3 && st.commitSeq == 3L, "torn tail must be dropped, not applied")
-    // corruption in the MIDDLE is not a crash signature — it must throw
+    // the WRITER truncates the torn bytes before its next append — the new
+    // record must not merge with the torn prefix into one unparsable line
+    val m2 = new Manifest(dir, logCompactEvery = 1000)
+    addFile(m2, 3)
+    val recovered = new Manifest(dir).load()
+    assert(recovered.files.size == 4 && recovered.commitSeq == 4L,
+      "append after a torn tail corrupted the log")
+    // a corrupt but NEWLINE-TERMINATED record was an acknowledged commit —
+    // real corruption, fails loudly wherever it sits (including the end)
+    Files.write(log, "{garbage}\n".getBytes, StandardOpenOption.APPEND)
+    assertThrows[IllegalStateException](new Manifest(dir).load())
+    // corruption in the MIDDLE likewise throws
     val lines = Files.readString(log).split("\n").toVector
     val mangled = (lines.take(1) :+ "{garbage}") ++ lines.drop(2)
     Files.write(log, (mangled.mkString("\n") + "\n").getBytes)
