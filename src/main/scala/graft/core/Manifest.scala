@@ -179,11 +179,15 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
     validLogBytes = 0L
     if (Files.exists(logPath)) {
       val bytes = Files.readAllBytes(logPath)
-      // Byte-accurate line walk: ONLY an unterminated final chunk is a
-      // crash signature (the trailing '\n' is the last byte a successful
-      // append writes) and may be dropped. An unparsable NEWLINE-TERMINATED
-      // record was acknowledged to its committer — that is real corruption
-      // and fails loudly wherever it sits.
+      // Byte-accurate line walk: a record is COMMITTED iff its trailing
+      // '\n' made it to disk (the last byte a successful append writes).
+      // An unterminated final chunk — parseable or not — is a crashed,
+      // unacknowledged append: dropped here, truncated by the next commit.
+      // (Applying a parseable-but-unterminated record would advance the
+      // in-memory seq past validLogBytes, and the truncating writer would
+      // then leave a seq gap on disk.) An unparsable newline-TERMINATED
+      // record was acknowledged to its committer — real corruption, fails
+      // loudly wherever it sits.
       var start = 0
       var lineNo = 0
       while (start < bytes.length) {
@@ -191,29 +195,23 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
         while (end < bytes.length && bytes(end) != '\n') end += 1
         val terminated = end < bytes.length
         lineNo += 1
-        if (end > start) {
+        if (terminated && end > start) {
           val line = new String(bytes, start, end - start, StandardCharsets.UTF_8)
-          val parsed =
-            try Some(Serialization.read[ChangeRecord](line))
+          val r =
+            try Serialization.read[ChangeRecord](line)
             catch {
-              case e: Exception =>
-                if (!terminated) None // torn append of an unacknowledged commit
-                else throw new IllegalStateException(
-                  s"corrupt manifest log record at $logPath line $lineNo", e)
+              case e: Exception => throw new IllegalStateException(
+                s"corrupt manifest log record at $logPath line $lineNo", e)
             }
-          parsed.foreach { r =>
-            if (r.seq > st.commitSeq) {
-              if (r.seq != st.commitSeq + 1)
-                throw new IllegalStateException(
-                  s"manifest log gap at $logPath: have seq ${st.commitSeq}, next record is ${r.seq}")
-              st = applyRecord(st, r)
-              logRecords += 1
-            } // seq <= commitSeq: stale pre-compaction record — skip
-          }
-          if (terminated) validLogBytes = (end + 1).toLong
-        } else if (terminated) {
-          validLogBytes = (end + 1).toLong // empty line: keep walking
+          if (r.seq > st.commitSeq) {
+            if (r.seq != st.commitSeq + 1)
+              throw new IllegalStateException(
+                s"manifest log gap at $logPath: have seq ${st.commitSeq}, next record is ${r.seq}")
+            st = applyRecord(st, r)
+            logRecords += 1
+          } // seq <= commitSeq: stale pre-compaction record — skip
         }
+        if (terminated) validLogBytes = (end + 1).toLong
         start = end + 1
       }
     }

@@ -89,6 +89,19 @@ class ManifestSpec extends AnyFunSuite {
     val recovered = new Manifest(dir).load()
     assert(recovered.files.size == 4 && recovered.commitSeq == 4L,
       "append after a torn tail corrupted the log")
+    // a PARSEABLE but unterminated final record is still an unacknowledged
+    // crash (the '\n' never made it): dropped, and the next commit's
+    // truncation must not leave a seq gap
+    val m3 = new Manifest(dir, logCompactEvery = 1000)
+    val st4 = m3.load()
+    val ghost = """{"seq":5,"nextVersion":99,"nextBlobId":1,"addFiles":[],"removePaths":[],""" +
+      """"addBlobs":[],"removeBlobPaths":[],"clearBounds":false,"addBounds":[],"removeBounds":[]}"""
+    Files.write(log, ghost.getBytes, StandardOpenOption.APPEND) // no newline
+    assert(new Manifest(dir).load() == st4, "unterminated record must not be applied")
+    addFile(m3, 4)
+    val st5 = new Manifest(dir).load()
+    assert(st5.files.size == 5 && st5.commitSeq == 5L && st5.nextVersion != 99L,
+      "truncate-then-append after a parseable torn tail broke the replay chain")
     // a corrupt but NEWLINE-TERMINATED record was an acknowledged commit —
     // real corruption, fails loudly wherever it sits (including the end)
     Files.write(log, "{garbage}\n".getBytes, StandardOpenOption.APPEND)
