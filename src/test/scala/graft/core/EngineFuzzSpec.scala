@@ -18,8 +18,11 @@ class EngineFuzzSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
 
-  test("random op program: view == in-memory LWW model at every lifecycle point") {
-    val rnd = new scala.util.Random(20260812L)
+  // several seeds: one program cannot hit every interleaving of grid
+  // refinement, promotion, GC, log compaction, and reopen
+  for (seed <- Seq(20260812L, 7L, 424242L))
+  test(s"random op program (seed $seed): view == in-memory LWW model at every lifecycle point") {
+    val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory("fuzz").toString
     // targets sized BELOW the ~60-key live set (30/60/120 at multiplier
     // 2), so random compactions really do promote through L2/L3 and the
