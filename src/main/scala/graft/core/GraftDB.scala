@@ -176,7 +176,13 @@ final class GraftDB(
       baseVersion = st.nextVersion; baseBlob = st.nextBlobId
       // Blob-id block sized for monotonically_increasing_id's
       // (partitionId << 33 | offset) layout: supports 4096 input partitions
-      // per batch. Ids are opaque; gaps are fine.
+      // per batch. Ids are opaque; gaps are fine. The id space affords
+      // 2^18 (~262k) bulk batches per engine lifetime — fail LOUDLY on
+      // exhaustion rather than wrapping into colliding ids (the escape
+      // hatch is a coherent renumbering rewrite of blob table + refs,
+      // which gcBlobs/majorCompact machinery could host if ever needed).
+      require(st.nextBlobId <= Long.MaxValue - (1L << 45),
+        s"blob id space exhausted after ${st.nextBlobId >> 45} bulk batches — renumber blobs")
       st.copy(nextVersion = st.nextVersion + 1, nextBlobId = st.nextBlobId + (1L << 45))
     }
     val withExp =
@@ -200,10 +206,23 @@ final class GraftDB(
         col("version"), col("expiresAt"), col("tombstone"), col("blobId")),
       dataDir)
     val metas = segmentFileMetas(dataDir, level = 0, baseVersion)
-    manifest.commit(st => st.copy(
-      files = st.files ++ metas,
-      blobFiles = if (blobCount > 0) st.blobFiles :+ BlobFileMeta(blobDir, blobCount)
-                  else st.blobFiles))
+    // reclaim the unused tail of the 2^45 blob-id reservation when OUR
+    // reservation is still the frontier (no concurrent writer reserved
+    // past it): id usage then tracks the actual blob count instead of
+    // burning 2^45 per batch, and the exhaustion guard above becomes
+    // unreachable in single-writer deployments
+    val maxUsedBlobId = footerMaxLong(blobDir, "blobId")
+    manifest.commit { st =>
+      val reclaimed =
+        if (st.nextBlobId != baseBlob + (1L << 45)) st.nextBlobId // raced: keep
+        else if (blobCount == 0L) baseBlob
+        else maxUsedBlobId.map(_ + 1).getOrElse(st.nextBlobId)
+      st.copy(
+        files = st.files ++ metas,
+        blobFiles = if (blobCount > 0) st.blobFiles :+ BlobFileMeta(blobDir, blobCount)
+                    else st.blobFiles,
+        nextBlobId = reclaimed)
+    }
     maybeCaptureGrid(metas)
     maybeCompact()
   }
@@ -292,6 +311,26 @@ final class GraftDB(
     import scala.jdk.CollectionConverters._
     parquetPartFiles(dir).map(f =>
       withFooter(f)(_.getBlocks.asScala.map(_.getRowCount).sum)).sum
+  }
+
+  /** Max value of a long column across a fresh parquet dir, from footer
+    * statistics; None when the dir is empty or any block lacks stats.
+    */
+  private def footerMaxLong(dir: String, column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val files = parquetPartFiles(dir)
+    if (files.isEmpty) return None
+    val perBlock = files.flatMap { f =>
+      withFooter(f)(_.getBlocks.asScala.toVector.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+          .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+      })
+    }
+    // a 0-row part file contributes no blocks; an all-empty dir has no max
+    if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+    else Some(perBlock.map(_.get).max)
   }
 
   /** Per-parquet-file manifest entries for a freshly written segment dir:
@@ -879,7 +918,8 @@ final class GraftDB(
       "level0Segments" -> st.files.count(_.level == 0).toLong,
       "blobSegments" -> st.blobFiles.size.toLong,
       "rows" -> st.files.map(_.rows).sum,
-      "nextVersion" -> st.nextVersion)
+      "nextVersion" -> st.nextVersion,
+      "nextBlobId" -> st.nextBlobId)
   }
 
   /** Total manifest-recorded rows at one level (L1 bound checks, tests). */

@@ -438,4 +438,24 @@ class GraftDBSpec extends AnyFunSuite {
       s"1-row set wrote $late log bytes at 61 files vs $early at 1")
     assert(db.view().count() == 61)
   }
+
+  test("bulk-write blob-id reservation is reclaimed to actual usage") {
+    val db = freshDb(GraftOptions(valueThreshold = 8, compactTriggerFiles = 1000))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    def bulk(n: Int, tag: String): Unit = db.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until n).map(i => org.apache.spark.sql.Row(b(f"$tag$i%04d"), b(s"blobvalue-$tag-$i"))), 3),
+      schema))
+    bulk(50, "a"); bulk(50, "bb")
+    // two bulk batches provisionally reserve 2^46 ids; with the frontier
+    // unraced, each write's final commit shrinks back to max-used+1, so
+    // the id space lasts ~2^63 blobs instead of 2^18 batches
+    val next = db.stats()("nextBlobId")
+    assert(next < (1L << 45),
+      s"blob-id reservation never reclaimed: nextBlobId=$next after 2 batches")
+    assert(db.view().count() == 100)
+    assert(db.get(b("a0001")).map(new String(_)).contains("blobvalue-a-1"))
+  }
 }
