@@ -168,8 +168,11 @@ final class GraftDB(
     * [[resolved]]. Blob ids come from `monotonically_increasing_id`
     * (unique, shuffle-free) over a reserved id block.
     */
-  def write(df: DataFrame): Unit = {
-    val spark0 = spark
+  def write(df0: DataFrame): Unit = {
+    // the blob-id layout (partitionId << 33 | offset) supports 4096 input
+    // partitions per batch — enforce the precondition structurally with a
+    // narrow (shuffle-free) coalesce instead of trusting callers
+    val df = if (df0.rdd.getNumPartitions > 4096) df0.coalesce(4096) else df0
     var baseVersion = 0L
     var baseBlob = 0L
     manifest.commit { st =>
@@ -197,8 +200,13 @@ final class GraftDB(
     val blobDir = newSegmentDir("blobs")
     val blobDf = withCols.filter(col("blobId").isNotNull).select(col("blobId"), col("value"))
     blobDf.write.mode(SaveMode.Overwrite).parquet(blobDir)
-    // row count from parquet footers — driver-side metadata, no Spark job
-    val blobCount = footerRowCount(blobDir)
+    // row count + max id from parquet footers in ONE driver-side metadata
+    // pass — no Spark job, no second footer walk
+    val (blobCount, maxUsedBlobId) = blobFooterStats(blobDir)
+    // belt to the coalesce's braces: ids past the reserved block would
+    // collide with a concurrent writer's reservation — fail loudly
+    maxUsedBlobId.foreach(mx => require(mx < baseBlob + (1L << 45),
+      s"blob ids spilled past the reserved block (max $mx, base $baseBlob)"))
     val dataDir = newSegmentDir("data")
     writeSegment(withCols.select(
         col("key"),
@@ -211,7 +219,6 @@ final class GraftDB(
     // past it): id usage then tracks the actual blob count instead of
     // burning 2^45 per batch, and the exhaustion guard above becomes
     // unreachable in single-writer deployments
-    val maxUsedBlobId = footerMaxLong(blobDir, "blobId")
     manifest.commit { st =>
       val reclaimed =
         if (st.nextBlobId != baseBlob + (1L << 45)) st.nextBlobId // raced: keep
@@ -306,31 +313,27 @@ final class GraftDB(
     try g(rd.getFooter) finally rd.close()
   }
 
-  /** Total rows across a fresh parquet dir, from footers alone. */
-  private def footerRowCount(dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    parquetPartFiles(dir).map(f =>
-      withFooter(f)(_.getBlocks.asScala.map(_.getRowCount).sum)).sum
-  }
-
-  /** Max value of a long column across a fresh parquet dir, from footer
-    * statistics; None when the dir is empty or any block lacks stats.
+  /** Blob-dir stats in ONE footer pass: (total rows, max blobId). The max
+    * is None when the dir has no data blocks or any block lacks blobId
+    * statistics — callers must then keep their conservative reservation.
     */
-  private def footerMaxLong(dir: String, column: String): Option[Long] = {
+  private def blobFooterStats(dir: String): (Long, Option[Long]) = {
     import scala.jdk.CollectionConverters._
-    val files = parquetPartFiles(dir)
-    if (files.isEmpty) return None
-    val perBlock = files.flatMap { f =>
-      withFooter(f)(_.getBlocks.asScala.toVector.map { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == column)
+    var rows = 0L
+    val perBlock = Vector.newBuilder[Option[Long]]
+    parquetPartFiles(dir).foreach { f =>
+      withFooter(f)(_.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        perBlock += b.getColumns.asScala.find(_.getPath.toDotString == "blobId")
           .map(_.getStatistics)
           .filter(s => s != null && s.hasNonNullValue)
           .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
       })
     }
-    // a 0-row part file contributes no blocks; an all-empty dir has no max
-    if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
-    else Some(perBlock.map(_.get).max)
+    val maxes = perBlock.result()
+    val max = if (maxes.isEmpty || maxes.exists(_.isEmpty)) None
+              else Some(maxes.map(_.get).max)
+    (rows, max)
   }
 
   /** Per-parquet-file manifest entries for a freshly written segment dir:

@@ -951,18 +951,28 @@ object Catalog {
 
   // ======================================================== E. similarity ==
 
-  /** One persisted IVF index per dataset dir, built on first use within the
+  /** One persisted IVF index per dataset, built on first use within the
     * process (deterministic: fixed seed + params, so every query sees the
     * identical index the first builder produced — memoizing only removes
     * redundant k-means fits when several declared rows share the index).
+    * Keyed by the embeddings table's (path, size, mtime), so a dataset
+    * regenerated under the same path in a long-lived JVM gets a FRESH
+    * index instead of a stale one.
     */
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfIndexFor(s: SparkSession, dir: String): String =
-    ivfIndexDirs.computeIfAbsent(dir, _ => {
+  private def ivfIndexFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    ivfIndexDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
       val idx = Files.createTempDirectory("graft-q-ivf").toString
       Similarity.buildIvfIndex(t(s, dir, "embeddings"), idx, numCentroids = 16)
       idx
     })
+  }
 
   private val similarity: Seq[(String, QueryDef)] = Seq(
 
