@@ -66,6 +66,35 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) => db.write(batch) }
       .start()
 
+  /** Streaming embedding ingest into a persisted IVF index: each
+    * micro-batch appends through [[graft.llmops.Similarity.appendToIvfIndex]]
+    * — staged-then-sealed (crash-safe), with the drift trigger deciding
+    * per batch whether the coarse quantizer still covers the incoming
+    * distribution (a drifted batch re-fits the index as its own new
+    * generation). The streaming checkpoint gives at-least-once batch
+    * delivery; a replayed batch re-appends its rows, which ANN probe
+    * semantics tolerate (duplicate neighbors rank adjacently) and the
+    * next re-fit collapses. This is the "index keeps up with the corpus"
+    * path a training-data pipeline runs beside [[ingestToDb]].
+    */
+  def ingestToIvfIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      refitFactor: Double = 4.0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llmops.Similarity.appendToIvfIndex(
+          batch.sparkSession, indexDir, batch,
+          idCol = idCol, vecCol = vecCol, refitFactor = refitFactor)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup for ingest pipelines: keep the first row per
     * `keyCol`, dropping re-arrivals within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — key-only dedup with

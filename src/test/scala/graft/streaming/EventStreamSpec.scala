@@ -196,4 +196,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(db.view().count() === batch.count())
     assert(db.stats()("dataSegments") >= 2) // one generation per micro-batch
   }
+
+  test("streaming embedding ingest appends to a persisted IVF index (drift-aware)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idxDir = Files.createTempDirectory("stream-ivf-idx").toString
+    graft.llmops.Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 2 === 0), idxDir, numCentroids = 8)
+    val baseCount = graft.llmops.Similarity.ivfAssigned(spark, idxDir).count()
+    // stream the odd half in two micro-batches
+    val inDir = Files.createTempDirectory("stream-ivf-in").toString
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    odd.filter(col("vec_id") % 4 === 1).coalesce(1).write.mode("overwrite").parquet(s"$inDir/b")
+    odd.filter(col("vec_id") % 4 === 3).coalesce(1).write.mode("append").parquet(s"$inDir/b")
+    val stream = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/b")
+    val q = EventStream.ingestToIvfIndex(stream, idxDir,
+      Files.createTempDirectory("stream-ivf-ckpt").toString)
+    try { q.processAllAvailable() } finally q.stop()
+    // every streamed vector is in the live index and reachable by probes
+    assert(graft.llmops.Similarity.ivfAssigned(spark, idxDir).count() ==
+      baseCount + odd.count())
+    val res = graft.llmops.Similarity.ivfTopKIndexed(
+      spark, idxDir, odd.limit(3), k = 3, nProbe = 8)
+    assert(res.count() == 9)
+    assert(res.collect().map(_.getLong(1)).exists(_ % 2 == 1),
+      "streamed vectors never surfaced as neighbors")
+  }
 }
