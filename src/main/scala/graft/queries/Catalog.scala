@@ -383,6 +383,25 @@ object Catalog {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY rf, ls""")),
 
+    "q_grouping_sets" -> QueryDef(
+      // GROUPING SETS — the general grouping form rollup/cube specialize:
+      // per-returnflag and per-linestatus totals in ONE pass (each a
+      // partial aggregate over the same scan), no full cross product
+      (s, dir) => t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY rf, ls""")),
+
     "q_percentiles" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -1,0 +1,62 @@
+package graft.llmops
+
+import graft.core.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct operator tests for the skew guards — the Catalog recall gates
+  * certify end-to-end recall, but the guard-tripping path (over-full
+  * buckets dropped) only fires on degenerate corpora the test data
+  * doesn't contain, so it needs purpose-built inputs.
+  */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 12 identical documents: every signature identical, so every band
+  // bucket holds all 12 docs — the degenerate corpus the caps exist for
+  private def identicalDocs = (0L until 12L)
+    .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    .toDF("doc_id", "text")
+
+  test("simhashOverflowBands surfaces exactly the buckets the guard would drop") {
+    // cap below the bucket size: all 4 bands of the shared signature overflow
+    val over = Dedup.simhashOverflowBands(identicalDocs, maxBucketSize = 5).collect()
+    assert(over.length == 4, s"expected 4 over-full bands, got ${over.length}")
+    assert(over.forall(_.getLong(1) == 12L))
+    // cap above: no overflow, the exactness claim holds unconditionally
+    assert(Dedup.simhashOverflowBands(identicalDocs, maxBucketSize = 50).isEmpty)
+  }
+
+  test("simhashPairs skew cap drops over-full buckets; uncapped finds all pairs") {
+    // capped: every band bucket is over-full and dropped -> no candidates.
+    // This is the documented recall loss simhashOverflowBands warns about.
+    assert(Dedup.simhashPairs(identicalDocs, maxHamming = 3, maxBucketSize = 5).count() == 0L)
+    // uncapped: all 12*11/2 identical pairs at hamming 0
+    val pairs = Dedup.simhashPairs(identicalDocs, maxHamming = 3, maxBucketSize = 50).collect()
+    assert(pairs.length == 66)
+    assert(pairs.forall(r => r.getAs[Number]("hamming").longValue == 0L))
+  }
+
+  test("minhashLshPairs skew cap drops over-full band buckets; uncapped verifies all pairs") {
+    assert(Dedup.minhashLshPairs(identicalDocs, threshold = 0.8, maxBucketSize = 5).count() == 0L)
+    val pairs = Dedup.minhashLshPairs(identicalDocs, threshold = 0.8, maxBucketSize = 50).collect()
+    assert(pairs.length == 66)
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("exactSetJaccardPairs candidate aggregation equals the declared pair semantics") {
+    // mixed corpus: two near-dup clusters + singletons, one group
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),    // ~0.71 vs 1 — below 0.8
+      (3L, "alpha beta gamma delta epsilon zeta"),   // exact dup of 1
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"),     // exact dup of 4
+      (6L, "totally unrelated words here entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsWithin(docs.withColumn("source", lit("g")), "source", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (4L, 5L)), s"unexpected pair set: $got")
+  }
+}
