@@ -458,4 +458,20 @@ class GraftDBSpec extends AnyFunSuite {
     assert(db.view().count() == 100)
     assert(db.get(b("a0001")).map(new String(_)).contains("blobvalue-a-1"))
   }
+
+  test("auto-compaction: the L0 trigger fires through batchSet and keeps L0 bounded") {
+    val db = freshDb(GraftOptions(compactTriggerFiles = 3))
+    // 8 batches: the 3rd, 6th, ... L0 generations trip the trigger inside
+    // batchSet itself (no explicit compact() call anywhere in this test)
+    (0 until 8).foreach { gen =>
+      db.batchSet((0 until 10).map(i => KVEntry(b(f"ak$i%02d"), b(s"g$gen-$i"))))
+    }
+    val stats = db.stats()
+    assert(stats("level0Segments") < 3,
+      s"auto-compaction never fired: ${stats("level0Segments")} L0 segments after 8 batches")
+    // the merged view is still exact LWW of the last generation
+    val got = db.view().collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key")) -> new String(r.getAs[Array[Byte]]("value"))).toMap
+    assert(got.size == 10 && got("ak05") == "g7-5")
+  }
 }
