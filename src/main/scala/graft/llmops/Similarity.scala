@@ -369,7 +369,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       refitFactor: Double = 4.0,
-      seed: Long = 42L): Boolean = {
+      seed: Long = 42L): Boolean = ivfLock.synchronized {
+    // the WHOLE append holds ivfLock: a manifest read outside the lock
+    // would go stale by seal time — two concurrent appends would then
+    // both seal from the same snapshot and the last writer would orphan
+    // the other's batch (and a generation flip mid-stage would strand the
+    // staged dir under the dead generation)
     import spark.implicits._
     import graft.functions.expressions.VectorExpressions
     val (centroidsPath, assignedPath, statsPath) = ivfPaths(spark, indexDir)
@@ -390,9 +395,8 @@ object Similarity {
         sum(VectorExpressions.nearest_centroid_dist(col("cv"), centroids)).as("bs"))
     else assignedNew
     manifest match {
-      case Some(m) => ivfLock.synchronized {
-        // stage, then SEAL with one atomic manifest swap (under ivfLock so
-        // a concurrent append/vacuum cannot orphan the staged batch)
+      case Some(m) =>
+        // stage, then SEAL with one atomic manifest swap
         val batchDir = s"append-${java.util.UUID.randomUUID().toString}"
         val batchPath = s"$indexDir/g${m.gen}/$batchDir"
         toWrite.repartition(col("cell"))
@@ -409,7 +413,6 @@ object Similarity {
         if (hasParquet)
           writeIvfManifest(spark, indexDir, m.copy(sealedDirs = m.sealedDirs :+ batchDir))
         else fs.delete(new org.apache.hadoop.fs.Path(batchPath), true)
-      }
       case None => // legacy root layout: no manifest to seal into
         toWrite.repartition(col("cell"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -426,8 +429,13 @@ object Similarity {
           // the batch is already sealed into the live generation, so the
           // re-fit reads it through ivfAssigned while writing the NEXT
           // generation; the manifest only flips once that generation is
-          // complete — no read-your-own-overwrite hazard
-          buildIvfIndex(ivfAssigned(spark, indexDir).select(col("neighbor_id"), col("cv")),
+          // complete — no read-your-own-overwrite hazard. dropDuplicates
+          // on the id collapses rows an at-least-once ingest (e.g. a
+          // streaming-checkpoint replay) appended twice: same id = same
+          // vector, so the survivor is well-defined
+          buildIvfIndex(
+            ivfAssigned(spark, indexDir).select(col("neighbor_id"), col("cv"))
+              .dropDuplicates("neighbor_id"),
             indexDir, numCentroids = k, idCol = "neighbor_id", vecCol = "cv", seed = seed)
           true
         } else {

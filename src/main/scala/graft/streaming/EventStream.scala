@@ -72,10 +72,14 @@ object EventStream {
     * per batch whether the coarse quantizer still covers the incoming
     * distribution (a drifted batch re-fits the index as its own new
     * generation). The streaming checkpoint gives at-least-once batch
-    * delivery; a replayed batch re-appends its rows, which ANN probe
-    * semantics tolerate (duplicate neighbors rank adjacently) and the
-    * next re-fit collapses. This is the "index keeps up with the corpus"
-    * path a training-data pipeline runs beside [[ingestToDb]].
+    * delivery; a replayed batch re-appends its rows — ANN probe semantics
+    * tolerate the duplicates (same id, same vector: they rank adjacently),
+    * and the next drift re-fit collapses them (`dropDuplicates` on the id
+    * in the rebuild). A replay also re-folds the batch's drift statistics;
+    * that bias is bounded (mean distance is unchanged, only the weight
+    * doubles) and likewise resets at the next re-fit. This is the "index
+    * keeps up with the corpus" path a training-data pipeline runs beside
+    * [[ingestToDb]].
     */
   def ingestToIvfIndex(
       stream: DataFrame,

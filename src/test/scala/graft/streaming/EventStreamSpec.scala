@@ -208,8 +208,7 @@ class EventStreamSpec extends AnyFunSuite {
     val odd = emb.filter(col("vec_id") % 2 === 1)
     odd.filter(col("vec_id") % 4 === 1).coalesce(1).write.mode("overwrite").parquet(s"$inDir/b")
     odd.filter(col("vec_id") % 4 === 3).coalesce(1).write.mode("append").parquet(s"$inDir/b")
-    val stream = spark.readStream.schema(odd.schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$inDir/b")
+    val stream = EventStream.readEventsStream(spark, s"$inDir/b", odd.schema)
     val q = EventStream.ingestToIvfIndex(stream, idxDir,
       Files.createTempDirectory("stream-ivf-ckpt").toString)
     try { q.processAllAvailable() } finally q.stop()
