@@ -158,11 +158,12 @@ object Dedup {
       groupCol: String,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      maxBucketSize: Int = 4096): DataFrame =
     exactSetJaccardPairs(
       docs.select(col(groupCol).as("g"), col(idCol).as("id"),
         sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts")),
-      threshold)
+      threshold, maxBucketSize)
 
   /** EXACT set-similarity self-join over `(g, id, ts sorted-distinct
     * array<string>)`, AllPairs/PPJoin style:
@@ -177,10 +178,29 @@ object Dedup {
     * the MinHash recall gate compares against (same algorithm, shingle
     * sets, one global group).
     *
+    * Skew guard (exactness-preserving, unlike the DROP caps in the minhash
+    * and simhash paths): a degenerate rare-token bucket of B near-dup
+    * survivors owes B^2/2 candidate pairs — that output is owed by
+    * exactness and cannot be dropped, but it must not materialize one
+    * B-element array and stream B^2 rows from ONE task. Buckets past
+    * `maxBucketSize` are hash-split into s = ceil(B / maxBucketSize)
+    * chunks and each row is replicated to its s chunk-pair reducers
+    * ((c,c) diagonal plus every (min(c,k), max(c,k))), so the same B^2/2
+    * pairs stream from s(s+1)/2 tasks of at most ~maxBucketSize^2 pairs
+    * each — per-task work and memory stay capped at any B. Normal buckets
+    * (s=1) take the exact single-group path. The chunk count derives from
+    * the global token frequency ALREADY joined for rarity ordering — an
+    * upper bound on any (g, tok) bucket size — so the guard costs no
+    * extra shuffle, pass, or job: a token globally frequent but locally
+    * rare over-chunks (more, emptier reducers — still exact), and the
+    * degenerate bucket that motivates the guard has frequency ~= its
+    * bucket size, where the bound is tight.
+    *
     * The set table feeds prefix extraction + both sides of verification
     * but is not cached — see the note in [[minhashLshPairs]].
     */
-  def exactSetJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+  def exactSetJaccardPairs(sets: DataFrame, threshold: Double,
+      maxBucketSize: Int = 4096): DataFrame = {
     val toks = sets.withColumn("sz", size(col("ts")).cast("long"))
     val tPrime = math.max(0.0, threshold - 0.01)
     val exploded = toks.select(col("g"), col("id"), col("sz"), explode(col("ts")).as("tok"))
@@ -189,20 +209,39 @@ object Dedup {
     val prefixes = exploded.join(freq, Seq("tok"))
       .withColumn("__pos", row_number().over(wDoc))
       .filter(col("__pos") <= col("sz") - ceil(lit(tPrime) * col("sz")) + 1)
-      .select(col("g"), col("id"), col("tok"))
+      .select(col("g"), col("id"), col("tok"), col("__f"))
     val ratioNum = math.max(0L, (tPrime * 1000).toLong)
     // candidate generation by bucket AGGREGATION, not a prefix self-join:
     // a self-join evaluates the whole explode→freq→window prefix pipeline
     // once per side (nothing is cached — see [[minhashLshPairs]]); one
     // groupBy + local double-explode pair generation halves that work.
-    // Bucket sizes are bounded by PPJoin's construction (prefixes hold
-    // each set's RAREST tokens), so the per-bucket collect stays small —
-    // the same B^2 blowup bound the join form had.
-    val candidates = prefixes.groupBy(col("g"), col("tok"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // PPJoin's construction keeps buckets small in the typical case
+    // (prefixes hold each set's RAREST tokens), and the chunk split above
+    // the cap bounds the degenerate case — see the scaladoc skew note.
+    val chunked = prefixes
+      .withColumn("__s", ceil(col("__f") / lit(maxBucketSize.toDouble)).cast("int"))
+      .withColumn("__c", pmod(xxhash64(col("id")), col("__s")).cast("int"))
+    // a row in chunk c serves reducer (ci, cj) = (min(c,k), max(c,k)) for
+    // every chunk k: as the A side when c <= k, the B side when c >= k
+    // (both on its own diagonal) — so each cross-chunk pair meets at
+    // exactly one reducer and each within-chunk pair at its diagonal
+    val entries = chunked.select(col("g"), col("tok"), col("id"),
+        explode(transform(sequence(lit(0), col("__s") - 1), k => struct(
+          least(col("__c"), k).as("ci"), greatest(col("__c"), k).as("cj"),
+          (k >= col("__c")).as("isA"), (k <= col("__c")).as("isB")))).as("e"))
+      .select(col("g"), col("tok"), col("id"),
+        col("e.ci").as("ci"), col("e.cj").as("cj"),
+        col("e.isA").as("isA"), col("e.isB").as("isB"))
+    val candidates = entries.groupBy(col("g"), col("tok"), col("ci"), col("cj"))
+      .agg(collect_list(when(col("isA"), col("id"))).as("aIds"),
+        collect_list(when(col("isB"), col("id"))).as("bIds"))
+      .select(col("ci"), col("cj"), explode(col("aIds")).as("x"), col("bIds"))
+      .select(col("ci"), col("cj"), col("x"), explode(col("bIds")).as("y"))
+      // diagonal: pair within one list, ordered; off-diagonal: full cross
+      // of two disjoint chunks, canonicalized below
+      .filter(col("ci") < col("cj") || col("x") < col("y"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"))
       .distinct()
     candidates
       .join(toks.select(col("id").as("id_a"), col("ts").as("ts_a"), col("sz").as("sz_a")), Seq("id_a"))

@@ -59,4 +59,37 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 3L), (4L, 5L)), s"unexpected pair set: $got")
   }
+
+  test("exactSetJaccardPairs sub-partitions hot buckets without losing a pair") {
+    // degenerate corpus: 60 exact near-dup survivors of one text — every
+    // prefix token lands all 60 ids in the SAME (g, tok) bucket, the B^2
+    // hazard the chunk split exists for. Unlike the minhash/simhash DROP
+    // caps, exactness must survive: a tiny cap (forcing many chunks) and a
+    // huge cap (single-group fast path) must produce the IDENTICAL
+    // all-pairs answer.
+    val hot = (0L until 60L)
+      .map(i => (1, i, Seq("aardvark", "quetzal", "xylophone", "zephyr")))
+      .toDF("g", "id", "ts")
+    val expected = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+    } yield (a, b)).toSet
+    for (cap <- Seq(7, 100000)) {
+      val got = Dedup.exactSetJaccardPairs(hot, threshold = 0.8, maxBucketSize = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"cap=$cap: ${got.size} pairs, expected ${expected.size}")
+    }
+    // and a mixed corpus (hot cluster + normal rows) keeps exactness across
+    // the chunked and unchunked paths too
+    val mixed = hot.unionByName(Seq(
+      (1, 100L, Seq("alpha", "beta", "delta", "gamma")),    // sorted-distinct,
+      (1, 101L, Seq("alpha", "beta", "delta", "gamma")),    // as the contract
+      (1, 102L, Seq("entirely", "other", "unrelated", "words")) // requires
+    ).toDF("g", "id", "ts"))
+    val gotSmall = Dedup.exactSetJaccardPairs(mixed, 0.8, maxBucketSize = 7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotBig = Dedup.exactSetJaccardPairs(mixed, 0.8, maxBucketSize = 100000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSmall == gotBig && gotSmall == expected + ((100L, 101L)),
+      s"mixed: small=${gotSmall.size} big=${gotBig.size}")
+  }
 }
