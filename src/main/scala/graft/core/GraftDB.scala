@@ -120,8 +120,8 @@ final class GraftDB(
     var baseBlob = 0L
     manifest.commit { st =>
       baseVersion = st.nextVersion; baseBlob = st.nextBlobId
-      st.copy(nextVersion = st.nextVersion + entries.size,
-        nextBlobId = st.nextBlobId + nBlobs)
+      ManifestDelta(nextVersion = Some(st.nextVersion + entries.size),
+        nextBlobId = Some(st.nextBlobId + nBlobs))
     }
     var blobSeq = baseBlob
     val blobs = Vector.newBuilder[Row]
@@ -154,9 +154,9 @@ final class GraftDB(
       Hex.encode(sorted.head.getAs[Array[Byte]](0)),
       Hex.encode(sorted.last.getAs[Array[Byte]](0)),
       rows.size.toLong, baseVersion)
-    manifest.commit(st => st.copy(
-      files = st.files :+ meta,
-      blobFiles = st.blobFiles ++ blobMeta))
+    manifest.commit(_ => ManifestDelta(
+      addFiles = Vector(meta),
+      addBlobs = blobMeta.toVector))
     maybeCompact()
   }
 
@@ -186,7 +186,8 @@ final class GraftDB(
       // which gcBlobs/majorCompact machinery could host if ever needed).
       require(st.nextBlobId <= Long.MaxValue - (1L << 45),
         s"blob id space exhausted after ${st.nextBlobId >> 45} bulk batches — renumber blobs")
-      st.copy(nextVersion = st.nextVersion + 1, nextBlobId = st.nextBlobId + (1L << 45))
+      ManifestDelta(nextVersion = Some(st.nextVersion + 1),
+        nextBlobId = Some(st.nextBlobId + (1L << 45)))
     }
     val withExp =
       if (df.columns.contains("expiresAt")) df.withColumn("expiresAt", coalesce(col("expiresAt"), lit(0L)))
@@ -224,11 +225,11 @@ final class GraftDB(
         if (st.nextBlobId != baseBlob + (1L << 45)) st.nextBlobId // raced: keep
         else if (blobCount == 0L) baseBlob
         else maxUsedBlobId.map(_ + 1).getOrElse(st.nextBlobId)
-      st.copy(
-        files = st.files ++ metas,
-        blobFiles = if (blobCount > 0) st.blobFiles :+ BlobFileMeta(blobDir, blobCount)
-                    else st.blobFiles,
-        nextBlobId = reclaimed)
+      ManifestDelta(
+        addFiles = metas,
+        addBlobs = if (blobCount > 0) Vector(BlobFileMeta(blobDir, blobCount))
+                   else Vector.empty,
+        nextBlobId = Some(reclaimed))
     }
     maybeCaptureGrid(metas)
     maybeCompact()
@@ -284,8 +285,8 @@ final class GraftDB(
     if (metas.size < 2) return
     val bounds = metas.sortBy(_.minKeyHex).init.map(_.maxKeyHex)
     manifest.commit { st =>
-      if (st.rangeBoundsHex.nonEmpty) st
-      else st.copy(rangeBoundsHex = bounds)
+      if (st.rangeBoundsHex.nonEmpty) ManifestDelta.empty
+      else ManifestDelta(addBounds = bounds)
     }
   }
 
@@ -598,8 +599,8 @@ final class GraftDB(
     if (add0.isEmpty) return
     manifest.commit { s =>
       val add = add0.filterNot(s.rangeBoundsHex.contains)
-      if (add.isEmpty) s
-      else s.copy(rangeBoundsHex = (s.rangeBoundsHex ++ add).sorted)
+      if (add.isEmpty) ManifestDelta.empty
+      else ManifestDelta(addBounds = add)
     }
   }
 
@@ -649,8 +650,9 @@ final class GraftDB(
     if (bounds == bounds0) return
     val merged = bounds
     manifest.commit { s =>
-      if (s.rangeBoundsHex == bounds0) s.copy(rangeBoundsHex = merged)
-      else s // grid changed underneath us; skip this round
+      if (s.rangeBoundsHex == bounds0)
+        ManifestDelta(removeBounds = bounds0.filterNot(merged.contains))
+      else ManifestDelta.empty // grid changed underneath us; skip this round
     }
   }
 
@@ -711,7 +713,9 @@ final class GraftDB(
     * sanctioned grid-refresh point — key distributions drift).
     */
   def majorCompact(): Unit = {
-    manifest.commit(_.copy(rangeBoundsHex = Vector.empty))
+    manifest.commit(st =>
+      if (st.rangeBoundsHex.isEmpty) ManifestDelta.empty
+      else ManifestDelta(clearBounds = true))
     compactInputs(_.files, outputLevel = 1, dropDead = true, captureGrid = true)
   }
 
@@ -738,10 +742,9 @@ final class GraftDB(
     writeSegment(compacted, outDir)
     val maxVersion = inputs.map(_.createdVersion).max
     val newMetas = segmentFileMetas(outDir, level = outputLevel, maxVersion)
-    manifest.commit { st =>
-      val remaining = st.files.filterNot(f => inputs.exists(_.path == f.path))
-      st.copy(files = newMetas ++ remaining)
-    }
+    manifest.commit(_ => ManifestDelta(
+      addFiles = newMetas,
+      removePaths = inputs.map(_.path)))
     if (captureGrid) maybeCaptureGrid(newMetas)
     // Old segment dirs stay on disk until vacuum() — snapshot readers may
     // still hold them (replaces the reference's iterator refcounts,
@@ -823,14 +826,9 @@ final class GraftDB(
         bf -> Some(BlobFileMeta(outDir, liveCount))
       }
     }.toMap
-    manifest.commit(st => st.copy(
-      blobFiles = st.blobFiles.flatMap { bf =>
-        replacements.get(bf) match {
-          case None => Vector(bf) // not a victim: untouched
-          case Some(None) => Vector.empty
-          case Some(Some(nw)) => Vector(nw)
-        }
-      }))
+    manifest.commit(_ => ManifestDelta(
+      removeBlobPaths = replacements.keys.map(_.path).toVector.sorted,
+      addBlobs = replacements.values.flatten.toVector.sortBy(_.path)))
     (totalLive, totalDead)
   }
 

@@ -65,14 +65,50 @@ private[core] final case class ChangeRecord(
     addBounds: Vector[String] = Vector.empty,
     removeBounds: Vector[String] = Vector.empty)
 
+/** The explicit commit payload: what one commit ADDS and REMOVES, plus
+  * absolute counter updates (None = unchanged). Commit CPU and record
+  * size are both O(this delta) — the caller states what it touched, so no
+  * full-state set-diff runs per commit (at the O(10^5) files a 100 TB
+  * table implies, diffing two whole file vectors per 1-row `batchSet`
+  * would burn ~N hash/equality ops for a ~3-field change). Field
+  * semantics are exactly [[ChangeRecord]]'s (removals by path, then adds;
+  * `clearBounds` precedes bounds deltas). An empty delta commits nothing.
+  */
+final case class ManifestDelta(
+    nextVersion: Option[Long] = None,
+    nextBlobId: Option[Long] = None,
+    addFiles: Vector[FileMeta] = Vector.empty,
+    removePaths: Vector[String] = Vector.empty,
+    addBlobs: Vector[BlobFileMeta] = Vector.empty,
+    removeBlobPaths: Vector[String] = Vector.empty,
+    clearBounds: Boolean = false,
+    addBounds: Vector[String] = Vector.empty,
+    removeBounds: Vector[String] = Vector.empty)
+
+object ManifestDelta {
+  val empty: ManifestDelta = ManifestDelta()
+}
+
+object Manifest {
+  // one writer monitor per NORMALIZED rootDir: two Manifest instances on
+  // the same dir (stateless reopen, a second GraftDB handle in one JVM)
+  // must serialize through the same in-process lock — per-instance locks
+  // would let their commits interleave the truncate/append sequence
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[core] def lockFor(rootDir: String): Object =
+    rootLocks.computeIfAbsent(
+      Paths.get(rootDir).toAbsolutePath.normalize.toString, _ => new Object)
+}
+
 /** Change-log manifest, reference-shaped (`kv/file/manifest.go:122-174,
   * 291-348`): a base snapshot (`MANIFEST.json`, atomic rename) plus an
   * append-only record log (`MANIFEST.log`, one JSON line per commit).
-  * A commit appends ONE record sized by the files it touched — never the
-  * whole table's metadata — so at the O(10^5) files a 100 TB table
-  * implies, a 1-row `batchSet` writes ~hundreds of bytes, not tens of MB.
-  * Past `logCompactEvery` records the log folds into a fresh snapshot
-  * (the reference's rewrite threshold) and restarts empty.
+  * A commit appends ONE record sized by the [[ManifestDelta]] it was
+  * handed — never the whole table's metadata — so at the O(10^5) files a
+  * 100 TB table implies, a 1-row `batchSet` writes ~hundreds of bytes,
+  * not tens of MB, and spends commit CPU proportional to the files it
+  * touched. Past `logCompactEvery` records the log folds into a fresh
+  * snapshot (the reference's rewrite threshold) and restarts empty.
   *
   * Crash contract:
   *  - record append: an UNTERMINATED final chunk (the trailing '\n' is the
@@ -89,16 +125,28 @@ private[core] final case class ChangeRecord(
   * Reads are served from an in-process cached state, revalidated by two
   * cheap file stats (size + mtime of snapshot and log) so a second
   * Manifest instance on the same dir — the stateless-reopen path — still
-  * observes foreign commits. A single in-process lock serializes
-  * committers, mirroring the reference's single writer goroutine
-  * (`kv/db.go:224-285`).
+  * observes foreign commits.
+  *
+  * Writer safety, three rings (the reference's single writer goroutine,
+  * `kv/db.go:224-285`, generalized to writers it never had to face):
+  *  - same instance, many threads: the per-rootDir monitor serializes.
+  *  - same JVM, many INSTANCES on one dir: the monitor is keyed by
+  *    normalized rootDir in [[Manifest.lockFor]], so they share it.
+  *  - separate PROCESSES on one dir: every commit holds an OS file lock
+  *    on `MANIFEST.lock` for its load→truncate→append critical section
+  *    (and re-loads inside it), so two JVMs cannot interleave torn-tail
+  *    truncation with a live append or double-assign a commit seq. The
+  *    lock is advisory, per-commit (never held across commits), and
+  *    released by the OS on process death — no stale-lock recovery
+  *    needed.
   */
 final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
   private implicit val fmts: Formats = DefaultFormats
   private val manifestPath: Path = Paths.get(rootDir, "MANIFEST.json")
   private val tmpPath: Path = Paths.get(rootDir, "MANIFEST.json.tmp")
   private val logPath: Path = Paths.get(rootDir, "MANIFEST.log")
-  private val lock = new Object
+  private val lockFilePath: Path = Paths.get(rootDir, "MANIFEST.lock")
+  private val lock = Manifest.lockFor(rootDir)
 
   // cached state + the on-disk fingerprint it was derived from
   private var cached: ManifestState = _
@@ -144,30 +192,21 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
     ManifestState(r.nextVersion, r.nextBlobId, files, blobs, bounds, r.seq)
   }
 
-  /** Delta between two in-memory states, as the one record that replays
-    * `from`→`to`. Grid deltas reproduce `to.rangeBoundsHex` exactly
-    * because the grid is maintained sorted-ascending everywhere.
+  /** The change record one delta produces on top of `cur` — a rename plus
+    * the seq stamp and counter defaulting; O(delta), by construction.
     */
-  private def diff(from: ManifestState, to: ManifestState): ChangeRecord = {
-    val oldFiles = from.files.toSet
-    val newFiles = to.files.toSet
-    val oldBlobs = from.blobFiles.toSet
-    val newBlobs = to.blobFiles.toSet
-    val boundsCleared = to.rangeBoundsHex.isEmpty && from.rangeBoundsHex.nonEmpty
+  private def recordOf(cur: ManifestState, d: ManifestDelta): ChangeRecord =
     ChangeRecord(
-      seq = to.commitSeq,
-      nextVersion = to.nextVersion,
-      nextBlobId = to.nextBlobId,
-      addFiles = to.files.filterNot(oldFiles.contains),
-      removePaths = from.files.filterNot(newFiles.contains).map(_.path),
-      addBlobs = to.blobFiles.filterNot(oldBlobs.contains),
-      removeBlobPaths = from.blobFiles.filterNot(newBlobs.contains).map(_.path),
-      clearBounds = boundsCleared,
-      addBounds = to.rangeBoundsHex.filterNot(from.rangeBoundsHex.contains),
-      removeBounds =
-        if (boundsCleared) Vector.empty
-        else from.rangeBoundsHex.filterNot(to.rangeBoundsHex.contains))
-  }
+      seq = cur.commitSeq + 1,
+      nextVersion = d.nextVersion.getOrElse(cur.nextVersion),
+      nextBlobId = d.nextBlobId.getOrElse(cur.nextBlobId),
+      addFiles = d.addFiles,
+      removePaths = d.removePaths,
+      addBlobs = d.addBlobs,
+      removeBlobPaths = d.removeBlobPaths,
+      clearBounds = d.clearBounds,
+      addBounds = d.addBounds,
+      removeBounds = d.removeBounds)
 
   private def coldLoad(): ManifestState = {
     val base =
@@ -227,33 +266,61 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
     cached
   }
 
-  /** Atomically transform the state. Returns the committed new state.
-    * Cost is O(files touched by `f`), not O(all files): the commit appends
-    * one change record; only every `logCompactEvery` commits does the full
-    * snapshot rewrite run. A no-op transform commits nothing.
+  /** Atomically apply one explicit [[ManifestDelta]] (computed by `f` from
+    * the freshest state). Returns the committed new state. Cost is
+    * O(delta), not O(all files): the commit appends one change record
+    * sized by the delta; only every `logCompactEvery` commits does the
+    * full snapshot rewrite run. `ManifestDelta.empty` commits nothing.
+    *
+    * The whole load→f→truncate→append sequence runs under the
+    * cross-process file lock (see the class scaladoc): the inner `load()`
+    * re-stats INSIDE it, so a record another process committed between
+    * our last read and lock acquisition is replayed before `f` sees the
+    * state, and our record chains after it — never over it.
     */
-  def commit(f: ManifestState => ManifestState): ManifestState = lock.synchronized {
-    val cur = load()
-    val next0 = f(cur)
-    if (next0 == cur) return cur // no-op: no record, no seq burn
-    val next = next0.copy(commitSeq = cur.commitSeq + 1)
-    val rec = diff(cur, next)
-    val line = Serialization.write(rec) + "\n"
-    // writer-side recovery: drop a torn tail BEFORE appending, so the new
-    // record starts its own line instead of merging with the torn bytes
-    // (readers never truncate — only the single writer does)
-    if (Files.exists(logPath) && Files.size(logPath) > validLogBytes) {
-      val ch = java.nio.channels.FileChannel.open(logPath, StandardOpenOption.WRITE)
-      try ch.truncate(validLogBytes) finally ch.close()
+  def commit(f: ManifestState => ManifestDelta): ManifestState = lock.synchronized {
+    withWriterFileLock {
+      val cur = load()
+      val d = f(cur)
+      if (d == ManifestDelta.empty) cur // no-op: no record, no seq burn
+      else {
+        val rec = recordOf(cur, d)
+        val next = applyRecord(cur, rec)
+        val line = Serialization.write(rec) + "\n"
+        // writer-side recovery: drop a torn tail BEFORE appending, so the
+        // new record starts its own line instead of merging with the torn
+        // bytes (readers never truncate — only the locked writer does)
+        if (Files.exists(logPath) && Files.size(logPath) > validLogBytes) {
+          val ch = java.nio.channels.FileChannel.open(logPath, StandardOpenOption.WRITE)
+          try ch.truncate(validLogBytes) finally ch.close()
+        }
+        Files.write(logPath, line.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        validLogBytes += line.getBytes(StandardCharsets.UTF_8).length.toLong
+        logRecords += 1
+        if (logRecords >= logCompactEvery) compactLog(next)
+        cached = next
+        cachedStamp = stamp()
+        next
+      }
     }
-    Files.write(logPath, line.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    validLogBytes += line.getBytes(StandardCharsets.UTF_8).length.toLong
-    logRecords += 1
-    if (logRecords >= logCompactEvery) compactLog(next)
-    cached = next
-    cachedStamp = stamp()
-    next
+  }
+
+  /** Run `body` holding the advisory OS lock on `MANIFEST.lock` — the
+    * cross-PROCESS writer ring. Within one JVM the per-rootDir monitor is
+    * already held (OS file locks are per-JVM, so without it a second
+    * in-JVM committer would hit OverlappingFileLockException instead of
+    * waiting). `lock()` BLOCKS until a foreign process releases: two
+    * honest writers serialize rather than fail; the crash case self-heals
+    * because the OS drops a dead process's locks.
+    */
+  private def withWriterFileLock[A](body: => A): A = {
+    val ch = java.nio.channels.FileChannel.open(lockFilePath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val fl = ch.lock()
+      try body finally fl.release()
+    } finally ch.close()
   }
 
   /** Fold the log into a fresh base snapshot (the reference's manifest

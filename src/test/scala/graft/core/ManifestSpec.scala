@@ -12,7 +12,8 @@ class ManifestSpec extends AnyFunSuite {
     FileMeta(s"data/seg-$i/part-0.parquet", level, f"$i%08x", f"$i%08x" + "ff", 100L, i.toLong)
 
   private def addFile(m: Manifest, i: Int): Unit =
-    m.commit(st => st.copy(nextVersion = st.nextVersion + 1, files = st.files :+ meta(i)))
+    m.commit(st => ManifestDelta(nextVersion = Some(st.nextVersion + 1),
+      addFiles = Vector(meta(i))))
 
   test("commit cost is O(changed files), not O(all files)") {
     val dir = tmpDir()
@@ -29,6 +30,57 @@ class ManifestSpec extends AnyFunSuite {
     assert(delta <= 2 * afterFirst,
       s"1-file commit appended $delta bytes at 500 files vs $afterFirst at 1 — commit cost scales with table size")
     assert(m.load().files.size == 501)
+  }
+
+  test("commit CPU is O(touched files): 1-file commits stay fast on a large table") {
+    val dir = tmpDir()
+    val m = new Manifest(dir, logCompactEvery = 1000000)
+    def timeCommits(ids: Range): Double = {
+      val t0 = System.nanoTime()
+      ids.foreach(addFile(m, _))
+      (System.nanoTime() - t0) / 1e6 / ids.size
+    }
+    timeCommits(0 until 300) // JIT + page-cache warmup, not measured
+    val smallPer = timeCommits(300 until 500) // ~500-file table
+    // grow to ~20k live files in a few bulk deltas
+    (0 until 10).foreach { k =>
+      m.commit(_ => ManifestDelta(
+        addFiles = (0 until 2000).map(j => meta(1000000 + k * 2000 + j)).toVector))
+    }
+    val bigPer = timeCommits(500 until 700)
+    // a whole-state set-diff per commit costs O(20k) hash/equality ops here
+    // and fails this by an order of magnitude; O(delta) commits are flat
+    // (8x + 1ms absolute slack absorbs fs/GC noise, not a linear scan)
+    assert(bigPer < smallPer * 8 + 1.0,
+      f"1-file commit took $bigPer%.3f ms/commit at ~20k files vs $smallPer%.3f at ~500")
+    assert(m.load().files.size == 20700)
+  }
+
+  test("two writer instances on one dir interleave commits without lost updates") {
+    val dir = tmpDir()
+    val a = new Manifest(dir, logCompactEvery = 1000)
+    val b = new Manifest(dir, logCompactEvery = 1000)
+    // alternating: each instance must observe the other's commit (stamp
+    // revalidation) and chain its seq after it — a lost update or a
+    // double-assigned seq breaks the replay chain loudly
+    (0 until 10).foreach(i => addFile(if (i % 2 == 0) a else b, i))
+    assert(a.load().files.size == 10 && b.load().files.size == 10)
+    assert(a.load().commitSeq == 10L)
+    // concurrent from two threads, one per instance: the per-rootDir
+    // monitor (shared — per-instance locks would interleave truncation
+    // and append) plus the MANIFEST.lock file ring serialize them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fa = Future((100 until 150).foreach(addFile(a, _)))
+    val fb = Future((200 until 250).foreach(addFile(b, _)))
+    Await.result(Future.sequence(Seq(fa, fb)), 60.seconds)
+    val st = a.load()
+    assert(st.files.size == 110 && st.commitSeq == 110L,
+      s"lost update across instances: ${st.files.size} files, seq ${st.commitSeq}")
+    // a cold replay agrees — and the advisory writer lock file exists
+    assert(new Manifest(dir).load() == st)
+    assert(Files.exists(Paths.get(dir, "MANIFEST.lock")))
   }
 
   test("log compacts into the snapshot past the threshold and restarts empty") {
@@ -52,10 +104,10 @@ class ManifestSpec extends AnyFunSuite {
     val dir = tmpDir()
     val m = new Manifest(dir, logCompactEvery = 1000)
     (0 until 7).foreach(addFile(m, _))
-    m.commit(st => st.copy(files = st.files.filterNot(_.path == meta(3).path)))
-    m.commit(st => st.copy(rangeBoundsHex = Vector("aa", "cc")))
-    m.commit(st => st.copy(rangeBoundsHex = Vector("aa", "bb", "cc"))) // refine delta
-    m.commit(st => st.copy(blobFiles = st.blobFiles :+ BlobFileMeta("blobs/b0", 5L)))
+    m.commit(_ => ManifestDelta(removePaths = Vector(meta(3).path)))
+    m.commit(_ => ManifestDelta(addBounds = Vector("aa", "cc")))
+    m.commit(_ => ManifestDelta(addBounds = Vector("bb"))) // refine delta
+    m.commit(_ => ManifestDelta(addBlobs = Vector(BlobFileMeta("blobs/b0", 5L))))
     val want = m.load()
     val got = new Manifest(dir).load()
     assert(got == want)
@@ -135,7 +187,7 @@ class ManifestSpec extends AnyFunSuite {
     val log = Paths.get(dir, "MANIFEST.log")
     val before = Files.size(log)
     val seqBefore = m.load().commitSeq
-    m.commit(identity)
+    m.commit(_ => ManifestDelta.empty)
     assert(Files.size(log) == before && m.load().commitSeq == seqBefore)
   }
 
@@ -148,8 +200,8 @@ class ManifestSpec extends AnyFunSuite {
     val futures = (0 until 8).map { w =>
       Future {
         (0 until 20).foreach { i =>
-          m.commit(st => st.copy(nextVersion = st.nextVersion + 1,
-            files = st.files :+ meta(w * 1000 + i)))
+          m.commit(st => ManifestDelta(nextVersion = Some(st.nextVersion + 1),
+            addFiles = Vector(meta(w * 1000 + i))))
         }
       }
     }
@@ -170,7 +222,7 @@ class ManifestSpec extends AnyFunSuite {
     assert(st.nextVersion == 7L && st.files.head.rows == 42L && st.commitSeq == 0L)
     // and the first post-upgrade commit appends a v2 change record cleanly
     val m = new Manifest(dir)
-    m.commit(s => s.copy(nextVersion = s.nextVersion + 1))
+    m.commit(s => ManifestDelta(nextVersion = Some(s.nextVersion + 1)))
     assert(new Manifest(dir).load().nextVersion == 8L)
   }
 }
