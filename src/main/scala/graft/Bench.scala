@@ -7,16 +7,18 @@ import graft.queries.Catalog
   * sink (count() would let Catalyst prune projections/sorts and under-report
   * the real work).
   *
-  * Each query runs TWICE and reports the MIN: single-shot timings on a
-  * shared machine whipsaw with load (observed 0.4 s vs 15.5 s for the same
-  * query across rounds); min-of-2 keeps the number a property of the code,
-  * not the machine. Set SPARK_GRAFT_BENCH_RUNS to change.
+  * Each query runs THREE times and reports the MIN: single-shot timings on
+  * a shared machine whipsaw with load (observed 0.4 s vs 15.5 s for the
+  * same query across rounds, and round-5 shipped two 4-5x phantom
+  * regressions where BOTH of min-of-2's runs landed in one load spike); a
+  * third run makes the floor a property of the code, not the machine. Set
+  * SPARK_GRAFT_BENCH_RUNS to change.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -211,10 +211,15 @@ object Similarity {
       else if (statsPath.endsWith(".json")) {
         val in = fs.open(p)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        def num(field: String): Option[String] =
-          (s""""$field"\\s*:\\s*([-0-9.eE]+)""").r.findFirstMatchIn(text).map(_.group(1))
-        for (k <- num("k"); n <- num("n"); s <- num("sumSqDist"))
-          yield (k.toInt, n.toLong, s.toDouble)
+        // a real JSON parse (json4s, like the manifest), not a field regex:
+        // robust to field order/whitespace/formatting, and a renamed or
+        // missing field degrades to None the same way unreadable stats do
+        val j = org.json4s.jackson.JsonMethods.parse(text)
+        for {
+          k <- (j \ "k").extractOpt[Int]
+          n <- (j \ "n").extractOpt[Long]
+          s <- (j \ "sumSqDist").extractOpt[Double]
+        } yield (k, n, s)
       } else {
         spark.read.parquet(statsPath).collect().headOption.map { r =>
           (r.getAs[Int]("k"), r.getAs[Long]("n"), r.getAs[Double]("sumSqDist"))
