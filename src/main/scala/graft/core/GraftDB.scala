@@ -826,9 +826,22 @@ final class GraftDB(
         bf -> Some(BlobFileMeta(outDir, liveCount))
       }
     }.toMap
-    manifest.commit(_ => ManifestDelta(
-      removeBlobPaths = replacements.keys.map(_.path).toVector.sorted,
-      addBlobs = replacements.values.flatten.toVector.sortBy(_.path)))
+    manifest.commit { cur =>
+      // raced-victim tolerance: a concurrent GC (second handle or
+      // process) may have replaced a victim between our load and this
+      // locked commit — its live rows already sit in that writer's
+      // replacement segment, and landing ours too would give every live
+      // blobId in the victim TWO blob rows (the view's blob join would
+      // then duplicate the affected keys). Keep a replacement only while
+      // its victim is still live in the freshest state; an orphaned
+      // rewrite dir is reclaimed by [[vacuum]].
+      val present = cur.blobFiles.map(_.path).toSet
+      val kept = replacements.filter { case (bf, _) => present.contains(bf.path) }
+      if (kept.isEmpty) ManifestDelta.empty
+      else ManifestDelta(
+        removeBlobPaths = kept.keys.map(_.path).toVector.sorted,
+        addBlobs = kept.values.flatten.toVector.sortBy(_.path))
+    }
     (totalLive, totalDead)
   }
 

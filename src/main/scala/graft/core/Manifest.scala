@@ -90,14 +90,24 @@ object ManifestDelta {
 }
 
 object Manifest {
-  // one writer monitor per NORMALIZED rootDir: two Manifest instances on
-  // the same dir (stateless reopen, a second GraftDB handle in one JVM)
-  // must serialize through the same in-process lock — per-instance locks
-  // would let their commits interleave the truncate/append sequence
+  // one writer monitor per rootDir: two Manifest instances on the same
+  // dir (stateless reopen, a second GraftDB handle in one JVM) must
+  // serialize through the same in-process lock — per-instance locks
+  // would let their commits interleave the truncate/append sequence.
+  // Keyed by the REAL path (dir created first so it resolves): a lexical
+  // normalize would give aliased spellings of one dir — a symlink and
+  // its target — different monitors, and the second concurrent commit
+  // would then hit the same MANIFEST.lock inode from one JVM and die
+  // with OverlappingFileLockException instead of waiting its turn.
   private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[core] def lockFor(rootDir: String): Object =
-    rootLocks.computeIfAbsent(
-      Paths.get(rootDir).toAbsolutePath.normalize.toString, _ => new Object)
+  private[core] def lockFor(rootDir: String): Object = {
+    val p = Paths.get(rootDir).toAbsolutePath
+    Files.createDirectories(p)
+    val key =
+      try p.toRealPath().toString
+      catch { case _: java.io.IOException => p.normalize.toString }
+    rootLocks.computeIfAbsent(key, _ => new Object)
+  }
 }
 
 /** Change-log manifest, reference-shaped (`kv/file/manifest.go:122-174,
@@ -125,7 +135,9 @@ object Manifest {
   * Reads are served from an in-process cached state, revalidated by two
   * cheap file stats (size + mtime of snapshot and log) so a second
   * Manifest instance on the same dir — the stateless-reopen path — still
-  * observes foreign commits.
+  * observes foreign commits. A cold (re)load holds the file lock in
+  * SHARED mode: it reads two files, and a foreign commit+fold landing
+  * between them would otherwise present as corruption (see [[load]]).
   *
   * Writer safety, three rings (the reference's single writer goroutine,
   * `kv/db.go:224-285`, generalized to writers it never had to face):
@@ -258,10 +270,20 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
   }
 
   def load(): ManifestState = lock.synchronized {
-    val s = stamp()
-    if (cached == null || s != cachedStamp) {
-      cached = coldLoad()
-      cachedStamp = s
+    if (cached == null || stamp() != cachedStamp) {
+      // cold (re)load under a SHARED file lock: snapshot and log are two
+      // files read non-atomically, and a foreign process's commit+fold
+      // landing between the two reads would replay as a phantom seq gap
+      // (new log against the old snapshot) or cache a state missing the
+      // folded records (new snapshot, log read after delete but before
+      // the next append). Shared mode: readers never queue behind each
+      // other, only behind a writer mid-commit. The stamp is re-taken
+      // inside the lock so it fingerprints exactly what was read.
+      withFileLock(shared = true) {
+        val s = stamp()
+        cached = coldLoad()
+        cachedStamp = s
+      }
     }
     cached
   }
@@ -279,7 +301,7 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
     * state, and our record chains after it — never over it.
     */
   def commit(f: ManifestState => ManifestDelta): ManifestState = lock.synchronized {
-    withWriterFileLock {
+    withFileLock(shared = false) {
       val cur = load()
       val d = f(cur)
       if (d == ManifestDelta.empty) cur // no-op: no record, no seq burn
@@ -306,21 +328,33 @@ final class Manifest(rootDir: String, logCompactEvery: Int = 1024) {
     }
   }
 
+  // file-lock reentrancy: commit holds the EXCLUSIVE lock and calls
+  // load() inside it, which must not reacquire (the JVM would throw
+  // OverlappingFileLockException on the self-overlap). Guarded by the
+  // per-rootDir monitor, which is always held here.
+  private var fileLockHeld = false
+
   /** Run `body` holding the advisory OS lock on `MANIFEST.lock` — the
-    * cross-PROCESS writer ring. Within one JVM the per-rootDir monitor is
-    * already held (OS file locks are per-JVM, so without it a second
-    * in-JVM committer would hit OverlappingFileLockException instead of
-    * waiting). `lock()` BLOCKS until a foreign process releases: two
-    * honest writers serialize rather than fail; the crash case self-heals
-    * because the OS drops a dead process's locks.
+    * cross-PROCESS ring: exclusive for a writer's load→truncate→append
+    * critical section, shared for a reader's two-file cold load. Within
+    * one JVM the per-rootDir monitor is already held (OS file locks are
+    * per-JVM, so without it a second in-JVM committer would hit
+    * OverlappingFileLockException instead of waiting). `lock()` BLOCKS
+    * until a foreign process releases: honest processes serialize rather
+    * than fail; the crash case self-heals because the OS drops a dead
+    * process's locks.
     */
-  private def withWriterFileLock[A](body: => A): A = {
-    val ch = java.nio.channels.FileChannel.open(lockFilePath,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-    try {
-      val fl = ch.lock()
-      try body finally fl.release()
-    } finally ch.close()
+  private def withFileLock[A](shared: Boolean)(body: => A): A = {
+    if (fileLockHeld) body
+    else {
+      val ch = java.nio.channels.FileChannel.open(lockFilePath,
+        StandardOpenOption.CREATE, StandardOpenOption.READ, StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock(0L, Long.MaxValue, shared)
+        fileLockHeld = true
+        try body finally { fileLockHeld = false; fl.release() }
+      } finally ch.close()
+    }
   }
 
   /** Fold the log into a fresh base snapshot (the reference's manifest

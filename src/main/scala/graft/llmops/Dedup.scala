@@ -189,12 +189,15 @@ object Dedup {
     * pairs stream from s(s+1)/2 tasks of at most ~maxBucketSize^2 pairs
     * each — per-task work and memory stay capped at any B. Normal buckets
     * (s=1) take the exact single-group path. The chunk count derives from
-    * the global token frequency ALREADY joined for rarity ordering — an
-    * upper bound on any (g, tok) bucket size — so the guard costs no
-    * extra shuffle, pass, or job: a token globally frequent but locally
-    * rare over-chunks (more, emptier reducers — still exact), and the
-    * degenerate bucket that motivates the guard has frequency ~= its
-    * bucket size, where the bound is tight.
+    * the per-(g, tok) TOKEN count — a tight upper bound on the prefix
+    * bucket (prefix rows are a filtered subset of token rows) computed by
+    * one cheap aggregation over the exploded tokens, keeping only
+    * over-full buckets and broadcast to the prefix rows: no shuffle of
+    * the big side, no second evaluation of the freq-join/window prefix
+    * pipeline. Sizing from the GLOBAL token frequency instead would be
+    * quadratic in it — a globally-frequent token that is locally rare
+    * (many groups) would replicate every one of its prefix rows
+    * ceil(f/cap) times for buckets that needed no split at all.
     *
     * The set table feeds prefix extraction + both sides of verification
     * but is not cached — see the note in [[minhashLshPairs]].
@@ -218,8 +221,20 @@ object Dedup {
     // PPJoin's construction keeps buckets small in the typical case
     // (prefixes hold each set's RAREST tokens), and the chunk split above
     // the cap bounds the degenerate case — see the scaladoc skew note.
+    // over-full buckets only: one hash-agg over the exploded tokens (no
+    // freq join, no window — far cheaper than the prefix pipeline), at
+    // most |tokens|/maxBucketSize rows out, broadcast so the prefix side
+    // never shuffles. __n >= the (g, tok) prefix-bucket size, so s sized
+    // from it still bounds every reducer at ~maxBucketSize rows; a bucket
+    // absent here fits under the cap by construction and takes s=1.
+    val overFull = exploded.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
     val chunked = prefixes
-      .withColumn("__s", ceil(col("__f") / lit(maxBucketSize.toDouble)).cast("int"))
+      .join(broadcast(overFull), Seq("g", "tok"), "left")
+      .withColumn("__s", when(col("__n").isNull, lit(1))
+        .otherwise(ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("int")))
+      .drop("__n")
       .withColumn("__c", pmod(xxhash64(col("id")), col("__s")).cast("int"))
     // a row in chunk c serves reducer (ci, cj) = (min(c,k), max(c,k)) for
     // every chunk k: as the A side when c <= k, the B side when c >= k

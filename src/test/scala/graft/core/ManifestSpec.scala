@@ -40,20 +40,25 @@ class ManifestSpec extends AnyFunSuite {
       ids.foreach(addFile(m, _))
       (System.nanoTime() - t0) / 1e6 / ids.size
     }
+    // each side is the BEST of three windows: this asserts a CPU
+    // complexity bound on a shared box whose load whipsaws bench numbers
+    // 4-5x — one co-tenant spike or GC pause inside a single window must
+    // not fail it, and min (unlike mean) discards the spiked windows
+    def bestOf3(windows: Seq[Range]): Double = windows.map(timeCommits).min
     timeCommits(0 until 300) // JIT + page-cache warmup, not measured
-    val smallPer = timeCommits(300 until 500) // ~500-file table
+    val smallPer = bestOf3(Seq(300 until 400, 400 until 500, 500 until 600)) // ~500-file table
     // grow to ~20k live files in a few bulk deltas
     (0 until 10).foreach { k =>
       m.commit(_ => ManifestDelta(
         addFiles = (0 until 2000).map(j => meta(1000000 + k * 2000 + j)).toVector))
     }
-    val bigPer = timeCommits(500 until 700)
+    val bigPer = bestOf3(Seq(600 until 700, 700 until 800, 800 until 900))
     // a whole-state set-diff per commit costs O(20k) hash/equality ops here
     // and fails this by an order of magnitude; O(delta) commits are flat
     // (8x + 1ms absolute slack absorbs fs/GC noise, not a linear scan)
     assert(bigPer < smallPer * 8 + 1.0,
       f"1-file commit took $bigPer%.3f ms/commit at ~20k files vs $smallPer%.3f at ~500")
-    assert(m.load().files.size == 20700)
+    assert(m.load().files.size == 20900)
   }
 
   test("two writer instances on one dir interleave commits without lost updates") {
@@ -81,6 +86,72 @@ class ManifestSpec extends AnyFunSuite {
     // a cold replay agrees — and the advisory writer lock file exists
     assert(new Manifest(dir).load() == st)
     assert(Files.exists(Paths.get(dir, "MANIFEST.lock")))
+  }
+
+  test("cross-PROCESS writers and readers: two foreign JVMs + this one interleave safely") {
+    val dir = tmpDir()
+    // two REAL foreign JVMs hammer commits (fold threshold 16, so snapshot
+    // folds + log restarts happen while others are mid-flight) while this
+    // JVM commits AND cold-reads concurrently. The file-lock ring must
+    // serialize the writers (no lost update, no double-assigned seq) and
+    // the readers' SHARED lock must never observe a foreign commit+fold as
+    // a phantom seq gap or a state missing folded records.
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(tag: String): Process =
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.core.ManifestHammer", dir, tag, "60")
+        .redirectErrorStream(true).start()
+    val p1 = spawn("p1")
+    val p2 = spawn("p2")
+    val local = new Manifest(dir, logCompactEvery = 16)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val committer = Future((0 until 60).foreach { i =>
+      local.commit(st => ManifestDelta(
+        nextVersion = Some(st.nextVersion + 1),
+        addFiles = Vector(FileMeta(s"data/h-local-$i", 0, "00", "ff", 1L, st.nextVersion))))
+    })
+    // a dedicated READER instance with its own cache: every load is a
+    // stamp-miss against fresh foreign commits, so it cold-loads often
+    val reader = new Manifest(dir, logCompactEvery = 16)
+    val reads = Future {
+      var last = 0L
+      while (!committer.isCompleted || p1.isAlive || p2.isAlive) {
+        val st = reader.load() // throws on gap/corruption = test failure
+        assert(st.commitSeq >= last, s"manifest went backwards: $last -> ${st.commitSeq}")
+        last = st.commitSeq
+      }
+    }
+    assert(p1.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) && p1.exitValue() == 0,
+      s"hammer p1 failed: ${new String(p1.getInputStream.readAllBytes())}")
+    assert(p2.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) && p2.exitValue() == 0,
+      s"hammer p2 failed: ${new String(p2.getInputStream.readAllBytes())}")
+    Await.result(committer, 120.seconds)
+    Await.result(reads, 120.seconds)
+    val st = local.load()
+    assert(st.files.size == 180 && st.commitSeq == 180L,
+      s"lost update across processes: ${st.files.size} files, seq ${st.commitSeq}")
+    assert(new Manifest(dir).load() == st) // cold replay agrees
+  }
+
+  test("aliased spellings of one dir share the commit monitor (symlink-safe)") {
+    val dir = tmpDir()
+    val link = dir + "-link"
+    Files.createSymbolicLink(Paths.get(link), Paths.get(dir))
+    // lexical normalization would hand these different monitors; both
+    // threads would then reach the same MANIFEST.lock inode in one JVM
+    // and the second would die with OverlappingFileLockException
+    assert(Manifest.lockFor(dir) eq Manifest.lockFor(link))
+    val a = new Manifest(dir, logCompactEvery = 1000)
+    val b = new Manifest(link, logCompactEvery = 1000)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fa = Future((0 until 30).foreach(addFile(a, _)))
+    val fb = Future((100 until 130).foreach(addFile(b, _)))
+    Await.result(Future.sequence(Seq(fa, fb)), 60.seconds)
+    assert(a.load().files.size == 60 && a.load().commitSeq == 60L)
   }
 
   test("log compacts into the snapshot past the threshold and restarts empty") {
