@@ -479,6 +479,27 @@ object Catalog {
       },
       Some("SELECT 'approx_quantiles' AS gate, true AS floor_met")),
 
+    "q_approx_topk" -> QueryDef(
+      // Frequent-items sketch (DataSketches ItemsSketch behind Spark 4's
+      // approx_top_k) as a first-class heavy-hitters operator: per-item
+      // counts in ONE narrow pass of mergeable partial sketches — at
+      // 100 TB the per-partition maps combine instead of shuffling the
+      // grouped counts, the sketch-family answer to q_skew_distinct's
+      // problem. Scoped honestly (the simhash-exactness pattern): with
+      // distinct items <= maxItemsTracked the sketch never purges, so
+      // its counts are EXACT and hash-match the oracle — the scope this
+      // row declares (25 nations, capacity 10k). Past capacity the
+      // counts degrade to estimates with an n/maxMapSize-order error
+      // bound; that regime is approximate by construction and not what
+      // this row claims.
+      (s, dir) => t(s, dir, "customer")
+        .select(expr("approx_top_k(c_nationkey, 25, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item")),
+      Some("""SELECT c_nationkey AS item, count(*) AS cnt FROM customer
+        GROUP BY 1 ORDER BY cnt DESC, item""")),
+
     "q_asof_signup" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
