@@ -932,6 +932,100 @@ object Catalog {
       },
       headline = true),
 
+    "pipeline_sample" -> QueryDef(
+      // Deterministic stratified sampling for corpus MIXING: per-language
+      // keep-rates out of 65536 md5 buckets keyed on doc_id. Hash-bucket
+      // sampling (not rand()) is what a reproducible training-data
+      // pipeline needs — membership is a pure function of the id, stable
+      // across reruns/retries/engines, and the oracle can verify the
+      // EXACT sample, not just its size. One narrow scan, no shuffle
+      // before the tiny ordered output.
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int")
+        val rate = when(col("lang") === "en", lit(16384))  // downmix 25%
+          .when(col("lang") === "zh", lit(49152))          // upmix 75%
+          .otherwise(lit(32768))                           // 50%
+        d.filter(bucket < rate)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT <
+          CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 49152 ELSE 32768 END
+        ORDER BY doc_id""")),
+
+    "pipeline_token_budget" -> QueryDef(
+      // Token-budget packing: fill a per-language token budget with the
+      // highest-quality documents first — the selection step between
+      // "scored corpus" and "training mix". Quality-ranked running token
+      // total per language (one window, one shuffle on lang), cut at the
+      // budget; reports how many docs/tokens each language contributed
+      // and the quality floor the budget forced.
+      (s, dir) => {
+        val st = Text.stats(col("text"))
+        val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          round(st.getField("quality"), 6).as("quality"),
+          Text.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored.withColumn("cum_tokens", sum(col("n_bpe")).over(w))
+          .filter(col("cum_tokens") <= 20000)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("cum_tokens")).as("tokens_used"),
+            round(min(col("quality")), 6).as("min_quality"))
+          .orderBy("lang")
+      },
+      Some {
+        val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH q AS (SELECT doc_id, lang,
+          round((least(length(text) / 500.0, 1.0)
+               + least(CASE WHEN len($toksSql) = 0 THEN 0.0
+                       ELSE len(list_filter($toksSql, tk -> tk IN ($stopList)))::DOUBLE / len($toksSql) END * 4.0, 1.0)
+               + greatest(1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) END * 5.0, 0.0)) / 3.0, 6) AS quality,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+          FROM documents),
+        c AS (SELECT lang, doc_id, quality, n_bpe,
+          sum(n_bpe) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM q)
+        SELECT lang, count(*) AS n_docs, max(cum_tokens)::BIGINT AS tokens_used,
+          round(min(quality), 6) AS min_quality
+        FROM c WHERE cum_tokens <= 20000 GROUP BY lang ORDER BY lang"""
+      }),
+
+    "pipeline_pii_scrub" -> QueryDef(
+      // PII redaction over text: count and replace email addresses in one
+      // narrow projection (codegen'd regexp, no shuffle). The corpus has
+      // no natural emails, so a deterministic subset (doc_id % 7) gets
+      // one APPENDED on both sides first — the scrub then runs against
+      // known ground truth; the oracle hashes the scrubbed text, so a
+      // missed or over-eager redaction is a red row, not a count drift.
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val withPii = t(s, dir, "documents").withColumn("text2",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(col("text")))
+        withPii.select(col("doc_id"),
+          size(regexp_extract_all(col("text2"), lit(emailRe), lit(0)))
+            .cast("long").as("n_redacted"),
+          md5(regexp_replace(col("text2"), emailRe, "<EMAIL>")).as("scrub_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+          ELSE text END AS text2 FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_redacted,
+          md5(regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrub_md5
+        FROM p ORDER BY doc_id""")),
+
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
         .orderBy("id_a", "id_b"),
