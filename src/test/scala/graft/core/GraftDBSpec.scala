@@ -238,6 +238,38 @@ class GraftDBSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent gcBlobs from two handles never double-lands a victim's live rows") {
+    val dir = Files.createTempDirectory("graftdb").toString
+    val opts = GraftOptions(valueThreshold = 16, compactTriggerFiles = 1000, gcDiscardRatio = 0.1)
+    val db1 = new GraftDB(spark, dir, opts)
+    val mk = (i: Int) => Array.fill[Byte](64)(i.toByte)
+    // four blob segments, each half-dead, so BOTH collectors see victims
+    (0 until 4).foreach { s =>
+      db1.batchSet((0 until 10).map(i => KVEntry(b(f"k$s%d-$i%02d"), mk(s * 10 + i))))
+    }
+    (0 until 4).foreach { s => (0 until 5).foreach(i => db1.del(b(f"k$s%d-$i%02d"))) }
+    val db2 = new GraftDB(spark, dir, opts)
+    // the two handles share the per-rootDir commit monitor, but their
+    // stats + rewrite phases run OUTSIDE it — they can pick the same
+    // victims. The loser's commit must drop replacements whose victim
+    // raced away, or every live blobId in that victim lands in TWO blob
+    // segments and the view's blob join duplicates those keys.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val f1 = Future(db1.gcBlobs(maxSegments = 10, discardRatio = 0.1))
+    val f2 = Future(db2.gcBlobs(maxSegments = 10, discardRatio = 0.1))
+    Await.result(Future.sequence(Seq(f1, f2)), 300.seconds)
+    assert(db1.scan().count() == 20,
+      "blob-join duplication after racing GCs would inflate the visible set")
+    (0 until 4).foreach { s =>
+      (5 until 10).foreach(i =>
+        assert(db1.get(b(f"k$s%d-$i%02d")).map(_.toSeq).contains(mk(s * 10 + i).toSeq)))
+    }
+    db1.vacuum() // reclaims any orphaned loser rewrite dirs
+    assert(db2.scan().count() == 20)
+  }
+
   test("L1 promotion: sustained ingest keeps L1 bounded by l1TargetRows (compact.go:626-751)") {
     val db = freshDb(GraftOptions(compactTriggerFiles = 1000, rangePartitions = 4,
       l1TargetRows = 150))
