@@ -92,12 +92,23 @@ final class TopKByBuffer(val k: Int) {
       worse(scores(b), ids(b), scores(a), ids(a)))
     idx.map(ids).toArray
   }
+
+  /** (score, id) pairs in the same best-first order as [[sortedIds]] — for
+    * consumers that need the ranking score in the output (e.g. BM25 / RRF
+    * retrieval), not just the ranked ids.
+    */
+  def sortedPairs: Array[(Double, Long)] = {
+    val idx = (0 until size).sortWith((a, b) =>
+      worse(scores(b), ids(b), scores(a), ids(a)))
+    idx.map(i => (scores(i), ids(i))).toArray
+  }
 }
 
 case class TopKBy(
     score: Expression,
     id: Expression,
     k: Int,
+    withScores: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKByBuffer]
@@ -116,7 +127,14 @@ case class TopKBy(
   // (a covariant narrowing of Seq[AbstractDataType], which is private[sql]).
   override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // `withScores` keeps the ranking score in the output: each element is a
+  // (score, id) struct instead of a bare id — same buffer, same ordering.
+  override def dataType: DataType =
+    if (withScores)
+      ArrayType(StructType(Seq(
+        StructField("score", DoubleType, nullable = false),
+        StructField("id", LongType, nullable = false))), containsNull = false)
+    else ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): TopKByBuffer = new TopKByBuffer(k)
@@ -135,7 +153,11 @@ case class TopKBy(
   }
 
   override def eval(buffer: TopKByBuffer): Any =
-    new GenericArrayData(buffer.sortedIds)
+    if (withScores)
+      new GenericArrayData(buffer.sortedPairs.map { case (s, i) =>
+        InternalRow(s, i): Any
+      })
+    else new GenericArrayData(buffer.sortedIds)
 
   override def serialize(buffer: TopKByBuffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + 16 * buffer.size)
@@ -174,5 +196,14 @@ object TopKExpressions {
   def topk_by(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKBy(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Like [[topk_by]] but each element is a (score, id) struct — for
+    * retrieval outputs that surface the ranking score.
+    */
+  def topk_by_scored(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKBy(ColumnBridge.expression(score), ColumnBridge.expression(id), k,
+        withScores = true)
         .toAggregateExpression())
 }

@@ -1,0 +1,113 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.functions.expressions.TopKExpressions
+
+/** Keyword and hybrid retrieval over a document corpus — the lookup side of
+  * a training-data pipeline (find documents for a probe set, attribute a
+  * benchmark answer to its source, build retrieval eval sets).
+  *
+  * Scale notes (100 TB discipline):
+  *  - BM25 never builds a full inverted index as a shuffled intermediate:
+  *    postings are FILTERED TO THE QUERY TERMS at the exploded scan (a
+  *    broadcast semi-join), so the only wide shuffle is the per-(doc, term)
+  *    frequency aggregation over matching postings.
+  *  - Document length and corpus stats ride along as narrow columns /
+  *    one-row broadcasts — no extra join against the corpus.
+  *  - Top-k uses the TopKBy aggregate (map-side k-truncation), never a
+  *    window: a common query term can match the whole corpus, and a window
+  *    would funnel every candidate's score through one reducer per query.
+  *  - Scores are 6dp-rounded per-term contributions summed as DECIMAL, so
+  *    the total is exact and association-order-independent — the ranking
+  *    (and an external SQL oracle recomputing it) cannot flip on fp
+  *    reassociation across partitionings.
+  */
+object Search {
+
+  /** BM25 top-k keyword retrieval. `queries` is a small table of
+    * `(query_id long, qtext string)` (broadcast everywhere — the corpus is
+    * the big side). Returns `(query_id, rank, doc_id, score)`, rank 1..k by
+    * (score desc, doc_id asc).
+    *
+    * `excludeSelf` drops the `doc_id == query_id` hit — for related-document
+    * retrieval where each query is built from a corpus document.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Text.tokens(col(queryTextCol)))).as("tok"))
+    // one narrow pass over the corpus: tokenize once, carry the document
+    // length on every posting row (no later join back against the corpus),
+    // keep only postings matching some query term
+    val postings = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("tok"))
+      .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+    val tf = postings.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    // document frequency over the query terms only — tiny, broadcast back
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    // corpus-level stats are over ALL documents (not just candidates)
+    val corpus = docs.select(size(Text.tokens(col(textCol))).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("__dl")).as("avgdl"))
+    // per-(query, doc, term) contribution, rounded then summed as decimal —
+    // exact, order-independent (see the object scaladoc)
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(corpus))
+      .join(broadcast(qterms), Seq("tok"))
+      .withColumn("__w", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+        .cast("decimal(18,6)"))
+    val perDoc = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__w")).as("__dec"))
+    val scoped =
+      if (excludeSelf) perDoc.filter(col("query_id") =!= col("doc_id")) else perDoc
+    topKScored(scoped.select(col("query_id"), col("doc_id"),
+      col("__dec").cast("double").as("score")), k)
+  }
+
+  /** Reciprocal-rank fusion of ranked runs (each `(query_id, doc_id, rank)`,
+    * rank 1-based): fused score = sum over runs of 1/(kRrf + rank), top-k
+    * per query. The standard way to combine keyword (BM25) and vector (ANN)
+    * retrieval without score calibration — only ranks enter the fusion.
+    * Weights are 9dp-rounded and summed as decimal (exact, see scaladoc).
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: need at least one run")
+    val unioned = runs
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = unioned
+      .withColumn("__w",
+        round(lit(1.0) / (lit(kRrf.toDouble) + col("rank")), 9).cast("decimal(12,9)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__w")).as("__dec"))
+      .select(col("query_id"), col("doc_id"), col("__dec").cast("double").as("score"))
+    topKScored(fused, k)
+  }
+
+  /** Map-side-truncated top-k over `(query_id, doc_id, score)` →
+    * `(query_id, rank, doc_id, score)`, rank 1..k by (score desc, doc_id asc).
+    */
+  private def topKScored(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKExpressions.topk_by_scored(col("score"), col("doc_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.id").as("doc_id"), col("__e.score").as("score"))
+}

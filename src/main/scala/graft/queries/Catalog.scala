@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftDB, GraftOptions}
 import graft.functions.Text
 import graft.graph.GraphOps
-import graft.llmops.{Dedup, Multimodal, Recall, Similarity}
+import graft.llmops.{Dedup, Multimodal, Recall, Search, Similarity}
 import graft.operators.KVOps
 import graft.streaming.EventStream
 
@@ -811,7 +811,47 @@ object Catalog {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""")))
+      Some(s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""")),
+
+    "text_repetition" -> QueryDef(
+      // Gopher-style repetition signals per document: duplicate-bigram
+      // fraction and top-bigram share — the cheap structural filters a
+      // curation pipeline applies before model-based quality scoring
+      // (repetitive boilerplate reads as fluent but trains badly). Bigrams
+      // are built narrowly per row (the HOF cost is bounded by DOCUMENT
+      // length, never corpus size), then counted by one (doc, bigram) hash
+      // agg — partial map-side combine, keyed by the doc, no hot keys.
+      (s, dir) => {
+        val bgs = {
+          val toks = Text.tokens(col("text"))
+          // guard: sequence(0, -1) would DESCEND for a 1-token document
+          when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2),
+              i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+            .otherwise(array().cast("array<string>"))
+        }
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(bgs).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            sum(col("c")).as("n_bigrams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_cnt"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6)
+              .as("dup_bigram_frac"),
+            round(col("top_cnt").cast("double") / col("n_bigrams").cast("double"), 6)
+              .as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+               unnest(generate_series(1, greatest(len(toks)-1, 0))) AS t(i)),
+        c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+          round(1.0 - count(*)::DOUBLE / sum(c), 6) AS dup_bigram_frac,
+          round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+        FROM c GROUP BY doc_id ORDER BY doc_id""")))
 
   // ============================================================= D. dedup ==
 
@@ -1025,6 +1065,31 @@ object Catalog {
           len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_redacted,
           md5(regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrub_md5
         FROM p ORDER BY doc_id""")),
+
+    "pipeline_contamination" -> QueryDef(
+      // Benchmark-contamination scan: flag training documents sharing any
+      // 4-token shingle with a held-out probe set (docs with doc_id % 29
+      // == 0 stand in for the benchmark). The probe side's distinct
+      // shingles BROADCAST — real benchmark suites are tiny next to a
+      // training corpus — so the corpus side is one narrow shingle
+      // explode + broadcast join + per-doc count: the corpus itself never
+      // shuffles. WordShingles returns sorted-DISTINCT shingles per doc,
+      // so count(*) is the distinct shared-shingle count.
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.shingles(col("text"), 4)).as("s4"))
+        val probe = sh.filter(col("doc_id") % 29 === 0).select(col("s4")).distinct()
+        sh.filter(col("doc_id") % 29 =!= 0)
+          .join(broadcast(probe), Seq("s4"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS s4
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+               unnest(generate_series(1, greatest(len(toks)-3, 0))) AS t(i)),
+        probe AS (SELECT DISTINCT s4 FROM sh WHERE doc_id % 29 = 0)
+        SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN probe USING (s4)
+        WHERE sh.doc_id % 29 <> 0 GROUP BY sh.doc_id ORDER BY doc_id""")),
 
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
@@ -1423,10 +1488,114 @@ object Catalog {
         CAST(floor(i * octet_length(encode(text)) / 4) AS BIGINT) AS byte_offset
         FROM documents, (SELECT unnest(range(4)) AS i) ORDER BY media_id, frame_idx""")))
 
+  // ============================================================ H. search ==
+
+  /** The shared BM25 oracle pipeline: given a `qs(query_id, qtext)` CTE
+    * body, score documents exactly as [[graft.llmops.Search.bm25TopK]] does
+    * (k1=1.2, b=0.75; 6dp-rounded per-term contributions summed as DECIMAL,
+    * so both engines rank the identical exact totals — see Search's
+    * scaladoc). Yields a `ranked(query_id, doc_id, score, rank)` CTE chain.
+    */
+  private def bm25OracleCtes(qsBody: String, selfFilter: String = ""): String =
+    s"""qs AS ($qsBody),
+      qterms AS (SELECT query_id,
+          unnest(list_distinct(string_split(trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g')), ' '))) AS tok
+        FROM qs),
+      d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+      corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        WHERE tok IN (SELECT DISTINCT tok FROM qterms) GROUP BY doc_id, tok),
+      dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+      contrib AS (SELECT q.query_id, tf.doc_id,
+          round(ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)), 6)::DECIMAL(18,6) AS w
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+             JOIN qterms q USING (tok), corpus c),
+      scored AS (SELECT query_id, doc_id, sum(w)::DOUBLE AS score
+        FROM contrib ${if (selfFilter.nonEmpty) s"WHERE $selfFilter " else ""}GROUP BY query_id, doc_id),
+      ranked AS (SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored)"""
+
+  private val search: Seq[(String, QueryDef)] = Seq(
+
+    "search_bm25" -> QueryDef(
+      // BM25 keyword retrieval, the 100 TB plan: postings filtered to the
+      // query terms at the scan (broadcast semi-join), ONE wide shuffle
+      // (per-(doc, term) tf), top-k via the TopKBy aggregate (map-side
+      // k-truncation — a common term can match the whole corpus, and a
+      // window would funnel every candidate through one reducer). The
+      // oracle recomputes the identical decimal-exact scores in DuckDB.
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (0L, "spark window agg"),
+          (1L, "customer query table"),
+          (2L, "merge batch sort")).toDF("query_id", "qtext")
+        Search.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${bm25OracleCtes(
+        """SELECT * FROM (VALUES (0::BIGINT, 'spark window agg'),
+          (1::BIGINT, 'customer query table'),
+          (2::BIGINT, 'merge batch sort')) v(query_id, qtext)""")}
+        SELECT query_id, rank::BIGINT AS rank, doc_id, score
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
+      headline = true),
+
+    "search_hybrid" -> QueryDef(
+      // Hybrid retrieval: BM25 keyword run + brute-force cosine run over
+      // the aligned embeddings table, fused by reciprocal-rank fusion
+      // (1/(60+rank), the calibration-free standard). Queries are three
+      // corpus documents (first 8 tokens as the keyword query, their
+      // embedding as the vector query); both runs exclude the query doc
+      // itself. Ranks are all that cross between the runs, and the RRF
+      // weights sum as DECIMAL — the fusion is exactly reproducible in
+      // SQL, so the whole hybrid pipeline hash-matches the oracle.
+      (s, dir) => {
+        val qids = Seq(7L, 42L, 123L)
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val kwQueries = docs.filter(col("doc_id").isin(qids: _*))
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Text.tokens(col("text")), 1, 8), " ").as("qtext"))
+        val bmRun = Search.bm25TopK(docs, kwQueries, k = 20, excludeSelf = true)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val vecRun = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id").isin(qids: _*)), k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Search.rrfFuse(Seq(bmRun, vecRun), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${bm25OracleCtes(
+        """SELECT doc_id AS query_id,
+            array_to_string((string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:8], ' ') AS qtext
+          FROM documents WHERE doc_id IN (7, 42, 123)""",
+        selfFilter = "doc_id <> query_id")},
+        brun AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
+        vec AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+              c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id IN (7, 42, 123) AND c.vec_id <> q.vec_id),
+        vrun AS (SELECT query_id, doc_id, rank FROM vec WHERE rank <= 20),
+        fused AS (SELECT query_id, doc_id,
+            sum(round(1.0 / (60 + rank), 9)::DECIMAL(12,9)) AS fdec
+          FROM (SELECT * FROM brun UNION ALL SELECT * FROM vrun)
+          GROUP BY query_id, doc_id),
+        franked AS (SELECT query_id, doc_id, fdec::DOUBLE AS score,
+            row_number() OVER (PARTITION BY query_id ORDER BY fdec::DOUBLE DESC, doc_id) AS rank
+          FROM fused)
+        SELECT query_id, rank::BIGINT AS rank, doc_id, score
+        FROM franked WHERE rank <= 10 ORDER BY query_id, rank""")))
+
   // ================================================================ export ==
 
   val defs: Seq[(String, QueryDef)] =
-    relational ++ kvParity ++ text ++ dedup ++ similarity ++ graph ++ streamingMm
+    relational ++ kvParity ++ text ++ dedup ++ similarity ++ graph ++ streamingMm ++ search
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, q) => n -> q.fn }.toMap

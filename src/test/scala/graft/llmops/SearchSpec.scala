@@ -1,0 +1,110 @@
+package graft.llmops
+
+import graft.core.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 + RRF retrieval semantics on hand-checkable corpora. */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def queries(rows: (Long, String)*): DataFrame =
+    rows.toDF("query_id", "qtext")
+
+  test("bm25: a doc matching both query terms outranks single-term docs") {
+    val docs = corpus(
+      1L -> "apple banana cherry",
+      2L -> "apple dog echo",
+      3L -> "banana fig grape",
+      4L -> "dog echo fig grape")
+    val out = Search.bm25TopK(docs, queries(0L -> "apple banana"), k = 4)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("doc_id") === 1L)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 3L))
+    // scores strictly ordered, ranks 1..n
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to out.length))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: rarer terms weigh more (idf)") {
+    // "rare" appears in 1 of 5 docs, "common" in 4 of 5; same tf and
+    // identical doc lengths, so the rare-term doc must score higher.
+    val docs = corpus(
+      1L -> "rare alpha beta",
+      2L -> "common alpha beta",
+      3L -> "common gamma delta",
+      4L -> "common epsilon zeta",
+      5L -> "common eta theta")
+    val out = Search.bm25TopK(docs, queries(0L -> "rare common"), k = 5)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("doc_id") === 1L)
+  }
+
+  test("bm25: length normalization prefers the shorter doc at equal tf") {
+    val docs = corpus(
+      1L -> "target one two",
+      2L -> "target one two three four five six seven eight nine ten",
+      3L -> "filler filler filler")
+    val out = Search.bm25TopK(docs, queries(0L -> "target"), k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).take(2).toSeq === Seq(1L, 2L))
+  }
+
+  test("bm25: excludeSelf drops the query's own document") {
+    val docs = corpus(1L -> "alpha beta gamma", 2L -> "alpha beta delta")
+    val qs = queries(1L -> "alpha beta gamma")
+    val withSelf = Search.bm25TopK(docs, qs, k = 2).collect()
+    val noSelf = Search.bm25TopK(docs, qs, k = 2, excludeSelf = true).collect()
+    assert(withSelf.map(_.getAs[Long]("doc_id")).contains(1L))
+    assert(!noSelf.map(_.getAs[Long]("doc_id")).contains(1L))
+    assert(noSelf.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
+  }
+
+  test("bm25: multiple queries rank independently") {
+    val docs = corpus(
+      1L -> "apple apple apple",
+      2L -> "banana banana banana",
+      3L -> "apple banana mixed")
+    val out = Search.bm25TopK(docs,
+        queries(0L -> "apple", 1L -> "banana"), k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("doc_id")).toMap
+    assert(out === Map(0L -> 1L, 1L -> 2L))
+  }
+
+  test("rrf: fusion rewards documents ranked well in BOTH runs") {
+    val runA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val runB = Seq((0L, 11L, 1L), (0L, 12L, 2L), (0L, 13L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Search.rrfFuse(Seq(runA, runB), k = 4)
+      .orderBy("rank").collect()
+    // doc 11: 1/62 + 1/61 beats doc 10 (1/61) and doc 12 (1/63 + 1/62)
+    assert(fused.head.getAs[Long]("doc_id") === 11L)
+    assert(fused.map(_.getAs[Long]("doc_id")).toSeq === Seq(11L, 12L, 10L, 13L))
+    // exact decimal weights: doc 10's fused score is round(1/61, 9)
+    val d10 = fused.find(_.getAs[Long]("doc_id") == 10L).get.getAs[Double]("score")
+    assert(math.abs(d10 - 0.016393443) < 1e-12)
+  }
+
+  test("rrf: ties broken by doc_id ascending") {
+    val runA = Seq((0L, 20L, 1L), (0L, 5L, 1L))
+      .toDF("query_id", "doc_id", "rank") // same rank in one run = same weight
+    val fused = Search.rrfFuse(Seq(runA), k = 2).orderBy("rank").collect()
+    assert(fused.map(_.getAs[Long]("doc_id")).toSeq === Seq(5L, 20L))
+  }
+
+  test("topk scored output carries the decimal-exact score") {
+    val docs = corpus(1L -> "alpha beta", 2L -> "alpha gamma")
+    val out = Search.bm25TopK(docs, queries(0L -> "alpha"), k = 2).collect()
+    // both docs match "alpha" identically (same tf, dl, df) → equal scores,
+    // tie broken by doc_id
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(out(0).getAs[Double]("score") === out(1).getAs[Double]("score"))
+  }
+}

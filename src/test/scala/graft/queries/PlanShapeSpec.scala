@@ -64,6 +64,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("search_bm25: top-k is a partial aggregate and the corpus never cartesian-joins") {
+    val p = plan("search_bm25")
+    assert(p.contains("partial_topkby"),
+      "bm25 top-k lost its partial-aggregation phase — every candidate's score " +
+        "would funnel through one reducer per query")
+    assert(!p.contains("CartesianProduct"),
+      "bm25 contains a cartesian product — the query-term semi-join regressed")
+    assert(!p.contains("Window"), "bm25 ranking regressed to a window funnel")
+  }
+
+  test("search_hybrid: fused plan keeps partial top-k and stays cartesian-free") {
+    val p = plan("search_hybrid")
+    assert(p.contains("partial_topkby"), "hybrid fusion lost map-side top-k truncation")
+    assert(!p.contains("CartesianProduct"),
+      "hybrid retrieval contains a cartesian product")
+  }
+
+  test("pipeline_contamination: probe shingles broadcast; the corpus side never shuffles for the join") {
+    val p = plan("pipeline_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe-set join is not broadcast — the corpus would shuffle on shingle")
+    assert(!p.contains("SortMergeJoin"),
+      "the contamination join fell back to sort-merge")
+  }
+
   test("q1_agg: scan reads only the referenced columns with the date filter pushed") {
     val p = plan("q1_agg")
     val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
