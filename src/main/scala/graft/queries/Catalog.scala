@@ -1002,7 +1002,12 @@ object Catalog {
       // "scored corpus" and "training mix". Quality-ranked running token
       // total per language (one window, one shuffle on lang), cut at the
       // budget; reports how many docs/tokens each language contributed
-      // and the quality floor the budget forced.
+      // and the quality floor the budget forced. Scale note: the window
+      // partitions by LANGUAGE, so one reducer sees a whole language's
+      // docs; at volumes where that breaks, the same cut runs as two
+      // phases — approx_percentile on quality to bracket the cutoff,
+      // then the exact window over only the bracket's docs — without
+      // changing the declared semantics.
       (s, dir) => {
         val st = Text.stats(col("text"))
         val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),

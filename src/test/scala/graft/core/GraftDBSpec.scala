@@ -11,6 +11,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // bucketed saveAsTable (BucketingSpec) needs a writable warehouse
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 }
 
