@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (args: Seq[Expression]) => { arity("topk_by", args, 3)
         TopKBy(args(0), args(1), intLit(args(2), "k")).toAggregateExpression() }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by_scored"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by_scored"),
+      (args: Seq[Expression]) => { arity("topk_by_scored", args, 3)
+        TopKBy(args(0), args(1), intLit(args(2), "k"), withScores = true)
+          .toAggregateExpression() }))
   }
 }
 
@@ -108,5 +115,9 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("topk_by",
       args => TopKBy(args(0), args(1),
         args(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("topk_by_scored",
+      args => TopKBy(args(0), args(1),
+        args(2).asInstanceOf[Literal].value.asInstanceOf[Int],
+        withScores = true).toAggregateExpression(), "built-in")
   }
 }

@@ -1295,7 +1295,32 @@ object Catalog {
           Similarity.bruteForceTopK(emb, q, k = 5),
           Seq("query_id", "neighbor_id"), floor = 0.15, name = "lsh_recall_at_5")
       },
-      Some("SELECT 'lsh_recall_at_5' AS gate, true AS floor_met")))
+      Some("SELECT 'lsh_recall_at_5' AS gate, true AS floor_met")),
+
+    "emb_label_centroids" -> QueryDef(
+      // Per-label embedding centroids — the vector-AGGREGATION primitive
+      // (class prototypes, cluster summaries, the reduce step of a
+      // distributed k-means iteration). One posexplode + one hash agg
+      // keyed by (label, dim): partial map-side combine, shuffle carries
+      // labels x dims rows, never the vectors. Elements widen
+      // float->double exactly, then are 7dp-rounded and summed as
+      // DECIMAL, so the centroid is exact and association-order-
+      // independent — hash-matching the oracle at any partitioning
+      // (a raw double SUM would flake on fp reassociation).
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("e").cast("double"), 7).cast("decimal(18,7)")).as("__s"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+          round(col("__s").cast("double") / col("n"), 6).as("centroid"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, dim::BIGINT AS dim, count(*) AS n,
+          round(sum(round(e, 7)::DECIMAL(18,7))::DOUBLE / count(*), 6) AS centroid
+        FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS e,
+                generate_subscripts(embedding, 1) - 1 AS dim
+              FROM embeddings)
+        GROUP BY label, dim ORDER BY label, dim""")))
 
   // ============================================================= F. graph ==
 

@@ -25,6 +25,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(4) == 'a'.toLong * 31 + 'b'.toLong)
   }
 
+  test("topk_by and topk_by_scored callable as SQL aggregates") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((0L, 10L, 1.0), (0L, 11L, 3.0), (0L, 12L, 2.0))
+      .toDF("g", "id", "score").createOrReplaceTempView("tk")
+    val ids = spark.sql("SELECT topk_by(score, id, 2) FROM tk GROUP BY g")
+      .head().getSeq[Long](0)
+    assert(ids == Seq(11L, 12L))
+    val scored = spark.sql(
+      "SELECT topk_by_scored(score, id, 2) AS t FROM tk GROUP BY g")
+      .selectExpr("inline(t)").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(scored == Seq((3.0, 11L), (2.0, 12L)))
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import spark.implicits._
