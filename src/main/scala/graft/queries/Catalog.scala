@@ -1549,7 +1549,53 @@ object Catalog {
           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         FROM scored)"""
 
+  /** One persisted inverted text index per dataset, built on first use
+    * (deterministic build, memoized like [[ivfIndexFor]] — keyed by the
+    * documents table's (path, size, mtime) so a regenerated dataset gets a
+    * fresh index).
+    */
+  private val textIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textIndexFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    textIndexDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val idx = Files.createTempDirectory("graft-q-textidx").toString
+      Search.buildTextIndex(t(s, dir, "documents"), idx, numBuckets = 64)
+      idx
+    })
+  }
+
   private val search: Seq[(String, QueryDef)] = Seq(
+
+    "search_bm25_indexed" -> QueryDef(
+      // The PERSISTED-index form — what you'd run at 100 TB when queries
+      // repeat: buildTextIndex pays the corpus tokenize/tf/df scan ONCE
+      // into bucket-partitioned postings; each query then hashes its
+      // terms to buckets driver-side and the postings scan PRUNES to
+      // those partitions (PlanShapeSpec pins the PartitionFilters).
+      // Scores are bit-identical to the scan form, so unlike the IVF
+      // probe this indexed plan is FULLY oracled, not rows-only.
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (0L, "stream filter group"),
+          (1L, "hash join order"),
+          (2L, "slow scan data")).toDF("query_id", "qtext")
+        Search.bm25TopKIndexed(s, textIndexFor(s, dir), qs, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${bm25OracleCtes(
+        """SELECT * FROM (VALUES (0::BIGINT, 'stream filter group'),
+          (1::BIGINT, 'hash join order'),
+          (2::BIGINT, 'slow scan data')) v(query_id, qtext)""")}
+        SELECT query_id, rank::BIGINT AS rank, doc_id, score
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
+      // headline times the PROBE path (index memoized per dataset)
+      headline = true),
 
     "search_bm25" -> QueryDef(
       // BM25 keyword retrieval, the 100 TB plan: postings filtered to the

@@ -99,6 +99,46 @@ class SearchSpec extends AnyFunSuite {
     assert(fused.map(_.getAs[Long]("doc_id")).toSeq === Seq(5L, 20L))
   }
 
+  test("indexed bm25 returns BIT-IDENTICAL results to the scan form") {
+    val docs = corpus(
+      1L -> "apple banana cherry apple",
+      2L -> "apple dog echo",
+      3L -> "banana fig grape banana banana",
+      4L -> "dog echo fig grape",
+      5L -> "cherry cherry dog apple fig")
+    val qs = queries(0L -> "apple banana", 1L -> "fig dog", 7L -> "cherry")
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(docs, idx, numBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    val scan = rows(Search.bm25TopK(docs, qs, k = 4))
+    val indexed = rows(Search.bm25TopKIndexed(spark, idx, qs, k = 4))
+    assert(indexed === scan)
+    // excludeSelf parity too
+    val scanNoSelf = rows(Search.bm25TopK(docs, queries(1L -> "apple dog"), k = 4,
+      excludeSelf = true))
+    val idxNoSelf = rows(Search.bm25TopKIndexed(spark, idx,
+      queries(1L -> "apple dog"), k = 4, excludeSelf = true))
+    assert(idxNoSelf === scanNoSelf && !idxNoSelf.exists(_._3 == 1L))
+  }
+
+  test("indexed bm25 ignores terms absent from the corpus") {
+    val docs = corpus(1L -> "alpha beta", 2L -> "beta gamma")
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(docs, idx, numBuckets = 4)
+    val out = Search.bm25TopKIndexed(spark, idx,
+      queries(0L -> "alpha unseen-term"), k = 2).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+  }
+
+  test("bm25TopKIndexed fails loudly on a missing or torn index") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-noidx").toString
+    intercept[Exception] {
+      Search.bm25TopKIndexed(spark, empty, queries(0L -> "x"), k = 1).collect()
+    }
+  }
+
   test("topk scored output carries the decimal-exact score") {
     val docs = corpus(1L -> "alpha beta", 2L -> "alpha gamma")
     val out = Search.bm25TopK(docs, queries(0L -> "alpha"), k = 2).collect()

@@ -74,6 +74,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "bm25 ranking regressed to a window funnel")
   }
 
+  test("search_bm25_indexed: query-term buckets prune the postings scan's partitions") {
+    val p = plan("search_bm25_indexed")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"the postings scan lost partition pruning on bucket — every query " +
+        s"would read the whole index: $pf")
+    assert(p.contains("partial_topkby"), "indexed bm25 lost map-side top-k truncation")
+  }
+
   test("search_hybrid: fused plan keeps partial top-k and stays cartesian-free") {
     val p = plan("search_hybrid")
     assert(p.contains("partial_topkby"), "hybrid fusion lost map-side top-k truncation")
