@@ -112,58 +112,151 @@ object Search {
         col("__e.id").as("doc_id"), col("__e.score").as("score"))
 
   // ===================================================== persisted index ==
+  //
+  // The text analog of the persisted IVF index: pay the corpus
+  // tokenize/tf/df scan once, then every query reads only the index
+  // partitions its terms hash to. Layout under `indexDir`:
+  //
+  //   MANIFEST.json        {numBuckets, nDocs, sumDl, dict, postings[],
+  //                        appliedTags[]} — every mutation stages its data
+  //                        dirs first and commits with ONE atomic-rename
+  //                        manifest swap (the GraftDB/IVF write-then-flip
+  //                        contract); readers never see a torn batch
+  //   postings-<uuid>/bucket=N/  (tok, doc_id, tf, dl) — immutable roots,
+  //                        one per build/append, partitioned by
+  //                        bucket = xxhash64(tok) % numBuckets
+  //   dict-<uuid>/bucket=N/      (tok, df) — document frequencies, REPLACED
+  //                        (old + delta merged into a fresh dir) on each
+  //                        append; df lives here and not on posting rows
+  //                        exactly so appends never rewrite postings
+  //
+  // nDocs/sumDl are exact integer totals (avgdl = sumDl/nDocs reproduces
+  // the scan form's avg() bit-for-bit — integer-valued doubles sum
+  // exactly), and tf/df/dl are integer-valued, so indexed scores are
+  // BIT-IDENTICAL to [[bm25TopK]]'s at any append history: the indexed
+  // query stays fully oracled, not rows-only. Pick `numBuckets` for the
+  // target corpus — buckets are the probe read granularity (a few hundred
+  // at 100 TB keeps each bucket a manageable scan while a 3-term query
+  // still reads <= 3/numBuckets of the index).
+
+  private final case class TextIndexManifest(
+      numBuckets: Int,
+      nDocs: Long,
+      sumDl: Long,
+      dict: String,
+      postings: Vector[String],
+      appliedTags: Vector[String] = Vector.empty)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
-  /** Build a PERSISTED inverted index for [[bm25TopKIndexed]] — the text
-    * analog of the persisted IVF index: pay the corpus scan once, then
-    * every query reads only the index partitions its terms hash to.
-    *
-    * Layout under `indexDir`:
-    *   postings/bucket=N/  parquet (tok, doc_id, tf, dl, df) — partitioned
-    *                       by `bucket = xxhash64(tok) % numBuckets`, so a
-    *                       query's terms prune to their buckets at planning
-    *                       time (PlanShapeSpec pins the PartitionFilters)
-    *   stats.json          {nDocs, avgdl, numBuckets} — written LAST via
-    *                       atomic rename; its presence seals the index
-    *
-    * tf/df/dl are integer-valued doubles and avgdl is an exact integer sum
-    * over a long count, so indexed scores are BIT-IDENTICAL to
-    * [[bm25TopK]]'s — the indexed query stays fully oracled, not
-    * rows-only. Pick `numBuckets` for the target corpus: buckets are the
-    * probe read granularity (a few hundred at 100 TB keeps each bucket a
-    * manageable scan while a 3-term query still reads <= 3/numBuckets of
-    * the index).
+  // serializes index mutations in-process (build, append, vacuum) — the
+  // same single-writer contract as the IVF index and GraftDB manifest;
+  // cross-process writers are out of scope
+  private val textLock = new Object
+
+  /** Build a fresh persisted inverted index over `docs` (replacing any
+    * prior manifest at `indexDir`; superseded dirs are reclaimed by
+    * [[vacuumTextIndex]]).
     */
   def buildTextIndex(
       docs: DataFrame,
       indexDir: String,
       numBuckets: Int = 64,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text"): Unit = textLock.synchronized {
     require(numBuckets > 0, "buildTextIndex: numBuckets must be positive")
     val spark = docs.sparkSession
-    val base = docs.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+    val (pDir, dDir, n, sumDl) =
+      stageIndexDelta(docs, indexDir, numBuckets, idCol, textCol, oldDict = None)
+    writeTextManifest(spark, indexDir,
+      TextIndexManifest(numBuckets, n, sumDl, dDir, Vector(pDir)))
+  }
+
+  /** Append a document batch to an existing index: stage a new postings
+    * root + a merged dict, then seal both with one manifest swap. Returns
+    * false (and writes nothing) when `batchTag` was already applied — the
+    * exactly-once guard for streaming replays ([[graft.streaming
+    * .EventStream.ingestToTextIndex]] passes the micro-batch id). The
+    * corpus contract is append-only NEW doc ids; re-appending a live id
+    * double-counts it (dedup at ingest is `dedupStream`'s job).
+    */
+  def appendToTextIndex(
+      indexDir: String,
+      docs: DataFrame,
+      batchTag: Option[String] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Boolean = textLock.synchronized {
+    val spark = docs.sparkSession
+    val m = readTextManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"appendToTextIndex: no readable index manifest at $indexDir"))
+    if (batchTag.exists(m.appliedTags.contains)) return false // replayed batch
+    val (pDir, dDir, n, sumDl) = stageIndexDelta(docs, indexDir, m.numBuckets,
+      idCol, textCol, oldDict = Some(s"$indexDir/${m.dict}"))
+    if (n == 0) return false
+    writeTextManifest(spark, indexDir, m.copy(
+      nDocs = m.nDocs + n, sumDl = m.sumDl + sumDl,
+      dict = dDir, postings = m.postings :+ pDir,
+      appliedTags = batchTag.fold(m.appliedTags)(m.appliedTags :+ _)))
+    true
+  }
+
+  // explicit read schemas: a build over an EMPTY corpus (the streaming
+  // start state) writes partition roots with no files, where schema
+  // inference would fail; partition column included so the empty frame
+  // still carries `bucket`
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+  private val dictSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+
+  /** Stage one batch's postings root and dict dir (delta, or delta merged
+    * with `oldDict`). Staged dirs are invisible until the caller's
+    * manifest swap; a crash here leaves orphans for [[vacuumTextIndex]].
+    */
+  private def stageIndexDelta(docs: DataFrame, indexDir: String, numBuckets: Int,
+      idCol: String, textCol: String, oldDict: Option[String]): (String, String, Long, Long) = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      Text.tokens(col(textCol)).as("__toks"))
     val postings = base
       .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
         explode(col("__toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
-    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-    postings.join(dfreq, Seq("tok")) // build-time shuffle on tok, paid once
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(numBuckets.toLong)).cast("int"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/postings")
+    val pDir = s"postings-${java.util.UUID.randomUUID}"
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
+    // df delta from the STAGED postings (one narrow read-back — cheaper
+    // than recomputing the tokenize+tf pipeline, and exactly consistent
+    // with what was written); merged with the old dict when appending
+    val dfDelta = spark.read.schema(postingsSchema).parquet(s"$indexDir/$pDir")
+      .groupBy(col("tok"), col("bucket")).agg(count(lit(1)).cast("double").as("df"))
+    val dict = oldDict match {
+      case None => dfDelta
+      case Some(od) => spark.read.schema(dictSchema).parquet(od)
+        .select(col("tok"), col("bucket"), col("df")).unionByName(
+          dfDelta.select(col("tok"), col("bucket"), col("df")))
+        .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
+    }
+    val dDir = s"dict-${java.util.UUID.randomUUID}"
+    dict.write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
     val stats = base.agg(count(lit(1)).as("n"),
-      avg(size(col("__toks")).cast("double")).as("avgdl")).head()
-    writeStatsJson(spark, s"$indexDir/stats.json",
-      s"""{"nDocs": ${stats.getLong(0)}, "avgdl": ${stats.getDouble(1)}, "numBuckets": $numBuckets}""")
+      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("sumDl")).head()
+    (pDir, dDir, stats.getLong(0), stats.getLong(1))
   }
 
   /** BM25 top-k through a [[buildTextIndex]] index: query terms hash to
     * their buckets driver-side (bounded metadata, like the IVF centroid
-    * rank) and the postings scan PRUNES to those partitions — each query
-    * touches ~|terms|/numBuckets of the index instead of the corpus.
-    * Same output contract and BIT-IDENTICAL scores to [[bm25TopK]].
+    * rank — and with the same Spark `xxhash64` expression the build used,
+    * never a reimplementation), and both the postings and dict scans
+    * PRUNE to those partitions. Same output contract and BIT-IDENTICAL
+    * scores to [[bm25TopK]] over the build+appends corpus.
     */
   def bm25TopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
@@ -175,27 +268,32 @@ object Search {
       excludeSelf: Boolean = false,
       queryIdCol: String = "query_id",
       queryTextCol: String = "qtext"): DataFrame = {
-    val j = org.json4s.jackson.JsonMethods.parse(
-      readStatsJson(spark, s"$indexDir/stats.json"))
-    val (nDocs, avgdl, numBuckets) = (for {
-      n <- (j \ "nDocs").extractOpt[Long]
-      a <- (j \ "avgdl").extractOpt[Double]
-      nb <- (j \ "numBuckets").extractOpt[Int]
-    } yield (n, a, nb)).getOrElse(throw new IllegalStateException(
-      s"unreadable text-index stats at $indexDir/stats.json"))
+    val m = readTextManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"bm25TopKIndexed: no readable index manifest at $indexDir"))
+    // any value serves an empty index (no postings, so no arithmetic runs);
+    // guarding keeps the plan free of a constant NaN
+    val avgdl = if (m.nDocs == 0) 1.0 else m.sumDl.toDouble / m.nDocs
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Text.tokens(col(queryTextCol)))).as("tok"))
-    // the probe buckets, hashed by the same Spark expression the build
-    // used (never a hand-rolled reimplementation of xxhash64)
     val buckets = qterms.select(
-        pmod(xxhash64(col("tok")), lit(numBuckets.toLong)).cast("int").as("b"))
+        pmod(xxhash64(col("tok")), lit(m.numBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    // each posting root read separately and unioned (one multi-path read
+    // would trip partition inference across sibling roots — same pattern
+    // as the IVF index's sealed-append union); `bucket` stays a partition
+    // column per root, so the filter prunes every scan
+    val postings = m.postings
+      .map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
+      .reduce(_.unionByName(_))
       .filter(col("bucket").isin(buckets: _*))
+    val dict = spark.read.schema(dictSchema).parquet(s"$indexDir/${m.dict}")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("tok"), col("df"))
     val contrib = postings
+      .join(broadcast(dict), Seq("tok"))
       .join(broadcast(qterms), Seq("tok"))
       .withColumn("__w", round(
-        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        log(lit(1.0) + (lit(m.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 6)
         .cast("decimal(18,6)"))
@@ -207,21 +305,49 @@ object Search {
       col("__dec").cast("double").as("score")), k)
   }
 
-  private def readStatsJson(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  /** Delete index dirs the manifest no longer references — crashed stages
+    * and superseded dicts/postings (the explicit cleanup point, like
+    * `GraftDB.vacuum`; in-flight readers of old dirs are the caller's
+    * concern). Returns the number of directories removed.
+    */
+  def vacuumTextIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Int = textLock.synchronized {
+    readTextManifest(spark, indexDir) match {
+      case None => 0
+      case Some(m) =>
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = (m.postings :+ m.dict).toSet
+        val stale = fs.listStatus(root).filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && (n.startsWith("postings-") || n.startsWith("dict-")) &&
+            !live.contains(n)
+        }
+        stale.foreach(st => fs.delete(st.getPath, true))
+        stale.length
+    }
   }
 
-  private def writeStatsJson(spark: org.apache.spark.sql.SparkSession,
-      path: String, json: String): Unit = {
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+  private def readTextManifest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[TextIndexManifest] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(org.json4s.jackson.Serialization.read[TextIndexManifest](text))
+    }
+  }
+
+  private def writeTextManifest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: TextIndexManifest): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json.tmp")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    try out.write(org.json4s.jackson.Serialization.write(m).getBytes("UTF-8"))
+    finally out.close()
     org.apache.hadoop.fs.FileContext
       .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)

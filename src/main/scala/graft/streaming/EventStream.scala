@@ -99,6 +99,34 @@ object EventStream {
       }
       .start()
 
+  /** Streaming document ingest into a persisted inverted text index:
+    * each micro-batch appends through
+    * [[graft.llmops.Search.appendToTextIndex]] — staged-then-sealed
+    * (crash-safe), and EXACTLY-once: the micro-batch id is passed as the
+    * append's batch tag, so a checkpoint replay of an already-sealed
+    * batch is a no-op instead of double-counting its term frequencies
+    * (BM25's df/nDocs are exact counts — unlike the IVF probe, duplicate
+    * rows would corrupt every score, so replays must be fenced, not
+    * tolerated). The index must exist (`buildTextIndex`, possibly over an
+    * empty corpus) before the stream starts.
+    */
+  def ingestToTextIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llmops.Search.appendToTextIndex(
+          indexDir, batch, batchTag = Some(s"stream-batch-$batchId"),
+          idCol = idCol, textCol = textCol)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup for ingest pipelines: keep the first row per
     * `keyCol`, dropping re-arrivals within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — key-only dedup with

@@ -139,6 +139,74 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("appended index is BIT-IDENTICAL to a fresh build over the full corpus") {
+    val half1 = corpus(
+      1L -> "apple banana cherry apple",
+      2L -> "apple dog echo")
+    val half2a = corpus(3L -> "banana fig grape banana banana")
+    val half2b = corpus(
+      4L -> "dog echo fig grape",
+      5L -> "cherry cherry dog apple fig")
+    val full = half1.unionByName(half2a).unionByName(half2b)
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(half1, idx, numBuckets = 8)
+    assert(Search.appendToTextIndex(idx, half2a, batchTag = Some("b1")))
+    assert(Search.appendToTextIndex(idx, half2b, batchTag = Some("b2")))
+    val qs = queries(0L -> "apple banana", 1L -> "fig dog", 7L -> "cherry")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    // df, nDocs, avgdl all shifted with the appends — scores must equal
+    // the SCAN form over the full corpus exactly, not approximately
+    assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+      === rows(Search.bm25TopK(full, qs, k = 5)))
+  }
+
+  test("append replays fence on the batch tag; vacuum reclaims superseded dirs") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    def rows(dir: String) = Search.bm25TopKIndexed(spark, dir,
+        queries(0L -> "beta"), k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    Search.buildTextIndex(corpus(1L -> "alpha beta"), idx, numBuckets = 4)
+    val batch = corpus(2L -> "beta gamma")
+    assert(Search.appendToTextIndex(idx, batch, batchTag = Some("t1")))
+    val before = rows(idx)
+    // replay of the SAME tag must be a no-op — df/nDocs would double-count
+    assert(!Search.appendToTextIndex(idx, batch, batchTag = Some("t1")))
+    assert(rows(idx) === before)
+    // superseded dict + orphaned stage dirs are reclaimable
+    val removed = Search.vacuumTextIndex(spark, idx)
+    assert(removed >= 1, "append left no superseded dict to vacuum")
+    assert(rows(idx) === before, "vacuum touched live index data")
+  }
+
+  test("a stream of micro-batches builds the index exactly-once from empty") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    // empty build = the streaming start state
+    Search.buildTextIndex(corpus(), idx, numBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val docsStream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.EventStream.ingestToTextIndex(docsStream, idx,
+      java.nio.file.Files.createTempDirectory("graft-textidx-ckpt").toString)
+    try {
+      mem.addData((1L, "apple banana cherry"), (2L, "apple dog echo"))
+      q.processAllAvailable()
+      mem.addData((3L, "banana fig grape"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchDual = corpus(1L -> "apple banana cherry", 2L -> "apple dog echo",
+      3L -> "banana fig grape")
+    val qs = queries(0L -> "apple banana", 1L -> "fig")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+      === rows(Search.bm25TopK(batchDual, qs, k = 5)))
+  }
+
   test("topk scored output carries the decimal-exact score") {
     val docs = corpus(1L -> "alpha beta", 2L -> "alpha gamma")
     val out = Search.bm25TopK(docs, queries(0L -> "alpha"), k = 2).collect()
