@@ -851,7 +851,44 @@ object Catalog {
         SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
           round(1.0 - count(*)::DOUBLE / sum(c), 6) AS dup_bigram_frac,
           round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
-        FROM c GROUP BY doc_id ORDER BY doc_id""")))
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    "text_unigram_ll" -> QueryDef(
+      // Unigram language-model quality score: average per-token
+      // log-likelihood under the corpus's own add-one-smoothed unigram
+      // distribution — the cheap stand-in for the KenLM-perplexity filter
+      // every curation pipeline runs (low avg LL = noise/rare-token soup,
+      // suspiciously high = repetitive boilerplate; both get cut). Two
+      // passes: vocab counts (one hash agg), then tokens joined to the
+      // BROADCAST vocab (bounded by vocabulary size, not corpus — at
+      // open-web scale, cap to top-V terms + an OOV bucket and broadcast
+      // still holds). Per-token lls are 6dp-rounded and summed as
+      // DECIMAL — exact at any partitioning, like the BM25 scores.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val totals = vocab.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .crossJoin(broadcast(totals))
+          .withColumn("ll",
+            round(log((col("c") + lit(1.0)) / (col("n_total") + col("v"))), 6)
+              .cast("decimal(18,6)"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("ll")).as("__sll"))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("__sll").cast("double") / col("n_toks"), 6).as("avg_ll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        t AS (SELECT sum(c)::BIGINT AS n_total, count(*) AS vs FROM v),
+        ll AS (SELECT doc_id,
+            round(ln((c + 1.0) / (n_total + vs)), 6)::DECIMAL(18,6) AS ll
+          FROM toks JOIN v USING (tok), t)
+        SELECT doc_id, count(*) AS n_toks,
+          round(sum(ll)::DOUBLE / count(*), 6) AS avg_ll
+        FROM ll GROUP BY doc_id ORDER BY doc_id""")))
 
   // ============================================================= D. dedup ==
 

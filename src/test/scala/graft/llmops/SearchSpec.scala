@@ -180,6 +180,27 @@ class SearchSpec extends AnyFunSuite {
     assert(rows(idx) === before, "vacuum touched live index data")
   }
 
+  test("randomized append sequences match fresh builds (seeded mini-fuzz)") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def randDocs(ids: Range) = corpus(ids.map(i => i.toLong ->
+      Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")): _*)
+    val batches = Seq(randDocs(0 until 7), randDocs(7 until 12), randDocs(12 until 20))
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(batches.head, idx, numBuckets = 8)
+    batches.tail.zipWithIndex.foreach { case (b, i) =>
+      assert(Search.appendToTextIndex(idx, b, batchTag = Some(s"fz-$i")))
+    }
+    val full = batches.reduce(_ unionByName _)
+    val qs = queries(0L -> "alpha beta", 1L -> "kappa gamma delta", 2L -> "theta")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 8))
+      === rows(Search.bm25TopK(full, qs, k = 8)))
+  }
+
   test("a stream of micro-batches builds the index exactly-once from empty") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
