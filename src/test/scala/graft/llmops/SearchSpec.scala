@@ -137,6 +137,16 @@ class SearchSpec extends AnyFunSuite {
     intercept[Exception] {
       Search.bm25TopKIndexed(spark, empty, queries(0L -> "x"), k = 1).collect()
     }
+    // torn/corrupt manifest: loud failure, never a silent empty result
+    val torn = java.nio.file.Files.createTempDirectory("graft-tornidx")
+    java.nio.file.Files.writeString(torn.resolve("MANIFEST.json"), "{\"numBu")
+    intercept[Exception] {
+      Search.bm25TopKIndexed(spark, torn.toString, queries(0L -> "x"), k = 1).collect()
+    }
+    // and appends must refuse it too, not re-initialize over it
+    intercept[Exception] {
+      Search.appendToTextIndex(torn.toString, corpus(1L -> "a b"), Some("t"))
+    }
   }
 
   test("appended index is BIT-IDENTICAL to a fresh build over the full corpus") {
