@@ -955,6 +955,62 @@ object Catalog {
         (SELECT unnest($toksSql) AS tok FROM documents)
         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
+    "pipeline_neardedup" -> QueryDef(
+      // NEAR-dup curation — the step a real pipeline ships after exact
+      // dedup: near-dup clusters (exact PPJoin pairs -> connected
+      // components) with the HIGHEST-QUALITY member kept per cluster,
+      // not the lowest id. One window per cluster (bounded by cluster
+      // size, not corpus) picks the survivor; ties break by doc_id.
+      // Composes three oracled families (set-similarity join, GraphX CC,
+      // quality scoring) into one certified row.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.jaccardClusters(docs, "source", 0.8)
+        val scored = docs.select(col("doc_id"),
+          round(Text.stats(col("text")).getField("quality"), 6).as("quality"))
+        val w = Window.partitionBy(col("canonical_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        clusters.join(scored, Seq("doc_id"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("canonical_id"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH RECURSIVE
+        toks AS (SELECT doc_id, source, list_distinct($toksSql) AS ts FROM documents),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+              round(len(list_intersect(l.ts, r.ts))::DOUBLE /
+                (len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts))), 6) AS jaccard
+            FROM toks l JOIN toks r ON l.source = r.source AND l.doc_id < r.doc_id)
+          WHERE jaccard >= 0.8),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        canon AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+        q AS (SELECT doc_id,
+          round((least(length(text) / 500.0, 1.0)
+               + least(CASE WHEN len($toksSql) = 0 THEN 0.0
+                       ELSE len(list_filter($toksSql, tk -> tk IN ($stopList)))::DOUBLE / len($toksSql) END * 4.0, 1.0)
+               + greatest(1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) END * 5.0, 0.0)) / 3.0, 6) AS quality
+          FROM documents)
+        SELECT doc_id, canonical_id, quality FROM (
+          SELECT c.doc_id, c.canonical_id, q.quality,
+            row_number() OVER (PARTITION BY c.canonical_id
+              ORDER BY q.quality DESC, c.doc_id) AS rn
+          FROM canon c JOIN q USING (doc_id))
+        WHERE rn = 1 ORDER BY doc_id"""
+      }),
+
     "pipeline_curate" -> QueryDef(
       // the full curation flow as ONE composed query — quality-score ->
       // threshold filter -> exact dedup survivors -> per-language corpus
