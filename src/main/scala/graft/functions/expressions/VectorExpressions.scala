@@ -282,6 +282,196 @@ object NearestCentroid {
   }
 }
 
+/** `PqEncode(vec, codebooks)`: product-quantization code of a vector —
+  * for each of m subspaces, the index of the nearest codebook centroid of
+  * that subspace (squared euclidean, lowest index on ties). Returns
+  * `array<int>` of length m. `normalize = true` encodes the UNIT vector
+  * (the cosine-ADC contract: with both sides normalized, inner product =
+  * cosine). One static call per row — the narrow-map shape of
+  * [[NearestCentroid]] at any dimension and any m.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
+    normalize: Boolean = true)
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_encode: codebooks must be non-empty per subspace")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pq_encode expects array<float> or array<double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqExpressions.encode(input.asInstanceOf[ArrayData], codebooks, isFloat, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = PqExpressions.getClass.getName.stripSuffix("$")
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $util.encode($arr, $cbRef, $isFloat, $normalize);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `PqQueryLut(qvec, codebooks)`: the query-side ADC lookup table — for
+  * every (subspace m, centroid j), the inner product of the query's m-th
+  * subvector with that centroid, flattened to `array<double>` of length
+  * m * ksub. `PqAdcDot(codes, lut)` then scores a PQ-coded corpus row in
+  * O(m) lookups. `normalize = true` uses the unit query (cosine contract).
+  */
+case class PqQueryLut(child: Expression, codebooks: Array[Array[Array[Double]]],
+    normalize: Boolean = true)
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_query_lut: codebooks must be non-empty per subspace")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pq_query_lut expects array<float> or array<double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqExpressions.queryLut(input.asInstanceOf[ArrayData], codebooks, isFloat, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = PqExpressions.getClass.getName.stripSuffix("$")
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $util.queryLut($arr, $cbRef, $isFloat, $normalize);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqQueryLut =
+    copy(child = newChild)
+}
+
+/** `PqAdcDot(codes, lut)`: asymmetric-distance score — sum over subspaces
+  * of the lut entry the row's code selects (`lut[m * ksub + codes[m]]`,
+  * ksub inferred from the lengths). With unit-normalized build and query,
+  * this approximates the cosine. Codegen'd; the hot loop is m additions.
+  */
+case class PqAdcDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    PqExpressions.adcDot(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = PqExpressions.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (codes, lut) =>
+      s"${ev.value} = $util.adcDot($codes, $lut);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqExpressions {
+
+  @inline private def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  private def normOf(arr: ArrayData, isFloat: Boolean): Double = {
+    val dim = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val v = elem(arr, i, isFloat); s += v * v; i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) 1.0 else n // zero vector: encode as-is rather than NaN
+  }
+
+  /** PQ code per subspace (argmin squared distance, lowest index on ties). */
+  def encode(arr: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean, normalize: Boolean): ArrayData = {
+    val dim = arr.numElements()
+    val inv = if (normalize) 1.0 / normOf(arr, isFloat) else 1.0
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val cents = codebooks(sub)
+      val dsub = cents(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val cen = cents(j)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val v = (if (off + i < dim) elem(arr, off + i, isFloat) * inv else 0.0) - cen(i)
+          d += v * v
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(sub) = best
+      off += dsub
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Flattened (m x ksub) table of subvector-centroid inner products. */
+  def queryLut(arr: ArrayData, codebooks: Array[Array[Array[Double]]],
+      isFloat: Boolean, normalize: Boolean): ArrayData = {
+    val dim = arr.numElements()
+    val inv = if (normalize) 1.0 / normOf(arr, isFloat) else 1.0
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val out = new Array[Double](m * ksub)
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val cents = codebooks(sub)
+      val dsub = cents(0).length
+      var j = 0
+      while (j < cents.length) {
+        val cen = cents(j)
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          if (off + i < dim) dot += elem(arr, off + i, isFloat) * inv * cen(i)
+          i += 1
+        }
+        out(sub * ksub + j) = dot
+        j += 1
+      }
+      off += dsub
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Sum of the lut entries the codes select. */
+  def adcDot(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += lut.getDouble(i * ksub + codes.getInt(i)); i += 1 }
+    s
+  }
+}
+
 /** `GridBucket(key, bounds)`: bucket id of a binary key against a FIXED
   * grid of split keys — the number of split keys strictly below the key
   * (split key i is the inclusive upper bound of bucket i), via binary
@@ -382,4 +572,18 @@ object VectorExpressions {
     */
   def grid_bucket(key: Column, boundsHex: Seq[String]): Column =
     ColumnBridge.column(GridBucket(ColumnBridge.expression(key), boundsHex.toArray))
+
+  /** Column API: product-quantization code (array<int>, one per subspace). */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean = true): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks, normalize))
+
+  /** Column API: query-side ADC lookup table (array<double>, m x ksub). */
+  def pq_query_lut(qvec: Column, codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean = true): Column =
+    ColumnBridge.column(PqQueryLut(ColumnBridge.expression(qvec), codebooks, normalize))
+
+  /** Column API: ADC score of a PQ code against a query lut. */
+  def pq_adc_dot(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdcDot(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }

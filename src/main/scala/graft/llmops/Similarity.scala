@@ -532,4 +532,96 @@ object Similarity {
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
     topKPerQuery(scored, k)
   }
+
+  /** Fit product-quantization codebooks: the vector space is cut into `m`
+    * subspaces and each gets a `ksub`-centroid k-means quantizer (FAISS
+    * PQ). Fitted on a bounded sample of UNIT-normalized vectors — PQ here
+    * approximates the COSINE (normalized inner product), so both encode
+    * and the query lut normalize too. Returns `m x ksub x dsub` centroids
+    * (deterministic: fixed seed, deterministic sample).
+    */
+  def fitPqCodebooks(
+      corpus: DataFrame,
+      m: Int = 8,
+      ksub: Int = 16,
+      fitSampleRows: Int = 10000,
+      seed: Long = 42L,
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    require(m > 0 && ksub > 1, "fitPqCodebooks: need m > 0 and ksub > 1")
+    val c = corpus.select(col(vecCol).as("cv"))
+    val dim = c.select(size(col("cv"))).head().getInt(0)
+    require(dim >= m, s"fitPqCodebooks: dim $dim < m $m")
+    val dsub = (dim + m - 1) / m
+    val total = c.count()
+    val fitInput =
+      if (fitSampleRows > 0 && total > fitSampleRows)
+        c.sample(withReplacement = false, fitSampleRows.toDouble / total, seed)
+      else c
+    // unit-normalize once (bounded sample — this cost never touches the
+    // full corpus; corpus-side normalization happens inside PqEncode's
+    // tight loop)
+    val normed = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("fv").setOutputCol("nrm").setP(2.0)
+      .transform(fitInput.withColumn("fv",
+        array_to_vector(col("cv").cast("array<double>"))))
+      .withColumn("nv", vector_to_array(col("nrm")))
+    (0 until m).map { i =>
+      val off = i * dsub
+      val len = math.min(dsub, dim - off)
+      val model = new KMeans().setK(ksub).setSeed(seed + i)
+        .setFeaturesCol("sv").setPredictionCol("cell")
+        .fit(normed.withColumn("sv", array_to_vector(slice(col("nv"), off + 1, len))))
+      // pad ragged tails to dsub — PqEncode zero-pads the vector the same way
+      model.clusterCenters.map { v =>
+        val a = v.toArray
+        if (a.length < dsub) a ++ Array.fill(dsub - a.length)(0.0) else a
+      }
+    }.toArray
+  }
+
+  /** Product-quantization ANN: the corpus compresses to m small-int codes
+    * per vector (here m x 4 bits of information per row vs m x dsub
+    * floats — the memory path to billion-scale corpora), queries carry an
+    * (m x ksub) lookup table, and scoring is m array lookups per corpus
+    * row (asymmetric distance, cosine contract) — no full-vector math in
+    * the scan. `rerank > 0` re-scores the top `rerank` ADC candidates
+    * with EXACT cosine (the standard PQ pipeline: cheap scan first, exact
+    * math on a bounded candidate set). Returns (query_id, neighbor_id,
+    * rank) like the other ANN paths.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 50,
+      fitSampleRows: Int = 10000,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val codebooks = fitPqCodebooks(corpus, m, ksub, fitSampleRows, seed, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    import graft.functions.expressions.VectorExpressions
+    val codes = c.select(col("neighbor_id"),
+      VectorExpressions.pq_encode(col("cv"), codebooks).as("code"))
+    val qlut = q.select(col("query_id"),
+      VectorExpressions.pq_query_lut(col("qv"), codebooks).as("lut"))
+    val scored = codes.join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorExpressions.pq_adc_dot(col("code"), col("lut")))
+    if (rerank <= 0) topKPerQuery(scored, k)
+    else {
+      // exact re-rank of the bounded ADC candidate set: |Q| x rerank rows
+      // broadcast back against the corpus — full-vector cosine only there
+      val cand = topKPerQuery(scored, math.max(k, rerank))
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = c.join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      topKPerQuery(exact, k)
+    }
+  }
 }

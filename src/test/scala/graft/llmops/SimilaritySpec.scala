@@ -170,4 +170,51 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall $recall below floor 0.3")
   }
+
+  test("PQ codes: m entries, each within [0, ksub); encoding is deterministic") {
+    val cb = Similarity.fitPqCodebooks(emb, m = 8, ksub = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    import graft.functions.expressions.VectorExpressions
+    val codes = emb.select(VectorExpressions.pq_encode(col("embedding"), cb).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // same seed + same sample → identical codebooks (bit-for-bit)
+    val cb2 = Similarity.fitPqCodebooks(emb, m = 8, ksub = 16)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq)
+  }
+
+  test("PQ ADC score equals the hand-computed lut sum on a known vector") {
+    import graft.functions.expressions.PqExpressions
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 2 subspaces of 2 dims, 2 centroids each; unnormalized for hand-math
+    val cb = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(0.5, 0.5), Array(-0.5, 0.5)))
+    val v = new GenericArrayData(Array(0.9, 0.1, 0.4, 0.6))
+    val codes = PqExpressions.encode(v, cb, isFloat = false, normalize = false)
+    assert(codes.toIntArray().toSeq == Seq(0, 0)) // (0.9,0.1)->(1,0); (0.4,0.6)->(0.5,0.5)
+    val lut = PqExpressions.queryLut(v, cb, isFloat = false, normalize = false)
+    val adc = PqExpressions.adcDot(codes, lut)
+    // dot((0.9,0.1),(1,0)) + dot((0.4,0.6),(0.5,0.5)) = 0.9 + 0.5
+    assert(math.abs(adc - 1.4) < 1e-12)
+  }
+
+  test("PQ recall floor: >= 0.5 vs brute force with 50-candidate exact re-rank") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 5, rerank = 50)
+    val rows = pq.collect()
+    assert(rows.length == 10 * 5)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // measured 0.72 on this corpus; rerank recovers what 4-bit codes blur
+    assert(recall >= 0.5, s"PQ recall $recall below floor 0.5")
+    // the exact re-rank must dominate the raw ADC ranking
+    val raw = Similarity.pqTopK(emb, queries, k = 5, rerank = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (exact intersect raw).size.toDouble / exact.size
+    assert(recall >= rawRecall, s"re-rank ($recall) worse than raw ADC ($rawRecall)")
+  }
 }
