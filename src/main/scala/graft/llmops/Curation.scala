@@ -1,0 +1,167 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Corpus-curation operators a large-scale pre-training pipeline runs
+  * between raw ingest and tokenization: eval-set decontamination,
+  * deterministic stratified sampling (domain mixing), sequence packing,
+  * and PII redaction.
+  *
+  * Relationship to the inline Catalog rows: `pipeline_contamination`
+  * reports the TRAIN side (which corpus docs share a shingle with the
+  * probe set); [[decontaminate]] reports the EVAL side (what fraction of
+  * each held-out doc leaked) — the number an eval-integrity report needs.
+  * `pipeline_sample` certifies md5-bucket sampling end to end;
+  * [[sampleStrata]] is the reusable operator form of the same idea.
+  * `pipeline_pii_scrub` certifies email scrubbing; [[redactPii]] is the
+  * multi-kind (email/phone/IP) library surface.
+  *
+  * Scale notes (100 TB discipline):
+  *  - decontaminate never shuffles the training corpus: the eval side's
+  *    distinct shingle set is bounded (eval suites are thousands of docs,
+  *    not billions) and broadcast; the train side is one narrow
+  *    scan+explode filtered map-side.
+  *  - sampleStrata is a stateless per-row hash filter — no shuffle, no
+  *    sampleBy Bernoulli draw; the SAME rows survive on every run and on
+  *    every engine (pure int64 arithmetic, replayable in plain SQL).
+  *  - packSequences shuffles once per source partition (the window sort);
+  *    bins never cross sources, so layout stays local at any corpus size.
+  *  - redactPii is a pure per-row regexp pass inside whole-stage codegen.
+  */
+object Curation {
+
+  /** Fraction of each eval document's distinct word `shingleK`-grams that
+    * appear ANYWHERE in the training corpus — the standard n-gram
+    * decontamination check (an eval doc with high overlap leaked into
+    * training data). Returns one row per eval doc:
+    * `(eval_id, n_shingles, n_hit, overlap_frac, contaminated)`.
+    *
+    * Plan shape: eval's distinct shingles (bounded) BROADCAST against the
+    * train-side shingle stream; the surviving "hit" shingle set is again
+    * bounded by the eval vocabulary, so the only shuffles touch
+    * eval-sized data. The 100 TB train corpus is read once, narrow.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      shingleK: Int = 5,
+      minOverlap: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalSh = eval.select(col(idCol).as("eval_id"),
+        explode(Text.shingles(col(textCol), shingleK)).as("sh"))
+    // distinct eval vocabulary: bounded, broadcastable
+    val evalVocab = evalSh.select(col("sh")).distinct()
+    // train shingles that exist in the eval vocabulary — map-side filter of
+    // the big scan, then distinct over an eval-vocabulary-bounded set
+    val hitVocab = train
+      .select(explode(Text.shingles(col(textCol), shingleK)).as("sh"))
+      .join(broadcast(evalVocab), Seq("sh"), "left_semi")
+      .distinct()
+    evalSh
+      .join(broadcast(hitVocab.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_hit"))
+      .withColumn("overlap_frac",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("overlap_frac") >= minOverlap)
+      .select("eval_id", "n_shingles", "n_hit", "overlap_frac", "contaminated")
+  }
+
+  /** Multiplicative-hash uniform draw in [0, 2^32): Knuth's 2654435761
+    * over `id mod 1000003` — pure int64 arithmetic that any SQL engine
+    * replays bit-for-bit (no engine-specific rand/hash). The mod keeps
+    * the product far from Long overflow for any id.
+    */
+  private def knuthDraw(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod((pmod(id, lit(1000003L)) + 1L) * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic stratified sampling — the domain-mixing step: keep each
+    * row of stratum `s` with probability `fractions(s)` (strata absent
+    * from the map keep `defaultFraction`). Membership is a pure function
+    * of the id (Knuth multiplicative hash), so the sample is reproducible
+    * across runs, engines, and cluster sizes — no RNG state, no shuffle,
+    * no collect. Returns the surviving rows.
+    */
+  def sampleStrata(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0) &&
+      defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      "sampleStrata: fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(knuthDraw(col(idCol)) < frac * 4294967296.0)
+  }
+
+  /** Sequence packing: documents concatenate in id order WITHIN their
+    * source and chunk at `budget`-token boundaries (a doc spanning a
+    * boundary splits across bins — the standard concat-then-chunk packing
+    * of pre-training pipelines, no padding waste). Returns one row per
+    * doc: `(doc_id, source, n_tokens, first_bin, last_bin, n_bins)` where
+    * bin ids count from 0 per source.
+    *
+    * One window sort per source partition; bins never cross sources, so
+    * the layout is reproducible shard-by-shard at any corpus size.
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Int,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "packSequences: budget must be positive")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = docs
+      .select(col(idCol), col(sourceCol),
+        Text.bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+    withCum.select(
+      col(idCol), col(sourceCol), col("n_tokens"),
+      floor(col("__start") / budget).as("first_bin"),
+      // an empty doc sits at its start boundary; a non-empty doc's last
+      // token is at offset __cum - 1
+      when(col("n_tokens") === 0, floor(col("__start") / budget))
+        .otherwise(floor((col("__cum") - 1) / budget)).as("last_bin"))
+      .withColumn("n_bins", col("last_bin") - col("first_bin") + 1)
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: emails, phone numbers, and IPv4 literals replaced by
+    * typed placeholder tags, with per-kind match counts. The patterns are
+    * RE2-compatible (no backrefs/lookaround) so an external SQL engine
+    * verifies the exact same redaction. Returns
+    * `(doc_id, n_emails, n_phones, n_ips, redacted)`.
+    *
+    * Order matters: emails redact FIRST (an email's host part would
+    * otherwise half-match the IP pattern after phone/ip passes), then
+    * ips, then phones.
+    */
+  def redactPii(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(ipRe), lit(0))).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          ipRe, "<IP>"),
+        phoneRe, "<PHONE>").as("redacted"))
+}

@@ -1,0 +1,105 @@
+package graft.llmops
+
+import graft.core.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate flags an eval doc copied into the train corpus") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "completely unrelated training text about spark engines")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim leak
+      (101L, "totally novel held out evaluation sentence here")
+    ).toDF("doc_id", "text")
+    val rows = Curation.decontaminate(train, eval, shingleK = 3, minOverlap = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(100L).getAs[Boolean]("contaminated"))
+    assert(rows(100L).getAs[Double]("overlap_frac") == 1.0)
+    assert(!rows(101L).getAs[Boolean]("contaminated"))
+    assert(rows(101L).getAs[Long]("n_hit") == 0L)
+  }
+
+  test("decontaminate overlap_frac is fractional for partial leaks") {
+    val train = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    // shares shingles "a b c", "b c d" of its 4 3-shingles -> 0.5
+    val eval = Seq((9L, "a b c d x y")).toDF("doc_id", "text")
+    val r = Curation.decontaminate(train, eval, shingleK = 3, minOverlap = 0.4)
+      .collect().head
+    assert(r.getAs[Long]("n_shingles") == 4L)
+    assert(r.getAs[Long]("n_hit") == 2L)
+    assert(r.getAs[Double]("overlap_frac") == 0.5)
+    assert(r.getAs[Boolean]("contaminated"))
+  }
+
+  test("sampleStrata is deterministic, respects per-stratum fractions, and 0/1 are exact") {
+    val docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val frac = Map("s0" -> 0.0, "s1" -> 1.0, "s2" -> 0.5)
+    val sample = Curation.sampleStrata(docs, "source", frac, defaultFraction = 0.25)
+    val counts = sample.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("s0"))
+    assert(counts("s1") == 1000L)
+    assert(math.abs(counts("s2") - 500L) < 100, s"s2=${counts.get("s2")}")
+    assert(math.abs(counts("s3") - 250L) < 80, s"s3=${counts.get("s3")}")
+    // deterministic: the same rows survive on a second run
+    val ids1 = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.sampleStrata(docs, "source", frac, defaultFraction = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("packSequences: bins fill sequentially per source, docs split across boundaries") {
+    // token counts: "w w w w" = 4 tokens each; budget 10
+    val docs = Seq(
+      (0L, "s", "w w w w"),    // tokens [0,4)   -> bin 0
+      (1L, "s", "w w w w"),    // tokens [4,8)   -> bin 0
+      (2L, "s", "w w w w"),    // tokens [8,12)  -> bins 0..1 (splits)
+      (3L, "s", "w w w w"),    // tokens [12,16) -> bin 1
+      (10L, "t", "w w w w")    // separate source restarts at bin 0
+    ).toDF("doc_id", "source", "text")
+    val rows = Curation.packSequences(docs, budget = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Long]("first_bin") == 0L && rows(0L).getAs[Long]("last_bin") == 0L)
+    assert(rows(1L).getAs[Long]("first_bin") == 0L && rows(1L).getAs[Long]("last_bin") == 0L)
+    assert(rows(2L).getAs[Long]("first_bin") == 0L && rows(2L).getAs[Long]("last_bin") == 1L)
+    assert(rows(2L).getAs[Long]("n_bins") == 2L)
+    assert(rows(3L).getAs[Long]("first_bin") == 1L && rows(3L).getAs[Long]("last_bin") == 1L)
+    assert(rows(10L).getAs[Long]("first_bin") == 0L)
+  }
+
+  test("packSequences: empty doc occupies its start boundary without advancing bins") {
+    val docs = Seq(
+      (0L, "s", "w w w"),  // [0,3) -> bin 0
+      (1L, "s", ""),       // 1 empty token? bpe count of "" is 0 -> bin 0
+      (2L, "s", "w w w")   // [3,6) -> bin 0 with budget 10
+    ).toDF("doc_id", "source", "text")
+    val rows = Curation.packSequences(docs, budget = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_tokens") == 0L)
+    assert(rows(1L).getAs[Long]("first_bin") == 0L && rows(1L).getAs[Long]("n_bins") == 1L)
+    assert(rows(2L).getAs[Long]("last_bin") == 0L)
+  }
+
+  test("redactPii replaces emails, phones, and IPs and counts each kind") {
+    val docs = Seq(
+      (0L, "mail me at jane.doe+x@example.org or call 555-123-4567 from 10.0.0.1"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val rows = Curation.redactPii(docs).collect().map(r => r.getLong(0) -> r).toMap
+    val r0 = rows(0L)
+    assert(r0.getAs[Int]("n_emails") == 1)
+    assert(r0.getAs[Int]("n_phones") == 1)
+    assert(r0.getAs[Int]("n_ips") == 1)
+    assert(r0.getAs[String]("redacted") ==
+      "mail me at <EMAIL> or call <PHONE> from <IP>")
+    val r1 = rows(1L)
+    assert(r1.getAs[Int]("n_emails") == 0 && r1.getAs[String]("redacted") == "no pii here at all")
+  }
+}
