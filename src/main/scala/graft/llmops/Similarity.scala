@@ -388,8 +388,16 @@ object Similarity {
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
     val rows = newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val assignedNew = rows
+    // an IVF-PQ index carries a code column — appended rows must too, or
+    // the union'd assignment table goes schema-ragged and ADC scans break
+    val codebooksOpt = readIvfCodebooks(spark, indexDir)
+    val cellAssigned = rows
       .withColumn("cell", VectorExpressions.nearest_centroid(col("cv"), centroids))
+    val assignedNew = codebooksOpt match {
+      case Some(cb) => cellAssigned
+        .withColumn("code", VectorExpressions.pq_encode(col("cv"), cb))
+      case None => cellAssigned
+    }
     val stats = if (refitFactor > 0) readIvfStats(spark, statsPath) else None
     // drift metrics ride the one batch write via Observation (stats=None
     // skips the metric columns but the write path is identical)
@@ -438,10 +446,15 @@ object Similarity {
           // on the id collapses rows an at-least-once ingest (e.g. a
           // streaming-checkpoint replay) appended twice: same id = same
           // vector, so the survivor is well-defined
-          buildIvfIndex(
-            ivfAssigned(spark, indexDir).select(col("neighbor_id"), col("cv"))
-              .dropDuplicates("neighbor_id"),
-            indexDir, numCentroids = k, idCol = "neighbor_id", vecCol = "cv", seed = seed)
+          val base = ivfAssigned(spark, indexDir).select(col("neighbor_id"), col("cv"))
+            .dropDuplicates("neighbor_id")
+          codebooksOpt match {
+            case Some(cb) => buildIvfPqIndex(base, indexDir, numCentroids = k,
+              m = cb.length, ksub = cb(0).length,
+              idCol = "neighbor_id", vecCol = "cv", seed = seed)
+            case None => buildIvfIndex(base, indexDir,
+              numCentroids = k, idCol = "neighbor_id", vecCol = "cv", seed = seed)
+          }
           true
         } else {
           // fold the batch into the running fit stats so the baseline
@@ -623,5 +636,150 @@ object Similarity {
         .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
       topKPerQuery(exact, k)
     }
+  }
+
+  // --------------------------------------------------------- IVF-PQ index
+  //
+  // The billion-scale composition (FAISS IVFPQ): the IVF coarse quantizer
+  // prunes WHICH cells a query reads, and PQ codes shrink WHAT each read
+  // costs — the probe scan touches (neighbor_id, code, cell) only, m bytes
+  // of code per vector instead of the full float array, and scores with m
+  // array lookups. Exact re-rank then pays full-vector math on a bounded
+  // candidate set. Same generation/manifest/vacuum machinery as the plain
+  // IVF index; the PQ artifacts are one extra file in the generation.
+
+  private def ivfCodebooksPath(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[String] =
+    ivfGeneration(spark, indexDir).map(g => s"$indexDir/g$g/codebooks.json")
+
+  /** The live generation's PQ codebooks, None for a plain-IVF (or legacy
+    * root-layout) index. Stored as JSON next to the generation's stats —
+    * m x ksub x dsub doubles, a few hundred KB at 768 dims.
+    */
+  def readIvfCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Array[Array[Array[Double]]]] =
+    ivfCodebooksPath(spark, indexDir).flatMap { path =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        org.json4s.jackson.JsonMethods.parse(text)
+          .extractOpt[Array[Array[Array[Double]]]]
+      }
+    }
+
+  private def writeIvfCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: Array[Array[Array[Double]]]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(dst, true) // pre-commit write inside a fresh generation
+    try out.write(org.json4s.jackson.Serialization.write(cb).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Build and persist an IVF-PQ index: [[buildIvfIndex]]'s layout plus PQ
+    * codebooks in the generation and a `code` column (m small ints per
+    * vector) in the assignment table. Both quantizers fit on bounded
+    * samples; the corpus-wide pass is ONE narrow map computing (cell,
+    * code) per row. The full vector is kept alongside the code — the
+    * re-rank stage and drift re-fits need it — but the ADC probe scan
+    * never reads it (column pruning; PlanShapeSpec pins the read schema).
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      indexDir: String,
+      numCentroids: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+      fitSampleRows: Long = 262144L): Unit = ivfLock.synchronized {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.expressions.VectorExpressions
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val total = c.count()
+    val fitInput =
+      if (fitSampleRows > 0 && total > fitSampleRows)
+        c.sample(withReplacement = false, fitSampleRows.toDouble / total, seed)
+      else c
+    val model = new KMeans().setK(numCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitInput.withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
+    val centroidArr = model.clusterCenters.map(_.toArray)
+    val codebooks = fitPqCodebooks(c, m, ksub,
+      fitSampleRows = math.min(fitSampleRows, Int.MaxValue.toLong).toInt, seed = seed,
+      vecCol = "cv")
+    val nextGen = ivfGeneration(spark, indexDir).map(_ + 1).getOrElse(0)
+    val genDir = s"$indexDir/g$nextGen"
+    centroidArr.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$genDir/centroids")
+    // one corpus pass computes BOTH quantizations (narrow, codegen'd)
+    c.withColumn("cell", VectorExpressions.nearest_centroid(col("cv"), centroidArr))
+      .withColumn("code", VectorExpressions.pq_encode(col("cv"), codebooks))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/assigned")
+    writeIvfCodebooks(spark, s"$genDir/codebooks.json", codebooks)
+    val n = model.summary.clusterSizes.map(_.toLong).sum
+    writeIvfStats(spark, s"$genDir/stats.json", numCentroids, n, model.summary.trainingCost)
+    commitIvfGeneration(spark, indexDir, nextGen)
+  }
+
+  /** Query a persisted IVF-PQ index: probe `nProbe` cells per query
+    * (dynamic partition pruning, like [[ivfTopKIndexed]]), score each
+    * candidate by PQ asymmetric distance — the scan reads m-byte codes,
+    * never the float vectors — then re-rank the top `rerank` ADC
+    * candidates per query with exact cosine. The re-rank join carries the
+    * candidates' cells, so its full-vector reads partition-prune too.
+    */
+  def ivfPqTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expressions.VectorExpressions
+    val codebooks = readIvfCodebooks(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqTopK: $indexDir has no PQ codebooks — build with buildIvfPqIndex"))
+    val centroids = ivfCentroids(spark, indexDir)
+    val assigned = ivfAssigned(spark, indexDir)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"),
+        VectorExpressions.pq_query_lut(col("qv"), codebooks).as("lut"), col("cell"))
+    // ADC scan: only (neighbor_id, code) + the cell partition column leave
+    // the parquet reader — the full vectors stay on disk
+    val adc = assigned.select(col("neighbor_id"), col("code"), col("cell"))
+      .join(qCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorExpressions.pq_adc_dot(col("code"), col("lut")))
+    val cand = topKPerQuery(adc, math.max(k, rerank))
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: the full-vector scan is restricted to the PROBED
+    // cells (partition pruning on the bounded probe-cell set — every ADC
+    // candidate came from one of them) and then to the bounded candidate
+    // set by broadcast join; full-vector math happens on |Q| x rerank
+    // rows, not the corpus
+    val probeCells = qCells.select(col("cell")).distinct()
+    val exact = assigned.select(col("neighbor_id"), col("cv"), col("cell"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    topKPerQuery(exact, k)
   }
 }

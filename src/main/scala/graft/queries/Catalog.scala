@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftDB, GraftOptions}
 import graft.functions.Text
 import graft.graph.GraphOps
-import graft.llmops.{Dedup, Multimodal, Recall, Search, Similarity}
+import graft.llmops.{Curation, Dedup, Multimodal, Recall, Search, Similarity}
 import graft.operators.KVOps
 import graft.streaming.EventStream
 
@@ -1189,6 +1189,62 @@ object Catalog {
         SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN probe USING (s4)
         WHERE sh.doc_id % 29 <> 0 GROUP BY sh.doc_id ORDER BY doc_id""")),
 
+    "pipeline_decontaminate" -> QueryDef(
+      // The EVAL side of contamination (pipeline_contamination reports the
+      // train side): for each held-out doc (doc_id % 17), the fraction of
+      // its distinct 5-shingles that appear ANYWHERE in the training
+      // split — the eval-integrity number a benchmark report quotes.
+      // Plan: both broadcast joins carry eval-vocabulary-bounded sets;
+      // the training corpus is read once, narrow, and never shuffles
+      // (Curation.decontaminate scaladoc).
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Curation.decontaminate(
+          d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0),
+          shingleK = 5, minOverlap = 0.5)
+          .orderBy("eval_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        shset AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+            list_distinct(list_transform(range(1, len(toks) - 3),
+              i -> array_to_string(toks[i:i+4], ' ')))
+          ELSE list_filter([array_to_string(toks, ' ')], x -> x <> '') END AS sh
+          FROM tt),
+        evalsh AS (SELECT doc_id AS eval_id, unnest(sh) AS sh FROM shset
+          WHERE doc_id % 17 = 0),
+        trainsh AS (SELECT DISTINCT unnest(sh) AS sh FROM shset
+          WHERE doc_id % 17 <> 0)
+        SELECT eval_id, count(*) AS n_shingles, count(t.sh) AS n_hit,
+          round(count(t.sh)::DOUBLE / count(*), 6) AS overlap_frac,
+          round(count(t.sh)::DOUBLE / count(*), 6) >= 0.5 AS contaminated
+        FROM evalsh e LEFT JOIN trainsh t USING (sh)
+        GROUP BY eval_id ORDER BY eval_id""")),
+
+    "pipeline_pack" -> QueryDef(
+      // Sequence PACKING (concat-then-chunk): documents concatenate in id
+      // order within their source and split at 2048-token boundaries —
+      // the no-padding batch layout step after tokenization
+      // (pipeline_token_budget is the SELECTION cut; this is the LAYOUT).
+      // One window per source partition; bins never cross sources, so
+      // the layout is shard-local at any corpus size.
+      (s, dir) => Curation.packSequences(t(s, dir, "documents"), budget = 2048)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, source,
+          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tok)
+        SELECT doc_id, source, n_tokens,
+          CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS first_bin,
+          CAST(CASE WHEN n_tokens = 0 THEN floor((cum - n_tokens) / 2048)
+               ELSE floor((cum - 1) / 2048) END AS BIGINT) AS last_bin,
+          CAST(CASE WHEN n_tokens = 0 THEN floor((cum - n_tokens) / 2048)
+               ELSE floor((cum - 1) / 2048) END
+             - floor((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_bins
+        FROM c ORDER BY doc_id""")),
+
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
         .orderBy("id_a", "id_b"),
@@ -1313,6 +1369,25 @@ object Catalog {
     })
   }
 
+  /** Memoized IVF-PQ index per dataset — same contract as [[ivfIndexFor]]
+    * (deterministic build, keyed on the source's path+size+mtime), with PQ
+    * codebooks and codes in the generation.
+    */
+  private val ivfPqIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    ivfPqIndexDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val idx = Files.createTempDirectory("graft-q-ivfpq").toString
+      Similarity.buildIvfPqIndex(t(s, dir, "embeddings"), idx, numCentroids = 16)
+      idx
+    })
+  }
+
   private val similarity: Seq[(String, QueryDef)] = Seq(
 
     "ann_topk" -> QueryDef(
@@ -1419,6 +1494,39 @@ object Catalog {
           Seq("query_id", "neighbor_id"), floor = 0.5, name = "pq_recall_at_5")
       },
       Some("SELECT 'pq_recall_at_5' AS gate, true AS floor_met")),
+
+    "ann_ivfpq_topk" -> QueryDef(
+      // The BILLION-scale composition (FAISS IVFPQ): IVF cells prune
+      // WHICH partitions a probe reads (dynamic partition pruning, pinned
+      // by PlanShapeSpec), PQ codes shrink WHAT the scan costs — the ADC
+      // pass reads (neighbor_id, code, cell) only, m bytes of code per
+      // vector, never the float arrays — and the top-50 ADC candidates
+      // re-rank by exact cosine read from the probed cells alone.
+      // Approximate by construction: rows-only + oracled recall gate.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(s, ivfPqIndexFor(s, dir),
+            emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, rerank = 50)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    "ann_ivfpq_recall" -> QueryDef(
+      // Recall gate for the rows-only IVF-PQ query — measured recall@5 vs
+      // brute force: 0.48 at sf0.001, 0.60 at sf0.01 (the IVF probe
+      // bound: nProbe=4 of 16 cells caps recall near the plain-IVF gate's
+      // level; the PQ+re-rank stage costs almost none of it). Floor 0.35
+      // is the regression tripwire, calibrated against ann_ivf_recall's
+      // 0.4 floor.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Recall.gate(
+          Similarity.ivfPqTopK(s, ivfPqIndexFor(s, dir), q, k = 5, nProbe = 4, rerank = 50),
+          Similarity.bruteForceTopK(emb, q, k = 5),
+          Seq("query_id", "neighbor_id"), floor = 0.35, name = "ivfpq_recall_at_5")
+      },
+      Some("SELECT 'ivfpq_recall_at_5' AS gate, true AS floor_met")),
 
     "emb_label_centroids" -> QueryDef(
       // Per-label embedding centroids — the vector-AGGREGATION primitive

@@ -199,6 +199,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(adc - 1.4) < 1e-12)
   }
 
+  test("IVF-PQ index: layout carries codebooks + codes; query hits the recall floor") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    Similarity.buildIvfPqIndex(emb, dir, numCentroids = 8, m = 8, ksub = 16)
+    val cb = Similarity.readIvfCodebooks(spark, dir)
+    assert(cb.isDefined && cb.get.length == 8 && cb.get.forall(_.length == 16))
+    val assigned = Similarity.ivfAssigned(spark, dir)
+    assert(assigned.columns.toSet == Set("neighbor_id", "cv", "code", "cell"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val rows = Similarity.ivfPqTopK(spark, dir, queries, k = 5, nProbe = 3, rerank = 50)
+      .collect()
+    assert(rows.length == 10 * 5)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // bounded by the IVF probe (3/8 cells), like the plain-IVF floor
+    assert(recall >= 0.3, s"IVF-PQ recall $recall below floor 0.3")
+    // a plain-IVF index must refuse the PQ query path loudly
+    val plainDir = java.nio.file.Files.createTempDirectory("ivfpq-plain").toString
+    Similarity.buildIvfIndex(emb, plainDir, numCentroids = 8)
+    intercept[IllegalStateException] {
+      Similarity.ivfPqTopK(spark, plainDir, queries, k = 5)
+    }
+  }
+
+  test("IVF-PQ append: batch rows are PQ-coded and findable through the ADC path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    val base = emb.filter(col("vec_id") < 400)
+    Similarity.buildIvfPqIndex(base, dir, numCentroids = 8, m = 8, ksub = 16)
+    val extra = emb.filter(col("vec_id") >= 400)
+    val refit = Similarity.appendToIvfIndex(spark, dir, extra)
+    assert(!refit, "in-distribution append should not trigger a re-fit")
+    // every appended row carries a code of the right shape
+    val appended = Similarity.ivfAssigned(spark, dir)
+      .filter(col("neighbor_id") >= 400)
+    assert(appended.count() == extra.count())
+    assert(appended.filter(size(col("code")) =!= 8).count() == 0)
+    // an appended vector's own near-identical twin ranks first: query WITH
+    // an appended row's vector; its nearest (non-self) neighbors must come
+    // back through the full ADC + re-rank path without schema errors
+    val q = emb.filter(col("vec_id") === 450)
+    val top = Similarity.ivfPqTopK(spark, dir, q, k = 3, nProbe = 8, rerank = 20)
+      .collect()
+    assert(top.length == 3)
+    assert(top.forall(_.getAs[Long]("query_id") == 450L))
+  }
+
   test("PQ recall floor: >= 0.5 vs brute force with 50-candidate exact re-rank") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()

@@ -55,9 +55,21 @@ class PlanShapeSpec extends AnyFunSuite {
         "every probe would read the whole index")
   }
 
+  test("ann_ivfpq_topk: probes prune partitions AND the ADC scan never reads the vectors") {
+    val p = plan("ann_ivfpq_topk")
+    assert(p.contains("dynamicpruning"),
+      "the IVF-PQ assignment scan lost dynamic partition pruning on cell")
+    // the ADC scan must read codes, not float vectors: at least one scan
+    // of the assignment table projects code WITHOUT cv (column pruning is
+    // the whole memory story of PQ — losing it re-reads the full vectors)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(l => l.contains("code") && !l.contains("cv")),
+      s"no vector-free ADC read schema found:\n${schemas.mkString("\n")}")
+  }
+
   test("recall gates: no cartesian or nested-loop join in any declared recall plan") {
     for (name <- Seq("dedup_simhash_recall", "dedup_minhash_recall",
-        "ann_ivf_recall", "ann_lsh_recall")) {
+        "ann_ivf_recall", "ann_lsh_recall", "ann_pq_recall", "ann_ivfpq_recall")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name contains a cartesian product — quadratic at scale")
