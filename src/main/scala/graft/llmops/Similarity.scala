@@ -472,6 +472,51 @@ object Similarity {
     }
   }
 
+  /** Fold every sealed append batch into the base assignment table — the
+    * small-files compaction of the vector index (the LSM story applied to
+    * IVF: appends are L0 segments; this is their merge). A long-running
+    * streaming ingest seals one batch dir per micro-batch, and thousands
+    * of small parquet files per cell eventually dominate probe latency at
+    * any scale; folding rewrites them as one cell-partitioned table.
+    *
+    * Writes a complete NEW generation reusing the live fit artifacts
+    * (centroids, codebooks, stats — no re-fit, quantization is unchanged)
+    * and flips the manifest only when done: readers never see a
+    * half-folded index, and a crash mid-fold leaves the old generation
+    * live ([[vacuumIvfIndex]] reclaims the debris). Replay duplicates
+    * from an at-least-once ingest collapse here too (same id = same
+    * vector, matching the drift re-fit's contract). Returns true when a
+    * fold happened; false when there was nothing to fold.
+    */
+  def compactIvfAppends(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = ivfLock.synchronized {
+    readIvfManifest(spark, indexDir) match {
+      case Some(m) if m.sealedDirs.nonEmpty =>
+        val (fs, _) = ivfFs(spark, indexDir)
+        val oldGenDir = s"$indexDir/g${m.gen}"
+        val nextGen = m.gen + 1
+        val genDir = s"$indexDir/g$nextGen"
+        // the union read targets the OLD generation's paths while every
+        // write lands in the new one — no read-your-own-overwrite
+        ivfAssigned(spark, indexDir)
+          .dropDuplicates("neighbor_id")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/assigned")
+        spark.read.parquet(s"$oldGenDir/centroids")
+          .write.mode("overwrite").parquet(s"$genDir/centroids")
+        for (f <- Seq("codebooks.json", "stats.json")) {
+          val src = new org.apache.hadoop.fs.Path(s"$oldGenDir/$f")
+          if (fs.exists(src))
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+              new org.apache.hadoop.fs.Path(s"$genDir/$f"),
+              false, spark.sparkContext.hadoopConfiguration)
+        }
+        commitIvfGeneration(spark, indexDir, nextGen) // sealedDirs reset
+        true
+      case _ => false
+    }
+  }
+
   /** The live generation's centroid table (readers should use this rather
     * than assuming an on-disk layout).
     */

@@ -1509,7 +1509,8 @@ object Catalog {
             emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, rerank = 50)
           .orderBy("query_id", "rank")
       },
-      None),
+      None,
+      headline = true),
 
     "ann_ivfpq_recall" -> QueryDef(
       // Recall gate for the rows-only IVF-PQ query — measured recall@5 vs

@@ -248,6 +248,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_.getAs[Long]("query_id") == 450L))
   }
 
+  test("compactIvfAppends folds sealed batches, preserves counts/codes, vacuums clean") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-compact").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), dir, numCentroids = 8)
+    assert(!Similarity.compactIvfAppends(spark, dir), "nothing to fold yet")
+    Similarity.appendToIvfIndex(spark, dir, emb.filter(col("vec_id") >= 300 && col("vec_id") < 400))
+    Similarity.appendToIvfIndex(spark, dir, emb.filter(col("vec_id") >= 400))
+    val total = emb.count()
+    assert(Similarity.ivfAssigned(spark, dir).count() == total)
+    assert(Similarity.compactIvfAppends(spark, dir))
+    val folded = Similarity.ivfAssigned(spark, dir)
+    assert(folded.count() == total)
+    assert(folded.filter(size(col("code")) =!= 8).count() == 0)
+    // the fit artifacts survived the fold (no re-fit): codebooks readable
+    assert(Similarity.readIvfCodebooks(spark, dir).isDefined)
+    // old generation + fold debris reclaimed
+    assert(Similarity.vacuumIvfIndex(spark, dir) >= 1)
+    assert(folded.count() == total)
+  }
+
   test("PQ recall floor: >= 0.5 vs brute force with 50-candidate exact re-rank") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()

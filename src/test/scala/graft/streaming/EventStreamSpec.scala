@@ -221,4 +221,37 @@ class EventStreamSpec extends AnyFunSuite {
     assert(res.collect().map(_.getLong(1)).exists(_ % 2 == 1),
       "streamed vectors never surfaced as neighbors")
   }
+
+  test("streaming ingest into an IVF-PQ index codes every batch; compaction folds them") {
+    import graft.llmops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idxDir = Files.createTempDirectory("stream-ivfpq-idx").toString
+    Similarity.buildIvfPqIndex(
+      emb.filter(col("vec_id") % 2 === 0), idxDir, numCentroids = 8)
+    val inDir = Files.createTempDirectory("stream-ivfpq-in").toString
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    odd.filter(col("vec_id") % 4 === 1).coalesce(1).write.mode("overwrite").parquet(s"$inDir/b")
+    odd.filter(col("vec_id") % 4 === 3).coalesce(1).write.mode("append").parquet(s"$inDir/b")
+    val stream = EventStream.readEventsStream(spark, s"$inDir/b", odd.schema)
+    val q = EventStream.ingestToIvfIndex(stream, idxDir,
+      Files.createTempDirectory("stream-ivfpq-ckpt").toString)
+    try { q.processAllAvailable() } finally q.stop()
+    // every streamed row carries a PQ code (the append encoded its batch)
+    val assigned = Similarity.ivfAssigned(spark, idxDir)
+    assert(assigned.count() == emb.count())
+    assert(assigned.filter(col("code").isNull || size(col("code")) =!= 8).count() == 0,
+      "a streamed batch landed uncoded — ADC scans over it would fail")
+    // fold the micro-batch append dirs into the base table: results of the
+    // ADC+re-rank path are unchanged, generation bumps, nothing re-fits
+    val genBefore = Similarity.ivfGeneration(spark, idxDir).get
+    val before = Similarity.ivfPqTopK(spark, idxDir, emb.limit(3), k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(Similarity.compactIvfAppends(spark, idxDir))
+    assert(Similarity.ivfGeneration(spark, idxDir).contains(genBefore + 1))
+    val after = Similarity.ivfPqTopK(spark, idxDir, emb.limit(3), k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before, "compaction changed query results")
+    assert(!Similarity.compactIvfAppends(spark, idxDir),
+      "a second compaction found batches to fold in a freshly folded index")
+  }
 }
