@@ -15,8 +15,11 @@ import graft.functions.expressions.TopKExpressions
   * the k-way reduction really is map-side (see [[topKPerQuery]]).
   *
   * `lshTopK` is the scale path for large query sets: both sides bucketed by
-  * random-hyperplane LSH, candidates joined per bucket (with multi-probe on
-  * neighboring buckets left for a later round).
+  * random-hyperplane LSH, candidates joined per bucket with 1-bit
+  * multi-probe. `ivfTopK`/`ivfTopKIndexed` partition by a k-means coarse
+  * quantizer instead; `pqTopK` and the persisted IVF-PQ index
+  * (`buildIvfPqIndex`/`ivfPqTopK`) add product-quantized scoring — see
+  * each operator's scaladoc for its scale contract.
   */
 object Similarity {
 

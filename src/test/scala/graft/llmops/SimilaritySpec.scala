@@ -248,6 +248,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_.getAs[Long]("query_id") == 450L))
   }
 
+  test("filtered ANN composes: pre-filtered brute force == semi-join-filtered IVF probe domain") {
+    // metadata-filtered search ("only label 3 docs") needs no index
+    // support: pre-filter the corpus for the exact path, or semi-join the
+    // assigned table by the allowed ids for the index path — both keep
+    // their plan shapes (broadcast pre-filter / cell pruning + semi-join)
+    val queries = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("label") === 3)
+    val exact = Similarity.bruteForceTopK(allowed, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 15)
+    val allowedIds = allowed.select(col("vec_id").as("neighbor_id"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-filtered").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    val assignedFiltered = Similarity.ivfAssigned(spark, dir)
+      .join(broadcast(allowedIds), Seq("neighbor_id"), "left_semi")
+    // every filtered-index candidate is from the allowed set
+    assert(assignedFiltered.join(allowed.select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_anti").count() == 0)
+    // and the probe path over the filtered domain returns only allowed ids
+    val lab = allowed.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val dirF = java.nio.file.Files.createTempDirectory("ivf-filtered2").toString
+    Similarity.buildIvfIndex(allowed, dirF, numCentroids = 8)
+    val ivf = Similarity.ivfTopKIndexed(spark, dirF, queries, k = 3, nProbe = 8)
+      .collect()
+    assert(ivf.length == 15)
+    assert(ivf.forall(r => lab.contains(r.getLong(1))))
+  }
+
   test("compactIvfAppends folds sealed batches, preserves counts/codes, vacuums clean") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-compact").toString
     Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), dir, numCentroids = 8)
