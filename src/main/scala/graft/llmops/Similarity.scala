@@ -651,6 +651,10 @@ object Similarity {
     * with EXACT cosine (the standard PQ pipeline: cheap scan first, exact
     * math on a bounded candidate set). Returns (query_id, neighbor_id,
     * rank) like the other ANN paths.
+    *
+    * `fitted` supplies pre-fitted codebooks (from [[fitPqCodebooks]]) so
+    * repeated queries against one corpus pay the m k-means fits once —
+    * the fit is deterministic, so results are identical either way.
     */
   def pqTopK(
       corpus: DataFrame,
@@ -662,8 +666,10 @@ object Similarity {
       fitSampleRows: Int = 10000,
       seed: Long = 42L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val codebooks = fitPqCodebooks(corpus, m, ksub, fitSampleRows, seed, vecCol)
+      vecCol: String = "embedding",
+      fitted: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val codebooks = fitted.getOrElse(
+      fitPqCodebooks(corpus, m, ksub, fitSampleRows, seed, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     import graft.functions.expressions.VectorExpressions

@@ -1388,6 +1388,24 @@ object Catalog {
     })
   }
 
+  /** Memoized PQ codebooks per dataset — the fit is deterministic (fixed
+    * seed + sample), so caching only removes the redundant m k-means fits
+    * when ann_pq_topk and its recall gate share one dataset. Same
+    * (path, size, mtime) key as the index memos.
+    */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    pqCodebookCache.computeIfAbsent(s"${src.getPath}|${sig(src)}",
+      _ => Similarity.fitPqCodebooks(t(s, dir, "embeddings")))
+  }
+
   private val similarity: Seq[(String, QueryDef)] = Seq(
 
     "ann_topk" -> QueryDef(
@@ -1475,7 +1493,8 @@ object Catalog {
       // codebooks: approximate by construction, rows-only + recall gate.
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, rerank = 50)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, rerank = 50,
+            fitted = Some(pqCodebooksFor(s, dir)))
           .orderBy("query_id", "rank")
       },
       None),
@@ -1489,7 +1508,8 @@ object Catalog {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
         Recall.gate(
-          Similarity.pqTopK(emb, q, k = 5, rerank = 50),
+          Similarity.pqTopK(emb, q, k = 5, rerank = 50,
+            fitted = Some(pqCodebooksFor(s, dir))),
           Similarity.bruteForceTopK(emb, q, k = 5),
           Seq("query_id", "neighbor_id"), floor = 0.5, name = "pq_recall_at_5")
       },

@@ -110,6 +110,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "the contamination join fell back to sort-merge")
   }
 
+  test("pipeline_decontaminate: both vocabulary joins broadcast; the train corpus never shuffles") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "a vocabulary join is not broadcast — the train corpus would shuffle on shingle")
+    assert(!p.contains("SortMergeJoin"),
+      "a decontamination join fell back to sort-merge")
+  }
+
   test("q1_agg: scan reads only the referenced columns with the date filter pushed") {
     val p = plan("q1_agg")
     val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
