@@ -132,7 +132,7 @@ object Similarity {
     * mid-stage leaves an unreferenced dir that [[vacuumIvfIndex]] removes
     * (the same write-then-flip contract as every other index mutation).
     */
-  private final case class IvfManifest(gen: Int, sealedDirs: Vector[String] = Vector.empty)
+  private[llmops] final case class IvfManifest(gen: Int, sealedDirs: Vector[String] = Vector.empty)
 
   private implicit val ivfFmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -145,7 +145,7 @@ object Similarity {
   // single-writer contract as the GraftDB manifest.
   private val ivfLock = new Object
 
-  private def readIvfManifest(spark: org.apache.spark.sql.SparkSession,
+  private[llmops] def readIvfManifest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[IvfManifest] = {
     val (fs, _) = ivfFs(spark, indexDir)
     val mp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
@@ -242,9 +242,32 @@ object Similarity {
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Swap the manifest to `next` ONLY if it still reads as `expected` —
+    * the cross-PROCESS guard. `ivfLock` serializes writers within one
+    * JVM; across JVMs there is no portable lock (the index may live on an
+    * object store where file locks don't exist), so writers are
+    * optimistic: every mutation snapshots the manifest at entry, stages
+    * its work against that snapshot, and aborts LOUDLY here if a foreign
+    * process moved the manifest in between — a silent last-writer-wins
+    * would orphan the other writer's sealed batches or resurrect a dead
+    * generation. The caller cleans up its staged work on abort; the
+    * foreign writer's state is left untouched.
+    */
+  private[llmops] def commitIvfIfUnchanged(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, expected: Option[IvfManifest], next: IvfManifest): Unit = {
+    val cur = readIvfManifest(spark, indexDir)
+    if (cur != expected)
+      throw new IllegalStateException(
+        s"concurrent index mutation on $indexDir: manifest moved from " +
+          s"$expected to $cur while this writer staged against the former — " +
+          "aborting; re-run against the current index (staged dirs are " +
+          "unreferenced and reclaimed by vacuumIvfIndex)")
+    writeIvfManifest(spark, indexDir, next)
+  }
+
   private def commitIvfGeneration(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, gen: Int): Unit =
-    writeIvfManifest(spark, indexDir, IvfManifest(gen)) // fresh gen: no sealed appends
+      indexDir: String, expected: Option[IvfManifest], gen: Int): Unit =
+    commitIvfIfUnchanged(spark, indexDir, expected, IvfManifest(gen)) // fresh gen: no sealed appends
 
   /** Delete all index generations except the live one (the explicit
     * cleanup point, like GraftDB.vacuum — in-flight readers of old
@@ -262,7 +285,6 @@ object Similarity {
           st.isDirectory && ((n.matches("g\\d+") && n != s"g${m.gen}") ||
             n == "centroids" || n == "assigned" || n == "stats")
         }
-        stale.foreach(st => fs.delete(st.getPath, true))
         // staged-but-never-sealed append dirs inside the LIVE generation
         // (a crashed append's leftovers — unreferenced, invisible to reads)
         val genPath = new org.apache.hadoop.fs.Path(s"$indexDir/g${m.gen}")
@@ -272,6 +294,16 @@ object Similarity {
             st.isDirectory && st.getPath.getName.startsWith("append-") &&
               !m.sealedDirs.contains(st.getPath.getName)
           }
+        // cross-process guard BEFORE anything is deleted: a foreign writer
+        // may have flipped the generation (making the new live gen look
+        // "stale" to the list above) or sealed one of these "torn" dirs
+        // since our load — re-read and abort rather than delete live data
+        // (see commitIvfIfUnchanged)
+        if (readIvfManifest(spark, indexDir) != Some(m))
+          throw new IllegalStateException(
+            s"concurrent index mutation on $indexDir during vacuum — " +
+              "aborting before deleting anything; re-run vacuum")
+        stale.foreach(st => fs.delete(st.getPath, true))
         torn.foreach(st => fs.delete(st.getPath, true))
         stale.length + torn.length
     }
@@ -318,7 +350,8 @@ object Similarity {
     val centroidArr = model.clusterCenters.map(_.toArray)
     // write the ENTIRE generation before the manifest flips — a failure
     // anywhere below leaves the previous generation live and untouched
-    val nextGen = ivfGeneration(spark, indexDir).map(_ + 1).getOrElse(0)
+    val m0 = readIvfManifest(spark, indexDir)
+    val nextGen = m0.map(_.gen + 1).getOrElse(0)
     val genDir = s"$indexDir/g$nextGen"
     centroidArr.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid")
@@ -333,7 +366,7 @@ object Similarity {
     // is an unbiased estimate of the corpus mean)
     val n = model.summary.clusterSizes.map(_.toLong).sum
     writeIvfStats(spark, s"$genDir/stats.json", numCentroids, n, model.summary.trainingCost)
-    commitIvfGeneration(spark, indexDir, nextGen)
+    commitIvfGeneration(spark, indexDir, m0, nextGen)
   }
 
   /** Incrementally append vectors to a persisted IVF index (the streaming-
@@ -427,7 +460,14 @@ object Similarity {
         while (!hasParquet && it.hasNext)
           hasParquet = it.next().getPath.getName.endsWith(".parquet")
         if (hasParquet)
-          writeIvfManifest(spark, indexDir, m.copy(sealedDirs = m.sealedDirs :+ batchDir))
+          try commitIvfIfUnchanged(spark, indexDir, Some(m),
+            m.copy(sealedDirs = m.sealedDirs :+ batchDir))
+          catch { case e: IllegalStateException =>
+            // foreign writer moved the manifest between our load and seal:
+            // drop our stage (their state stays intact) and surface loudly
+            fs.delete(new org.apache.hadoop.fs.Path(batchPath), true)
+            throw e
+          }
         else fs.delete(new org.apache.hadoop.fs.Path(batchPath), true)
       case None => // legacy root layout: no manifest to seal into
         toWrite.repartition(col("cell"))
@@ -514,7 +554,7 @@ object Similarity {
               new org.apache.hadoop.fs.Path(s"$genDir/$f"),
               false, spark.sparkContext.hadoopConfiguration)
         }
-        commitIvfGeneration(spark, indexDir, nextGen) // sealedDirs reset
+        commitIvfGeneration(spark, indexDir, Some(m), nextGen) // sealedDirs reset
         true
       case _ => false
     }
@@ -769,7 +809,8 @@ object Similarity {
     val codebooks = fitPqCodebooks(c, m, ksub,
       fitSampleRows = math.min(fitSampleRows, Int.MaxValue.toLong).toInt, seed = seed,
       vecCol = "cv")
-    val nextGen = ivfGeneration(spark, indexDir).map(_ + 1).getOrElse(0)
+    val m0 = readIvfManifest(spark, indexDir)
+    val nextGen = m0.map(_.gen + 1).getOrElse(0)
     val genDir = s"$indexDir/g$nextGen"
     centroidArr.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "centroid")
@@ -782,7 +823,7 @@ object Similarity {
     writeIvfCodebooks(spark, s"$genDir/codebooks.json", codebooks)
     val n = model.summary.clusterSizes.map(_.toLong).sum
     writeIvfStats(spark, s"$genDir/stats.json", numCentroids, n, model.summary.trainingCost)
-    commitIvfGeneration(spark, indexDir, nextGen)
+    commitIvfGeneration(spark, indexDir, m0, nextGen)
   }
 
   /** Query a persisted IVF-PQ index: probe `nProbe` cells per query

@@ -248,6 +248,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_.getAs[Long]("query_id") == 450L))
   }
 
+  test("cross-process guard: a commit staged against a stale manifest aborts loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-guard").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 100), dir, numCentroids = 4)
+    val before = Similarity.readIvfManifest(spark, dir)
+    // a "foreign" writer seals an append batch — the manifest moves
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150))
+    val moved = Similarity.readIvfManifest(spark, dir)
+    assert(moved != before, "append did not move the manifest")
+    // a writer that staged against the PRE-append snapshot must abort,
+    // leaving the moved manifest exactly as the foreign writer wrote it
+    intercept[IllegalStateException] {
+      Similarity.commitIvfIfUnchanged(spark, dir, before, Similarity.IvfManifest(99))
+    }
+    assert(Similarity.readIvfManifest(spark, dir) == moved,
+      "aborted commit must not touch the manifest")
+    // and the index remains fully queryable
+    assert(Similarity.ivfTopKIndexed(spark, dir, emb.limit(2), k = 2, nProbe = 4)
+      .count() == 4)
+  }
+
   test("filtered ANN composes: pre-filtered brute force == semi-join-filtered IVF probe domain") {
     // metadata-filtered search ("only label 3 docs") needs no index
     // support: pre-filter the corpus for the exact path, or semi-join the
