@@ -139,7 +139,7 @@ object Search {
   // at 100 TB keeps each bucket a manageable scan while a 3-term query
   // still reads <= 3/numBuckets of the index).
 
-  private final case class TextIndexManifest(
+  private[llmops] final case class TextIndexManifest(
       numBuckets: Int,
       nDocs: Long,
       sumDl: Long,
@@ -150,9 +150,31 @@ object Search {
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
   // serializes index mutations in-process (build, append, vacuum) — the
-  // same single-writer contract as the IVF index and GraftDB manifest;
-  // cross-process writers are out of scope
+  // same single-writer contract as the IVF index and GraftDB manifest.
+  // Cross-PROCESS writers are guarded optimistically (no portable file
+  // lock on object stores): each mutation snapshots the manifest at
+  // entry and commits through [[commitTextIfUnchanged]], which aborts
+  // loudly if a foreign process moved it in between.
   private val textLock = new Object
+
+  /** Swap the manifest to `next` ONLY if it still reads as `expected` —
+    * the cross-process guard (same contract as
+    * [[Similarity.commitIvfIfUnchanged]]): a silent last-writer-wins
+    * would orphan a foreign writer's sealed postings or double-apply a
+    * batch tag. The caller drops its staged dirs on abort.
+    */
+  private[llmops] def commitTextIfUnchanged(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      expected: Option[TextIndexManifest], next: TextIndexManifest): Unit = {
+    val cur = readTextManifest(spark, indexDir)
+    if (cur != expected)
+      throw new IllegalStateException(
+        s"concurrent text-index mutation on $indexDir: manifest moved from " +
+          s"$expected to $cur while this writer staged against the former — " +
+          "aborting; re-run against the current index (staged dirs are " +
+          "unreferenced and reclaimed by vacuumTextIndex)")
+    writeTextManifest(spark, indexDir, next)
+  }
 
   /** Build a fresh persisted inverted index over `docs` (replacing any
     * prior manifest at `indexDir`; superseded dirs are reclaimed by
@@ -166,9 +188,10 @@ object Search {
       textCol: String = "text"): Unit = textLock.synchronized {
     require(numBuckets > 0, "buildTextIndex: numBuckets must be positive")
     val spark = docs.sparkSession
+    val m0 = readTextManifest(spark, indexDir)
     val (pDir, dDir, n, sumDl) =
       stageIndexDelta(docs, indexDir, numBuckets, idCol, textCol, oldDict = None)
-    writeTextManifest(spark, indexDir,
+    commitTextIfUnchanged(spark, indexDir, m0,
       TextIndexManifest(numBuckets, n, sumDl, dDir, Vector(pDir)))
   }
 
@@ -193,10 +216,19 @@ object Search {
     val (pDir, dDir, n, sumDl) = stageIndexDelta(docs, indexDir, m.numBuckets,
       idCol, textCol, oldDict = Some(s"$indexDir/${m.dict}"))
     if (n == 0) return false
-    writeTextManifest(spark, indexDir, m.copy(
+    try commitTextIfUnchanged(spark, indexDir, Some(m), m.copy(
       nDocs = m.nDocs + n, sumDl = m.sumDl + sumDl,
       dict = dDir, postings = m.postings :+ pDir,
       appliedTags = batchTag.fold(m.appliedTags)(m.appliedTags :+ _)))
+    catch { case e: IllegalStateException =>
+      // foreign writer moved the manifest between our load and seal: drop
+      // our staged dirs (their state stays intact) and surface loudly
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (d <- Seq(pDir, dDir))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true)
+      throw e
+    }
     true
   }
 
@@ -323,12 +355,19 @@ object Search {
           st.isDirectory && (n.startsWith("postings-") || n.startsWith("dict-")) &&
             !live.contains(n)
         }
+        // cross-process guard BEFORE deleting: a foreign append may have
+        // sealed one of these "stale" dirs since our load — re-read and
+        // abort rather than delete live postings
+        if (readTextManifest(spark, indexDir) != Some(m))
+          throw new IllegalStateException(
+            s"concurrent text-index mutation on $indexDir during vacuum — " +
+              "aborting before deleting anything; re-run vacuum")
         stale.foreach(st => fs.delete(st.getPath, true))
         stale.length
     }
   }
 
-  private def readTextManifest(spark: org.apache.spark.sql.SparkSession,
+  private[llmops] def readTextManifest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[TextIndexManifest] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -246,4 +246,25 @@ class SearchSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
     assert(out(0).getAs[Double]("score") === out(1).getAs[Double]("score"))
   }
+
+  test("cross-process guard: a commit staged against a stale manifest aborts loudly") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-guard").toString
+    Search.buildTextIndex(corpus(1L -> "apple banana"), idx, numBuckets = 4)
+    val before = Search.readTextManifest(spark, idx)
+    // a "foreign" writer appends — the manifest moves
+    assert(Search.appendToTextIndex(idx, corpus(2L -> "cherry dog"), batchTag = Some("f1")))
+    val moved = Search.readTextManifest(spark, idx)
+    assert(moved != before, "append did not move the manifest")
+    // a writer that staged against the PRE-append snapshot must abort,
+    // leaving the moved manifest exactly as the foreign writer wrote it
+    intercept[IllegalStateException] {
+      Search.commitTextIfUnchanged(spark, idx, before, moved.get.copy(nDocs = 99L))
+    }
+    assert(Search.readTextManifest(spark, idx) == moved,
+      "aborted commit must not touch the manifest")
+    // and the index still answers with both writers' documents
+    val out = Search.bm25TopKIndexed(spark, idx, queries(0L -> "cherry apple"), k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(1L, 2L))
+  }
 }
