@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) joins — the non-equi join family Spark only executes
+  * as a broadcast nested loop (quadratic in the worst case, and capped by
+  * the broadcast size). Re-expressed as a BIN-bucketed equi-join: both
+  * sides key on fixed-width time bins, intervals replicate to every bin
+  * they cover, points hash to exactly ONE bin — the join is a plain
+  * hash/sort-merge equi-join on the bin plus a residual predicate, so it
+  * scales like any other keyed join (shuffle by bin, AQE skew handling,
+  * no cross product).
+  *
+  * Each qualifying (point, interval) pair meets in exactly one reducer —
+  * the point's bin, which the interval covers by construction — so no
+  * dedup pass is needed.
+  *
+  * `binSize` tuning is the usual trade: bins much wider than the typical
+  * interval waste residual-filter work; bins much narrower replicate
+  * intervals too often. A degenerate interval (spanning millions of bins)
+  * is the skew hazard — [[overflowIntervals]] surfaces offenders the same
+  * way the dedup caps do, and `maxBinsPerInterval` fails the job loudly
+  * (codegen'd `raise_error`, no driver pass) rather than letting one row
+  * fan out unboundedly.
+  */
+object RangeJoin {
+
+  /** Pairs every point row with every interval row whose
+    * `[startCol, endCol]` (inclusive both ends) contains its `tCol`.
+    * All columns of both inputs pass through; disambiguate upstream.
+    * Columns must be integral (epoch-ms, versions, offsets...).
+    *
+    * `keys` are extra equi-join columns (present on BOTH sides) folded
+    * into the shuffle key alongside the bin — a per-user temporal join
+    * shuffles on (user, bin), not on bin alone, so reducers stay narrow
+    * even when every user is active in every bin.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      binSize: Long,
+      tCol: String,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 1 << 20): DataFrame = {
+    require(binSize > 0, "pointInInterval: binSize must be positive")
+    val p = points.withColumn("__bin", floor(col(tCol) / binSize))
+    val guarded =
+      if (maxBinsPerInterval > 0)
+        when(
+          floor(col(endCol) / binSize) - floor(col(startCol) / binSize) >= maxBinsPerInterval,
+          raise_error(concat(
+            lit(s"pointInInterval: interval spans >= $maxBinsPerInterval bins of $binSize ("),
+            col(startCol), lit(".."), col(endCol),
+            lit(") — widen binSize or split the interval"))))
+        .otherwise(col(startCol))
+      else col(startCol)
+    val iv = intervals
+      .withColumn("__bin", explode(sequence(
+        floor(guarded / binSize), floor(col(endCol) / binSize))))
+    p.join(iv, keys :+ "__bin")
+      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /** Band join: pairs (l, r) with |l.`lCol` - r.`rCol`| <= delta —
+    * the same bin trick with the left side probing its own bin and both
+    * neighbors (a band of width delta can only reach adjacent bins when
+    * `binSize >= delta`, which is enforced). Each qualifying pair meets
+    * exactly once (the right row's bin is unique). Columns pass through;
+    * `keys` as in [[pointInInterval]].
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      delta: Long,
+      lCol: String,
+      rCol: String,
+      keys: Seq[String] = Nil,
+      binSize: Long = 0L): DataFrame = {
+    require(delta >= 0, "bandJoin: delta must be non-negative")
+    val bin = if (binSize > 0) binSize else math.max(delta, 1L)
+    require(bin >= delta, s"bandJoin: binSize $bin < delta $delta would miss pairs")
+    val l = left.withColumn("__bin",
+      explode(array(Seq(-1L, 0L, 1L).map(o => floor(col(lCol) / bin) + o): _*)))
+    val r = right.withColumn("__bin", floor(col(rCol) / bin))
+    l.join(r, keys :+ "__bin")
+      .filter(abs(col(lCol) - col(rCol)) <= delta)
+      .drop("__bin")
+  }
+
+  /** The intervals [[pointInInterval]]'s loud guard would reject at this
+    * `binSize` + `maxBinsPerInterval`: (start, end, n_bins), empty when
+    * the guard is a no-op — the probe-before-run companion, same idiom as
+    * `Dedup.simhashOverflowBands`.
+    */
+  def overflowIntervals(
+      intervals: DataFrame,
+      binSize: Long,
+      startCol: String,
+      endCol: String,
+      maxBinsPerInterval: Long = 1 << 20): DataFrame =
+    intervals.select(col(startCol), col(endCol),
+        (floor(col(endCol) / binSize) - floor(col(startCol) / binSize) + 1).as("n_bins"))
+      .filter(col("n_bins") > maxBinsPerInterval)
+}

@@ -369,6 +369,55 @@ object Catalog {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    "q_range_join" -> QueryDef(
+      // RangeJoin.pointInInterval — interval containment re-expressed as a
+      // (user, time-bin)-keyed EQUI-join (one shuffle, AQE-eligible; Spark's
+      // native plan for this predicate is a broadcast nested loop): purchases
+      // landing within 6 hours after each error event of the same user.
+      // Oracled against DuckDB's plain non-equi join.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val wins = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_ms").as("ws"),
+            (col("ts_ms") + lit(21600000L)).as("we"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms").as("pt"), col("value"))
+        graft.operators.RangeJoin.pointInInterval(
+            purchases, wins, binSize = 21600000L,
+            tCol = "pt", startCol = "ws", endCol = "we", keys = Seq("user_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH w AS (SELECT user_id, epoch_ms(ts) AS ws,
+            epoch_ms(ts) + 21600000 AS we FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, epoch_ms(ts) AS pt, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, count(*) AS n_pairs, round(sum(p.value), 2) AS sum_value
+        FROM p JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
+        GROUP BY p.user_id ORDER BY p.user_id""")),
+
+    "q_band_join" -> QueryDef(
+      // RangeJoin.bandJoin — |Δt| <= 30min self-pairing of a user's events
+      // via the ±1-neighbor bin probe (each qualifying pair meets exactly
+      // once; no cross product, no dedup pass).
+      (s, dir) => {
+        val ev = events(s, dir)
+        val l = ev.select(col("user_id"), col("event_id").as("lid"), col("ts_ms").as("lt"))
+        val r = ev.select(col("user_id"), col("event_id").as("rid"), col("ts_ms").as("rt"))
+        graft.operators.RangeJoin.bandJoin(l, r, delta = 1800000L,
+            lCol = "lt", rCol = "rt", keys = Seq("user_id"))
+          .filter(col("lid") < col("rid"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT a.user_id, count(*) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 1800000
+        GROUP BY a.user_id ORDER BY a.user_id""")),
+
     "q_cube" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))

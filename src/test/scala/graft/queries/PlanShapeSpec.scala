@@ -42,6 +42,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "ann_topk regressed to a window ranking")
   }
 
+  test("range/band join: bin-bucketed EQUI-join, never a broadcast nested loop") {
+    for (name <- Seq("q_range_join", "q_band_join")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name regressed to Spark's native non-equi plan (nested loop)")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$name lost its equi-join on (keys, bin)")
+    }
+  }
+
   test("dedup_embedding_pairs: the certified plan contains no cartesian or nested-loop join") {
     val p = plan("dedup_embedding_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
