@@ -72,13 +72,24 @@ object Curation {
       .select("eval_id", "n_shingles", "n_hit", "overlap_frac", "contaminated")
   }
 
-  /** Multiplicative-hash uniform draw in [0, 2^32): Knuth's 2654435761
-    * over `id mod 1000003` — pure int64 arithmetic that any SQL engine
-    * replays bit-for-bit (no engine-specific rand/hash). The mod keeps
-    * the product far from Long overflow for any id.
+  /** Multiplicative-hash uniform draw in [0, 2^32): TWO Knuth-style draws
+    * — 2654435761 over `id mod 1000003`, and a second odd constant
+    * (2246822519, xxHash's PRIME2) over `id mod 999983` (a different
+    * prime) — summed mod 2^32. Pure int64 arithmetic that any SQL engine
+    * replays bit-for-bit (no engine-specific rand/hash): each product is
+    * < 2^20 x 2^32 = 2^52, far from Long overflow. Composing two COPRIME
+    * moduli widens the draw's granularity to their product, ~10^12
+    * distinct fates (CRT): the old single `mod 1000003` draw made every
+    * ~1M-th id share fate — each residue class kept or dropped as a
+    * block at billion-doc scale, and stacked [[sampleStrata]] calls
+    * composed dependently — whereas here two ids congruent mod 1000003
+    * still draw independently through the second modulus.
     */
   private def knuthDraw(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod((pmod(id, lit(1000003L)) + 1L) * lit(2654435761L), lit(4294967296L))
+    pmod(
+      (pmod(id, lit(1000003L)) + 1L) * lit(2654435761L) +
+        (pmod(id, lit(999983L)) + 1L) * lit(2246822519L),
+      lit(4294967296L))
 
   /** Deterministic stratified sampling — the domain-mixing step: keep each
     * row of stratum `s` with probability `fractions(s)` (strata absent
@@ -148,20 +159,24 @@ object Curation {
     *
     * Order matters: emails redact FIRST (an email's host part would
     * otherwise half-match the IP pattern after phone/ip passes), then
-    * ips, then phones.
+    * ips, then phones. Each kind's COUNT is computed on the text with the
+    * prior kinds already redacted — the same text its replacement pass
+    * sees — so `n_<kind>` always equals the number of `<KIND>` tags in
+    * `redacted` (counting every kind on the raw text would over-count,
+    * e.g. phone-shaped digits inside an email's local part that the
+    * email pass already consumed).
     */
   def redactPii(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipRe, "<IP>")
     docs.select(
       col(idCol),
       size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).as("n_phones"),
-      size(regexp_extract_all(col(textCol), lit(ipRe), lit(0))).as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
-          ipRe, "<IP>"),
-        phoneRe, "<PHONE>").as("redacted"))
+      size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(afterEmail, lit(ipRe), lit(0))).as("n_ips"),
+      regexp_replace(afterIp, phoneRe, "<PHONE>").as("redacted"))
+  }
 }

@@ -125,10 +125,17 @@ object Search {
   //   postings-<uuid>/bucket=N/  (tok, doc_id, tf, dl) — immutable roots,
   //                        one per build/append, partitioned by
   //                        bucket = xxhash64(tok) % numBuckets
-  //   dict-<uuid>/bucket=N/      (tok, df) — document frequencies, REPLACED
-  //                        (old + delta merged into a fresh dir) on each
-  //                        append; df lives here and not on posting rows
-  //                        exactly so appends never rewrite postings
+  //   dict-<uuid>/bucket=N/      (tok, df) — document-frequency roots: the
+  //                        base root (full vocabulary, written at
+  //                        build/compaction) plus one DELTA root per
+  //                        append holding only the batch's vocabulary;
+  //                        readers sum df across roots (integer-valued
+  //                        doubles — exact at any fold order). df lives
+  //                        here and not on posting rows exactly so
+  //                        appends never rewrite postings, and the delta
+  //                        design means an append's write cost is
+  //                        proportional to the BATCH vocabulary, never
+  //                        the corpus vocabulary
   //
   // nDocs/sumDl are exact integer totals (avgdl = sumDl/nDocs reproduces
   // the scan form's avg() bit-for-bit — integer-valued doubles sum
@@ -138,14 +145,49 @@ object Search {
   // target corpus — buckets are the probe read granularity (a few hundred
   // at 100 TB keeps each bucket a manageable scan while a 3-term query
   // still reads <= 3/numBuckets of the index).
+  //
+  // Lifecycle at streaming-ingest scale: every append adds one postings
+  // root and one dict-delta root, so a long-lived stream accumulates
+  // roots (the LSM small-files problem). [[compactTextIndex]] folds them
+  // back to one root each — the text analog of
+  // [[Similarity.compactIvfAppends]] — and the manifest itself stays
+  // bounded because NUMERIC batch tags collapse to a single high-water
+  // mark instead of growing `appliedTags` forever.
 
+  /** `dict` is the base df root; `dicts` are per-append delta roots.
+    * Replay fencing: a tag that parses entirely as a Long is a SEQUENCE
+    * tag (the Structured Streaming batch-id contract — monotonically
+    * increasing, [[graft.streaming.EventStream.ingestToTextIndex]] passes
+    * the micro-batch id) and is fenced by `tagHighWater` alone — O(1)
+    * manifest state at any stream lifetime. Non-numeric tags are
+    * remembered exactly in `appliedTags` (bounded by the caller's tag
+    * universe; legacy manifests may hold numeric tags here too — they are
+    * honored on read and absorbed into the high-water at compaction).
+    */
   private[llmops] final case class TextIndexManifest(
       numBuckets: Int,
       nDocs: Long,
       sumDl: Long,
       dict: String,
       postings: Vector[String],
-      appliedTags: Vector[String] = Vector.empty)
+      appliedTags: Vector[String] = Vector.empty,
+      dicts: Vector[String] = Vector.empty,
+      tagHighWater: Long = -1L)
+
+  private def numericTag(t: String): Option[Long] =
+    scala.util.Try(java.lang.Long.parseLong(t)).toOption
+
+  private def tagApplied(m: TextIndexManifest, tag: String): Boolean =
+    numericTag(tag) match {
+      case Some(v) => v <= m.tagHighWater || m.appliedTags.contains(tag)
+      case None => m.appliedTags.contains(tag)
+    }
+
+  private def recordTag(m: TextIndexManifest, tag: String): TextIndexManifest =
+    numericTag(tag) match {
+      case Some(v) => m.copy(tagHighWater = math.max(m.tagHighWater, v))
+      case None => m.copy(appliedTags = m.appliedTags :+ tag)
+    }
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -190,18 +232,23 @@ object Search {
     val spark = docs.sparkSession
     val m0 = readTextManifest(spark, indexDir)
     val (pDir, dDir, n, sumDl) =
-      stageIndexDelta(docs, indexDir, numBuckets, idCol, textCol, oldDict = None)
+      stageIndexDelta(docs, indexDir, numBuckets, idCol, textCol, skipIfEmpty = false).get
     commitTextIfUnchanged(spark, indexDir, m0,
       TextIndexManifest(numBuckets, n, sumDl, dDir, Vector(pDir)))
   }
 
   /** Append a document batch to an existing index: stage a new postings
-    * root + a merged dict, then seal both with one manifest swap. Returns
-    * false (and writes nothing) when `batchTag` was already applied — the
-    * exactly-once guard for streaming replays ([[graft.streaming
-    * .EventStream.ingestToTextIndex]] passes the micro-batch id). The
-    * corpus contract is append-only NEW doc ids; re-appending a live id
-    * double-counts it (dedup at ingest is `dedupStream`'s job).
+    * root + a df DELTA root holding only the batch's vocabulary (untouched
+    * buckets are never rewritten — append cost is proportional to the
+    * batch, not the corpus), then seal both with one manifest swap.
+    * Returns false (and writes NOTHING — an empty or replayed batch never
+    * stages orphan dirs) when the batch is empty or `batchTag` was already
+    * applied — the exactly-once guard for streaming replays
+    * ([[graft.streaming.EventStream.ingestToTextIndex]] passes the
+    * micro-batch id; see [[TextIndexManifest]] for the numeric-tag
+    * high-water contract). The corpus contract is append-only NEW doc ids;
+    * re-appending a live id double-counts it (dedup at ingest is
+    * `dedupStream`'s job).
     */
   def appendToTextIndex(
       indexDir: String,
@@ -212,14 +259,16 @@ object Search {
     val spark = docs.sparkSession
     val m = readTextManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
       s"appendToTextIndex: no readable index manifest at $indexDir"))
-    if (batchTag.exists(m.appliedTags.contains)) return false // replayed batch
-    val (pDir, dDir, n, sumDl) = stageIndexDelta(docs, indexDir, m.numBuckets,
-      idCol, textCol, oldDict = Some(s"$indexDir/${m.dict}"))
-    if (n == 0) return false
-    try commitTextIfUnchanged(spark, indexDir, Some(m), m.copy(
+    if (batchTag.exists(tagApplied(m, _))) return false // replayed batch
+    val staged = stageIndexDelta(docs, indexDir, m.numBuckets,
+      idCol, textCol, skipIfEmpty = true)
+    if (staged.isEmpty) return false // empty batch: nothing was written
+    val (pDir, dDir, n, sumDl) = staged.get
+    val next = m.copy(
       nDocs = m.nDocs + n, sumDl = m.sumDl + sumDl,
-      dict = dDir, postings = m.postings :+ pDir,
-      appliedTags = batchTag.fold(m.appliedTags)(m.appliedTags :+ _)))
+      postings = m.postings :+ pDir, dicts = m.dicts :+ dDir)
+    try commitTextIfUnchanged(spark, indexDir, Some(m),
+      batchTag.fold(next)(recordTag(next, _)))
     catch { case e: IllegalStateException =>
       // foreign writer moved the manifest between our load and seal: drop
       // our staged dirs (their state stays intact) and surface loudly
@@ -247,15 +296,24 @@ object Search {
     org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
 
-  /** Stage one batch's postings root and dict dir (delta, or delta merged
-    * with `oldDict`). Staged dirs are invisible until the caller's
-    * manifest swap; a crash here leaves orphans for [[vacuumTextIndex]].
+  /** Stage one batch's postings root and df-delta root (each holding only
+    * the batch's rows/vocabulary — see [[TextIndexManifest]]). Staged dirs
+    * are invisible until the caller's manifest swap; a crash here leaves
+    * orphans for [[vacuumTextIndex]]. Returns None (writing nothing) for
+    * an empty batch when `skipIfEmpty` — the stats action runs BEFORE any
+    * write, so empty streaming micro-batches cost one count and zero
+    * orphan dirs. (A fresh BUILD of an empty corpus still writes its
+    * roots: that is the legitimate streaming start state.)
     */
   private def stageIndexDelta(docs: DataFrame, indexDir: String, numBuckets: Int,
-      idCol: String, textCol: String, oldDict: Option[String]): (String, String, Long, Long) = {
+      idCol: String, textCol: String, skipIfEmpty: Boolean): Option[(String, String, Long, Long)] = {
     val spark = docs.sparkSession
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       Text.tokens(col(textCol)).as("__toks"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("sumDl")).head()
+    val (n, sumDl) = (stats.getLong(0), stats.getLong(1))
+    if (skipIfEmpty && n == 0) return None
     val postings = base
       .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
         explode(col("__toks")).as("tok"))
@@ -266,21 +324,81 @@ object Search {
     postings.write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
     // df delta from the STAGED postings (one narrow read-back — cheaper
     // than recomputing the tokenize+tf pipeline, and exactly consistent
-    // with what was written); merged with the old dict when appending
+    // with what was written). Only the batch's buckets materialize as
+    // partitions — untouched vocabulary is never read or rewritten.
     val dfDelta = spark.read.schema(postingsSchema).parquet(s"$indexDir/$pDir")
       .groupBy(col("tok"), col("bucket")).agg(count(lit(1)).cast("double").as("df"))
-    val dict = oldDict match {
-      case None => dfDelta
-      case Some(od) => spark.read.schema(dictSchema).parquet(od)
-        .select(col("tok"), col("bucket"), col("df")).unionByName(
-          dfDelta.select(col("tok"), col("bucket"), col("df")))
-        .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
-    }
     val dDir = s"dict-${java.util.UUID.randomUUID}"
-    dict.write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
-    val stats = base.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("sumDl")).head()
-    (pDir, dDir, stats.getLong(0), stats.getLong(1))
+    dfDelta.write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
+    Some((pDir, dDir, n, sumDl))
+  }
+
+  /** All live postings rows (every root unioned; `bucket` stays a
+    * partition column per root so bucket filters prune every scan).
+    */
+  private def postingsFrame(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: TextIndexManifest): DataFrame =
+    m.postings
+      .map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
+      .reduce(_.unionByName(_))
+
+  /** Document frequencies summed across the base dict root and every
+    * append's delta root. df values are integer-valued doubles, so the
+    * sum is exact at any root count/order — indexed scores stay
+    * bit-identical to the scan form.
+    */
+  private def dictFrame(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: TextIndexManifest): DataFrame =
+    (m.dict +: m.dicts)
+      .map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
+      .reduce(_.unionByName(_))
+
+  /** Fold every append's postings/df-delta roots back into ONE root each —
+    * the text analog of [[Similarity.compactIvfAppends]] (the LSM
+    * compaction story applied to the inverted index). A long-lived
+    * streaming ingest seals one postings root and one dict delta per
+    * micro-batch; queries union ALL of them, so root count eventually
+    * dominates probe latency (file-listing storms + thousands of tiny
+    * parquet reads). Folding rewrites them as one bucket-partitioned
+    * table each, absorbs any legacy numeric tags into the high-water
+    * mark (see [[TextIndexManifest]]), and commits with the same
+    * stage-then-swap contract as every other mutation — readers never
+    * see a half-folded index, scores stay BIT-IDENTICAL (integer-valued
+    * tf/df/dl sums are fold-order-independent), and the replay fence
+    * survives. Returns true when a fold happened.
+    */
+  def compactTextIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Boolean = textLock.synchronized {
+    readTextManifest(spark, indexDir) match {
+      case Some(m) if m.postings.size > 1 || m.dicts.nonEmpty ||
+          m.appliedTags.exists(numericTag(_).isDefined) =>
+        val pDir = s"postings-${java.util.UUID.randomUUID}"
+        val dDir = s"dict-${java.util.UUID.randomUUID}"
+        // one task per bucket hash: each bucket partition folds to a
+        // bounded file count instead of one file per (root x bucket)
+        postingsFrame(spark, indexDir, m)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
+        dictFrame(spark, indexDir, m)
+          .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
+        val legacyNumeric = m.appliedTags.flatMap(numericTag)
+        val next = m.copy(
+          dict = dDir, dicts = Vector.empty, postings = Vector(pDir),
+          appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
+          tagHighWater = (m.tagHighWater +: legacyNumeric).max)
+        try commitTextIfUnchanged(spark, indexDir, Some(m), next)
+        catch { case e: IllegalStateException =>
+          val fs = new org.apache.hadoop.fs.Path(indexDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          for (d <- Seq(pDir, dDir))
+            fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true)
+          throw e
+        }
+        true
+      case _ => false
+    }
   }
 
   /** BM25 top-k through a [[buildTextIndex]] index: query terms hash to
@@ -310,16 +428,17 @@ object Search {
     val buckets = qterms.select(
         pmod(xxhash64(col("tok")), lit(m.numBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // each posting root read separately and unioned (one multi-path read
-    // would trip partition inference across sibling roots — same pattern
-    // as the IVF index's sealed-append union); `bucket` stays a partition
-    // column per root, so the filter prunes every scan
-    val postings = m.postings
-      .map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
-      .reduce(_.unionByName(_))
+    // each root read separately and unioned (one multi-path read would
+    // trip partition inference across sibling roots — same pattern as the
+    // IVF index's sealed-append union); `bucket` stays a partition column
+    // per root, so the filter prunes every scan. The df sum across the
+    // base dict + append deltas runs over the PRUNED buckets only —
+    // bounded by the query terms' vocabulary, not the corpus's.
+    val postings = postingsFrame(spark, indexDir, m)
       .filter(col("bucket").isin(buckets: _*))
-    val dict = spark.read.schema(dictSchema).parquet(s"$indexDir/${m.dict}")
+    val dict = dictFrame(spark, indexDir, m)
       .filter(col("bucket").isin(buckets: _*))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
       .select(col("tok"), col("df"))
     val contrib = postings
       .join(broadcast(dict), Seq("tok"))
@@ -340,20 +459,28 @@ object Search {
   /** Delete index dirs the manifest no longer references — crashed stages
     * and superseded dicts/postings (the explicit cleanup point, like
     * `GraftDB.vacuum`; in-flight readers of old dirs are the caller's
-    * concern). Returns the number of directories removed.
+    * concern). Dirs modified within `minAgeMs` of now are SPARED: a
+    * cross-process writer mid-stage has dirs on disk that no manifest
+    * references yet, and the manifest re-read guard below only detects
+    * COMMITTED foreign mutations — the age grace keeps vacuum from
+    * deleting a concurrent stage out from under its writer (pass 0 to
+    * reclaim everything, e.g. after a known crash with no live writers).
+    * Returns the number of directories removed.
     */
   def vacuumTextIndex(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Int = textLock.synchronized {
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      minAgeMs: Long = 600000L): Int = textLock.synchronized {
     readTextManifest(spark, indexDir) match {
       case None => 0
       case Some(m) =>
         val root = new org.apache.hadoop.fs.Path(indexDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val live = (m.postings :+ m.dict).toSet
+        val live = (m.postings ++ m.dicts :+ m.dict).toSet
+        val cutoff = System.currentTimeMillis() - minAgeMs
         val stale = fs.listStatus(root).filter { st =>
           val n = st.getPath.getName
           st.isDirectory && (n.startsWith("postings-") || n.startsWith("dict-")) &&
-            !live.contains(n)
+            !live.contains(n) && st.getModificationTime <= cutoff
         }
         // cross-process guard BEFORE deleting: a foreign append may have
         // sealed one of these "stale" dirs since our load — re-read and
@@ -367,15 +494,35 @@ object Search {
     }
   }
 
+  // stamp cache: repeated indexed queries against an unchanged index skip
+  // the manifest re-read/re-parse entirely — one getFileStatus revalidates
+  // by (size, mtime), the GraftDB manifest's pattern (Manifest.scala).
+  // Foreign writers are still seen: every commit changes the file's stamp.
+  // `manifestParses` counts ACTUAL parses so a spec can pin the cache.
+  private val textManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, TextIndexManifest)]()
+  private[llmops] val textManifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[llmops] def readTextManifest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[TextIndexManifest] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(org.json4s.jackson.Serialization.read[TextIndexManifest](text))
+    val st = try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None => textManifestCache.remove(indexDir); None
+      case Some(s) =>
+        val cached = textManifestCache.get(indexDir)
+        if (cached != null && cached._1 == s.getLen && cached._2 == s.getModificationTime)
+          Some(cached._3)
+        else {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val m = org.json4s.jackson.Serialization.read[TextIndexManifest](text)
+          textManifestParses.incrementAndGet()
+          textManifestCache.put(indexDir, (s.getLen, s.getModificationTime, m))
+          Some(m)
+        }
     }
   }
 
@@ -390,5 +537,8 @@ object Search {
     org.apache.hadoop.fs.FileContext
       .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // drop, don't update: the next read restamps from the renamed file's
+    // actual status (a cache-side stamp guess could race the rename)
+    textManifestCache.remove(indexDir)
   }
 }

@@ -145,15 +145,35 @@ object Similarity {
   // single-writer contract as the GraftDB manifest.
   private val ivfLock = new Object
 
+  // stamp cache (size+mtime revalidation via one getFileStatus — the
+  // GraftDB manifest pattern): repeated probes against an unchanged index
+  // skip the JSON re-read/parse; every commit changes the file stamp, so
+  // foreign writers are still seen. `ivfManifestParses` counts ACTUAL
+  // parses so a spec can pin the cache.
+  private val ivfManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, IvfManifest)]()
+  private[llmops] val ivfManifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[llmops] def readIvfManifest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[IvfManifest] = {
     val (fs, _) = ivfFs(spark, indexDir)
     val mp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
-    if (!fs.exists(mp)) None
-    else {
-      val in = fs.open(mp)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(org.json4s.jackson.Serialization.read[IvfManifest](text))
+    val st = try Some(fs.getFileStatus(mp))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None => ivfManifestCache.remove(indexDir); None
+      case Some(s) =>
+        val cached = ivfManifestCache.get(indexDir)
+        if (cached != null && cached._1 == s.getLen && cached._2 == s.getModificationTime)
+          Some(cached._3)
+        else {
+          val in = fs.open(mp)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val m = org.json4s.jackson.Serialization.read[IvfManifest](text)
+          ivfManifestParses.incrementAndGet()
+          ivfManifestCache.put(indexDir, (s.getLen, s.getModificationTime, m))
+          Some(m)
+        }
     }
   }
 
@@ -170,6 +190,9 @@ object Similarity {
     // manifest at all, where readers would fall back to the legacy layout
     org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // drop, don't update: the next read restamps from the renamed file's
+    // actual status (a cache-side stamp guess could race the rename)
+    ivfManifestCache.remove(indexDir)
   }
 
   /** Live generation number: Some(n) under the manifest layout, None for
@@ -271,10 +294,18 @@ object Similarity {
 
   /** Delete all index generations except the live one (the explicit
     * cleanup point, like GraftDB.vacuum — in-flight readers of old
-    * generations are the caller's concern).
+    * generations are the caller's concern). Dirs modified within
+    * `minAgeMs` of now are SPARED: a cross-process writer mid-stage (a
+    * new generation being built, or an append dir not yet sealed) is on
+    * disk but referenced by no manifest, and the re-read guard below only
+    * detects COMMITTED foreign mutations — the age grace keeps vacuum
+    * from deleting a concurrent stage out from under its writer (pass 0
+    * to reclaim everything after a known crash with no live writers).
     */
-  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Int = ivfLock.synchronized {
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      minAgeMs: Long = 600000L): Int = ivfLock.synchronized {
     val (fs, root) = ivfFs(spark, indexDir)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     readIvfManifest(spark, indexDir) match {
       case None => 0
       case Some(m) =>
@@ -282,8 +313,9 @@ object Similarity {
           val n = st.getPath.getName
           // superseded generations, plus the pre-manifest root tables a
           // legacy index leaves behind after its first manifest-era build
-          st.isDirectory && ((n.matches("g\\d+") && n != s"g${m.gen}") ||
-            n == "centroids" || n == "assigned" || n == "stats")
+          st.isDirectory && st.getModificationTime <= cutoff &&
+            ((n.matches("g\\d+") && n != s"g${m.gen}") ||
+              n == "centroids" || n == "assigned" || n == "stats")
         }
         // staged-but-never-sealed append dirs inside the LIVE generation
         // (a crashed append's leftovers — unreferenced, invisible to reads)
@@ -292,7 +324,8 @@ object Similarity {
           if (!fs.exists(genPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
           else fs.listStatus(genPath).filter { st =>
             st.isDirectory && st.getPath.getName.startsWith("append-") &&
-              !m.sealedDirs.contains(st.getPath.getName)
+              !m.sealedDirs.contains(st.getPath.getName) &&
+              st.getModificationTime <= cutoff
           }
         // cross-process guard BEFORE anything is deleted: a foreign writer
         // may have flipped the generation (making the new live gen look
@@ -604,6 +637,50 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Filtered ANN over a persisted IVF index: top-k restricted to an
+    * `allowed` id set (the metadata-predicate composition — "nearest
+    * neighbors among docs WHERE lang='en'"). The allowed set SEMI-JOINS
+    * the assignment scan BEFORE any cosine is computed (PlanShapeSpec
+    * pins it), so disallowed vectors never reach the scoring expression;
+    * probe cells still partition-prune the scan exactly as
+    * [[ivfTopKIndexed]]. `broadcastAllowed` (default) is right whenever
+    * the filter set fits an executor — a predicate selecting billions of
+    * ids should pass false and pay the shuffle semi-join instead.
+    *
+    * Equivalent to querying an index built over only the allowed corpus,
+    * EXCEPT the coarse quantizer is the full-corpus fit (cells rank by
+    * the same centroids) — recall against the filtered brute force is
+    * gated in `ann_filtered_recall`.
+    */
+  def ivfTopKIndexedFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      allowed: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      allowedIdCol: String = "vec_id",
+      broadcastAllowed: Boolean = true): DataFrame = {
+    val centroids = ivfCentroids(spark, indexDir)
+    val allow0 = allowed.select(col(allowedIdCol).as("neighbor_id")).distinct()
+    val allow = if (broadcastAllowed) broadcast(allow0) else allow0
+    val assigned = ivfAssigned(spark, indexDir)
+      .join(allow, Seq("neighbor_id"), "left_semi")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(qCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Recall < 1 by construction; bucketBits trades recall for cost.
     */
@@ -655,6 +732,14 @@ object Similarity {
     val dim = c.select(size(col("cv"))).head().getInt(0)
     require(dim >= m, s"fitPqCodebooks: dim $dim < m $m")
     val dsub = (dim + m - 1) / m
+    // with dsub = ceil(dim/m), a (dim, m) combo where the last subspace
+    // starts past the vector end (e.g. dim=9, m=8 → dsub=2, offset 14)
+    // would hand the trailing KMeans fits empty slices and crash with an
+    // obscure error — reject it loudly up front (pick m dividing dim, or
+    // small enough that every subspace holds at least one dimension)
+    require((m - 1) * dsub < dim,
+      s"fitPqCodebooks: dim=$dim, m=$m leaves subspace ${dim / dsub} empty " +
+        s"(dsub=ceil(dim/m)=$dsub); choose m so every subspace is non-empty")
     val total = c.count()
     val fitInput =
       if (fitSampleRows > 0 && total > fitSampleRows)

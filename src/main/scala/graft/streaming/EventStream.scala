@@ -107,8 +107,13 @@ object EventStream {
     * batch is a no-op instead of double-counting its term frequencies
     * (BM25's df/nDocs are exact counts — unlike the IVF probe, duplicate
     * rows would corrupt every score, so replays must be fenced, not
-    * tolerated). The index must exist (`buildTextIndex`, possibly over an
-    * empty corpus) before the stream starts.
+    * tolerated). The tag is the bare NUMERIC batch id: Structured
+    * Streaming batch ids increase monotonically, so the index fences them
+    * with a single high-water mark — O(1) manifest state at any stream
+    * lifetime, instead of one remembered tag per micro-batch (see
+    * [[graft.llmops.Search.TextIndexManifest]]). The index must exist
+    * (`buildTextIndex`, possibly over an empty corpus) before the stream
+    * starts.
     */
   def ingestToTextIndex(
       stream: DataFrame,
@@ -121,7 +126,7 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llmops.Search.appendToTextIndex(
-          indexDir, batch, batchTag = Some(s"stream-batch-$batchId"),
+          indexDir, batch, batchTag = Some(batchId.toString),
           idCol = idCol, textCol = textCol)
         ()
       }

@@ -55,6 +55,24 @@ class CurationSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("sampleStrata: ids congruent mod 1000003 draw independently (wide granularity)") {
+    // the old single-modulus draw made every id in a `mod 1000003` residue
+    // class share fate — at billion-doc scale each class was kept or
+    // dropped as a ~1000-doc block. The two-coprime-moduli draw must split
+    // such pairs: with keep-rate 0.5 over 200 congruent pairs, some pair
+    // must diverge (P[all agree] = 2^-200 under independence).
+    val pairs = (0L until 200L).flatMap(i => Seq(i, i + 1000003L))
+    val docs = pairs.map(i => (i, "s")).toDF("doc_id", "source")
+    val kept = Curation.sampleStrata(docs, "source", Map("s" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val diverging = (0L until 200L).count(i =>
+      kept.contains(i) != kept.contains(i + 1000003L))
+    assert(diverging > 0,
+      "congruent-mod-1000003 ids always share fate — the draw collapsed to one modulus")
+    // still deterministic and near the requested rate
+    assert(math.abs(kept.size - 200) < 60, s"kept=${kept.size} of 400 at rate 0.5")
+  }
+
   test("packSequences: bins fill sequentially per source, docs split across boundaries") {
     // token counts: "w w w w" = 4 tokens each; budget 10
     val docs = Seq(
@@ -101,5 +119,20 @@ class CurationSpec extends AnyFunSuite {
       "mail me at <EMAIL> or call <PHONE> from <IP>")
     val r1 = rows(1L)
     assert(r1.getAs[Int]("n_emails") == 0 && r1.getAs[String]("redacted") == "no pii here at all")
+  }
+
+  test("redactPii counts agree with the emitted tags when kinds overlap") {
+    // phone-shaped digits inside an email's local part: the email pass
+    // consumes them, so NO <PHONE> tag is emitted — n_phones must be 0,
+    // not 1 (counts are computed on the progressively-redacted text)
+    val docs = Seq((0L, "reach 555-123-4567@example.com now")).toDF("doc_id", "text")
+    val r = Curation.redactPii(docs).collect().head
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_phones") == 0, "counted a phone the email pass consumed")
+    val red = r.getAs[String]("redacted")
+    assert(red == "reach <EMAIL> now")
+    // per-kind tag counts in the output match the reported counts
+    assert("<EMAIL>".r.findAllIn(red).size == r.getAs[Int]("n_emails"))
+    assert("<PHONE>".r.findAllIn(red).size == r.getAs[Int]("n_phones"))
   }
 }

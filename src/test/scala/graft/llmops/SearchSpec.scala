@@ -172,7 +172,7 @@ class SearchSpec extends AnyFunSuite {
       === rows(Search.bm25TopK(full, qs, k = 5)))
   }
 
-  test("append replays fence on the batch tag; vacuum reclaims superseded dirs") {
+  test("append replays fence on the batch tag; vacuum reclaims folded-away dirs") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
     def rows(dir: String) = Search.bm25TopKIndexed(spark, dir,
         queries(0L -> "beta"), k = 4)
@@ -184,10 +184,124 @@ class SearchSpec extends AnyFunSuite {
     // replay of the SAME tag must be a no-op — df/nDocs would double-count
     assert(!Search.appendToTextIndex(idx, batch, batchTag = Some("t1")))
     assert(rows(idx) === before)
-    // superseded dict + orphaned stage dirs are reclaimable
-    val removed = Search.vacuumTextIndex(spark, idx)
-    assert(removed >= 1, "append left no superseded dict to vacuum")
+    // an append supersedes nothing (delta dicts) — only a fold does
+    assert(Search.compactTextIndex(spark, idx))
+    // default vacuum SPARES fresh dirs (cross-process stage grace)...
+    assert(Search.vacuumTextIndex(spark, idx) === 0,
+      "default-grace vacuum deleted recently-written dirs")
+    // ...and an explicit zero-grace vacuum reclaims the pre-fold roots
+    val removed = Search.vacuumTextIndex(spark, idx, minAgeMs = 0L)
+    assert(removed >= 2, s"fold left pre-fold roots unreclaimed (removed=$removed)")
     assert(rows(idx) === before, "vacuum touched live index data")
+    // and the replay fence SURVIVES the fold
+    assert(!Search.appendToTextIndex(idx, batch, batchTag = Some("t1")))
+    assert(rows(idx) === before)
+  }
+
+  test("compactTextIndex folds to one root each, stays BIT-IDENTICAL, bounds the manifest") {
+    val batches = Seq(
+      corpus(1L -> "apple banana cherry apple", 2L -> "apple dog echo"),
+      corpus(3L -> "banana fig grape banana banana"),
+      corpus(4L -> "dog echo fig grape"),
+      corpus(5L -> "cherry cherry dog apple fig"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(batches.head, idx, numBuckets = 8)
+    batches.tail.zipWithIndex.foreach { case (b, i) =>
+      assert(Search.appendToTextIndex(idx, b, batchTag = Some(i.toString)))
+    }
+    val m0 = Search.readTextManifest(spark, idx).get
+    assert(m0.postings.size === 4 && m0.dicts.size === 3,
+      s"expected one root per batch before fold: $m0")
+    val qs = queries(0L -> "apple banana", 1L -> "fig dog", 7L -> "cherry")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    val preFold = rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+    assert(Search.compactTextIndex(spark, idx))
+    val m1 = Search.readTextManifest(spark, idx).get
+    // ONE postings root, ONE dict root, numeric tags collapsed to the
+    // high-water — the manifest no longer grows with stream lifetime
+    assert(m1.postings.size === 1 && m1.dicts.isEmpty && m1.appliedTags.isEmpty)
+    assert(m1.tagHighWater === 2L)
+    assert(m1.nDocs === m0.nDocs && m1.sumDl === m0.sumDl)
+    // scores bit-identical: to the pre-fold index AND the scan form
+    val postFold = rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+    assert(postFold === preFold)
+    assert(postFold === rows(Search.bm25TopK(batches.reduce(_ unionByName _), qs, k = 5)))
+    // idempotent: nothing left to fold
+    assert(!Search.compactTextIndex(spark, idx))
+    // appends keep working after a fold
+    assert(Search.appendToTextIndex(idx, corpus(9L -> "apple kiwi"), batchTag = Some("3")))
+    val withMore = rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+    assert(withMore === rows(Search.bm25TopK(
+      batches.reduce(_ unionByName _).unionByName(corpus(9L -> "apple kiwi")), qs, k = 5)))
+  }
+
+  test("an append's dict delta holds only the batch vocabulary (no corpus-wide rewrite)") {
+    // 20-doc build with a wide vocabulary spread over many buckets, then a
+    // single-term append: the delta dict dir must contain ONLY the one
+    // bucket that term hashes to — appending cost is proportional to the
+    // batch, not the corpus vocabulary
+    val big = corpus((1L to 20L).map(i => i -> s"word$i filler$i common"): _*)
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(big, idx, numBuckets = 32)
+    assert(Search.appendToTextIndex(idx, corpus(100L -> "zzz-solo"), batchTag = Some("d1")))
+    val m = Search.readTextManifest(spark, idx).get
+    assert(m.dicts.size === 1)
+    val deltaBuckets = new java.io.File(s"$idx/${m.dicts.head}")
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(deltaBuckets.length === 1,
+      s"1-term append materialized ${deltaBuckets.length} dict buckets: " +
+        deltaBuckets.mkString(","))
+    // the base dict was NOT rewritten — still the build's root
+    val m0dict = m.dict
+    assert(Search.readTextManifest(spark, idx).get.dict === m0dict)
+  }
+
+  test("an empty append batch stages nothing (no orphan dirs)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(corpus(1L -> "alpha beta"), idx, numBuckets = 4)
+    def dirCount = new java.io.File(idx).listFiles().count(_.isDirectory)
+    val before = dirCount
+    assert(!Search.appendToTextIndex(idx, corpus(), batchTag = Some("e1")))
+    assert(dirCount === before, "empty batch leaked staged dirs")
+    // and the manifest did not move (the tag is NOT burned — a later
+    // non-empty retry of the same micro-batch must not be fenced out)
+    assert(!Search.readTextManifest(spark, idx).get.appliedTags.contains("e1"))
+  }
+
+  test("numeric tags fence via the high-water mark, non-numeric tags exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(corpus(1L -> "alpha"), idx, numBuckets = 4)
+    assert(Search.appendToTextIndex(idx, corpus(2L -> "beta"), batchTag = Some("5")))
+    val m = Search.readTextManifest(spark, idx).get
+    assert(m.tagHighWater === 5L && m.appliedTags.isEmpty,
+      s"numeric tag not absorbed into the high-water: $m")
+    // at-or-below the high-water = replay (the monotonic batch-id contract)
+    assert(!Search.appendToTextIndex(idx, corpus(3L -> "gamma"), batchTag = Some("5")))
+    assert(!Search.appendToTextIndex(idx, corpus(3L -> "gamma"), batchTag = Some("4")))
+    assert(Search.appendToTextIndex(idx, corpus(3L -> "gamma"), batchTag = Some("6")))
+    // non-numeric tags are remembered exactly, independent of the fence
+    assert(Search.appendToTextIndex(idx, corpus(4L -> "delta"), batchTag = Some("run-a")))
+    assert(!Search.appendToTextIndex(idx, corpus(4L -> "delta"), batchTag = Some("run-a")))
+    val m2 = Search.readTextManifest(spark, idx).get
+    assert(m2.tagHighWater === 6L && m2.appliedTags === Vector("run-a"))
+  }
+
+  test("manifest stamp-cache: repeated queries on an unchanged index parse once") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Search.buildTextIndex(corpus(1L -> "alpha beta", 2L -> "beta gamma"), idx, numBuckets = 4)
+    val qs = queries(0L -> "beta")
+    Search.bm25TopKIndexed(spark, idx, qs, k = 2).collect() // warm the cache
+    val parses0 = Search.textManifestParses.get()
+    (1 to 5).foreach(_ => Search.bm25TopKIndexed(spark, idx, qs, k = 2).collect())
+    assert(Search.textManifestParses.get() === parses0,
+      "unchanged index re-parsed its manifest on repeated queries")
+    // a mutation moves the stamp → exactly the ONE re-parse happens
+    assert(Search.appendToTextIndex(idx, corpus(3L -> "beta delta"), batchTag = Some("s1")))
+    Search.bm25TopKIndexed(spark, idx, qs, k = 2).collect()
+    assert(Search.textManifestParses.get() > parses0,
+      "stamp cache failed to notice a manifest mutation")
   }
 
   test("randomized append sequences match fresh builds (seeded mini-fuzz)") {

@@ -130,7 +130,10 @@ class SimilaritySpec extends AnyFunSuite {
     // crash-safety evidence: the superseded generation is still on disk for
     // in-flight readers, and the explicit vacuum removes exactly it
     assert(new java.io.File(s"$dir/g0").exists())
-    assert(Similarity.vacuumIvfIndex(spark, dir) == 1)
+    // default grace spares the freshly-written generation (cross-process
+    // stage protection); explicit zero-grace reclaims it
+    assert(Similarity.vacuumIvfIndex(spark, dir) == 0)
+    assert(Similarity.vacuumIvfIndex(spark, dir, minAgeMs = 0L) == 1)
     assert(!new java.io.File(s"$dir/g0").exists())
     assert(new java.io.File(s"$dir/g1").exists())
     // live generation still answers queries after vacuum
@@ -297,6 +300,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall(r => lab.contains(r.getLong(1))))
   }
 
+  test("ivfTopKIndexedFiltered: only allowed ids surface; full probe equals filtered brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("label") === 3)
+    val lab = allowed.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf-opfiltered").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    val part = Similarity.ivfTopKIndexedFiltered(spark, dir, queries, allowed,
+      k = 3, nProbe = 2).collect()
+    assert(part.nonEmpty && part.forall(r => lab.contains(r.getLong(1))),
+      "a disallowed id leaked through the filter")
+    // probing EVERY cell makes the filtered probe exhaustive over the
+    // allowed set — it must match the brute force over that set exactly
+    val full = Similarity.ivfTopKIndexedFiltered(spark, dir, queries, allowed,
+        k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(allowed, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === exact)
+  }
+
   test("compactIvfAppends folds sealed batches, preserves counts/codes, vacuums clean") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-compact").toString
     Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300), dir, numCentroids = 8)
@@ -311,8 +334,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(folded.filter(size(col("code")) =!= 8).count() == 0)
     // the fit artifacts survived the fold (no re-fit): codebooks readable
     assert(Similarity.readIvfCodebooks(spark, dir).isDefined)
-    // old generation + fold debris reclaimed
-    assert(Similarity.vacuumIvfIndex(spark, dir) >= 1)
+    // old generation + fold debris reclaimed (zero grace: no live writers)
+    assert(Similarity.vacuumIvfIndex(spark, dir, minAgeMs = 0L) >= 1)
     assert(folded.count() == total)
   }
 
