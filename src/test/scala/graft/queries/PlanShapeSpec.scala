@@ -78,9 +78,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no vector-free ADC read schema found:\n${schemas.mkString("\n")}")
   }
 
+  test("q_bucketed_join: the fact-fact join reads co-located buckets — neither orderkey ever shuffles") {
+    // broadcast disabled so the plan can't sidestep the claim: the join
+    // must run bucket-to-bucket (sort-merge over pre-bucketed scans); the
+    // only exchange allowed is the groupBy ABOVE the join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_bucketed_join")
+      assert(p.contains("SortMergeJoin"), "bucketed join lost its sort-merge form")
+      assert(!p.contains("hashpartitioning(l_orderkey") &&
+        !p.contains("hashpartitioning(o_orderkey"),
+        s"a bucketed side re-shuffled on its orderkey — co-location lost:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ann_filtered_topk: allowed-id semi-join gates the scan AND probe cells still prune") {
+    val p = plan("ann_filtered_topk")
+    assert(p.contains("LeftSemi"),
+      "the metadata filter lost its semi-join — disallowed vectors reach the scorer")
+    assert(p.contains("dynamicpruning"),
+      "the filtered probe lost dynamic partition pruning on cell")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("recall gates: no cartesian or nested-loop join in any declared recall plan") {
     for (name <- Seq("dedup_simhash_recall", "dedup_minhash_recall",
-        "ann_ivf_recall", "ann_lsh_recall", "ann_pq_recall", "ann_ivfpq_recall")) {
+        "ann_ivf_recall", "ann_lsh_recall", "ann_pq_recall", "ann_ivfpq_recall",
+        "ann_filtered_recall")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name contains a cartesian product — quadratic at scale")
