@@ -41,9 +41,46 @@ object Bench {
       }
       name -> (0 until runs).map(_ => once()).min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // text-index lifecycle: the number that certifies compactTextIndex
+    // matters. 50 sealed append batches (a long-lived streaming ingest's
+    // state) are queried as-is, folded, and queried again — post-fold
+    // should sit near the fresh-build probe (search_bm25_indexed) while
+    // pre-fold pays the 50-root union. Setup (build/appends/fold) is
+    // untimed; only the query path is reported, min-of-`runs` like the
+    // headlines. Failures report -1 rather than killing the bench.
+    val lifecycle: Seq[(String, Double)] = try {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      import graft.llmops.Search
+      val laDir = java.nio.file.Files.createTempDirectory("graft-bench-textidx").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      Search.buildTextIndex(docs.filter(pmod(col("doc_id"), lit(51L)) === 0),
+        laDir, numBuckets = 64)
+      (1 until 51).foreach { i =>
+        Search.appendToTextIndex(laDir,
+          docs.filter(pmod(col("doc_id"), lit(51L)) === i),
+          batchTag = Some(i.toString))
+      }
+      import spark.implicits._
+      val qs = Seq((0L, "stream filter group"), (1L, "hash join order"),
+        (2L, "slow scan data")).toDF("query_id", "qtext")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Search.bm25TopKIndexed(spark, laDir, qs, k = 10)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pre = (0 until runs).map(_ => once()).min
+      Search.compactTextIndex(spark, laDir)
+      val post = (0 until runs).map(_ => once()).min
+      Seq("search_bm25_longappend" -> pre, "search_bm25_postfold" -> post)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] text-index lifecycle: ${e.getMessage}")
+      Seq("search_bm25_longappend" -> -1.0, "search_bm25_postfold" -> -1.0)
+    }
+    val all = results ++ lifecycle
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
