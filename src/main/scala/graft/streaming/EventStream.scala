@@ -87,14 +87,21 @@ object EventStream {
       checkpoint: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      refitFactor: Double = 4.0): StreamingQuery =
+      refitFactor: Double = 4.0,
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llmops.Similarity.appendToIvfIndex(
           batch.sparkSession, indexDir, batch,
           idCol = idCol, vecCol = vecCol, refitFactor = refitFactor)
+        // periodic small-files compaction keeps the sealed-batch count
+        // bounded over a long-lived stream (compactEvery 0 = caller-managed;
+        // superseded generations still wait for an explicit vacuum so
+        // in-flight readers are never pulled out from under)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.llmops.Similarity.compactIvfAppends(batch.sparkSession, indexDir)
         ()
       }
       .start()
@@ -114,13 +121,22 @@ object EventStream {
     * [[graft.llmops.Search.TextIndexManifest]]). The index must exist
     * (`buildTextIndex`, possibly over an empty corpus) before the stream
     * starts.
+    *
+    * `compactEvery` > 0 folds the accumulated postings/dict roots back to
+    * one each ([[graft.llmops.Search.compactTextIndex]]) every that many
+    * micro-batches — without it a year of 1-minute batches means ~500k
+    * roots unioned per query. The fold is bit-identical and crash-safe
+    * (stage-then-swap), and replays are harmless: the fold carries no tag,
+    * so re-running it after a checkpoint replay just folds again.
+    * Superseded roots wait for an explicit `vacuumTextIndex`.
     */
   def ingestToTextIndex(
       stream: DataFrame,
       indexDir: String,
       checkpoint: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery =
+      textCol: String = "text",
+      compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -128,6 +144,8 @@ object EventStream {
         graft.llmops.Search.appendToTextIndex(
           indexDir, batch, batchTag = Some(batchId.toString),
           idCol = idCol, textCol = textCol)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.llmops.Search.compactTextIndex(batch.sparkSession, indexDir)
         ()
       }
       .start()

@@ -352,6 +352,41 @@ class SearchSpec extends AnyFunSuite {
       === rows(Search.bm25TopK(batchDual, qs, k = 5)))
   }
 
+  test("streaming ingest with compactEvery keeps the root count bounded and stays exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-auto").toString
+    Search.buildTextIndex(corpus(), idx, numBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val docsStream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.EventStream.ingestToTextIndex(docsStream, idx,
+      java.nio.file.Files.createTempDirectory("graft-textidx-auto-ckpt").toString,
+      compactEvery = 2)
+    try {
+      Seq(
+        Seq((1L, "apple banana cherry")),
+        Seq((2L, "apple dog echo")),
+        Seq((3L, "banana fig grape")),
+        Seq((4L, "dog cherry fig"))
+      ).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val m = Search.readTextManifest(spark, idx).get
+    // batches 1 and 3 (0-indexed) folded: at most (1 fold result + 1
+    // unfolded append) roots at any point — never one root per batch
+    assert(m.postings.size <= 2 && m.dicts.size <= 2,
+      s"auto-compaction left unbounded roots: $m")
+    assert(m.tagHighWater === 3L)
+    val batchDual = corpus(1L -> "apple banana cherry", 2L -> "apple dog echo",
+      3L -> "banana fig grape", 4L -> "dog cherry fig")
+    val qset = queries(0L -> "apple banana", 1L -> "fig")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(rows(Search.bm25TopKIndexed(spark, idx, qset, k = 5))
+      === rows(Search.bm25TopK(batchDual, qset, k = 5)))
+  }
+
   test("topk scored output carries the decimal-exact score") {
     val docs = corpus(1L -> "alpha beta", 2L -> "alpha gamma")
     val out = Search.bm25TopK(docs, queries(0L -> "alpha"), k = 2).collect()

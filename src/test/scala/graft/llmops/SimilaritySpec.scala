@@ -339,6 +339,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(folded.count() == total)
   }
 
+  test("ivf manifest stamp-cache: repeated probes on an unchanged index parse once") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stamp").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 200), dir, numCentroids = 4)
+    Similarity.ivfTopKIndexed(spark, dir, emb.limit(2), k = 2, nProbe = 4).collect()
+    val parses0 = Similarity.ivfManifestParses.get()
+    (1 to 5).foreach(_ =>
+      Similarity.ivfTopKIndexed(spark, dir, emb.limit(2), k = 2, nProbe = 4).collect())
+    assert(Similarity.ivfManifestParses.get() === parses0,
+      "unchanged index re-parsed its manifest on repeated probes")
+    // a mutation moves the stamp and is observed
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 220))
+    Similarity.ivfTopKIndexed(spark, dir, emb.limit(2), k = 2, nProbe = 4).collect()
+    assert(Similarity.ivfManifestParses.get() > parses0,
+      "stamp cache failed to notice a manifest mutation")
+  }
+
+  test("fitPqCodebooks rejects (dim, m) combos that leave a subspace empty") {
+    // dim=9, m=8 → dsub=2 and the 8th subspace starts at offset 14 > 9:
+    // must fail loudly at the precondition, not crash inside a KMeans fit
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val nine = (0 until 40).map(i => (i.toLong, Array.fill(9)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.fitPqCodebooks(nine, m = 8, ksub = 4)
+    }
+    assert(e.getMessage.contains("subspace"))
+    // a valid near-boundary combo still fits: dim=9, m=3 → dsub=3, exact
+    val cb = Similarity.fitPqCodebooks(nine, m = 3, ksub = 4)
+    assert(cb.length == 3 && cb.forall(_.forall(_.length == 3)))
+  }
+
   test("PQ recall floor: >= 0.5 vs brute force with 50-candidate exact re-rank") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
