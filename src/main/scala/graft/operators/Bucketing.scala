@@ -23,7 +23,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 object Bucketing {
 
   /** Persist `df` as a bucketed (and optionally bucket-sorted) parquet
-    * table named `table`, co-located on `keys`. Overwrites.
+    * table named `table`, co-located on `keys`. Overwrites — including an
+    * ORPHANED location: with the default in-memory catalog a previous
+    * JVM's managed-table directory survives in the warehouse while the
+    * table entry does not, and Spark then refuses to "create" over the
+    * stale location. True overwrite semantics clear both.
     */
   def writeBucketed(
       df: DataFrame,
@@ -32,6 +36,13 @@ object Bucketing {
       keys: Seq[String],
       sorted: Boolean = true): Unit = {
     require(keys.nonEmpty, "writeBucketed: need at least one bucket key")
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
     (if (sorted) w.sortBy(keys.head, keys.tail: _*) else w).saveAsTable(table)
