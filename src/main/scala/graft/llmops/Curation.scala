@@ -147,6 +147,34 @@ object Curation {
       .withColumn("n_bins", col("last_bin") - col("first_bin") + 1)
   }
 
+  /** Deterministic global shuffle into training shards: every row gets an
+    * engine-portable pseudo-random key (md5 of its id — no RNG state, the
+    * same hash family `pipeline_sample` certifies), the key's leading 32
+    * bits pick the shard, and rows order WITHIN their shard by (key, id).
+    * The training order is a pure function of the ids: reproducible
+    * across runs, engines, and cluster sizes, and verifiable row-by-row
+    * in plain SQL — which `ORDER BY rand()` can never be.
+    * Returns `(<idCol>, shard, pos)` with pos counting from 0 per shard.
+    *
+    * Scale shape: one narrow projection + one window per SHARD (each
+    * reducer sorts one shard — size numShards to the target cluster the
+    * same way you size bucket counts; the md5 key distributes rows
+    * uniformly, so shards stay balanced at any corpus size).
+    */
+  def shuffleShards(
+      docs: DataFrame,
+      numShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, "shuffleShards: numShards must be positive")
+    val key = md5(col(idCol).cast("string"))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    docs.select(col(idCol), key.as("__key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
   private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

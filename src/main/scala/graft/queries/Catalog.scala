@@ -1199,6 +1199,25 @@ object Catalog {
           CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 49152 ELSE 32768 END
         ORDER BY doc_id""")),
 
+    "pipeline_shuffle" -> QueryDef(
+      // Deterministic global shuffle into training shards
+      // (Curation.shuffleShards): the training ORDER itself is a pure
+      // function of the ids — md5 key picks the shard and the in-shard
+      // position — so a rerun, another engine, or a different cluster
+      // size reproduces the exact row order, and the oracle verifies
+      // every (shard, pos) assignment, not just counts. ORDER BY rand()
+      // can't do any of that.
+      (s, dir) => Curation.shuffleShards(t(s, dir, "documents"), numShards = 8)
+        .orderBy("shard", "pos"),
+      Some("""SELECT doc_id, shard, pos FROM (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+            row_number() OVER (
+              PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
+              ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS pos
+          FROM documents)
+        ORDER BY shard, pos""")),
+
     "pipeline_token_budget" -> QueryDef(
       // Token-budget packing: fill a per-language token budget with the
       // highest-quality documents first — the selection step between

@@ -105,6 +105,28 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(2L).getAs[Long]("last_bin") == 0L)
   }
 
+  test("shuffleShards: deterministic, contiguous per-shard positions, balanced-ish") {
+    val docs = (0L until 800L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Curation.shuffleShards(docs, numShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Curation.shuffleShards(docs, numShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet === b.toSet, "shuffle is not deterministic across runs")
+    assert(a.length === 800 && a.forall(t => t._2 >= 0 && t._2 < 4))
+    // positions are exactly 0..n-1 within each shard (a training loader
+    // can seek by (shard, pos) with no gaps)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // md5 keys spread uniformly: no shard is pathologically skewed
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 100 && sizes.max < 300, s"shard sizes $sizes")
+    // and the order is NOT the id order (it actually shuffled)
+    val shard0 = a.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted, "in-shard order degenerated to id order")
+  }
+
   test("redactPii replaces emails, phones, and IPs and counts each kind") {
     val docs = Seq(
       (0L, "mail me at jane.doe+x@example.org or call 555-123-4567 from 10.0.0.1"),

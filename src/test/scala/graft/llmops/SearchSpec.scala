@@ -304,17 +304,21 @@ class SearchSpec extends AnyFunSuite {
       "stamp cache failed to notice a manifest mutation")
   }
 
-  test("randomized append sequences match fresh builds (seeded mini-fuzz)") {
+  test("randomized append/fold interleavings match fresh builds (seeded mini-fuzz)") {
     val rnd = new scala.util.Random(1234)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
     def randDocs(ids: Range) = corpus(ids.map(i => i.toLong ->
       Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")): _*)
-    val batches = Seq(randDocs(0 until 7), randDocs(7 until 12), randDocs(12 until 20))
+    val batches = Seq(randDocs(0 until 7), randDocs(7 until 12),
+      randDocs(12 until 20), randDocs(20 until 23), randDocs(23 until 30))
     val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
     Search.buildTextIndex(batches.head, idx, numBuckets = 8)
     batches.tail.zipWithIndex.foreach { case (b, i) =>
       assert(Search.appendToTextIndex(idx, b, batchTag = Some(s"fz-$i")))
+      // folds interleave randomly with appends — any interleaving must be
+      // invisible to queries (bit-identical postings/df totals)
+      if (rnd.nextBoolean()) Search.compactTextIndex(spark, idx)
     }
     val full = batches.reduce(_ unionByName _)
     val qs = queries(0L -> "alpha beta", 1L -> "kappa gamma delta", 2L -> "theta")
