@@ -391,6 +391,38 @@ class SearchSpec extends AnyFunSuite {
       === rows(Search.bm25TopK(batchDual, qset, k = 5)))
   }
 
+  test("a previous-format manifest (no dicts/tagHighWater fields) still loads and migrates") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-legacy").toString
+    Search.buildTextIndex(corpus(1L -> "alpha beta", 2L -> "beta gamma"), idx, numBuckets = 4)
+    val m = Search.readTextManifest(spark, idx).get
+    // rewrite the manifest in the OLD schema: single dict, applied tags as
+    // a plain vector (numeric ones included), none of the new fields
+    val legacy = s"""{"numBuckets":${m.numBuckets},"nDocs":${m.nDocs},
+      "sumDl":${m.sumDl},"dict":"${m.dict}",
+      "postings":[${m.postings.map("\"" + _ + "\"").mkString(",")}],
+      "appliedTags":["7","run-x"]}""".replaceAll("\n\\s*", "")
+    // write through the Hadoop FS (not java.nio) so the LocalFileSystem's
+    // .crc sidecar stays consistent with the rewritten bytes
+    val mp = new org.apache.hadoop.fs.Path(s"$idx/MANIFEST.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    val parsed = Search.readTextManifest(spark, idx).get
+    assert(parsed.dicts.isEmpty && parsed.tagHighWater === -1L,
+      s"legacy manifest did not default the new fields: $parsed")
+    // legacy numeric tags still fence via the vector...
+    assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"), batchTag = Some("7")))
+    assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"), batchTag = Some("run-x")))
+    // ...and queries work
+    assert(Search.bm25TopKIndexed(spark, idx, queries(0L -> "beta"), k = 4).count() === 2)
+    // compaction migrates: numeric tags absorb into the high-water mark
+    assert(Search.compactTextIndex(spark, idx))
+    val migrated = Search.readTextManifest(spark, idx).get
+    assert(migrated.tagHighWater === 7L && migrated.appliedTags === Vector("run-x"))
+    assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"), batchTag = Some("7")),
+      "legacy numeric tag lost its fence after migration")
+  }
+
   test("topk scored output carries the decimal-exact score") {
     val docs = corpus(1L -> "alpha beta", 2L -> "alpha gamma")
     val out = Search.bm25TopK(docs, queries(0L -> "alpha"), k = 2).collect()
