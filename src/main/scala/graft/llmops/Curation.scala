@@ -113,6 +113,23 @@ object Curation {
     df.filter(knuthDraw(col(idCol)) < frac * 4294967296.0)
   }
 
+  /** Deterministic per-row WEIGHTED sampling: keep each row with
+    * probability `weightCol` (clamped to [0, 1]) — quality- or
+    * length-proportional downsampling, the continuous generalization of
+    * [[sampleStrata]]. Membership is the same pure-int64 Knuth draw over
+    * the id, so the sample is reproducible across runs/engines/cluster
+    * sizes and the EXACT surviving set is SQL-verifiable (the
+    * `pipeline_weighted_sample` row oracles the draw itself in DuckDB).
+    * One narrow filter: no RNG state, no shuffle, no collect.
+    */
+  def sampleByWeight(
+      df: DataFrame,
+      weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(knuthDraw(col(idCol)) < w * 4294967296.0)
+  }
+
   /** Sequence packing: documents concatenate in id order WITHIN their
     * source and chunk at `budget`-token boundaries (a doc spanning a
     * boundary splits across bins — the standard concat-then-chunk packing

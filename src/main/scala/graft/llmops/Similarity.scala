@@ -926,13 +926,50 @@ object Similarity {
       nProbe: Int = 4,
       rerank: Int = 50,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    ivfPqTopKImpl(spark, indexDir, queries, None, k, nProbe, rerank, idCol, vecCol)
+
+  /** Filtered ANN over a persisted IVF-PQ index — the billion-scale
+    * composition of [[ivfTopKIndexedFiltered]]: the allowed-id set
+    * SEMI-JOINS the codes-only ADC scan before any distance lookup runs
+    * (and the exact re-rank reads only allowed candidates), while probe
+    * cells still partition-prune both scans. Same `broadcastAllowed`
+    * contract as the plain-IVF form.
+    */
+  def ivfPqTopKFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      allowed: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      allowedIdCol: String = "vec_id",
+      broadcastAllowed: Boolean = true): DataFrame = {
+    val allow0 = allowed.select(col(allowedIdCol).as("neighbor_id")).distinct()
+    val allow = if (broadcastAllowed) broadcast(allow0) else allow0
+    ivfPqTopKImpl(spark, indexDir, queries, Some(allow), k, nProbe, rerank, idCol, vecCol)
+  }
+
+  private def ivfPqTopKImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      allowOpt: Option[DataFrame],
+      k: Int,
+      nProbe: Int,
+      rerank: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     import graft.functions.expressions.VectorExpressions
     val codebooks = readIvfCodebooks(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"ivfPqTopK: $indexDir has no PQ codebooks — build with buildIvfPqIndex"))
     val centroids = ivfCentroids(spark, indexDir)
-    val assigned = ivfAssigned(spark, indexDir)
+    val assigned = allowOpt.foldLeft(ivfAssigned(spark, indexDir))(
+      (a, allow) => a.join(allow, Seq("neighbor_id"), "left_semi"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qCells = q.join(broadcast(centroids), lit(true))
       .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))

@@ -1199,6 +1199,26 @@ object Catalog {
           CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 49152 ELSE 32768 END
         ORDER BY doc_id""")),
 
+    "pipeline_weighted_sample" -> QueryDef(
+      // Length-weighted deterministic sampling (Curation.sampleByWeight):
+      // keep probability = min(n_chars/1000, 1). This row oracles the
+      // two-coprime-moduli Knuth draw ITSELF — DuckDB recomputes the
+      // identical int64 arithmetic, so the exact surviving set (not just
+      // its size) must match. One narrow filter; no shuffle before the
+      // ordered output.
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("w", least(col("n_chars") / 1000.0, lit(1.0)))
+        Curation.sampleByWeight(d, "w")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+        WHERE ((doc_id % 1000003 + 1) * 2654435761
+             + (doc_id % 999983 + 1) * 2246822519) % 4294967296
+            < least(n_chars / 1000.0, 1.0) * 4294967296
+        ORDER BY doc_id""")),
+
     "pipeline_shuffle" -> QueryDef(
       // Deterministic global shuffle into training shards
       // (Curation.shuffleShards): the training ORDER itself is a pure

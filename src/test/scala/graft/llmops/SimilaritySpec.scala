@@ -339,6 +339,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(folded.count() == total)
   }
 
+  test("ivfPqTopKFiltered: only allowed ids surface; exhaustive probe+rerank equals filtered brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("label") === 3)
+    val lab = allowed.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-filtered").toString
+    Similarity.buildIvfPqIndex(emb, dir, numCentroids = 8)
+    val part = Similarity.ivfPqTopKFiltered(spark, dir, queries, allowed,
+      k = 3, nProbe = 2).collect()
+    assert(part.nonEmpty && part.forall(r => lab.contains(r.getLong(1))),
+      "a disallowed id leaked through the PQ filter")
+    // all cells probed + rerank wider than the allowed set ⇒ the exact
+    // re-rank re-scores EVERY allowed vector ⇒ equals brute force exactly
+    assert(lab.size < 100, s"rerank width must cover the allowed set (${lab.size})")
+    val full = Similarity.ivfPqTopKFiltered(spark, dir, queries, allowed,
+        k = 3, nProbe = 8, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(allowed, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === exact)
+  }
+
   test("ivf manifest stamp-cache: repeated probes on an unchanged index parse once") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-stamp").toString
     Similarity.buildIvfIndex(emb.filter(col("vec_id") < 200), dir, numCentroids = 4)
