@@ -72,6 +72,10 @@ object Bench {
       val pre = (0 until runs).map(_ => once()).min
       Search.compactTextIndex(spark, laDir)
       val post = (0 until runs).map(_ => once()).min
+      // the experiment's index is throwaway — reclaim it (2x the
+      // tokenized corpus per bench invocation otherwise piles up in /tmp)
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(laDir), true)
       Seq("search_bm25_longappend" -> pre, "search_bm25_postfold" -> post)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] text-index lifecycle: ${e.getMessage}")

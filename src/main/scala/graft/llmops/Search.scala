@@ -174,12 +174,29 @@ object Search {
       dicts: Vector[String] = Vector.empty,
       tagHighWater: Long = -1L)
 
-  private def numericTag(t: String): Option[Long] =
-    scala.util.Try(java.lang.Long.parseLong(t)).toOption
+  /** A sequence tag is a PURE digit string (canonical decimal, bounded
+    * below Long overflow) — signs and other decorations take the
+    * exact-match path so "+5" can never alias "5" and a "-1" tag can
+    * never collide with the high-water's -1 never-applied sentinel. The
+    * historical `stream-batch-<n>` prefix this module's own streaming
+    * ingest used to write is recognized as the same sequence: an index
+    * built by the old ingest keeps its replay fence across the upgrade
+    * (the bare batch id continues the identical numbering).
+    */
+  private def numericTag(t: String): Option[Long] = {
+    val s = if (t.startsWith("stream-batch-")) t.substring("stream-batch-".length) else t
+    if (s.nonEmpty && s.length <= 18 && s.forall(c => c >= '0' && c <= '9'))
+      Some(java.lang.Long.parseLong(s))
+    else None
+  }
 
   private def tagApplied(m: TextIndexManifest, tag: String): Boolean =
     numericTag(tag) match {
-      case Some(v) => v <= m.tagHighWater || m.appliedTags.contains(tag)
+      // value-compare against the vector too: a legacy manifest remembers
+      // batch 17 as "stream-batch-17" while the upgraded ingest replays it
+      // as "17" — a raw-string contains would let the replay through
+      case Some(v) => v <= m.tagHighWater ||
+        m.appliedTags.exists(numericTag(_).contains(v))
       case None => m.appliedTags.contains(tag)
     }
 
@@ -208,7 +225,11 @@ object Search {
   private[llmops] def commitTextIfUnchanged(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       expected: Option[TextIndexManifest], next: TextIndexManifest): Unit = {
-    val cur = readTextManifest(spark, indexDir)
+    // the guard read BYPASSES the stamp cache: a foreign commit landing
+    // within the store's mtime granularity at an identical byte length
+    // would stamp-match and silently pass the compare — the optimistic
+    // guard must pay the one fresh parse (queries keep the cache)
+    val cur = readTextManifest(spark, indexDir, fresh = true)
     if (cur != expected)
       throw new IllegalStateException(
         s"concurrent text-index mutation on $indexDir: manifest moved from " +
@@ -378,8 +399,16 @@ object Search {
   def compactTextIndex(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Boolean = textLock.synchronized {
     readTextManifest(spark, indexDir) match {
-      case Some(m) if m.postings.size > 1 || m.dicts.nonEmpty ||
+      case Some(m) if m.postings.size <= 1 && m.dicts.isEmpty &&
           m.appliedTags.exists(numericTag(_).isDefined) =>
+        // nothing to fold — only legacy numeric tags to absorb: a pure
+        // manifest edit, never a corpus-wide postings/dict rewrite
+        val legacyNumeric = m.appliedTags.flatMap(numericTag)
+        commitTextIfUnchanged(spark, indexDir, Some(m), m.copy(
+          appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
+          tagHighWater = (m.tagHighWater +: legacyNumeric).max))
+        true
+      case Some(m) if m.postings.size > 1 || m.dicts.nonEmpty =>
         val pDir = s"postings-${java.util.UUID.randomUUID}"
         val dDir = s"dict-${java.util.UUID.randomUUID}"
         // one task per bucket hash: each bucket partition folds to a
@@ -491,9 +520,10 @@ object Search {
             !live.contains(n) && st.getModificationTime <= cutoff
         }
         // cross-process guard BEFORE deleting: a foreign append may have
-        // sealed one of these "stale" dirs since our load — re-read and
-        // abort rather than delete live postings
-        if (readTextManifest(spark, indexDir) != Some(m))
+        // sealed one of these "stale" dirs since our load — re-read FRESH
+        // (never through the stamp cache) and abort rather than delete
+        // live postings
+        if (readTextManifest(spark, indexDir, fresh = true) != Some(m))
           throw new IllegalStateException(
             s"concurrent text-index mutation on $indexDir during vacuum — " +
               "aborting before deleting anything; re-run vacuum")
@@ -511,8 +541,12 @@ object Search {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, TextIndexManifest)]()
   private[llmops] val textManifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** `fresh = true` bypasses the stamp cache (always re-parses) — the
+    * correctness-critical read for optimistic commit/vacuum guards, where
+    * a same-length same-mtime-window foreign commit must still be seen.
+    */
   private[llmops] def readTextManifest(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Option[TextIndexManifest] = {
+      indexDir: String, fresh: Boolean = false): Option[TextIndexManifest] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = try Some(fs.getFileStatus(p))
@@ -521,7 +555,8 @@ object Search {
       case None => textManifestCache.remove(indexDir); None
       case Some(s) =>
         val cached = textManifestCache.get(indexDir)
-        if (cached != null && cached._1 == s.getLen && cached._2 == s.getModificationTime)
+        if (!fresh && cached != null &&
+            cached._1 == s.getLen && cached._2 == s.getModificationTime)
           Some(cached._3)
         else {
           val in = fs.open(p)

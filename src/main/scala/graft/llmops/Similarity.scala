@@ -154,8 +154,12 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, IvfManifest)]()
   private[llmops] val ivfManifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** `fresh = true` bypasses the stamp cache (always re-parses) — the
+    * correctness-critical read for optimistic commit/vacuum guards, where
+    * a same-length same-mtime-window foreign commit must still be seen.
+    */
   private[llmops] def readIvfManifest(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Option[IvfManifest] = {
+      indexDir: String, fresh: Boolean = false): Option[IvfManifest] = {
     val (fs, _) = ivfFs(spark, indexDir)
     val mp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
     val st = try Some(fs.getFileStatus(mp))
@@ -164,7 +168,8 @@ object Similarity {
       case None => ivfManifestCache.remove(indexDir); None
       case Some(s) =>
         val cached = ivfManifestCache.get(indexDir)
-        if (cached != null && cached._1 == s.getLen && cached._2 == s.getModificationTime)
+        if (!fresh && cached != null &&
+            cached._1 == s.getLen && cached._2 == s.getModificationTime)
           Some(cached._3)
         else {
           val in = fs.open(mp)
@@ -278,7 +283,8 @@ object Similarity {
     */
   private[llmops] def commitIvfIfUnchanged(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, expected: Option[IvfManifest], next: IvfManifest): Unit = {
-    val cur = readIvfManifest(spark, indexDir)
+    // guard read bypasses the stamp cache — see readIvfManifest's `fresh`
+    val cur = readIvfManifest(spark, indexDir, fresh = true)
     if (cur != expected)
       throw new IllegalStateException(
         s"concurrent index mutation on $indexDir: manifest moved from " +
@@ -330,9 +336,9 @@ object Similarity {
         // cross-process guard BEFORE anything is deleted: a foreign writer
         // may have flipped the generation (making the new live gen look
         // "stale" to the list above) or sealed one of these "torn" dirs
-        // since our load — re-read and abort rather than delete live data
-        // (see commitIvfIfUnchanged)
-        if (readIvfManifest(spark, indexDir) != Some(m))
+        // since our load — re-read FRESH (never through the stamp cache)
+        // and abort rather than delete live data (see commitIvfIfUnchanged)
+        if (readIvfManifest(spark, indexDir, fresh = true) != Some(m))
           throw new IllegalStateException(
             s"concurrent index mutation on $indexDir during vacuum — " +
               "aborting before deleting anything; re-run vacuum")
@@ -621,9 +627,21 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKIndexedImpl(spark, indexDir, queries, None, k, nProbe, idCol, vecCol)
+
+  private def ivfTopKIndexedImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      allowOpt: Option[DataFrame],
+      k: Int,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val centroids = ivfCentroids(spark, indexDir)
-    val assigned = ivfAssigned(spark, indexDir)
+    val assigned = allowOpt.foldLeft(ivfAssigned(spark, indexDir))(
+      (a, allow) => a.join(allow, Seq("neighbor_id"), "left_semi"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qCells = q.join(broadcast(centroids), lit(true))
       .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))
@@ -663,22 +681,9 @@ object Similarity {
       vecCol: String = "embedding",
       allowedIdCol: String = "vec_id",
       broadcastAllowed: Boolean = true): DataFrame = {
-    val centroids = ivfCentroids(spark, indexDir)
     val allow0 = allowed.select(col(allowedIdCol).as("neighbor_id")).distinct()
     val allow = if (broadcastAllowed) broadcast(allow0) else allow0
-    val assigned = ivfAssigned(spark, indexDir)
-      .join(allow, Seq("neighbor_id"), "left_semi")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qCells = q.join(broadcast(centroids), lit(true))
-      .withColumn("dist", Vectors.cosine(col("qv"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist").desc, col("cell"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    val scored = assigned.join(qCells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
-    topKPerQuery(scored, k)
+    ivfTopKIndexedImpl(spark, indexDir, queries, Some(allow), k, nProbe, idCol, vecCol)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket.

@@ -27,21 +27,31 @@ object Bucketing {
     * ORPHANED location: with the default in-memory catalog a previous
     * JVM's managed-table directory survives in the warehouse while the
     * table entry does not, and Spark then refuses to "create" over the
-    * stale location. True overwrite semantics clear both.
+    * stale location. True overwrite semantics clear both, with the same
+    * age grace the index vacuums use — a location younger than
+    * `orphanMinAgeMs` may be a CONCURRENT JVM's live write, so it is left
+    * for Spark's loud LOCATION_ALREADY_EXISTS error rather than deleted
+    * out from under its writer. Orphan-clearing only applies in the
+    * `default` database (managed locations elsewhere live under
+    * `<db>.db/`; callers there manage their own locations).
     */
   def writeBucketed(
       df: DataFrame,
       table: String,
       numBuckets: Int,
       keys: Seq[String],
-      sorted: Boolean = true): Unit = {
+      sorted: Boolean = true,
+      orphanMinAgeMs: Long = 600000L): Unit = {
     require(keys.nonEmpty, "writeBucketed: need at least one bucket key")
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
+    if (!spark.catalog.tableExists(table) && spark.catalog.currentDatabase == "default") {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc) &&
+          fs.getFileStatus(loc).getModificationTime <=
+            System.currentTimeMillis() - orphanMinAgeMs)
+        fs.delete(loc, true)
     }
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)

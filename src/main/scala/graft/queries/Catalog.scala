@@ -63,17 +63,39 @@ object Catalog {
     */
   private val bucketedPairs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  // table names carry a per-JVM tag so two JVMs (or rapid sequential
+  // driver runs against an in-memory catalog) NEVER contend for one
+  // managed-table location; stale tags' directories are reclaimed here
+  // once safely old (same grace discipline as the index vacuums)
+  private val jvmTag = java.util.UUID.randomUUID.toString.take(8)
+  private def gcStaleBucketedDirs(s: SparkSession): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) {
+      val cutoff = System.currentTimeMillis() - 7200000L // 2h: no bench/verify JVM lives that long
+      fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && (n.startsWith("graft_bl_") || n.startsWith("graft_bo_")) &&
+            !n.endsWith(s"_$jvmTag") && st.getModificationTime <= cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
   private def bucketedFor(s: SparkSession, dir: String): (String, String) = {
-    val src = new java.io.File(s"$dir/lineitem.parquet")
-    def sig(f: java.io.File): String =
+    def sig(name: String): String = {
+      val f = new java.io.File(s"$dir/$name.parquet")
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
       else s"${f.length}:${f.lastModified}"
-    val key = s"${src.getPath}|${sig(src)}"
+    }
+    // both sources fingerprinted: a regenerated orders.parquet under an
+    // unchanged lineitem.parquet must rebuild too
+    val key = s"$dir|${sig("lineitem")}|${sig("orders")}"
     bucketedPairs.computeIfAbsent(key, _ => {
+      gcStaleBucketedDirs(s)
       val sfx = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(key))
+        scala.util.hashing.MurmurHash3.stringHash(key)) + s"_$jvmTag"
       val lt = s"graft_bl_$sfx"; val ot = s"graft_bo_$sfx"
       graft.operators.Bucketing.writeBucketed(
         t(s, dir, "lineitem")

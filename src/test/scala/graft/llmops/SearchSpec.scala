@@ -400,7 +400,7 @@ class SearchSpec extends AnyFunSuite {
     val legacy = s"""{"numBuckets":${m.numBuckets},"nDocs":${m.nDocs},
       "sumDl":${m.sumDl},"dict":"${m.dict}",
       "postings":[${m.postings.map("\"" + _ + "\"").mkString(",")}],
-      "appliedTags":["7","run-x"]}""".replaceAll("\n\\s*", "")
+      "appliedTags":["stream-batch-7","run-x"]}""".replaceAll("\n\\s*", "")
     // write through the Hadoop FS (not java.nio) so the LocalFileSystem's
     // .crc sidecar stays consistent with the rewritten bytes
     val mp = new org.apache.hadoop.fs.Path(s"$idx/MANIFEST.json")
@@ -410,17 +410,34 @@ class SearchSpec extends AnyFunSuite {
     val parsed = Search.readTextManifest(spark, idx).get
     assert(parsed.dicts.isEmpty && parsed.tagHighWater === -1L,
       s"legacy manifest did not default the new fields: $parsed")
-    // legacy numeric tags still fence via the vector...
+    // legacy tags still fence — INCLUDING the old ingest's
+    // "stream-batch-N" spelling replayed by the upgraded ingest as a
+    // bare batch id (same sequence, different spelling: a checkpoint
+    // replay across the upgrade must not double-count)
     assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"), batchTag = Some("7")))
+    assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"),
+      batchTag = Some("stream-batch-7")))
     assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"), batchTag = Some("run-x")))
     // ...and queries work
     assert(Search.bm25TopKIndexed(spark, idx, queries(0L -> "beta"), k = 4).count() === 2)
-    // compaction migrates: numeric tags absorb into the high-water mark
+    // compaction migrates: numeric tags absorb into the high-water mark —
+    // and a tag-ONLY migration is a pure manifest edit (identical roots,
+    // no corpus rewrite)
+    val rootsBefore = Search.readTextManifest(spark, idx).get.postings
     assert(Search.compactTextIndex(spark, idx))
     val migrated = Search.readTextManifest(spark, idx).get
     assert(migrated.tagHighWater === 7L && migrated.appliedTags === Vector("run-x"))
+    assert(migrated.postings === rootsBefore,
+      "tag-only migration rewrote the postings roots")
     assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"), batchTag = Some("7")),
       "legacy numeric tag lost its fence after migration")
+    assert(!Search.appendToTextIndex(idx, corpus(3L -> "delta"),
+      batchTag = Some("stream-batch-7")))
+    // a "-1" tag must NOT collide with the high-water's -1 sentinel: it
+    // takes the exact-match path (first use appends, replay fences)
+    assert(Search.appendToTextIndex(idx, corpus(4L -> "neg"), batchTag = Some("-1")))
+    assert(!Search.appendToTextIndex(idx, corpus(4L -> "neg"), batchTag = Some("-1")))
+    assert(Search.readTextManifest(spark, idx).get.appliedTags.contains("-1"))
   }
 
   test("topk scored output carries the decimal-exact score") {

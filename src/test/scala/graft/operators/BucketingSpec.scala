@@ -25,8 +25,8 @@ class BucketingSpec extends AnyFunSuite {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_custkey")
 
-    Bucketing.writeBucketed(lineitem, "b_lineitem", 8, Seq("l_orderkey"))
-    Bucketing.writeBucketed(orders, "b_orders", 8, Seq("o_orderkey"))
+    Bucketing.writeBucketed(lineitem, "b_lineitem", 8, Seq("l_orderkey"), orphanMinAgeMs = 0L)
+    Bucketing.writeBucketed(orders, "b_orders", 8, Seq("o_orderkey"), orphanMinAgeMs = 0L)
 
     withNoBroadcast {
       val bucketed = spark.table("b_lineitem")
@@ -51,7 +51,7 @@ class BucketingSpec extends AnyFunSuite {
       Bucketing.writeBucketed(
         spark.read.parquet(s"$sf/lineitem.parquet")
           .select("l_orderkey", "l_quantity", "l_extendedprice"),
-        "b_lineitem", 8, Seq("l_orderkey"))
+        "b_lineitem", 8, Seq("l_orderkey"), orphanMinAgeMs = 0L)
     val agg = spark.table("b_lineitem")
       .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
     val plan = agg.queryExecution.explainString(
@@ -64,7 +64,7 @@ class BucketingSpec extends AnyFunSuite {
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     Bucketing.writeBucketed(
       spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_custkey"),
-      "b_orders_4", 4, Seq("o_orderkey"))
+      "b_orders_4", 4, Seq("o_orderkey"), orphanMinAgeMs = 0L)
     withNoBroadcast {
       val j = spark.table("b_lineitem")
         .join(spark.table("b_orders_4"), col("l_orderkey") === col("o_orderkey"))
