@@ -383,8 +383,11 @@ object Search {
       .reduce(_.unionByName(_))
 
   /** Fold every append's postings/df-delta roots back into ONE root each —
-    * the text analog of [[Similarity.compactIvfAppends]] (the LSM
-    * compaction story applied to the inverted index). A long-lived
+    * the text analog of [[Similarity.compactIvfAppends]], and the
+    * reference's own lifecycle discipline applied to the inverted index:
+    * an LSM accumulates L0 segments per flush and owes its read latency
+    * to compaction (reference `kv/lsm/compact.go` — level merge as the
+    * engine's standing background duty); here append roots are the L0s. A long-lived
     * streaming ingest seals one postings root and one dict delta per
     * micro-batch; queries union ALL of them, so root count eventually
     * dominates probe latency (file-listing storms + thousands of tiny
