@@ -52,31 +52,36 @@ object Bench {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       import graft.llmops.Search
       val laDir = java.nio.file.Files.createTempDirectory("graft-bench-textidx").toString
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      Search.buildTextIndex(docs.filter(pmod(col("doc_id"), lit(51L)) === 0),
-        laDir, numBuckets = 64)
-      (1 until 51).foreach { i =>
-        Search.appendToTextIndex(laDir,
-          docs.filter(pmod(col("doc_id"), lit(51L)) === i),
-          batchTag = Some(i.toString))
+      // the experiment's index is throwaway — reclaim it even when a
+      // stage throws (2x the tokenized corpus per invocation otherwise
+      // piles up), through the path's own filesystem like every other
+      // cleanup in this repo
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        Search.buildTextIndex(docs.filter(pmod(col("doc_id"), lit(51L)) === 0),
+          laDir, numBuckets = 64)
+        (1 until 51).foreach { i =>
+          Search.appendToTextIndex(laDir,
+            docs.filter(pmod(col("doc_id"), lit(51L)) === i),
+            batchTag = Some(i.toString))
+        }
+        import spark.implicits._
+        val qs = Seq((0L, "stream filter group"), (1L, "hash join order"),
+          (2L, "slow scan data")).toDF("query_id", "qtext")
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Search.bm25TopKIndexed(spark, laDir, qs, k = 10)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val pre = (0 until runs).map(_ => once()).min
+        Search.compactTextIndex(spark, laDir)
+        val post = (0 until runs).map(_ => once()).min
+        Seq("search_bm25_longappend" -> pre, "search_bm25_postfold" -> post)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(laDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
-      import spark.implicits._
-      val qs = Seq((0L, "stream filter group"), (1L, "hash join order"),
-        (2L, "slow scan data")).toDF("query_id", "qtext")
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        Search.bm25TopKIndexed(spark, laDir, qs, k = 10)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val pre = (0 until runs).map(_ => once()).min
-      Search.compactTextIndex(spark, laDir)
-      val post = (0 until runs).map(_ => once()).min
-      // the experiment's index is throwaway — reclaim it (2x the
-      // tokenized corpus per bench invocation otherwise piles up in /tmp)
-      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(laDir), true)
-      Seq("search_bm25_longappend" -> pre, "search_bm25_postfold" -> post)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] text-index lifecycle: ${e.getMessage}")
       Seq("search_bm25_longappend" -> -1.0, "search_bm25_postfold" -> -1.0)

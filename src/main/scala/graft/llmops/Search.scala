@@ -197,7 +197,13 @@ object Search {
       // as "17" — a raw-string contains would let the replay through
       case Some(v) => v <= m.tagHighWater ||
         m.appliedTags.exists(numericTag(_).contains(v))
-      case None => m.appliedTags.contains(tag)
+      // sign-decorated numerics ("+5") route to the exact path NOW, but a
+      // pre-upgrade writer absorbed them into the high-water without
+      // storing them — honor that fence too (nonnegative only, so a "-1"
+      // tag can never collide with the -1 never-applied sentinel)
+      case None => m.appliedTags.contains(tag) ||
+        scala.util.Try(java.lang.Long.parseLong(tag)).toOption
+          .exists(v => v >= 0 && v <= m.tagHighWater)
     }
 
   private def recordTag(m: TextIndexManifest, tag: String): TextIndexManifest =
@@ -205,6 +211,17 @@ object Search {
       case Some(v) => m.copy(tagHighWater = math.max(m.tagHighWater, v))
       case None => m.copy(appliedTags = m.appliedTags :+ tag)
     }
+
+  /** Numeric (and legacy `stream-batch-N`) entries in `appliedTags` fold
+    * into the high-water mark; everything else stays exact. Shared by the
+    * full-fold and tag-only compaction paths so the migration can never
+    * diverge between them.
+    */
+  private def absorbNumericTags(m: TextIndexManifest): TextIndexManifest = {
+    val numeric = m.appliedTags.flatMap(numericTag)
+    m.copy(appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
+      tagHighWater = (m.tagHighWater +: numeric).max)
+  }
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -267,9 +284,14 @@ object Search {
     * applied — the exactly-once guard for streaming replays
     * ([[graft.streaming.EventStream.ingestToTextIndex]] passes the
     * micro-batch id; see [[TextIndexManifest]] for the numeric-tag
-    * high-water contract). The corpus contract is append-only NEW doc ids;
-    * re-appending a live id double-counts it (dedup at ingest is
-    * `dedupStream`'s job).
+    * high-water contract). RESERVED tag namespace: pure digit strings and
+    * `stream-batch-<n>` are sequence tags — they belong to the monotonic
+    * streaming ingest, and an ad-hoc append using one (e.g. a date like
+    * "20240101") would jump the high-water and silently fence out every
+    * later streaming batch below it. Tag manual appends with anything
+    * non-numeric ("backfill-2024-01-01") for exact-match semantics. The
+    * corpus contract is append-only NEW doc ids; re-appending a live id
+    * double-counts it (dedup at ingest is `dedupStream`'s job).
     */
   def appendToTextIndex(
       indexDir: String,
@@ -406,10 +428,7 @@ object Search {
           m.appliedTags.exists(numericTag(_).isDefined) =>
         // nothing to fold — only legacy numeric tags to absorb: a pure
         // manifest edit, never a corpus-wide postings/dict rewrite
-        val legacyNumeric = m.appliedTags.flatMap(numericTag)
-        commitTextIfUnchanged(spark, indexDir, Some(m), m.copy(
-          appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
-          tagHighWater = (m.tagHighWater +: legacyNumeric).max))
+        commitTextIfUnchanged(spark, indexDir, Some(m), absorbNumericTags(m))
         true
       case Some(m) if m.postings.size > 1 || m.dicts.nonEmpty =>
         val pDir = s"postings-${java.util.UUID.randomUUID}"
@@ -423,11 +442,8 @@ object Search {
           .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
-        val legacyNumeric = m.appliedTags.flatMap(numericTag)
-        val next = m.copy(
-          dict = dDir, dicts = Vector.empty, postings = Vector(pDir),
-          appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
-          tagHighWater = (m.tagHighWater +: legacyNumeric).max)
+        val next = absorbNumericTags(m).copy(
+          dict = dDir, dicts = Vector.empty, postings = Vector(pDir))
         try commitTextIfUnchanged(spark, indexDir, Some(m), next)
         catch { case e: IllegalStateException =>
           val fs = new org.apache.hadoop.fs.Path(indexDir)

@@ -65,14 +65,41 @@ object Catalog {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   // table names carry a per-JVM tag so two JVMs (or rapid sequential
   // driver runs against an in-memory catalog) NEVER contend for one
-  // managed-table location; stale tags' directories are reclaimed here
-  // once safely old (same grace discipline as the index vacuums)
+  // managed-table location. This JVM's own dirs are removed by a
+  // shutdown hook — a normal exit leaves nothing behind — and only
+  // CRASHED JVMs' leftovers are GC'd here, past a grace long enough
+  // (24h) that no live interactive session plausibly still reads them
+  // (table dirs are written once, so mtime age is a weak liveness
+  // signal — the long grace is what keeps this from deleting a
+  // long-lived foreign session's live tables).
   private val jvmTag = java.util.UUID.randomUUID.toString.take(8)
+  @volatile private var cleanupRegistered = false
+  private def registerBucketedCleanup(s: SparkSession): Unit =
+    if (!cleanupRegistered) synchronized {
+      if (!cleanupRegistered) {
+        cleanupRegistered = true
+        val whDir = s.conf.get("spark.sql.warehouse.dir")
+        val hconf = new org.apache.hadoop.conf.Configuration(
+          s.sparkContext.hadoopConfiguration)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val wh = new org.apache.hadoop.fs.Path(whDir)
+            val fs = wh.getFileSystem(hconf)
+            if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+              val n = st.getPath.getName
+              if (st.isDirectory && (n.startsWith("graft_bl_") || n.startsWith("graft_bo_")) &&
+                  n.endsWith(s"_$jvmTag"))
+                fs.delete(st.getPath, true)
+            }
+          } catch { case _: Throwable => () } // best-effort on shutdown
+        }))
+      }
+    }
   private def gcStaleBucketedDirs(s: SparkSession): Unit = {
     val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) {
-      val cutoff = System.currentTimeMillis() - 7200000L // 2h: no bench/verify JVM lives that long
+      val cutoff = System.currentTimeMillis() - 86400000L // 24h: crashed JVMs only
       fs.listStatus(wh).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && (n.startsWith("graft_bl_") || n.startsWith("graft_bo_")) &&
@@ -93,6 +120,7 @@ object Catalog {
     // unchanged lineitem.parquet must rebuild too
     val key = s"$dir|${sig("lineitem")}|${sig("orders")}"
     bucketedPairs.computeIfAbsent(key, _ => {
+      registerBucketedCleanup(s)
       gcStaleBucketedDirs(s)
       val sfx = java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(key)) + s"_$jvmTag"
