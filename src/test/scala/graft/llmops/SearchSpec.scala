@@ -288,6 +288,23 @@ class SearchSpec extends AnyFunSuite {
     assert(m2.tagHighWater === 6L && m2.appliedTags === Vector("run-a"))
   }
 
+  test("bucket pruning survives appends: every postings/dict root scan carries the partition filter") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-prune").toString
+    Search.buildTextIndex(corpus(1L -> "alpha beta", 2L -> "beta gamma"), idx, numBuckets = 16)
+    assert(Search.appendToTextIndex(idx, corpus(3L -> "gamma delta"), batchTag = Some("0")))
+    assert(Search.appendToTextIndex(idx, corpus(4L -> "beta epsilon"), batchTag = Some("1")))
+    val plan = Search.bm25TopKIndexed(spark, idx, queries(0L -> "beta"), k = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // 3 postings roots + 3 dict roots (base + 2 deltas): every scan of the
+    // six must prune on bucket — one unpruned root re-reads its whole
+    // table per query at any scale
+    val scans = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.size >= 6, s"expected >= 6 partitioned scans, got ${scans.size}:\n$plan")
+    val unpruned = scans.filterNot(_.contains("bucket"))
+    assert(unpruned.isEmpty,
+      s"scans without a bucket partition filter:\n${unpruned.mkString("\n")}")
+  }
+
   test("manifest stamp-cache: repeated queries on an unchanged index parse once") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
     Search.buildTextIndex(corpus(1L -> "alpha beta", 2L -> "beta gamma"), idx, numBuckets = 4)

@@ -393,6 +393,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cb.length == 3 && cb.forall(_.forall(_.length == 3)))
   }
 
+  test("randomized append/compact interleavings keep the assignment table exact (seeded mini-fuzz)") {
+    val rnd = new scala.util.Random(4242)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-fuzz").toString
+    val slices = Seq(
+      emb.filter(col("vec_id") < 150),
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 230),
+      emb.filter(col("vec_id") >= 230 && col("vec_id") < 300),
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 420),
+      emb.filter(col("vec_id") >= 420))
+    Similarity.buildIvfIndex(slices.head, dir, numCentroids = 8)
+    slices.tail.foreach { b =>
+      // refitFactor 0: plain appends — the fuzz targets the seal/fold
+      // machinery, not the drift trigger (covered by its own spec)
+      Similarity.appendToIvfIndex(spark, dir, b, refitFactor = 0.0)
+      if (rnd.nextBoolean()) assert(Similarity.compactIvfAppends(spark, dir)
+        || Similarity.readIvfManifest(spark, dir).get.sealedDirs.isEmpty)
+    }
+    Similarity.compactIvfAppends(spark, dir)
+    // exactness: the folded table holds EXACTLY the union of appended ids
+    val got = Similarity.ivfAssigned(spark, dir)
+      .select("neighbor_id").collect().map(_.getLong(0)).sorted
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq, "fold lost or duplicated rows")
+    // and the folded index still answers probes across the whole id space
+    val res = Similarity.ivfTopKIndexed(spark, dir, emb.limit(3), k = 3, nProbe = 8)
+    assert(res.count() === 9)
+  }
+
   test("PQ recall floor: >= 0.5 vs brute force with 50-candidate exact re-rank") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
