@@ -404,54 +404,88 @@ object Search {
       .map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
       .reduce(_.unionByName(_))
 
-  /** Fold every append's postings/df-delta roots back into ONE root each —
-    * the text analog of [[Similarity.compactIvfAppends]], and the
-    * reference's own lifecycle discipline applied to the inverted index:
-    * an LSM accumulates L0 segments per flush and owes its read latency
-    * to compaction (reference `kv/lsm/compact.go` — level merge as the
-    * engine's standing background duty); here append roots are the L0s. A long-lived
-    * streaming ingest seals one postings root and one dict delta per
-    * micro-batch; queries union ALL of them, so root count eventually
-    * dominates probe latency (file-listing storms + thousands of tiny
-    * parquet reads). Folding rewrites them as one bucket-partitioned
-    * table each, absorbs any legacy numeric tags into the high-water
-    * mark (see [[TextIndexManifest]]), and commits with the same
-    * stage-then-swap contract as every other mutation — readers never
-    * see a half-folded index, scores stay BIT-IDENTICAL (integer-valued
-    * tf/df/dl sums are fold-order-independent), and the replay fence
-    * survives. Returns true when a fold happened.
+  /** Fold append roots back together — the text analog of
+    * [[Similarity.compactIvfAppends]], and the reference's own lifecycle
+    * discipline applied to the inverted index: an LSM accumulates L0
+    * segments per flush and owes its read latency to compaction
+    * (reference `kv/lsm/compact.go` — level merge as the engine's
+    * standing background duty); here append roots are the L0s. A
+    * long-lived streaming ingest seals one postings root and one dict
+    * delta per micro-batch; queries union ALL of them, so root count
+    * eventually dominates probe latency (file-listing storms + thousands
+    * of tiny parquet reads).
+    *
+    * Two fold shapes — the LSM's major/minor split:
+    *  - `includeBase = true` (major): EVERYTHING folds to one
+    *    bucket-partitioned root each — minimal read amplification, but
+    *    the write rewrites the whole corpus index.
+    *  - `includeBase = false` (minor): only the APPEND roots fold (into
+    *    one postings root + one df-delta root); the base root is never
+    *    rewritten, so the fold's write cost is proportional to the data
+    *    appended since the last fold, not the corpus — the maintenance
+    *    shape for a standing stream (the L0→L1 merge that leaves Lmax
+    *    alone). Steady state under minor folds: two postings roots + one
+    *    dict delta.
+    *
+    * Either shape absorbs legacy numeric tags into the high-water mark
+    * (see [[TextIndexManifest]]) and commits with the stage-then-swap
+    * contract of every other mutation — readers never see a half-folded
+    * index, scores stay BIT-IDENTICAL (integer-valued tf/df/dl sums are
+    * fold-order-independent), and the replay fence survives. Returns
+    * true when a fold (or tag-only migration) happened.
     */
   def compactTextIndex(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Boolean = textLock.synchronized {
-    readTextManifest(spark, indexDir) match {
-      case Some(m) if m.postings.size <= 1 && m.dicts.isEmpty &&
-          m.appliedTags.exists(numericTag(_).isDefined) =>
-        // nothing to fold — only legacy numeric tags to absorb: a pure
-        // manifest edit, never a corpus-wide postings/dict rewrite
-        commitTextIfUnchanged(spark, indexDir, Some(m), absorbNumericTags(m))
-        true
-      case Some(m) if m.postings.size > 1 || m.dicts.nonEmpty =>
-        val pDir = s"postings-${java.util.UUID.randomUUID}"
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      includeBase: Boolean = true): Boolean = textLock.synchronized {
+    def foldRoots(postRoots: Seq[String], dictRoots: Seq[String]): (String, Option[String]) = {
+      val pDir = s"postings-${java.util.UUID.randomUUID}"
+      // one task per bucket hash: each bucket partition folds to a
+      // bounded file count instead of one file per (root x bucket)
+      postRoots.map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
+        .reduce(_.unionByName(_))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
+      // a legacy manifest (pre-delta-dict format) may fold postings with
+      // NO dict deltas in play — nothing to write on that side
+      val dDirOpt = if (dictRoots.isEmpty) None else {
         val dDir = s"dict-${java.util.UUID.randomUUID}"
-        // one task per bucket hash: each bucket partition folds to a
-        // bounded file count instead of one file per (root x bucket)
-        postingsFrame(spark, indexDir, m)
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
-        dictFrame(spark, indexDir, m)
+        dictRoots.map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
+          .reduce(_.unionByName(_))
           .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
-        val next = absorbNumericTags(m).copy(
-          dict = dDir, dicts = Vector.empty, postings = Vector(pDir))
-        try commitTextIfUnchanged(spark, indexDir, Some(m), next)
-        catch { case e: IllegalStateException =>
-          val fs = new org.apache.hadoop.fs.Path(indexDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          for (d <- Seq(pDir, dDir))
-            fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true)
-          throw e
-        }
+        Some(dDir)
+      }
+      (pDir, dDirOpt)
+    }
+    def commitOrCleanup(m: TextIndexManifest, next: TextIndexManifest,
+        staged: Seq[String]): Unit =
+      try commitTextIfUnchanged(spark, indexDir, Some(m), next)
+      catch { case e: IllegalStateException =>
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        staged.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true))
+        throw e
+      }
+    readTextManifest(spark, indexDir) match {
+      case Some(m) if includeBase && (m.postings.size > 1 || m.dicts.nonEmpty) =>
+        // base dict always folds, so the major path always writes a dict
+        val (pDir, dDirOpt) = foldRoots(m.postings, m.dict +: m.dicts)
+        commitOrCleanup(m, absorbNumericTags(m).copy(
+          dict = dDirOpt.get, dicts = Vector.empty, postings = Vector(pDir)),
+          pDir +: dDirOpt.toSeq)
+        true
+      case Some(m) if !includeBase && (m.postings.size > 2 || m.dicts.size > 1) =>
+        val (pDir, dDirOpt) = foldRoots(m.postings.tail, m.dicts)
+        commitOrCleanup(m, absorbNumericTags(m).copy(
+          dicts = dDirOpt.toVector, postings = Vector(m.postings.head, pDir)),
+          pDir +: dDirOpt.toSeq)
+        true
+      case Some(m) if m.appliedTags.exists(numericTag(_).isDefined) =>
+        // nothing to fold — only legacy numeric tags to absorb: a pure
+        // manifest edit, never a corpus-wide postings/dict rewrite
+        commitTextIfUnchanged(spark, indexDir, Some(m), absorbNumericTags(m))
         true
       case _ => false
     }

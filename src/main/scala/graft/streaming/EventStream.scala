@@ -122,11 +122,15 @@ object EventStream {
     * (`buildTextIndex`, possibly over an empty corpus) before the stream
     * starts.
     *
-    * `compactEvery` > 0 folds the accumulated postings/dict roots back to
-    * one each ([[graft.llmops.Search.compactTextIndex]]) every that many
-    * micro-batches — without it a year of 1-minute batches means ~500k
-    * roots unioned per query. The fold is bit-identical and crash-safe
-    * (stage-then-swap), and replays are harmless: the fold carries no tag,
+    * `compactEvery` > 0 folds the accumulated append roots every that
+    * many micro-batches — without it a year of 1-minute batches means
+    * ~500k roots unioned per query. The periodic fold is MINOR
+    * ([[graft.llmops.Search.compactTextIndex]] with `includeBase =
+    * false`): write cost proportional to the data appended since the
+    * last fold, never a corpus rewrite inside the stream — schedule
+    * major folds out-of-band if read amplification of the two-root
+    * steady state ever matters. Folds are bit-identical and crash-safe
+    * (stage-then-swap), and replays are harmless: a fold carries no tag,
     * so re-running it after a checkpoint replay just folds again.
     * Superseded roots wait for an explicit `vacuumTextIndex`.
     */
@@ -145,7 +149,8 @@ object EventStream {
           indexDir, batch, batchTag = Some(batchId.toString),
           idCol = idCol, textCol = textCol)
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          graft.llmops.Search.compactTextIndex(batch.sparkSession, indexDir)
+          graft.llmops.Search.compactTextIndex(batch.sparkSession, indexDir,
+            includeBase = false)
         ()
       }
       .start()

@@ -237,6 +237,49 @@ class SearchSpec extends AnyFunSuite {
       batches.reduce(_ unionByName _).unionByName(corpus(9L -> "apple kiwi")), qs, k = 5)))
   }
 
+  test("minor compaction folds only the append roots — the base is never rewritten") {
+    val batches = Seq(
+      corpus(1L -> "apple banana cherry", 2L -> "apple dog echo"),
+      corpus(3L -> "banana fig grape"),
+      corpus(4L -> "dog echo fig"),
+      corpus(5L -> "cherry dog apple"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-minor").toString
+    Search.buildTextIndex(batches.head, idx, numBuckets = 8)
+    val base = Search.readTextManifest(spark, idx).get.postings.head
+    batches.tail.zipWithIndex.foreach { case (b, i) =>
+      assert(Search.appendToTextIndex(idx, b, batchTag = Some(i.toString)))
+    }
+    val qs = queries(0L -> "apple banana", 1L -> "fig dog")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    val pre = rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+    assert(Search.compactTextIndex(spark, idx, includeBase = false))
+    val m = Search.readTextManifest(spark, idx).get
+    // steady state: [base, foldedAppends] + one dict delta — and the base
+    // root is the SAME directory (write cost ∝ appends, not corpus)
+    assert(m.postings.size === 2 && m.postings.head === base && m.dicts.size === 1,
+      s"minor fold shape wrong: $m")
+    assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5)) === pre)
+    // already at steady state: a second minor fold is a no-op
+    assert(!Search.compactTextIndex(spark, idx, includeBase = false))
+    // further appends re-fold into the same shape, base still untouched
+    assert(Search.appendToTextIndex(idx, corpus(6L -> "apple zebra"), batchTag = Some("9")))
+    assert(Search.compactTextIndex(spark, idx, includeBase = false))
+    val m2 = Search.readTextManifest(spark, idx).get
+    assert(m2.postings.size === 2 && m2.postings.head === base && m2.dicts.size === 1)
+    // and everything still matches the scan form exactly
+    val full = batches.reduce(_ unionByName _).unionByName(corpus(6L -> "apple zebra"))
+    assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+      === rows(Search.bm25TopK(full, qs, k = 5)))
+    // a MAJOR fold from the minor steady state collapses to one root
+    assert(Search.compactTextIndex(spark, idx))
+    val m3 = Search.readTextManifest(spark, idx).get
+    assert(m3.postings.size === 1 && m3.dicts.isEmpty)
+    assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
+      === rows(Search.bm25TopK(full, qs, k = 5)))
+  }
+
   test("an append's dict delta holds only the batch vocabulary (no corpus-wide rewrite)") {
     // 20-doc build with a wide vocabulary spread over many buckets, then a
     // single-term append: the delta dict dir must contain ONLY the one
