@@ -75,16 +75,22 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val pre = (0 until runs).map(_ => once()).min
+        // minor fold first (the streaming-maintenance shape: appends fold,
+        // base untouched), then the major fold's one-root floor
+        Search.compactTextIndex(spark, laDir, includeBase = false)
+        val minor = (0 until runs).map(_ => once()).min
         Search.compactTextIndex(spark, laDir)
         val post = (0 until runs).map(_ => once()).min
-        Seq("search_bm25_longappend" -> pre, "search_bm25_postfold" -> post)
+        Seq("search_bm25_longappend" -> pre, "search_bm25_minorfold" -> minor,
+          "search_bm25_postfold" -> post)
       } finally {
         val p = new org.apache.hadoop.fs.Path(laDir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] text-index lifecycle: ${e.getMessage}")
-      Seq("search_bm25_longappend" -> -1.0, "search_bm25_postfold" -> -1.0)
+      Seq("search_bm25_longappend" -> -1.0, "search_bm25_minorfold" -> -1.0,
+        "search_bm25_postfold" -> -1.0)
     }
     // lifecycle rows are an A/B experiment on ONE query (indexed bm25
     // against a deliberately degraded 50-root index, then folded) — they
