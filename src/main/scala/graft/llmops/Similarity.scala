@@ -554,26 +554,56 @@ object Similarity {
     }
   }
 
-  /** Fold every sealed append batch into the base assignment table — the
-    * small-files compaction of the vector index (the LSM story applied to
-    * IVF: appends are L0 segments; this is their merge). A long-running
-    * streaming ingest seals one batch dir per micro-batch, and thousands
-    * of small parquet files per cell eventually dominate probe latency at
-    * any scale; folding rewrites them as one cell-partitioned table.
+  /** Fold sealed append batches together — the small-files compaction of
+    * the vector index (the LSM story applied to IVF: appends are L0
+    * segments; this is their merge). A long-running streaming ingest
+    * seals one batch dir per micro-batch, and thousands of small parquet
+    * files per cell eventually dominate probe latency at any scale.
     *
-    * Writes a complete NEW generation reusing the live fit artifacts
-    * (centroids, codebooks, stats — no re-fit, quantization is unchanged)
-    * and flips the manifest only when done: readers never see a
-    * half-folded index, and a crash mid-fold leaves the old generation
-    * live ([[vacuumIvfIndex]] reclaims the debris). Replay duplicates
-    * from an at-least-once ingest collapse here too (same id = same
-    * vector, matching the drift re-fit's contract). Returns true when a
-    * fold happened; false when there was nothing to fold.
+    * Two fold shapes, like [[Search.compactTextIndex]]'s major/minor
+    * split:
+    *  - `includeBase = true` (major): everything — base assignment table
+    *    plus sealed batches — rewrites as one cell-partitioned table in
+    *    a complete NEW generation reusing the live fit artifacts
+    *    (centroids, codebooks, stats — no re-fit, quantization is
+    *    unchanged); the manifest flips only when done. Replay duplicates
+    *    from an at-least-once ingest collapse here (same id = same
+    *    vector, matching the drift re-fit's contract).
+    *  - `includeBase = false` (minor): only the sealed batches fold,
+    *    into ONE sealed dir inside the LIVE generation — write cost
+    *    proportional to the data appended since the last fold, never the
+    *    corpus; the maintenance shape a standing stream can afford per
+    *    fold cycle. Duplicates WITHIN the sealed batches collapse;
+    *    a replay duplicating a base row waits for the next major fold
+    *    (exactly the pre-fold read semantics — ANN probes tolerate it).
+    *
+    * Both shapes stage-then-swap: readers never see a half-folded index,
+    * and a crash mid-fold leaves the old state live ([[vacuumIvfIndex]]
+    * reclaims the debris). Returns true when a fold happened; false when
+    * there was nothing to fold.
     */
   def compactIvfAppends(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = ivfLock.synchronized {
+      indexDir: String, includeBase: Boolean = true): Boolean = ivfLock.synchronized {
     readIvfManifest(spark, indexDir) match {
-      case Some(m) if m.sealedDirs.nonEmpty =>
+      case Some(m) if !includeBase && m.sealedDirs.size > 1 =>
+        // minor: fold the sealed batches into one batch dir, base and
+        // generation untouched
+        val (fs, _) = ivfFs(spark, indexDir)
+        val genDir = s"$indexDir/g${m.gen}"
+        val batchDir = s"append-${java.util.UUID.randomUUID}"
+        m.sealedDirs.map(d => spark.read.parquet(s"$genDir/$d"))
+          .reduce(_.unionByName(_))
+          .dropDuplicates("neighbor_id")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/$batchDir")
+        try commitIvfIfUnchanged(spark, indexDir, Some(m),
+          m.copy(sealedDirs = Vector(batchDir)))
+        catch { case e: IllegalStateException =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$genDir/$batchDir"), true)
+          throw e
+        }
+        true
+      case Some(m) if includeBase && m.sealedDirs.nonEmpty =>
         val (fs, _) = ivfFs(spark, indexDir)
         val oldGenDir = s"$indexDir/g${m.gen}"
         val nextGen = m.gen + 1

@@ -97,11 +97,14 @@ object EventStream {
           batch.sparkSession, indexDir, batch,
           idCol = idCol, vecCol = vecCol, refitFactor = refitFactor)
         // periodic small-files compaction keeps the sealed-batch count
-        // bounded over a long-lived stream (compactEvery 0 = caller-managed;
-        // superseded generations still wait for an explicit vacuum so
-        // in-flight readers are never pulled out from under)
+        // bounded over a long-lived stream (compactEvery 0 = caller-
+        // managed). MINOR folds only — write cost proportional to the
+        // appends since the last fold, never a corpus rewrite inside the
+        // stream; superseded dirs still wait for an explicit vacuum so
+        // in-flight readers are never pulled out from under.
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          graft.llmops.Similarity.compactIvfAppends(batch.sparkSession, indexDir)
+          graft.llmops.Similarity.compactIvfAppends(batch.sparkSession, indexDir,
+            includeBase = false)
         ()
       }
       .start()

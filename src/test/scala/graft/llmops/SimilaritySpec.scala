@@ -328,6 +328,17 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.appendToIvfIndex(spark, dir, emb.filter(col("vec_id") >= 400))
     val total = emb.count()
     assert(Similarity.ivfAssigned(spark, dir).count() == total)
+    // MINOR fold first: two sealed batches become one, generation and
+    // base untouched, counts exact, codes intact
+    val genPre = Similarity.ivfGeneration(spark, dir).get
+    assert(Similarity.compactIvfAppends(spark, dir, includeBase = false))
+    assert(Similarity.ivfGeneration(spark, dir).contains(genPre),
+      "minor fold must not flip the generation")
+    assert(Similarity.readIvfManifest(spark, dir).get.sealedDirs.size == 1)
+    assert(Similarity.ivfAssigned(spark, dir).count() == total)
+    // one sealed dir left: a second minor fold has nothing to do
+    assert(!Similarity.compactIvfAppends(spark, dir, includeBase = false))
+    // MAJOR fold collapses everything into the next generation
     assert(Similarity.compactIvfAppends(spark, dir))
     val folded = Similarity.ivfAssigned(spark, dir)
     assert(folded.count() == total)
