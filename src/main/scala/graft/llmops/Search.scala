@@ -164,6 +164,14 @@ object Search {
     * universe; legacy manifests may hold numeric tags here too — they are
     * honored on read and absorbed into the high-water at compaction).
     */
+  /** `levelRoots` counts the leading postings roots that are FOLD
+    * products (base + minor-fold L1s) — a minor fold must never re-fold
+    * them, or per-fold cost would grow with the stream's lifetime instead
+    * of the data appended since the last fold. The first `levelRoots - 1`
+    * entries of `dicts` are their df siblings (the base's df lives in
+    * `dict`). Legacy manifests default to 1: only the base is a fold
+    * product.
+    */
   private[llmops] final case class TextIndexManifest(
       numBuckets: Int,
       nDocs: Long,
@@ -172,7 +180,8 @@ object Search {
       postings: Vector[String],
       appliedTags: Vector[String] = Vector.empty,
       dicts: Vector[String] = Vector.empty,
-      tagHighWater: Long = -1L)
+      tagHighWater: Long = -1L,
+      levelRoots: Int = 1)
 
   /** A sequence tag is a PURE digit string (canonical decimal, bounded
     * below Long overflow) — signs and other decorations take the
@@ -384,14 +393,24 @@ object Search {
     Some((pDir, dDir, n, sumDl))
   }
 
-  /** All live postings rows (every root unioned; `bucket` stays a
-    * partition column per root so bucket filters prune every scan).
-    */
+  // one multi-path read would trip partition inference across sibling
+  // roots, so every root is read separately and unioned — `bucket` stays
+  // a partition column per root and filters prune every scan. Shared by
+  // the query path and the fold path so their read shapes can't diverge.
+  private def readPostingsRoots(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, roots: Seq[String]): DataFrame =
+    roots.map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
+      .reduce(_.unionByName(_))
+
+  private def readDictRoots(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, roots: Seq[String]): DataFrame =
+    roots.map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
+      .reduce(_.unionByName(_))
+
+  /** All live postings rows. */
   private def postingsFrame(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, m: TextIndexManifest): DataFrame =
-    m.postings
-      .map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
-      .reduce(_.unionByName(_))
+    readPostingsRoots(spark, indexDir, m.postings)
 
   /** Document frequencies summed across the base dict root and every
     * append's delta root. df values are integer-valued doubles, so the
@@ -400,9 +419,7 @@ object Search {
     */
   private def dictFrame(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, m: TextIndexManifest): DataFrame =
-    (m.dict +: m.dicts)
-      .map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
-      .reduce(_.unionByName(_))
+    readDictRoots(spark, indexDir, m.dict +: m.dicts)
 
   /** Fold append roots back together — the text analog of
     * [[Similarity.compactIvfAppends]], and the reference's own lifecycle
@@ -419,13 +436,15 @@ object Search {
     *  - `includeBase = true` (major): EVERYTHING folds to one
     *    bucket-partitioned root each — minimal read amplification, but
     *    the write rewrites the whole corpus index.
-    *  - `includeBase = false` (minor): only the APPEND roots fold (into
-    *    one postings root + one df-delta root); the base root is never
-    *    rewritten, so the fold's write cost is proportional to the data
-    *    appended since the last fold, not the corpus — the maintenance
-    *    shape for a standing stream (the L0→L1 merge that leaves Lmax
-    *    alone). Steady state under minor folds: two postings roots + one
-    *    dict delta.
+    *  - `includeBase = false` (minor): only the UNFOLDED append roots
+    *    (the L0s past `levelRoots`) fold, into one new L1 postings root
+    *    + one df-delta sibling. Earlier fold products — the base AND
+    *    previous L1s — are never re-read or rewritten, so each fold's
+    *    cost is proportional to the data appended SINCE THE LAST FOLD
+    *    (re-folding prior L1s would make per-fold cost grow with stream
+    *    lifetime). L1 roots accumulate one per fold cycle;
+    *    [[maintainTextIndex]]'s size-ratio policy decides when a major
+    *    fold collapses them.
     *
     * Either shape absorbs legacy numeric tags into the high-water mark
     * (see [[TextIndexManifest]]) and commits with the stage-then-swap
@@ -441,16 +460,14 @@ object Search {
       val pDir = s"postings-${java.util.UUID.randomUUID}"
       // one task per bucket hash: each bucket partition folds to a
       // bounded file count instead of one file per (root x bucket)
-      postRoots.map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
-        .reduce(_.unionByName(_))
+      readPostingsRoots(spark, indexDir, postRoots)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
       // a legacy manifest (pre-delta-dict format) may fold postings with
       // NO dict deltas in play — nothing to write on that side
       val dDirOpt = if (dictRoots.isEmpty) None else {
         val dDir = s"dict-${java.util.UUID.randomUUID}"
-        dictRoots.map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
-          .reduce(_.unionByName(_))
+        readDictRoots(spark, indexDir, dictRoots)
           .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
@@ -473,13 +490,18 @@ object Search {
         // base dict always folds, so the major path always writes a dict
         val (pDir, dDirOpt) = foldRoots(m.postings, m.dict +: m.dicts)
         commitOrCleanup(m, absorbNumericTags(m).copy(
-          dict = dDirOpt.get, dicts = Vector.empty, postings = Vector(pDir)),
+          dict = dDirOpt.get, dicts = Vector.empty, postings = Vector(pDir),
+          levelRoots = 1),
           pDir +: dDirOpt.toSeq)
         true
-      case Some(m) if !includeBase && (m.postings.size > 2 || m.dicts.size > 1) =>
-        val (pDir, dDirOpt) = foldRoots(m.postings.tail, m.dicts)
+      case Some(m) if !includeBase && m.postings.size - m.levelRoots >= 2 =>
+        // fold ONLY the L0s — prior fold products stay untouched
+        val (pDir, dDirOpt) = foldRoots(
+          m.postings.drop(m.levelRoots), m.dicts.drop(m.levelRoots - 1))
         commitOrCleanup(m, absorbNumericTags(m).copy(
-          dicts = dDirOpt.toVector, postings = Vector(m.postings.head, pDir)),
+          postings = m.postings.take(m.levelRoots) :+ pDir,
+          dicts = m.dicts.take(m.levelRoots - 1) ++ dDirOpt.toVector,
+          levelRoots = m.levelRoots + 1),
           pDir +: dDirOpt.toSeq)
         true
       case Some(m) if m.appliedTags.exists(numericTag(_).isDefined) =>
@@ -489,6 +511,39 @@ object Search {
         true
       case _ => false
     }
+  }
+
+  /** The standing-stream maintenance policy: minor-fold the accumulated
+    * L0 roots (cost proportional to data appended since the last fold),
+    * then run a MAJOR fold only once the non-base roots have grown to
+    * `majorSizeRatio` x the base root's bytes — the classic size-ratio
+    * merge policy. Majors amortize geometrically under it: the corpus
+    * rewrite happens when appends have roughly doubled the index, so each
+    * row is rewritten O(log growth) times over a stream's lifetime, never
+    * per fold cycle. (A major is also when a replayed base-row duplicate
+    * finally collapses — see [[Similarity.compactIvfAppends]]'s note on
+    * the same policy for vectors.) Root sizes come from one FS content
+    * summary per root — fold-cadence metadata, not a data read. Returns
+    * true when any fold ran.
+    */
+  def maintainTextIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      majorSizeRatio: Double = 1.0): Boolean = textLock.synchronized {
+    val minored = compactTextIndex(spark, indexDir, includeBase = false)
+    val majored = readTextManifest(spark, indexDir) match {
+      case Some(m) if m.postings.size > 1 =>
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def bytes(root: String): Long =
+          try fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$indexDir/$root")).getLength
+          catch { case _: java.io.FileNotFoundException => 0L }
+        val base = math.max(1L, bytes(m.postings.head))
+        if (m.postings.tail.map(bytes).sum >= majorSizeRatio * base)
+          compactTextIndex(spark, indexDir)
+        else false
+      case _ => false
+    }
+    minored || majored
   }
 
   /** BM25 top-k through a [[buildTextIndex]] index: query terms hash to

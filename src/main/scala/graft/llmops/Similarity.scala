@@ -131,8 +131,14 @@ object Similarity {
     * atomic manifest swap) — readers never see a torn batch, and a crash
     * mid-stage leaves an unreferenced dir that [[vacuumIvfIndex]] removes
     * (the same write-then-flip contract as every other index mutation).
+    * `sealedLevels` counts the leading sealed dirs that are MINOR-FOLD
+    * products — a later minor fold must never re-fold them, or per-fold
+    * cost would grow with stream lifetime instead of the data appended
+    * since the last fold (legacy manifests default to 0: every sealed
+    * dir is an unfolded L0).
     */
-  private[llmops] final case class IvfManifest(gen: Int, sealedDirs: Vector[String] = Vector.empty)
+  private[llmops] final case class IvfManifest(gen: Int,
+      sealedDirs: Vector[String] = Vector.empty, sealedLevels: Int = 0)
 
   private implicit val ivfFmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -569,13 +575,15 @@ object Similarity {
     *    unchanged); the manifest flips only when done. Replay duplicates
     *    from an at-least-once ingest collapse here (same id = same
     *    vector, matching the drift re-fit's contract).
-    *  - `includeBase = false` (minor): only the sealed batches fold,
-    *    into ONE sealed dir inside the LIVE generation — write cost
-    *    proportional to the data appended since the last fold, never the
-    *    corpus; the maintenance shape a standing stream can afford per
-    *    fold cycle. Duplicates WITHIN the sealed batches collapse;
-    *    a replay duplicating a base row waits for the next major fold
-    *    (exactly the pre-fold read semantics — ANN probes tolerate it).
+    *  - `includeBase = false` (minor): only the UNFOLDED sealed batches
+    *    (the L0s past `sealedLevels`) fold, into one new sealed dir
+    *    inside the LIVE generation — prior fold products are never
+    *    re-read, so each fold's cost is proportional to the data
+    *    appended SINCE THE LAST FOLD, never the stream's lifetime.
+    *    Duplicates WITHIN the folded batches collapse; a replay
+    *    duplicating a base row waits for the next major fold (exactly
+    *    the pre-fold read semantics — ANN probes tolerate it), which
+    *    [[maintainIvfIndex]]'s size-ratio policy schedules.
     *
     * Both shapes stage-then-swap: readers never see a half-folded index,
     * and a crash mid-fold leaves the old state live ([[vacuumIvfIndex]]
@@ -585,19 +593,20 @@ object Similarity {
   def compactIvfAppends(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, includeBase: Boolean = true): Boolean = ivfLock.synchronized {
     readIvfManifest(spark, indexDir) match {
-      case Some(m) if !includeBase && m.sealedDirs.size > 1 =>
-        // minor: fold the sealed batches into one batch dir, base and
-        // generation untouched
+      case Some(m) if !includeBase && m.sealedDirs.size - m.sealedLevels >= 2 =>
+        // minor: fold the L0 batches into one dir, base, generation, and
+        // prior fold products untouched
         val (fs, _) = ivfFs(spark, indexDir)
         val genDir = s"$indexDir/g${m.gen}"
         val batchDir = s"append-${java.util.UUID.randomUUID}"
-        m.sealedDirs.map(d => spark.read.parquet(s"$genDir/$d"))
+        m.sealedDirs.drop(m.sealedLevels).map(d => spark.read.parquet(s"$genDir/$d"))
           .reduce(_.unionByName(_))
           .dropDuplicates("neighbor_id")
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$genDir/$batchDir")
         try commitIvfIfUnchanged(spark, indexDir, Some(m),
-          m.copy(sealedDirs = Vector(batchDir)))
+          m.copy(sealedDirs = m.sealedDirs.take(m.sealedLevels) :+ batchDir,
+            sealedLevels = m.sealedLevels + 1))
         catch { case e: IllegalStateException =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$genDir/$batchDir"), true)
           throw e
@@ -627,6 +636,34 @@ object Similarity {
         true
       case _ => false
     }
+  }
+
+  /** The standing-stream maintenance policy — [[Search.maintainTextIndex]]
+    * for vectors: minor-fold the accumulated L0 batches, then run a MAJOR
+    * fold only once the sealed dirs have grown to `majorSizeRatio` x the
+    * base assignment table's bytes (size-ratio merge: majors amortize
+    * geometrically, each row rewritten O(log growth) times over a
+    * stream's lifetime — and replayed base-row duplicates collapse
+    * there). Returns true when any fold ran.
+    */
+  def maintainIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      majorSizeRatio: Double = 1.0): Boolean = ivfLock.synchronized {
+    val minored = compactIvfAppends(spark, indexDir, includeBase = false)
+    val majored = readIvfManifest(spark, indexDir) match {
+      case Some(m) if m.sealedDirs.nonEmpty =>
+        val (fs, _) = ivfFs(spark, indexDir)
+        def bytes(p: String): Long =
+          try fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+          catch { case _: java.io.FileNotFoundException => 0L }
+        val genDir = s"$indexDir/g${m.gen}"
+        val base = math.max(1L, bytes(s"$genDir/assigned"))
+        if (m.sealedDirs.map(d => bytes(s"$genDir/$d")).sum >= majorSizeRatio * base)
+          compactIvfAppends(spark, indexDir)
+        else false
+      case _ => false
+    }
+    minored || majored
   }
 
   /** The live generation's centroid table (readers should use this rather

@@ -96,15 +96,16 @@ object EventStream {
         graft.llmops.Similarity.appendToIvfIndex(
           batch.sparkSession, indexDir, batch,
           idCol = idCol, vecCol = vecCol, refitFactor = refitFactor)
-        // periodic small-files compaction keeps the sealed-batch count
-        // bounded over a long-lived stream (compactEvery 0 = caller-
-        // managed). MINOR folds only — write cost proportional to the
-        // appends since the last fold, never a corpus rewrite inside the
-        // stream; superseded dirs still wait for an explicit vacuum so
-        // in-flight readers are never pulled out from under.
+        // periodic maintenance keeps the sealed-batch count bounded over
+        // a long-lived stream (compactEvery 0 = caller-managed): minor
+        // folds cost only the appends since the last fold, and the
+        // size-ratio policy schedules the occasional major so total
+        // rewrite work stays O(log growth) per row — never a corpus
+        // rewrite per fold cycle. Superseded dirs still wait for an
+        // explicit vacuum so in-flight readers are never pulled out
+        // from under.
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          graft.llmops.Similarity.compactIvfAppends(batch.sparkSession, indexDir,
-            includeBase = false)
+          graft.llmops.Similarity.maintainIvfIndex(batch.sparkSession, indexDir)
         ()
       }
       .start()
@@ -125,17 +126,17 @@ object EventStream {
     * (`buildTextIndex`, possibly over an empty corpus) before the stream
     * starts.
     *
-    * `compactEvery` > 0 folds the accumulated append roots every that
-    * many micro-batches — without it a year of 1-minute batches means
-    * ~500k roots unioned per query. The periodic fold is MINOR
-    * ([[graft.llmops.Search.compactTextIndex]] with `includeBase =
-    * false`): write cost proportional to the data appended since the
-    * last fold, never a corpus rewrite inside the stream — schedule
-    * major folds out-of-band if read amplification of the two-root
-    * steady state ever matters. Folds are bit-identical and crash-safe
-    * (stage-then-swap), and replays are harmless: a fold carries no tag,
-    * so re-running it after a checkpoint replay just folds again.
-    * Superseded roots wait for an explicit `vacuumTextIndex`.
+    * `compactEvery` > 0 runs [[graft.llmops.Search.maintainTextIndex]]
+    * every that many micro-batches — without it a year of 1-minute
+    * batches means ~500k roots unioned per query. Maintenance is a MINOR
+    * fold (cost proportional to the data appended since the last fold —
+    * prior fold products are never re-read) plus a size-ratio-scheduled
+    * occasional MAJOR fold, so total rewrite work stays O(log growth)
+    * per row over the stream's lifetime. Folds are bit-identical and
+    * crash-safe (stage-then-swap), and replays are harmless: a fold
+    * carries no tag, so re-running it after a checkpoint replay just
+    * folds again. Superseded roots wait for an explicit
+    * `vacuumTextIndex`.
     */
   def ingestToTextIndex(
       stream: DataFrame,
@@ -152,8 +153,7 @@ object EventStream {
           indexDir, batch, batchTag = Some(batchId.toString),
           idCol = idCol, textCol = textCol)
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          graft.llmops.Search.compactTextIndex(batch.sparkSession, indexDir,
-            includeBase = false)
+          graft.llmops.Search.maintainTextIndex(batch.sparkSession, indexDir)
         ()
       }
       .start()

@@ -237,7 +237,7 @@ class SearchSpec extends AnyFunSuite {
       batches.reduce(_ unionByName _).unionByName(corpus(9L -> "apple kiwi")), qs, k = 5)))
   }
 
-  test("minor compaction folds only the append roots — the base is never rewritten") {
+  test("minor compaction folds only the L0s — base and prior L1s are never rewritten") {
     val batches = Seq(
       corpus(1L -> "apple banana cherry", 2L -> "apple dog echo"),
       corpus(3L -> "banana fig grape"),
@@ -256,28 +256,61 @@ class SearchSpec extends AnyFunSuite {
     val pre = rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
     assert(Search.compactTextIndex(spark, idx, includeBase = false))
     val m = Search.readTextManifest(spark, idx).get
-    // steady state: [base, foldedAppends] + one dict delta — and the base
-    // root is the SAME directory (write cost ∝ appends, not corpus)
-    assert(m.postings.size === 2 && m.postings.head === base && m.dicts.size === 1,
-      s"minor fold shape wrong: $m")
+    // three L0s folded into one L1; the base root is the SAME directory
+    assert(m.postings.size === 2 && m.postings.head === base &&
+      m.dicts.size === 1 && m.levelRoots === 2, s"minor fold shape wrong: $m")
+    val l1 = m.postings(1)
     assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5)) === pre)
-    // already at steady state: a second minor fold is a no-op
+    // no L0s left: a second minor fold is a no-op
     assert(!Search.compactTextIndex(spark, idx, includeBase = false))
-    // further appends re-fold into the same shape, base still untouched
+    // one new L0 is not worth a fold either (threshold 2)
     assert(Search.appendToTextIndex(idx, corpus(6L -> "apple zebra"), batchTag = Some("9")))
+    assert(!Search.compactTextIndex(spark, idx, includeBase = false))
+    // a second L0 folds — into a NEW L1, leaving base AND the first L1
+    // untouched (re-folding prior L1s would make fold cost grow with
+    // stream lifetime instead of data-since-last-fold)
+    assert(Search.appendToTextIndex(idx, corpus(7L -> "banana yak"), batchTag = Some("10")))
     assert(Search.compactTextIndex(spark, idx, includeBase = false))
     val m2 = Search.readTextManifest(spark, idx).get
-    assert(m2.postings.size === 2 && m2.postings.head === base && m2.dicts.size === 1)
+    assert(m2.postings.size === 3 && m2.postings.head === base &&
+      m2.postings(1) === l1 && m2.levelRoots === 3,
+      s"minor fold re-folded a prior level: $m2")
     // and everything still matches the scan form exactly
-    val full = batches.reduce(_ unionByName _).unionByName(corpus(6L -> "apple zebra"))
+    val full = batches.reduce(_ unionByName _)
+      .unionByName(corpus(6L -> "apple zebra", 7L -> "banana yak"))
     assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
       === rows(Search.bm25TopK(full, qs, k = 5)))
-    // a MAJOR fold from the minor steady state collapses to one root
+    // a MAJOR fold collapses all levels to one root
     assert(Search.compactTextIndex(spark, idx))
     val m3 = Search.readTextManifest(spark, idx).get
-    assert(m3.postings.size === 1 && m3.dicts.isEmpty)
+    assert(m3.postings.size === 1 && m3.dicts.isEmpty && m3.levelRoots === 1)
     assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 5))
       === rows(Search.bm25TopK(full, qs, k = 5)))
+  }
+
+  test("maintainTextIndex: size-ratio policy majors only once appends outgrow the base") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-maint").toString
+    Search.buildTextIndex(
+      corpus((1L to 20L).map(i => i -> s"base$i common words here"): _*), idx, numBuckets = 8)
+    val base = Search.readTextManifest(spark, idx).get.postings.head
+    // two tiny appends: minor fold runs, but the major must NOT (appends
+    // are a sliver of the base)
+    assert(Search.appendToTextIndex(idx, corpus(100L -> "tiny one"), batchTag = Some("0")))
+    assert(Search.appendToTextIndex(idx, corpus(101L -> "tiny two"), batchTag = Some("1")))
+    assert(Search.maintainTextIndex(spark, idx))
+    val m1 = Search.readTextManifest(spark, idx).get
+    assert(m1.postings.head === base && m1.levelRoots === 2,
+      s"maintain majored on a sliver: $m1")
+    // a big append (larger than the base) crosses the ratio: maintain
+    // majors and the index collapses to one fresh root
+    assert(Search.appendToTextIndex(idx,
+      corpus((200L to 260L).map(i => i -> s"bulk$i lots of heavy append text"): _*),
+      batchTag = Some("2")))
+    assert(Search.appendToTextIndex(idx, corpus(300L -> "more"), batchTag = Some("3")))
+    assert(Search.maintainTextIndex(spark, idx))
+    val m2 = Search.readTextManifest(spark, idx).get
+    assert(m2.postings.size === 1 && m2.levelRoots === 1,
+      s"maintain failed to major once appends outgrew the base: $m2")
   }
 
   test("an append's dict delta holds only the batch vocabulary (no corpus-wide rewrite)") {
@@ -376,9 +409,11 @@ class SearchSpec extends AnyFunSuite {
     Search.buildTextIndex(batches.head, idx, numBuckets = 8)
     batches.tail.zipWithIndex.foreach { case (b, i) =>
       assert(Search.appendToTextIndex(idx, b, batchTag = Some(s"fz-$i")))
-      // folds interleave randomly with appends — any interleaving must be
-      // invisible to queries (bit-identical postings/df totals)
-      if (rnd.nextBoolean()) Search.compactTextIndex(spark, idx)
+      // minor AND major folds interleave randomly with appends — any
+      // interleaving must be invisible to queries (bit-identical
+      // postings/df totals)
+      if (rnd.nextBoolean())
+        Search.compactTextIndex(spark, idx, includeBase = rnd.nextBoolean())
     }
     val full = batches.reduce(_ unionByName _)
     val qs = queries(0L -> "alpha beta", 1L -> "kappa gamma delta", 2L -> "theta")

@@ -404,6 +404,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cb.length == 3 && cb.forall(_.forall(_.length == 3)))
   }
 
+  test("maintainIvfIndex: minors on slivers, majors only when appends outgrow the base") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-maint").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400), dir, numCentroids = 8)
+    val gen0 = Similarity.ivfGeneration(spark, dir).get
+    // two tiny appends: the minor fold runs, the major must not
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 410), refitFactor = 0.0)
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 410 && col("vec_id") < 420), refitFactor = 0.0)
+    assert(Similarity.maintainIvfIndex(spark, dir))
+    assert(Similarity.ivfGeneration(spark, dir).contains(gen0),
+      "maintain majored on a sliver of appends")
+    assert(Similarity.readIvfManifest(spark, dir).get.sealedLevels === 1)
+    // appends that rival the base cross the size ratio: maintain majors
+    // (the corpus is 500 rows — re-shift ids to fabricate bulk appends)
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter(col("vec_id") < 250)
+        .withColumn("vec_id", col("vec_id") + 10000L), refitFactor = 0.0)
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter(col("vec_id") >= 250)
+        .withColumn("vec_id", col("vec_id") + 20000L), refitFactor = 0.0)
+    assert(Similarity.maintainIvfIndex(spark, dir, majorSizeRatio = 0.5))
+    assert(Similarity.ivfGeneration(spark, dir).contains(gen0 + 1),
+      "maintain failed to major once appends outgrew the ratio")
+    assert(Similarity.readIvfManifest(spark, dir).get.sealedDirs.isEmpty)
+  }
+
   test("randomized append/compact interleavings keep the assignment table exact (seeded mini-fuzz)") {
     val rnd = new scala.util.Random(4242)
     val dir = java.nio.file.Files.createTempDirectory("ivf-fuzz").toString
@@ -416,10 +443,12 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.buildIvfIndex(slices.head, dir, numCentroids = 8)
     slices.tail.foreach { b =>
       // refitFactor 0: plain appends — the fuzz targets the seal/fold
-      // machinery, not the drift trigger (covered by its own spec)
+      // machinery, not the drift trigger (covered by its own spec).
+      // Both fold shapes interleave (minor folds are what the stream
+      // actually runs).
       Similarity.appendToIvfIndex(spark, dir, b, refitFactor = 0.0)
-      if (rnd.nextBoolean()) assert(Similarity.compactIvfAppends(spark, dir)
-        || Similarity.readIvfManifest(spark, dir).get.sealedDirs.isEmpty)
+      if (rnd.nextBoolean())
+        Similarity.compactIvfAppends(spark, dir, includeBase = rnd.nextBoolean())
     }
     Similarity.compactIvfAppends(spark, dir)
     // exactness: the folded table holds EXACTLY the union of appended ids
