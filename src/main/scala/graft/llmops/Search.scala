@@ -171,6 +171,25 @@ object Search {
     * entries of `dicts` are their df siblings (the base's df lives in
     * `dict`). Legacy manifests default to 1: only the base is a fold
     * product.
+    *
+    * Delete lifecycle (the reference's Del→tombstone→compaction-purge
+    * discipline, `kv/lsm/compact.go`'s bottom-only dead-drop, applied to
+    * the inverted index):
+    *  - `docLens` are `(doc_id, dl)` sidecar roots, one per build/append —
+    *    the per-document length table a delete needs to fix nDocs/sumDl
+    *    exactly (a zero-token doc has NO postings rows, so lengths are
+    *    not recoverable from postings alone). `docLensFull` records that
+    *    EVERY live doc is covered — false for an index whose base
+    *    predates the sidecar (deletes on such an index would silently
+    *    no-op for base docs, so [[deleteFromTextIndex]] refuses instead).
+    *  - `tombs` are `(doc_id, dl)` tombstone roots, one per delete batch,
+    *    DISJOINT by construction (a delete anti-joins prior tombstones).
+    *    Queries subtract tombstoned postings at read; only a MAJOR fold
+    *    physically purges them (minor folds carry dead rows verbatim —
+    *    the LSM rule that tombstones drop only at the bottom level, where
+    *    the dict can be recomputed consistently).
+    *  - `nDeleted`/`sumDlDeleted` are the running exact totals backing
+    *    the live corpus stats (nDocs - nDeleted, sumDl - sumDlDeleted).
     */
   private[llmops] final case class TextIndexManifest(
       numBuckets: Int,
@@ -181,7 +200,12 @@ object Search {
       appliedTags: Vector[String] = Vector.empty,
       dicts: Vector[String] = Vector.empty,
       tagHighWater: Long = -1L,
-      levelRoots: Int = 1)
+      levelRoots: Int = 1,
+      docLens: Vector[String] = Vector.empty,
+      docLensFull: Boolean = false,
+      tombs: Vector[String] = Vector.empty,
+      nDeleted: Long = 0L,
+      sumDlDeleted: Long = 0L)
 
   /** A sequence tag is a PURE digit string (canonical decimal, bounded
     * below Long overflow) — signs and other decorations take the
@@ -278,10 +302,11 @@ object Search {
     require(numBuckets > 0, "buildTextIndex: numBuckets must be positive")
     val spark = docs.sparkSession
     val m0 = readTextManifest(spark, indexDir)
-    val (pDir, dDir, n, sumDl) =
+    val (pDir, dDir, lDir, n, sumDl) =
       stageIndexDelta(docs, indexDir, numBuckets, idCol, textCol, skipIfEmpty = false).get
     commitTextIfUnchanged(spark, indexDir, m0,
-      TextIndexManifest(numBuckets, n, sumDl, dDir, Vector(pDir)))
+      TextIndexManifest(numBuckets, n, sumDl, dDir, Vector(pDir),
+        docLens = Vector(lDir), docLensFull = true))
   }
 
   /** Append a document batch to an existing index: stage a new postings
@@ -315,10 +340,12 @@ object Search {
     val staged = stageIndexDelta(docs, indexDir, m.numBuckets,
       idCol, textCol, skipIfEmpty = true)
     if (staged.isEmpty) return false // empty batch: nothing was written
-    val (pDir, dDir, n, sumDl) = staged.get
+    val (pDir, dDir, lDir, n, sumDl) = staged.get
     val next = m.copy(
       nDocs = m.nDocs + n, sumDl = m.sumDl + sumDl,
-      postings = m.postings :+ pDir, dicts = m.dicts :+ dDir)
+      postings = m.postings :+ pDir, dicts = m.dicts :+ dDir,
+      docLens = m.docLens :+ lDir) // docLensFull inherited: appends can't
+                                   // retrofit coverage a legacy base lacks
     try commitTextIfUnchanged(spark, indexDir, Some(m),
       batchTag.fold(next)(recordTag(next, _)))
     catch { case e: IllegalStateException =>
@@ -326,11 +353,79 @@ object Search {
       // our staged dirs (their state stays intact) and surface loudly
       val root = new org.apache.hadoop.fs.Path(indexDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      for (d <- Seq(pDir, dDir))
+      for (d <- Seq(pDir, dDir, lDir))
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true)
       throw e
     }
     true
+  }
+
+  /** Delete documents from the index — the reference's `Del` applied to
+    * the inverted index: a delete writes a TOMBSTONE root (the ids plus
+    * their doc lengths, resolved against the doc-length sidecar) and one
+    * manifest swap; the postings themselves are untouched. Queries
+    * subtract tombstoned rows at read time (and the manifest's running
+    * `nDeleted`/`sumDlDeleted` keep the corpus stats exact), so indexed
+    * scores stay BIT-IDENTICAL to the scan form over the remaining
+    * corpus. The physical purge is [[compactTextIndex]]'s major fold —
+    * the LSM's bottom-level dead-drop — after which the tombstones
+    * themselves are dropped and reclaimed by [[vacuumTextIndex]].
+    *
+    * Ids absent from the index (never added, or already tombstoned) are
+    * ignored — a replayed delete is idempotent. Returns the count of
+    * NEWLY deleted documents (0 writes nothing).
+    *
+    * Scale shape: the delete batch joins only the doc-length sidecar
+    * (16 bytes/doc), never the postings; a query then broadcasts the
+    * accumulated tombstones — deletes between major folds must stay
+    * broadcast-sized (the same class of bound as the query-term set), and
+    * the major fold is what resets it.
+    *
+    * Contract: a tombstoned id stays dead until a major fold purges the
+    * tombstone — re-appending it before then resurrects nothing (the
+    * tombstone wins at read, matching LSM delete semantics without
+    * per-row sequence numbers); re-appending after the fold works.
+    * Requires `docLensFull` (an index whose base predates the doc-length
+    * sidecar can't fix its stats exactly) — rebuild or re-index to gain
+    * delete support.
+    */
+  def deleteFromTextIndex(
+      indexDir: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Long = textLock.synchronized {
+    val spark = ids.sparkSession
+    val m = readTextManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"deleteFromTextIndex: no readable index manifest at $indexDir"))
+    if (!m.docLensFull) throw new IllegalStateException(
+      s"deleteFromTextIndex: index at $indexDir predates the doc-length " +
+        "sidecar (docLensFull=false) — stats could not be adjusted exactly; " +
+        "rebuild the index with buildTextIndex to gain delete support")
+    val victims0 = readDocLenRoots(spark, indexDir, m.docLens)
+      .join(ids.select(col(idCol).cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val victims = if (m.tombs.isEmpty) victims0
+      else victims0.join(tombIds(spark, indexDir, m), Seq("doc_id"), "left_anti")
+    // stage first, then read the staged root back for the exact totals —
+    // one compute of the join, and the stats are exactly what was written
+    val tDir = s"tombs-${java.util.UUID.randomUUID}"
+    victims.write.mode("overwrite").parquet(s"$indexDir/$tDir")
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = spark.read.schema(docLenSchema).parquet(s"$indexDir/$tDir")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl")).head()
+    val (n, sdl) = (stats.getLong(0), stats.getLong(1))
+    if (n == 0) { // nothing newly deleted: drop the stage, swap nothing
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$tDir"), true)
+      return 0L
+    }
+    try commitTextIfUnchanged(spark, indexDir, Some(m), m.copy(
+      tombs = m.tombs :+ tDir,
+      nDeleted = m.nDeleted + n, sumDlDeleted = m.sumDlDeleted + sdl))
+    catch { case e: IllegalStateException =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$tDir"), true)
+      throw e
+    }
+    n
   }
 
   // explicit read schemas: a build over an EMPTY corpus (the streaming
@@ -347,18 +442,23 @@ object Search {
     org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+  // doc-length sidecar and tombstone roots share one shape: (doc_id, dl)
+  private val docLenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType)))
 
-  /** Stage one batch's postings root and df-delta root (each holding only
-    * the batch's rows/vocabulary — see [[TextIndexManifest]]). Staged dirs
-    * are invisible until the caller's manifest swap; a crash here leaves
-    * orphans for [[vacuumTextIndex]]. Returns None (writing nothing) for
-    * an empty batch when `skipIfEmpty` — the stats action runs BEFORE any
-    * write, so empty streaming micro-batches cost one count and zero
-    * orphan dirs. (A fresh BUILD of an empty corpus still writes its
-    * roots: that is the legitimate streaming start state.)
+  /** Stage one batch's postings root, df-delta root, and doc-length
+    * sidecar root (each holding only the batch's rows/vocabulary — see
+    * [[TextIndexManifest]]). Staged dirs are invisible until the caller's
+    * manifest swap; a crash here leaves orphans for [[vacuumTextIndex]].
+    * Returns None (writing nothing) for an empty batch when `skipIfEmpty`
+    * — the stats action runs BEFORE any write, so empty streaming
+    * micro-batches cost one count and zero orphan dirs. (A fresh BUILD of
+    * an empty corpus still writes its roots: that is the legitimate
+    * streaming start state.)
     */
   private def stageIndexDelta(docs: DataFrame, indexDir: String, numBuckets: Int,
-      idCol: String, textCol: String, skipIfEmpty: Boolean): Option[(String, String, Long, Long)] = {
+      idCol: String, textCol: String, skipIfEmpty: Boolean): Option[(String, String, String, Long, Long)] = {
     val spark = docs.sparkSession
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       Text.tokens(col(textCol)).as("__toks"))
@@ -390,7 +490,13 @@ object Search {
     val dDir = s"dict-${java.util.UUID.randomUUID}"
     dfDelta.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
-    Some((pDir, dDir, n, sumDl))
+    // doc-length sidecar: the per-document row a later delete joins
+    // against to fix nDocs/sumDl exactly (16 bytes/doc — noise next to
+    // the postings, and the only way a ZERO-TOKEN doc leaves any trace)
+    val lDir = s"doclens-${java.util.UUID.randomUUID}"
+    base.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/$lDir")
+    Some((pDir, dDir, lDir, n, sumDl))
   }
 
   // one multi-path read would trip partition inference across sibling
@@ -406,6 +512,19 @@ object Search {
       indexDir: String, roots: Seq[String]): DataFrame =
     roots.map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
       .reduce(_.unionByName(_))
+
+  // doc-length sidecars and tombstone roots share the (doc_id, dl) shape
+  private def readDocLenRoots(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, roots: Seq[String]): DataFrame =
+    roots.map(d => spark.read.schema(docLenSchema).parquet(s"$indexDir/$d"))
+      .reduce(_.unionByName(_))
+
+  /** All tombstoned ids — roots are disjoint by construction (every
+    * delete anti-joins the prior tombstones), so the union IS the set.
+    */
+  private def tombIds(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: TextIndexManifest): DataFrame =
+    readDocLenRoots(spark, indexDir, m.tombs).select(col("doc_id"))
 
   /** All live postings rows. */
   private def postingsFrame(spark: org.apache.spark.sql.SparkSession,
@@ -486,13 +605,46 @@ object Search {
         throw e
       }
     readTextManifest(spark, indexDir) match {
-      case Some(m) if includeBase && (m.postings.size > 1 || m.dicts.nonEmpty) =>
-        // base dict always folds, so the major path always writes a dict
-        val (pDir, dDirOpt) = foldRoots(m.postings, m.dict +: m.dicts)
+      case Some(m) if includeBase && (m.postings.size > 1 || m.dicts.nonEmpty ||
+          m.tombs.nonEmpty || m.docLens.size > 1) =>
+        // the major fold is the PURGE point for tombstoned docs (the
+        // LSM's bottom-level dead-drop): postings fold minus the dead
+        // rows, the dict is RECOMPUTED from the folded live postings when
+        // tombstones are in play (the summed dfs count dead docs), the
+        // doc-length sidecar folds minus the dead docs, and the manifest
+        // absorbs nDeleted/sumDlDeleted into the base totals
+        val pDir = s"postings-${java.util.UUID.randomUUID}"
+        val all = readPostingsRoots(spark, indexDir, m.postings)
+        val live = if (m.tombs.isEmpty) all
+          else all.join(broadcast(tombIds(spark, indexDir, m)), Seq("doc_id"), "left_anti")
+        live.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
+        val dDir = s"dict-${java.util.UUID.randomUUID}"
+        val foldedDict =
+          if (m.tombs.isEmpty)
+            readDictRoots(spark, indexDir, m.dict +: m.dicts)
+              .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
+          else // one postings row per live (doc, tok): the row count IS df
+            spark.read.schema(postingsSchema).parquet(s"$indexDir/$pDir")
+              .groupBy(col("tok"), col("bucket"))
+              .agg(count(lit(1)).cast("double").as("df"))
+        foldedDict.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
+        val lDirOpt = if (m.docLens.isEmpty) None else {
+          val lDir = s"doclens-${java.util.UUID.randomUUID}"
+          val lens = readDocLenRoots(spark, indexDir, m.docLens)
+          (if (m.tombs.isEmpty) lens
+           else lens.join(broadcast(tombIds(spark, indexDir, m)), Seq("doc_id"), "left_anti"))
+            .write.mode("overwrite").parquet(s"$indexDir/$lDir")
+          Some(lDir)
+        }
         commitOrCleanup(m, absorbNumericTags(m).copy(
-          dict = dDirOpt.get, dicts = Vector.empty, postings = Vector(pDir),
-          levelRoots = 1),
-          pDir +: dDirOpt.toSeq)
+          dict = dDir, dicts = Vector.empty, postings = Vector(pDir),
+          levelRoots = 1, docLens = lDirOpt.toVector,
+          tombs = Vector.empty,
+          nDocs = m.nDocs - m.nDeleted, sumDl = m.sumDl - m.sumDlDeleted,
+          nDeleted = 0L, sumDlDeleted = 0L),
+          Seq(pDir, dDir) ++ lDirOpt)
         true
       case Some(m) if !includeBase && m.postings.size - m.levelRoots >= 2 =>
         // fold ONLY the L0s — prior fold products stay untouched
@@ -523,14 +675,21 @@ object Search {
     * per fold cycle. (A major is also when a replayed base-row duplicate
     * finally collapses — see [[Similarity.compactIvfAppends]]'s note on
     * the same policy for vectors.) Root sizes come from one FS content
-    * summary per root — fold-cadence metadata, not a data read. Returns
-    * true when any fold ran.
+    * summary per root — fold-cadence metadata, not a data read.
+    *
+    * A major ALSO fires once tombstoned docs exceed `deadRatio` of the
+    * indexed corpus (manifest counters — free to check): every query pays
+    * the dead rows' scan and df-correction until the purge, so a
+    * delete-heavy index must not wait for appends to trip the size
+    * trigger. Returns true when any fold ran.
     */
   def maintainTextIndex(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      majorSizeRatio: Double = 1.0): Boolean = textLock.synchronized {
+      majorSizeRatio: Double = 1.0, deadRatio: Double = 0.25): Boolean = textLock.synchronized {
     val minored = compactTextIndex(spark, indexDir, includeBase = false)
     val majored = readTextManifest(spark, indexDir) match {
+      case Some(m) if m.nDeleted > 0 && m.nDeleted >= deadRatio * m.nDocs =>
+        compactTextIndex(spark, indexDir)
       case Some(m) if m.postings.size > 1 =>
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -565,9 +724,13 @@ object Search {
       queryTextCol: String = "qtext"): DataFrame = {
     val m = readTextManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
       s"bm25TopKIndexed: no readable index manifest at $indexDir"))
-    // any value serves an empty index (no postings, so no arithmetic runs);
-    // guarding keeps the plan free of a constant NaN
-    val avgdl = if (m.nDocs == 0) 1.0 else m.sumDl.toDouble / m.nDocs
+    // LIVE corpus stats: exact integer totals minus the tombstoned docs'
+    // exact contributions — avgdl reproduces the scan form's avg() over
+    // the remaining corpus bit-for-bit. Any value serves an empty index
+    // (no postings, so no arithmetic runs); guarding keeps the plan free
+    // of a constant NaN.
+    val nLive = m.nDocs - m.nDeleted
+    val avgdl = if (nLive == 0) 1.0 else (m.sumDl - m.sumDlDeleted).toDouble / nLive
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Text.tokens(col(queryTextCol)))).as("tok"))
     val buckets = qterms.select(
@@ -579,17 +742,33 @@ object Search {
     // per root, so the filter prunes every scan. The df sum across the
     // base dict + append deltas runs over the PRUNED buckets only —
     // bounded by the query terms' vocabulary, not the corpus's.
-    val postings = postingsFrame(spark, indexDir, m)
+    val prunedPostings = postingsFrame(spark, indexDir, m)
       .filter(col("bucket").isin(buckets: _*))
-    val dict = dictFrame(spark, indexDir, m)
+    val dictTotals = dictFrame(spark, indexDir, m)
       .filter(col("bucket").isin(buckets: _*))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-      .select(col("tok"), col("df"))
+    // tombstones subtract at read (the purge is the major fold's job):
+    // dead postings rows still sit in the roots AND in the dict's df
+    // sums, so one broadcast of the tombstoned ids both filters the
+    // postings and corrects df — each dead doc has exactly one postings
+    // row per term it contained, so the per-term dead-row count IS the
+    // df correction, computable inside the already-pruned buckets
+    val (postings, dict) =
+      if (m.tombs.isEmpty) (prunedPostings, dictTotals.select(col("tok"), col("df")))
+      else {
+        val dead = broadcast(tombIds(spark, indexDir, m))
+        val ddf = prunedPostings.join(dead, Seq("doc_id"), "left_semi")
+          .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("__ddf"))
+        (prunedPostings.join(dead, Seq("doc_id"), "left_anti"),
+          dictTotals.join(ddf, Seq("tok"), "left")
+            .select(col("tok"),
+              (col("df") - coalesce(col("__ddf"), lit(0.0))).as("df")))
+      }
     val contrib = postings
       .join(broadcast(dict), Seq("tok"))
       .join(broadcast(qterms), Seq("tok"))
       .withColumn("__w", round(
-        log(lit(1.0) + (lit(m.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        log(lit(1.0) + (lit(nLive.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 6)
         .cast("decimal(18,6)"))
@@ -620,11 +799,12 @@ object Search {
       case Some(m) =>
         val root = new org.apache.hadoop.fs.Path(indexDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val live = (m.postings ++ m.dicts :+ m.dict).toSet
+        val live = (m.postings ++ m.dicts ++ m.docLens ++ m.tombs :+ m.dict).toSet
         val cutoff = System.currentTimeMillis() - minAgeMs
         val stale = fs.listStatus(root).filter { st =>
           val n = st.getPath.getName
-          st.isDirectory && (n.startsWith("postings-") || n.startsWith("dict-")) &&
+          st.isDirectory && (n.startsWith("postings-") || n.startsWith("dict-") ||
+              n.startsWith("doclens-") || n.startsWith("tombs-")) &&
             !live.contains(n) && st.getModificationTime <= cutoff
         }
         // cross-process guard BEFORE deleting: a foreign append may have

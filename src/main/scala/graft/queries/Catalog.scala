@@ -2013,12 +2013,13 @@ object Catalog {
     * so both engines rank the identical exact totals — see Search's
     * scaladoc). Yields a `ranked(query_id, doc_id, score, rank)` CTE chain.
     */
-  private def bm25OracleCtes(qsBody: String, selfFilter: String = ""): String =
+  private def bm25OracleCtes(qsBody: String, selfFilter: String = "",
+      docsWhere: String = ""): String =
     s"""qs AS ($qsBody),
       qterms AS (SELECT query_id,
           unnest(list_distinct(string_split(trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g')), ' '))) AS tok
         FROM qs),
-      d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      d AS (SELECT doc_id, $toksSql AS toks FROM documents $docsWhere),
       dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
       corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
       tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
@@ -2056,6 +2057,32 @@ object Catalog {
     })
   }
 
+  /** A separate index per dataset that carries LIVE TOMBSTONES: built over
+    * the full documents table, then every `doc_id % 7 == 3` deleted and
+    * NOT compacted — `search_bm25_deleted` exercises the read-time
+    * subtraction path (dead postings filtered, df corrected, stats
+    * adjusted), the state a delete-heavy index sits in between major
+    * folds. Memoized like [[textIndexFor]]; the delete happens once at
+    * build, so bench re-runs time only the probe.
+    */
+  private val textIndexDeletedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textIndexDeletedFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    textIndexDeletedDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val idx = Files.createTempDirectory("graft-q-textidx-del").toString
+      val docs = t(s, dir, "documents")
+      Search.buildTextIndex(docs, idx, numBuckets = 64)
+      Search.deleteFromTextIndex(idx,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      idx
+    })
+  }
+
   private val search: Seq[(String, QueryDef)] = Seq(
 
     "search_bm25_indexed" -> QueryDef(
@@ -2082,6 +2109,33 @@ object Catalog {
         SELECT query_id, rank::BIGINT AS rank, doc_id, score
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
       // headline times the PROBE path (index memoized per dataset)
+      headline = true),
+
+    "search_bm25_deleted" -> QueryDef(
+      // The index WITH live tombstones (docs deleted, purge not yet run —
+      // the reference's Del before its compaction drops the row): queries
+      // anti-join the broadcast tombstones, correct df by the dead rows'
+      // per-term counts, and score with the adjusted nDocs/avgdl. Scores
+      // stay BIT-IDENTICAL to the scan form over the remaining corpus, so
+      // the delete path is FULLY oracled — DuckDB just filters the
+      // documents table.
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (0L, "stream filter group"),
+          (1L, "hash join order"),
+          (2L, "slow scan data")).toDF("query_id", "qtext")
+        Search.bm25TopKIndexed(s, textIndexDeletedFor(s, dir), qs, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${bm25OracleCtes(
+        """SELECT * FROM (VALUES (0::BIGINT, 'stream filter group'),
+          (1::BIGINT, 'hash join order'),
+          (2::BIGINT, 'slow scan data')) v(query_id, qtext)""",
+        docsWhere = "WHERE doc_id % 7 <> 3")}
+        SELECT query_id, rank::BIGINT AS rank, doc_id, score
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
+      // headline: times the tombstone-subtraction probe (index memoized)
       headline = true),
 
     "search_bm25" -> QueryDef(
