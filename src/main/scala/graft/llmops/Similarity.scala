@@ -136,9 +136,18 @@ object Similarity {
     * cost would grow with stream lifetime instead of the data appended
     * since the last fold (legacy manifests default to 0: every sealed
     * dir is an unfolded L0).
+    *
+    * `tombDirs` are tombstone roots (`g<N>/tombs-<uuid>/`, parquet of
+    * `neighbor_id`), one per [[deleteFromIvfIndex]] batch and disjoint by
+    * construction — the reference's Del applied to the vector index.
+    * EVERY assignment read ([[ivfAssigned]]) anti-joins them, so probes,
+    * ADC scans, re-ranks, and drift re-fits all see only live vectors;
+    * the physical purge is any generation rewrite (major fold or re-fit),
+    * whose fresh manifest starts with no tombstones.
     */
   private[llmops] final case class IvfManifest(gen: Int,
-      sealedDirs: Vector[String] = Vector.empty, sealedLevels: Int = 0)
+      sealedDirs: Vector[String] = Vector.empty, sealedLevels: Int = 0,
+      tombDirs: Vector[String] = Vector.empty)
 
   private implicit val ivfFmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -335,9 +344,10 @@ object Similarity {
         val torn =
           if (!fs.exists(genPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
           else fs.listStatus(genPath).filter { st =>
-            st.isDirectory && st.getPath.getName.startsWith("append-") &&
-              !m.sealedDirs.contains(st.getPath.getName) &&
-              st.getModificationTime <= cutoff
+            val n = st.getPath.getName
+            st.isDirectory && st.getModificationTime <= cutoff &&
+              ((n.startsWith("append-") && !m.sealedDirs.contains(n)) ||
+                (n.startsWith("tombs-") && !m.tombDirs.contains(n)))
           }
         // cross-process guard BEFORE anything is deleted: a foreign writer
         // may have flipped the generation (making the new live gen look
@@ -612,7 +622,9 @@ object Similarity {
           throw e
         }
         true
-      case Some(m) if includeBase && m.sealedDirs.nonEmpty =>
+      case Some(m) if includeBase && (m.sealedDirs.nonEmpty || m.tombDirs.nonEmpty) =>
+        // tombstones alone also justify the rewrite: the generation flip
+        // IS the physical purge (ivfAssigned below excludes dead rows)
         val (fs, _) = ivfFs(spark, indexDir)
         val oldGenDir = s"$indexDir/g${m.gen}"
         val nextGen = m.gen + 1
@@ -678,10 +690,78 @@ object Similarity {
     * unioned — `cell` stays a partition column per root, so a cell filter
     * pushes through the union into every scan's partition filters.
     */
-  def ivfAssigned(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
-    ivfAssignedPaths(spark, indexDir)
+  def ivfAssigned(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
+    val all = ivfAssignedPaths(spark, indexDir)
       .map(p => spark.read.parquet(p))
       .reduce(_.unionByName(_))
+    // tombstones subtract HERE, at the one chokepoint every reader uses —
+    // probes, ADC scans, re-ranks, drift re-fits, and the major fold all
+    // see only live vectors, and the fold/re-fit generation rewrite is
+    // thereby the physical purge (its fresh manifest carries no tombs)
+    readIvfManifest(spark, indexDir) match {
+      case Some(m) if m.tombDirs.nonEmpty =>
+        all.join(broadcast(ivfTombIds(spark, indexDir, m)), Seq("neighbor_id"), "left_anti")
+      case _ => all
+    }
+  }
+
+  private val ivfTombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType)))
+
+  /** All tombstoned ids of the live generation — roots are disjoint by
+    * construction (every delete anti-joins the prior tombstones).
+    */
+  private def ivfTombIds(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: IvfManifest): DataFrame =
+    m.tombDirs
+      .map(d => spark.read.schema(ivfTombSchema).parquet(s"$indexDir/g${m.gen}/$d"))
+      .reduce(_.unionByName(_))
+
+  /** Delete vectors from the index — the reference's `Del` applied to the
+    * vector index: one tombstone root (the ids) plus one manifest swap;
+    * the assignment tables are untouched. Every read then anti-joins the
+    * broadcast tombstones (see [[ivfAssigned]]), and the next generation
+    * rewrite — [[compactIvfAppends]]'s major fold or a drift re-fit —
+    * purges the rows physically and clears the tombstones.
+    *
+    * Already-tombstoned ids are dropped (a replayed delete is idempotent
+    * and writes nothing new); ids never indexed are tolerated — the index
+    * has no cheap membership probe, and a dangling tombstone is harmless
+    * until the purge sweeps it. Returns the count of newly tombstoned
+    * ids. Deletes between generation rewrites must stay broadcast-sized;
+    * requires the manifest layout (legacy root-layout indexes predate
+    * the staging contract tombstones ride on — rebuild to gain deletes).
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      ids: DataFrame,
+      idCol: String = "vec_id"): Long = ivfLock.synchronized {
+    val m = readIvfManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"deleteFromIvfIndex: no manifest at $indexDir — legacy root-layout " +
+        "indexes don't support deletes; rebuild with buildIvfIndex"))
+    val fresh0 = ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+    val fresh = if (m.tombDirs.isEmpty) fresh0
+      else fresh0.join(ivfTombIds(spark, indexDir, m), Seq("neighbor_id"), "left_anti")
+    // stage, read the staged root back for the count, then seal — the
+    // same write-then-flip contract as every other index mutation
+    val tDir = s"tombs-${java.util.UUID.randomUUID}"
+    val tPath = s"$indexDir/g${m.gen}/$tDir"
+    fresh.write.mode("overwrite").parquet(tPath)
+    val (fs, _) = ivfFs(spark, indexDir)
+    val n = spark.read.schema(ivfTombSchema).parquet(tPath).count()
+    if (n == 0) {
+      fs.delete(new org.apache.hadoop.fs.Path(tPath), true)
+      return 0L
+    }
+    try commitIvfIfUnchanged(spark, indexDir, Some(m),
+      m.copy(tombDirs = m.tombDirs :+ tDir))
+    catch { case e: IllegalStateException =>
+      fs.delete(new org.apache.hadoop.fs.Path(tPath), true)
+      throw e
+    }
+    n
+  }
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]): probes `nProbe`
     * cells per query; cell partition pruning limits the scan to the probed

@@ -1568,6 +1568,30 @@ object Catalog {
     })
   }
 
+  /** Memoized IVF index per dataset carrying LIVE TOMBSTONES (every
+    * `vec_id % 5 == 2` deleted, purge not run) — `ann_ivf_deleted_recall`
+    * gates the read-time subtraction path the way `ann_ivf_recall` gates
+    * the plain probe. Deterministic build+delete, memoized so bench
+    * re-runs time only the probe.
+    */
+  private val ivfDeletedIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfDeletedIndexFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    ivfDeletedIndexDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val idx = Files.createTempDirectory("graft-q-ivf-del").toString
+      val emb = t(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, idx, numCentroids = 16)
+      Similarity.deleteFromIvfIndex(s, idx,
+        emb.filter(col("vec_id") % 5 === 2).select("vec_id"))
+      idx
+    })
+  }
+
   /** Memoized IVF-PQ index per dataset — same contract as [[ivfIndexFor]]
     * (deterministic build, keyed on the source's path+size+mtime), with PQ
     * codebooks and codes in the generation.
@@ -1659,6 +1683,32 @@ object Catalog {
           Seq("query_id", "neighbor_id"), floor = 0.4, name = "ivf_recall_at_5")
       },
       Some("SELECT 'ivf_recall_at_5' AS gate, true AS floor_met")),
+
+    "ann_ivf_deleted_recall" -> QueryDef(
+      // Recall gate for the DELETE path (the reference's Del on the
+      // vector index): every vec_id % 5 == 2 is tombstoned, probes
+      // anti-join the broadcast tombstones, and the gate requires (a) NO
+      // dead id ever surfaces — exactness of the subtraction, not
+      // recall — and (b) recall vs the brute force over the REMAINING
+      // corpus holds ann_ivf_recall's floor.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val live = emb.filter(col("vec_id") % 5 =!= 2)
+        val q = emb.filter(col("vec_id") < 10)
+        val probe = Similarity.ivfTopKIndexed(s, ivfDeletedIndexFor(s, dir), q,
+          k = 5, nProbe = 4)
+        // any tombstoned neighbor in the probe output zeroes the gate:
+        // floor_met ANDs with "no dead hits", so the row hash-mismatches
+        // the oracle's `true` if the subtraction ever leaks a dead vector
+        val deadHits = probe.filter(col("neighbor_id") % 5 === 2)
+          .agg(count(lit(1)).as("__dead"))
+        Recall.gate(probe,
+            Similarity.bruteForceTopK(live, q, k = 5),
+            Seq("query_id", "neighbor_id"), floor = 0.4, name = "ivf_deleted_recall_at_5")
+          .crossJoin(deadHits)
+          .select(col("gate"), (col("floor_met") && col("__dead") === 0).as("floor_met"))
+      },
+      Some("SELECT 'ivf_deleted_recall_at_5' AS gate, true AS floor_met")),
 
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {

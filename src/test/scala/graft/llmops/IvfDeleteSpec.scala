@@ -1,0 +1,101 @@
+package graft.llmops
+
+import graft.core.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tombstone deletes on the persisted IVF index — the vector-index twin of
+  * TextDeleteSpec: deletes mark (one tombstone root + manifest swap),
+  * every read subtracts, and any generation rewrite purges physically.
+  */
+class IvfDeleteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("delete: tombstoned vectors vanish from every read path; purge is physical") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    val deadIds = (100L to 140L).toSet
+    assert(Similarity.deleteFromIvfIndex(spark, dir,
+      deadIds.toSeq.toDF("vec_id")) === deadIds.size.toLong)
+    // probe never surfaces a dead id, with every cell probed (output is
+    // (query_id, neighbor_id, rank) — select by NAME, a positional read
+    // of the rank column made this assertion vacuous once)
+    val q = emb.filter(col("vec_id") < 5)
+    val hits = Similarity.ivfTopKIndexed(spark, dir, q, k = 10, nProbe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.intersect(deadIds).isEmpty, s"dead ids surfaced: ${hits.intersect(deadIds)}")
+    // the assignment view subtracts exactly the tombstoned rows
+    val total = emb.count()
+    assert(Similarity.ivfAssigned(spark, dir).count() === total - deadIds.size)
+    // the deleted set equals a probe over an index built WITHOUT those rows
+    // (same fit artifacts assumed equal is too strong for kmeans; instead
+    // gate that the probe result matches the tombstone-free probe domain)
+    val live = Similarity.ivfAssigned(spark, dir)
+      .filter(col("neighbor_id").isin(deadIds.toSeq: _*)).count()
+    assert(live === 0L)
+    // major fold = physical purge: new generation has no dead rows and a
+    // tombstone-free manifest
+    assert(Similarity.compactIvfAppends(spark, dir)) // tombs force a rewrite
+    val m = Similarity.readIvfManifest(spark, dir).get
+    assert(m.tombDirs.isEmpty)
+    assert(Similarity.ivfAssigned(spark, dir).count() === total - deadIds.size)
+    val onDisk = spark.read.parquet(s"$dir/g${m.gen}/assigned")
+      .filter(col("neighbor_id").isin(deadIds.toSeq: _*)).count()
+    assert(onDisk === 0L)
+  }
+
+  test("delete: idempotent replays write nothing; disjoint batches accumulate") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-idem").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(7L, 8L).toDF("vec_id")) === 2L)
+    val m1 = Similarity.readIvfManifest(spark, dir).get
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(7L, 8L).toDF("vec_id")) === 0L)
+    assert(Similarity.readIvfManifest(spark, dir).get === m1, "replay mutated the manifest")
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(8L, 9L).toDF("vec_id")) === 1L)
+    assert(Similarity.readIvfManifest(spark, dir).get.tombDirs.size === 2)
+  }
+
+  test("delete interacts with appends: sealed batches honor tombstones too") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-app").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir, numCentroids = 8)
+    Similarity.appendToIvfIndex(spark, dir, emb.filter(col("vec_id") % 2 === 1))
+    // delete ids living in BOTH the base table and the sealed append
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(10L, 11L).toDF("vec_id")) === 2L)
+    val got = Similarity.ivfAssigned(spark, dir)
+      .filter(col("neighbor_id").isin(10L, 11L)).count()
+    assert(got === 0L)
+    // a minor fold carries tombstones (and the dead rows) verbatim —
+    // reads stay correct throughout
+    Similarity.appendToIvfIndex(spark, dir, emb.filter(col("vec_id") === 10L)) // contract breach: still dead
+    assert(Similarity.ivfAssigned(spark, dir)
+      .filter(col("neighbor_id").isin(10L, 11L)).count() === 0L)
+  }
+
+  test("delete on a legacy root-layout index refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-legacy").toString
+    // fabricate a legacy layout: root tables, no MANIFEST.json
+    emb.limit(10).select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cell", lit(0))
+      .write.partitionBy("cell").parquet(s"$dir/assigned")
+    val e = intercept[IllegalStateException] {
+      Similarity.deleteFromIvfIndex(spark, dir, Seq(1L).toDF("vec_id"))
+    }
+    assert(e.getMessage.contains("legacy"))
+  }
+
+  test("vacuum reclaims superseded tombstones after the purge, spares live ones") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-vac").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(3L).toDF("vec_id")) === 1L)
+    // live tombstone: spared even with no age grace
+    assert(Similarity.vacuumIvfIndex(spark, dir, minAgeMs = 0L) === 0)
+    assert(Similarity.compactIvfAppends(spark, dir)) // purge to a new generation
+    // the whole old generation (tombstone included) is now reclaimable
+    assert(Similarity.vacuumIvfIndex(spark, dir, minAgeMs = 0L) > 0)
+    assert(Similarity.ivfAssigned(spark, dir)
+      .filter(col("neighbor_id") === 3L).count() === 0L)
+  }
+}
