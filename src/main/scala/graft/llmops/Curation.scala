@@ -192,6 +192,48 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Sliding-window document chunking — the RAG/indexing splitter: token
+    * windows of `chunkTokens` starting every `strideTokens` (overlap =
+    * chunkTokens - strideTokens), the last window clipped at the doc end.
+    * Every doc yields at least one chunk (a short doc is its own chunk),
+    * and every token is covered. Returns
+    * `(<idCol>, chunk_id, chunk_text, chunk_tokens)`, chunk_id 0-based.
+    *
+    * Scale shape: one narrow explode — sequence() builds the chunk-start
+    * list per row and slice() cuts each window from the already-split
+    * token array, all codegen'd natives, no shuffle at all; the fan-out
+    * is ~n_tokens/strideTokens rows per doc, the output's inherent size.
+    * Chunk identity is a pure function of (doc, position), so the split
+    * is reproducible across runs/engines and SQL-verifiable.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int,
+      strideTokens: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      "chunkDocuments: need 0 < strideTokens <= chunkTokens")
+    // last chunk start: the smallest multiple of stride from which the
+    // window reaches the doc end — ceil((n - chunk)/stride), floored at 0
+    val nChunksM1 = greatest(
+      ceil((col("__n") - chunkTokens) / lit(strideTokens.toDouble)), lit(0.0))
+      .cast("long")
+    docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), nChunksM1)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(slice(col("__toks"),
+          (col("chunk_id") * strideTokens + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(col("__n") - col("chunk_id") * strideTokens, lit(chunkTokens.toLong))
+          .as("chunk_tokens"))
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
   private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -312,6 +312,48 @@ object Dedup {
     * TEST SCALE ONLY — it exists to measure the bucketed path's recall in
     * specs, never as a declared query plan.
     */
+  /** Per-document duplicated-span statistics — the cross-document
+    * substring-duplication signal (the practical form of exact substring
+    * dedup over token n-grams): for each doc, how many of its DISTINCT
+    * `width`-token spans also appear in at least one OTHER document, and
+    * the fraction that number is of the doc's spans. High `dup_frac`
+    * marks boilerplate and templated text that pairwise whole-doc dedup
+    * (minhash/jaccard) misses because the surrounding text differs.
+    * Returns `(<idCol>, n_spans, n_dup_spans, dup_frac)` for EVERY input
+    * doc. A doc shorter than `width` contributes its WHOLE text as one
+    * span (WordShingles' short-doc fallback — identical short docs still
+    * register as duplicated); an empty doc has 0 spans and dup_frac 0.0.
+    * dup_frac is 6dp-rounded so the number is engine-portable.
+    *
+    * Scale shape: one shingle explode (sorted-distinct per doc, so span
+    * multiplicity inside one doc never inflates the signal), one
+    * hash-agg by span for the per-span doc count, one join back on the
+    * span key, one hash-agg by doc — all key-partitioned shuffles of the
+    * span stream, no window over unbounded groups, no broadcast of
+    * corpus-sized state.
+    */
+  def dupSpanStats(
+      docs: DataFrame,
+      width: Int = 6,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(width > 0, "dupSpanStats: width must be positive")
+    val sh = docs.select(col(idCol), explode(Text.shingles(col(textCol), width)).as("sh"))
+    // WordShingles is distinct-per-doc, so this count = #docs containing
+    val perSpan = sh.groupBy(col("sh")).agg(count(lit(1)).as("__nd"))
+    val perDoc = sh.join(perSpan, Seq("sh"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(when(col("__nd") >= 2, 1L).otherwise(0L)), lit(0L)).as("n_dup_spans"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(round(col("n_dup_spans") / col("n_spans"), 6)))
+  }
+
   def embeddingPairs(
       emb: DataFrame,
       threshold: Double,

@@ -101,6 +101,41 @@ object Search {
     topKScored(fused, k)
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `k` terms of each
+    * document by `tf * ln((N+1)/(df+1))` — the smoothed idf form, so a
+    * term in every doc still scores >= 0. Scores are 6dp-rounded with
+    * ties broken by term, making the ranking engine-portable (the same
+    * discipline as the BM25 scores). Returns
+    * `(<idCol>, rank, tok, score)`, rank 1..k.
+    *
+    * Scale shape: tf is one hash-agg over the exploded token stream; df
+    * is a second hash-agg over (term) — corpus-vocabulary-sized, so it
+    * JOINS back on the term key rather than broadcasting (unlike BM25,
+    * where df is bounded by the query vocabulary). The final top-k window
+    * partitions by document — bounded by doc length, never by corpus.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "tfidfTopTerms: k must be positive")
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("score"))
+  }
+
   /** Map-side-truncated top-k over `(query_id, doc_id, score)` →
     * `(query_id, rank, doc_id, score)`, rank 1..k by (score desc, doc_id asc).
     */

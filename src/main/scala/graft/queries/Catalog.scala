@@ -1013,6 +1013,29 @@ object Catalog {
           round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
         FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
+    "text_tfidf_terms" -> QueryDef(
+      // Per-doc TF-IDF keyword extraction (top 3 terms, smoothed idf):
+      // tf and df are two hash-aggs over the token stream; df joins back
+      // on the term KEY (corpus-vocabulary-sized — unlike BM25's
+      // query-bounded df it must not broadcast); the top-k window
+      // partitions by doc, bounded by doc length. 6dp-rounded scores +
+      // term tie-break make the ranking engine-portable.
+      (s, dir) => Search.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rank"),
+      Some(s"""WITH tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        scored AS (SELECT doc_id, tf.tok AS tok,
+            round(tf * ln((n_docs + 1) / (df + 1)), 6) AS score
+          FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n),
+        ranked AS (SELECT doc_id, tok, score,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+          FROM scored)
+        SELECT doc_id, rank::BIGINT AS rank, tok, score
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     "text_unigram_ll" -> QueryDef(
       // Unigram language-model quality score: average per-token
       // log-likelihood under the corpus's own add-one-smoothed unigram
@@ -1443,6 +1466,50 @@ object Catalog {
                ELSE floor((cum - 1) / 2048) END
              - floor((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_bins
         FROM c ORDER BY doc_id""")),
+
+    "pipeline_chunk" -> QueryDef(
+      // RAG/indexing chunking: 32-token windows every 16 tokens (50%
+      // overlap), last window clipped, every doc >= 1 chunk. One narrow
+      // explode, no shuffle — chunk identity is a pure function of
+      // (doc, position), so the whole split hash-matches the oracle.
+      (s, dir) => Curation.chunkDocuments(t(s, dir, "documents"),
+          chunkTokens = 32, strideTokens = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks)::BIGINT AS nt FROM d),
+        c AS (SELECT doc_id, toks, nt,
+          unnest(range(0, CAST(ceil(greatest(nt - 32, 0) / 16.0) AS BIGINT) + 1)) AS chunk_id
+          FROM n)
+        SELECT doc_id, chunk_id,
+          array_to_string(toks[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk_text,
+          least(nt - chunk_id*16, 32) AS chunk_tokens
+        FROM c ORDER BY doc_id, chunk_id""")),
+
+    "dedup_span_frac" -> QueryDef(
+      // Cross-document duplicated-span fractions: for each doc, the share
+      // of its distinct 4-token spans that appear in at least one OTHER
+      // doc — the substring-duplication signal (boilerplate, templates)
+      // whole-doc near-dedup misses. Key-partitioned span shuffles only;
+      // no broadcast of corpus-sized state (Dedup.dupSpanStats scaladoc).
+      (s, dir) => Dedup.dupSpanStats(t(s, dir, "documents"), width = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        spans AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS sp
+          FROM d, unnest(generate_series(1, greatest(len(toks)-3, 0))) AS t(i)
+          UNION
+          -- WordShingles' short-doc fallback: a doc below the span width
+          -- contributes its whole text as one span (empty text excluded)
+          SELECT doc_id, array_to_string(toks, ' ') AS sp FROM d
+          WHERE len(toks) < 4 AND array_to_string(toks, ' ') <> ''),
+        ps AS (SELECT sp, count(*) AS nd FROM spans GROUP BY sp),
+        pd AS (SELECT doc_id, count(*) AS n_spans,
+            sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM spans JOIN ps USING (sp) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_spans, 0)::BIGINT AS n_spans,
+          coalesce(n_dup, 0)::BIGINT AS n_dup_spans,
+          CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+               ELSE round(n_dup / n_spans::DOUBLE, 6) END AS dup_frac
+        FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
 
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)

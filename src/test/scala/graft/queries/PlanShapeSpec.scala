@@ -132,6 +132,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_topkby"), "indexed bm25 lost map-side top-k truncation")
   }
 
+  test("search_bm25_deleted: tombstones broadcast AND query-term buckets still prune") {
+    val p = plan("search_bm25_deleted")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"),
+      s"the deleted-index probe lost partition pruning on bucket: $pf")
+    // the tombstone subtraction must ride broadcast joins — a shuffled
+    // anti/semi join here would re-shuffle the postings stream per query
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftAnti") || p.contains("Anti")),
+      s"tombstone anti-join is not a broadcast join:\n${p.take(2000)}")
+    assert(p.contains("partial_topkby"), "deleted bm25 lost map-side top-k truncation")
+  }
+
+  test("pipeline_chunk: the splitter is one narrow pass — no shuffle at all") {
+    val p = plan("pipeline_chunk")
+    // the orderBy in the declared query adds the output sort's exchange;
+    // everything below it (tokenize -> sequence -> explode -> slice) must
+    // be exchange-free
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1,
+      s"chunking shuffled beyond the declared output sort ($exchanges exchanges):\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "chunking acquired a join — it must be a pure per-row explode")
+  }
+
+  test("dedup_span_frac: span joins are key-partitioned, never broadcast corpus state") {
+    val p = plan("dedup_span_frac")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span-stats plan degenerated:\n${p.take(2000)}")
+  }
+
   test("search_hybrid: fused plan keeps partial top-k and stays cartesian-free") {
     val p = plan("search_hybrid")
     assert(p.contains("partial_topkby"), "hybrid fusion lost map-side top-k truncation")
