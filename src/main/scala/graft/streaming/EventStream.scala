@@ -158,6 +158,51 @@ object EventStream {
       }
       .start()
 
+  /** CDC-style streaming maintenance of a persisted text index: each
+    * micro-batch carries interleaved document upserts and deletions
+    * (`opCol` = "set" | "del"), replayed the way the reference replays
+    * its WAL of Set/Del entries into the LSM. Per batch, the "set" rows
+    * append through [[graft.llmops.Search.appendToTextIndex]] (sealed
+    * exactly-once under the numeric batch tag) and the "del" ids then
+    * tombstone through [[graft.llmops.Search.deleteFromTextIndex]] —
+    * which is idempotent (already-dead and unknown ids are no-ops), so a
+    * checkpoint replay of a half-applied batch CONVERGES: the re-run
+    * append is fenced by the tag, the re-run delete deletes nothing new.
+    *
+    * Within one batch "del" wins over "set" of the same id (appends apply
+    * first, then deletes — WAL order for a set followed by its delete).
+    * The stream must be per-key ordered (the standard partition-by-key
+    * CDC contract): a delete arriving BEFORE its document would no-op
+    * and the late document would then resurrect. `compactEvery` as in
+    * [[ingestToTextIndex]] — maintenance majors also purge accumulated
+    * tombstones once they cross the dead-ratio.
+    */
+  def ingestCdcToTextIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      opCol: String = "op",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ops = batch.persist()
+        try {
+          graft.llmops.Search.appendToTextIndex(
+            indexDir, ops.filter(col(opCol) === "set"),
+            batchTag = Some(batchId.toString), idCol = idCol, textCol = textCol)
+          graft.llmops.Search.deleteFromTextIndex(
+            indexDir, ops.filter(col(opCol) === "del").select(col(idCol)), idCol = idCol)
+        } finally ops.unpersist()
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.llmops.Search.maintainTextIndex(batch.sparkSession, indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup for ingest pipelines: keep the first row per
     * `keyCol`, dropping re-arrivals within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — key-only dedup with
