@@ -81,8 +81,18 @@ object Bench {
         val minor = (0 until runs).map(_ => once()).min
         Search.compactTextIndex(spark, laDir)
         val post = (0 until runs).map(_ => once()).min
+        // delete lifecycle on the same folded index: 20% of docs
+        // tombstoned (the read-time subtraction probe — what a
+        // delete-heavy index pays between purges), then the purge's
+        // return to the clean-index floor
+        Search.deleteFromTextIndex(laDir,
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 2).select("doc_id"))
+        val tombed = (0 until runs).map(_ => once()).min
+        Search.compactTextIndex(spark, laDir)
+        val purged = (0 until runs).map(_ => once()).min
         Seq("search_bm25_longappend" -> pre, "search_bm25_minorfold" -> minor,
-          "search_bm25_postfold" -> post)
+          "search_bm25_postfold" -> post, "search_bm25_tombstoned" -> tombed,
+          "search_bm25_purged" -> purged)
       } finally {
         val p = new org.apache.hadoop.fs.Path(laDir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -90,7 +100,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] text-index lifecycle: ${e.getMessage}")
       Seq("search_bm25_longappend" -> -1.0, "search_bm25_minorfold" -> -1.0,
-        "search_bm25_postfold" -> -1.0)
+        "search_bm25_postfold" -> -1.0, "search_bm25_tombstoned" -> -1.0,
+        "search_bm25_purged" -> -1.0)
     }
     // lifecycle rows are an A/B experiment on ONE query (indexed bm25
     // against a deliberately degraded 50-root index, then folded) — they

@@ -110,6 +110,46 @@ object EventStream {
       }
       .start()
 
+  /** CDC-style streaming maintenance of a persisted IVF index — the
+    * vector twin of [[ingestCdcToTextIndex]]: per micro-batch, "set" rows
+    * append through [[graft.llmops.Similarity.appendToIvfIndex]] (staged
+    * then sealed; ANN probes tolerate an at-least-once replay's duplicate
+    * rows until a fold collapses them) and "del" ids tombstone through
+    * [[graft.llmops.Similarity.deleteFromIvfIndex]] (idempotent — a
+    * replayed delete writes nothing). Deletes win over same-batch sets of
+    * the same id; the stream must be per-key ordered. `compactEvery` as
+    * in [[ingestToIvfIndex]] — maintenance rewrites purge tombstones.
+    */
+  def ingestCdcToIvfIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      opCol: String = "op",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      refitFactor: Double = 4.0,
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ops = batch.persist()
+        try {
+          val adds = ops.filter(col(opCol) === "set")
+          if (!adds.isEmpty)
+            graft.llmops.Similarity.appendToIvfIndex(
+              batch.sparkSession, indexDir, adds,
+              idCol = idCol, vecCol = vecCol, refitFactor = refitFactor)
+          graft.llmops.Similarity.deleteFromIvfIndex(
+            batch.sparkSession, indexDir,
+            ops.filter(col(opCol) === "del").select(col(idCol)), idCol = idCol)
+        } finally ops.unpersist()
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.llmops.Similarity.maintainIvfIndex(batch.sparkSession, indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming document ingest into a persisted inverted text index:
     * each micro-batch appends through
     * [[graft.llmops.Search.appendToTextIndex]] — staged-then-sealed

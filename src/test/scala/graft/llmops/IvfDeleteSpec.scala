@@ -86,6 +86,35 @@ class IvfDeleteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("legacy"))
   }
 
+  test("CDC stream: set/del micro-batches keep the probe domain exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-cdc").toString
+    // seed the index (CDC maintains an existing index; the empty-corpus
+    // start state is the text index's story, vectors need a fit)
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400), dir, numCentroids = 8)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val mem = MemoryStream[(String, Long)]
+    val rows = emb.select(col("vec_id").as("__id"), col("embedding"))
+    val ops = mem.toDF().select(col("_1").as("op"), col("_2").as("vec_id"))
+      .join(rows, col("vec_id") === col("__id"), "left")
+      .select(col("op"), col("vec_id"),
+        coalesce(col("embedding"), array_repeat(lit(0.0f), dim)).as("embedding"))
+    val q = graft.streaming.EventStream.ingestCdcToIvfIndex(ops, dir,
+      java.nio.file.Files.createTempDirectory("ivf-del-cdc-ckpt").toString)
+    try {
+      mem.addData(("set", 450L), ("set", 451L)) // appends
+      q.processAllAvailable()
+      mem.addData(("del", 450L), ("del", 7L), ("set", 452L)) // mixed batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = Similarity.ivfAssigned(spark, dir).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(451L) && ids.contains(452L), "appended vectors missing")
+    assert(!ids.contains(450L) && !ids.contains(7L), "deleted vectors still visible")
+  }
+
   test("vacuum reclaims superseded tombstones after the purge, spares live ones") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-del-vac").toString
     Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
