@@ -212,6 +212,50 @@ class TextDeleteSpec extends AnyFunSuite {
       rows(Search.bm25TopK(net, qs, k = 5)))
   }
 
+  test("randomized append/delete/fold/vacuum interleavings stay bit-identical (seeded fuzz)") {
+    // the delete lifecycle's strongest evidence: ANY interleaving of
+    // appends, deletes (of live, dead, and unknown ids), minor folds,
+    // major folds (the purge), and vacuums must keep indexed BM25
+    // bit-identical to the scan form over the model's live corpus
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def randText() = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft-textdel-fuzz").toString
+    var model = Map.empty[Long, String] // the live corpus a scan would see
+    var everLive = Set.empty[Long]      // ids whose re-add would violate the contract
+    var nextId = 0L
+    Search.buildTextIndex(corpus(), idx, numBuckets = 8)
+    val qs = queries(0L -> "alpha beta", 1L -> "kappa gamma delta", 2L -> "theta")
+    (0 until 14).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append a fresh batch of brand-new ids
+          val docs = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            val id = nextId; nextId += 1; id -> randText()
+          }
+          model ++= docs; everLive ++= docs.map(_._1)
+          assert(Search.appendToTextIndex(idx, corpus(docs: _*), batchTag = Some(s"fz-$step")))
+        case 2 => // delete a mix of live, already-dead, and unknown ids
+          val live = model.keys.toVector
+          val victims = (rnd.shuffle(live).take(rnd.nextInt(3)) ++
+            rnd.shuffle(everLive.toVector).take(rnd.nextInt(2)) :+ (9000L + step)).distinct
+          val expectNew = victims.count(model.contains)
+          assert(Search.deleteFromTextIndex(idx, victims.toDF("doc_id")) === expectNew.toLong)
+          model --= victims
+        case 3 =>
+          Search.compactTextIndex(spark, idx, includeBase = rnd.nextBoolean())
+        case 4 =>
+          Search.vacuumTextIndex(spark, idx, minAgeMs = 0L)
+      }
+      assert(rows(Search.bm25TopKIndexed(spark, idx, qs, k = 8)) ===
+        rows(Search.bm25TopK(corpus(model.toSeq: _*), qs, k = 8)),
+        s"diverged from the scan form after step $step")
+    }
+    // final manifest sanity: totals reconcile with the model
+    val m = Search.readTextManifest(spark, idx).get
+    assert(m.nDocs - m.nDeleted === model.size.toLong)
+  }
+
   test("vacuum spares live tombstones/sidecars and reclaims them after the purge") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textdel-vac").toString
     Search.buildTextIndex(docs, idx, numBuckets = 8)
