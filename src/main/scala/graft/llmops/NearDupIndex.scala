@@ -1,0 +1,324 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.functions.expressions.HashExpressions
+
+/** Persisted, appendable MinHash-LSH near-duplicate index — the streaming
+  * complement to [[Dedup.minhashLshPairs]]: pay the corpus shingle/band
+  * scan once, then ask "which already-collected documents is this new
+  * batch a near-duplicate of" without recomputing anything over the
+  * corpus. This is dedup-at-ingest against the full collection history —
+  * the check a training-data pipeline wants BEFORE a document enters the
+  * corpus, where the batch operator can only compare what it sees in one
+  * pass. (The reference's analog is the LSM point-lookup a Set performs
+  * through memtable and levels before placing a key.)
+  *
+  * Layout under `indexDir` (the text/IVF index contract: stage dirs,
+  * then ONE atomic manifest swap; readers never see a torn batch):
+  *
+  *   MANIFEST.json    {numBands, rowsPerBand, shingleK, numBuckets,
+  *                     bands[], shingles[], appliedTags[], tagHighWater}
+  *   bands-<uuid>/pb=N/     (bh, id) — one row per (doc, band key),
+  *                     partitioned by pb = pmod(bh, numBuckets): a probe
+  *                     batch's band keys hash to a bounded pb set, so
+  *                     the candidate scan PRUNES to those partitions
+  *   shingles-<uuid>/ps=N/  (id, sh) — each doc's sorted-distinct
+  *                     shingle set, stored ONCE (not per band row),
+  *                     partitioned by ps = pmod(xxhash64(id), numBuckets)
+  *                     so the verification scan prunes to the candidate
+  *                     ids' partitions
+  *
+  * Probes verify candidates with EXACT merge-scan Jaccard over the
+  * stored shingle sets — the same verification as the batch operator, so
+  * the probe's (pair, jaccard) output is exact, not a signature estimate
+  * (only candidate RECALL is approximate, gated like every LSH family
+  * member). Corpus contract: append-only NEW doc ids, replays fenced by
+  * the numeric batch-tag high-water (the text index's contract).
+  */
+object NearDupIndex {
+
+  private[llmops] final case class NearDupManifest(
+      numBands: Int,
+      rowsPerBand: Int,
+      shingleK: Int,
+      numBuckets: Int,
+      bands: Vector[String],
+      shingles: Vector[String],
+      appliedTags: Vector[String] = Vector.empty,
+      tagHighWater: Long = -1L)
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+  private val lock = new Object
+
+  private def numericTag(t: String): Option[Long] =
+    if (t.nonEmpty && t.length <= 18 && t.forall(c => c >= '0' && c <= '9'))
+      Some(java.lang.Long.parseLong(t))
+    else None
+
+  private def tagApplied(m: NearDupManifest, tag: String): Boolean =
+    numericTag(tag) match {
+      case Some(v) => v <= m.tagHighWater ||
+        m.appliedTags.exists(numericTag(_).contains(v))
+      case None => m.appliedTags.contains(tag)
+    }
+
+  private def recordTag(m: NearDupManifest, tag: String): NearDupManifest =
+    numericTag(tag) match {
+      case Some(v) => m.copy(tagHighWater = math.max(m.tagHighWater, v))
+      case None => m.copy(appliedTags = m.appliedTags :+ tag)
+    }
+
+  private[llmops] def readManifest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[NearDupManifest] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(org.json4s.jackson.Serialization.read[NearDupManifest](text))
+    }
+  }
+
+  /** Swap to `next` only if the manifest still reads as `expected` — the
+    * optimistic cross-process guard shared by every index family here.
+    */
+  private def commitIfUnchanged(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, expected: Option[NearDupManifest], next: NearDupManifest): Unit = {
+    if (readManifest(spark, indexDir) != expected)
+      throw new IllegalStateException(
+        s"concurrent near-dup-index mutation on $indexDir — aborting; " +
+          "staged dirs are unreferenced and reclaimed by vacuumNearDupIndex")
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(org.json4s.jackson.Serialization.write(next).getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pb", org.apache.spark.sql.types.IntegerType)))
+  private val shingleSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("ps", org.apache.spark.sql.types.IntegerType)))
+
+  /** Stage one batch's band root + shingle root. Docs with zero shingles
+    * (empty text) are indexable by neither side and are skipped — they
+    * can never near-duplicate anything.
+    */
+  private def stageBatch(docs: DataFrame, indexDir: String, m: NearDupManifest,
+      idCol: String, textCol: String): Option[(String, String)] = {
+    val spark = docs.sparkSession
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+        Text.shingles(col(textCol), m.shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    if (sh.isEmpty) return None
+    val bDir = s"bands-${java.util.UUID.randomUUID}"
+    sh.select(col("id"),
+        explode(HashExpressions.minhash_bands(col("sh"), m.numBands, m.rowsPerBand)).as("bh"))
+      .withColumn("pb", pmod(col("bh"), lit(m.numBuckets.toLong)).cast("int"))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$indexDir/$bDir")
+    val sDir = s"shingles-${java.util.UUID.randomUUID}"
+    sh.withColumn("ps", pmod(xxhash64(col("id")), lit(m.numBuckets.toLong)).cast("int"))
+      .repartition(col("ps"))
+      .write.mode("overwrite").partitionBy("ps").parquet(s"$indexDir/$sDir")
+    Some((bDir, sDir))
+  }
+
+  /** Build a fresh index over `docs` (replacing any prior manifest at
+    * `indexDir`; superseded dirs wait for [[vacuumNearDupIndex]]).
+    * Band/row/shingle parameters fix the recall-vs-cost trade exactly as
+    * in [[Dedup.minhashLshPairs]]; `numBuckets` is the probe's partition-
+    * pruning granularity (the text index's sizing contract).
+    */
+  def buildNearDupIndex(
+      docs: DataFrame,
+      indexDir: String,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 3,
+      numBuckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = lock.synchronized {
+    require(numBands > 0 && rowsPerBand > 0 && shingleK > 0 && numBuckets > 0,
+      "buildNearDupIndex: all parameters must be positive")
+    val spark = docs.sparkSession
+    val m0 = readManifest(spark, indexDir)
+    val empty = NearDupManifest(numBands, rowsPerBand, shingleK, numBuckets,
+      Vector.empty, Vector.empty)
+    val next = stageBatch(docs, indexDir, empty, idCol, textCol) match {
+      case Some((bDir, sDir)) =>
+        empty.copy(bands = Vector(bDir), shingles = Vector(sDir))
+      case None => empty // empty corpus: a legitimate streaming start state
+    }
+    commitIfUnchanged(spark, indexDir, m0, next)
+  }
+
+  /** Append a batch of NEW documents. Returns false (writing nothing)
+    * for an empty/zero-shingle batch or a replayed `batchTag` (numeric
+    * tags fence by high-water — the streaming micro-batch contract).
+    */
+  def appendToNearDupIndex(
+      indexDir: String,
+      docs: DataFrame,
+      batchTag: Option[String] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Boolean = lock.synchronized {
+    val spark = docs.sparkSession
+    val m = readManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"appendToNearDupIndex: no readable index manifest at $indexDir"))
+    if (batchTag.exists(tagApplied(m, _))) return false
+    stageBatch(docs, indexDir, m, idCol, textCol) match {
+      case None => false
+      case Some((bDir, sDir)) =>
+        val next = m.copy(bands = m.bands :+ bDir, shingles = m.shingles :+ sDir)
+        try commitIfUnchanged(spark, indexDir, Some(m),
+          batchTag.fold(next)(recordTag(next, _)))
+        catch { case e: IllegalStateException =>
+          val fs = new org.apache.hadoop.fs.Path(indexDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          for (d <- Seq(bDir, sDir))
+            fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true)
+          throw e
+        }
+        true
+    }
+  }
+
+  private def readRoots(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      roots: Seq[String], schema: org.apache.spark.sql.types.StructType): DataFrame =
+    roots.map(r => spark.read.schema(schema).parquet(s"$indexDir/$r"))
+      .reduce(_.unionByName(_))
+
+  /** Which indexed documents is each probe doc a near-duplicate of?
+    * Returns `(probe_id, dup_id, jaccard)`, jaccard EXACT (merge-scan
+    * over stored shingle sets, 6dp) and >= `threshold`; self-pairs
+    * (probe id == indexed id) are dropped so an already-ingested batch
+    * can be probed.
+    *
+    * Plan shape (the 100 TB path): the probe batch's band keys and
+    * shingles are small and BROADCAST; the index band scan PRUNES to the
+    * probe keys' pb partitions (driver-collected, like the text index's
+    * term buckets); the verification scan prunes to the candidate ids'
+    * ps partitions. Nothing corpus-sized shuffles. `maxBucketSize` drops
+    * degenerate index buckets (members still reachable via their other
+    * bands — [[Dedup.minhashLshPairs]]'s skew guard).
+    */
+  def probeNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      probe: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = 5000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val m = readManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"probeNearDupIndex: no readable index manifest at $indexDir"))
+    val psh = probe.select(col(idCol).cast("long").as("probe_id"),
+        Text.shingles(col(textCol), m.shingleK).as("psh"))
+      .filter(size(col("psh")) > 0)
+    val pbands = psh.select(col("probe_id"),
+      explode(HashExpressions.minhash_bands(col("psh"), m.numBands, m.rowsPerBand)).as("bh"))
+    if (m.bands.isEmpty)
+      return pbands.limit(0).select(col("probe_id"),
+        col("probe_id").as("dup_id"), lit(0.0).as("jaccard"))
+    // bounded driver-side metadata, like the text index's term buckets
+    val pbs = pbands.select(pmod(col("bh"), lit(m.numBuckets.toLong)).cast("int").as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idxBands = readRoots(spark, indexDir, m.bands, bandSchema)
+      .filter(col("pb").isin(pbs: _*))
+    val small = idxBands.groupBy(col("bh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select(col("bh"))
+    val candidates = idxBands.join(small, Seq("bh"))
+      .join(broadcast(pbands), Seq("bh"))
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"), col("id").as("dup_id")).distinct()
+    // verification: prune the shingle scan to the candidates' partitions
+    val dupPs = candidates
+      .select(pmod(xxhash64(col("dup_id")), lit(m.numBuckets.toLong)).cast("int").as("ps"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idxSh = readRoots(spark, indexDir, m.shingles, shingleSchema)
+      .filter(col("ps").isin(dupPs: _*))
+      .select(col("id").as("dup_id"), col("sh"))
+    candidates
+      .join(idxSh, Seq("dup_id"))
+      .join(broadcast(psh), Seq("probe_id"))
+      .withColumn("jaccard",
+        round(HashExpressions.jaccard_sorted(col("psh"), col("sh")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("dup_id"), col("jaccard"))
+  }
+
+  /** Fold append roots to one root per side — the small-files compaction
+    * (roots accumulate one per streaming micro-batch; queries union all
+    * of them). Append-only rows with fenced replays mean a plain rewrite
+    * is exact. Returns true when a fold happened.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = lock.synchronized {
+    readManifest(spark, indexDir) match {
+      case Some(m) if m.bands.size > 1 || m.shingles.size > 1 ||
+          m.appliedTags.exists(numericTag(_).isDefined) =>
+        val bDir = s"bands-${java.util.UUID.randomUUID}"
+        readRoots(spark, indexDir, m.bands, bandSchema)
+          .repartition(col("pb"))
+          .write.mode("overwrite").partitionBy("pb").parquet(s"$indexDir/$bDir")
+        val sDir = s"shingles-${java.util.UUID.randomUUID}"
+        readRoots(spark, indexDir, m.shingles, shingleSchema)
+          .repartition(col("ps"))
+          .write.mode("overwrite").partitionBy("ps").parquet(s"$indexDir/$sDir")
+        val numeric = m.appliedTags.flatMap(numericTag)
+        try commitIfUnchanged(spark, indexDir, Some(m), m.copy(
+          bands = Vector(bDir), shingles = Vector(sDir),
+          appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
+          tagHighWater = (m.tagHighWater +: numeric).max))
+        catch { case e: IllegalStateException =>
+          val fs = new org.apache.hadoop.fs.Path(indexDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          for (d <- Seq(bDir, sDir))
+            fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true)
+          throw e
+        }
+        true
+      case _ => false
+    }
+  }
+
+  /** Delete dirs the manifest no longer references (crashed stages,
+    * superseded roots). Same age-grace contract as the other indexes:
+    * dirs younger than `minAgeMs` are spared for in-flight cross-process
+    * stages. Returns the number of directories removed.
+    */
+  def vacuumNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, minAgeMs: Long = 600000L): Int = lock.synchronized {
+    readManifest(spark, indexDir) match {
+      case None => 0
+      case Some(m) =>
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = (m.bands ++ m.shingles).toSet
+        val cutoff = System.currentTimeMillis() - minAgeMs
+        val stale = fs.listStatus(root).filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && (n.startsWith("bands-") || n.startsWith("shingles-")) &&
+            !live.contains(n) && st.getModificationTime <= cutoff
+        }
+        if (readManifest(spark, indexDir) != Some(m))
+          throw new IllegalStateException(
+            s"concurrent near-dup-index mutation on $indexDir during vacuum — aborting")
+        stale.foreach(st => fs.delete(st.getPath, true))
+        stale.length
+    }
+  }
+}

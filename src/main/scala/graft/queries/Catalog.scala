@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftDB, GraftOptions}
 import graft.functions.Text
 import graft.graph.GraphOps
-import graft.llmops.{Curation, Dedup, Multimodal, Recall, Search, Similarity}
+import graft.llmops.{Curation, Dedup, Multimodal, NearDupIndex, Recall, Search, Similarity}
 import graft.operators.KVOps
 import graft.streaming.EventStream
 
@@ -1467,6 +1467,45 @@ object Catalog {
              - floor((cum - n_tokens) / 2048) + 1 AS BIGINT) AS n_bins
         FROM c ORDER BY doc_id""")),
 
+    "dedup_index_probe" -> QueryDef(
+      // The persisted near-dup index probed with held-out docs (doc_id %
+      // 13 == 5): which already-collected documents is each new doc a
+      // near-duplicate of. Probe band keys broadcast, the band scan
+      // prunes to their pb partitions, verification prunes to candidate
+      // ps partitions, jaccard is EXACT merge-scan — rows-only here
+      // (banding isn't SQL-expressible), certified by dedup_index_recall.
+      (s, dir) => NearDupIndex.probeNearDupIndex(s, nearDupIndexFor(s, dir),
+          t(s, dir, "documents").filter(col("doc_id") % 13 === 5), threshold = 0.8)
+        .orderBy("probe_id", "dup_id"),
+      None,
+      headline = true),
+
+    "dedup_index_recall" -> QueryDef(
+      // Recall gate for the rows-only probe: every EXACT cross-split
+      // jaccard pair at the threshold (probe docs x indexed corpus,
+      // computed in-plan with the same merge-scan jaccard) must be found
+      // by the banded probe. Near-identical pairs share every band, so
+      // the measured recall is 1.0; floor 0.8 is the tripwire.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"),
+          graft.functions.Text.shingles(col("text"), 3).as("sh"))
+        val probe = sh.filter(col("doc_id") % 13 === 5)
+          .select(col("doc_id").as("probe_id"), col("sh").as("psh"))
+        val corpusSide = sh.filter(col("doc_id") % 13 =!= 5)
+          .select(col("doc_id").as("dup_id"), col("sh"))
+        val exact = corpusSide.join(broadcast(probe), lit(true))
+          .withColumn("jaccard",
+            graft.functions.expressions.HashExpressions.jaccard_sorted(col("psh"), col("sh")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("probe_id"), col("dup_id"))
+        Recall.gate(
+          NearDupIndex.probeNearDupIndex(s, nearDupIndexFor(s, dir),
+            docs.filter(col("doc_id") % 13 === 5), threshold = 0.8),
+          exact, Seq("probe_id", "dup_id"), floor = 0.8, name = "dedup_index_recall")
+      },
+      Some("SELECT 'dedup_index_recall' AS gate, true AS floor_met")),
+
     "pipeline_chunk" -> QueryDef(
       // RAG/indexing chunking: 32-token windows every 16 tokens (50%
       // overlap), last window clipped, every doc >= 1 chunk. One narrow
@@ -2196,6 +2235,26 @@ object Catalog {
       Search.buildTextIndex(docs, idx, numBuckets = 64)
       Search.deleteFromTextIndex(idx,
         docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      idx
+    })
+  }
+
+  /** Memoized near-dup index per dataset over the doc_id % 13 != 5 split
+    * (the % 13 == 5 docs are the held-out probe side) — same
+    * deterministic-build memoization contract as [[textIndexFor]].
+    */
+  private val nearDupIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupIndexFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    nearDupIndexDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val idx = Files.createTempDirectory("graft-q-ndidx").toString
+      NearDupIndex.buildNearDupIndex(
+        t(s, dir, "documents").filter(col("doc_id") % 13 =!= 5), idx, numBuckets = 64)
       idx
     })
   }

@@ -243,6 +243,43 @@ object EventStream {
       }
       .start()
 
+  /** Streaming near-duplicate detection at ingest: every micro-batch is
+    * appended to a persisted [[graft.llmops.NearDupIndex]] (sealed
+    * exactly-once under the numeric batch tag) and then PROBED against
+    * it, writing each batch doc's near-duplicates — across the whole
+    * collection history AND within the batch — to `pairsOut` as
+    * `(probe_id, dup_id, jaccard)`. This is the dedup-vs-everything-
+    * collected-so-far check [[dedupStream]]'s watermark-bounded exact
+    * dedup cannot do. Probing AFTER the append makes a checkpoint replay
+    * emit the identical pair set again (the append itself is fenced), so
+    * `pairsOut` is at-least-once with idempotent content — dedupe by
+    * (probe_id, dup_id) downstream.
+    */
+  def ingestToNearDupIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      pairsOut: String,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.llmops.NearDupIndex
+        NearDupIndex.appendToNearDupIndex(indexDir, batch,
+          batchTag = Some(batchId.toString), idCol = idCol, textCol = textCol)
+        NearDupIndex.probeNearDupIndex(batch.sparkSession, indexDir, batch,
+            threshold, idCol = idCol, textCol = textCol)
+          .write.mode("append").parquet(pairsOut)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          NearDupIndex.compactNearDupIndex(batch.sparkSession, indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup for ingest pipelines: keep the first row per
     * `keyCol`, dropping re-arrivals within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — key-only dedup with

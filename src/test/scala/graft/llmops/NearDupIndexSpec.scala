@@ -1,0 +1,145 @@
+package graft.llmops
+
+import graft.core.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted MinHash-LSH near-dup index: build/append/probe/compact/
+  * vacuum lifecycle plus the streaming dedup-at-ingest wire.
+  */
+class NearDupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def pairs(df: DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("dup_id"),
+      r.getAs[Double]("jaccard"))).toSet
+
+  // near-identical docs share every band; unrelated docs share none
+  private val base = corpus(
+    1L -> "the quick brown fox jumps over the lazy dog today",
+    2L -> "completely different words about database engines and storage",
+    3L -> "graphs stream through windows while aggregates fold quietly")
+
+  test("probe finds exact-jaccard near-dups of indexed docs, ignores novel text") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    val probe = corpus(
+      10L -> "the quick brown fox jumps over the lazy dog today", // dup of 1
+      11L -> "nothing here resembles any indexed document at all")
+    val got = pairs(NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8))
+    assert(got === Set((10L, 1L, 1.0)))
+    // a lower threshold still verifies with EXACT jaccard values
+    val loose = pairs(NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.0))
+    assert(loose.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
+  }
+
+  test("append extends the probe domain; replayed tags are fenced") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-app").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    assert(NearDupIndex.appendToNearDupIndex(idx,
+      corpus(4L -> "fresh appended content with its own distinct words"),
+      batchTag = Some("0")))
+    // replay: nothing written, no duplicate rows to inflate candidates
+    assert(!NearDupIndex.appendToNearDupIndex(idx,
+      corpus(4L -> "fresh appended content with its own distinct words"),
+      batchTag = Some("0")))
+    val probe = corpus(20L -> "fresh appended content with its own distinct words")
+    assert(pairs(NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8))
+      === Set((20L, 4L, 1.0)))
+  }
+
+  test("compaction folds roots to one per side and keeps probes identical") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-fold").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    (0 until 4).foreach { i =>
+      assert(NearDupIndex.appendToNearDupIndex(idx,
+        corpus((10L + i) -> s"unique appended document number $i with padding words"),
+        batchTag = Some(i.toString)))
+    }
+    val probe = corpus(
+      30L -> "the quick brown fox jumps over the lazy dog today",
+      31L -> "unique appended document number 2 with padding words")
+    val pre = pairs(NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8))
+    assert(pre.map(p => (p._1, p._2)) === Set((30L, 1L), (31L, 12L)))
+    assert(NearDupIndex.compactNearDupIndex(spark, idx))
+    val m = NearDupIndex.readManifest(spark, idx).get
+    assert(m.bands.size === 1 && m.shingles.size === 1 && m.tagHighWater === 3L)
+    assert(pairs(NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8)) === pre)
+    assert(!NearDupIndex.compactNearDupIndex(spark, idx)) // nothing left
+    assert(NearDupIndex.vacuumNearDupIndex(spark, idx, minAgeMs = 0L) > 0)
+    assert(pairs(NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8)) === pre)
+  }
+
+  test("probe agrees with the batch operator on a shared corpus") {
+    // every near-dup pair the BATCH operator reports within (corpus +
+    // probe) that crosses the probe/corpus split must surface in the
+    // indexed probe too, with the identical exact jaccard
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpusSide = docs.filter(col("doc_id") % 13 =!= 5)
+    val probeSide = docs.filter(col("doc_id") % 13 === 5)
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-batch").toString
+    NearDupIndex.buildNearDupIndex(corpusSide, idx, numBuckets = 16)
+    val got = pairs(NearDupIndex.probeNearDupIndex(spark, idx, probeSide, threshold = 0.8))
+    val batch = Dedup.minhashLshPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val crossing = batch.flatMap { case (a, b, j) =>
+      (a % 13 == 5, b % 13 == 5) match {
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _ => None
+      }
+    }
+    assert(crossing.nonEmpty, "test premise: the split must produce crossing pairs")
+    assert(crossing.subsetOf(got),
+      s"indexed probe missed batch-operator pairs: ${crossing -- got}")
+  }
+
+  test("empty-text docs index nothing and probe nothing") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-empty").toString
+    NearDupIndex.buildNearDupIndex(corpus(1L -> ""), idx, numBuckets = 8)
+    assert(NearDupIndex.readManifest(spark, idx).get.bands.isEmpty)
+    // probing an EMPTY index returns an empty, well-typed frame
+    val out = NearDupIndex.probeNearDupIndex(spark, idx,
+      corpus(2L -> "some words"), threshold = 0.5)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("probe_id", "dup_id", "jaccard"))
+    assert(!NearDupIndex.appendToNearDupIndex(idx, corpus(3L -> ""), batchTag = Some("0")))
+  }
+
+  test("streaming ingest: cross-batch and within-batch dups land in pairsOut") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-stream").toString
+    val out = java.nio.file.Files.createTempDirectory("ndidx-pairs").toString + "/pairs"
+    NearDupIndex.buildNearDupIndex(corpus(), idx, numBuckets = 8) // empty start
+    val mem = MemoryStream[(Long, String)]
+    val docsStream = mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = graft.streaming.EventStream.ingestToNearDupIndex(
+      docsStream, idx,
+      java.nio.file.Files.createTempDirectory("ndidx-ckpt").toString,
+      out, threshold = 0.8)
+    try {
+      mem.addData(1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "unrelated text about storage engines and compaction")
+      q.processAllAvailable()
+      // batch 2: one cross-batch dup (of 1) and two within-batch dups
+      mem.addData(3L -> "the quick brown fox jumps over the lazy dog today",
+        4L -> "windows fold aggregates over quiet streams tonight",
+        5L -> "windows fold aggregates over quiet streams tonight")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("probe_id"), col("dup_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3 duplicates 1 (cross-batch; 1 is never a probe so only this
+    // direction exists); 4/5 duplicate each other (within-batch, both
+    // directions since both probe)
+    assert(got === Set((3L, 1L), (4L, 5L), (5L, 4L)), s"unexpected pair set: $got")
+  }
+}
