@@ -157,6 +157,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "chunking acquired a join — it must be a pure per-row explode")
   }
 
+  test("dedup_index_probe: band and shingle scans prune partitions; probe side broadcasts") {
+    val p = plan("dedup_index_probe")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("pb") && pf.contains("ps"),
+      s"the near-dup probe lost partition pruning (pb=bands, ps=shingles) — " +
+        s"every probe would scan the whole index: $pf")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe side stopped broadcasting — corpus-sized shuffle per probe batch")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup probe plan degenerated:\n${p.take(2000)}")
+  }
+
   test("dedup_span_frac: span joins are key-partitioned, never broadcast corpus state") {
     val p = plan("dedup_span_frac")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
