@@ -70,15 +70,40 @@ object NearDupIndex {
       case None => m.copy(appliedTags = m.appliedTags :+ tag)
     }
 
+  // stamp cache (size+mtime revalidation via one getFileStatus — the
+  // GraftDB/text/IVF manifest pattern): repeated probes on an unchanged
+  // index skip the JSON re-parse; every commit changes the file stamp so
+  // foreign writers are still seen. `manifestParses` counts ACTUAL
+  // parses so a spec can pin the cache.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, NearDupManifest)]()
+  private[llmops] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `fresh = true` bypasses the stamp cache — the correctness-critical
+    * read for the optimistic commit/vacuum guards, where a same-length
+    * same-mtime-window foreign commit must still be seen.
+    */
   private[llmops] def readManifest(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Option[NearDupManifest] = {
+      indexDir: String, fresh: Boolean = false): Option[NearDupManifest] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(org.json4s.jackson.Serialization.read[NearDupManifest](text))
+    val st = try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None => manifestCache.remove(indexDir); None
+      case Some(s) =>
+        val cached = manifestCache.get(indexDir)
+        if (!fresh && cached != null &&
+            cached._1 == s.getLen && cached._2 == s.getModificationTime)
+          Some(cached._3)
+        else {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val m = org.json4s.jackson.Serialization.read[NearDupManifest](text)
+          manifestParses.incrementAndGet()
+          manifestCache.put(indexDir, (s.getLen, s.getModificationTime, m))
+          Some(m)
+        }
     }
   }
 
@@ -87,7 +112,8 @@ object NearDupIndex {
     */
   private def commitIfUnchanged(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, expected: Option[NearDupManifest], next: NearDupManifest): Unit = {
-    if (readManifest(spark, indexDir) != expected)
+    // guard read bypasses the stamp cache — see readManifest's `fresh`
+    if (readManifest(spark, indexDir, fresh = true) != expected)
       throw new IllegalStateException(
         s"concurrent near-dup-index mutation on $indexDir — aborting; " +
           "staged dirs are unreferenced and reclaimed by vacuumNearDupIndex")
@@ -100,6 +126,8 @@ object NearDupIndex {
     org.apache.hadoop.fs.FileContext
       .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // drop, don't update: the next read restamps from the renamed file
+    manifestCache.remove(indexDir)
   }
 
   private val bandSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -236,11 +264,18 @@ object NearDupIndex {
     // bounded driver-side metadata, like the text index's term buckets
     val pbs = pbands.select(pmod(col("bh"), lit(m.numBuckets.toLong)).cast("int").as("pb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val idxBands = readRoots(spark, indexDir, m.bands, bandSchema)
+    // the skew cap only needs sizes of buckets the probe actually TOUCHES:
+    // semi-join the pruned scan down to the probe's band keys first, so
+    // the count aggregation runs over the matched slice instead of every
+    // bucket in the pruned partitions. At bench scale this is noise (the
+    // probe is job-overhead-bound); at corpus scale the difference is a
+    // probe-bounded aggregation vs a corpus-bounded one.
+    val matched = readRoots(spark, indexDir, m.bands, bandSchema)
       .filter(col("pb").isin(pbs: _*))
-    val small = idxBands.groupBy(col("bh")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(pbands.select(col("bh")).distinct()), Seq("bh"), "left_semi")
+    val small = matched.groupBy(col("bh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select(col("bh"))
-    val candidates = idxBands.join(small, Seq("bh"))
+    val candidates = matched.join(small, Seq("bh"))
       .join(broadcast(pbands), Seq("bh"))
       .filter(col("probe_id") =!= col("id"))
       .select(col("probe_id"), col("id").as("dup_id")).distinct()
@@ -314,7 +349,7 @@ object NearDupIndex {
           st.isDirectory && (n.startsWith("bands-") || n.startsWith("shingles-")) &&
             !live.contains(n) && st.getModificationTime <= cutoff
         }
-        if (readManifest(spark, indexDir) != Some(m))
+        if (readManifest(spark, indexDir, fresh = true) != Some(m))
           throw new IllegalStateException(
             s"concurrent near-dup-index mutation on $indexDir during vacuum — aborting")
         stale.foreach(st => fs.delete(st.getPath, true))

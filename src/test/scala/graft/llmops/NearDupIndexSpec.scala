@@ -100,6 +100,25 @@ class NearDupIndexSpec extends AnyFunSuite {
       s"indexed probe missed batch-operator pairs: ${crossing -- got}")
   }
 
+  test("manifest stamp-cache: repeated probes on an unchanged index parse once") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-stamp").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    val probe = corpus(10L -> "the quick brown fox jumps over the lazy dog today")
+    NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8).collect()
+    val before = NearDupIndex.manifestParses.get()
+    (0 until 5).foreach { _ =>
+      NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8).collect()
+    }
+    assert(NearDupIndex.manifestParses.get() === before,
+      "unchanged index re-parsed its manifest on repeated probes")
+    // a mutation restamps: the next probe parses exactly once more
+    assert(NearDupIndex.appendToNearDupIndex(idx,
+      corpus(4L -> "new content"), batchTag = Some("s0")))
+    val afterAppend = NearDupIndex.manifestParses.get()
+    NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.8).collect()
+    assert(NearDupIndex.manifestParses.get() === afterAppend + 1)
+  }
+
   test("empty-text docs index nothing and probe nothing") {
     val idx = java.nio.file.Files.createTempDirectory("ndidx-empty").toString
     NearDupIndex.buildNearDupIndex(corpus(1L -> ""), idx, numBuckets = 8)
