@@ -411,7 +411,9 @@ object Search {
     * NEWLY deleted documents (0 writes nothing).
     *
     * Scale shape: the delete batch joins only the doc-length sidecar
-    * (16 bytes/doc), never the postings; a query then broadcasts the
+    * (16 bytes/doc), never the postings — and the sidecar scan PRUNES to
+    * the batch's id-hash buckets, so delete cost is proportional to the
+    * touched buckets, not the corpus. A query then broadcasts the
     * accumulated tombstones — deletes between major folds must stay
     * broadcast-sized (the same class of bound as the query-term set), and
     * the major fold is what resets it.
@@ -435,9 +437,17 @@ object Search {
       s"deleteFromTextIndex: index at $indexDir predates the doc-length " +
         "sidecar (docLensFull=false) — stats could not be adjusted exactly; " +
         "rebuild the index with buildTextIndex to gain delete support")
+    val delIds = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // the batch's id-hash buckets (bounded driver metadata, <= numBuckets
+    // values) prune the sidecar scan — delete cost is proportional to the
+    // touched buckets, never the corpus
+    val delPs = delIds
+      .select(pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int").as("ps"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     val victims0 = readDocLenRoots(spark, indexDir, m.docLens)
-      .join(ids.select(col(idCol).cast("long").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
+      .filter(col("ps").isin(delPs: _*))
+      .join(delIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl"))
     val victims = if (m.tombs.isEmpty) victims0
       else victims0.join(tombIds(spark, indexDir, m), Seq("doc_id"), "left_anti")
     // stage first, then read the staged root back for the exact totals —
@@ -446,7 +456,7 @@ object Search {
     victims.write.mode("overwrite").parquet(s"$indexDir/$tDir")
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stats = spark.read.schema(docLenSchema).parquet(s"$indexDir/$tDir")
+    val stats = spark.read.schema(tombSchema).parquet(s"$indexDir/$tDir")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sdl")).head()
     val (n, sdl) = (stats.getLong(0), stats.getLong(1))
     if (n == 0) { // nothing newly deleted: drop the stage, swap nothing
@@ -477,10 +487,17 @@ object Search {
     org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
-  // doc-length sidecar and tombstone roots share one shape: (doc_id, dl)
-  private val docLenSchema = org.apache.spark.sql.types.StructType(Seq(
+  // tombstone roots: (doc_id, dl), read whole (they are delete-batch-sized)
+  private val tombSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType)))
+  // doc-length sidecar roots add an id-hash partition column so a delete
+  // prunes its read to the batch's buckets instead of scanning the whole
+  // corpus-sized sidecar
+  private val docLenSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ps", org.apache.spark.sql.types.IntegerType)))
 
   /** Stage one batch's postings root, df-delta root, and doc-length
     * sidecar root (each holding only the batch's rows/vocabulary — see
@@ -527,10 +544,14 @@ object Search {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
     // doc-length sidecar: the per-document row a later delete joins
     // against to fix nDocs/sumDl exactly (16 bytes/doc — noise next to
-    // the postings, and the only way a ZERO-TOKEN doc leaves any trace)
+    // the postings, and the only way a ZERO-TOKEN doc leaves any trace).
+    // Partitioned by id hash so a delete prunes to its batch's buckets
+    // instead of scanning the corpus-sized sidecar.
     val lDir = s"doclens-${java.util.UUID.randomUUID}"
     base.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$indexDir/$lDir")
+      .withColumn("ps", pmod(xxhash64(col("doc_id")), lit(numBuckets.toLong)).cast("int"))
+      .repartition(col("ps"))
+      .write.mode("overwrite").partitionBy("ps").parquet(s"$indexDir/$lDir")
     Some((pDir, dDir, lDir, n, sumDl))
   }
 
@@ -548,7 +569,6 @@ object Search {
     roots.map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
       .reduce(_.unionByName(_))
 
-  // doc-length sidecars and tombstone roots share the (doc_id, dl) shape
   private def readDocLenRoots(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, roots: Seq[String]): DataFrame =
     roots.map(d => spark.read.schema(docLenSchema).parquet(s"$indexDir/$d"))
@@ -559,7 +579,8 @@ object Search {
     */
   private def tombIds(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, m: TextIndexManifest): DataFrame =
-    readDocLenRoots(spark, indexDir, m.tombs).select(col("doc_id"))
+    m.tombs.map(d => spark.read.schema(tombSchema).parquet(s"$indexDir/$d"))
+      .reduce(_.unionByName(_)).select(col("doc_id"))
 
   /** All live postings rows. */
   private def postingsFrame(spark: org.apache.spark.sql.SparkSession,
@@ -670,7 +691,8 @@ object Search {
           val lens = readDocLenRoots(spark, indexDir, m.docLens)
           (if (m.tombs.isEmpty) lens
            else lens.join(broadcast(tombIds(spark, indexDir, m)), Seq("doc_id"), "left_anti"))
-            .write.mode("overwrite").parquet(s"$indexDir/$lDir")
+            .repartition(col("ps"))
+            .write.mode("overwrite").partitionBy("ps").parquet(s"$indexDir/$lDir")
           Some(lDir)
         }
         commitOrCleanup(m, absorbNumericTags(m).copy(

@@ -37,6 +37,11 @@ class TextDeleteSpec extends AnyFunSuite {
   test("delete: indexed scores bit-identical to the scan form over the remaining corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textdel").toString
     Search.buildTextIndex(docs, idx, numBuckets = 8)
+    val m0 = Search.readTextManifest(spark, idx).get
+    // the sidecar is id-hash partitioned (ps=N dirs) so deletes prune
+    // their read instead of scanning the corpus-sized sidecar
+    assert(new java.io.File(s"$idx/${m0.docLens.head}").listFiles()
+      .exists(_.getName.startsWith("ps=")), "doc-length sidecar lost its ps partitioning")
     assert(Search.deleteFromTextIndex(idx, Seq(2L, 5L).toDF("doc_id")) === 2L)
     val m = Search.readTextManifest(spark, idx).get
     assert(m.nDeleted === 2L && m.tombs.size === 1)
