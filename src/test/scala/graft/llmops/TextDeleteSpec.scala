@@ -153,6 +153,30 @@ class TextDeleteSpec extends AnyFunSuite {
     assert(Search.bm25TopKIndexed(spark, idx, qs, k = 5).count() === 0L)
   }
 
+  test("cross-process guard: a delete staged against a stale manifest aborts and cleans up") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textdel-xproc").toString
+    Search.buildTextIndex(docs, idx, numBuckets = 8)
+    val stale = Search.readTextManifest(spark, idx).get
+    // a "foreign" writer moves the manifest after our snapshot
+    assert(Search.appendToTextIndex(idx, corpus(6L -> "apple zebra"), batchTag = Some("f0")))
+    // replaying the foreign state behind deleteFromTextIndex's back:
+    // fabricate the race by restoring the stale manifest read — instead,
+    // drive the real path: monkey-level interleaving isn't reachable
+    // through the public API in-process (the lock serializes), so assert
+    // the guard through the commit primitive the delete uses
+    val e = intercept[IllegalStateException] {
+      Search.commitTextIfUnchanged(spark, idx, Some(stale),
+        stale.copy(nDeleted = 1L))
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // the index remains exactly the foreign writer's state
+    val m = Search.readTextManifest(spark, idx).get
+    assert(m.nDocs === 6L && m.nDeleted === 0L)
+    // no tombs- orphans linger after a real delete on the CURRENT state
+    assert(Search.deleteFromTextIndex(idx, Seq(6L).toDF("doc_id")) === 1L)
+    assert(Search.vacuumTextIndex(spark, idx, minAgeMs = 0L) === 0)
+  }
+
   test("delete refuses an index without full doc-length coverage (legacy base)") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textdel-legacy").toString
     Search.buildTextIndex(docs, idx, numBuckets = 8)
