@@ -1311,6 +1311,37 @@ object Catalog {
           FROM documents)
         ORDER BY shard, pos""")),
 
+    "pipeline_mix" -> QueryDef(
+      // The full training-mix recipe in ONE certified row: deterministic
+      // per-source keep-rates (Curation.sampleStrata's Knuth draw — the
+      // domain-mixing step) feeding the deterministic shard shuffle
+      // (Curation.shuffleShards), so the final (doc_id, shard, pos)
+      // layout of the MIXED corpus is a pure function of the ids:
+      // reproducible across engines and cluster sizes, and the oracle
+      // verifies every surviving row's exact shard and position. This is
+      // the composition a pre-training pipeline actually ships — sample
+      // the mix, then lay out the shards — certified end to end, not as
+      // two independent steps.
+      (s, dir) => {
+        val mixed = Curation.sampleStrata(t(s, dir, "documents"), "source",
+          Map("src0" -> 0.25, "src1" -> 0.75), defaultFraction = 0.5)
+        Curation.shuffleShards(mixed, numShards = 4)
+          .orderBy("shard", "pos")
+      },
+      Some("""WITH mixed AS (SELECT doc_id FROM documents
+          WHERE ((doc_id % 1000003 + 1) * 2654435761
+               + (doc_id % 999983 + 1) * 2246822519) % 4294967296
+              < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.75
+                 ELSE 0.5 END) * 4294967296)
+        SELECT doc_id, shard, pos FROM (
+          SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 AS shard,
+            row_number() OVER (
+              PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4
+              ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS pos
+          FROM mixed)
+        ORDER BY shard, pos""")),
+
     "pipeline_token_budget" -> QueryDef(
       // Token-budget packing: fill a per-language token budget with the
       // highest-quality documents first — the selection step between
