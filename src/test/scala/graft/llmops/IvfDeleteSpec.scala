@@ -74,6 +74,28 @@ class IvfDeleteSpec extends AnyFunSuite {
       .filter(col("neighbor_id").isin(10L, 11L)).count() === 0L)
   }
 
+  test("IVF-PQ probes honor tombstones through the shared assignment view") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-del").toString
+    Similarity.buildIvfPqIndex(emb, dir, numCentroids = 8, m = 8, ksub = 16)
+    val deadIds = (200L to 260L).toSet
+    assert(Similarity.deleteFromIvfIndex(spark, dir,
+      deadIds.toSeq.toDF("vec_id")) === deadIds.size.toLong)
+    // the codes-only ADC scan and the exact re-rank both route through
+    // ivfAssigned — a dead vector must surface from neither
+    val q = emb.filter(col("vec_id") < 5)
+    val hits = Similarity.ivfPqTopK(spark, dir, q, k = 10, nProbe = 8, rerank = 50)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.intersect(deadIds).isEmpty,
+      s"ADC path surfaced dead ids: ${hits.intersect(deadIds)}")
+    // purge rewrites the generation with codes intact and tombstones gone
+    assert(Similarity.compactIvfAppends(spark, dir))
+    val m = Similarity.readIvfManifest(spark, dir).get
+    assert(m.tombDirs.isEmpty)
+    val hits2 = Similarity.ivfPqTopK(spark, dir, q, k = 10, nProbe = 8, rerank = 50)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits2.intersect(deadIds).isEmpty)
+  }
+
   test("delete on a legacy root-layout index refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-del-legacy").toString
     // fabricate a legacy layout: root tables, no MANIFEST.json
