@@ -656,13 +656,23 @@ object Similarity {
     * base assignment table's bytes (size-ratio merge: majors amortize
     * geometrically, each row rewritten O(log growth) times over a
     * stream's lifetime — and replayed base-row duplicates collapse
-    * there). Returns true when any fold ran.
+    * there).
+    *
+    * A major ALSO fires once `maxTombRoots` tombstone roots accumulate —
+    * the purge trigger for delete-heavy indexes that never append. (The
+    * text index triggers on its exact dead RATIO; the IVF manifest
+    * deliberately tracks no corpus count — stats `n` is a bounded fit
+    * sample — so the trigger here bounds what actually grows per delete
+    * batch: the root list every probe's tombstone broadcast unions.)
+    * Returns true when any fold ran.
     */
   def maintainIvfIndex(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      majorSizeRatio: Double = 1.0): Boolean = ivfLock.synchronized {
+      majorSizeRatio: Double = 1.0, maxTombRoots: Int = 8): Boolean = ivfLock.synchronized {
     val minored = compactIvfAppends(spark, indexDir, includeBase = false)
     val majored = readIvfManifest(spark, indexDir) match {
+      case Some(m) if m.tombDirs.size >= math.max(1, maxTombRoots) =>
+        compactIvfAppends(spark, indexDir)
       case Some(m) if m.sealedDirs.nonEmpty =>
         val (fs, _) = ivfFs(spark, indexDir)
         def bytes(p: String): Long =

@@ -137,6 +137,23 @@ class IvfDeleteSpec extends AnyFunSuite {
     assert(!ids.contains(450L) && !ids.contains(7L), "deleted vectors still visible")
   }
 
+  test("maintainIvfIndex purges once tombstone roots accumulate past maxTombRoots") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-maint").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    // two delete batches: below the threshold, maintain does nothing
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(1L).toDF("vec_id")) === 1L)
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(2L).toDF("vec_id")) === 1L)
+    assert(!Similarity.maintainIvfIndex(spark, dir, maxTombRoots = 3))
+    assert(Similarity.readIvfManifest(spark, dir).get.tombDirs.size === 2)
+    // the third root trips the purge even though nothing was ever appended
+    assert(Similarity.deleteFromIvfIndex(spark, dir, Seq(3L).toDF("vec_id")) === 1L)
+    assert(Similarity.maintainIvfIndex(spark, dir, maxTombRoots = 3))
+    val m = Similarity.readIvfManifest(spark, dir).get
+    assert(m.tombDirs.isEmpty)
+    assert(Similarity.ivfAssigned(spark, dir)
+      .filter(col("neighbor_id").isin(1L, 2L, 3L)).count() === 0L)
+  }
+
   test("vacuum reclaims superseded tombstones after the purge, spares live ones") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-del-vac").toString
     Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
