@@ -354,6 +354,83 @@ object Dedup {
           .otherwise(round(col("n_dup_spans") / col("n_spans"), 6)))
   }
 
+  /** Split docs into positioned units (paragraphs/lines) on a regex
+    * delimiter: `(<idCol>, pos, unit)` with pos 0-based over the doc's
+    * non-empty trimmed segments. The unit table feeds
+    * [[unitDedupKeepFirst]] / [[paragraphDedup]]. Narrow (split +
+    * posexplode), no shuffle.
+    */
+  def splitUnits(docs: DataFrame, delimRe: String = "\\n+",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), posexplode_outer(
+        filter(transform(split(col(textCol), delimRe), u => trim(u)),
+          u => u =!= "")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("unit"))
+      .filter(col("unit").isNotNull)
+
+  /** Corpus-wide keep-first unit dedup (the C4/RefinedWeb line-dedup
+    * rule): each distinct unit string survives only at its globally-first
+    * occurrence — minimum `(<idCol>, pos)` lexicographic. Input is a unit
+    * table from [[splitUnits]] (or any `(id, pos, unit)` rows); output is
+    * the surviving rows, same schema.
+    *
+    * Scale shape: ONE hash aggregation keyed by the unit string —
+    * `min(struct(id, pos))` with the winning row riding in the struct, so
+    * there is no join-back and no window over unit groups. Partial
+    * (map-side) aggregation makes it skew-safe: a boilerplate paragraph
+    * repeated a billion times combines to one row per map task before the
+    * shuffle, exactly the hazard that kills the
+    * `row_number() over (partition by unit)` formulation.
+    */
+  def unitDedupKeepFirst(units: DataFrame, idCol: String = "doc_id",
+      posCol: String = "pos", unitCol: String = "unit"): DataFrame =
+    units
+      .groupBy(col(unitCol))
+      .agg(min(struct(col(idCol), col(posCol))).as("__w"))
+      .select(col(s"__w.$idCol").as(idCol), col(s"__w.$posCol").as(posCol),
+        col(unitCol))
+
+  /** Whole-pipeline paragraph dedup: split on `delimRe`, drop every
+    * paragraph already seen earlier in the corpus (keep-first), reassemble
+    * each doc from its survivors in original order. Returns
+    * `(<idCol>, n_units, n_kept, text_deduped)` for every input doc —
+    * a doc whose every paragraph lost dedups to the empty string.
+    *
+    * Reassembly sorts each doc's surviving units by position inside an
+    * `array_sort(collect_list(struct(pos, unit)))` — per-doc bounded
+    * state, deterministic across engines (no collect_list order reliance).
+    */
+  def paragraphDedup(docs: DataFrame, delimRe: String = "\\n+",
+      joinSep: String = "\n", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dedupUnitsAndReassemble(docs.select(col(idCol)),
+      splitUnits(docs, delimRe, idCol, textCol), joinSep, idCol)
+
+  /** Keep-first dedup + per-doc reassembly over an externally-built unit
+    * table (chunker output, line splitter, …) — [[paragraphDedup]]'s body,
+    * reusable when the unit definition is not a regex split. `ids` fixes
+    * the output domain: every id appears, even with zero surviving units.
+    */
+  def dedupUnitsAndReassemble(ids: DataFrame, units: DataFrame,
+      joinSep: String = "\n", idCol: String = "doc_id"): DataFrame = {
+    val kept = unitDedupKeepFirst(units, idCol, "pos", "unit")
+    val perDoc = units.groupBy(col(idCol)).agg(count(lit(1)).as("n_units"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          w => w.getField("unit")),
+        joinSep).as("text_deduped"))
+    ids
+      .join(perDoc, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   def embeddingPairs(
       emb: DataFrame,
       threshold: Double,

@@ -1581,6 +1581,38 @@ object Catalog {
                ELSE round(n_dup / n_spans::DOUBLE, 6) END AS dup_frac
         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
 
+    "pipeline_paragraph_dedup" -> QueryDef(
+      // C4/RefinedWeb-style unit-level keep-first dedup: every distinct
+      // unit survives only at its globally-first (doc_id, pos) occurrence;
+      // docs reassemble from their survivors. Units here are 8-token
+      // non-overlapping chunks (the corpus has no newline paragraphs);
+      // the operator family also takes regex-split paragraphs
+      // (Dedup.paragraphDedup). ONE skew-safe hash agg keyed by unit —
+      // min(struct) with the winner riding along, no join-back, no window
+      // over unit groups (Dedup.unitDedupKeepFirst scaladoc).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val units = Curation.chunkDocuments(docs, chunkTokens = 8, strideTokens = 8)
+          .select(col("doc_id"), col("chunk_id").as("pos"),
+            col("chunk_text").as("unit"))
+        Dedup.dedupUnitsAndReassemble(docs.select(col("doc_id")), units,
+          joinSep = " ").orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks)::BIGINT AS nt FROM d),
+        c AS (SELECT doc_id, toks, nt,
+          unnest(range(0, CAST(ceil(greatest(nt - 8, 0) / 8.0) AS BIGINT) + 1)) AS pos
+          FROM n),
+        u AS (SELECT doc_id, pos,
+          array_to_string(toks[pos*8+1 : pos*8+8], ' ') AS unit FROM c),
+        w AS (SELECT doc_id, pos, unit,
+          row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn FROM u)
+        SELECT doc_id, count(*) AS n_units,
+          count(*) FILTER (WHERE rn = 1) AS n_kept,
+          coalesce(string_agg(unit, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                   '') AS text_deduped
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
         .orderBy("id_a", "id_b"),

@@ -92,4 +92,38 @@ class DedupSpec extends AnyFunSuite {
     assert(gotSmall == gotBig && gotSmall == expected + ((100L, 101L)),
       s"mixed: small=${gotSmall.size} big=${gotBig.size}")
   }
+
+  test("paragraphDedup keeps first occurrence corpus-wide and reassembles in order") {
+    val docs = Seq(
+      (1L, "alpha one\nshared boiler\nalpha two"),
+      (2L, "shared boiler\nbeta one"),          // loses its copy to doc 1
+      (3L, "shared boiler"),                    // every unit lost -> empty
+      (4L, ""),                                 // no units at all
+      (5L, "gamma\ngamma\ngamma only here")     // intra-doc dup: keep pos 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 3L, 3L, "alpha one\nshared boiler\nalpha two"),
+      (2L, 2L, 1L, "beta one"),
+      (3L, 1L, 0L, ""),
+      (4L, 0L, 0L, ""),
+      (5L, 3L, 2L, "gamma\ngamma only here")))
+  }
+
+  test("splitUnits trims, drops empty segments, and renumbers positions") {
+    val docs = Seq((7L, "  a  \n\n\n b \nc  ")).toDF("doc_id", "text")
+    val got = Dedup.splitUnits(docs).orderBy("pos")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got === Array((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
+  test("unitDedupKeepFirst winner is min (id, pos) lexicographic") {
+    val units = Seq(
+      (9L, 0L, "u"), (2L, 5L, "u"), (2L, 1L, "u"), (9L, 1L, "v")
+    ).toDF("doc_id", "pos", "unit")
+    val got = Dedup.unitDedupKeepFirst(units)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((2L, 1L, "u"), (9L, 1L, "v")))
+  }
 }
