@@ -1611,7 +1611,8 @@ object Catalog {
           count(*) FILTER (WHERE rn = 1) AS n_kept,
           coalesce(string_agg(unit, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
                    '') AS text_deduped
-        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+        FROM w GROUP BY doc_id ORDER BY doc_id"""),
+      headline = true),
 
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)

@@ -15,6 +15,11 @@ final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: 
   */
 final case class OpenSession(startMs: Long, endMs: Long, n: Long)
 
+/** One surviving unit from [[EventStream.dedupUnitsStream]] — the
+  * globally-first occurrence of its `unit` text across the stream so far.
+  */
+final case class UnitRow(doc_id: Long, pos: Long, unit: String)
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -291,6 +296,46 @@ object EventStream {
   def dedupStream(docs: DataFrame, keyCol: String,
       tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
     docs.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCol)
+
+  /** Streaming paragraph/unit keep-first dedup — the streaming dual of
+    * the batch [[graft.llmops.Dedup.unitDedupKeepFirst]] (and of the
+    * oracled `pipeline_paragraph_dedup` row): each distinct unit string
+    * passes through EXACTLY ONCE across the whole stream history and
+    * every later copy is dropped. Within one micro-batch the winner is
+    * the minimum `(doc_id, pos)` (the batch operator's deterministic
+    * rule); across micro-batches the earlier batch wins (arrival order —
+    * the firehose semantics a stream can honestly offer).
+    *
+    * State per distinct unit is ONE boolean keyed by the unit text,
+    * `NoTimeout` — keep-first against all history is unbounded by
+    * definition, so state grows with corpus vocabulary of units; at
+    * cluster scale this is what the RocksDB state store is for, and the
+    * key is the unit STRING (not a hash), so the dedup is exact — a
+    * 64-bit hash key would silently merge colliding units at
+    * billion-unit cardinality. Emits surviving `(doc_id, pos, unit)`
+    * rows; reassemble docs downstream with
+    * [[graft.llmops.Dedup.dedupUnitsAndReassemble]]'s aggregation or
+    * accept the unit stream as-is.
+    */
+  def dedupUnitsStream(docs: DataFrame, delimRe: String = "\\n+",
+      idCol: String = "doc_id", textCol: String = "text"): Dataset[UnitRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val units = graft.llmops.Dedup.splitUnits(docs, delimRe, idCol, textCol)
+      .as[(Long, Long, String)]
+    units.groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, UnitRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (unit: String, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val w = rows.minBy(r => (r._1, r._2))
+            state.update(true)
+            Iterator.single(UnitRow(w._1, w._2, unit))
+          }
+      }
+  }
 
   /** Stream-stream interval join (the enrichment shape: attribute each
     * purchase to the same user's clicks in the preceding `windowMs`).

@@ -198,6 +198,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "a decontamination join fell back to sort-merge")
   }
 
+  test("pipeline_paragraph_dedup: keep-first is one partial hash agg — no window, no join-back") {
+    val p = plan("pipeline_paragraph_dedup")
+    assert(!p.contains("Window"),
+      "unit dedup regressed to row_number over partition-by-unit — unbounded " +
+        "sort state on a hot boilerplate unit")
+    // winner selection must partial-aggregate map-side: a repeated unit
+    // combines to one row per map task BEFORE the unit-keyed exchange
+    assert(p.contains("partial_min") || p.contains("Partial") && p.contains("min("),
+      s"min(struct) winner agg lost its partial phase:\n${p.take(1500)}")
+    // exactly one exchange keyed by the unit string (the dedup agg); the
+    // remaining exchanges key on doc_id (reassembly) or the output sort
+    val unitExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning(unit")).size
+    assert(unitExchanges == 1,
+      s"expected exactly 1 unit-keyed exchange, got $unitExchanges")
+  }
+
   test("q1_agg: scan reads only the referenced columns with the date filter pushed") {
     val p = plan("q1_agg")
     val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString

@@ -125,6 +125,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupUnitsStream: keep-first across batches, min-(id,pos) within a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = EventStream.dedupUnitsStream(df)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("unit_dedup_test").start()
+    try {
+      // batch 1: "shared" appears in docs 9 and 2 — the min doc wins
+      input.addData((9L, "shared\nnine only"), (2L, "shared\ntwo only"))
+      q.processAllAvailable()
+      // batch 2: doc 1 re-sends "shared" (lower id, but LATER batch: still
+      // dropped — history wins) plus one genuinely new unit
+      input.addData((1L, "shared\nfresh"))
+      q.processAllAvailable()
+      val out = spark.table("unit_dedup_test").as[UnitRow].collect()
+        .map(u => (u.doc_id, u.unit)).toSet
+      assert(out == Set((2L, "shared"), (9L, "nine only"), (2L, "two only"),
+        (1L, "fresh")))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch plan over the same data") {
     val batch = eventsBatch()
     val dir = Files.createTempDirectory("enrich-in").toString
