@@ -39,6 +39,13 @@ import graft.functions.expressions.HashExpressions
   */
 object NearDupIndex {
 
+  /** `nDocs` counts every doc ever indexed, `nDeleted` the tombstoned
+    * subset (live = nDocs - nDeleted — the text-index stats contract);
+    * `tombs` are ps-partitioned id tables so probes prune the
+    * subtraction scan exactly like the shingle verification scan.
+    * Pre-delete manifests load with the defaults (0/0/empty) and keep
+    * working; their counts start tracking from the first new mutation.
+    */
   private[llmops] final case class NearDupManifest(
       numBands: Int,
       rowsPerBand: Int,
@@ -47,7 +54,10 @@ object NearDupIndex {
       bands: Vector[String],
       shingles: Vector[String],
       appliedTags: Vector[String] = Vector.empty,
-      tagHighWater: Long = -1L)
+      tagHighWater: Long = -1L,
+      tombs: Vector[String] = Vector.empty,
+      nDocs: Long = 0L,
+      nDeleted: Long = 0L)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
   private val lock = new Object
@@ -140,17 +150,30 @@ object NearDupIndex {
       org.apache.spark.sql.types.StringType, containsNull = false)),
     org.apache.spark.sql.types.StructField("ps", org.apache.spark.sql.types.IntegerType)))
 
-  /** Stage one batch's band root + shingle root. Docs with zero shingles
-    * (empty text) are indexable by neither side and are skipped — they
-    * can never near-duplicate anything.
+  private val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ps", org.apache.spark.sql.types.IntegerType)))
+
+  private def tombIds(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      m: NearDupManifest): DataFrame =
+    if (m.tombs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tombSchema).select(col("id"))
+    else readRoots(spark, indexDir, m.tombs, tombSchema).select(col("id"))
+
+  /** Stage one batch's band root + shingle root; returns the staged dirs
+    * and the batch's indexed doc count. Docs with zero shingles (empty
+    * text) are indexable by neither side and are skipped — they can
+    * never near-duplicate anything.
     */
   private def stageBatch(docs: DataFrame, indexDir: String, m: NearDupManifest,
-      idCol: String, textCol: String): Option[(String, String)] = {
+      idCol: String, textCol: String): Option[(String, String, Long)] = {
     val spark = docs.sparkSession
     val sh = docs.select(col(idCol).cast("long").as("id"),
         Text.shingles(col(textCol), m.shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    if (sh.isEmpty) return None
+    val n = sh.count()
+    if (n == 0) return None
     val bDir = s"bands-${java.util.UUID.randomUUID}"
     sh.select(col("id"),
         explode(HashExpressions.minhash_bands(col("sh"), m.numBands, m.rowsPerBand)).as("bh"))
@@ -161,7 +184,7 @@ object NearDupIndex {
     sh.withColumn("ps", pmod(xxhash64(col("id")), lit(m.numBuckets.toLong)).cast("int"))
       .repartition(col("ps"))
       .write.mode("overwrite").partitionBy("ps").parquet(s"$indexDir/$sDir")
-    Some((bDir, sDir))
+    Some((bDir, sDir, n))
   }
 
   /** Build a fresh index over `docs` (replacing any prior manifest at
@@ -186,8 +209,8 @@ object NearDupIndex {
     val empty = NearDupManifest(numBands, rowsPerBand, shingleK, numBuckets,
       Vector.empty, Vector.empty)
     val next = stageBatch(docs, indexDir, empty, idCol, textCol) match {
-      case Some((bDir, sDir)) =>
-        empty.copy(bands = Vector(bDir), shingles = Vector(sDir))
+      case Some((bDir, sDir, n)) =>
+        empty.copy(bands = Vector(bDir), shingles = Vector(sDir), nDocs = n)
       case None => empty // empty corpus: a legitimate streaming start state
     }
     commitIfUnchanged(spark, indexDir, m0, next)
@@ -209,8 +232,9 @@ object NearDupIndex {
     if (batchTag.exists(tagApplied(m, _))) return false
     stageBatch(docs, indexDir, m, idCol, textCol) match {
       case None => false
-      case Some((bDir, sDir)) =>
-        val next = m.copy(bands = m.bands :+ bDir, shingles = m.shingles :+ sDir)
+      case Some((bDir, sDir, n)) =>
+        val next = m.copy(bands = m.bands :+ bDir, shingles = m.shingles :+ sDir,
+          nDocs = m.nDocs + n)
         try commitIfUnchanged(spark, indexDir, Some(m),
           batchTag.fold(next)(recordTag(next, _)))
         catch { case e: IllegalStateException =>
@@ -228,6 +252,55 @@ object NearDupIndex {
       roots: Seq[String], schema: org.apache.spark.sql.types.StructType): DataFrame =
     roots.map(r => spark.read.schema(schema).parquet(s"$indexDir/$r"))
       .reduce(_.unionByName(_))
+
+  /** Tombstone `ids`: the docs stop appearing as `dup_id` in every later
+    * probe, immediately and exactly; the physical band/shingle rows stay
+    * until [[compactNearDupIndex]] purges them (the text/IVF delete
+    * contract — reads subtract, ONLY the fold rewrites). Ids not in the
+    * index (or already dead) are ignored. Returns the number of docs
+    * newly deleted; writes nothing when that is zero.
+    *
+    * Cost shape: the delete batch's id-hash buckets prune the shingle
+    * scan (membership check), the tomb table is ps-partitioned so probes
+    * prune their subtraction scan the same way — delete cost follows the
+    * batch, never the corpus.
+    */
+  def deleteFromNearDupIndex(
+      indexDir: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Long = lock.synchronized {
+    val spark = ids.sparkSession
+    val m = readManifest(spark, indexDir).getOrElse(throw new IllegalStateException(
+      s"deleteFromNearDupIndex: no readable index manifest at $indexDir"))
+    val delIds = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val delPs = delIds
+      .select(pmod(xxhash64(col("id")), lit(m.numBuckets.toLong)).cast("int").as("ps"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (m.shingles.isEmpty) return 0L // empty index: nothing to delete
+    val victims0 = readRoots(spark, indexDir, m.shingles, shingleSchema)
+      .filter(col("ps").isin(delPs: _*))
+      .join(delIds, Seq("id"), "left_semi")
+      .select(col("id"), col("ps"))
+    val victims = if (m.tombs.isEmpty) victims0
+      else victims0.join(tombIds(spark, indexDir, m), Seq("id"), "left_anti")
+    val tDir = s"tombs-${java.util.UUID.randomUUID}"
+    victims.repartition(col("ps"))
+      .write.mode("overwrite").partitionBy("ps").parquet(s"$indexDir/$tDir")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = spark.read.schema(tombSchema).parquet(s"$indexDir/$tDir").count()
+    if (n == 0) { // nothing newly deleted: drop the stage, swap nothing
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$tDir"), true)
+      return 0L
+    }
+    try commitIfUnchanged(spark, indexDir, Some(m),
+      m.copy(tombs = m.tombs :+ tDir, nDeleted = m.nDeleted + n))
+    catch { case e: IllegalStateException =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$tDir"), true)
+      throw e
+    }
+    n
+  }
 
   /** Which indexed documents is each probe doc a near-duplicate of?
     * Returns `(probe_id, dup_id, jaccard)`, jaccard EXACT (merge-scan
@@ -275,14 +348,23 @@ object NearDupIndex {
       .join(broadcast(pbands.select(col("bh")).distinct()), Seq("bh"), "left_semi")
     val small = matched.groupBy(col("bh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select(col("bh"))
-    val candidates = matched.join(small, Seq("bh"))
+    val candidates0 = matched.join(small, Seq("bh"))
       .join(broadcast(pbands), Seq("bh"))
       .filter(col("probe_id") =!= col("id"))
       .select(col("probe_id"), col("id").as("dup_id")).distinct()
-    // verification: prune the shingle scan to the candidates' partitions
-    val dupPs = candidates
+    // candidate ps partitions drive BOTH pruned scans below (the
+    // tombstone subtraction and the shingle verification — dupPs from
+    // the pre-subtraction set is a superset for the latter, still pruned)
+    val dupPs = candidates0
       .select(pmod(xxhash64(col("dup_id")), lit(m.numBuckets.toLong)).cast("int").as("ps"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // tombstoned docs stop matching IMMEDIATELY (physical purge waits
+    // for the fold); the dead-id scan prunes to the candidates' buckets
+    val candidates = if (m.tombs.isEmpty) candidates0
+      else candidates0.join(
+        readRoots(spark, indexDir, m.tombs, tombSchema)
+          .filter(col("ps").isin(dupPs: _*)).select(col("id").as("dup_id")),
+        Seq("dup_id"), "left_anti")
     val idxSh = readRoots(spark, indexDir, m.shingles, shingleSchema)
       .filter(col("ps").isin(dupPs: _*))
       .select(col("id").as("dup_id"), col("sh"))
@@ -297,27 +379,34 @@ object NearDupIndex {
 
   /** Fold append roots to one root per side — the small-files compaction
     * (roots accumulate one per streaming micro-batch; queries union all
-    * of them). Append-only rows with fenced replays mean a plain rewrite
-    * is exact. Returns true when a fold happened.
+    * of them) — and PURGE tombstoned docs physically (the rewrite is the
+    * only place dead rows leave disk; until it runs, probes subtract).
+    * Append-only rows with fenced replays mean a plain rewrite is exact.
+    * Returns true when a fold happened.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Boolean = lock.synchronized {
     readManifest(spark, indexDir) match {
       case Some(m) if m.bands.size > 1 || m.shingles.size > 1 ||
-          m.appliedTags.exists(numericTag(_).isDefined) =>
+          m.tombs.nonEmpty || m.appliedTags.exists(numericTag(_).isDefined) =>
+        val dead = tombIds(spark, indexDir, m)
         val bDir = s"bands-${java.util.UUID.randomUUID}"
         readRoots(spark, indexDir, m.bands, bandSchema)
+          .join(dead, Seq("id"), "left_anti")
           .repartition(col("pb"))
           .write.mode("overwrite").partitionBy("pb").parquet(s"$indexDir/$bDir")
         val sDir = s"shingles-${java.util.UUID.randomUUID}"
         readRoots(spark, indexDir, m.shingles, shingleSchema)
+          .join(dead, Seq("id"), "left_anti")
           .repartition(col("ps"))
           .write.mode("overwrite").partitionBy("ps").parquet(s"$indexDir/$sDir")
         val numeric = m.appliedTags.flatMap(numericTag)
         try commitIfUnchanged(spark, indexDir, Some(m), m.copy(
           bands = Vector(bDir), shingles = Vector(sDir),
           appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
-          tagHighWater = (m.tagHighWater +: numeric).max))
+          tagHighWater = (m.tagHighWater +: numeric).max,
+          tombs = Vector.empty,
+          nDocs = m.nDocs - m.nDeleted, nDeleted = 0L))
         catch { case e: IllegalStateException =>
           val fs = new org.apache.hadoop.fs.Path(indexDir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -326,6 +415,23 @@ object NearDupIndex {
           throw e
         }
         true
+      case _ => false
+    }
+  }
+
+  /** The auto-compaction policy (the text/IVF `maintain` contract): fold
+    * when append roots pile past `foldRootsAbove`, or when the dead
+    * fraction crosses `deadRatio` (tombstones make every probe pay a
+    * subtraction scan — past the threshold the one-off rewrite is
+    * cheaper than carrying them). Returns true when a fold ran.
+    */
+  def maintainNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, foldRootsAbove: Int = 4,
+      deadRatio: Double = 0.25): Boolean = lock.synchronized {
+    readManifest(spark, indexDir) match {
+      case Some(m) if m.bands.size > foldRootsAbove ||
+          (m.nDeleted > 0 && m.nDeleted >= deadRatio * math.max(1L, m.nDocs)) =>
+        compactNearDupIndex(spark, indexDir)
       case _ => false
     }
   }
@@ -342,11 +448,12 @@ object NearDupIndex {
       case Some(m) =>
         val root = new org.apache.hadoop.fs.Path(indexDir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val live = (m.bands ++ m.shingles).toSet
+        val live = (m.bands ++ m.shingles ++ m.tombs).toSet
         val cutoff = System.currentTimeMillis() - minAgeMs
         val stale = fs.listStatus(root).filter { st =>
           val n = st.getPath.getName
-          st.isDirectory && (n.startsWith("bands-") || n.startsWith("shingles-")) &&
+          st.isDirectory && (n.startsWith("bands-") || n.startsWith("shingles-") ||
+              n.startsWith("tombs-")) &&
             !live.contains(n) && st.getModificationTime <= cutoff
         }
         if (readManifest(spark, indexDir, fresh = true) != Some(m))

@@ -480,6 +480,33 @@ object Catalog {
       // dataset, so only the first run pays the bucket write)
       headline = true),
 
+    "q_zorder_scan" -> QueryDef(
+      // Z-order layout (operators.Layout): lineitem rewritten ONCE
+      // clustered on (l_orderkey, l_partkey) — quantile-bucketed Morton
+      // key, range-sorted write — then scanned with a predicate on BOTH
+      // clustered columns. At 100 TB the win is parquet footer min/max
+      // skipping on EITHER column from one layout (the reference's
+      // key-sorted-SST pruning, kv/lsm/levels.go, widened to n
+      // dimensions); the values are layout-independent, so the row is
+      // fully oracled against DuckDB over the ORIGINAL table. LayoutSpec
+      // pins the clustering property itself (bounded per-file spans on
+      // both dimensions, row parity with the source).
+      (s, dir) => s.read.parquet(zorderFor(s, dir))
+        .filter(col("l_orderkey") <= 1000 && col("l_partkey") <= 150)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem WHERE l_orderkey <= 1000 AND l_partkey <= 150
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      // headline times the CLUSTERED READ (layout memoized per dataset —
+      // only the first run pays the z-order write, like q_bucketed_join)
+      headline = true),
+
     "q_range_join" -> QueryDef(
       // RangeJoin.pointInInterval — interval containment re-expressed as a
       // (user, time-bin)-keyed EQUI-join (one shuffle, AQE-eligible; Spark's
@@ -1537,6 +1564,40 @@ object Catalog {
       },
       Some("SELECT 'dedup_index_recall' AS gate, true AS floor_met")),
 
+    "dedup_index_deleted_recall" -> QueryDef(
+      // The DELETE path of the near-dup index (the reference's Del
+      // applied to dedup-at-ingest: a doc removed from the corpus must
+      // stop suppressing new docs as its near-dups). Every indexed
+      // doc_id % 7 == 3 is tombstoned (no purge — the probe-time
+      // subtraction is what's under test): the gate requires (a) NO dead
+      // id ever surfaces as dup_id — exactness of the subtraction — and
+      // (b) recall vs the exact pairs over the REMAINING corpus holds
+      // dedup_index_recall's floor.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = docs.select(col("doc_id"),
+          graft.functions.Text.shingles(col("text"), 3).as("sh"))
+        val probeDf = docs.filter(col("doc_id") % 13 === 5)
+        val probeSh = sh.filter(col("doc_id") % 13 === 5)
+          .select(col("doc_id").as("probe_id"), col("sh").as("psh"))
+        val liveSide = sh.filter(col("doc_id") % 13 =!= 5 && col("doc_id") % 7 =!= 3)
+          .select(col("doc_id").as("dup_id"), col("sh"))
+        val exact = liveSide.join(broadcast(probeSh), lit(true))
+          .withColumn("jaccard",
+            graft.functions.expressions.HashExpressions.jaccard_sorted(col("psh"), col("sh")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("probe_id"), col("dup_id"))
+        val probe = NearDupIndex.probeNearDupIndex(s,
+          nearDupDeletedIndexFor(s, dir), probeDf, threshold = 0.8)
+        val deadHits = probe.filter(col("dup_id") % 7 === 3)
+          .agg(count(lit(1)).as("__dead"))
+        Recall.gate(probe, exact, Seq("probe_id", "dup_id"),
+            floor = 0.8, name = "dedup_index_deleted_recall")
+          .crossJoin(deadHits)
+          .select(col("gate"), (col("floor_met") && col("__dead") === 0).as("floor_met"))
+      },
+      Some("SELECT 'dedup_index_deleted_recall' AS gate, true AS floor_met")),
+
     "pipeline_chunk" -> QueryDef(
       // RAG/indexing chunking: 32-token windows every 16 tokens (50%
       // overlap), last window clipped, every doc >= 1 chunk. One narrow
@@ -1674,6 +1735,47 @@ object Catalog {
       },
       Some("SELECT 'simhash_recall' AS gate, true AS floor_met")),
 
+    "dedup_semantic" -> QueryDef(
+      // SemDeDup (cluster-partitioned semantic dedup): k-means cells +
+      // within-cell cosine clusters + low-centroid-sim keep rule. The
+      // k-means fit can't be replayed in SQL, so the row is rows-only;
+      // the pair-set quality is certified by the ORACLED
+      // dedup_semantic_recall gate below.
+      (s, dir) => Dedup.semanticDedup(
+          t(s, dir, "embeddings"), threshold = 0.35, numCells = 16)
+        .orderBy("vec_id"),
+      None),
+
+    "dedup_semantic_recall" -> QueryDef(
+      // Recall of SemDeDup's within-cell pair set vs the TRUE cosine
+      // pair set over a bounded deterministic 512-sample (the
+      // dedup_simhash_recall construction: hash-rank TakeOrdered, pairs
+      // by double-exploding one packed array — constant 512² work, no
+      // O(n²) node at any scale; at sf0.01's 500 vectors the sample is
+      // the whole table). Measured recall: 0.35 at sf0.001, 0.42 at
+      // sf0.01 on the synthetic near-angle-uniform vectors (k-means
+      // cells are arbitrary there — the data is SemDeDup's worst case;
+      // clusterable real corpora sit far higher); floor 0.2 is the
+      // regression tripwire.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val sample = emb
+          .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc).limit(512)
+        val exact = sample
+          .agg(collect_list(struct(col("vec_id").as("id"),
+            col("embedding").as("v"))).as("all"))
+          .select(explode(col("all")).as("l"), col("all"))
+          .select(col("l"), explode(col("all")).as("r"))
+          .filter(col("l.id") < col("r.id") &&
+            graft.functions.Vectors.cosine(col("l.v"), col("r.v")) >= 0.35)
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        Recall.gate(
+          Dedup.semanticPairs(emb, threshold = 0.35, numCells = 16), exact,
+          Seq("id_a", "id_b"), floor = 0.2, name = "semdedup_recall")
+      },
+      Some("SELECT 'semdedup_recall' AS gate, true AS floor_met"),
+      headline = true),
+
     "dedup_embedding_pairs" -> QueryDef(
       // The BUCKETED plan over the FULL table (no row-count crutch): 4-bit
       // Knuth-hyperplane buckets + 1-bit multi-probe, so the Spark side
@@ -1724,6 +1826,27 @@ object Catalog {
     * index instead of a stale one.
     */
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Memoized Z-ordered copy of lineitem, clustered on
+    * (l_orderkey, l_partkey) — written once per dataset so bench re-runs
+    * time the CLUSTERED READ, not the write (the bucketedFor /
+    * ivfIndexFor convention: layout writes amortize).
+    */
+  private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    zorderDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val out = Files.createTempDirectory("graft-q-zorder").toString + "/lineitem"
+      graft.operators.Layout.writeZOrdered(t(s, dir, "lineitem"), out,
+        Seq("l_orderkey", "l_partkey"), bits = 6, numFiles = 8)
+      out
+    })
+  }
+
   private def ivfIndexFor(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     def sig(f: java.io.File): String =
@@ -2319,6 +2442,30 @@ object Catalog {
       val idx = Files.createTempDirectory("graft-q-ndidx").toString
       NearDupIndex.buildNearDupIndex(
         t(s, dir, "documents").filter(col("doc_id") % 13 =!= 5), idx, numBuckets = 64)
+      idx
+    })
+  }
+
+  /** Memoized near-dup index carrying LIVE TOMBSTONES (every indexed
+    * doc_id % 7 == 3 deleted, purge not run) — dedup_index_deleted_recall
+    * gates the probe-time subtraction the way ann_ivf_deleted_recall does
+    * for the vector index. Deterministic build+delete, memoized so bench
+    * re-runs time only the probe.
+    */
+  private val nearDupDeletedIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupDeletedIndexFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    nearDupDeletedIndexDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val idx = Files.createTempDirectory("graft-q-ndidx-del").toString
+      val indexed = t(s, dir, "documents").filter(col("doc_id") % 13 =!= 5)
+      NearDupIndex.buildNearDupIndex(indexed, idx, numBuckets = 64)
+      NearDupIndex.deleteFromNearDupIndex(idx,
+        indexed.filter(col("doc_id") % 7 === 3).select("doc_id"))
       idx
     })
   }

@@ -280,7 +280,10 @@ object EventStream {
             threshold, idCol = idCol, textCol = textCol)
           .write.mode("append").parquet(pairsOut)
         if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
-          NearDupIndex.compactNearDupIndex(batch.sparkSession, indexDir)
+          // the POLICY, not a forced fold: folds when roots pile up or
+          // (with interleaved deletes) the dead fraction crosses the
+          // threshold — the text/IVF CDC-ingest contract
+          NearDupIndex.maintainNearDupIndex(batch.sparkSession, indexDir)
         ()
       }
       .start()

@@ -126,4 +126,60 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got === Set((2L, 1L, "u"), (9L, 1L, "v")))
   }
+
+  // two tight, well-separated direction groups: k-means k=2 must split
+  // them, and the within-group cosines all clear 0.95 while cross-group
+  // cosines are near 0
+  private def semanticEmb = Seq(
+    (1L, Array(1.00f, 0.010f)),
+    (2L, Array(0.99f, 0.012f)),
+    (3L, Array(0.90f, 0.150f)),   // least prototypical of group X
+    (10L, Array(0.01f, 1.00f)),
+    (11L, Array(0.15f, 0.95f))    // least prototypical of group Y
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDedup: one survivor per cluster, low-centroid-sim keep rule, min-id labels") {
+    val out = Dedup.semanticDedup(semanticEmb, threshold = 0.95, numCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // cluster_id = lowest member id; keep = member farthest (in cosine)
+    // from its cell centroid: x3 for group X, y2 for group Y
+    assert(out == Set(
+      (1L, 1L, false), (2L, 1L, false), (3L, 1L, true),
+      (10L, 10L, false), (11L, 10L, true)), s"unexpected: $out")
+  }
+
+  test("semanticDedup: a singleton keeps itself and labels itself") {
+    val emb = semanticEmb.union(Seq((20L, Array(-1.0f, -1.0f))).toDF("vec_id", "embedding"))
+    val row = Dedup.semanticDedup(emb, threshold = 0.95, numCells = 3)
+      .filter(col("vec_id") === 20L).collect()
+    assert(row.length == 1 && row(0).getLong(1) == 20L && row(0).getBoolean(2))
+  }
+
+  test("semanticPairs chunk-split equals the plain within-cell join") {
+    // 40 vectors in 2 direction groups with jittered components so cells
+    // are over-full at cap 3: the chunk-split construction must produce
+    // EXACTLY the plain join's pair set (exactness-preserving skew guard)
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.2f) else Array(0.0f, 1.0f, 0.2f)
+      (i, base.map(v => v + rnd.nextFloat() * 0.2f))
+    }.toDF("vec_id", "embedding")
+    def pairs(cap: Int) = Dedup.semanticPairs(emb, threshold = 0.9,
+        numCells = 2, maxCellSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = pairs(3)
+    val plain = pairs(1000)
+    assert(split == plain, s"chunk-split changed the pair set: " +
+      s"missing=${plain -- split} extra=${split -- plain}")
+    assert(plain.nonEmpty && plain.forall { case (a, b) => a < b })
+  }
+
+  test("semanticPairs plan has no cartesian product at any cap") {
+    for (cap <- Seq(2, 1000)) {
+      val p = Dedup.semanticPairs(semanticEmb, threshold = 0.95,
+        numCells = 2, maxCellSize = cap).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"cap=$cap plan went all-pairs:\n${p.take(1200)}")
+    }
+  }
 }

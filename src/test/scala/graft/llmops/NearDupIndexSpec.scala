@@ -161,4 +161,72 @@ class NearDupIndexSpec extends AnyFunSuite {
     // directions since both probe)
     assert(got === Set((3L, 1L), (4L, 5L), (5L, 4L)), s"unexpected pair set: $got")
   }
+
+  private val dupProbe = corpus(
+    40L -> "the quick brown fox jumps over the lazy dog today",      // dup of 1
+    41L -> "completely different words about database engines and storage") // dup of 2
+
+  test("delete: tombstoned docs stop matching immediately; others unaffected") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-del").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    assert(pairs(NearDupIndex.probeNearDupIndex(spark, idx, dupProbe, threshold = 0.8))
+      .map(p => (p._1, p._2)) === Set((40L, 1L), (41L, 2L)))
+    assert(NearDupIndex.deleteFromNearDupIndex(idx, Seq(1L).toDF("doc_id")) === 1L)
+    val after = pairs(NearDupIndex.probeNearDupIndex(spark, idx, dupProbe, threshold = 0.8))
+    assert(after.map(p => (p._1, p._2)) === Set((41L, 2L)), s"unexpected: $after")
+    val m = NearDupIndex.readManifest(spark, idx).get
+    assert(m.nDocs === 3L && m.nDeleted === 1L && m.tombs.size === 1)
+  }
+
+  test("delete: replays and unknown ids change nothing and write nothing") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-del2").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    assert(NearDupIndex.deleteFromNearDupIndex(idx, Seq(1L).toDF("doc_id")) === 1L)
+    val m1 = NearDupIndex.readManifest(spark, idx).get
+    // re-delete + unknown id: 0 newly dead, no new tomb root, manifest unmoved
+    assert(NearDupIndex.deleteFromNearDupIndex(idx, Seq(1L, 999L).toDF("doc_id")) === 0L)
+    assert(NearDupIndex.readManifest(spark, idx).get === m1)
+  }
+
+  test("delete survives the fold as a physical purge; counts and tombs reset") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-del3").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    assert(NearDupIndex.appendToNearDupIndex(idx,
+      corpus(4L -> "fresh appended content with its own distinct words"),
+      batchTag = Some("0")))
+    assert(NearDupIndex.deleteFromNearDupIndex(idx, Seq(1L).toDF("doc_id")) === 1L)
+    assert(NearDupIndex.compactNearDupIndex(spark, idx))
+    val m = NearDupIndex.readManifest(spark, idx).get
+    assert(m.tombs.isEmpty && m.nDocs === 3L && m.nDeleted === 0L)
+    // post-purge probes equal an index never containing doc 1
+    val after = pairs(NearDupIndex.probeNearDupIndex(spark, idx, dupProbe, threshold = 0.8))
+    assert(after.map(p => (p._1, p._2)) === Set((41L, 2L)))
+    // the physical rows are gone, not just subtracted
+    val bands = spark.read.parquet(s"$idx/${m.bands.head}")
+    assert(bands.filter(col("id") === 1L).count() === 0L)
+    // deleting EVERY remaining doc leaves a probe-able empty-result index
+    assert(NearDupIndex.deleteFromNearDupIndex(idx,
+      Seq(2L, 3L, 4L).toDF("doc_id")) === 3L)
+    assert(pairs(NearDupIndex.probeNearDupIndex(spark, idx, dupProbe, threshold = 0.0)).isEmpty)
+  }
+
+  test("maintainNearDupIndex folds on dead ratio and on root pileup") {
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-maint").toString
+    NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
+    // below both thresholds: no fold
+    assert(!NearDupIndex.maintainNearDupIndex(spark, idx, foldRootsAbove = 4,
+      deadRatio = 0.5))
+    // 1 of 3 dead = 0.33 >= 0.25 default: folds and purges
+    assert(NearDupIndex.deleteFromNearDupIndex(idx, Seq(3L).toDF("doc_id")) === 1L)
+    assert(NearDupIndex.maintainNearDupIndex(spark, idx))
+    assert(NearDupIndex.readManifest(spark, idx).get.tombs.isEmpty)
+    // root pileup path: 5 appends > foldRootsAbove=4
+    (0 until 5).foreach { i =>
+      assert(NearDupIndex.appendToNearDupIndex(idx,
+        corpus((50L + i) -> s"padding text for append number $i here"),
+        batchTag = Some(i.toString)))
+    }
+    assert(NearDupIndex.maintainNearDupIndex(spark, idx, foldRootsAbove = 4))
+    assert(NearDupIndex.readManifest(spark, idx).get.bands.size === 1)
+  }
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.core.TestSpark
+import graft.functions.expressions.{LayoutExpressions, LayoutKernels}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering writes: the kernels (quantile bucketing, Morton
+  * interleave) and the property the layout exists for — per-file value
+  * spans bounded on EVERY clustered dimension at once, which is what lets
+  * parquet footer min/max statistics prune scans for predicates on any of
+  * them. A single-column sort can only deliver that for its one column;
+  * the spec measures both layouts side by side.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("boundaryBucket: binary search equals the naive boundary count") {
+    val bounds = Array(1.0, 4.0, 4.0, 9.0, 16.0)
+    for (v <- Seq(-5.0, 0.99, 1.0, 3.0, 4.0, 8.0, 9.0, 15.9, 16.0, 100.0)) {
+      val naive = bounds.count(_ <= v)
+      assert(LayoutKernels.boundaryBucket(v, bounds) == naive, s"v=$v")
+    }
+  }
+
+  test("interleave_bits: known Morton values and expression parity") {
+    // b0=3 (binary 11) on even z-bits, b1=1 (binary 01) on odd: z = 0b0111
+    val row = spark.range(1).select(
+      LayoutExpressions.interleave_bits(Seq(lit(3), lit(1)), 2).as("a"),
+      LayoutExpressions.interleave_bits(Seq(lit(0), lit(0)), 4).as("b"),
+      LayoutExpressions.interleave_bits(Seq(lit(1), lit(2), lit(4)), 3).as("c"))
+      .head
+    assert(row.getLong(0) == 7L)
+    assert(row.getLong(1) == 0L)
+    // dims (1, 2, 4): bit0 of d0 -> z0; bit1 of d1 -> z4; bit2 of d2 -> z8
+    assert(row.getLong(2) == (1L | (1L << 4) | (1L << 8)))
+  }
+
+  test("interleave_bits: adjacent buckets stay adjacent in z (locality)") {
+    // same bucket in dim 1, +1 in dim 0 with low bits free: small z delta;
+    // the full-range jump in dim 0 dominates any same-bucket neighborhood
+    val z = (a: Int, b: Int) => LayoutKernels.interleave(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(a, b)), 6)
+    assert(math.abs(z(10, 20) - z(11, 20)) < math.abs(z(10, 20) - z(40, 20)))
+    assert(math.abs(z(10, 20) - z(10, 21)) < math.abs(z(10, 20) - z(10, 50)))
+  }
+
+  test("writeZOrdered bounds per-file spans on BOTH dimensions; single sort does not") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zDir = Files.createTempDirectory("layout-z").toString + "/z"
+    Layout.writeZOrdered(li, zDir, Seq("l_orderkey", "l_partkey"),
+      bits = 6, numFiles = 8)
+    val sDir = Files.createTempDirectory("layout-s").toString + "/s"
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(sDir)
+
+    def spans(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val global = df.agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+      df.groupBy(input_file_name().as("f"))
+        .agg(((max(col(c)) - min(col(c))) / global).as("frac"))
+        .agg(avg(col("frac"))).head.getDouble(0)
+    }
+    // z-layout: both dimensions bounded well below the full range
+    val zOrder = spans(zDir, "l_orderkey"); val zPart = spans(zDir, "l_partkey")
+    assert(zOrder < 0.6, s"z-layout l_orderkey span $zOrder")
+    assert(zPart < 0.6, s"z-layout l_partkey span $zPart")
+    // single-column sort: its own column tight, the OTHER column spans
+    // (nearly) everything per file — the gap z-order closes
+    val sOrder = spans(sDir, "l_orderkey"); val sPart = spans(sDir, "l_partkey")
+    assert(sOrder < 0.3, s"sorted layout l_orderkey span $sOrder")
+    assert(sPart > 0.9, s"sorted layout l_partkey span $sPart — " +
+      "expected ~full range per file")
+
+    // parity: the rewrite changed LAYOUT only
+    assert(spark.read.parquet(zDir).count() == li.count())
+    val diff = spark.read.parquet(zDir)
+      .groupBy("l_orderkey", "l_partkey", "l_quantity").count()
+      .exceptAll(li.groupBy("l_orderkey", "l_partkey", "l_quantity").count())
+      .count()
+    assert(diff == 0L, "z-ordered rows differ from the source multiset")
+  }
+
+  test("writeZOrdered rejects a bits/dims combo that overflows a long") {
+    val li = spark.range(10).selectExpr("id as a", "id as b")
+    intercept[IllegalArgumentException] {
+      Layout.fitZBoundaries(li.toDF, Seq("a", "b"), bits = 32)
+    }
+  }
+}

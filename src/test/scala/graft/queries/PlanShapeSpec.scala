@@ -223,4 +223,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.filter(_.contains("PushedFilters")).mkString.contains("l_shipdate"),
       "shipdate filter not pushed to the scan")
   }
+
+  test("q_zorder_scan: both clustered-column predicates reach the parquet scan") {
+    val p = plan("q_zorder_scan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_orderkey") && pushed.contains("l_partkey"),
+      s"z-ordered scan lost its pushed predicates: $pushed")
+    // min/max skipping is only as good as the stats the clustered write
+    // produced — the layout property itself is pinned in LayoutSpec
+    val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanLine.contains("l_comment"), s"column pruning lost: $scanLine")
+  }
 }
