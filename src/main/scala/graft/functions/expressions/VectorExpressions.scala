@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** `hyperplane_bucket(vec, bits)`: random-hyperplane LSH bucket for a float
@@ -541,6 +541,121 @@ object GridBucket {
   }
 }
 
+object MmrSelect {
+
+  /** Greedy maximal-marginal-relevance selection over one query's packed
+    * candidate array (structs of `(id, rel, vec)`): pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s) until `k` picks, the
+    * diversity term 0 for the first pick (S empty). Engine-portability
+    * discipline (the BM25 decimal rule applied to floats): every
+    * pairwise cosine is 6dp-rounded BEFORE it enters the max, the mmr
+    * score is 6dp-rounded, and ties break on (score, LOWER id) — an
+    * external SQL replay (round(list_cosine, 6), literal `(1 - λ)`, same
+    * tie order) selects the identical sequence, so the declared query is
+    * fully oracled. Selection is input-order-independent (the tie-break
+    * is total). O(k·n·dim) per query with n bounded by the upstream
+    * top-k: constant work per query at any corpus size.
+    */
+  def compute(arr: ArrayData, lambda: Double, k: Int, vecFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val rels = new Array[Double](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      rels(i) = row.getDouble(1)
+      vecs(i) = row.getArray(2)
+      i += 1
+    }
+    // HALF-AWAY-FROM-ZERO at 6dp (what SQL round() does — Math.rint is
+    // half-even and flips on exact .5-ulp boundaries, which 6dp-discrete
+    // inputs hit routinely); `+ 0.0` normalizes -0.0
+    def r6(x: Double): Double =
+      java.lang.Math.copySign(java.lang.Math.floor(java.lang.Math.abs(x) * 1e6 + 0.5), x) / 1e6 + 0.0
+    val taken = new Array[Boolean](n)
+    // max 6dp-rounded cosine to the selected set; init at cosine's lower
+    // bound, NOT 0 — a candidate whose similarities to every pick are
+    // negative keeps its true (negative) max, which the formula turns
+    // into a diversity BONUS exactly as the oracle replay computes it
+    val maxSim = Array.fill(n)(-1.0)
+    val out = new Array[Any](math.min(k, n))
+    var step = 0
+    while (step < out.length) {
+      var best = -1
+      var bestScore = 0.0
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = r6(lambda * rels(i) -
+            (if (step == 0) 0.0 else (1.0 - lambda) * maxSim(i)))
+          if (best < 0 || s > bestScore || (s == bestScore && ids(i) < ids(best))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(step) = org.apache.spark.sql.catalyst.InternalRow(
+        ids(best), bestScore, step + 1)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val c = r6(CosineSimilarity.compute(vecs(i), vecs(best), vecFloat, vecFloat))
+          if (c > maxSim(i)) maxSim(i) = c
+        }
+        i += 1
+      }
+      step += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `MmrSelect(candidates, lambda, k)`: maximal-marginal-relevance
+  * diversification (Carbonell & Goldstein 1998) of one query's candidate
+  * list — input `array<struct<id long, rel double, vec array<float|double>>>`
+  * (packed per query by a bounded collect_list), output
+  * `array<struct<doc_id long, mmr double, rank int>>` in selection order.
+  */
+case class MmrSelectExpr(child: Expression, lambda: Double, k: Int)
+    extends UnaryExpression {
+
+  require(lambda >= 0.0 && lambda <= 1.0, s"mmr_select: lambda $lambda not in [0,1]")
+  require(k > 0, "mmr_select: k must be positive")
+
+  private lazy val vecFloat: Boolean = child.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length == 3 =>
+      fields(2).dataType match {
+        case ArrayType(FloatType, _) => true
+        case ArrayType(DoubleType, _) => false
+        case other => throw new IllegalArgumentException(
+          s"mmr_select: vec field must be array<float|double>, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"mmr_select expects array<struct<long, double, array<_>>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("mmr", DoubleType, nullable = false),
+    StructField("rank", IntegerType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MmrSelect.compute(input.asInstanceOf[ArrayData], lambda, k, vecFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = MmrSelect.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $util.compute($arr, $lambda, $k, $vecFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MmrSelectExpr =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -555,6 +670,12 @@ object VectorExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: greedy MMR diversification of a packed candidate array
+    * (see [[MmrSelect.compute]] for the selection rule and tie-breaks).
+    */
+  def mmr_select(candidates: Column, lambda: Double, k: Int): Column =
+    ColumnBridge.column(MmrSelectExpr(ColumnBridge.expression(candidates), lambda, k))
 
   /** Column API: squared-euclidean nearest-centroid index (narrow map). */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =

@@ -101,6 +101,44 @@ object Search {
     topKScored(fused, k)
   }
 
+  /** Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    * 1998) of per-query candidate lists: greedily re-rank `candidates`
+    * (`(query_id, doc_id, <relCol>, <vecCol>)` — the output of any
+    * retrieval top-k joined to its document embeddings) so each pick
+    * maximizes `λ·rel − (1−λ)·max cosine to the already-picked set`. The
+    * anti-redundancy pass a RAG context window or a few-shot selector
+    * runs after retrieval: near-duplicate hits stop crowding out
+    * coverage.
+    *
+    * Scale shape: ONE bounded collect_list per query (the candidate list
+    * is a top-N, so per-group state is N structs by construction — never
+    * corpus-sized) feeding the codegen'd [[graft.functions.expressions
+    * .MmrSelect]] kernel (O(k·N·dim) per query), then a posexplode.
+    * No join, no window, one query-keyed exchange. Selection and
+    * tie-breaks (9dp-rounded score, then lower id) are engine-portable,
+    * so the full ranking is SQL-replayable and the declared query
+    * (`search_mmr`) is FULLY oracled.
+    *
+    * Returns `(query_id, doc_id, mmr, rank)`, rank 1..k in selection
+    * order.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double = 0.7,
+      relCol: String = "score", vecCol: String = "vec"): DataFrame = {
+    val packed = candidates
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(
+        col("doc_id").cast("long").as("id"),
+        col(relCol).cast("double").as("rel"),
+        col(vecCol).as("vec"))).as("__cands"))
+      .select(col("query_id"),
+        graft.functions.expressions.VectorExpressions
+          .mmr_select(col("__cands"), lambda, k).as("__sel"))
+    packed
+      .select(col("query_id"), explode(col("__sel")).as("__s"))
+      .select(col("query_id"), col("__s.doc_id").as("doc_id"),
+        col("__s.mmr").as("mmr"), col("__s.rank").as("rank"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the top `k` terms of each
     * document by `tf * ln((N+1)/(df+1))` — the smoothed idf form, so a
     * term in every doc still scores >= 0. Scores are 6dp-rounded with

@@ -2549,6 +2549,90 @@ object Catalog {
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
       headline = true),
 
+    "search_mmr" -> QueryDef(
+      // MMR diversification (Carbonell & Goldstein 1998) — the
+      // anti-redundancy re-rank after retrieval: top-20 cosine candidates
+      // per query (map-side TopKBy truncation), then greedy
+      // λ·rel − (1−λ)·max-sim-to-picked selection of 5 via the codegen'd
+      // MmrSelect kernel. FULLY oracled: cosines are 6dp-rounded before
+      // the max, λ·rel uses the same literals, ties break (score, lower
+      // id) — the DuckDB replay unrolls the 5 greedy steps and selects
+      // the identical sequence (note the SQL writes `(1 - 0.7)`, never
+      // `0.3`: the two doubles differ and the kernel computes the former).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val c = emb.select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+        val scored = c.join(broadcast(q), col("query_id") =!= col("doc_id"))
+          .withColumn("score",
+            round(graft.functions.Vectors.cosine(col("vec"), col("qv")), 6))
+        val top = scored.groupBy(col("query_id"))
+          .agg(graft.functions.expressions.TopKExpressions
+            .topk_by_scored(col("score"), col("doc_id"), 20).as("__t"))
+          .select(col("query_id"), explode(col("__t")).as("__e"))
+          .select(col("query_id"), col("__e.id").as("doc_id"),
+            col("__e.score").as("score"))
+        val cands = top.join(c, Seq("doc_id"))
+        Search.mmrRerank(cands, k = 5, lambda = 0.7)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
+        scored AS (
+          SELECT query_id, doc_id,
+            round(list_cosine_similarity(vec::DOUBLE[], qv::DOUBLE[]), 6) AS rel, vec
+          FROM c JOIN q ON query_id <> doc_id),
+        cand AS (SELECT query_id, doc_id, rel, vec FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, doc_id ASC) AS rk FROM scored) WHERE rk <= 20),
+        p1 AS (SELECT query_id, doc_id, mmr, vec FROM (
+            SELECT query_id, doc_id, round(0.7::DOUBLE * rel, 6) AS mmr, vec,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY round(0.7::DOUBLE * rel, 6) DESC, doc_id ASC) AS rn
+            FROM cand) WHERE rn = 1),
+        s2 AS (SELECT c.query_id, c.doc_id, c.rel, c.vec,
+            round(0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) *
+              round(list_cosine_similarity(c.vec::DOUBLE[], p1.vec::DOUBLE[]), 6), 6) AS mmr,
+            round(list_cosine_similarity(c.vec::DOUBLE[], p1.vec::DOUBLE[]), 6) AS ms
+          FROM cand c JOIN p1 USING (query_id) WHERE c.doc_id <> p1.doc_id),
+        p2 AS (SELECT query_id, doc_id, mmr, vec, ms FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY mmr DESC, doc_id ASC) AS rn FROM s2) WHERE rn = 1),
+        s3 AS (SELECT c.query_id, c.doc_id, c.rel, c.vec,
+            greatest(c.ms,
+              round(list_cosine_similarity(c.vec::DOUBLE[], p2.vec::DOUBLE[]), 6)) AS ms,
+            round(0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) * greatest(c.ms,
+              round(list_cosine_similarity(c.vec::DOUBLE[], p2.vec::DOUBLE[]), 6)), 6) AS mmr
+          FROM s2 c JOIN p2 USING (query_id) WHERE c.doc_id <> p2.doc_id),
+        p3 AS (SELECT query_id, doc_id, mmr, vec, ms FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY mmr DESC, doc_id ASC) AS rn FROM s3) WHERE rn = 1),
+        s4 AS (SELECT c.query_id, c.doc_id, c.rel, c.vec,
+            greatest(c.ms,
+              round(list_cosine_similarity(c.vec::DOUBLE[], p3.vec::DOUBLE[]), 6)) AS ms,
+            round(0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) * greatest(c.ms,
+              round(list_cosine_similarity(c.vec::DOUBLE[], p3.vec::DOUBLE[]), 6)), 6) AS mmr
+          FROM s3 c JOIN p3 USING (query_id) WHERE c.doc_id <> p3.doc_id),
+        p4 AS (SELECT query_id, doc_id, mmr, vec, ms FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY mmr DESC, doc_id ASC) AS rn FROM s4) WHERE rn = 1),
+        s5 AS (SELECT c.query_id, c.doc_id, c.rel, c.vec,
+            round(0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE) * greatest(c.ms,
+              round(list_cosine_similarity(c.vec::DOUBLE[], p4.vec::DOUBLE[]), 6)), 6) AS mmr
+          FROM s4 c JOIN p4 USING (query_id) WHERE c.doc_id <> p4.doc_id),
+        p5 AS (SELECT query_id, doc_id, mmr FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY mmr DESC, doc_id ASC) AS rn FROM s5) WHERE rn = 1)
+        SELECT query_id, doc_id, mmr, rank FROM (
+          SELECT query_id, doc_id, mmr, 1 AS rank FROM p1
+          UNION ALL SELECT query_id, doc_id, mmr, 2 FROM p2
+          UNION ALL SELECT query_id, doc_id, mmr, 3 FROM p3
+          UNION ALL SELECT query_id, doc_id, mmr, 4 FROM p4
+          UNION ALL SELECT query_id, doc_id, mmr, 5 FROM p5)
+        ORDER BY query_id, rank""")),
+
     "search_hybrid" -> QueryDef(
       // Hybrid retrieval: BM25 keyword run + brute-force cosine run over
       // the aligned embeddings table, fused by reciprocal-rank fusion

@@ -564,4 +564,48 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(out == Set(1L, 2L))
   }
+
+  test("mmrRerank: a redundant near-dup loses its relevance rank to a diverse pick") {
+    import spark.implicits._
+    // doc 1 and doc 2 are near-identical; doc 3 is orthogonal with lower
+    // relevance. Pure relevance order is 1, 2, 3 — MMR at λ=0.5 must
+    // demote the near-dup: 1, 3, 2.
+    val cands = Seq(
+      (7L, 1L, 1.00, Array(1.0f, 0.0f)),
+      (7L, 2L, 0.99, Array(0.999f, 0.02f)),
+      (7L, 3L, 0.50, Array(0.0f, 1.0f))
+    ).toDF("query_id", "doc_id", "score", "vec")
+    val got = Search.mmrRerank(cands, k = 3, lambda = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    assert(got.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)), s"unexpected: ${got.toSeq}")
+  }
+
+  test("mmrRerank: k past the candidate count returns them all; scores are 6dp") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 10L, 0.9, Array(1.0f, 0.0f)),
+      (1L, 11L, 0.8, Array(0.0f, 1.0f))
+    ).toDF("query_id", "doc_id", "score", "vec")
+    val got = Search.mmrRerank(cands, k = 5, lambda = 0.7).collect()
+    assert(got.length == 2)
+    // pick 1: 0.7*0.9 = 0.63; pick 2: 0.7*0.8 - 0.3*cos(orthogonal)=0.56
+    val byRank = got.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("mmr"))
+    assert(byRank(0) == 0.63 && byRank(1) == 0.56, s"unexpected: ${byRank.toSeq}")
+  }
+
+  test("mmrRerank: ties break on lower doc_id, selection is order-independent") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 21L, 0.8, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 20L, 0.8, Array(0.0f, 1.0f, 0.0f)),
+      (1L, 22L, 0.8, Array(0.0f, 0.0f, 1.0f)))
+    for (perm <- Seq(rows, rows.reverse)) {
+      val got = Search.mmrRerank(perm.toDF("query_id", "doc_id", "score", "vec"),
+          k = 3, lambda = 0.7)
+        .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+      // all scores equal and mutually orthogonal: pure id order
+      assert(got == Seq(20L, 21L, 22L), s"unexpected: $got")
+    }
+  }
 }
