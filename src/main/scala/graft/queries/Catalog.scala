@@ -2631,7 +2631,8 @@ object Catalog {
           UNION ALL SELECT query_id, doc_id, mmr, 3 FROM p3
           UNION ALL SELECT query_id, doc_id, mmr, 4 FROM p4
           UNION ALL SELECT query_id, doc_id, mmr, 5 FROM p5)
-        ORDER BY query_id, rank""")),
+        ORDER BY query_id, rank"""),
+      headline = true),
 
     "search_hybrid" -> QueryDef(
       // Hybrid retrieval: BM25 keyword run + brute-force cosine run over

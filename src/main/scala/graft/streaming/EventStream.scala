@@ -288,6 +288,53 @@ object EventStream {
       }
       .start()
 
+  /** CDC-style streaming maintenance of the near-dup index — the
+    * [[ingestCdcToTextIndex]] contract applied to dedup-at-ingest: each
+    * micro-batch carries interleaved upserts and deletions (`opCol` =
+    * "set" | "del"); "set" rows append (fenced exactly-once by the
+    * numeric batch tag) and then the "del" ids tombstone — so within one
+    * batch "del" wins over "set" of the same id, and a checkpoint replay
+    * converges (the re-run append is fenced, the re-run delete is
+    * idempotent). The "set" rows are probed AFTER the deletes apply:
+    * a new doc whose only near-dup died in the same batch reports no
+    * pair — the collection-history answer at the batch boundary.
+    * Per-key ordering is the caller's CDC contract, as in the text form.
+    */
+  def ingestCdcToNearDupIndex(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      pairsOut: String,
+      threshold: Double,
+      opCol: String = "op",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.llmops.NearDupIndex
+        val ops = batch.persist()
+        try {
+          val sets = ops.filter(col(opCol) === "set")
+          val dels = ops.filter(col(opCol) === "del").select(col(idCol))
+          NearDupIndex.appendToNearDupIndex(indexDir, sets,
+            batchTag = Some(batchId.toString), idCol = idCol, textCol = textCol)
+          NearDupIndex.deleteFromNearDupIndex(indexDir, dels, idCol = idCol)
+          // del wins on BOTH sides: a set+del'd doc is tombstoned in the
+          // index (subtracted as dup_id) and excluded from the probe too
+          NearDupIndex.probeNearDupIndex(batch.sparkSession, indexDir,
+              sets.join(dels, Seq(idCol), "left_anti"),
+              threshold, idCol = idCol, textCol = textCol)
+            .write.mode("append").parquet(pairsOut)
+        } finally ops.unpersist()
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          NearDupIndex.maintainNearDupIndex(batch.sparkSession, indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup for ingest pipelines: keep the first row per
     * `keyCol`, dropping re-arrivals within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — key-only dedup with

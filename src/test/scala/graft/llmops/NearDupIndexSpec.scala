@@ -210,6 +210,99 @@ class NearDupIndexSpec extends AnyFunSuite {
     assert(pairs(NearDupIndex.probeNearDupIndex(spark, idx, dupProbe, threshold = 0.0)).isEmpty)
   }
 
+  test("CDC stream: interleaved set/del batches; deleted docs stop pairing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-cdc").toString
+    val out = java.nio.file.Files.createTempDirectory("ndidx-cdc-pairs").toString + "/pairs"
+    NearDupIndex.buildNearDupIndex(corpus(), idx, numBuckets = 8)
+    val mem = MemoryStream[(String, Long, String)]
+    val ops = mem.toDF().select(col("_1").as("op"), col("_2").as("doc_id"), col("_3").as("text"))
+    val q = graft.streaming.EventStream.ingestCdcToNearDupIndex(ops, idx,
+      java.nio.file.Files.createTempDirectory("ndidx-cdc-ckpt").toString,
+      out, threshold = 0.8)
+    try {
+      mem.addData(("set", 1L, "the quick brown fox jumps over the lazy dog today"),
+        ("set", 2L, "unrelated text about storage engines and compaction"))
+      q.processAllAvailable()
+      // batch 1: doc 3 duplicates doc 1 — but doc 1 is deleted in the
+      // SAME batch (delete applies before the probe): no pair emitted.
+      // Doc 4 is set AND deleted in-batch: del wins on both sides.
+      mem.addData(("set", 3L, "the quick brown fox jumps over the lazy dog today"),
+        ("del", 1L, ""),
+        ("set", 4L, "unrelated text about storage engines and compaction"),
+        ("del", 4L, ""))
+      q.processAllAvailable()
+      // batch 2: doc 5 duplicates the LIVE doc 3 (pair emitted) and the
+      // dead docs 1/4 (suppressed)
+      mem.addData(("set", 5L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("probe_id"), col("dup_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((5L, 3L)), s"unexpected pair set: $got")
+    val m = NearDupIndex.readManifest(spark, idx).get
+    assert(m.nDeleted === 2L && m.tagHighWater === 2L)
+    // probing after the physical purge converges to the same answer
+    assert(NearDupIndex.compactNearDupIndex(spark, idx))
+    val probe = pairs(NearDupIndex.probeNearDupIndex(spark, idx,
+      corpus(50L -> "the quick brown fox jumps over the lazy dog today"), threshold = 0.8))
+    assert(probe.map(p => (p._1, p._2)) === Set((50L, 3L), (50L, 5L)))
+  }
+
+  test("randomized append/delete/fold/vacuum interleavings match a fresh build (seeded fuzz)") {
+    // the delete lifecycle's strongest evidence (the text/IVF fuzz
+    // standard): after ANY interleaving of appends, deletes (live, dead,
+    // and unknown ids), folds, maintenance, and vacuums, probing the
+    // evolved index equals probing a FRESH index built from the model's
+    // live corpus — banding is deterministic, so the pair sets must be
+    // IDENTICAL, not merely similar
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(seed: Int): String =
+      (0 until 8).map(i => vocab((seed + i * 3) % vocab.size)).mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("ndidx-fuzz").toString
+    NearDupIndex.buildNearDupIndex(corpus(), idx, numBuckets = 8)
+    var model = Map.empty[Long, String]
+    var nextId = 100L
+    var tag = 0
+    val probe = corpus(900L -> text(0), 901L -> text(4), 902L -> "nothing shared here at all")
+    for (step <- 1 to 18) {
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append 1-3 new docs (some near-dups of history)
+          val docs = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1
+            id -> text(rnd.nextInt(7))
+          }
+          model ++= docs
+          assert(NearDupIndex.appendToNearDupIndex(idx, corpus(docs: _*),
+            batchTag = Some(tag.toString)))
+          tag += 1
+        case 2 => // delete a mix of live, dead, and unknown ids
+          val live = model.keys.toVector.sorted
+          val victims = (rnd.shuffle(live).take(rnd.nextInt(3)) ++
+            Seq(55555L) ++ rnd.shuffle(live).take(1)).distinct
+          val newlyDead = victims.count(model.contains)
+          assert(NearDupIndex.deleteFromNearDupIndex(idx,
+            victims.toDF("doc_id")) === newlyDead)
+          model --= victims
+        case 3 => NearDupIndex.compactNearDupIndex(spark, idx)
+        case 4 =>
+          NearDupIndex.maintainNearDupIndex(spark, idx)
+          NearDupIndex.vacuumNearDupIndex(spark, idx, minAgeMs = 0L)
+      }
+      if (step % 6 == 0 || step == 18) {
+        val fresh = java.nio.file.Files.createTempDirectory("ndidx-fuzz-ref").toString
+        NearDupIndex.buildNearDupIndex(corpus(model.toSeq: _*), fresh, numBuckets = 8)
+        val got = pairs(NearDupIndex.probeNearDupIndex(spark, idx, probe, threshold = 0.5))
+        val want = pairs(NearDupIndex.probeNearDupIndex(spark, fresh, probe, threshold = 0.5))
+        assert(got === want, s"step $step: evolved=$got fresh=$want (live=${model.keys.toSeq.sorted})")
+      }
+    }
+  }
+
   test("maintainNearDupIndex folds on dead ratio and on root pileup") {
     val idx = java.nio.file.Files.createTempDirectory("ndidx-maint").toString
     NearDupIndex.buildNearDupIndex(base, idx, numBuckets = 8)
