@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregate views — the LSM write
+  * discipline (reference: `kv/lsm` — append sorted runs, merge on read,
+  * fold in the background) applied to GROUP BY state. A view is a set of
+  * PARTIAL-aggregate generations on disk: the base build and every append
+  * each contribute one key-partitioned parquet root of
+  * `(keys..., __cnt, m__sum, m__min, m__max)` rows; a read merges the
+  * roots with one re-aggregation (merge-on-read, the LWW-resolve shape);
+  * [[compactAggView]] folds them back to one root (the compaction);
+  * appends are exactly-once under a batch tag (the manifest fence every
+  * index family here shares), so a Structured Streaming `foreachBatch`
+  * replay converges.
+  *
+  * Why partial aggregates: count/sum/min/max are commutative monoids, so
+  * a delta batch folds into the view WITHOUT re-reading the base data —
+  * refresh cost is O(delta), the whole point at 100 TB (re-running the
+  * full GROUP BY is exactly the "rewrite the level on every append"
+  * anti-pattern the reference's LSM exists to avoid). avg finalizes as
+  * sum/cnt at read time.
+  *
+  * Determinism: metric values are cast to `decimal(18, scale)` PER ROW at
+  * ingest (the determinism boundary — the same cast replays in plain
+  * SQL), then summed as decimals, so the merged view is bit-identical to
+  * a one-shot GROUP BY over the union of all ingested batches at ANY
+  * partitioning and ANY append order; the Catalog row `q_agg_view` is
+  * FULLY oracled on that property.
+  *
+  * Scale shape: each root is hash-partitioned on the group keys (`pk`),
+  * so [[lookupAggView]] point reads prune to one partition; a root's size
+  * is bounded by KEY CARDINALITY, not ingested rows — the read-side merge
+  * union touches aggregate state only. Roots accumulate per append;
+  * [[maintainAggView]] is the fold policy that keeps the root count flat
+  * (the text/IVF/near-dup `maintain` contract).
+  */
+object AggView {
+
+  private[operators] final case class AggViewManifest(
+      keys: Seq[String],
+      metrics: Seq[String],
+      scale: Int,
+      numBuckets: Int,
+      roots: Vector[String],
+      appliedTags: Vector[String] = Vector.empty,
+      tagHighWater: Long = -1L,
+      nRows: Long = 0L)
+
+  private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+  private val lock = new Object
+
+  private def numericTag(t: String): Option[Long] =
+    if (t.nonEmpty && t.length <= 18 && t.forall(c => c >= '0' && c <= '9'))
+      Some(java.lang.Long.parseLong(t))
+    else None
+
+  private def tagApplied(m: AggViewManifest, tag: String): Boolean =
+    numericTag(tag) match {
+      case Some(v) => v <= m.tagHighWater ||
+        m.appliedTags.exists(numericTag(_).contains(v))
+      case None => m.appliedTags.contains(tag)
+    }
+
+  private def recordTag(m: AggViewManifest, tag: String): AggViewManifest =
+    numericTag(tag) match {
+      case Some(v) => m.copy(tagHighWater = math.max(m.tagHighWater, v))
+      case None => m.copy(appliedTags = m.appliedTags :+ tag)
+    }
+
+  // stamp cache (size+mtime revalidation — the shared manifest pattern);
+  // `manifestParses` counts actual parses so a spec can pin the cache
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, AggViewManifest)]()
+  private[operators] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[operators] def readManifest(spark: SparkSession, viewDir: String,
+      fresh: Boolean = false): Option[AggViewManifest] = {
+    val p = new org.apache.hadoop.fs.Path(s"$viewDir/MANIFEST.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None => manifestCache.remove(viewDir); None
+      case Some(s) =>
+        val cached = manifestCache.get(viewDir)
+        if (!fresh && cached != null &&
+            cached._1 == s.getLen && cached._2 == s.getModificationTime)
+          Some(cached._3)
+        else {
+          val in = fs.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val m = org.json4s.jackson.Serialization.read[AggViewManifest](text)
+          manifestParses.incrementAndGet()
+          manifestCache.put(viewDir, (s.getLen, s.getModificationTime, m))
+          Some(m)
+        }
+    }
+  }
+
+  private def commitIfUnchanged(spark: SparkSession, viewDir: String,
+      expected: Option[AggViewManifest], next: AggViewManifest): Unit = {
+    if (readManifest(spark, viewDir, fresh = true) != expected)
+      throw new IllegalStateException(
+        s"concurrent agg-view mutation on $viewDir — aborting; " +
+          "staged dirs are unreferenced and reclaimed by vacuumAggView")
+    val dst = new org.apache.hadoop.fs.Path(s"$viewDir/MANIFEST.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$viewDir/MANIFEST.json.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(org.json4s.jackson.Serialization.write(next).getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    manifestCache.remove(viewDir)
+  }
+
+  private def sumCol(m: String): String = s"${m}__sum"
+  private def minCol(m: String): String = s"${m}__min"
+  private def maxCol(m: String): String = s"${m}__max"
+
+  private def pkExpr(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  /** Partial-aggregate one batch into the root schema. The per-row
+    * decimal cast is the determinism boundary (see object doc).
+    */
+  private def partialAgg(df: DataFrame, m: AggViewManifest): DataFrame = {
+    val dec = s"decimal(18,${m.scale})"
+    val aggs =
+      count(lit(1)).as("__cnt") +:
+      m.metrics.flatMap { c =>
+        val d = col(c).cast(dec)
+        Seq(sum(d).as(sumCol(c)), min(d).as(minCol(c)), max(d).as(maxCol(c)))
+      }
+    df.groupBy(m.keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("pk", pkExpr(m.keys, m.numBuckets))
+  }
+
+  private def stageRoot(df: DataFrame, viewDir: String, m: AggViewManifest,
+      skipIfEmpty: Boolean): Option[(String, Long)] = {
+    val n = df.count()
+    if (skipIfEmpty && n == 0) return None
+    val dir = s"agg-${java.util.UUID.randomUUID}"
+    partialAgg(df, m)
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(s"$viewDir/$dir")
+    Some((dir, n))
+  }
+
+  /** Create a view at `viewDir` over `df`, grouped by `keys`, maintaining
+    * count/sum/min/max/avg for each of `metrics` (numeric columns,
+    * decimal-cast at `scale` — 2 for money, 6 for ratios). Replaces any
+    * prior manifest; superseded roots wait for [[vacuumAggView]].
+    */
+  def buildAggView(
+      df: DataFrame,
+      viewDir: String,
+      keys: Seq[String],
+      metrics: Seq[String],
+      scale: Int = 2,
+      numBuckets: Int = 32): Unit = lock.synchronized {
+    require(keys.nonEmpty, "buildAggView: at least one group key")
+    require(metrics.nonEmpty, "buildAggView: at least one metric column")
+    val spark = df.sparkSession
+    val prior = readManifest(spark, viewDir)
+    val m0 = AggViewManifest(keys, metrics, scale, numBuckets, Vector.empty)
+    val (dir, n) = stageRoot(df, viewDir, m0, skipIfEmpty = false).get
+    commitIfUnchanged(spark, viewDir, prior,
+      m0.copy(roots = Vector(dir), nRows = n))
+  }
+
+  /** Fold one delta batch into the view: O(delta) — one partial agg over
+    * the batch, one root write, one manifest swap; the base roots are
+    * NEVER re-read. Exactly-once under `batchTag` (a replayed tag returns
+    * false and writes nothing — the streaming fence); an empty batch
+    * stages nothing. Returns true when the view changed.
+    */
+  def appendToAggView(
+      viewDir: String,
+      df: DataFrame,
+      batchTag: Option[String] = None): Boolean = lock.synchronized {
+    val spark = df.sparkSession
+    val m = readManifest(spark, viewDir).getOrElse(throw new IllegalStateException(
+      s"appendToAggView: no readable view manifest at $viewDir"))
+    if (batchTag.exists(tagApplied(m, _))) return false
+    stageRoot(df, viewDir, m, skipIfEmpty = true) match {
+      case None => false
+      case Some((dir, n)) =>
+        val next = m.copy(roots = m.roots :+ dir, nRows = m.nRows + n)
+        try commitIfUnchanged(spark, viewDir, Some(m),
+          batchTag.fold(next)(recordTag(next, _)))
+        catch { case e: IllegalStateException =>
+          new org.apache.hadoop.fs.Path(viewDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(s"$viewDir/$dir"), true)
+          throw e
+        }
+        true
+    }
+  }
+
+  private def readRoots(spark: SparkSession, viewDir: String,
+      m: AggViewManifest): DataFrame =
+    m.roots.map(r => spark.read.parquet(s"$viewDir/$r"))
+      .reduce(_.unionByName(_))
+
+  /** The merged PARTIAL state (keys..., __cnt, m__sum/min/max, one row
+    * per key) — the re-aggregation of all roots. Internal merge step for
+    * reads and folds.
+    */
+  private def mergedPartial(spark: SparkSession, viewDir: String,
+      m: AggViewManifest): DataFrame = {
+    val aggs =
+      sum(col("__cnt")).as("__cnt") +:
+      m.metrics.flatMap { c => Seq(
+        sum(col(sumCol(c))).as(sumCol(c)),
+        min(col(minCol(c))).as(minCol(c)),
+        max(col(maxCol(c))).as(maxCol(c)))
+      }
+    readRoots(spark, viewDir, m)
+      .groupBy(m.keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read the finalized view: one row per key with
+    * `cnt`, and per metric `m`: `m_sum` (scale-dp), `m_min`, `m_max`,
+    * `m_avg` (6dp) — bit-identical to a one-shot GROUP BY over everything
+    * ever ingested, regardless of how the rows arrived.
+    */
+  def readAggView(spark: SparkSession, viewDir: String): DataFrame = {
+    val m = readManifest(spark, viewDir).getOrElse(throw new IllegalStateException(
+      s"readAggView: no readable view manifest at $viewDir"))
+    val outs =
+      m.keys.map(col) ++ Seq(col("__cnt").as("cnt")) ++
+      m.metrics.flatMap { c => Seq(
+        round(col(sumCol(c)).cast("double"), m.scale).as(s"${c}_sum"),
+        round(col(minCol(c)).cast("double"), m.scale).as(s"${c}_min"),
+        round(col(maxCol(c)).cast("double"), m.scale).as(s"${c}_max"),
+        round(col(sumCol(c)).cast("double") / col("__cnt"), 6).as(s"${c}_avg"))
+      }
+    mergedPartial(spark, viewDir, m).select(outs: _*)
+  }
+
+  /** Point lookup of one key tuple — prunes every root scan to the key's
+    * single `pk` partition (the view's answer to the reference's `Get`:
+    * manifest → partition prune → merge). `values` align with the view's
+    * `keys`.
+    */
+  def lookupAggView(spark: SparkSession, viewDir: String,
+      values: Seq[Any]): DataFrame = {
+    val m = readManifest(spark, viewDir).getOrElse(throw new IllegalStateException(
+      s"lookupAggView: no readable view manifest at $viewDir"))
+    require(values.length == m.keys.length,
+      s"lookupAggView: ${m.keys.length} key values expected")
+    val keyed = m.keys.zip(values)
+    val pred = keyed.map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _)
+    val aggs =
+      sum(col("__cnt")).as("__cnt") +:
+      m.metrics.flatMap { c => Seq(
+        sum(col(sumCol(c))).as(sumCol(c)),
+        min(col(minCol(c))).as(minCol(c)),
+        max(col(maxCol(c))).as(maxCol(c)))
+      }
+    val outs =
+      m.keys.map(col) ++ Seq(col("__cnt").as("cnt")) ++
+      m.metrics.flatMap { c => Seq(
+        round(col(sumCol(c)).cast("double"), m.scale).as(s"${c}_sum"),
+        round(col(minCol(c)).cast("double"), m.scale).as(s"${c}_min"),
+        round(col(maxCol(c)).cast("double"), m.scale).as(s"${c}_max"),
+        round(col(sumCol(c)).cast("double") / col("__cnt"), 6).as(s"${c}_avg"))
+      }
+    // pk literal prunes the partitioned scan; the key predicate finishes
+    // the job inside the pruned partition
+    val pkVals = spark.range(1).select(
+      m.keys.zip(values).map { case (k, v) => lit(v).as(k) }: _*)
+      .select(pkExpr(m.keys, m.numBuckets).as("pk"))
+      .collect().map(_.getInt(0))
+    readRoots(spark, viewDir, m)
+      .filter(col("pk") === pkVals.head && pred)
+      .groupBy(m.keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outs: _*)
+  }
+
+  /** Fold all roots into one (the compaction): the merged partial state
+    * is rewritten as a single root, numeric batch tags collapse into the
+    * high-water fence, and reads stop paying the multi-root union.
+    * Bit-identical before/after by the monoid property. Returns true
+    * when a fold ran.
+    */
+  def compactAggView(spark: SparkSession, viewDir: String): Boolean = lock.synchronized {
+    readManifest(spark, viewDir) match {
+      case Some(m) if m.roots.size > 1 ||
+          m.appliedTags.exists(numericTag(_).isDefined) =>
+        val dir = s"agg-${java.util.UUID.randomUUID}"
+        mergedPartial(spark, viewDir, m)
+          .withColumn("pk", pkExpr(m.keys, m.numBuckets))
+          .repartition(col("pk"))
+          .write.mode("overwrite").partitionBy("pk").parquet(s"$viewDir/$dir")
+        val numeric = m.appliedTags.flatMap(numericTag)
+        try commitIfUnchanged(spark, viewDir, Some(m), m.copy(
+          roots = Vector(dir),
+          appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
+          tagHighWater = (m.tagHighWater +: numeric).max))
+        catch { case e: IllegalStateException =>
+          new org.apache.hadoop.fs.Path(viewDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(s"$viewDir/$dir"), true)
+          throw e
+        }
+        true
+      case _ => false
+    }
+  }
+
+  /** The auto-fold policy (the shared `maintain` contract): fold when
+    * append roots pile past `foldRootsAbove`. Returns true when a fold
+    * ran.
+    */
+  def maintainAggView(spark: SparkSession, viewDir: String,
+      foldRootsAbove: Int = 4): Boolean = lock.synchronized {
+    readManifest(spark, viewDir) match {
+      case Some(m) if m.roots.size > foldRootsAbove =>
+        compactAggView(spark, viewDir)
+      case _ => false
+    }
+  }
+
+  /** Delete roots the manifest no longer references (crashed stages,
+    * superseded folds) past an age grace for in-flight foreign stages.
+    * Returns the number of directories removed.
+    */
+  def vacuumAggView(spark: SparkSession, viewDir: String,
+      minAgeMs: Long = 600000L): Int = lock.synchronized {
+    readManifest(spark, viewDir) match {
+      case None => 0
+      case Some(m) =>
+        val root = new org.apache.hadoop.fs.Path(viewDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = m.roots.toSet
+        val cutoff = System.currentTimeMillis() - minAgeMs
+        val stale = fs.listStatus(root).filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && n.startsWith("agg-") &&
+            !live.contains(n) && st.getModificationTime <= cutoff
+        }
+        if (readManifest(spark, viewDir, fresh = true) != Some(m))
+          throw new IllegalStateException(
+            s"concurrent agg-view mutation on $viewDir during vacuum — aborting")
+        stale.foreach(st => fs.delete(st.getPath, true))
+        stale.length
+    }
+  }
+}

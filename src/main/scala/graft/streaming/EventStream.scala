@@ -473,4 +473,30 @@ object EventStream {
         }
     }
   }
+
+  /** Streaming maintenance of a persisted aggregate view
+    * ([[graft.operators.AggView]]): each micro-batch folds into the view
+    * as one O(delta) partial-agg append, exactly-once under the numeric
+    * batch tag (a checkpoint replay re-offers the same batchId and the
+    * fence drops it), with the shared auto-fold policy keeping the root
+    * count flat. The streaming dual of the reference's
+    * WAL -> memtable -> L0 pipeline, applied to GROUP BY state instead
+    * of KV pairs.
+    */
+  def ingestToAggView(
+      stream: DataFrame,
+      viewDir: String,
+      checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AggView.appendToAggView(
+          viewDir, batch, batchTag = Some(batchId.toString))
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.operators.AggView.maintainAggView(batch.sparkSession, viewDir)
+        ()
+      }
+      .start()
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.core.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggViewSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkBatch(ids: Range): DataFrame =
+    ids.map { i =>
+      (s"g${i % 3}", s"p${i % 2}", (i % 7) * 10.01 + 0.5)
+    }.toDF("status", "prio", "price")
+
+  /** One-shot reference aggregate with the SAME per-row decimal cast the
+    * view applies at ingest.
+    */
+  private def oneShot(df: DataFrame): Array[Seq[Any]] = {
+    val d = col("price").cast("decimal(18,2)")
+    df.groupBy("status", "prio")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(d).cast("double"), 2).as("price_sum"),
+        round(min(d).cast("double"), 2).as("price_min"),
+        round(max(d).cast("double"), 2).as("price_max"),
+        round(sum(d).cast("double") / count(lit(1)), 6).as("price_avg"))
+      .orderBy("status", "prio").collect().map(_.toSeq)
+  }
+
+  private def readSorted(dir: String): Array[Seq[Any]] =
+    AggView.readAggView(spark, dir).orderBy("status", "prio")
+      .collect().map(_.toSeq)
+
+  private def rootCount(dir: String): Int =
+    AggView.readManifest(spark, dir).get.roots.size
+
+  test("incremental view == one-shot aggregate at every step, any append order") {
+    val dir = Files.createTempDirectory("aggview").toString
+    val b0 = mkBatch(0 until 500)
+    val b1 = mkBatch(500 until 800)
+    val b2 = mkBatch(800 until 1100)
+    AggView.buildAggView(b0, dir, Seq("status", "prio"), Seq("price"))
+    assert(readSorted(dir).toSeq == oneShot(b0).toSeq)
+    assert(AggView.appendToAggView(dir, b1))
+    assert(readSorted(dir).toSeq == oneShot(b0.union(b1)).toSeq)
+    assert(AggView.appendToAggView(dir, b2))
+    assert(readSorted(dir).toSeq == oneShot(b0.union(b1).union(b2)).toSeq)
+    assert(rootCount(dir) == 3, "each append is its own root before the fold")
+  }
+
+  test("compaction folds to one root, results bit-identical, fence survives") {
+    val dir = Files.createTempDirectory("aggview-fold").toString
+    AggView.buildAggView(mkBatch(0 until 400), dir, Seq("status", "prio"), Seq("price"))
+    AggView.appendToAggView(dir, mkBatch(400 until 600), batchTag = Some("7"))
+    AggView.appendToAggView(dir, mkBatch(600 until 900), batchTag = Some("8"))
+    val before = readSorted(dir)
+    assert(AggView.compactAggView(spark, dir))
+    assert(rootCount(dir) == 1)
+    assert(readSorted(dir).toSeq == before.toSeq)
+    // the numeric-tag fence collapses into the high-water mark: a replay
+    // of a PRE-fold batch is still dropped
+    assert(!AggView.appendToAggView(dir, mkBatch(0 until 10), batchTag = Some("7")))
+    assert(readSorted(dir).toSeq == before.toSeq)
+    assert(!AggView.compactAggView(spark, dir), "single clean root: fold is a no-op")
+  }
+
+  test("replayed tags and empty batches write nothing") {
+    val dir = Files.createTempDirectory("aggview-replay").toString
+    AggView.buildAggView(mkBatch(0 until 100), dir, Seq("status", "prio"), Seq("price"))
+    assert(AggView.appendToAggView(dir, mkBatch(100 until 200), batchTag = Some("1")))
+    val snap = readSorted(dir)
+    assert(!AggView.appendToAggView(dir, mkBatch(100 until 200), batchTag = Some("1")))
+    assert(!AggView.appendToAggView(dir, mkBatch(0 until 0)))
+    assert(rootCount(dir) == 2)
+    assert(readSorted(dir).toSeq == snap.toSeq)
+  }
+
+  test("lookup returns the single key's merged row and prunes to its pk partition") {
+    val dir = Files.createTempDirectory("aggview-lookup").toString
+    AggView.buildAggView(mkBatch(0 until 300), dir, Seq("status", "prio"), Seq("price"),
+      numBuckets = 8)
+    AggView.appendToAggView(dir, mkBatch(300 until 500))
+    val full = readSorted(dir)
+    val hit = AggView.lookupAggView(spark, dir, Seq("g1", "p0"))
+    // plan prunes: the pk literal must land as a PARTITION filter on every
+    // root scan (partition pruning, not a post-scan predicate)
+    // sparkPlan, not executedPlan: AQE wraps the executed tree and hides
+    // the scans from a plain collect
+    val scans = hit.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "pk"))),
+      "a root scan lost its pk partition filter — lookup reads every partition")
+    val row = hit.collect()
+    assert(row.length == 1)
+    assert(full.contains(row.head.toSeq))
+  }
+
+  test("maintain folds past the root threshold; vacuum reclaims superseded roots") {
+    val dir = Files.createTempDirectory("aggview-maint").toString
+    AggView.buildAggView(mkBatch(0 until 50), dir, Seq("status", "prio"), Seq("price"))
+    (0 until 5).foreach(i =>
+      AggView.appendToAggView(dir, mkBatch(50 * (i + 1) until 50 * (i + 2))))
+    assert(rootCount(dir) == 6)
+    val before = readSorted(dir)
+    assert(AggView.maintainAggView(spark, dir, foldRootsAbove = 4))
+    assert(rootCount(dir) == 1)
+    assert(readSorted(dir).toSeq == before.toSeq)
+    // 6 superseded roots now orphaned; age grace 0 reclaims them
+    val removed = AggView.vacuumAggView(spark, dir, minAgeMs = 0L)
+    assert(removed == 6, s"expected 6 reclaimed roots, got $removed")
+    assert(readSorted(dir).toSeq == before.toSeq)
+  }
+
+  test("manifest is stamp-cached: N reads of an unchanged view parse once") {
+    val dir = Files.createTempDirectory("aggview-stamp").toString
+    AggView.buildAggView(mkBatch(0 until 60), dir, Seq("status", "prio"), Seq("price"))
+    AggView.readAggView(spark, dir).collect() // prime the stamp
+    val p0 = AggView.manifestParses.get()
+    (0 until 5).foreach(_ => AggView.readAggView(spark, dir).collect())
+    assert(AggView.manifestParses.get() == p0,
+      "unchanged view re-parsed its manifest")
+    AggView.appendToAggView(dir, mkBatch(60 until 80))
+    AggView.readAggView(spark, dir).collect()
+    assert(AggView.manifestParses.get() > p0, "a commit must restamp")
+  }
+
+  test("streaming ingestToAggView equals the batch view over the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("aggview-stream").toString
+    val ckpt = Files.createTempDirectory("aggview-ckpt").toString
+    AggView.buildAggView(mkBatch(0 until 100), dir, Seq("status", "prio"), Seq("price"))
+    val input = MemoryStream[(String, String, Double)]
+    val q = graft.streaming.EventStream.ingestToAggView(
+      input.toDF().toDF("status", "prio", "price"), dir, ckpt)
+    try {
+      input.addData((100 until 160).map(i =>
+        (s"g${i % 3}", s"p${i % 2}", (i % 7) * 10.01 + 0.5)): _*)
+      q.processAllAvailable()
+      input.addData((160 until 220).map(i =>
+        (s"g${i % 3}", s"p${i % 2}", (i % 7) * 10.01 + 0.5)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readSorted(dir).toSeq == oneShot(mkBatch(0 until 220)).toSeq)
+  }
+}

@@ -234,4 +234,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!scanLine.contains("l_comment"), s"column pruning lost: $scanLine")
   }
+
+  test("q_agg_view: merge-on-read touches aggregate state only — no join, no window") {
+    val p = plan("q_agg_view")
+    // the read merges partial-agg roots with ONE re-aggregation; any join
+    // or window here means the view started re-reading base data
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "agg-view read stopped being a pure union + re-aggregate")
+    assert(p.contains("HashAggregate"), "agg-view merge lost its hash aggregate")
+    // roots store decimal partials — a double anywhere in the scan schema
+    // means the determinism boundary moved to read time
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scans.contains("decimal(18,2)"),
+      s"partial-agg roots no longer carry decimal sums: $scans")
+  }
+
+  test("text_nb_classify: model joins broadcast — the token stream never sort-merges") {
+    val p = plan("text_nb_classify")
+    assert(!p.contains("SortMergeJoin"),
+      "a classifier model join fell back to sort-merge — the vocab x labels " +
+        "grid must broadcast (it is bounded by vocabulary, not corpus)")
+    assert(!p.contains("CartesianProduct"),
+      "classifier scoring grew a cartesian product")
+  }
 }
