@@ -945,6 +945,64 @@ final class GraftDB(
     */
   def gridBounds(): Vector[String] = manifest.load().rangeBoundsHex
 
+  /** Consistent portable backup (the LSM `Backup` story — badger-style
+    * engines export a point-in-time snapshot; this engine's immutable
+    * parquet segments make it a METADATA-plus-copy operation, no
+    * key-stream serialization needed). Pins a [[snapshot]] so vacuum
+    * cannot reclaim files mid-copy, copies every live data/blob file
+    * into `destDir` preserving the `data/...`/`blobs/...` layout, then
+    * commits a fresh manifest at `destDir` with rebased paths — LAST, so
+    * a crashed backup leaves NO manifest and [[GraftDB.openBackup]]
+    * fails loudly instead of opening an empty engine. The backup is
+    * fully independent: later writes/compactions/GC on this engine never
+    * touch it.
+    *
+    * Scale shape: the copy is per-file through the Hadoop FS layer —
+    * driver-coordinated like every lifecycle job here, sized by the LIVE
+    * set (post-compaction, post-GC), not write history. At real cluster
+    * scale the same manifest-rebase logic rides a distcp-style parallel
+    * copy; the commit protocol (copy first, manifest swap last) is the
+    * part that matters and is what this implements.
+    */
+  def backupTo(destDir: String): Unit = {
+    require(!new java.io.File(s"$destDir/MANIFEST.json").exists() &&
+        !new java.io.File(s"$destDir/MANIFEST.log").exists(),
+      s"backupTo: $destDir already holds an engine manifest — refusing to overwrite")
+    val s = snapshot()
+    try {
+      val st = s.state
+      def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+      val normRoot = norm(rootDir).stripSuffix("/")
+      def rebase(p: String): String = {
+        val n = norm(p)
+        require(n.startsWith(normRoot + "/"),
+          s"backupTo: segment $p lives outside rootDir $rootDir")
+        s"$destDir/${n.stripPrefix(normRoot + "/")}"
+      }
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val pairs = (st.files.map(_.path) ++ st.blobFiles.map(_.path))
+        .map(p => (norm(p), rebase(p)))
+      pairs.foreach { case (src, dst) =>
+        val sp = new org.apache.hadoop.fs.Path(src)
+        val dp = new org.apache.hadoop.fs.Path(dst)
+        val sfs = sp.getFileSystem(hconf)
+        val dfs = dp.getFileSystem(hconf)
+        dfs.mkdirs(dp.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+            false /* deleteSource */, true /* overwrite */, hconf))
+          throw new java.io.IOException(s"backupTo: copy failed for $src")
+      }
+      // manifest LAST: the atomic commit is what makes the backup real
+      val dm = new Manifest(destDir, options.manifestLogCompactEvery)
+      dm.commit(_ => ManifestDelta(
+        nextVersion = Some(st.nextVersion),
+        nextBlobId = Some(st.nextBlobId),
+        addFiles = st.files.map(f => f.copy(path = rebase(f.path))),
+        addBlobs = st.blobFiles.map(b => b.copy(path = rebase(b.path))),
+        addBounds = st.rangeBoundsHex))
+    } finally s.close()
+  }
+
   /** API parity with the reference's `Close` (`kv/db.go:144-157`): the
     * reference drains its write channel, flushes the memtable, and stops
     * background goroutines. Here every one of those has no analog — writes
@@ -973,6 +1031,20 @@ final class Snapshot private[core] (db: GraftDB, private[core] val state: Manife
 }
 
 object GraftDB {
+  /** Open a directory produced by [[GraftDB.backupTo]] (the restore).
+    * Unlike the plain constructor — which treats a missing manifest as a
+    * NEW empty engine — this fails loudly when no manifest exists, so a
+    * crashed/partial backup can never silently restore as an empty
+    * database.
+    */
+  def openBackup(spark: SparkSession, dir: String,
+      options: GraftOptions = GraftOptions()): GraftDB = {
+    require(new java.io.File(s"$dir/MANIFEST.json").exists() ||
+        new java.io.File(s"$dir/MANIFEST.log").exists(),
+      s"openBackup: no engine manifest at $dir — incomplete or missing backup")
+    new GraftDB(spark, dir, options)
+  }
+
   /** Smallest byte string strictly greater than every string with `p` as a
     * prefix; None when p is all-0xff (scan to end of keyspace).
     */

@@ -38,8 +38,16 @@ object Classify {
     * is one row per label carrying the log prior AND the label's OOV
     * weight (the smoothed probability of a token never seen under that
     * label) so scoring handles unseen tokens without a special case.
+    *
+    * Both sides come back PERSISTED and materialized from
+    * [[trainNaiveBayes]]: scoring broadcasts the model in several places
+    * (per-token join, sentinels, final prior add), and without
+    * materialization every broadcast would re-run the full training
+    * aggregation over the corpus. Call [[NbModel.free]] when done.
     */
-  final case class NbModel(weights: DataFrame, priors: DataFrame)
+  final case class NbModel(weights: DataFrame, priors: DataFrame) {
+    def free(): Unit = { weights.unpersist(); priors.unpersist(); () }
+  }
 
   private val DEC = "decimal(18,6)"
 
@@ -56,9 +64,13 @@ object Classify {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxVocab: Int = 0): NbModel = {
+    // the exploded token stream feeds four aggregations (vocab, counts,
+    // label totals, vocab size) — cache it for the duration of training
+    // so the corpus is tokenized once, not once per aggregate
     val toks = docs.select(
       col(idCol).as("__id"), col(labelCol).as("label"),
       explode(Text.tokens(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val vocabAll = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cf"))
     val vocab =
@@ -104,7 +116,15 @@ object Classify {
         col("tok"), col("label"),
         round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n_lab") + col("vs"))), 6)
           .cast(DEC).as("w"))
-    NbModel(weights, priors)
+    // train ONCE: the model is bounded (vocab x labels), scoring
+    // broadcasts it repeatedly — materialize so each broadcast reads the
+    // cached aggregate instead of re-scanning the corpus
+    val model = NbModel(
+      weights.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      priors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    model.priors.count(); model.weights.count()
+    toks.unpersist() // model is materialized; the training stream can go
+    model
   }
 
   /** Score documents under a trained model: per-doc argmax label over
@@ -119,23 +139,36 @@ object Classify {
       model: NbModel,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(Text.tokens(col(textCol))).as("tok"))
-    // every token fans out to all L labels (priors carries the per-label
-    // OOV fallback), then the dense grid fills in seen-token weights
-    val perTok = toks
-      .crossJoin(broadcast(model.priors.select("label", "oov_w")))
-      .join(broadcast(model.weights), Seq("tok", "label"), "left")
+    // term-frequency compression BEFORE the label fan-out: a doc's k
+    // copies of one token score as tf * w — decimal multiplication IS
+    // exact repeated addition, so the result is bit-identical to
+    // per-instance summing while the x-labels blowup applies to the
+    // (doc, term) table, not the raw token stream
+    val DECW = "decimal(38,6)"
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("__id"), col("tok")).agg(count(lit(1)).as("__tf"))
+    // in-vocabulary terms: the dense grid already carries one row per
+    // label, so the broadcast join IS the fan-out — no cross join
+    val seen = tf.join(broadcast(model.weights), Seq("tok"))
       .select(col("__id"), col("label"),
-        coalesce(col("w"), col("oov_w")).as("w"))
+        (col("__tf") * col("w")).cast(DECW).as("w"))
+    // out-of-vocabulary terms all score the label's oov_w: fold them to
+    // one count per doc, then fan that single row out to the L labels
+    val oov = tf
+      .join(broadcast(model.weights.select("tok").distinct()), Seq("tok"), "left_anti")
+      .groupBy(col("__id")).agg(sum(col("__tf")).as("__oovn"))
+      .crossJoin(broadcast(model.priors.select("label", "oov_w")))
+      .select(col("__id"), col("label"),
+        (col("__oovn") * col("oov_w")).cast(DECW).as("w"))
     // zero-token docs still classify (prior-only): a zero-weight sentinel
     // row per (doc, label) rides the SAME hash agg — no corpus-sized
     // join-back (a base-vs-sums left join here would sort-merge two
     // corpus-sized sides; the union costs one extra row per doc per label)
     val sentinels = docs.select(col(idCol).as("__id"))
       .crossJoin(broadcast(model.priors.select("label")))
-      .select(col("__id"), col("label"), lit(0).cast(DEC).as("w"))
-    val totals = perTok.unionByName(sentinels)
+      .select(col("__id"), col("label"), lit(0).cast(DECW).as("w"))
+    val totals = seen.unionByName(oov).unionByName(sentinels)
       .groupBy(col("__id"), col("label"))
       .agg(sum(col("w")).as("__sll"))
       .join(broadcast(model.priors.select("label", "prior")), Seq("label"))
