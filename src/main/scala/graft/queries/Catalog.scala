@@ -956,6 +956,43 @@ object Catalog {
       },
       Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
         CASE WHEN event_id % 3 = 0 THEN 'i' ELSE 'old:' || event_type END AS v
+        FROM events WHERE user_id = 7 AND event_id % 5 != 0 ORDER BY k""")),
+
+    "kv_engine_backup" -> QueryDef(
+      // Backup/restore END-TO-END (the LSM Backup story): build state
+      // with overwrites + tombstones + blob-routed values, backupTo a
+      // fresh dir, then MUTATE the source hard (full overwrite, compact,
+      // vacuum) and read from the RESTORED engine — which must serve the
+      // exact pre-mutation state through copied segments AND copied blob
+      // files. A missed blob copy, a leaked post-backup write, or a
+      // vacuum reaching into the backup is a red row here.
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q-backup").toString
+        val db = new GraftDB(s, tmp,
+          GraftOptions(valueThreshold = 8, compactTriggerFiles = 1000))
+        val ev = t(s, dir, "events")
+        val key = encode(concat(lpad(col("user_id").cast("string"), 4, "0"), lit("#"),
+          lpad(col("event_id").cast("string"), 6, "0")), "UTF-8").as("key")
+        db.write(ev.select(key,
+          encode(concat(lit("old:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(key, encode(concat(lit("new:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .select(key, lit(null).cast("binary").as("value")))
+        val dest = Files.createTempDirectory("graft-q-backup-dest").toString + "/bk"
+        db.backupTo(dest)
+        // source diverges AFTER the backup — none of this may leak in
+        db.write(ev.select(key, encode(lit("MUTATED"), "UTF-8").as("value")))
+        db.compact()
+        db.vacuum()
+        val bk = GraftDB.openBackup(s, dest)
+        bk.scan(prefix = Some("0007#".getBytes("UTF-8")))
+          .select(decode(col("key"), "UTF-8").as("k"),
+            decode(col("value"), "UTF-8").as("v"))
+          .orderBy("k")
+      },
+      Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
+        CASE WHEN event_id % 2 = 0 THEN 'new:' || event_type ELSE 'old:' || event_type END AS v
         FROM events WHERE user_id = 7 AND event_id % 5 != 0 ORDER BY k""")))
 
   // ============================================================== C. text ==
