@@ -183,6 +183,86 @@ object RollingHash64 {
   }
 }
 
+/** `subword_split(word, vocab, maxPieceLen)`: greedy longest-match-first
+  * subword segmentation against a FIXED vocabulary (WordPiece's inference
+  * rule, marker-free) with single-character fallback — every word
+  * segments losslessly (concatenating the pieces restores the word), so
+  * there is no UNK sink and the roundtrip property is testable.
+  *
+  * Why a native expression: segmentation is an inherently sequential
+  * per-word loop (position -> longest vocab prefix -> advance) that SQL
+  * can only express as a recursive join per position; here it is one
+  * static call with a hash-set probe per candidate length, O(|word| *
+  * maxPieceLen) probes. The vocab rides the expression as a driver
+  * parameter (the GridBucket / NearestCentroid convention) — bounded by
+  * construction (it is a LEARNED top-K vocabulary, not corpus data).
+  *
+  * Greedy-match determinism: at each position the longest vocabulary
+  * piece wins; lengths tie only with themselves, so the segmentation is
+  * a pure function of (word, vocab set) — replayable in SQL by a
+  * longest-prefix table + recursive path-follow, which is exactly how
+  * the Catalog oracle certifies it.
+  */
+case class SubwordSplit(child: Expression, vocab: Array[String], maxPieceLen: Int)
+    extends UnaryExpression {
+
+  require(maxPieceLen >= 1, "subword_split: maxPieceLen must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SubwordSplit.compute(input.asInstanceOf[UTF8String], vocabSet, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = SubwordSplit.getClass.getName.stripSuffix("$")
+    val ref = ctx.addReferenceObj("subwordVocab", vocabSet, "java.util.HashSet<String>")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $util.compute($s, $ref, $maxPieceLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordSplit =
+    copy(child = newChild)
+}
+
+object SubwordSplit {
+  def compute(word: UTF8String, vocab: java.util.HashSet[String],
+      maxPieceLen: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // code-point-safe segmentation over the java String form: pieces are
+    // produced per DISTINCT word (the scale path joins them back to the
+    // corpus), so per-word String materialization is off the hot path
+    val s = word.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](s.length)
+    var pos = 0
+    while (pos < s.length) {
+      // remaining length in CODE POINTS (s.length is UTF-16 units; a
+      // surrogate pair would otherwise overrun offsetByCodePoints)
+      var len = math.min(maxPieceLen, s.codePointCount(pos, s.length))
+      // candidate lengths are CODE POINTS; step down to the longest
+      // vocabulary hit, falling back to the single code point at pos
+      var matched: String = null
+      while (matched == null && len > 1) {
+        val end = s.offsetByCodePoints(pos, len)
+        val cand = s.substring(pos, end)
+        if (vocab.contains(cand)) matched = cand else len -= 1
+      }
+      if (matched == null) {
+        val end = s.offsetByCodePoints(pos, 1)
+        matched = s.substring(pos, end) // single-char fallback, in-vocab or not
+      }
+      out += UTF8String.fromString(matched)
+      pos += matched.length
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -193,4 +273,9 @@ object TextExpressions {
   /** Column API: single-pass rolling (polynomial) fingerprint. */
   def rolling_hash64(text: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(text)))
+
+  /** Column API: greedy subword segmentation against a learned vocab. */
+  def subword_split(word: Column, vocab: Seq[String], maxPieceLen: Int): Column =
+    ColumnBridge.column(
+      SubwordSplit(ColumnBridge.expression(word), vocab.toArray, maxPieceLen))
 }

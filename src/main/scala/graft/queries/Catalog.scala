@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftDB, GraftOptions}
 import graft.functions.Text
 import graft.graph.GraphOps
-import graft.llmops.{Classify, Curation, Dedup, Multimodal, NearDupIndex, Recall, Search, Similarity}
+import graft.llmops.{Classify, Curation, Dedup, Multimodal, NearDupIndex, Recall, Search, Similarity, Tokenize}
 import graft.operators.KVOps
 import graft.streaming.EventStream
 
@@ -1196,6 +1196,72 @@ object Catalog {
           FROM tot)
         SELECT doc_id, label AS predicted, round(tot::DOUBLE, 6) AS score
         FROM ranked WHERE r = 1 ORDER BY doc_id"""),
+      headline = true),
+
+    "text_subword" -> QueryDef(
+      // Learned subword tokenization END-TO-END (llmops.Tokenize): a
+      // deterministic frequent-substring vocabulary (the closed-form,
+      // SQL-replayable stand-in for iterative BPE merges) + greedy
+      // longest-match segmentation via the codegen'd SubwordSplit kernel,
+      // applied per DISTINCT word and joined back to the token stream.
+      // The oracle replays BOTH halves: the vocab as aggregation +
+      // window top-K, the greedy split as a longest-prefix table + a
+      // recursive path-follow — and the md5 of each doc's full piece
+      // stream certifies the segmentations are IDENTICAL piece by piece.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = Tokenize.learnSubwordVocab(docs, vocabSize = 64, maxPieceLen = 4)
+        Tokenize.encodeSubwords(docs, vocab, maxPieceLen = 4)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+        toks AS (SELECT doc_id, i AS pos, toks[i] AS word
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+            unnest(generate_series(1, len(toks))) AS t(i)
+          WHERE len(toks[i]) > 0),
+        words AS (SELECT word, count(*) AS wf FROM toks GROUP BY word),
+        subs AS (SELECT substr(word, p, l) AS piece, wf
+          FROM words,
+            unnest(generate_series(1, len(word))) AS tp(p),
+            unnest(generate_series(1, least(4, len(word) - p + 1))) AS tl(l)),
+        vocab AS (SELECT piece FROM (
+            SELECT piece, row_number() OVER (ORDER BY sum(wf) DESC, piece) AS r
+            FROM subs GROUP BY piece) WHERE r <= 64),
+        dwords AS (SELECT DISTINCT word FROM toks),
+        cand AS (SELECT word, p, l, substr(word, p, l) AS piece
+          FROM dwords,
+            unnest(generate_series(1, len(word))) AS tp(p),
+            unnest(generate_series(1, least(4, len(word) - p + 1))) AS tl(l)),
+        best0 AS (SELECT word, p, piece, l,
+            row_number() OVER (PARTITION BY word, p ORDER BY l DESC) AS r
+          FROM cand JOIN vocab USING (piece)),
+        best AS (SELECT wp.word, wp.p,
+            coalesce(b.piece, substr(wp.word, wp.p, 1)) AS piece,
+            coalesce(b.l, 1) AS plen
+          FROM (SELECT word, p FROM dwords,
+              unnest(generate_series(1, len(word))) AS tp(p)) wp
+          LEFT JOIN (SELECT * FROM best0 WHERE r = 1) b
+            ON wp.word = b.word AND wp.p = b.p),
+        seg AS (
+          SELECT word, 1 AS p, CAST([] AS VARCHAR[]) AS pieces FROM dwords
+          UNION ALL
+          SELECT s.word, s.p + b.plen, list_append(s.pieces, b.piece)
+          FROM seg s JOIN best b ON s.word = b.word AND s.p = b.p
+          WHERE s.p <= len(s.word)),
+        done AS (SELECT word, pieces FROM seg WHERE p = len(word) + 1),
+        wfb AS (SELECT word, count(*) AS n_fb FROM (
+            SELECT word, unnest(pieces) AS piece FROM done) dp
+          LEFT JOIN vocab ON dp.piece = vocab.piece
+          WHERE vocab.piece IS NULL GROUP BY word),
+        enc AS (SELECT t.doc_id, t.pos, t.word, d.pieces,
+            coalesce(w.n_fb, 0) AS n_fb
+          FROM toks t JOIN done d ON t.word = d.word
+          LEFT JOIN wfb w ON t.word = w.word)
+        SELECT doc_id, count(*) AS n_words,
+          sum(len(pieces))::BIGINT AS n_pieces,
+          sum(n_fb)::BIGINT AS n_fallback,
+          md5(string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos)) AS pieces_fp
+        FROM enc GROUP BY doc_id ORDER BY doc_id"""),
       headline = true))
 
   // ============================================================= D. dedup ==

@@ -1,0 +1,80 @@
+package graft.llmops
+
+import graft.core.TestSpark
+import graft.functions.expressions.TextExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def split(word: String, vocab: Seq[String], maxLen: Int = 6): Seq[String] =
+    Seq(word).toDF("w")
+      .select(TextExpressions.subword_split(col("w"), vocab, maxLen).as("p"))
+      .collect().head.getSeq[String](0)
+
+  test("greedy longest-match-first with single-char fallback") {
+    val vocab = Seq("un", "believ", "able", "a", "b", "le")
+    assert(split("unbelievable", vocab) == Seq("un", "believ", "able"))
+    // greedy, not optimal: "ab" absent -> "a" + "b" + "le"
+    assert(split("able", Seq("a", "b", "le")) == Seq("a", "b", "le"))
+    // nothing matches: every char falls back, still lossless
+    assert(split("xyz", Seq("un")) == Seq("x", "y", "z"))
+  }
+
+  test("segmentation is lossless for arbitrary text (roundtrip property)") {
+    val vocab = Seq("ing", "th", "er", "qu", "ck")
+    val words = Seq("the", "quick", "jumping", "x", "a~b!c", "ü-mläut")
+    words.foreach { w =>
+      assert(split(w, vocab).mkString("") == w, s"roundtrip broke for '$w'")
+    }
+  }
+
+  test("maxPieceLen caps the match window") {
+    // "abcdef" in vocab but window is 3: must match "abc" then "def"
+    assert(split("abcdef", Seq("abcdef", "abc", "def"), maxLen = 3)
+      == Seq("abc", "def"))
+  }
+
+  test("learnSubwordVocab ranks frequent substrings deterministically") {
+    val docs = Seq((0L, "aaa aaa aaa bb"), (1L, "aaa bb cc")).toDF("doc_id", "text")
+    val v = Tokenize.learnSubwordVocab(docs, vocabSize = 4, maxPieceLen = 3)
+      .orderBy("rank").collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a" occurs 3x per "aaa" word-occurrence (4 occurrences) = 12;
+    // "aa" 2x4 = 8; "aaa" 1x4 = 4; "b" 2x2 = 4 -> tie broken by piece
+    assert(v.map(_._1).toSeq == Seq("a", "aa", "aaa", "b"))
+    assert(v.head._2 == 12L)
+  }
+
+  test("encodeSubwords: per-doc counts, fallbacks, and order-exact fingerprint") {
+    val docs = Seq(
+      (0L, "abab xy"),
+      (1L, "abab abab")).toDF("doc_id", "text")
+    val vocab = Seq("ab").toDF("piece")
+    val out = Tokenize.encodeSubwords(docs, vocab, maxPieceLen = 4)
+      .orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getLong(1) == 2L) // words
+    assert(r0.getLong(2) == 4L) // ab ab x y
+    assert(r0.getLong(3) == 2L) // x, y fall back
+    val r1 = out(1)
+    assert(r1.getLong(2) == 4L && r1.getLong(3) == 0L)
+    // fingerprint is the md5 of the space-joined piece stream in order
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("ab ab x y".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r0.getString(4) == expected)
+  }
+
+  test("encode equals per-instance splitting at any partitioning") {
+    val docs = (0L until 300L)
+      .map(i => (i, s"token$i shared${i % 7} shared${i % 7}"))
+      .toDF("doc_id", "text")
+    val vocab = Tokenize.learnSubwordVocab(docs, vocabSize = 64, maxPieceLen = 4)
+    val a = Tokenize.encodeSubwords(docs.repartition(1), vocab)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Tokenize.encodeSubwords(docs.repartition(13), vocab)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}

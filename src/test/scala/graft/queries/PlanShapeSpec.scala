@@ -249,6 +249,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partial-agg roots no longer carry decimal sums: $scans")
   }
 
+  test("text_subword: piece join-back broadcasts — per-instance resplit never returns") {
+    val p = plan("text_subword")
+    assert(p.contains("BroadcastHashJoin"),
+      "the distinct-word piece table stopped broadcasting onto the token stream")
+    assert(!p.contains("CartesianProduct"), "subword encode grew a cartesian")
+    assert(p.contains("subwordsplit") || p.contains("SubwordSplit") ||
+      p.contains("subword_split"),
+      "the native segmentation kernel left the plan — encode regressed to SQL emulation")
+  }
+
   test("text_nb_classify: model joins broadcast — the token stream never sort-merges") {
     val p = plan("text_nb_classify")
     assert(!p.contains("SortMergeJoin"),
