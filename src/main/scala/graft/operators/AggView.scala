@@ -46,7 +46,8 @@ object AggView {
       roots: Vector[String],
       appliedTags: Vector[String] = Vector.empty,
       tagHighWater: Long = -1L,
-      nRows: Long = 0L)
+      nRows: Long = 0L,
+      distinctCols: Seq[String] = Nil)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
   private val lock = new Object
@@ -120,6 +121,8 @@ object AggView {
   private def sumCol(m: String): String = s"${m}__sum"
   private def minCol(m: String): String = s"${m}__min"
   private def maxCol(m: String): String = s"${m}__max"
+  private def sumsqCol(m: String): String = s"${m}__sumsq"
+  private def hllCol(c: String): String = s"${c}__hll"
 
   private def pkExpr(keys: Seq[String], numBuckets: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
@@ -131,14 +134,57 @@ object AggView {
     val dec = s"decimal(18,${m.scale})"
     val aggs =
       count(lit(1)).as("__cnt") +:
-      m.metrics.flatMap { c =>
+      (m.metrics.flatMap { c =>
         val d = col(c).cast(dec)
-        Seq(sum(d).as(sumCol(c)), min(d).as(minCol(c)), max(d).as(maxCol(c)))
-      }
+        // sumsq is the variance monoid half: decimal(37, 2*scale) per-row
+        // squares summed exactly, so merged stddev equals one-shot stddev
+        Seq(sum(d).as(sumCol(c)), min(d).as(minCol(c)), max(d).as(maxCol(c)),
+          sum((d * d).cast(s"decimal(38,${2 * m.scale})")).as(sumsqCol(c)))
+      } ++
+      // distinct counting merges as an HLL sketch union — the ONLY sane
+      // shape for count-distinct in an incremental view (exact distinct
+      // is not a monoid; re-reading the base per refresh is the
+      // anti-pattern this operator exists to avoid)
+      m.distinctCols.map(c => hll_sketch_agg(col(c)).as(hllCol(c))))
     df.groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("pk", pkExpr(m.keys, m.numBuckets))
   }
+
+  /** The merge aggregates over partial columns (shared by read, lookup,
+    * and fold): sums add, mins/maxes fold, sketches union.
+    */
+  private def mergeAggs(m: AggViewManifest): Seq[Column] =
+    sum(col("__cnt")).as("__cnt") +:
+    (m.metrics.flatMap { c => Seq(
+      sum(col(sumCol(c))).as(sumCol(c)),
+      min(col(minCol(c))).as(minCol(c)),
+      max(col(maxCol(c))).as(maxCol(c)),
+      sum(col(sumsqCol(c))).as(sumsqCol(c)))
+    } ++
+    m.distinctCols.map(c => hll_union_agg(col(hllCol(c))).as(hllCol(c))))
+
+  /** Finalized output columns from merged partials. `m_std` is the
+    * population stddev computed in DOUBLE from the exact decimal
+    * partials with a fixed operand order — the same expression the
+    * oracle runs, so it replays bit-for-bit.
+    */
+  private def finalizeCols(m: AggViewManifest): Seq[Column] =
+    m.keys.map(col) ++ Seq(col("__cnt").as("cnt")) ++
+    m.metrics.flatMap { c =>
+      val sumD = col(sumCol(c)).cast("double")
+      val sqD = col(sumsqCol(c)).cast("double")
+      val n = col("__cnt").cast("double")
+      Seq(
+        round(sumD, m.scale).as(s"${c}_sum"),
+        round(col(minCol(c)).cast("double"), m.scale).as(s"${c}_min"),
+        round(col(maxCol(c)).cast("double"), m.scale).as(s"${c}_max"),
+        round(sumD / col("__cnt"), 6).as(s"${c}_avg"),
+        round(sqrt(greatest(lit(0.0), sqD / n - (sumD / n) * (sumD / n))), 6)
+          .as(s"${c}_std"))
+    } ++
+    m.distinctCols.map(c =>
+      hll_sketch_estimate(col(hllCol(c))).as(s"${c}_approx_distinct"))
 
   private def stageRoot(df: DataFrame, viewDir: String, m: AggViewManifest,
       skipIfEmpty: Boolean): Option[(String, Long)] = {
@@ -162,12 +208,14 @@ object AggView {
       keys: Seq[String],
       metrics: Seq[String],
       scale: Int = 2,
-      numBuckets: Int = 32): Unit = lock.synchronized {
+      numBuckets: Int = 32,
+      distinctCols: Seq[String] = Nil): Unit = lock.synchronized {
     require(keys.nonEmpty, "buildAggView: at least one group key")
     require(metrics.nonEmpty, "buildAggView: at least one metric column")
     val spark = df.sparkSession
     val prior = readManifest(spark, viewDir)
-    val m0 = AggViewManifest(keys, metrics, scale, numBuckets, Vector.empty)
+    val m0 = AggViewManifest(keys, metrics, scale, numBuckets, Vector.empty,
+      distinctCols = distinctCols)
     val (dir, n) = stageRoot(df, viewDir, m0, skipIfEmpty = false).get
     commitIfUnchanged(spark, viewDir, prior,
       m0.copy(roots = Vector(dir), nRows = n))
@@ -214,13 +262,7 @@ object AggView {
     */
   private def mergedPartial(spark: SparkSession, viewDir: String,
       m: AggViewManifest): DataFrame = {
-    val aggs =
-      sum(col("__cnt")).as("__cnt") +:
-      m.metrics.flatMap { c => Seq(
-        sum(col(sumCol(c))).as(sumCol(c)),
-        min(col(minCol(c))).as(minCol(c)),
-        max(col(maxCol(c))).as(maxCol(c)))
-      }
+    val aggs = mergeAggs(m)
     readRoots(spark, viewDir, m)
       .groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -234,15 +276,7 @@ object AggView {
   def readAggView(spark: SparkSession, viewDir: String): DataFrame = {
     val m = readManifest(spark, viewDir).getOrElse(throw new IllegalStateException(
       s"readAggView: no readable view manifest at $viewDir"))
-    val outs =
-      m.keys.map(col) ++ Seq(col("__cnt").as("cnt")) ++
-      m.metrics.flatMap { c => Seq(
-        round(col(sumCol(c)).cast("double"), m.scale).as(s"${c}_sum"),
-        round(col(minCol(c)).cast("double"), m.scale).as(s"${c}_min"),
-        round(col(maxCol(c)).cast("double"), m.scale).as(s"${c}_max"),
-        round(col(sumCol(c)).cast("double") / col("__cnt"), 6).as(s"${c}_avg"))
-      }
-    mergedPartial(spark, viewDir, m).select(outs: _*)
+    mergedPartial(spark, viewDir, m).select(finalizeCols(m): _*)
   }
 
   /** Point lookup of one key tuple — prunes every root scan to the key's
@@ -258,21 +292,7 @@ object AggView {
       s"lookupAggView: ${m.keys.length} key values expected")
     val keyed = m.keys.zip(values)
     val pred = keyed.map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _)
-    val aggs =
-      sum(col("__cnt")).as("__cnt") +:
-      m.metrics.flatMap { c => Seq(
-        sum(col(sumCol(c))).as(sumCol(c)),
-        min(col(minCol(c))).as(minCol(c)),
-        max(col(maxCol(c))).as(maxCol(c)))
-      }
-    val outs =
-      m.keys.map(col) ++ Seq(col("__cnt").as("cnt")) ++
-      m.metrics.flatMap { c => Seq(
-        round(col(sumCol(c)).cast("double"), m.scale).as(s"${c}_sum"),
-        round(col(minCol(c)).cast("double"), m.scale).as(s"${c}_min"),
-        round(col(maxCol(c)).cast("double"), m.scale).as(s"${c}_max"),
-        round(col(sumCol(c)).cast("double") / col("__cnt"), 6).as(s"${c}_avg"))
-      }
+    val aggs = mergeAggs(m)
     // pk literal prunes the partitioned scan; the key predicate finishes
     // the job inside the pruned partition
     val pkVals = spark.range(1).select(
@@ -283,7 +303,7 @@ object AggView {
       .filter(col("pk") === pkVals.head && pred)
       .groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(outs: _*)
+      .select(finalizeCols(m): _*)
   }
 
   /** Fold all roots into one (the compaction): the merged partial state

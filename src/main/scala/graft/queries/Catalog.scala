@@ -519,15 +519,49 @@ object Catalog {
       // time the MERGE-ON-READ path across the three roots.
       (s, dir) => graft.operators.AggView
         .readAggView(s, aggViewFor(s, dir))
+        .select("o_orderstatus", "o_orderpriority", "cnt",
+          "o_totalprice_sum", "o_totalprice_min", "o_totalprice_max",
+          "o_totalprice_avg", "o_totalprice_std")
         .orderBy("o_orderstatus", "o_orderpriority"),
-      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS o_totalprice_sum,
-        round(min(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS o_totalprice_min,
-        round(max(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS o_totalprice_max,
-        round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS o_totalprice_avg
-        FROM orders GROUP BY o_orderstatus, o_orderpriority
-        ORDER BY o_orderstatus, o_orderpriority"""),
+      Some("""WITH p AS (SELECT o_orderstatus, o_orderpriority,
+          count(*) AS cnt,
+          sum(o_totalprice::DECIMAL(18,2)) AS s,
+          min(o_totalprice::DECIMAL(18,2)) AS mn,
+          max(o_totalprice::DECIMAL(18,2)) AS mx,
+          sum((o_totalprice::DECIMAL(18,2) * o_totalprice::DECIMAL(18,2))::DECIMAL(38,4)) AS sq
+        FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        SELECT o_orderstatus, o_orderpriority, cnt,
+          round(s::DOUBLE, 2) AS o_totalprice_sum,
+          round(mn::DOUBLE, 2) AS o_totalprice_min,
+          round(mx::DOUBLE, 2) AS o_totalprice_max,
+          round(s::DOUBLE / cnt, 6) AS o_totalprice_avg,
+          round(sqrt(greatest(0.0, sq::DOUBLE / cnt - (s::DOUBLE / cnt) * (s::DOUBLE / cnt))), 6)
+            AS o_totalprice_std
+        FROM p ORDER BY o_orderstatus, o_orderpriority"""),
       headline = true),
+
+    "q_agg_view_distinct" -> QueryDef(
+      // Distinct counting INSIDE the incremental view: exact distinct is
+      // not a monoid, so the view carries per-root HLL sketches and
+      // merges them at read (hll_union_agg) — the only refresh shape that
+      // stays O(delta) at 100 TB. Sketch estimates can't hash-match an
+      // oracle; the gate certifies the hard property instead: every
+      // group's merged estimate lands within 5% of the exact distinct
+      // count over everything ingested.
+      (s, dir) => {
+        val view = graft.operators.AggView.readAggView(s, aggViewFor(s, dir))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("o_custkey_approx_distinct"))
+        val exact = t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("exact"))
+        view.join(exact, Seq("o_orderstatus", "o_orderpriority"))
+          .agg(max(abs(col("o_custkey_approx_distinct") - col("exact")) /
+            col("exact")).as("err"))
+          .select(lit("agg_view_distinct").as("gate"),
+            (col("err") <= 0.05).as("floor_met"))
+      },
+      Some("SELECT 'agg_view_distinct' AS gate, true AS floor_met")),
 
     "q_range_join" -> QueryDef(
       // RangeJoin.pointInInterval — interval containment re-expressed as a
@@ -2031,7 +2065,8 @@ object Catalog {
       graft.operators.AggView.buildAggView(
         orders.filter(col("o_orderkey") % 3 === 0), vd,
         keys = Seq("o_orderstatus", "o_orderpriority"),
-        metrics = Seq("o_totalprice"), scale = 2)
+        metrics = Seq("o_totalprice"), scale = 2,
+        distinctCols = Seq("o_custkey"))
       graft.operators.AggView.appendToAggView(vd,
         orders.filter(col("o_orderkey") % 3 === 1), batchTag = Some("1"))
       graft.operators.AggView.appendToAggView(vd,

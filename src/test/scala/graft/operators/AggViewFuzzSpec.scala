@@ -26,12 +26,17 @@ class AggViewFuzzSpec extends AnyFunSuite {
   private def oneShot(applied: Seq[DataFrame]): Array[Seq[Any]] = {
     val all = applied.reduce(_.union(_))
     val d = col("v").cast("decimal(18,2)")
+    val sumD = sum(d).cast("double")
+    val sqD = sum((d * d).cast("decimal(38,4)")).cast("double")
+    val n = count(lit(1)).cast("double")
     all.groupBy("k1", "k2")
       .agg(count(lit(1)).as("cnt"),
-        round(sum(d).cast("double"), 2).as("v_sum"),
+        round(sumD, 2).as("v_sum"),
         round(min(d).cast("double"), 2).as("v_min"),
         round(max(d).cast("double"), 2).as("v_max"),
-        round(sum(d).cast("double") / count(lit(1)), 6).as("v_avg"))
+        round(sumD / count(lit(1)), 6).as("v_avg"),
+        round(sqrt(greatest(lit(0.0), sqD / n - (sumD / n) * (sumD / n))), 6)
+          .as("v_std"))
       .orderBy("k1", "k2").collect().map(_.toSeq)
   }
 

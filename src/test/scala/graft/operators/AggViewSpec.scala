@@ -16,16 +16,22 @@ class AggViewSpec extends AnyFunSuite {
     }.toDF("status", "prio", "price")
 
   /** One-shot reference aggregate with the SAME per-row decimal cast the
-    * view applies at ingest.
+    * view applies at ingest (std mirrors finalizeCols' exact double
+    * expression, operand for operand).
     */
   private def oneShot(df: DataFrame): Array[Seq[Any]] = {
     val d = col("price").cast("decimal(18,2)")
+    val sumD = sum(d).cast("double")
+    val sqD = sum((d * d).cast("decimal(38,4)")).cast("double")
+    val n = count(lit(1)).cast("double")
     df.groupBy("status", "prio")
       .agg(count(lit(1)).as("cnt"),
-        round(sum(d).cast("double"), 2).as("price_sum"),
+        round(sumD, 2).as("price_sum"),
         round(min(d).cast("double"), 2).as("price_min"),
         round(max(d).cast("double"), 2).as("price_max"),
-        round(sum(d).cast("double") / count(lit(1)), 6).as("price_avg"))
+        round(sumD / count(lit(1)), 6).as("price_avg"),
+        round(sqrt(greatest(lit(0.0), sqD / n - (sumD / n) * (sumD / n))), 6)
+          .as("price_std"))
       .orderBy("status", "prio").collect().map(_.toSeq)
   }
 
@@ -114,6 +120,22 @@ class AggViewSpec extends AnyFunSuite {
     val removed = AggView.vacuumAggView(spark, dir, minAgeMs = 0L)
     assert(removed == 6, s"expected 6 reclaimed roots, got $removed")
     assert(readSorted(dir).toSeq == before.toSeq)
+  }
+
+  test("HLL distinct sketches merge across appends (exact at small cardinality)") {
+    val dir = Files.createTempDirectory("aggview-hll").toString
+    def b(ids: Range) = ids.map(i => (s"g${i % 2}", "p0", 1.0, s"u${i % 40}"))
+      .toDF("status", "prio", "price", "user")
+    AggView.buildAggView(b(0 until 200), dir, Seq("status", "prio"), Seq("price"),
+      distinctCols = Seq("user"))
+    AggView.appendToAggView(dir, b(200 until 500))
+    val got = AggView.readAggView(spark, dir)
+      .select("status", "user_approx_distinct").orderBy("status")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 40 distinct users split evenly across the two groups; HLL is exact
+    // at this cardinality, and crucially the count must NOT double-count
+    // users that appear in BOTH the base and the append
+    assert(got.toSeq == Seq(("g0", 20L), ("g1", 20L)), s"got $got")
   }
 
   test("manifest is stamp-cached: N reads of an unchanged view parse once") {
