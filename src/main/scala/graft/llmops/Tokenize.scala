@@ -80,7 +80,8 @@ object Tokenize {
       vocab: DataFrame,
       maxPieceLen: Int = 6,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastWords: Boolean = true): DataFrame = {
     val vocabSeq = vocab.select(col("piece")).collect()
       .map(_.getString(0)).toSeq
     val toks = docs.select(col(idCol).as("__id"),
@@ -98,7 +99,11 @@ object Tokenize {
       .groupBy(col("word")).agg(count(lit(1)).as("n_fb"))
     val wordPieces = split.join(fb, Seq("word"), "left")
       .withColumn("n_fb", coalesce(col("n_fb"), lit(0L)))
-    val joined = toks.join(broadcast(wordPieces), Seq("word"))
+    // broadcastWords = false is the open-web path: a distinct-word table
+    // past broadcast size shuffle-joins on the word key instead (the
+    // forced hint would otherwise OOM the driver at that scale)
+    val joinSide = if (broadcastWords) broadcast(wordPieces) else wordPieces
+    val joined = toks.join(joinSide, Seq("word"))
     joined.groupBy(col("__id"))
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("pieces"))).as("n_pieces"),

@@ -290,16 +290,22 @@ object AggView {
       s"lookupAggView: no readable view manifest at $viewDir"))
     require(values.length == m.keys.length,
       s"lookupAggView: ${m.keys.length} key values expected")
-    val keyed = m.keys.zip(values)
-    val pred = keyed.map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _)
     val aggs = mergeAggs(m)
+    val roots = readRoots(spark, viewDir, m)
+    // probe literals are CAST to the stored key types before hashing and
+    // comparing — an Int literal probing a Long key column would
+    // otherwise xxhash64 to a different pk and read an empty partition
+    val keyTypes = m.keys.map(k => roots.schema(k).dataType)
+    val typed = m.keys.zip(values).zip(keyTypes)
+      .map { case ((k, v), t) => (k, lit(v).cast(t)) }
+    val pred = typed.map { case (k, v) => col(k) <=> v }.reduce(_ && _)
     // pk literal prunes the partitioned scan; the key predicate finishes
     // the job inside the pruned partition
     val pkVals = spark.range(1).select(
-      m.keys.zip(values).map { case (k, v) => lit(v).as(k) }: _*)
+      typed.map { case (k, v) => v.as(k) }: _*)
       .select(pkExpr(m.keys, m.numBuckets).as("pk"))
       .collect().map(_.getInt(0))
-    readRoots(spark, viewDir, m)
+    roots
       .filter(col("pk") === pkVals.head && pred)
       .groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

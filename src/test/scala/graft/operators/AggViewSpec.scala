@@ -106,6 +106,16 @@ class AggViewSpec extends AnyFunSuite {
     assert(full.contains(row.head.toSeq))
   }
 
+  test("lookup casts probe literals to the stored key type (Int probe on Long key)") {
+    val dir = Files.createTempDirectory("aggview-ktype").toString
+    val df = (0L until 100L).map(i => (i % 5, (i % 9) + 0.25)).toDF("kid", "v")
+    AggView.buildAggView(df, dir, Seq("kid"), Seq("v"))
+    // probe with an Int where the key column is Long: the pk hash must
+    // still land on the right partition and the row must come back
+    val hit = AggView.lookupAggView(spark, dir, Seq(3)).collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 3L && hit.head.getLong(1) == 20L)
+  }
+
   test("maintain folds past the root threshold; vacuum reclaims superseded roots") {
     val dir = Files.createTempDirectory("aggview-maint").toString
     AggView.buildAggView(mkBatch(0 until 50), dir, Seq("status", "prio"), Seq("price"))
