@@ -59,6 +59,53 @@ class ClassifySpec extends AnyFunSuite {
     assert(out.length == 5)
   }
 
+  test("pipeline matches a plain-Scala NB reference on random corpora (seeded fuzz)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r6(x: Double): JBD = new JBD(x).setScale(6, RoundingMode.HALF_UP)
+    // independent reference: same formulas, driver-side BigDecimal sums
+    def localNb(corpus: Seq[(Long, String, String)]): Map[Long, (String, Double)] = {
+      val toks = corpus.flatMap { case (id, text, lab) =>
+        text.split(" ").map(t => (id, lab, t)) }
+      val vocab = toks.map(_._3).distinct.sorted
+      val v = vocab.size
+      val cnt = toks.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+      val nLab = toks.groupBy(_._2).view.mapValues(_.size).toMap
+      val labels = corpus.map(_._3).distinct.sorted
+      val nDocsLab = corpus.groupBy(_._3).view.mapValues(_.size).toMap
+      val prior = labels.map(l =>
+        l -> r6(math.log(nDocsLab(l).toDouble / corpus.size))).toMap
+      val w = (for (t <- vocab; l <- labels) yield (t, l) ->
+        r6(math.log((cnt.getOrElse((l, t), 0) + 1.0) / (nLab.getOrElse(l, 0) + v)))).toMap
+      corpus.map { case (id, text, _) =>
+        val scores = labels.map { l =>
+          val sll = text.split(" ").foldLeft(JBD.ZERO)((a, t) => a.add(w((t, l))))
+          l -> prior(l).add(sll)
+        }
+        val (bl, bs) = scores.minBy { case (l, s) => (s.negate, l) }
+        id -> (bl, bs.doubleValue)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(321)
+    val wordsPool = Vector("red", "blue", "fast", "slow", "ion", "gel", "arc", "hub")
+    for (trial <- 1 to 8) {
+      val corpus = (0L until 15L).map { id =>
+        val lab = s"c${rnd.nextInt(3)}"
+        val text = (1 to (2 + rnd.nextInt(6)))
+          .map(_ => wordsPool(rnd.nextInt(wordsPool.size))).mkString(" ")
+        (id, text, lab)
+      }
+      val got = Classify.classifySelf(corpus.toDF("doc_id", "text", "source"), "source")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      val want = localNb(corpus)
+      corpus.foreach { case (id, _, _) =>
+        assert(got(id)._1 == want(id)._1,
+          s"trial $trial doc $id: predicted ${got(id)._1} vs ${want(id)._1}")
+        assert(math.abs(got(id)._2 - r6(want(id)._2).doubleValue) < 1e-9,
+          s"trial $trial doc $id: score ${got(id)._2} vs ${want(id)._2}")
+      }
+    }
+  }
+
   test("scores are partition-count invariant (decimal sums)") {
     val many = (0L until 200L).map { i =>
       (i, if (i % 2 == 0) "alpha beta gamma alpha" else "delta epsilon zeta delta",

@@ -66,6 +66,41 @@ class TokenizeSpec extends AnyFunSuite {
     assert(r0.getString(4) == expected)
   }
 
+  test("kernel matches an independent greedy reference on random words/vocabs (seeded fuzz)") {
+    // slow reference: straight-line greedy longest-match, written
+    // independently of the kernel's byte/code-point machinery
+    def reference(word: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < word.length) {
+        val piece = (math.min(maxLen, word.length - i) to 2 by -1)
+          .map(l => word.substring(i, i + l)).find(vocab.contains)
+          .getOrElse(word.substring(i, i + 1))
+        out += piece
+        i += piece.length
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(77)
+    val alphabet = "abcde"
+    for (trial <- 1 to 30) {
+      val vocab = (0 until 12).map(_ =>
+        (0 until (1 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(5))).mkString).distinct
+      val words = (0 until 20).map(_ =>
+        (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(5))).mkString)
+      val maxLen = 1 + rnd.nextInt(5)
+      val got = words.toDF("w")
+        .select(col("w"), TextExpressions.subword_split(col("w"), vocab, maxLen).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.foreach { w =>
+        val want = reference(w, vocab.toSet, maxLen)
+        assert(got(w) == want,
+          s"trial $trial: '$w' vocab=$vocab maxLen=$maxLen: ${got(w)} vs $want")
+        assert(got(w).mkString("") == w, s"roundtrip broke for '$w'")
+      }
+    }
+  }
+
   test("encode equals per-instance splitting at any partitioning") {
     val docs = (0L until 300L)
       .map(i => (i, s"token$i shared${i % 7} shared${i % 7}"))
