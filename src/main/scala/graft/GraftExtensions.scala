@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket, JaccardSorted, MinHashBands, RollingHash64, SimHash64, TextStats, TopKBy, WordShingles}
+import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket, JaccardSorted, MinHashBands, RollingHash64, SimHash64, SubwordSplit, TextStats, TopKBy, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same surface
@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n argument(s), got ${args.length}")
+
+  private def stringArrayLit(e: Expression, name: String): Array[String] =
+    GraftExtensions.stringArrayLit(e, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -74,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("rolling_hash64", args, 1); RollingHash64(args.head) }))
 
     ext.injectFunction((
+      new FunctionIdentifier("subword_split"),
+      new ExpressionInfo(classOf[SubwordSplit].getName, "subword_split"),
+      (args: Seq[Expression]) => { arity("subword_split", args, 3)
+        SubwordSplit(args(0), stringArrayLit(args(1), "vocab"),
+          intLit(args(2), "maxPieceLen")) }))
+
+    ext.injectFunction((
       new FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (args: Seq[Expression]) => { arity("topk_by", args, 3)
@@ -89,6 +99,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** A FOLDABLE array-of-strings argument (e.g. `array('ab', 'cd')`) —
+    * the vocab parameter shape for `subword_split` in SQL.
+    */
+  private[graft] def stringArrayLit(e: Expression, name: String): Array[String] = {
+    require(e.foldable, s"$name expects a foldable array<string> literal, got $e")
+    e.eval() match {
+      case d: org.apache.spark.sql.catalyst.util.ArrayData =>
+        d.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString)
+      case other => throw new IllegalArgumentException(
+        s"$name expects array<string>, evaluated to $other")
+    }
+  }
+
   /** Runtime registration for an already-built session (no config needed). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -112,6 +137,9 @@ object GraftExtensions {
       args => CosineSimilarity(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash64",
       args => RollingHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("subword_split",
+      args => SubwordSplit(args(0), stringArrayLit(args(1), "vocab"),
+        args(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("topk_by",
       args => TopKBy(args(0), args(1),
         args(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression(), "built-in")

@@ -40,6 +40,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(scored == Seq((3.0, 11L), (2.0, 12L)))
   }
 
+  test("subword_split callable from SQL with an array-literal vocab") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT subword_split('unbelievable', array('un', 'believ', 'able'), 6) AS p")
+      .head().getSeq[String](0)
+    assert(out == Seq("un", "believ", "able"))
+    // non-foldable vocab argument fails loudly, not silently
+    import spark.implicits._
+    Seq(("ab", Seq("a"))).toDF("w", "v").createOrReplaceTempView("sw")
+    val e = intercept[Exception] {
+      spark.sql("SELECT subword_split(w, v, 3) FROM sw").collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage.toLowerCase.contains("vocab"))
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import spark.implicits._
