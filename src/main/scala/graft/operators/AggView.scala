@@ -100,7 +100,7 @@ object AggView {
     }
   }
 
-  private def commitIfUnchanged(spark: SparkSession, viewDir: String,
+  private[operators] def commitIfUnchanged(spark: SparkSession, viewDir: String,
       expected: Option[AggViewManifest], next: AggViewManifest): Unit = {
     if (readManifest(spark, viewDir, fresh = true) != expected)
       throw new IllegalStateException(

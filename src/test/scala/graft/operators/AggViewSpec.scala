@@ -161,6 +161,23 @@ class AggViewSpec extends AnyFunSuite {
     assert(AggView.manifestParses.get() > p0, "a commit must restamp")
   }
 
+  test("cross-process guard: a commit against a stale manifest aborts, state intact") {
+    val dir = Files.createTempDirectory("aggview-xproc").toString
+    AggView.buildAggView(mkBatch(0 until 80), dir, Seq("status", "prio"), Seq("price"))
+    val stale = AggView.readManifest(spark, dir).get
+    // a "foreign" writer moves the manifest after our snapshot (the
+    // in-process lock serializes the public API, so the guard is
+    // asserted through the commit primitive — the TextDelete pattern)
+    assert(AggView.appendToAggView(dir, mkBatch(80 until 120), Some("9")))
+    val e = intercept[IllegalStateException] {
+      AggView.commitIfUnchanged(spark, dir, Some(stale), stale.copy(nRows = 999L))
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // the view remains exactly the foreign writer's state
+    val m = AggView.readManifest(spark, dir).get
+    assert(m.roots.size == 2 && m.nRows == 120L && m.tagHighWater == 9L)
+  }
+
   test("streaming ingestToAggView equals the batch view over the same rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
