@@ -73,12 +73,12 @@ object Classify {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val vocabAll = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cf"))
+    // orderBy+limit (TakeOrderedAndProject, map-side top-K) — a global
+    // row_number window here would single-partition the whole vocabulary
     val vocab =
       if (maxVocab <= 0) vocabAll.select("tok")
-      else vocabAll
-        .withColumn("__r", row_number().over(
-          Window.orderBy(col("__cf").desc, col("tok"))))
-        .filter(col("__r") <= maxVocab).select("tok")
+      else vocabAll.orderBy(col("__cf").desc, col("tok"))
+        .limit(maxVocab).select("tok")
 
     // (label, tok) counts restricted to the vocabulary; per-label token
     // totals ALSO restricted (an out-of-vocab token is invisible to the

@@ -56,10 +56,17 @@ object Tokenize {
         explode(sequence(lit(1),
           least(lit(maxPieceLen), length(col("word")) - col("pos") + 1))).as("len"))
       .select(expr("substring(word, pos, len)").as("piece"), col("wf"))
+    // top-K via orderBy+limit, NOT a global row_number window: Spark
+    // plans this as TakeOrderedAndProject (map-side partial top-K per
+    // task), while the window form funnels the ENTIRE substring space
+    // through one partition — the difference between a bounded reduce
+    // and a single-task sort at open-web scale. The rank column is
+    // reattached over the K survivors only (a K-row window is free).
     pieces.groupBy(col("piece")).agg(sum(col("wf")).as("score"))
+      .orderBy(col("score").desc, col("piece"))
+      .limit(vocabSize)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("piece"))))
-      .filter(col("rank") <= vocabSize)
   }
 
   /** Segment every document into subword pieces under `vocab` (a
