@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained materialized aggregate views — the LSM write
-  * discipline (reference: `kv/lsm` — append sorted runs, merge on read,
-  * fold in the background) applied to GROUP BY state. A view is a set of
+  * discipline (reference: `kv/lsm/level.go:82` flushes immutable runs,
+  * `kv/lsm/compact.go:124-226` folds them in the background, readers
+  * merge across levels) applied to GROUP BY state. A view is a set of
   * PARTIAL-aggregate generations on disk: the base build and every append
   * each contribute one key-partitioned parquet root of
   * `(keys..., __cnt, m__sum, m__min, m__max)` rows; a read merges the
