@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the ANALYZE / data-quality pass a pipeline runs
+  * before trusting a new corpus drop: per-column null counts, exact
+  * distinct cardinalities, and type-appropriate extremes/means, computed
+  * in ONE aggregation over ONE scan (every column's stats ride the same
+  * `agg`; the long output shape is a driver-side unpivot of that single
+  * row, not one job per column).
+  *
+  * Determinism discipline: numeric means go through the engine-wide
+  * per-row decimal cast (scale 6) so the averages are exact at any
+  * partitioning and replay in plain SQL — the `q_profile` row is FULLY
+  * oracled. String extremes compare lexicographically (Spark and DuckDB
+  * agree on UTF-8 binary collation for ASCII corpora).
+  *
+  * Scale note: exact `count(distinct)` across k columns makes Spark plan
+  * an Expand (k+1 rows per input row) — the honest certified form. At
+  * 100 TB profiling runs, pass `exactDistinct = false` to swap in
+  * HLL++ `approx_count_distinct` (one pass, no Expand, ±2%) — same
+  * schema, gate-certifiable like every sketch here.
+  */
+object Profile {
+
+  /** One row per profiled column:
+    * `(column, n_rows, n_nulls, n_distinct, min_num, max_num, avg_num,
+    * min_str, max_str, avg_len)` — numeric columns fill the `_num`
+    * triple (6dp), string columns fill `_str`/`avg_len`; the other side
+    * is null.
+    */
+  def profileColumns(
+      df: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty,
+      "profileColumns: nothing to profile")
+    val dec = "decimal(27,6)"
+    def dist(c: Column): Column =
+      if (exactDistinct) count_distinct(c) else approx_count_distinct(c, 0.02)
+
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n")) ++
+      numericCols.flatMap { c => Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        dist(col(c)).as(s"__dist_$c"),
+        min(col(c).cast(dec)).as(s"__min_$c"),
+        max(col(c).cast(dec)).as(s"__max_$c"),
+        sum(col(c).cast(dec)).as(s"__sum_$c"))
+      } ++
+      stringCols.flatMap { c => Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        dist(col(c)).as(s"__dist_$c"),
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c"),
+        sum(length(col(c))).as(s"__len_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    val rows: Seq[Column] =
+      numericCols.map { c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        round(col(s"__min_$c").cast("double"), 6).as("min_num"),
+        round(col(s"__max_$c").cast("double"), 6).as("max_num"),
+        round(col(s"__sum_$c").cast("double") / col(s"__cnt_$c"), 6).as("avg_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"),
+        lit(null).cast("double").as("avg_len"))
+      } ++
+      stringCols.map { c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dist_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        lit(null).cast("double").as("avg_num"),
+        col(s"__min_$c").as("min_str"),
+        col(s"__max_$c").as("max_str"),
+        round(col(s"__len_$c").cast("double") / col(s"__cnt_$c"), 6).as("avg_len"))
+      }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

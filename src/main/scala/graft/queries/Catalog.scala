@@ -563,6 +563,52 @@ object Catalog {
       },
       Some("SELECT 'agg_view_distinct' AS gate, true AS floor_met")),
 
+    "q_profile" -> QueryDef(
+      // Table profiling (operators.Profile) — the ANALYZE pass a pipeline
+      // runs on every new corpus drop: nulls, exact distincts, and
+      // type-appropriate extremes/means for four orders columns, all in
+      // ONE aggregation over ONE scan (the long shape is an unpivot of
+      // that single row). Means ride the per-row decimal cast, so every
+      // value replays exactly in SQL — fully oracled.
+      (s, dir) => graft.operators.Profile.profileColumns(
+          t(s, dir, "orders"),
+          numericCols = Seq("o_custkey", "o_totalprice"),
+          stringCols = Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("column"),
+      Some("""WITH p AS (
+        SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+          count(*) - count(o_custkey) AS n_nulls,
+          count(DISTINCT o_custkey) AS n_distinct,
+          round(min(o_custkey::DECIMAL(27,6))::DOUBLE, 6) AS min_num,
+          round(max(o_custkey::DECIMAL(27,6))::DOUBLE, 6) AS max_num,
+          round(sum(o_custkey::DECIMAL(27,6))::DOUBLE / count(o_custkey), 6) AS avg_num,
+          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+          CAST(NULL AS DOUBLE) AS avg_len
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+          count(DISTINCT o_totalprice),
+          round(min(o_totalprice::DECIMAL(27,6))::DOUBLE, 6),
+          round(max(o_totalprice::DECIMAL(27,6))::DOUBLE, 6),
+          round(sum(o_totalprice::DECIMAL(27,6))::DOUBLE / count(o_totalprice), 6),
+          CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+          count(DISTINCT o_orderstatus),
+          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          min(o_orderstatus), max(o_orderstatus),
+          round(sum(len(o_orderstatus))::DOUBLE / count(o_orderstatus), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+          count(DISTINCT o_orderpriority),
+          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          min(o_orderpriority), max(o_orderpriority),
+          round(sum(len(o_orderpriority))::DOUBLE / count(o_orderpriority), 6)
+        FROM orders)
+        SELECT * FROM p ORDER BY "column"""")),
+
     "q_range_join" -> QueryDef(
       // RangeJoin.pointInInterval — interval containment re-expressed as a
       // (user, time-bin)-keyed EQUI-join (one shuffle, AQE-eligible; Spark's
