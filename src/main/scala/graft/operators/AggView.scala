@@ -199,9 +199,14 @@ object AggView {
   }
 
   /** Create a view at `viewDir` over `df`, grouped by `keys`, maintaining
-    * count/sum/min/max/avg for each of `metrics` (numeric columns,
-    * decimal-cast at `scale` — 2 for money, 6 for ratios). Replaces any
-    * prior manifest; superseded roots wait for [[vacuumAggView]].
+    * count/sum/min/max/avg/std for each of `metrics` (numeric columns,
+    * decimal-cast at `scale` — 2 for money, 6 for ratios) and an HLL
+    * distinct sketch per `distinctCols` column. Replaces any prior
+    * manifest; superseded roots wait for [[vacuumAggView]].
+    *
+    * Metric columns are assumed NON-NULL: `cnt` counts rows while
+    * sum/min/max skip nulls, so a null-bearing metric skews avg/std —
+    * `coalesce` or filter upstream if the source permits nulls.
     */
   def buildAggView(
       df: DataFrame,
