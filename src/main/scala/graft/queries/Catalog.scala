@@ -607,7 +607,8 @@ object Catalog {
           min(o_orderpriority), max(o_orderpriority),
           round(sum(len(o_orderpriority))::DOUBLE / count(o_orderpriority), 6)
         FROM orders)
-        SELECT * FROM p ORDER BY "column"""")),
+        SELECT * FROM p ORDER BY "column""""),
+      headline = true),
 
     "q_range_join" -> QueryDef(
       // RangeJoin.pointInInterval — interval containment re-expressed as a
