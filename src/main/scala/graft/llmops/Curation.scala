@@ -266,4 +266,45 @@ object Curation {
       size(regexp_extract_all(afterEmail, lit(ipRe), lit(0))).as("n_ips"),
       regexp_replace(afterIp, phoneRe, "<PHONE>").as("redacted"))
   }
+
+  /** Corpus drift between two dataset versions: the top-`topK` tokens by
+    * absolute unigram-probability shift — the distribution check a
+    * training pipeline runs before swapping in a new corpus drop (a
+    * sudden mover usually means a scraper regression, a boilerplate
+    * flood, or a dedup bug, long before any model-level signal).
+    * Returns `(tok, p_old, p_new, delta)` — probabilities and the signed
+    * shift, 6dp — ordered by |delta| desc then token.
+    *
+    * Determinism: probabilities are 6dp-rounded BEFORE the delta so the
+    * whole comparison replays in plain SQL (the engine-wide decimal
+    * discipline); tokens absent from one side count as probability 0 via
+    * the full outer join. Scale shape: two token hash aggs (map-side
+    * combine) and one vocabulary-sized join — the corpora are each read
+    * once, narrow; top-K is orderBy+limit (map-side partial top-K).
+    */
+  def corpusDrift(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    def probs(docs: DataFrame, p: String): DataFrame = {
+      val toks = docs.select(explode(Text.tokens(col(textCol))).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("c")).as("n"))))
+        .select(col("tok"),
+          round(col("c").cast("double") / col("n"), 6).cast("decimal(18,6)").as(p))
+    }
+    probs(oldDocs, "p_old")
+      .join(probs(newDocs, "p_new"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("p_old"), lit(0).cast("decimal(18,6)")).as("p_old"),
+        coalesce(col("p_new"), lit(0).cast("decimal(18,6)")).as("p_new"))
+      .withColumn("delta", (col("p_new") - col("p_old")).cast("decimal(18,6)"))
+      .orderBy(abs(col("delta")).desc, col("tok"))
+      .limit(topK)
+      .select(col("tok"),
+        col("p_old").cast("double").as("p_old"),
+        col("p_new").cast("double").as("p_new"),
+        col("delta").cast("double").as("delta"))
+  }
 }

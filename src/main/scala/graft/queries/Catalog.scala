@@ -1279,6 +1279,38 @@ object Catalog {
         FROM ranked WHERE r = 1 ORDER BY doc_id"""),
       headline = true),
 
+    "text_drift" -> QueryDef(
+      // Corpus drift monitoring (Curation.corpusDrift): top-20 unigram
+      // movers between two corpus versions (the even/odd doc_id halves
+      // stand in for successive drops) — the distribution check a
+      // pipeline runs before swapping in a new crawl. Probabilities are
+      // 6dp decimals rounded BEFORE the delta, so the whole comparison
+      // (including the |delta| ordering and the limit cutoff) replays
+      // exactly in SQL. Two narrow token aggs + one vocab-sized join.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.corpusDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), topK = 20)
+      },
+      Some(s"""WITH ot AS (SELECT tok, count(*) AS c
+          FROM (SELECT unnest($toksSql) AS tok FROM documents WHERE doc_id % 2 = 0)
+          GROUP BY tok),
+        osum AS (SELECT sum(c) AS n FROM ot),
+        op AS (SELECT tok, round(c::DOUBLE / n, 6)::DECIMAL(18,6) AS p_old FROM ot, osum),
+        nt AS (SELECT tok, count(*) AS c
+          FROM (SELECT unnest($toksSql) AS tok FROM documents WHERE doc_id % 2 = 1)
+          GROUP BY tok),
+        nsum AS (SELECT sum(c) AS n FROM nt),
+        np AS (SELECT tok, round(c::DOUBLE / n, 6)::DECIMAL(18,6) AS p_new FROM nt, nsum),
+        j AS (SELECT coalesce(op.tok, np.tok) AS tok,
+            coalesce(p_old, 0::DECIMAL(18,6)) AS p_old,
+            coalesce(p_new, 0::DECIMAL(18,6)) AS p_new
+          FROM op FULL OUTER JOIN np ON op.tok = np.tok),
+        d AS (SELECT tok, p_old, p_new, (p_new - p_old)::DECIMAL(18,6) AS delta FROM j)
+        SELECT tok, p_old::DOUBLE AS p_old, p_new::DOUBLE AS p_new, delta::DOUBLE AS delta
+        FROM d ORDER BY abs(delta) DESC, tok LIMIT 20""")),
+
     "text_subword" -> QueryDef(
       // Learned subword tokenization END-TO-END (llmops.Tokenize): a
       // deterministic frequent-substring vocabulary (the closed-form,

@@ -157,4 +157,29 @@ class CurationSpec extends AnyFunSuite {
     assert("<EMAIL>".r.findAllIn(red).size == r.getAs[Int]("n_emails"))
     assert("<PHONE>".r.findAllIn(red).size == r.getAs[Int]("n_phones"))
   }
+
+  test("corpusDrift surfaces movers, one-sided tokens, and signed deltas") {
+    val old = Seq((0L, "alpha alpha beta"), (1L, "alpha gone")).toDF("doc_id", "text")
+    val neu = Seq((2L, "alpha beta beta"), (3L, "beta fresh")).toDF("doc_id", "text")
+    val rows = Curation.corpusDrift(old, neu, topK = 10).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // old: alpha 3/5, beta 1/5, gone 1/5; new: alpha 1/5, beta 3/5, fresh 1/5
+    assert(rows("alpha") == (0.6, 0.2, -0.4))
+    assert(rows("beta") == (0.2, 0.6, 0.4))
+    assert(rows("gone") == (0.2, 0.0, -0.2), "token absent from new must read p_new=0")
+    assert(rows("fresh") == (0.0, 0.2, 0.2), "token absent from old must read p_old=0")
+    // ordering: biggest |delta| first, ties by token
+    val ordered = Curation.corpusDrift(old, neu, topK = 10).collect().map(_.getString(0)).toSeq
+    assert(ordered.take(2) == Seq("alpha", "beta"))
+  }
+
+  test("corpusDrift is partition-count invariant and respects topK") {
+    val a = (0L until 300L).map(i => (i, s"w${i % 17} filler common")).toDF("doc_id", "text")
+    val b = (0L until 300L).map(i => (i, s"w${i % 11} filler common")).toDF("doc_id", "text")
+    val one = Curation.corpusDrift(a.repartition(1), b.repartition(1), topK = 5)
+      .collect().map(_.toSeq)
+    val wide = Curation.corpusDrift(a.repartition(13), b.repartition(7), topK = 5)
+      .collect().map(_.toSeq)
+    assert(one.length == 5 && one.toSeq == wide.toSeq)
+  }
 }
