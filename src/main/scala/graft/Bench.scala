@@ -31,15 +31,22 @@ object Bench {
     // warm-up: JIT + codegen + file listing on a small query, not timed
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // a failed query reports -1 (matching the lifecycle rows' convention),
+    // never its elapsed-to-failure: a 0.06 s fail-fast silently deflating
+    // `total` would let a regression masquerade as a speedup (round-7 bug)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
+        }
       }
-      name -> (0 until runs).map(_ => once()).min
+      val times = (0 until runs).map(_ => once())
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // text-index lifecycle: the number that certifies compactTextIndex
     // matters. 50 sealed append batches (a long-lived streaming ingest's
@@ -110,7 +117,8 @@ object Bench {
     val all = results ++ lifecycle
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total sums only succeeded rows — a -1 must not deflate the suite number
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

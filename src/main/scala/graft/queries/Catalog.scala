@@ -37,14 +37,40 @@ object Catalog {
   }
 
   /** events with a ms-precision version column — the common KV framing:
-    * key = user_id, version = (ts_ms, event_id). `ts` is rebuilt as a real
+    * key = user_id, version = (ts_ms, event_id). `ts` is surfaced as a real
     * (micro-precision, UTC) timestamp for window functions; `ts_ms` is the
     * integral epoch-milliseconds used for ordering and output.
+    *
+    * SCHEMA-ADAPTIVE: the driver has shipped `events.ts` as both INT64
+    * nanoseconds and parquet `timestamp[us]` across regenerations. An engine
+    * whose query surface hard-codes the physical encoding of a table it does
+    * not own breaks on every re-encode (round 7 lost all 14 events queries
+    * this way), so the loader branches on the arriving type and normalizes
+    * to the one logical shape every downstream query was written against.
+    * The DuckDB oracles use `epoch_ms(ts)`, which is encoding-agnostic —
+    * only this Spark side needs the branch. All entry points pin the session
+    * timezone to UTC, making the NTZ→LTZ cast the exact epoch instant.
     */
+  def loadEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // INT64 epoch-nanoseconds (read via nanosAsLong)
+        raw.withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive micros; session tz is UTC → exact
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ms", unix_millis(col("ts").cast(TimestampType)))
+      case TimestampType =>
+        raw.withColumn("ts_ms", unix_millis(col("ts")))
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as unsupported type $other " +
+          "(expected INT64 nanos, timestamp, or timestamp_ntz)")
+    }
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    loadEvents(s, dir)
 
   private val normSql =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -608,7 +634,51 @@ object Catalog {
           round(sum(len(o_orderpriority))::DOUBLE / count(o_orderpriority), 6)
         FROM orders)
         SELECT * FROM p ORDER BY "column""""),
+      headline = false),
+
+    "q_profile_hll" -> QueryDef(
+      // The SCALE form of table profiling and the bench HEADLINE: HLL++
+      // approx_count_distinct replaces exact count(distinct), so the plan
+      // is one pass over one scan with NO Expand (the exact form plans
+      // k+1 row copies per input row — certifiable, but not the plan
+      // you'd run on a 100 TB corpus drop). Same schema as q_profile;
+      // accuracy is certified by the oracled q_profile_hll_gate row.
+      (s, dir) => graft.operators.Profile.profileColumns(
+          t(s, dir, "orders"),
+          numericCols = Seq("o_custkey", "o_totalprice"),
+          stringCols = Seq("o_orderstatus", "o_orderpriority"),
+          exactDistinct = false)
+        .orderBy("column"),
+      None,
       headline = true),
+
+    "q_profile_hll_gate" -> QueryDef(
+      // ORACLED gate for q_profile_hll: every non-sketch stat must equal
+      // the exact profile bit-for-bit, and the HLL distinct estimate must
+      // sit within 5% of the exact cardinality on every column (the
+      // configured rsd is 2%). Runs both forms at sf0.01 — cheap where
+      // correctness runs; the Expand-free form alone is what's benched.
+      (s, dir) => {
+        val cols = (Seq("o_custkey", "o_totalprice"),
+          Seq("o_orderstatus", "o_orderpriority"))
+        def prof(exact: Boolean) = graft.operators.Profile.profileColumns(
+          t(s, dir, "orders"), cols._1, cols._2, exactDistinct = exact)
+        val j = prof(true).as("e").join(prof(false).as("a"), "column")
+        j.agg(
+            max(abs(col("a.n_distinct") - col("e.n_distinct")) /
+              col("e.n_distinct")).as("dist_err"),
+            min(col("a.n_rows") === col("e.n_rows") &&
+              col("a.n_nulls") === col("e.n_nulls") &&
+              (col("a.min_num") <=> col("e.min_num")) &&
+              (col("a.max_num") <=> col("e.max_num")) &&
+              (col("a.avg_num") <=> col("e.avg_num")) &&
+              (col("a.min_str") <=> col("e.min_str")) &&
+              (col("a.max_str") <=> col("e.max_str")) &&
+              (col("a.avg_len") <=> col("e.avg_len"))).as("rest_eq"))
+          .select(lit("profile_hll").as("gate"),
+            (col("dist_err") <= 0.05 && col("rest_eq")).as("floor_met"))
+      },
+      Some("SELECT 'profile_hll' AS gate, true AS floor_met")),
 
     "q_range_join" -> QueryDef(
       // RangeJoin.pointInInterval — interval containment re-expressed as a

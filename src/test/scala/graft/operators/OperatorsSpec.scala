@@ -23,9 +23,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("asofJoinBackward matches the window formulation on real events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val ev = graft.queries.Catalog.loadEvents(spark, "/root/testdata/sf0.001")
     val viaOp = KVOps.asofJoinBackward(
         ev.select(col("event_id"), col("user_id"), col("ts_ms")),
         ev.filter(col("event_type") === "signup")

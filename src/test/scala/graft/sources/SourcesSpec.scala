@@ -13,11 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class SourcesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+  private def events =
+    graft.queries.Catalog.loadEvents(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-  }
 
   for (fmt <- Seq("parquet", "orc", "json", "csv")) {
     test(s"$fmt round-trip preserves the events table") {

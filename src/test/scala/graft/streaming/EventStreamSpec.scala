@@ -12,11 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class EventStreamSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private def eventsBatch() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventsBatch() =
+    graft.queries.Catalog.loadEvents(spark, "/root/testdata/sf0.001")
+      .drop("ts_ms")
 
   test("streaming windowed agg equals the batch plan over the same data") {
     val batch = eventsBatch()
