@@ -110,11 +110,73 @@ object Bench {
         "search_bm25_postfold" -> -1.0, "search_bm25_tombstoned" -> -1.0,
         "search_bm25_purged" -> -1.0)
     }
-    // lifecycle rows are an A/B experiment on ONE query (indexed bm25
-    // against a deliberately degraded 50-root index, then folded) — they
-    // ride along in `queries` but stay out of `total`, which tracks the
-    // headline suite round-over-round
-    val all = results ++ lifecycle
+    // agg-view lifecycle: the number that certifies O(delta) refresh
+    // matters. A lineitem-by-suppkey view takes 50 appended delta roots
+    // (a long-lived streaming refresh's state); the merge-on-read is
+    // timed degraded (51 roots), after compactAggView (1 root), and
+    // against a fresh one-shot build's read (the floor). Two setup-path
+    // rows make the refresh story itself a number: one O(delta) append
+    // vs re-aggregating the whole table. Untimed setup, min-of-`runs`,
+    // -1 on failure — the text-index lifecycle's conventions.
+    val aggLifecycle: Seq[(String, Double)] = try {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      import graft.operators.AggView
+      val avDir = java.nio.file.Files.createTempDirectory("graft-bench-aggview").toString
+      val freshDir = java.nio.file.Files.createTempDirectory("graft-bench-aggview-fresh").toString
+      try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_extendedprice"), col("l_quantity"))
+        def slice(i: Int) =
+          li.filter(pmod(col("l_orderkey"), lit(51L)) === i).drop("l_orderkey")
+        AggView.buildAggView(slice(0), avDir,
+          keys = Seq("l_suppkey"), metrics = Seq("l_extendedprice", "l_quantity"))
+        (1 until 51).foreach { i =>
+          AggView.appendToAggView(avDir, slice(i), batchTag = Some(i.toString))
+        }
+        def read(dir: String): Double = {
+          val t0 = System.nanoTime()
+          AggView.readAggView(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val pre = (0 until runs).map(_ => read(avDir)).min
+        AggView.compactAggView(spark, avDir)
+        val post = (0 until runs).map(_ => read(avDir)).min
+        // the O(delta) refresh vs full re-aggregation pair (distinct tags
+        // per run so the exactly-once fence doesn't skip the work)
+        val refresh = (0 until runs).map { r =>
+          val t0 = System.nanoTime()
+          AggView.appendToAggView(avDir, slice(r % 51), batchTag = Some(s"bench-extra-$r"))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val rebuild = (0 until runs).map { _ =>
+          val t0 = System.nanoTime()
+          AggView.buildAggView(li.drop("l_orderkey"), freshDir,
+            keys = Seq("l_suppkey"), metrics = Seq("l_extendedprice", "l_quantity"))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val fresh = (0 until runs).map(_ => read(freshDir)).min
+        Seq("q_agg_view_longappend" -> pre, "q_agg_view_postfold" -> post,
+          "q_agg_view_freshread" -> fresh, "q_agg_view_refresh" -> refresh,
+          "q_agg_view_rebuild" -> rebuild)
+      } finally {
+        for (d <- Seq(avDir, freshDir)) {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] agg-view lifecycle: ${e.getMessage}")
+      Seq("q_agg_view_longappend" -> -1.0, "q_agg_view_postfold" -> -1.0,
+        "q_agg_view_freshread" -> -1.0, "q_agg_view_refresh" -> -1.0,
+        "q_agg_view_rebuild" -> -1.0)
+    }
+    // lifecycle rows are A/B experiments (indexed bm25 against a
+    // deliberately degraded 50-root index then folded; the agg view's
+    // 51-root merge vs post-fold vs fresh floor) — they ride along in
+    // `queries` but stay out of `total`, which tracks the headline suite
+    // round-over-round
+    val all = results ++ lifecycle ++ aggLifecycle
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // total sums only succeeded rows — a -1 must not deflate the suite number

@@ -53,6 +53,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_asof_join: union-window form — one key shuffle, no join of any kind") {
+    // the as-of operator's scale contract (KVOps.asofJoinBackward): tag +
+    // union + ONE window over the key partition. A join-based plan (range
+    // explode, BNL) can return identical rows while multiplying matching
+    // pairs at scale — pin the shape, not just the values.
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), s"asof lost its window form:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "asof regressed to a join-based plan (range explode or nested loop)")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"asof should shuffle exactly once on the keys, saw $hashEx hash exchanges in:\n$p")
+  }
+
   test("dedup_embedding_pairs: the certified plan contains no cartesian or nested-loop join") {
     val p = plan("dedup_embedding_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
