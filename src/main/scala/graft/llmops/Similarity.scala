@@ -395,11 +395,22 @@ object Similarity {
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val total = c.count()
+    // an empty corpus would crash deep inside the KMeans summarizer
+    // ("Nothing has been added") — refuse at the API boundary instead.
+    require(total > 0, s"IVF build: empty corpus at $indexDir — " +
+      "a CDC delete stream that emptied the index must rebuild from source data")
+    // FEWER live rows than k (the post-CDC-delete drift re-fit's classic
+    // degenerate case) must clamp: Spark 4's block KMeans aggregator
+    // over-indexes (AIOOBE in euclideanUpdateInPlace) when init yields
+    // fewer centers than k. The persisted stats keep the REQUESTED k, so
+    // a later re-fit over a regrown corpus heals back to full resolution
+    // (IvfDeleteSpec pins both properties).
+    val kEff = math.min(numCentroids.toLong, total).toInt
     val fitInput =
       if (fitSampleRows > 0 && total > fitSampleRows)
         c.sample(withReplacement = false, fitSampleRows.toDouble / total, seed)
       else c
-    val model = new KMeans().setK(numCentroids).setSeed(seed)
+    val model = new KMeans().setK(kEff).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(fitInput.withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
     val centroidArr = model.clusterCenters.map(_.toArray)
@@ -903,6 +914,11 @@ object Similarity {
       s"fitPqCodebooks: dim=$dim, m=$m leaves subspace ${dim / dsub} empty " +
         s"(dsub=ceil(dim/m)=$dsub); choose m so every subspace is non-empty")
     val total = c.count()
+    // same degenerate-population guards as the IVF builders: refuse empty,
+    // clamp k to the live row count (Spark 4's block KMeans AIOOBEs when
+    // init yields fewer centers than k)
+    require(total > 0, "fitPqCodebooks: empty corpus")
+    val kEffSub = math.min(ksub.toLong, total).toInt
     val fitInput =
       if (fitSampleRows > 0 && total > fitSampleRows)
         c.sample(withReplacement = false, fitSampleRows.toDouble / total, seed)
@@ -918,7 +934,7 @@ object Similarity {
     (0 until m).map { i =>
       val off = i * dsub
       val len = math.min(dsub, dim - off)
-      val model = new KMeans().setK(ksub).setSeed(seed + i)
+      val model = new KMeans().setK(kEffSub).setSeed(seed + i)
         .setFeaturesCol("sv").setPredictionCol("cell")
         .fit(normed.withColumn("sv", array_to_vector(slice(col("nv"), off + 1, len))))
       // pad ragged tails to dsub — PqEncode zero-pads the vector the same way
@@ -1045,11 +1061,22 @@ object Similarity {
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val total = c.count()
+    // an empty corpus would crash deep inside the KMeans summarizer
+    // ("Nothing has been added") — refuse at the API boundary instead.
+    require(total > 0, s"IVF build: empty corpus at $indexDir — " +
+      "a CDC delete stream that emptied the index must rebuild from source data")
+    // FEWER live rows than k (the post-CDC-delete drift re-fit's classic
+    // degenerate case) must clamp: Spark 4's block KMeans aggregator
+    // over-indexes (AIOOBE in euclideanUpdateInPlace) when init yields
+    // fewer centers than k. The persisted stats keep the REQUESTED k, so
+    // a later re-fit over a regrown corpus heals back to full resolution
+    // (IvfDeleteSpec pins both properties).
+    val kEff = math.min(numCentroids.toLong, total).toInt
     val fitInput =
       if (fitSampleRows > 0 && total > fitSampleRows)
         c.sample(withReplacement = false, fitSampleRows.toDouble / total, seed)
       else c
-    val model = new KMeans().setK(numCentroids).setSeed(seed)
+    val model = new KMeans().setK(kEff).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(fitInput.withColumn("fv", array_to_vector(col("cv").cast("array<double>"))))
     val centroidArr = model.clusterCenters.map(_.toArray)

@@ -65,6 +65,50 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: pairs (l, r) where `[lStart, lEnd]` and
+    * `[rStart, rEnd]` overlap (inclusive: `lStart <= rEnd AND rStart <=
+    * lEnd`) — the interval×interval member of the family, which Spark
+    * likewise only plans as a nested loop. Both sides replicate to their
+    * covered bins and equi-join on (keys, bin); a pair sharing SEVERAL
+    * bins would duplicate, so each pair is emitted only in its first
+    * shared bin — `max(floor(lStart/b), floor(rStart/b))`, which any
+    * overlapping pair covers on both sides by construction — keeping the
+    * join dedup-free (no distinct pass over the output). Columns of both
+    * inputs pass through; the degenerate-interval guard applies to BOTH
+    * sides.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      binSize: Long,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 1 << 20): DataFrame = {
+    require(binSize > 0, "intervalOverlapJoin: binSize must be positive")
+    def binned(df: DataFrame, s: String, e: String): DataFrame = {
+      val guarded =
+        if (maxBinsPerInterval > 0)
+          when(
+            floor(col(e) / binSize) - floor(col(s) / binSize) >= maxBinsPerInterval,
+            raise_error(concat(
+              lit(s"intervalOverlapJoin: interval spans >= $maxBinsPerInterval bins of $binSize ("),
+              col(s), lit(".."), col(e),
+              lit(") — widen binSize or split the interval"))))
+          .otherwise(col(s))
+        else col(s)
+      df.withColumn("__bin", explode(sequence(
+        floor(guarded / binSize), floor(col(e) / binSize))))
+    }
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), keys :+ "__bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === greatest(
+          floor(col(lStart) / binSize), floor(col(rStart) / binSize)))
+      .drop("__bin")
+  }
+
   /** Band join: pairs (l, r) with |l.`lCol` - r.`rCol`| <= delta —
     * the same bin trick with the left side probing its own bin and both
     * neighbors (a band of width delta can only reach adjacent bins when

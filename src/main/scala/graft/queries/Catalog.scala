@@ -729,6 +729,93 @@ object Catalog {
           AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 1800000
         GROUP BY a.user_id ORDER BY a.user_id""")),
 
+    "q_interval_join" -> QueryDef(
+      // RangeJoin.intervalOverlapJoin — the interval×interval member of
+      // the non-equi family (Spark's native plan: nested loop): per user,
+      // every error's 2h outage window paired with every purchase's ±1h
+      // activity window it overlaps. First-shared-bin emit keeps the
+      // binned equi-join dedup-free. Oracled against DuckDB's plain
+      // non-equi overlap join.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val outages = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            col("ts_ms").as("os"), (col("ts_ms") + lit(7200000L)).as("oe"))
+        val activity = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"),
+            (col("ts_ms") - lit(3600000L)).as("as_"),
+            (col("ts_ms") + lit(3600000L)).as("ae"))
+        graft.operators.RangeJoin.intervalOverlapJoin(
+            outages, activity, binSize = 7200000L,
+            lStart = "os", lEnd = "oe", rStart = "as_", rEnd = "ae",
+            keys = Seq("user_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("err_id")).as("n_errors"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id AS err_id, epoch_ms(ts) AS os,
+            epoch_ms(ts) + 7200000 AS oe FROM events WHERE event_type = 'error'),
+        a AS (SELECT user_id, event_id AS buy_id, epoch_ms(ts) - 3600000 AS as_,
+            epoch_ms(ts) + 3600000 AS ae FROM events WHERE event_type = 'purchase')
+        SELECT o.user_id, count(*) AS n_pairs,
+          count(DISTINCT err_id) AS n_errors
+        FROM o JOIN a ON o.user_id = a.user_id AND o.os <= a.ae AND a.as_ <= o.oe
+        GROUP BY o.user_id ORDER BY o.user_id""")),
+
+    "q_resample" -> QueryDef(
+      // Resample.resampleForwardFill — per-user hourly regularization of
+      // the event stream with zero-filled empty buckets and the last
+      // observed value carried forward (the fixed-step grid a feature
+      // pipeline or drift monitor consumes). One keyed hash agg over the
+      // raw data; the grid materializes from aggregated spans, never from
+      // events. Fully oracled: DuckDB replays the grid with
+      // generate_series and the carry-forward with IGNORE NULLS.
+      (s, dir) => graft.operators.Resample.resampleForwardFill(
+          events(s, dir).filter(col("user_id") < 40),
+          keys = Seq("user_id"), tsMsCol = "ts_ms", valueCol = "value",
+          tieCol = "event_id", stepMs = 3600000L)
+        .select(col("user_id"), col("bucket_ms"), col("n_events"),
+          col("sum_value"), round(col("last_value"), 2).as("last_value"))
+        .orderBy("user_id", "bucket_ms"),
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+            epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 3600000 AS bucket
+          FROM events WHERE user_id < 40),
+        b AS (SELECT user_id, bucket, count(*) AS n,
+            sum(value::DECIMAL(18,2)) AS s,
+            (max({'t': ts_ms, 'e': event_id, 'v': value}))['v'] AS lastv
+          FROM e GROUP BY user_id, bucket),
+        g AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+          FROM b GROUP BY user_id),
+        j AS (SELECT g.user_id, g.bucket, b.n, b.s, b.lastv
+          FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
+        SELECT user_id, bucket * 3600000 AS bucket_ms,
+          coalesce(n, 0) AS n_events,
+          round(coalesce(s, 0)::DOUBLE, 2) AS sum_value,
+          round(last_value(lastv IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket), 2) AS last_value
+        FROM j ORDER BY user_id, bucket_ms""")),
+
+    "q_pivot" -> QueryDef(
+      // Native pivot (Spark RelationalGroupedDataset.pivot with explicit
+      // values — one pass, no per-value scans): lineitem quantity by
+      // return flag × line status. Oracled against the CASE-aggregation
+      // expansion pivot desugars to.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .select(col("l_returnflag"),
+          round(coalesce(col("F"), lit(0)).cast("double"), 2).as("qty_f"),
+          round(coalesce(col("O"), lit(0)).cast("double"), 2).as("qty_o"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          round(coalesce(sum(CASE WHEN l_linestatus = 'F'
+            THEN l_quantity::DECIMAL(18,2) END), 0)::DOUBLE, 2) AS qty_f,
+          round(coalesce(sum(CASE WHEN l_linestatus = 'O'
+            THEN l_quantity::DECIMAL(18,2) END), 0)::DOUBLE, 2) AS qty_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     "q_cube" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -1308,6 +1395,42 @@ object Catalog {
           FROM toks JOIN v USING (tok), t)
         SELECT doc_id, count(*) AS n_toks,
           round(sum(ll)::DOUBLE / count(*), 6) AS avg_ll
+        FROM ll GROUP BY doc_id ORDER BY doc_id""")),
+
+    "text_perplexity" -> QueryDef(
+      // Held-out bigram perplexity with stupid backoff (llmops
+      // LanguageModel.bigramScore) — the KenLM-style quality filter:
+      // model fit on the even-doc_id half, every document scored, so
+      // odd docs genuinely exercise the unseen-bigram backoff path.
+      // Bigram extraction is narrow (zip_with per doc), the model joins
+      // are one keyed shuffle (bigrams) + broadcasts (vocab); per-bigram
+      // 6dp decimal log-probs make the row FULLY oracled.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.llmops.LanguageModel.bigramScore(
+            docs.filter(col("doc_id") % 2 === 0), docs)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        bgf AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM
+          (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+              for i in generate_series(1, len(toks) - 1)]) AS p FROM d)),
+        tt AS (SELECT unnest(toks) AS w FROM d WHERE doc_id % 2 = 0),
+        uni AS (SELECT w, count(*) AS c1 FROM tt GROUP BY w),
+        tot AS (SELECT sum(c1)::BIGINT AS n_total, count(*) AS v FROM uni),
+        bi AS (SELECT w1, w2, count(*) AS c2 FROM bgf
+          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        ll AS (SELECT s.doc_id,
+            round(CASE WHEN bi.c2 IS NOT NULL THEN ln(bi.c2 / u1.c1)
+              ELSE ln(0.4 * (coalesce(u2.c1, 0) + 1.0) / (t.n_total + t.v))
+              END, 6)::DECIMAL(18,6) AS ll
+          FROM bgf s
+          LEFT JOIN bi ON s.w1 = bi.w1 AND s.w2 = bi.w2
+          LEFT JOIN uni u1 ON s.w1 = u1.w
+          LEFT JOIN uni u2 ON s.w2 = u2.w, tot t)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(sum(ll)::DOUBLE / count(*), 6) AS avg_ll,
+          round(exp(-(sum(ll)::DOUBLE / count(*))), 4) AS ppl
         FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
     "text_nb_classify" -> QueryDef(

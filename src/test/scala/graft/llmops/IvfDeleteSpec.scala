@@ -154,6 +154,72 @@ class IvfDeleteSpec extends AnyFunSuite {
       .filter(col("neighbor_id").isin(1L, 2L, 3L)).count() === 0L)
   }
 
+  test("drift re-fit survives a CDC delete emptying an entire cell") {
+    // the stats/grid pairing's classic failure: deletes hollow out one
+    // cell, then a drifted batch triggers a re-fit whose KMeans sees the
+    // post-delete population — must neither crash on the empty cell nor
+    // resurrect the dead ids (the re-fit generation is the physical purge)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-refit-cell").toString
+    Similarity.buildIvfIndex(emb, dir, numCentroids = 8)
+    val cells = Similarity.ivfAssigned(spark, dir)
+      .groupBy("cell").count().orderBy(desc("count")).collect()
+    val victim = cells.head.getInt(0)
+    val deadIds = Similarity.ivfAssigned(spark, dir)
+      .filter(col("cell") === victim).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty)
+    assert(Similarity.deleteFromIvfIndex(spark, dir,
+      deadIds.toSeq.toDF("vec_id")) === deadIds.size.toLong)
+    // a far-away outlier batch with a hair-trigger refitFactor forces the
+    // drift path through the hollowed index
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val outliers = (9000L to 9007L).map(i =>
+      (i, Array.fill(dim)(1e3f + i.toFloat))).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, dir, outliers, refitFactor = 1e-9),
+      "the outlier batch should have triggered a drift re-fit")
+    // fresh generation: tombstones consumed, dead ids physically gone,
+    // outliers present, probes serve
+    val m = Similarity.readIvfManifest(spark, dir).get
+    assert(m.tombDirs.isEmpty, "re-fit generation must carry no tombstones")
+    val ids = Similarity.ivfAssigned(spark, dir).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(deadIds).isEmpty, "re-fit resurrected deleted vectors")
+    assert((9000L to 9007L).forall(ids.contains), "re-fit dropped the drifted batch")
+    val hits = Similarity.ivfTopKIndexed(spark, dir,
+      emb.filter(col("vec_id") < 3), k = 5, nProbe = 8)
+    assert(hits.count() > 0)
+  }
+
+  test("drift re-fit survives fewer live rows than k (KMeans k > n)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-refit-kn").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 100), dir, numCentroids = 8)
+    // CDC deletes all but three vectors
+    val deadIds = (0L until 100L).filterNot(Set(10L, 20L, 30L))
+    assert(Similarity.deleteFromIvfIndex(spark, dir,
+      deadIds.toDF("vec_id")) === deadIds.size.toLong)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val outliers = Seq((9100L, Array.fill(dim)(1e3f))).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, dir, outliers, refitFactor = 1e-9))
+    // 4 live vectors, 8 requested centers: Spark ML returns fewer centers;
+    // every read path must keep serving
+    val live = Similarity.ivfAssigned(spark, dir).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(live === Set(10L, 20L, 30L, 9100L))
+    assert(Similarity.ivfCentroids(spark, dir).count() <= 8L)
+    val hits = Similarity.ivfTopKIndexed(spark, dir,
+      emb.filter(col("vec_id") === 10), k = 4, nProbe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.subsetOf(live) && hits.nonEmpty)
+  }
+
+  test("an IVF build over an empty corpus refuses loudly at the boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(emb.limit(0), dir, numCentroids = 4)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("vacuum reclaims superseded tombstones after the purge, spares live ones") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-del-vac").toString
     Similarity.buildIvfIndex(emb, dir, numCentroids = 8)

@@ -34,6 +34,42 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlapJoin matches the brute-force cross join, duplicate-free") {
+    val l = ivs.toDF("lid", "ls", "le")
+    val r = ivs.map { case (id, s, e) => (2000L + id, s - 40L, s - 40L + (e - s)) }
+      .toDF("rid", "rs", "re")
+    for (binSize <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlapJoin(l, r, binSize,
+          "ls", "le", "rs", "re")
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val want = l.crossJoin(r)
+        .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"binSize=$binSize")
+      // the first-shared-bin emit rule must keep multi-bin overlaps unique
+      assert(got.distinct == got, s"duplicate pairs at binSize=$binSize")
+    }
+  }
+
+  test("intervalOverlapJoin with keys joins per key; degenerate guard fires") {
+    val l = ivs.map { case (id, s, e) => (id, s, e, id % 3) }.toDF("lid", "ls", "le", "k")
+    val r = ivs.map { case (id, s, e) => (2000L + id, s - 25L, e - 25L, id % 3) }
+      .toDF("rid", "rs", "re", "k")
+    val got = RangeJoin.intervalOverlapJoin(l, r, 64L,
+        "ls", "le", "rs", "re", keys = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val want = l.crossJoin(r.select(col("rid"), col("rs"), col("re"), col("k").as("k2")))
+      .filter(col("k") === col("k2") && col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+    val wide = Seq((1L, 0L, 10000000L)).toDF("rid", "rs", "re")
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlapJoin(ivs.toDF("lid", "ls", "le"), wide, 2L,
+        "ls", "le", "rs", "re", maxBinsPerInterval = 1000L).count()
+    }
+    assert(e.getMessage.contains("bins"))
+  }
+
   test("pointInInterval with keys joins per key") {
     val p = pts.map { case (id, t) => (id, t, id % 3) }.toDF("pid", "t", "k")
     val iv = ivs.map { case (id, s, e) => (id, s, e, id % 3) }.toDF("iid", "s", "e", "k")

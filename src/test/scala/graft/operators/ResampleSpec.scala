@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.core.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResampleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (key, ts_ms, tie, value): key "a" has a 3-bucket gap (buckets 0,1,4 at
+  // step=10), key "b" one bucket; bucket 1 has an in-bucket tie on ts
+  private val rows = Seq(
+    ("a", 3L, 1L, 1.0), ("a", 7L, 2L, 2.0),
+    ("a", 15L, 3L, 5.0), ("a", 15L, 4L, 6.0),
+    ("a", 41L, 5L, 9.0),
+    ("b", 100L, 6L, 42.0))
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    Resample.resampleForwardFill(df, Seq("k"), "t", "v", "tie", stepMs = 10L)
+      .orderBy("k", "bucket_ms")
+      .select("k", "bucket_ms", "n_events", "sum_v", "last_v")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+
+  test("grid is complete, gaps zero-fill, last value carries forward") {
+    val got = run(rows.toDF("k", "t", "tie", "v"))
+    assert(got == Seq(
+      // bucket 0: two events, last by ts = 2.0
+      ("a", 0L, 2L, 3.0, 2.0),
+      // bucket 1: ts tie at 15 broken by tie col -> 6.0
+      ("a", 10L, 2L, 11.0, 6.0),
+      // empty buckets: zero events, zero sum, value carried forward
+      ("a", 20L, 0L, 0.0, 6.0),
+      ("a", 30L, 0L, 0.0, 6.0),
+      ("a", 40L, 1L, 9.0, 9.0),
+      ("b", 100L, 1L, 42.0, 42.0)))
+  }
+
+  test("result is invariant to input partitioning and order") {
+    val base = run(rows.toDF("k", "t", "tie", "v"))
+    val shuffled = run(rows.reverse.toDF("k", "t", "tie", "v").repartition(7))
+    assert(base == shuffled)
+  }
+
+  test("a key spanning too many buckets fails loudly") {
+    val wide = Seq(("a", 0L, 1L, 1.0), ("a", 10000000L, 2L, 2.0))
+      .toDF("k", "t", "tie", "v")
+    val e = intercept[Exception] {
+      Resample.resampleForwardFill(wide, Seq("k"), "t", "v", "tie",
+        stepMs = 2L, maxBuckets = 1000L).count()
+    }
+    assert(e.getMessage.contains("buckets"))
+  }
+}
