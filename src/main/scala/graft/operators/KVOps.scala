@@ -75,7 +75,39 @@ object KVOps {
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      rightOrderCol: Option[String] = None): DataFrame = {
+      rightOrderCol: Option[String] = None): DataFrame =
+    asofJoinImpl(left, right, keys, leftTime, rightTime, payloadCols,
+      rightOrderCol, forward = false)
+
+  /** Forward as-of join: for every left row, attach the payload of the
+    * EARLIEST right row with the same keys and `rightTime >= leftTime`
+    * (inclusive) — "what happens next" (next purchase after each event,
+    * next error after each deploy). Same union-window shape and scale
+    * contract as [[asofJoinBackward]]: one shuffle on the keys, no pair
+    * explosion; only the window ordering flips. Ties among right rows
+    * sharing a timestamp break toward the SMALLEST `rightOrderCol` (the
+    * earliest, mirroring backward's latest-wins).
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightOrderCol: Option[String] = None): DataFrame =
+    asofJoinImpl(left, right, keys, leftTime, rightTime, payloadCols,
+      rightOrderCol, forward = true)
+
+  private def asofJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightOrderCol: Option[String],
+      forward: Boolean): DataFrame = {
     val payloadT = struct(payloadCols.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
@@ -88,8 +120,16 @@ object KVOps {
       .withColumn("__ord", lit(Long.MaxValue))
       .withColumn("__payload", lit(null).cast(r.schema("__payload").dataType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // backward walks time ascending (latest right at-or-before carries
+    // forward); forward walks descending (earliest right at-or-after
+    // carries backward). Either way rights at the left row's own
+    // timestamp sort BEFORE it (inclusive), and the last carried right
+    // among a timestamp tie is backward's max / forward's min __ord.
+    val ordering =
+      if (forward) Seq(col("__t").desc, col("__side").asc, col("__ord").desc)
+      else Seq(col("__t").asc, col("__side").asc, col("__ord").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
     val outCols = left.columns.map(col).toSeq ++

@@ -449,6 +449,30 @@ object Catalog {
         ORDER BY e.event_id"""),
       headline = true),
 
+    "q_asof_forward" -> QueryDef(
+      // the FORWARD as-of join (KVOps.asofJoinForward — same one-shuffle
+      // union-window shape, ordering flipped): each event paired with the
+      // user's next purchase at-or-after it. Oracled against DuckDB's
+      // native forward ASOF (`l.ts <= r.ts`).
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+        KVOps.asofJoinForward(
+            ev.select(col("event_id"), col("user_id"), col("ts_ms")),
+            purchases, keys = Seq("user_id"),
+            leftTime = "ts_ms", rightTime = "ts_ms",
+            payloadCols = Seq("value"), rightOrderCol = Some("event_id"))
+          .select(col("event_id"), col("user_id"),
+            round(col("asof_value"), 2).as("next_purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, round(p.value, 2) AS next_purchase_value
+        FROM events e ASOF LEFT JOIN
+          (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND epoch_ms(e.ts) <= epoch_ms(p.ts)
+        ORDER BY e.event_id""")),
+
     "q_skew_distinct" -> QueryDef(
       // two-phase distinct count (Skew.distinctCountTwoPhase) — identical
       // result to count(DISTINCT), skew-safe shuffle shape.

@@ -22,6 +22,21 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, 10L, "b"), (1L, 20L, "b"), (1L, 25L, "c"), (2L, 5L, null)))
   }
 
+  test("asofJoinForward: inclusive forward match with earliest-wins tie-break") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 50L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a", 2L), (1L, 10L, "b", 1L), (1L, 21L, "c", 3L))
+      .toDF("k", "t", "v", "seq")
+    val out = KVOps.asofJoinForward(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightOrderCol = Some("seq"))
+      .orderBy("k", "t").collect()
+    // t=10: inclusive, tie between a/b broken toward SMALLEST seq -> b
+    // t=20: next right at 21 -> c; t=25: nothing ahead -> null; k=2: null
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 10L, "b"), (1L, 20L, "c"), (1L, 25L, null), (2L, 50L, null)))
+  }
+
   test("asofJoinBackward matches the window formulation on real events") {
     val ev = graft.queries.Catalog.loadEvents(spark, "/root/testdata/sf0.001")
     val viaOp = KVOps.asofJoinBackward(
