@@ -48,7 +48,15 @@ object AggView {
       appliedTags: Vector[String] = Vector.empty,
       tagHighWater: Long = -1L,
       nRows: Long = 0L,
-      distinctCols: Seq[String] = Nil)
+      distinctCols: Seq[String] = Nil,
+      // equi-width histogram state (mergeable percentiles): one shared
+      // (lo, hi, bins) config; per column, bins+2 count columns
+      // (underflow | bins | overflow). Absent on pre-round-8 views
+      // (json4s fills the defaults), which therefore read unchanged.
+      histCols: Seq[String] = Nil,
+      histLo: Double = 0.0,
+      histHi: Double = 0.0,
+      histBins: Int = 0)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
   private val lock = new Object
@@ -124,6 +132,7 @@ object AggView {
   private def maxCol(m: String): String = s"${m}__max"
   private def sumsqCol(m: String): String = s"${m}__sumsq"
   private def hllCol(c: String): String = s"${c}__hll"
+  private def histCol(c: String, i: Int): String = s"${c}__h$i"
 
   private def pkExpr(keys: Seq[String], numBuckets: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
@@ -146,7 +155,19 @@ object AggView {
       // shape for count-distinct in an incremental view (exact distinct
       // is not a monoid; re-reading the base per refresh is the
       // anti-pattern this operator exists to avoid)
-      m.distinctCols.map(c => hll_sketch_agg(col(c)).as(hllCol(c))))
+      m.distinctCols.map(c => hll_sketch_agg(col(c)).as(hllCol(c))) ++
+      // histogram partials: the SHIFTED bucket index (0 = underflow,
+      // 1..bins = in-range, bins+1 = overflow) turns into bins+2
+      // conditional sums — all codegen'd in the same single hash-agg
+      // pass as every other partial
+      m.histCols.flatMap { c =>
+        val w = (m.histHi - m.histLo) / m.histBins
+        val shifted = least(greatest(
+          floor((col(c) - lit(m.histLo)) / lit(w)), lit(-1L)),
+          lit(m.histBins.toLong)) + lit(1L)
+        (0 to m.histBins + 1).map(i =>
+          sum(when(shifted === i, 1L).otherwise(0L)).as(histCol(c, i)))
+      })
     df.groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("pk", pkExpr(m.keys, m.numBuckets))
@@ -163,7 +184,9 @@ object AggView {
       max(col(maxCol(c))).as(maxCol(c)),
       sum(col(sumsqCol(c))).as(sumsqCol(c)))
     } ++
-    m.distinctCols.map(c => hll_union_agg(col(hllCol(c))).as(hllCol(c))))
+    m.distinctCols.map(c => hll_union_agg(col(hllCol(c))).as(hllCol(c))) ++
+    m.histCols.flatMap(c => (0 to m.histBins + 1).map(i =>
+      sum(col(histCol(c, i))).as(histCol(c, i)))))
 
   /** Finalized output columns from merged partials. `m_std` is the
     * population stddev computed in DOUBLE from the exact decimal
@@ -185,7 +208,41 @@ object AggView {
           .as(s"${c}_std"))
     } ++
     m.distinctCols.map(c =>
-      hll_sketch_estimate(col(hllCol(c))).as(s"${c}_approx_distinct"))
+      hll_sketch_estimate(col(hllCol(c))).as(s"${c}_approx_distinct")) ++
+    // histogram percentiles: first shifted bucket whose cumulative count
+    // reaches q*cnt, reported as that bucket's RIGHT edge (lo + j*w for
+    // shifted index j) — deterministic, replays in plain SQL, and within
+    // one bin width of the exact quantile for in-range data (the oracled
+    // gate's bound). The q*cnt product is computed in DOUBLE on both
+    // sides (a decimal literal would round differently).
+    m.histCols.flatMap { c =>
+      val w = (m.histHi - m.histLo) / m.histBins
+      // the bins+2 count columns fold as ONE linear higher-order
+      // `aggregate` over an array (a naive shared-cumsum when-chain
+      // builds a quadratic expression tree that Catalyst's
+      // subexpression-elimination pass spins on for MINUTES at plan
+      // time): walk the array once, record the first index whose
+      // cumulative count reaches q*cnt, report that bucket's right edge
+      val harr = array((0 to m.histBins + 1).map(i => col(histCol(c, i))): _*)
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (q, tag) =>
+        val target = lit(q) * col("__cnt").cast("double")
+        val crossing = aggregate(harr,
+          struct(lit(0L).as("cum"), lit(-1).as("ans"), lit(0).as("i")),
+          (acc, x) => {
+            val cum2 = acc.getField("cum") + x
+            struct(cum2.as("cum"),
+              coalesce(
+                when(acc.getField("ans") >= 0, acc.getField("ans")),
+                when(cum2.cast("double") >= target, acc.getField("i")),
+                lit(-1)).as("ans"),
+              (acc.getField("i") + lit(1)).as("i"))
+          },
+          acc => acc.getField("ans"))
+        round(when(crossing >= 0,
+          lit(m.histLo) + crossing.cast("double") * lit(w)), 6)
+          .as(s"${c}_$tag")
+      }
+    }
 
   private def stageRoot(df: DataFrame, viewDir: String, m: AggViewManifest,
       skipIfEmpty: Boolean): Option[(String, Long)] = {
@@ -215,13 +272,21 @@ object AggView {
       metrics: Seq[String],
       scale: Int = 2,
       numBuckets: Int = 32,
-      distinctCols: Seq[String] = Nil): Unit = lock.synchronized {
+      distinctCols: Seq[String] = Nil,
+      histCols: Seq[String] = Nil,
+      histLo: Double = 0.0,
+      histHi: Double = 1.0,
+      histBins: Int = 64): Unit = lock.synchronized {
     require(keys.nonEmpty, "buildAggView: at least one group key")
     require(metrics.nonEmpty, "buildAggView: at least one metric column")
+    require(histCols.isEmpty || (histBins > 0 && histHi > histLo),
+      "buildAggView: histogram needs histHi > histLo and histBins > 0")
     val spark = df.sparkSession
     val prior = readManifest(spark, viewDir)
     val m0 = AggViewManifest(keys, metrics, scale, numBuckets, Vector.empty,
-      distinctCols = distinctCols)
+      distinctCols = distinctCols, histCols = histCols,
+      histLo = histLo, histHi = histHi,
+      histBins = if (histCols.isEmpty) 0 else histBins)
     val (dir, n) = stageRoot(df, viewDir, m0, skipIfEmpty = false).get
     commitIfUnchanged(spark, viewDir, prior,
       m0.copy(roots = Vector(dir), nRows = n))

@@ -613,6 +613,66 @@ object Catalog {
       },
       Some("SELECT 'agg_view_distinct' AS gate, true AS floor_met")),
 
+    "q_agg_view_hist" -> QueryDef(
+      // Mergeable percentiles from the incremental view's equi-width
+      // histogram state (AggView histCols): counts are monoids, so the
+      // merged histogram equals a one-shot histogram over the union of
+      // all ingested batches, and the percentile estimate (first bucket
+      // whose cumulative count reaches q*n, reported as its right edge)
+      // is DETERMINISTIC — fully oracled by replaying bucket/cum/crossing
+      // in SQL. Accuracy vs the exact quantile is the gate row's bound.
+      (s, dir) => graft.operators.AggView
+        .readAggView(s, aggViewFor(s, dir))
+        .select("o_orderstatus", "o_orderpriority",
+          "o_totalprice_p50", "o_totalprice_p90", "o_totalprice_p99")
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""WITH e AS (SELECT o_orderstatus, o_orderpriority,
+            (least(greatest(floor(o_totalprice / 10000.0), -1), 60))::BIGINT + 1 AS b
+          FROM orders),
+        bkt AS (SELECT o_orderstatus, o_orderpriority, b, count(*) AS c
+          FROM e GROUP BY o_orderstatus, o_orderpriority, b),
+        cum AS (SELECT *, sum(c) OVER (PARTITION BY o_orderstatus, o_orderpriority
+              ORDER BY b) AS cum,
+            sum(c) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS n
+          FROM bkt)
+        SELECT o_orderstatus, o_orderpriority,
+          round(min(CASE WHEN cum >= 0.5::DOUBLE * n THEN b * 10000.0 END), 6)
+            AS o_totalprice_p50,
+          round(min(CASE WHEN cum >= 0.9::DOUBLE * n THEN b * 10000.0 END), 6)
+            AS o_totalprice_p90,
+          round(min(CASE WHEN cum >= 0.99::DOUBLE * n THEN b * 10000.0 END), 6)
+            AS o_totalprice_p99
+        FROM cum GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority"""),
+      headline = false),
+
+    "q_agg_view_hist_gate" -> QueryDef(
+      // ORACLED accuracy gate: every histogram percentile sits within one
+      // bin width (10000) of the exact DISCRETE quantile — strict by
+      // construction (the crossing bucket contains the order statistic
+      // at ceil(q*n)), where an interpolated quantile on sparse keys
+      // could drift between order stats.
+      (s, dir) => {
+        val view = graft.operators.AggView.readAggView(s, aggViewFor(s, dir))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("o_totalprice_p50"), col("o_totalprice_p90"),
+            col("o_totalprice_p99"))
+        val exact = t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("e50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("e90"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("e99"))
+        view.join(exact, Seq("o_orderstatus", "o_orderpriority"))
+          .agg(max(greatest(
+            abs(col("o_totalprice_p50") - col("e50")),
+            abs(col("o_totalprice_p90") - col("e90")),
+            abs(col("o_totalprice_p99") - col("e99")))).as("err"))
+          .select(lit("agg_view_hist").as("gate"),
+            (col("err") <= 10000.0).as("floor_met"))
+      },
+      Some("SELECT 'agg_view_hist' AS gate, true AS floor_met")),
+
     "q_profile" -> QueryDef(
       // Table profiling (operators.Profile) — the ANALYZE pass a pipeline
       // runs on every new corpus drop: nulls, exact distincts, and
@@ -2362,7 +2422,9 @@ object Catalog {
         orders.filter(col("o_orderkey") % 3 === 0), vd,
         keys = Seq("o_orderstatus", "o_orderpriority"),
         metrics = Seq("o_totalprice"), scale = 2,
-        distinctCols = Seq("o_custkey"))
+        distinctCols = Seq("o_custkey"),
+        histCols = Seq("o_totalprice"),
+        histLo = 0.0, histHi = 600000.0, histBins = 60)
       graft.operators.AggView.appendToAggView(vd,
         orders.filter(col("o_orderkey") % 3 === 1), batchTag = Some("1"))
       graft.operators.AggView.appendToAggView(vd,

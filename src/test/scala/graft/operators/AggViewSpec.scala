@@ -148,6 +148,62 @@ class AggViewSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("g0", 20L), ("g1", 20L)), s"got $got")
   }
 
+  test("histogram percentiles: merged view == one-shot, within a bin of exact") {
+    val dir = Files.createTempDirectory("aggview-hist").toString
+    // prices span [0.5, 60.56]; histogram [0, 70) in 35 bins of width 2
+    AggView.buildAggView(mkBatch(0 until 40), dir,
+      keys = Seq("status", "prio"), metrics = Seq("price"),
+      histCols = Seq("price"), histLo = 0.0, histHi = 70.0, histBins = 35)
+    AggView.appendToAggView(dir, mkBatch(40 until 90), batchTag = Some("1"))
+    AggView.appendToAggView(dir, mkBatch(90 until 200), batchTag = Some("2"))
+    val view = AggView.readAggView(spark, dir)
+      .select("status", "prio", "price_p50", "price_p90", "price_p99")
+      .orderBy("status", "prio").collect().map(_.toSeq)
+    // one-shot over the union: same buckets, same crossing rule
+    val d = mkBatch(0 until 200)
+    val shifted = (least(greatest(floor((col("price") - lit(0.0)) / lit(2.0)),
+      lit(-1L)), lit(35L)) + lit(1L)).as("b")
+    val oneShotHist = d.select(col("status"), col("prio"), shifted)
+      .groupBy("status", "prio", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("status", "prio").orderBy("b")))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("status", "prio")))
+      .groupBy("status", "prio")
+      .agg(
+        round(min(when(col("cum").cast("double") >= lit(0.5) * col("n").cast("double"),
+          col("b") * 2.0)), 6).as("price_p50"),
+        round(min(when(col("cum").cast("double") >= lit(0.9) * col("n").cast("double"),
+          col("b") * 2.0)), 6).as("price_p90"),
+        round(min(when(col("cum").cast("double") >= lit(0.99) * col("n").cast("double"),
+          col("b") * 2.0)), 6).as("price_p99"))
+      .orderBy("status", "prio").collect().map(_.toSeq)
+    assert(view.toSeq == oneShotHist.toSeq,
+      "merged histogram percentiles diverge from the one-shot histogram")
+    // accuracy: within one bin width of the exact DISCRETE quantile (the
+    // crossing bucket contains the order statistic at ceil(q*n) by
+    // construction; an INTERPOLATED quantile can sit between two sparse
+    // order stats arbitrarily far from either)
+    val exact = mkBatch(0 until 200).groupBy("status", "prio")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)").as("e50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)").as("e90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY price)").as("e99"))
+      .orderBy("status", "prio").collect()
+    view.zip(exact).foreach { case (v, e) =>
+      assert(math.abs(v(2).asInstanceOf[Double] - e.getDouble(2)) <= 2.0 &&
+        math.abs(v(3).asInstanceOf[Double] - e.getDouble(3)) <= 2.0 &&
+        math.abs(v(4).asInstanceOf[Double] - e.getDouble(4)) <= 2.0,
+        s"histogram percentile off by more than a bin for ${v(0)}/${v(1)}")
+    }
+    // a histogram-free view still reads (manifest back-compat: defaults)
+    val plainDir = Files.createTempDirectory("aggview-plain").toString
+    AggView.buildAggView(mkBatch(0 until 50), plainDir,
+      keys = Seq("status", "prio"), metrics = Seq("price"))
+    val cols = AggView.readAggView(spark, plainDir).columns.toSet
+    assert(!cols.exists(_.endsWith("_p50")), "plain view grew histogram columns")
+  }
+
   test("manifest is stamp-cached: N reads of an unchanged view parse once") {
     val dir = Files.createTempDirectory("aggview-stamp").toString
     AggView.buildAggView(mkBatch(0 until 60), dir, Seq("status", "prio"), Seq("price"))
