@@ -130,6 +130,31 @@ object Curation {
     df.filter(knuthDraw(col(idCol)) < w * 4294967296.0)
   }
 
+  /** Deterministic leakage-free train/val/test split: every row gets a
+    * `split` label as a pure function of its id (16-bit md5 bucket, the
+    * [[Catalog]] `pipeline_sample` convention), cut by cumulative
+    * fractions — val takes buckets `[0, valFrac)`, test
+    * `[valFrac, valFrac+testFrac)`, train the rest. Purity is the whole
+    * point: membership never changes across reruns, retries, engines, or
+    * cluster sizes (a `rand()` split silently leaks rows between splits
+    * on every retry), and the EXACT assignment is SQL-verifiable. One
+    * narrow projection — no RNG state, no shuffle, no collect.
+    */
+  def trainValTestSplit(
+      df: DataFrame,
+      valFrac: Double,
+      testFrac: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1.0,
+      "trainValTestSplit: fractions must be non-negative and sum to <= 1")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    df.withColumn("split",
+      when(bucket < (valFrac * 65536).toInt, "val")
+        .when(bucket < ((valFrac + testFrac) * 65536).toInt, "test")
+        .otherwise("train"))
+  }
+
   /** Sequence packing: documents concatenate in id order WITHIN their
     * source and chunk at `budget`-token boundaries (a doc spanning a
     * boundary splits across bins — the standard concat-then-chunk packing

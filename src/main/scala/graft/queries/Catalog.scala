@@ -900,6 +900,27 @@ object Catalog {
             THEN l_quantity::DECIMAL(18,2) END), 0)::DOUBLE, 2) AS qty_o
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    "q_unpivot" -> QueryDef(
+      // Native unpivot (Dataset.unpivot / SQL UNPIVOT) as pivot's
+      // round-trip inverse: the pivoted quantity matrix melts back to
+      // long form and must equal the direct two-key GROUP BY — which is
+      // exactly the oracle. Never-observed (flag, status) combos surface
+      // as nulls from the pivot and are dropped, mirroring the GROUP BY.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+          "l_linestatus", "qty")
+        .filter(col("qty").isNotNull)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("qty").cast("double"), 2).as("qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
     "q_cube" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -1851,6 +1872,25 @@ object Catalog {
       Some("""SELECT doc_id, lang FROM documents
         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT <
           CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 49152 ELSE 32768 END
+        ORDER BY doc_id""")),
+
+    "pipeline_split" -> QueryDef(
+      // Deterministic train/val/test split (Curation.trainValTestSplit):
+      // 10% val, 10% test by md5-bucket of the doc_id — leakage-free by
+      // purity (membership is a function of the id, never of execution),
+      // the split every training pipeline runs before anything else.
+      // Oracled on the EXACT assignment.
+      (s, dir) => Curation.trainValTestSplit(
+          t(s, dir, "documents"), valFrac = 0.1, testFrac = 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CASE WHEN b < 6553 THEN 'val'
+               WHEN b < 13107 THEN 'test'
+               ELSE 'train' END AS split
+        FROM (SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS b
+          FROM documents)
         ORDER BY doc_id""")),
 
     "pipeline_weighted_sample" -> QueryDef(

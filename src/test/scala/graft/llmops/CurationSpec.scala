@@ -127,6 +127,25 @@ class CurationSpec extends AnyFunSuite {
     assert(shard0 != shard0.sorted, "in-shard order degenerated to id order")
   }
 
+  test("trainValTestSplit: pure, exhaustive, disjoint, proportional-ish") {
+    val docs = (0L until 2000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Curation.trainValTestSplit(docs, valFrac = 0.1, testFrac = 0.2)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1)))
+    // purity: identical assignment on re-run and under other partitioning
+    val b = Curation.trainValTestSplit(docs.repartition(13), 0.1, 0.2)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sorted.sameElements(b.sorted))
+    // exhaustive + disjoint by construction (one label per row); rough
+    // proportions from the md5 buckets
+    val byLabel = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("val") - 200) < 60 && math.abs(byLabel("test") - 400) < 80,
+      s"split sizes drifted: $byLabel")
+    // degenerate fractions refuse loudly
+    intercept[IllegalArgumentException](
+      Curation.trainValTestSplit(docs, 0.8, 0.3))
+  }
+
   test("redactPii replaces emails, phones, and IPs and counts each kind") {
     val docs = Seq(
       (0L, "mail me at jane.doe+x@example.org or call 555-123-4567 from 10.0.0.1"),
