@@ -20,6 +20,30 @@ final case class OpenSession(startMs: Long, endMs: Long, n: Long)
   */
 final case class UnitRow(doc_id: Long, pos: Long, unit: String)
 
+/** One closed fixed-step bucket from [[EventStream.resampleStream]] —
+  * emitted once the watermark passes the bucket end; gap buckets carry
+  * `n_events = 0` and the forward-filled value.
+  */
+final case class ResampleRow(
+    key: Long, bucket_ms: Long, n_events: Long,
+    sum_value: Double, last_value: Double)
+
+/** Per-bucket partial carried in [[EventStream.resampleStream]] state:
+  * count, per-row-rounded cents sum (the batch operator's decimal(18,2)
+  * discipline), and the in-bucket last observation by (ts, tie).
+  */
+final case class BucketPartial(
+    n: Long, sumCents: Long, lastTs: Long, lastTie: Long, lastVal: Double)
+
+/** Open state per key for [[EventStream.resampleStream]]: the last
+  * emitted bucket index, the carried forward-fill value, and the still
+  * incomplete buckets. Bounded: one carry + at most the buckets inside
+  * the watermark delay.
+  */
+final case class OpenBuckets(
+    lastEmitted: Long, hasCarry: Boolean, carryVal: Double,
+    open: Map[Long, BucketPartial])
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -471,6 +495,114 @@ object EventStream {
           }
           closed.reverse.iterator
         }
+    }
+  }
+
+  /** Streaming resample with gap-fill — the streaming dual of the
+    * oracled batch `q_resample` ([[graft.operators.Resample]]): per key,
+    * one row per fixed `stepMs` bucket from the key's first observation,
+    * emitted CLOSED once the watermark passes the bucket end; buckets
+    * nobody observed emit with zero counts and the last value carried
+    * forward, exactly like the batch grid.
+    *
+    * State per key (`flatMapGroupsWithState`, EventTimeTimeout) is
+    * BOUNDED: the forward-fill carry plus the buckets still inside the
+    * watermark delay — gap runs are emitted, never stored, and a bucket
+    * leaves the state the moment it closes. Determinism matches the
+    * batch operator observation for observation: in-bucket last by
+    * (ts, tie), sums accumulated as per-row HALF_UP cents (the
+    * decimal(18,2) ingest cast).
+    *
+    * Trailing buckets past the final watermark stay unemitted (streams
+    * have no end) — the [[sessionizeStream]] caveat; EventStreamSpec
+    * flushes them with sentinel events when comparing against the batch
+    * plan.
+    *
+    * Input columns: `key` long, `ts` timestamp, `tie` long, `value`
+    * double.
+    */
+  def resampleStream(
+      events: DataFrame,
+      stepMs: Long,
+      watermark: String = "10 minutes"): Dataset[ResampleRow] = {
+    require(stepMs > 0, "resampleStream: stepMs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+
+    def cents(v: Double): Long =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValue
+
+    typed.groupByKey(_._1).flatMapGroupsWithState[OpenBuckets, ResampleRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[OpenBuckets]) =>
+        val prior = state.getOption.getOrElse(
+          OpenBuckets(Long.MinValue, hasCarry = false, 0.0, Map.empty))
+        // fold this micro-batch's rows into the open buckets
+        var open = prior.open
+        rows.foreach { case (_, ts, tie, v) =>
+          val t = ts.getTime
+          val b = math.floorDiv(t, stepMs)
+          val p = open.get(b) match {
+            case Some(p0) =>
+              val takes = t > p0.lastTs || (t == p0.lastTs && tie > p0.lastTie)
+              BucketPartial(p0.n + 1, p0.sumCents + cents(v),
+                if (takes) t else p0.lastTs,
+                if (takes) tie else p0.lastTie,
+                if (takes) v else p0.lastVal)
+            case None => BucketPartial(1L, cents(v), t, tie, v)
+          }
+          open = open.updated(b, p)
+        }
+        // the grid starts at the key's first observed bucket
+        val first = if (prior.lastEmitted != Long.MinValue) prior.lastEmitted
+          else if (open.nonEmpty) open.keys.min - 1 else Long.MinValue
+        // a bucket b is closed once the watermark reaches (b+1)*step;
+        // gaps only emit up to the last KNOWN bucket (the batch grid
+        // ends at the last observation)
+        val wm = state.getCurrentWatermarkMs()
+        val completeUpTo = math.floorDiv(wm, stepMs) - 1
+        val emitUpTo =
+          if (open.isEmpty) Long.MinValue
+          else math.min(completeUpTo, open.keys.max)
+        var out = List.empty[ResampleRow]
+        var carry = (prior.hasCarry, prior.carryVal)
+        var last = first
+        if (first != Long.MinValue && emitUpTo != Long.MinValue) {
+          var g = first + 1
+          while (g <= emitUpTo) {
+            open.get(g) match {
+              case Some(p) =>
+                out ::= ResampleRow(key, g * stepMs, p.n, p.sumCents / 100.0, p.lastVal)
+                carry = (true, p.lastVal)
+                open -= g
+              case None if carry._1 =>
+                out ::= ResampleRow(key, g * stepMs, 0L, 0.0, carry._2)
+              case None => // before the first observation: nothing
+            }
+            last = g
+            g += 1
+          }
+        }
+        val next = OpenBuckets(last, carry._1, carry._2, open)
+        if (open.isEmpty && !next.hasCarry) state.remove()
+        else {
+          state.update(next)
+          if (open.nonEmpty)
+            // wake when the earliest pending bucket closes
+            state.setTimeoutTimestamp(
+              math.max((open.keys.min + 1) * stepMs, wm + 1))
+          // carry-only state sets no timeout: the grid is fully emitted
+          // up to the last observation, and only a future event (which
+          // wakes the group by itself) can extend it
+        }
+        out.reverse.iterator
     }
   }
 

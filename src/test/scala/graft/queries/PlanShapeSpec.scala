@@ -53,6 +53,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_interval_join: binned equi-join, never a nested loop, no dedup pass") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval overlap regressed to Spark's native non-equi plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "interval overlap lost its equi-join")
+    // first-shared-bin emit means no distinct over the join output — the
+    // only aggregates are the final groupBy (and its partial)
+    assert(!p.contains("Deduplicate"), "an output dedup pass appeared")
+  }
+
+  test("q_resample: one raw scan, no join — gap rows generate from aggregated state") {
+    val p = plan("q_resample")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"resample re-scans the input ($scans scans):\n$p")
+    assert(!p.contains("Join"), "resample regressed to the grid-join formulation")
+    assert(p.contains("Window") && p.contains("Generate"),
+      "resample lost its lead+sequence gap generation")
+  }
+
+  test("q_agg_view_hist: percentiles read aggregate state only — no raw-data pass") {
+    val p = plan("q_agg_view_hist")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "histogram percentiles left the merge-on-read shape")
+    assert(!p.contains("orders.parquet"),
+      "the histogram read touched the RAW table — state-only reads regressed")
+  }
+
   test("q_asof_join: union-window form — one key shuffle, no join of any kind") {
     // the as-of operator's scale contract (KVOps.asofJoinBackward): tag +
     // union + ONE window over the key partition. A join-based plan (range

@@ -101,6 +101,49 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("resampleStream: closed buckets + gap-fill equal the batch resample") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)] // key, ts_ms, tie, value
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.resampleStream(df, stepMs = 1000L, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("resample_test").start()
+    // key 1: buckets 0 (two rows, in-bucket tie on ts), 1, then a 2-bucket
+    // gap, then bucket 4; key 2: a single bucket
+    val events = Seq(
+      (1L, 100L, 1L, 1.0), (1L, 700L, 2L, 2.0), (1L, 700L, 1L, 7.0),
+      (1L, 1500L, 3L, 5.0), (2L, 300L, 4L, 42.0))
+    val lateEvents = Seq((1L, 4200L, 5L, 9.0))
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(lateEvents: _*)
+      q.processAllAvailable()
+      // sentinel pushes advance the global watermark past bucket 4's end
+      // so the event-time timeout flushes the trailing buckets
+      input.addData((9L, 100000L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 200000L, 0L, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("resample_test").as[ResampleRow].collect()
+        .filter(_.key != 9L)
+        .map(r => (r.key, r.bucket_ms, r.n_events, r.sum_value, r.last_value))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.operators.Resample.resampleForwardFill(
+          (events ++ lateEvents).toDF("key", "ts_ms", "tie", "value"),
+          keys = Seq("key"), tsMsCol = "ts_ms", valueCol = "value",
+          tieCol = "tie", stepMs = 1000L)
+        .orderBy("key", "bucket_ms")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence:\nstream: $streamed\nbatch:  $batch")
+      // the in-bucket tie at ts=700 must resolve by the tie column (2.0)
+      assert(streamed.head == (1L, 0L, 3L, 10.0, 2.0), s"got ${streamed.head}")
+    } finally q.stop()
+  }
+
   test("dedupStream keeps one row per key with watermark-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
