@@ -79,6 +79,39 @@ object GraphOps {
       .map { case (id, cc) => (id, cc) }.toDF("vertex", "component")
   }
 
+  /** Synchronous label propagation (community detection) over the
+    * undirected graph, a FIXED iteration count: every vertex starts as
+    * its own label; each round adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label. GraphX's
+    * `LabelPropagation` breaks ties by Map iteration order —
+    * nondeterministic across runs — so this is dataframe algebra
+    * instead (the [[triangleEdges]] choice): per round one keyed join +
+    * two hash aggs, `max_by` over the (count, -label) pair as the
+    * deterministic argmax. Every step replays in SQL, so the Catalog
+    * row is FULLY oracled (unrolled iterations, the pageRank pattern).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iters: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b"))).distinct()
+    var labels = sym.select(col("a").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+    for (_ <- 1 to iters) {
+      labels = sym.join(labels, sym("b") === labels("vertex"))
+        .groupBy(sym("a"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+        .select(col("a").as("vertex"), col("label"))
+    }
+    labels
+  }
+
   /** Triangle count per vertex — pure SQL 3-way self-join on canonicalized
     * undirected edges (oracle-checkable), not GraphX's RDD implementation.
     */

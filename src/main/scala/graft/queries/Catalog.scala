@@ -2847,6 +2847,34 @@ object Catalog {
       },
       headline = true),
 
+    "graph_lpa" -> QueryDef(
+      // Deterministic synchronous label propagation (GraphOps
+      // .labelPropagation — community detection over the event graph),
+      // three rounds, smallest-label tie-break; FULLY oracled by
+      // unrolling the rounds in SQL (the pageRank oracle pattern) with
+      // the struct-max argmax.
+      (s, dir) => GraphOps.labelPropagation(eventEdges(s, dir), iters = 3)
+        .orderBy("vertex"),
+      Some(s"""WITH e0 AS $edgesSql,
+        und AS (SELECT DISTINCT src AS a, dst AS b FROM e0
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        sym AS (SELECT DISTINCT a, b FROM
+          (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)),
+        l0 AS (SELECT DISTINCT a AS vertex, a AS label FROM sym),
+        l1 AS (SELECT a AS vertex,
+            (max({'c': c, 'nl': -label, 'l': label}))['l'] AS label
+          FROM (SELECT s.a, p.label, count(*) AS c FROM sym s
+            JOIN l0 p ON s.b = p.vertex GROUP BY s.a, p.label) GROUP BY a),
+        l2 AS (SELECT a AS vertex,
+            (max({'c': c, 'nl': -label, 'l': label}))['l'] AS label
+          FROM (SELECT s.a, p.label, count(*) AS c FROM sym s
+            JOIN l1 p ON s.b = p.vertex GROUP BY s.a, p.label) GROUP BY a),
+        l3 AS (SELECT a AS vertex,
+            (max({'c': c, 'nl': -label, 'l': label}))['l'] AS label
+          FROM (SELECT s.a, p.label, count(*) AS c FROM sym s
+            JOIN l2 p ON s.b = p.vertex GROUP BY s.a, p.label) GROUP BY a)
+        SELECT vertex, label FROM l3 ORDER BY vertex""")),
+
     "graph_cc" -> QueryDef(
       // GraphX connected components (label = min vertex id in component),
       // oracled against a DuckDB recursive-CTE reachability closure —

@@ -61,6 +61,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(cc.nonEmpty && cc.map(_.getLong(1)).distinct.length >= 1)
   }
 
+  test("labelPropagation: communities converge, ties deterministic, partition-invariant") {
+    import spark.implicits._
+    // two triangles bridged by one edge — hand-simulated under the
+    // deterministic rule (most frequent neighbor label, ties -> smallest):
+    // after 3 synchronous rounds the first triangle settles on 1 and the
+    // second on 3 (the bridge leaks 3 across — classic LPA dynamics; the
+    // point pinned here is the EXACT deterministic trajectory, which the
+    // unrolled SQL oracle replays round for round)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 3)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+    // deterministic under partitioning and re-run
+    val again = GraphOps.labelPropagation(edges.repartition(7), iters = 3)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(again == got)
+    // a perfect tie (single edge, one round): both neighbors have one
+    // vote each way; the SMALLEST label must win on both sides
+    val tie = GraphOps.labelPropagation(Seq((5L, 9L)).toDF("src", "dst"), iters = 1)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(tie == Seq(5L -> 9L, 9L -> 5L),
+      s"one round swaps the single edge's labels: $tie")
+  }
+
   test("kHop frontier expansion is exact on a chain graph") {
     import spark.implicits._
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L)).toDF("src", "dst")
