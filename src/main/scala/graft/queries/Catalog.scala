@@ -356,6 +356,29 @@ object Catalog {
         FROM events ORDER BY event_id"""),
       headline = true),
 
+    "q_lag_lead" -> QueryDef(
+      // explicit lag/lead offsets (the window-family members the running
+      // frames and rank functions don't exercise): per user, delta vs the
+      // previous event's value, inter-event gap, and the next event's
+      // type — one window shuffle on the key, fully oracled.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            round(col("value") - lag(col("value"), 1).over(w), 2).as("value_delta"),
+            (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("gap_ms"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        round(value - lag(value, 1) OVER w, 2) AS value_delta,
+        epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms,
+        lead(event_type, 1) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        ORDER BY event_id""")),
+
     "q_topk_parts" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
