@@ -80,4 +80,52 @@ class AggViewFuzzSpec extends AnyFunSuite {
     assert(AggView.readAggView(spark, dir).orderBy("k1", "k2")
       .collect().map(_.toSeq).toSeq == oneShot(applied).toSeq)
   }
+
+  test("histogram percentiles survive random append/replay/fold interleavings") {
+    // values span [0.25, 50.24]; histogram [0, 55) in 11 bins of width 5
+    def histModel(applied: Seq[DataFrame]): Array[Seq[Any]] = {
+      val all = applied.reduce(_.union(_))
+      val shifted = (least(greatest(floor((col("v") - lit(0.0)) / lit(5.0)),
+        lit(-1L)), lit(11L)) + lit(1L)).as("b")
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("k1", "k2")
+      all.select(col("k1"), col("k2"), shifted)
+        .groupBy("k1", "k2", "b").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wk.orderBy("b")))
+        .withColumn("n", sum(col("c")).over(wk))
+        .groupBy("k1", "k2")
+        .agg(
+          round(min(when(col("cum").cast("double") >= lit(0.5) * col("n").cast("double"),
+            col("b") * 5.0)), 6).as("v_p50"),
+          round(min(when(col("cum").cast("double") >= lit(0.9) * col("n").cast("double"),
+            col("b") * 5.0)), 6).as("v_p90"),
+          round(min(when(col("cum").cast("double") >= lit(0.99) * col("n").cast("double"),
+            col("b") * 5.0)), 6).as("v_p99"))
+        .orderBy("k1", "k2").collect().map(_.toSeq)
+    }
+    val rnd = new scala.util.Random(817)
+    val dir = Files.createTempDirectory("aggview-fuzz-hist").toString
+    val base = mkBatch(100, 200)
+    AggView.buildAggView(base, dir, Seq("k1", "k2"), Seq("v"),
+      histCols = Seq("v"), histLo = 0.0, histHi = 55.0, histBins = 11)
+    var applied = Vector(base)
+    var tag = 1
+    for (step <- 1 to 10) {
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val b = mkBatch(100 + step, 40 + rnd.nextInt(120))
+          assert(AggView.appendToAggView(dir, b, Some(tag.toString)))
+          applied :+= b; tag += 1
+        case 2 => // replay an applied tag: must be a no-op
+          if (tag > 1)
+            assert(!AggView.appendToAggView(dir, mkBatch(9100 + step, 30), Some("1")))
+        case 3 =>
+          AggView.compactAggView(spark, dir)
+      }
+      val got = AggView.readAggView(spark, dir)
+        .select("k1", "k2", "v_p50", "v_p90", "v_p99")
+        .orderBy("k1", "k2").collect().map(_.toSeq)
+      assert(got.toSeq == histModel(applied).toSeq,
+        s"histogram divergence after step $step")
+    }
+  }
 }
