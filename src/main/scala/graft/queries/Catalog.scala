@@ -1525,6 +1525,40 @@ object Catalog {
           round(sum(ll)::DOUBLE / count(*), 6) AS avg_ll
         FROM ll GROUP BY doc_id ORDER BY doc_id""")),
 
+    "text_entropy" -> QueryDef(
+      // Per-document character entropy (normalized text): low entropy =
+      // repeated boilerplate/padding, suspiciously high = random noise —
+      // the cheap orthogonal signal next to the token-level quality
+      // scores. Two hash aggs over the exploded char stream; per-class
+      // terms round to 6dp decimals (the engine discipline), so the row
+      // is FULLY oracled.
+      (s, dir) => {
+        val chars = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(Text.normalize(col("text")), "")).as("ch"))
+        val counts = chars.groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+        val totals = counts.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"))
+        counts.join(totals, "doc_id")
+          .withColumn("term",
+            round(-(col("c") / col("n")) * log(col("c") / col("n")), 6)
+              .cast("decimal(18,6)"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_chars"),
+            round(sum(col("term")).cast("double"), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH chars AS (SELECT doc_id,
+            unnest(string_split($normSql, '')) AS ch FROM documents),
+        counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+        totals AS (SELECT doc_id, sum(c)::BIGINT AS n FROM counts GROUP BY doc_id)
+        SELECT doc_id, max(n) AS n_chars,
+          round(sum(round(-(c / n) * ln(c / n), 6)::DECIMAL(18,6))::DOUBLE, 6) AS entropy
+        FROM counts JOIN totals USING (doc_id)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      headline = false),
+
     "text_perplexity" -> QueryDef(
       // Held-out bigram perplexity with stupid backoff (llmops
       // LanguageModel.bigramScore) — the KenLM-style quality filter:
