@@ -868,7 +868,8 @@ object Catalog {
         SELECT o.user_id, count(*) AS n_pairs,
           count(DISTINCT err_id) AS n_errors
         FROM o JOIN a ON o.user_id = a.user_id AND o.os <= a.ae AND a.as_ <= o.oe
-        GROUP BY o.user_id ORDER BY o.user_id""")),
+        GROUP BY o.user_id ORDER BY o.user_id"""),
+      headline = true),
 
     "q_resample" -> QueryDef(
       // Resample.resampleForwardFill — per-user hourly regularization of
@@ -901,7 +902,8 @@ object Catalog {
           round(coalesce(s, 0)::DOUBLE, 2) AS sum_value,
           round(last_value(lastv IGNORE NULLS)
             OVER (PARTITION BY user_id ORDER BY bucket), 2) AS last_value
-        FROM j ORDER BY user_id, bucket_ms""")),
+        FROM j ORDER BY user_id, bucket_ms"""),
+      headline = true),
 
     "q_pivot" -> QueryDef(
       // Native pivot (Spark RelationalGroupedDataset.pivot with explicit
