@@ -130,6 +130,28 @@ object Curation {
     df.filter(knuthDraw(col(idCol)) < w * 4294967296.0)
   }
 
+  /** Deterministic fixed-SIZE sample per stratum — eval-set construction
+    * ("exactly 100 docs per language"), where the fractional samplers
+    * can't hit an exact count: rank rows within each stratum by the md5
+    * of their id (a stable pseudo-random order, id as tie-break) and
+    * keep the first `n`. One window shuffle on the stratum; membership
+    * is a pure function of the population + id, so the sample only
+    * changes when the population does, and the EXACT set is
+    * SQL-verifiable.
+    */
+  def sampleFixedPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "sampleFixedPerStratum: n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
   /** Deterministic leakage-free train/val/test split: every row gets a
     * `split` label as a pure function of its id (16-bit md5 bucket, the
     * [[Catalog]] `pipeline_sample` convention), cut by cumulative

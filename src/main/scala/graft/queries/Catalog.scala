@@ -1952,6 +1952,21 @@ object Catalog {
           FROM documents)
         ORDER BY doc_id""")),
 
+    "pipeline_eval_sample" -> QueryDef(
+      // Deterministic fixed-size per-stratum sample (Curation
+      // .sampleFixedPerStratum): exactly 20 docs per language in stable
+      // md5 order — the eval-set construction the fractional samplers
+      // can't do. Oracled on the exact membership.
+      (s, dir) => Curation.sampleFixedPerStratum(
+          t(s, dir, "documents"), "lang", n = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY doc_id""")),
+
     "pipeline_weighted_sample" -> QueryDef(
       // Length-weighted deterministic sampling (Curation.sampleByWeight):
       // keep probability = min(n_chars/1000, 1). This row oracles the

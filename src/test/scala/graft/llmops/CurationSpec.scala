@@ -146,6 +146,23 @@ class CurationSpec extends AnyFunSuite {
       Curation.trainValTestSplit(docs, 0.8, 0.3))
   }
 
+  test("sampleFixedPerStratum: exact counts, stable membership, pure") {
+    val docs = (0L until 900L).map(i => (i, s"l${i % 3}")).toDF("doc_id", "lang")
+    val a = graft.llmops.Curation.sampleFixedPerStratum(docs, "lang", n = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("l0" -> 25, "l1" -> 25, "l2" -> 25))
+    // purity: same membership under different partitioning
+    val b = graft.llmops.Curation.sampleFixedPerStratum(
+        docs.repartition(11), "lang", n = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sorted.sameElements(b.sorted))
+    // a stratum smaller than n returns whole
+    val tiny = graft.llmops.Curation.sampleFixedPerStratum(
+      docs.filter(col("doc_id") < 5), "lang", n = 25).count()
+    assert(tiny == 5L)
+  }
+
   test("redactPii replaces emails, phones, and IPs and counts each kind") {
     val docs = Seq(
       (0L, "mail me at jane.doe+x@example.org or call 555-123-4567 from 10.0.0.1"),
