@@ -268,6 +268,113 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT edit-distance near-duplicate pairs: (id_a, id_b, dist) with
+    * id_a < id_b and levenshtein(norm_a, norm_b) <= k over whitespace-
+    * normalized lowercase text. No false negatives — candidate
+    * generation is the fixed-position chunk-signature scheme (the
+    * pigeonhole at the heart of PassJoin, Li et al., ICDE'11, simplified
+    * to absolute offsets):
+    *
+    *  - SIGNATURES: the first k+1 width-`w` chunks of each doc at fixed
+    *    offsets 0, w, 2w, ... k edits each corrupt at most one of those
+    *    chunks, so any doc long enough to have k+1 of them (len > k*w)
+    *    keeps at least one chunk edit-free.
+    *  - PROBES: substrings of width `w` at offsets i*w + d for i<=k,
+    *    |d|<=k. An edit-free chunk of `a` survives in `b` shifted by the
+    *    net insert-delete balance before it, which is within ±k — so it
+    *    equals one of b's probes at the same chunk index.
+    *
+    * Both constants: k+1 signatures and at most (k+1)(2k+1) probes per
+    * doc regardless of length — the candidate join is a plain equi-join
+    * on (chunk_index, xxhash64(chunk)) with the |len| band residual, and
+    * hash collisions are false POSITIVES only, killed by the final
+    * early-exit levenshtein(_, _, k) verification. Docs too short for
+    * k+1 chunks (len <= k*w + k, so either side of a qualifying pair)
+    * pair separately through [[graft.operators.RangeJoin.bandJoin]] on
+    * length — short strings verify in O(k * len), so the band block is
+    * enough. Reference anchor: the reference dedups only by exact key
+    * (kv/lsm/compact.go:893-911 version dedup); this is the similarity
+    * extension surface.
+    *
+    * Scale notes: one narrow pass per side for signatures/probes, one
+    * equi-join shuffle keyed on 64-bit hashes, verification only on
+    * candidates. A pathologically common chunk (e.g. a boilerplate
+    * header at offset 0) is the skew hazard — the candidate join is AQE
+    * skew-eligible, and `maxBucketSize` surfaces offending buckets via
+    * raise_error rather than silently exploding a reducer.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 8,
+      maxBucketSize: Long = 1L << 22,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "editDistancePairs: k and w must be >= 1")
+    val base = docs.select(col(idCol).as("id"),
+        Text.normalize(col(textCol)).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+    // The signature guarantee needs k+1 FULL-WIDTH chunks, i.e.
+    // len >= (k+1)*w. A pair whose shorter side is below that has its
+    // longer side within shorter+k < (k+1)*w + k — so routing everything
+    // below shortMax through the length-band path covers exactly the
+    // pairs the chunk path can't certify.
+    val longMin = (k.toLong + 1) * w
+    val shortMax = longMin + k - 1
+    val sigs = base.filter(col("len") >= longMin)
+      .select(col("id").as("sid"), col("len").as("slen"),
+        posexplode(expr(s"transform(sequence(0, $k), i -> substring(t, i*$w + 1, $w))"))
+          .as(Seq("ci", "chunk")))
+      .select(col("sid"), col("slen"), col("ci"),
+        xxhash64(col("chunk")).as("h"))
+    val probes = base.select(col("id").as("pid"), col("len").as("plen"),
+        col("t"), explode(expr(
+          s"""filter(flatten(transform(sequence(0, $k), i ->
+             transform(sequence(-$k, $k), d ->
+               named_struct('ci', i, 'st', i*$w + d)))), s -> s.st >= 0)"""))
+          .as("pc"))
+      .select(col("pid"), col("plen"), col("pc.ci").as("ci"),
+        expr(s"substring(t, pc.st + 1, $w)").as("chunk"))
+      .filter(length(col("chunk")) === w) // an edit-free chunk survives as
+      // w REAL characters of the partner, so truncated end-of-string
+      // probes can never be the guaranteed match
+      .select(col("pid"), col("plen"), col("ci"),
+        xxhash64(col("chunk")).as("h"))
+    // loud skew guard, PPJoin-style: the over-full key list is tiny and
+    // broadcast; the probe stream itself never takes an extra shuffle
+    val guarded =
+      if (maxBucketSize > 0) {
+        val overFull = probes.groupBy(col("ci"), col("h"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+        probes.join(broadcast(overFull), Seq("ci", "h"), "left")
+          .select(col("pid"), col("ci"), col("h"),
+            // guard rides the kept plen column so it can't be pruned
+            when(col("__n").isNotNull, raise_error(concat(
+              lit(s"editDistancePairs: probe bucket over $maxBucketSize at chunk index "),
+              col("ci"), lit(" — raise maxBucketSize or widen w"))))
+              .otherwise(col("plen")).as("plen"))
+      } else probes
+    val longCands = sigs.join(guarded, Seq("ci", "h"))
+      .filter(col("sid") =!= col("pid") &&
+        abs(col("slen") - col("plen")) <= k)
+      .select(least(col("sid"), col("pid")).as("id_a"),
+        greatest(col("sid"), col("pid")).as("id_b"))
+    val shorts = base.filter(col("len") <= shortMax)
+    val shortCands = graft.operators.RangeJoin.bandJoin(
+        shorts.select(col("id").as("la"), col("len").as("lena")),
+        shorts.select(col("id").as("rb"), col("len").as("lenb")),
+        delta = k.toLong, lCol = "lena", rCol = "lenb")
+      .filter(col("la") < col("rb"))
+      .select(col("la").as("id_a"), col("rb").as("id_b"))
+    val texts = base.select(col("id"), col("t"))
+    longCands.union(shortCands).distinct()
+      .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), k).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+  }
+
   /** Near-duplicate CLUSTERING: connected components over the exact
     * jaccard pair graph; every document maps to the lowest doc id in its
     * near-dup cluster (itself when it has no duplicates). This is the

@@ -379,6 +379,149 @@ object Catalog {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         ORDER BY event_id""")),
 
+    "q_window_range_frame" -> QueryDef(
+      // RANGE frame on a numeric ordering key (the window-frame member
+      // rows-frames can't express): per event, the sum of the user's
+      // values in the trailing hour INCLUDING ts peers — peer rows share
+      // one frame, so the result is deterministic under ts ties in both
+      // engines. Same single shuffle on user_id as every keyed window.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+          .rangeBetween(-3600000L, Window.currentRow)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 2).as("hour_sum"),
+            count(lit(1)).over(w).as("hour_n"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        round(sum(value) OVER w, 2) AS hour_sum,
+        count(*) OVER w AS hour_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    "q_funnel" -> QueryDef(
+      // Ordered-sequence funnel (view -> click -> purchase within 7 days
+      // of the first view): the stage frontier is a running conditional
+      // min over ONE keyed sort — no per-stage self-joins, so the plan is
+      // a single window shuffle on user_id regardless of funnel depth.
+      // Value-predicate semantics (>= on timestamps, not row order) make
+      // the result replayable in any engine; fully oracled.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val horizon = 7L * 86400000L
+        val staged = events(s, dir)
+          .withColumn("v_ts", min(when(col("event_type") === "view",
+            col("ts_ms"))).over(w))
+          .withColumn("c_ts", min(when(col("event_type") === "click" &&
+            col("ts_ms") >= col("v_ts"), col("ts_ms"))).over(w))
+          .withColumn("p_hit", when(col("event_type") === "purchase" &&
+            col("ts_ms") >= col("c_ts") &&
+            col("ts_ms") - col("v_ts") <= horizon, 1).otherwise(0))
+        staged.groupBy("user_id")
+          .agg(max(when(col("v_ts").isNotNull, 1).otherwise(0)).as("s_view"),
+            max(when(col("c_ts").isNotNull, 1).otherwise(0)).as("s_click"),
+            max(col("p_hit")).as("s_purchase"))
+          .agg(sum("s_view").as("n_view"), sum("s_click").as("n_click"),
+            sum("s_purchase").as("n_purchase"))
+      },
+      Some("""WITH s1 AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+            min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+              OVER w AS v_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        staged AS (
+          SELECT user_id, event_type, ts_ms, v_ts,
+            min(CASE WHEN event_type = 'click' AND ts_ms >= v_ts
+              THEN ts_ms END) OVER w AS c_ts
+          FROM s1
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        per_user AS (
+          SELECT user_id,
+            max(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS s_view,
+            max(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS s_click,
+            max(CASE WHEN event_type = 'purchase' AND ts_ms >= c_ts
+              AND ts_ms - v_ts <= 604800000 THEN 1 ELSE 0 END) AS s_purchase
+          FROM staged GROUP BY user_id)
+        SELECT sum(s_view) AS n_view, sum(s_click) AS n_click,
+          sum(s_purchase) AS n_purchase FROM per_user""")),
+
+    "q_cohort_retention" -> QueryDef(
+      // Cohort retention: users grouped by first-active week, counted per
+      // week offset they return. Two-level shape — (user, week) hash agg
+      // first so the per-user window runs over weeks not raw events, then
+      // the cohort roll-up; the user window reuses the agg's hash
+      // partitioning, so the whole query is two shuffles at any scale.
+      (s, dir) => {
+        val wk = (col("ts_ms") / lit(604800000L)).cast("long")
+        val perWeek = events(s, dir)
+          .groupBy(col("user_id"), wk.as("week"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.partitionBy(col("user_id"))
+        perWeek
+          .withColumn("cohort_week", min(col("week")).over(w))
+          .select(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH per_week AS (
+          SELECT user_id, epoch_ms(ts) // 604800000 AS week
+          FROM events GROUP BY 1, 2),
+        tagged AS (
+          SELECT min(week) OVER (PARTITION BY user_id) AS cohort_week,
+            week FROM per_week)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+          count(*) AS n_users
+        FROM tagged GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    "q_mode_per_group" -> QueryDef(
+      // Deterministic mode (most frequent value, smallest wins ties) per
+      // group. Spark's native mode() is tie-nondeterministic, so the
+      // replayable form is counts + max_by over a (cnt, -value) ordering
+      // struct — still two hash aggs, no window over the raw table.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"),
+            struct(col("cnt"), (-col("l_quantity")).as("neg")))
+          .cast("long").as("mode_qty"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy("l_returnflag"),
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT l_returnflag, l_quantity, cnt,
+            row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY cnt DESC, l_quantity) AS rn
+          FROM c)
+        SELECT l_returnflag, l_quantity::BIGINT AS mode_qty, cnt AS mode_n
+        FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    "q_setop_except" -> QueryDef(
+      // EXCEPT (set difference with dedup) — the set-op family member
+      // intersect doesn't cover. Plans as a left-anti over distinct
+      // inputs; same single pair of shuffles as INTERSECT.
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_acctbal") > 1000)
+        .select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY custkey""")),
+
     "q_topk_parts" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
@@ -1762,6 +1905,23 @@ object Catalog {
           FROM toks l JOIN toks r ON l.source = r.source AND l.doc_id < r.doc_id)
         WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""),
       headline = true),
+
+    "dedup_editdist_pairs" -> QueryDef(
+      // EXACT edit-distance near-dup pairs via fixed-offset chunk
+      // signatures (the PassJoin pigeonhole): candidates from a plain
+      // equi-join on (chunk index, chunk hash), short docs through the
+      // length band join, early-exit levenshtein verify. Fully oracled
+      // against DuckDB's all-pairs levenshtein inside the length band —
+      // the blocked plan must reproduce the quadratic truth exactly.
+      (s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"), k = 5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          levenshtein(a.t, b.t) AS dist
+        FROM n a JOIN n b ON a.doc_id < b.doc_id
+          AND abs(length(a.t) - length(b.t)) <= 5
+          AND levenshtein(a.t, b.t) <= 5
+        ORDER BY id_a, id_b""")),
 
     "dedup_clusters" -> QueryDef(
       // end-to-end dedup: exact near-dup pairs -> connected components ->
