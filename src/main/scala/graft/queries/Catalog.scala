@@ -839,6 +839,32 @@ object Catalog {
       },
       Some("SELECT 'agg_view_hist' AS gate, true AS floor_met")),
 
+    "q_join_view" -> QueryDef(
+      // Incrementally-maintained materialized JOIN view
+      // (operators.JoinView): orders⋈customer built from a base third of
+      // the facts, refreshed with two O(delta) fact appends, then the
+      // DIMENSION is mutated — a payload update, an orphan-HEALING
+      // upsert (customers missing at build time whose orders were
+      // already materialized), and a tombstone delete — each repairing
+      // only the touched pk buckets. The inner read must equal DuckDB's
+      // one-shot join of ALL orders against the FINAL dim state, which
+      // is exactly the oracle. Memoized per dataset, so bench runs time
+      // the pruned multi-root read.
+      (s, dir) => graft.operators.JoinView
+        .readJoinView(s, joinViewFor(s, dir))
+        .select(col("custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("name"), col("acctbal"))
+        .orderBy("o_orderkey"),
+      Some("""WITH dimf AS (SELECT c_custkey AS custkey,
+          CASE WHEN c_custkey % 5 = 1 THEN upper(c_name) ELSE c_name END AS name,
+          CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS acctbal
+        FROM customer WHERE c_custkey % 7 <> 3)
+        SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+          d.name, d.acctbal
+        FROM orders o JOIN dimf d ON o.o_custkey = d.custkey
+        ORDER BY o_orderkey"""),
+      headline = true),
+
     "q_profile" -> QueryDef(
       // Table profiling (operators.Profile) — the ANALYZE pass a pipeline
       // runs on every new corpus drop: nulls, exact distincts, and
@@ -2703,6 +2729,55 @@ object Catalog {
         orders.filter(col("o_orderkey") % 3 === 1), batchTag = Some("1"))
       graft.operators.AggView.appendToAggView(vd,
         orders.filter(col("o_orderkey") % 3 === 2), batchTag = Some("2"))
+      vd
+    })
+  }
+
+  /** Memoized incremental JOIN view per dataset: base fact third +
+    * two fact-append deltas + three dim mutations (payload update,
+    * orphan-healing upsert, tombstone delete), all exactly-once tagged.
+    * The mutation formulas replay in the q_join_view oracle SQL.
+    */
+  private val joinViewDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def joinViewFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    joinViewDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val vd = Files.createTempDirectory("graft-q-joinview").toString
+      val fact = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+      graft.operators.JoinView.buildJoinView(
+        fact.filter(col("o_orderkey") % 3 === 0),
+        dim.filter(col("custkey") % 3 =!= 0), // leaves healable orphans
+        vd, joinKeys = Seq("custkey"))
+      graft.operators.JoinView.appendFactsToJoinView(vd,
+        fact.filter(col("o_orderkey") % 3 === 1), batchTag = Some("1"))
+      graft.operators.JoinView.appendFactsToJoinView(vd,
+        fact.filter(col("o_orderkey") % 3 === 2), batchTag = Some("2"))
+      // heal: the %3==0 customers arrive late, with a payload bump
+      graft.operators.JoinView.upsertDimToJoinView(vd,
+        dim.filter(col("custkey") % 3 === 0)
+          .withColumn("acctbal", col("acctbal") + 1000),
+        batchTag = Some("3"))
+      // update: %5==1 names uppercased (acctbal carries the final state
+      // for the %15 overlap — an upsert writes the WHOLE payload)
+      graft.operators.JoinView.upsertDimToJoinView(vd,
+        dim.filter(col("custkey") % 5 === 1)
+          .withColumn("name", upper(col("name")))
+          .withColumn("acctbal", when(col("custkey") % 3 === 0,
+            col("acctbal") + 1000).otherwise(col("acctbal"))),
+        batchTag = Some("4"))
+      // delete: %7==3 customers tombstoned
+      graft.operators.JoinView.upsertDimToJoinView(vd,
+        dim.filter(col("custkey") % 7 === 3).select("custkey"),
+        delete = true, batchTag = Some("5"))
       vd
     })
   }

@@ -615,6 +615,53 @@ object EventStream {
     * WAL -> memtable -> L0 pipeline, applied to GROUP BY state instead
     * of KV pairs.
     */
+  /** Streaming refresh of an incremental JOIN view from a FACT stream:
+    * each micro-batch folds in as one O(Δ) append, exactly-once under
+    * the numeric batch tag (checkpoint replays converge).
+    */
+  def ingestFactsToJoinView(
+      stream: DataFrame,
+      viewDir: String,
+      checkpoint: String,
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.JoinView.appendFactsToJoinView(
+          viewDir, batch, batchTag = Some(batchId.toString))
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.operators.JoinView.maintainJoinView(batch.sparkSession, viewDir)
+        ()
+      }
+      .start()
+
+  /** Streaming DIMENSION CDC into an incremental JOIN view: each
+    * micro-batch of `(op, keys..., payload...)` rows applies as ONE
+    * atomic generation + bucket repair — sets upsert, dels tombstone,
+    * and a mixed batch stays a single exactly-once unit (two tagged
+    * calls would fence each other out; see applyDimCdcToJoinView).
+    */
+  def ingestDimCdcToJoinView(
+      stream: DataFrame,
+      viewDir: String,
+      checkpoint: String,
+      opCol: String = "op",
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.JoinView.applyDimCdcToJoinView(
+          viewDir,
+          batch.withColumn("__delete", col(opCol) === "del").drop(opCol),
+          batchTag = Some(batchId.toString))
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          graft.operators.JoinView.maintainJoinView(batch.sparkSession, viewDir)
+        ()
+      }
+      .start()
+
   def ingestToAggView(
       stream: DataFrame,
       viewDir: String,

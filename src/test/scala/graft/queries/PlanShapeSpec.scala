@@ -291,6 +291,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"partial-agg roots no longer carry decimal sums: $scans")
   }
 
+  test("q_join_view: read is a pruned union — no join, no LWW resolve at read time") {
+    val p = plan("q_join_view")
+    // the whole IVM contract: maintenance pays the joins, reads pay a
+    // plain pruned union. A Join or Window here means the read path
+    // started re-deriving state
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "join-view read stopped being a pure pruned union")
+    assert(p.contains("Union"), "join-view read lost its root union")
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("pk#")), s"root scans lost their pk partition filters:\n$p")
+  }
+
+  test("dedup_editdist_pairs: candidates equi-join on chunk hashes — never a cartesian") {
+    val p = plan("dedup_editdist_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance blocking regressed to a quadratic join")
+    assert(p.contains("xxhash64"),
+      "candidate keys are no longer hashed chunks")
+    assert(p.contains("levenshtein"),
+      "verification lost the early-exit levenshtein")
+  }
+
+  test("q_funnel: stage frontier is ONE window pass — no per-stage self-joins") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"),
+      "funnel grew a self-join — stage depth must add projections, not joins")
+    // events scans once: a second scan means a stage re-reads the source
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      s"funnel scans the source more than once:\n$p")
+  }
+
   test("text_subword: piece join-back broadcasts — per-instance resplit never returns") {
     val p = plan("text_subword")
     assert(p.contains("BroadcastHashJoin"),
