@@ -124,7 +124,7 @@ object JoinView {
     }
   }
 
-  private def commitIfUnchanged(spark: SparkSession, viewDir: String,
+  private[operators] def commitIfUnchanged(spark: SparkSession, viewDir: String,
       expected: Option[JoinViewManifest], next: JoinViewManifest): Unit = {
     if (readManifest(spark, viewDir, fresh = true) != expected)
       throw new IllegalStateException(

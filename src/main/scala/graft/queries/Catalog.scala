@@ -451,7 +451,8 @@ object Catalog {
               AND ts_ms - v_ts <= 604800000 THEN 1 ELSE 0 END) AS s_purchase
           FROM staged GROUP BY user_id)
         SELECT sum(s_view) AS n_view, sum(s_click) AS n_click,
-          sum(s_purchase) AS n_purchase FROM per_user""")),
+          sum(s_purchase) AS n_purchase FROM per_user"""),
+      headline = true),
 
     "q_cohort_retention" -> QueryDef(
       // Cohort retention: users grouped by first-active week, counted per
@@ -864,6 +865,26 @@ object Catalog {
         FROM orders o JOIN dimf d ON o.o_custkey = d.custkey
         ORDER BY o_orderkey"""),
       headline = true),
+
+    "q_join_view_lookup" -> QueryDef(
+      // Point lookup through the maintained join view (the reference's
+      // Get shape: manifest → one pk bucket → pruned partition scans →
+      // resolve): all of customer 7's enriched orders, against DuckDB's
+      // direct point join over the final dim state.
+      (s, dir) => graft.operators.JoinView
+        .lookupJoinView(s, joinViewFor(s, dir), Seq(7L))
+        .select(col("custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("name"), col("acctbal"))
+        .orderBy("o_orderkey"),
+      Some("""WITH dimf AS (SELECT c_custkey AS custkey,
+          CASE WHEN c_custkey % 5 = 1 THEN upper(c_name) ELSE c_name END AS name,
+          CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS acctbal
+        FROM customer WHERE c_custkey % 7 <> 3)
+        SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+          d.name, d.acctbal
+        FROM orders o JOIN dimf d ON o.o_custkey = d.custkey
+        WHERE o.o_custkey = 7
+        ORDER BY o_orderkey""")),
 
     "q_profile" -> QueryDef(
       // Table profiling (operators.Profile) — the ANALYZE pass a pipeline

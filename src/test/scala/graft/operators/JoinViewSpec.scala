@@ -220,6 +220,26 @@ class JoinViewSpec extends AnyFunSuite {
       (2L, 20L, "b"), (3L, 30L, "c")))
   }
 
+  test("cross-process guard: a commit against a stale manifest aborts, state intact") {
+    val dir = tmp()
+    JoinView.buildJoinView(factDf(Seq((1L, 10L), (2L, 20L))),
+      dimDf(Seq((1L, "a"))), dir, joinKeys = Seq("k"), numBuckets = 4)
+    val stale = JoinView.readManifest(spark, dir).get
+    // a "foreign" writer advances the manifest after our snapshot (the
+    // in-process lock serializes the public API, so the guard is
+    // asserted through the commit primitive — the AggView pattern)
+    assert(JoinView.appendFactsToJoinView(dir, factDf(Seq((3L, 30L))), Some("9")))
+    val e = intercept[IllegalStateException] {
+      JoinView.commitIfUnchanged(spark, dir, Some(stale),
+        stale.copy(nextSeq = 999L))
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // the view remains exactly the foreign writer's state
+    val m = JoinView.readManifest(spark, dir).get
+    assert(m.roots.size == 2 && m.tagHighWater == 9L && m.nextSeq == stale.nextSeq)
+    assert(readInner(dir) == Set((1L, 10L, "a")))
+  }
+
   test("model fuzz: random append/upsert/delete/fold interleavings") {
     val rnd = new Random(8L)
     for (round <- 0 until 3) {
