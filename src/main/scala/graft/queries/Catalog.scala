@@ -1221,27 +1221,37 @@ object Catalog {
 
     "q_approx_quantiles" -> QueryDef(
       // Quantile sketch (Greenwald-Khanna percentile_approx, accuracy 10k)
-      // gate, certifying what GK actually guarantees: RANK error <=
-      // n/accuracy. The sketch's answer must lie between the exact
-      // percentiles at p +/- 2/accuracy (2x the rank bound gives the
-      // interpolated exact form slack to bracket the element-rank window).
-      // The sketch VALUE is nondeterministic (merge order follows task
-      // scheduling) and GK promises nothing about relative VALUE distance
-      // on gappy distributions — but the rank window holds under any
-      // merge order, which is exactly what this gate asserts (and why a
-      // value-hash oracle or a %-of-value bound would be wrong here).
+      // gate, certifying what GK actually guarantees: the returned
+      // ELEMENT's rank is within n/accuracy of the target rank p*n. The
+      // gate measures the rank directly — per group, the returned value's
+      // rank span is [count(<)+1, count(<=)] (ties widen it), and the
+      // span expanded by n/accuracy + 1 must contain p*n (+1 absorbs the
+      // floor/ceil convention at the target). An earlier form bracketed
+      // with exact INTERPOLATED percentiles at p±2/accuracy, which is
+      // wrong at small n: the sketch returns an element while the exact
+      // interpolation lands between elements, so sub-element rank windows
+      // (n < accuracy/2) failed on rounding alone. The sketch VALUE is
+      // nondeterministic (merge order follows task scheduling) — the rank
+      // window holds under any merge order, which is exactly what this
+      // gate asserts (and why a value-hash oracle would be wrong here).
       (s, dir) => {
         val l = t(s, dir, "lineitem")
-        val eps = 2.0 / 10000
-        val a = l.groupBy(col("l_returnflag")).agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("m_a"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_a"),
-          expr(s"percentile(l_extendedprice, ${0.5 - eps})").as("m_lo"),
-          expr(s"percentile(l_extendedprice, ${0.5 + eps})").as("m_hi"),
-          expr(s"percentile(l_extendedprice, ${0.9 - eps})").as("p90_lo"),
-          expr(s"percentile(l_extendedprice, ${0.9 + eps})").as("p90_hi"))
-        a.agg(min(col("m_a").between(col("m_lo"), col("m_hi")) &&
-            col("p90_a").between(col("p90_lo"), col("p90_hi"))).as("ok"))
+        val acc = 10000
+        val sk = l.groupBy(col("l_returnflag")).agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc)).as("m_a"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(acc)).as("p90_a"))
+        val r = l.join(broadcast(sk), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("m_a"), 1L).otherwise(0L)).as("m_lt"),
+            sum(when(col("l_extendedprice") <= col("m_a"), 1L).otherwise(0L)).as("m_le"),
+            sum(when(col("l_extendedprice") < col("p90_a"), 1L).otherwise(0L)).as("p_lt"),
+            sum(when(col("l_extendedprice") <= col("p90_a"), 1L).otherwise(0L)).as("p_le"))
+        val tol = col("n") / acc + lit(1)
+        def rankOk(p: Double, ltc: Column, lec: Column) =
+          (ltc + lit(1) - tol <= col("n") * p) && (lec + tol >= col("n") * p)
+        r.agg(min(rankOk(0.5, col("m_lt"), col("m_le")) &&
+            rankOk(0.9, col("p_lt"), col("p_le"))).as("ok"))
           .select(lit("approx_quantiles").as("gate"), col("ok").as("floor_met"))
       },
       Some("SELECT 'approx_quantiles' AS gate, true AS floor_met")),
