@@ -464,6 +464,46 @@ final class GraftDB(
 
   private[core] def unpin(s: Snapshot): Unit = pinnedSnapshots.remove(s)
 
+  /** CHANGE FEED between two pinned snapshots: everything a replica
+    * holding `from`'s state needs to catch up to `to`, as
+    * `(key, op ∈ {set, del}, value)` — the incremental form of
+    * [[backupTo]], and the Spark-native realization of the replication
+    * the reference stubs (`proto/proto/octopuspb.proto:6-21` ships
+    * single-key Get only; `storage/storage.go:3-4` is empty).
+    *
+    * LSM-native O(delta): candidate keys come ONLY from the segments the
+    * two manifests do not share — between adjacent snapshots that is the
+    * freshly flushed/compacted runs, never the whole keyspace. A
+    * compaction-rewritten segment makes its keys candidates but they
+    * diff away (same logical content on both sides). Both sides evaluate
+    * TTL visibility at one `asOfUnixSec`, so the feed reports data
+    * changes, not clock drift; a key that appeared AND died inside the
+    * window nets to nothing, exactly like the LWW resolve.
+    */
+  def changesBetween(from: Snapshot, to: Snapshot,
+      asOfUnixSec: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    val pa = from.state.liveDataPaths.toSet
+    val pb = to.state.liveDataPaths.toSet
+    val delta = ((pa diff pb) ++ (pb diff pa)).toSeq
+    val empty = viewOf(to.state, asOfUnixSec)
+      .select(col("key"), lit("set").as("op"), col("value"))
+      .filter(lit(false))
+    if (delta.isEmpty) return empty
+    val cand = readSegments(delta).select(col("key")).distinct()
+    val a = viewOf(from.state, asOfUnixSec).join(cand, Seq("key"), "left_semi")
+      .select(col("key"), col("value").as("__va"), col("version").as("__sa"))
+    val b = viewOf(to.state, asOfUnixSec).join(cand, Seq("key"), "left_semi")
+      .select(col("key"), col("value").as("__vb"), col("version").as("__sb"))
+    a.join(b, Seq("key"), "full_outer")
+      // changed = live-ness flipped, or the live entry differs; both-null
+      // candidates (born-and-died in the window, TTL-expired, or merely
+      // rewritten by compaction) null-safe-compare equal and drop out
+      .filter(!(col("__sa") <=> col("__sb")) || !(col("__va") <=> col("__vb")))
+      .select(col("key"),
+        when(col("__sb").isNull, lit("del")).otherwise(lit("set")).as("op"),
+        col("__vb").as("value"))
+  }
+
   private[core] def pinnedPaths(): Seq[String] = {
     import scala.jdk.CollectionConverters._
     pinnedSnapshots.asScala.toSeq.flatMap { s =>

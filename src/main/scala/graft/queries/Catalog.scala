@@ -1484,6 +1484,40 @@ object Catalog {
       Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
         'old:' || event_type AS v FROM events WHERE user_id = 7 ORDER BY k""")),
 
+    "kv_engine_diff" -> QueryDef(
+      // CHANGE FEED END-TO-END (GraftDB.changesBetween): pin snap1, then
+      // overwrite every even event and tombstone every fifth, pin snap2 —
+      // the diff must emit exactly the net change per key (set with the
+      // new value, del for tombstoned, nothing for untouched or
+      // redundant), computed from ONLY the delta segments between the two
+      // manifests. A compact() between the snapshots makes rewritten
+      // segments candidates that must all diff away.
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q-diff").toString
+        val db = new GraftDB(s, tmp, GraftOptions(compactTriggerFiles = 1000))
+        val ev = t(s, dir, "events")
+        val key = encode(concat(lpad(col("user_id").cast("string"), 4, "0"), lit("#"),
+          lpad(col("event_id").cast("string"), 6, "0")), "UTF-8").as("key")
+        db.write(ev.select(key,
+          encode(concat(lit("old:"), col("event_type")), "UTF-8").as("value")))
+        val snap1 = db.snapshot()
+        db.write(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(key, encode(concat(lit("new:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .select(key, lit(null).cast("binary").as("value")))
+        db.compact() // rewritten-segment candidates must diff away
+        val snap2 = db.snapshot()
+        db.changesBetween(snap1, snap2)
+          .select(decode(col("key"), "UTF-8").as("k"), col("op"),
+            decode(col("value"), "UTF-8").as("v"))
+          .orderBy("k")
+      },
+      Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
+        CASE WHEN event_id % 5 = 0 THEN 'del' ELSE 'set' END AS op,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'new:' || event_type END AS v
+        FROM events WHERE event_id % 5 = 0 OR event_id % 2 = 0
+        ORDER BY k""")),
+
     "kv_engine_gc" -> QueryDef(
       // Blob GC END-TO-END (the reference's marquee WiscKey path,
       // kv/vlog_gc.go:75-253): gen1 blob-routes every value, gen2 re-blobs

@@ -1,0 +1,88 @@
+package graft.core
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of [[GraftDB.changesBetween]] — the snapshot-to-snapshot
+  * change feed. The oracled row (`kv_engine_diff`) certifies the bulk
+  * path; these cover the edges the testdata can't reach: identical
+  * snapshots, compaction-only deltas, born-and-died keys, redundant
+  * rewrites, TTL flips, and blob-routed values.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def fresh(opts: GraftOptions = GraftOptions(compactTriggerFiles = 1000)) =
+    new GraftDB(spark, Files.createTempDirectory("graft-cf").toString, opts)
+
+  private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private def collect(df: org.apache.spark.sql.DataFrame): Set[(String, String, Option[String])] =
+    df.collect().map { r =>
+      (new String(r.getAs[Array[Byte]]("key"), "UTF-8"), r.getString(1),
+        Option(r.getAs[Array[Byte]]("value")).map(new String(_, "UTF-8")))
+    }.toSet
+
+  test("identical snapshots and compaction-only deltas diff to nothing") {
+    val db = fresh()
+    db.batchSet((0 until 20).map(i => KVEntry(b(f"k$i%03d"), b(s"v$i"))))
+    db.batchSet((20 until 40).map(i => KVEntry(b(f"k$i%03d"), b(s"v$i"))))
+    val s1 = db.snapshot()
+    assert(db.changesBetween(s1, s1).isEmpty, "same snapshot must diff empty")
+    // pure compaction between snapshots: the manifests share nothing,
+    // every key is a candidate, and ALL of them must diff away — the
+    // feed reports logical change, not physical layout
+    db.compact()
+    val s2 = db.snapshot()
+    assert(db.changesBetween(s1, s2).isEmpty,
+      "compaction-only delta leaked physical rewrites into the feed")
+    // a redundant logical rewrite DOES carry a new version — reported as
+    // a set (an idempotent re-apply), never as a del or a value change
+    db.batchSet((0 until 40).map(i => KVEntry(b(f"k$i%03d"), b(s"v$i"))))
+    val s3 = db.snapshot()
+    val d = collect(db.changesBetween(s2, s3))
+    assert(d.size == 40 &&
+      d.forall { case (_, op, v) => op == "set" && v.exists(_.startsWith("v")) },
+      s"unexpected rows in rewrite diff: ${d.take(5)}")
+  }
+
+  test("set/del/born-and-died semantics across the window") {
+    val db = fresh()
+    db.batchSet(Seq(KVEntry(b("a"), b("1")), KVEntry(b("b"), b("2")),
+      KVEntry(b("c"), b("3"))))
+    val s1 = db.snapshot()
+    db.set(b("a"), b("1x"))      // update
+    db.del(b("b"))               // delete
+    db.set(b("d"), b("4"))       // insert
+    db.set(b("e"), b("5")); db.del(b("e")) // born and died: nets out
+    val s2 = db.snapshot()
+    assert(collect(db.changesBetween(s1, s2)) == Set(
+      ("a", "set", Some("1x")), ("b", "del", None), ("d", "set", Some("4"))))
+    // reverse direction: the feed that would roll the replica back
+    assert(collect(db.changesBetween(s2, s1)) == Set(
+      ("a", "set", Some("1")), ("b", "set", Some("2")), ("d", "del", None)))
+  }
+
+  test("TTL visibility evaluated at one asOf on both sides") {
+    val db = fresh()
+    val now = System.currentTimeMillis() / 1000
+    db.batchSet(Seq(KVEntry(b("t1"), b("v1")).copy(expiresAt = now + 1000)))
+    val s1 = db.snapshot()
+    // re-write with an ALREADY-EXPIRED ttl: at asOf=now the key flips dead
+    db.batchSet(Seq(KVEntry(b("t1"), b("v2")).copy(expiresAt = now - 10)))
+    val s2 = db.snapshot()
+    assert(collect(db.changesBetween(s1, s2, asOfUnixSec = now)) ==
+      Set(("t1", "del", None)))
+  }
+
+  test("blob-routed values surface resolved in the feed") {
+    val db = fresh(GraftOptions(valueThreshold = 4, compactTriggerFiles = 1000))
+    db.set(b("big"), b("tiny"))
+    val s1 = db.snapshot()
+    db.set(b("big"), b("a-large-blob-routed-value"))
+    val s2 = db.snapshot()
+    assert(collect(db.changesBetween(s1, s2)) ==
+      Set(("big", "set", Some("a-large-blob-routed-value"))))
+  }
+}
