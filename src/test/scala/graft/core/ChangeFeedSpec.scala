@@ -76,6 +76,32 @@ class ChangeFeedSpec extends AnyFunSuite {
       Set(("t1", "del", None)))
   }
 
+  test("replication round-trip: backup + applied change feed equals the primary") {
+    val db = fresh()
+    db.batchSet((0 until 30).map(i => KVEntry(b(f"r$i%03d"), b(s"v$i"))))
+    val s1 = db.snapshot()
+    val replicaDir = Files.createTempDirectory("graft-cf-replica").toString
+    db.backupTo(replicaDir) // full sync at s1 (backup pins the current state)
+    // primary moves on: updates, deletes, inserts
+    (0 until 30 by 3).foreach(i => db.set(b(f"r$i%03d"), b(s"v$i-updated")))
+    (0 until 30 by 5).foreach(i => db.del(b(f"r$i%03d")))
+    db.set(b("r999"), b("late-arrival"))
+    db.compact()
+    val s2 = db.snapshot()
+    // catch-up: the feed applies as one ordinary write batch (del = null
+    // value, the engine's own tombstone convention)
+    val replica = GraftDB.openBackup(spark, replicaDir)
+    replica.write(db.changesBetween(s1, s2)
+      .select(col("key"),
+        when(col("op") === "del", lit(null).cast("binary"))
+          .otherwise(col("value")).as("value")))
+    def state(v: org.apache.spark.sql.DataFrame) =
+      v.collect().map(r => (new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSet
+    assert(state(replica.view()) == state(db.view()),
+      "replica diverged from primary after feed apply")
+  }
+
   test("blob-routed values surface resolved in the feed") {
     val db = fresh(GraftOptions(valueThreshold = 4, compactTriggerFiles = 1000))
     db.set(b("big"), b("tiny"))
