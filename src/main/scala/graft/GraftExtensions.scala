@@ -95,6 +95,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("topk_by_scored", args, 3)
         TopKBy(args(0), args(1), intLit(args(2), "k"), withScores = true)
           .toAggregateExpression() }))
+
+    // ---- table-valued functions: the engine's READ surfaces in pure SQL
+    //   SELECT * FROM graft_view('/path/to/db')
+    //   SELECT * FROM graft_view('/path/to/db', 1755150000)   -- asOf secs
+    //   SELECT * FROM graft_agg_view('/path/to/view')
+    //   SELECT * FROM graft_join_view('/path/to/view')        -- inner
+    //   SELECT * FROM graft_join_view('/path/to/view', false) -- left form
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_view"),
+      new ExpressionInfo(classOf[graft.core.GraftDB].getName, "graft_view"),
+      (args: Seq[Expression]) => GraftExtensions.graftViewPlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_agg_view"),
+      new ExpressionInfo(classOf[graft.operators.AggView.type].getName, "graft_agg_view"),
+      (args: Seq[Expression]) => GraftExtensions.graftAggViewPlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_join_view"),
+      new ExpressionInfo(classOf[graft.operators.JoinView.type].getName, "graft_join_view"),
+      (args: Seq[Expression]) => GraftExtensions.graftJoinViewPlan(args)))
   }
 }
 
@@ -112,6 +131,69 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"$name expects array<string>, evaluated to $other")
     }
+  }
+
+  // ---- TVF builders: each opens the engine/view read-only and hands its
+  // DataFrame's ANALYZED plan to the SQL query tree. Opening per query is
+  // cheap by design — a manifest stat + stamp-cached parse, the same cost
+  // the Column-API read pays — and keeps the TVF stateless (no handle
+  // cache to invalidate when another process swaps the manifest).
+
+  private def stringLit(e: Expression, name: String): String = {
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
+      s"$name expects a string literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$name expects a non-null string literal")
+    v.toString
+  }
+
+  private def longLit(e: Expression, name: String): Long = {
+    require(e.foldable, s"$name expects an integral literal, got $e")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$name expects an integral literal, evaluated to $other")
+    }
+  }
+
+  private def boolLit(e: Expression, name: String): Boolean = {
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.BooleanType,
+      s"$name expects a boolean literal, got $e")
+    e.eval().asInstanceOf[Boolean]
+  }
+
+  private[graft] def graftViewPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 1 || args.length == 2,
+      s"graft_view(path[, asOfUnixSec]) expects 1-2 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val db = new graft.core.GraftDB(spark, stringLit(args.head, "graft_view path"))
+    val view =
+      if (args.length == 2) db.view(longLit(args(1), "graft_view asOfUnixSec"))
+      else db.view()
+    view.queryExecution.analyzed
+  }
+
+  private[graft] def graftAggViewPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 1,
+      s"graft_agg_view(path) expects 1 argument, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.operators.AggView
+      .readAggView(spark, stringLit(args.head, "graft_agg_view path"))
+      .queryExecution.analyzed
+  }
+
+  private[graft] def graftJoinViewPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 1 || args.length == 2,
+      s"graft_join_view(path[, inner]) expects 1-2 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val inner = if (args.length == 2) boolLit(args(1), "graft_join_view inner") else true
+    graft.operators.JoinView
+      .readJoinView(spark, stringLit(args.head, "graft_join_view path"), inner)
+      .queryExecution.analyzed
   }
 
   /** Runtime registration for an already-built session (no config needed). */
@@ -147,5 +229,9 @@ object GraftExtensions {
       args => TopKBy(args(0), args(1),
         args(2).asInstanceOf[Literal].value.asInstanceOf[Int],
         withScores = true).toAggregateExpression(), "built-in")
+    val treg = spark.sessionState.tableFunctionRegistry
+    treg.createOrReplaceTempFunction("graft_view", graftViewPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_agg_view", graftAggViewPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_join_view", graftJoinViewPlan, "built-in")
   }
 }

@@ -55,6 +55,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("foldable") || e.getMessage.toLowerCase.contains("vocab"))
   }
 
+  test("table-valued functions: engine and views queryable from pure SQL") {
+    GraftExtensions.register(spark)
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // engine
+    val dbDir = Files.createTempDirectory("gx-tvf-db").toString
+    val db = new graft.core.GraftDB(spark, dbDir)
+    db.set("k1".getBytes, "v1".getBytes)
+    db.set("k2".getBytes, "v2".getBytes)
+    db.del("k2".getBytes)
+    val kv = spark.sql(
+      s"SELECT decode(key, 'UTF-8') AS k, decode(value, 'UTF-8') AS v FROM graft_view('$dbDir')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kv == Set(("k1", "v1")))
+    // the TVF composes like any table: filters/joins/aggregates over it
+    assert(spark.sql(s"SELECT count(*) FROM graft_view('$dbDir') WHERE key = encode('k1','UTF-8')")
+      .head().getLong(0) == 1L)
+    // agg view
+    val avDir = Files.createTempDirectory("gx-tvf-av").toString
+    graft.operators.AggView.buildAggView(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "x"),
+      avDir, keys = Seq("g"), metrics = Seq("x"))
+    val av = spark.sql(
+      s"SELECT g, cnt, x_sum FROM graft_agg_view('$avDir') ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(av == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
+    // join view: inner default, left form via the second argument
+    val jvDir = Files.createTempDirectory("gx-tvf-jv").toString
+    graft.operators.JoinView.buildJoinView(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "fv"),
+      Seq((1L, "a")).toDF("k", "dv"), jvDir, joinKeys = Seq("k"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_join_view('$jvDir')").head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_join_view('$jvDir', false)").head().getLong(0) == 2L)
+    // loud argument errors
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_view(42)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string literal"))
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import spark.implicits._
