@@ -114,6 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_join_view"),
       new ExpressionInfo(classOf[graft.operators.JoinView.type].getName, "graft_join_view"),
       (args: Seq[Expression]) => GraftExtensions.graftJoinViewPlan(args)))
+    //   SELECT * FROM graft_changes('/backup', '/live')  -- catch-up feed
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[graft.core.GraftDB].getName, "graft_changes"),
+      (args: Seq[Expression]) => GraftExtensions.graftChangesPlan(args)))
   }
 }
 
@@ -196,6 +201,27 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_changes(fromDir, toDir[, asOfUnixSec])` — the change feed
+    * between two ON-DISK engine states (a backup vs the live engine, or
+    * two backups): what a replica at `fromDir`'s state applies to reach
+    * `toDir`'s. Snapshot states carry absolute segment paths, so the
+    * cross-instance diff reads each side's own files.
+    */
+  private[graft] def graftChangesPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_changes(fromDir, toDir[, asOfUnixSec]) expects 2-3 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dbA = new graft.core.GraftDB(spark, stringLit(args(0), "graft_changes fromDir"))
+    val dbB = new graft.core.GraftDB(spark, stringLit(args(1), "graft_changes toDir"))
+    val (sa, sb) = (dbA.snapshot(), dbB.snapshot())
+    val feed =
+      if (args.length == 3)
+        dbA.changesBetween(sa, sb, longLit(args(2), "graft_changes asOfUnixSec"))
+      else dbA.changesBetween(sa, sb)
+    feed.queryExecution.analyzed
+  }
+
   /** Runtime registration for an already-built session (no config needed). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -233,5 +259,6 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_view", graftViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_agg_view", graftAggViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_join_view", graftJoinViewPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_changes", graftChangesPlan, "built-in")
   }
 }

@@ -96,6 +96,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("string literal"))
   }
 
+  test("graft_changes TVF: catch-up feed between a backup and the live engine") {
+    GraftExtensions.register(spark)
+    import java.nio.file.Files
+    val liveDir = Files.createTempDirectory("gx-tvf-live").toString
+    val db = new graft.core.GraftDB(spark, liveDir)
+    db.set("a".getBytes, "1".getBytes)
+    db.set("b".getBytes, "2".getBytes)
+    val backupDir = Files.createTempDirectory("gx-tvf-bak").toString
+    db.backupTo(backupDir)
+    db.set("a".getBytes, "1x".getBytes)
+    db.del("b".getBytes)
+    db.set("c".getBytes, "3".getBytes)
+    val feed = spark.sql(
+      s"""SELECT decode(key,'UTF-8') k, op, decode(value,'UTF-8') v
+          FROM graft_changes('$backupDir', '$liveDir') ORDER BY k""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(feed == Seq(("a", "set", "1x"), ("b", "del", null), ("c", "set", "3")))
+  }
+
   test("SQL and Column APIs agree") {
     GraftExtensions.register(spark)
     import spark.implicits._
