@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output goes STRAIGHT to stdout/stderr, without sbt's
+// "[info] " log decoration — the Bench/Verify contract prints one bare
+// JSON line that downstream tooling json-parses; a prefixed line breaks
+// that silently (BENCH r6/r7 'parsed: null')
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
