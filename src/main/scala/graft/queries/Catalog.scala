@@ -403,32 +403,21 @@ object Catalog {
         ORDER BY event_id""")),
 
     "q_funnel" -> QueryDef(
-      // Ordered-sequence funnel (view -> click -> purchase within 7 days
-      // of the first view): the stage frontier is a running conditional
-      // min over ONE keyed sort — no per-stage self-joins, so the plan is
-      // a single window shuffle on user_id regardless of funnel depth.
+      // Ordered-sequence funnel (operators.Analytics.funnelCounts:
+      // view -> click -> purchase, every later stage within 7 days of
+      // the first view): the stage frontier is a running conditional min
+      // over ONE keyed sort — no per-stage self-joins, so the plan is a
+      // single window shuffle on user_id regardless of funnel depth.
       // Value-predicate semantics (>= on timestamps, not row order) make
       // the result replayable in any engine; fully oracled.
-      (s, dir) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_ms"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val horizon = 7L * 86400000L
-        val staged = events(s, dir)
-          .withColumn("v_ts", min(when(col("event_type") === "view",
-            col("ts_ms"))).over(w))
-          .withColumn("c_ts", min(when(col("event_type") === "click" &&
-            col("ts_ms") >= col("v_ts"), col("ts_ms"))).over(w))
-          .withColumn("p_hit", when(col("event_type") === "purchase" &&
-            col("ts_ms") >= col("c_ts") &&
-            col("ts_ms") - col("v_ts") <= horizon, 1).otherwise(0))
-        staged.groupBy("user_id")
-          .agg(max(when(col("v_ts").isNotNull, 1).otherwise(0)).as("s_view"),
-            max(when(col("c_ts").isNotNull, 1).otherwise(0)).as("s_click"),
-            max(col("p_hit")).as("s_purchase"))
-          .agg(sum("s_view").as("n_view"), sum("s_click").as("n_click"),
-            sum("s_purchase").as("n_purchase"))
-      },
+      (s, dir) => graft.operators.Analytics.funnelCounts(
+        events(s, dir),
+        stages = Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        keys = Seq("user_id"),
+        horizonMs = Some(7L * 86400000L)),
       Some("""WITH s1 AS (
           SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
             min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
@@ -436,44 +425,41 @@ object Catalog {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        staged AS (
-          SELECT user_id, event_type, ts_ms, v_ts,
+        s2 AS (
+          SELECT user_id, event_id, event_type, ts_ms, v_ts,
             min(CASE WHEN event_type = 'click' AND ts_ms >= v_ts
-              THEN ts_ms END) OVER w AS c_ts
+              AND ts_ms - v_ts <= 604800000 THEN ts_ms END) OVER w AS c_ts
           FROM s1
           WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        staged AS (
+          SELECT user_id, event_type, ts_ms, v_ts, c_ts,
+            min(CASE WHEN event_type = 'purchase' AND ts_ms >= c_ts
+              AND ts_ms - v_ts <= 604800000 THEN ts_ms END) OVER w AS p_ts
+          FROM s2
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         per_user AS (
-          SELECT user_id,
-            max(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS s_view,
-            max(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS s_click,
-            max(CASE WHEN event_type = 'purchase' AND ts_ms >= c_ts
-              AND ts_ms - v_ts <= 604800000 THEN 1 ELSE 0 END) AS s_purchase
+          SELECT user_id, max(v_ts) AS v, max(c_ts) AS c, max(p_ts) AS p
           FROM staged GROUP BY user_id)
-        SELECT sum(s_view) AS n_view, sum(s_click) AS n_click,
-          sum(s_purchase) AS n_purchase FROM per_user"""),
+        SELECT sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+          sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
+          sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase
+        FROM per_user"""),
       headline = true),
 
     "q_cohort_retention" -> QueryDef(
-      // Cohort retention: users grouped by first-active week, counted per
-      // week offset they return. Two-level shape — (user, week) hash agg
-      // first so the per-user window runs over weeks not raw events, then
-      // the cohort roll-up; the user window reuses the agg's hash
-      // partitioning, so the whole query is two shuffles at any scale.
-      (s, dir) => {
-        val wk = (col("ts_ms") / lit(604800000L)).cast("long")
-        val perWeek = events(s, dir)
-          .groupBy(col("user_id"), wk.as("week"))
-          .agg(count(lit(1)).as("n_events"))
-        val w = Window.partitionBy(col("user_id"))
-        perWeek
-          .withColumn("cohort_week", min(col("week")).over(w))
-          .select(col("cohort_week"),
-            (col("week") - col("cohort_week")).as("week_offset"))
-          .groupBy("cohort_week", "week_offset")
-          .agg(count(lit(1)).as("n_users"))
-          .orderBy("cohort_week", "week_offset")
-      },
+      // Cohort retention (operators.Analytics.cohortRetention): users
+      // grouped by first-active week, counted per week offset they
+      // return. Two-level shape — (user, week) hash agg first so the
+      // per-user window runs over weeks not raw events, then the cohort
+      // roll-up; two shuffles at any scale.
+      (s, dir) => graft.operators.Analytics.cohortRetention(
+          events(s, dir), keyCol = "user_id", periodMs = 604800000L)
+        .select(col("cohort_period").as("cohort_week"),
+          col("period_offset").as("week_offset"),
+          col("n_entities").as("n_users"))
+        .orderBy("cohort_week", "week_offset"),
       Some("""WITH per_week AS (
           SELECT user_id, epoch_ms(ts) // 604800000 AS week
           FROM events GROUP BY 1, 2),
