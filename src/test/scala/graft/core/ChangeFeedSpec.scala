@@ -102,6 +102,51 @@ class ChangeFeedSpec extends AnyFunSuite {
       "replica diverged from primary after feed apply")
   }
 
+  test("model fuzz: every adjacent-snapshot diff equals the model across random histories") {
+    val rnd = new scala.util.Random(2026_08_14L)
+    for (round <- 0 until 2) {
+      val db = fresh(GraftOptions(compactTriggerFiles = 3))
+      val model = scala.collection.mutable.Map[String, String]()
+      val keys = (0 until 30).map(i => f"f$i%02d")
+      var prevSnap = { db.set(b("seed"), b("s")); model("seed") = "s"; db.snapshot() }
+      var prevModel = model.toMap
+      for (step <- 0 until 6) {
+        // a random batch of sets/deletes (+ occasional compact)
+        val ops = (0 until 1 + rnd.nextInt(8)).map { _ =>
+          val k = keys(rnd.nextInt(keys.length))
+          if (rnd.nextInt(4) == 0 && model.contains(k)) { model.remove(k); KVEntry.tombstone(b(k)) }
+          else { val v = s"v$step-${rnd.nextInt(99)}"; model(k) = v; KVEntry(b(k), b(v)) }
+        }
+        // intra-batch duplicate keys resolve LWW nondeterministically at
+        // equal versions — keep the model simple by deduping to last-wins
+        val dedup = ops.reverse.distinctBy(e => new String(e.key, "UTF-8")).reverse
+        // re-apply the dedup to the model (ops above already mutated it in
+        // order; rebuild from prevModel + dedup for exactness)
+        val m2 = scala.collection.mutable.Map(prevModel.toSeq: _*)
+        dedup.foreach { e =>
+          val k = new String(e.key, "UTF-8")
+          if (e.tombstone) m2.remove(k) else m2(k) = new String(e.value, "UTF-8")
+        }
+        model.clear(); model ++= m2
+        db.batchSet(dedup)
+        if (rnd.nextInt(3) == 0) db.compact()
+        val snap = db.snapshot()
+        val expect: Set[(String, String, Option[String])] =
+          (prevModel.keySet ++ model.keySet).flatMap { k =>
+            (prevModel.get(k), model.get(k)) match {
+              case (a, Some(bv)) if !a.contains(bv) => Some((k, "set", Some(bv)))
+              case (Some(_), None) => Some((k, "del", None))
+              case _ => None
+            }
+          }
+        val got = collect(db.changesBetween(prevSnap, snap))
+        assert(got == expect,
+          s"round $round step $step: missing=${expect -- got} extra=${got -- expect}")
+        prevSnap = snap; prevModel = model.toMap
+      }
+    }
+  }
+
   test("blob-routed values surface resolved in the feed") {
     val db = fresh(GraftOptions(valueThreshold = 4, compactTriggerFiles = 1000))
     db.set(b("big"), b("tiny"))
