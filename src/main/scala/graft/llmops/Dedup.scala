@@ -398,6 +398,29 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("canonical_id"))
   }
 
+  /** Edit-distance near-dup CLUSTERING: connected components over the
+    * exact [[editDistancePairs]] graph; every document maps to the
+    * lowest doc id in its cluster (itself when it has no near-dups) —
+    * the typo/near-exact companion to [[jaccardClusters]]'s token-set
+    * families.
+    */
+  def editDistanceClusters(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = editDistancePairs(docs, k, w, idCol = idCol, textCol = textCol)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .withColumnRenamed("vertex", idCol)
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold among LSH-candidate
     * pairs. The SCALE path (`bucketBits > 0`, the default): each vector
     * gets a `bucketBits`-bit random-hyperplane bucket (the SQL-replicable

@@ -2000,6 +2000,31 @@ object Catalog {
           AND levenshtein(a.t, b.t) <= 5
         ORDER BY id_a, id_b""")),
 
+    "dedup_editdist_clusters" -> QueryDef(
+      // Edit-distance cluster map (exact pairs -> connected components ->
+      // lowest-id canonical), oracled by composing the quadratic
+      // levenshtein pair SQL with a recursive-CTE closure — the same
+      // certification shape as dedup_clusters.
+      (s, dir) => Dedup.editDistanceClusters(t(s, dir, "documents"), k = 5)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+        n AS (SELECT doc_id, $normSql AS t FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM n a JOIN n b ON a.doc_id < b.doc_id
+            AND abs(length(a.t) - length(b.t)) <= 5
+            AND levenshtein(a.t, b.t) <= 5),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT DISTINCT a, a FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lab AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+        ORDER BY doc_id""")),
+
     "dedup_clusters" -> QueryDef(
       // end-to-end dedup: exact near-dup pairs -> connected components ->
       // canonical doc per cluster. Oracled by composing the pair SQL with
