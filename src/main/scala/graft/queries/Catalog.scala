@@ -578,6 +578,99 @@ object Catalog {
         length(p_name) AS name_len, replace(p_type, ' ', '_') AS type_u
         FROM part ORDER BY p_partkey""")),
 
+    "q_hash_funcs" -> QueryDef(
+      // cryptographic hash + encoding scalar functions — the content-
+      // addressing primitives every dedup/fingerprint pipeline leans on,
+      // proven byte-parity against DuckDB (lowercase hex both sides;
+      // base64 over the UTF-8 bytes of a char-addressed prefix).
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"),
+          base64(substring(col("text"), 1, 24).cast("binary")).as("prefix_b64"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        base64(encode(substr(text, 1, 24))) AS prefix_b64
+        FROM documents ORDER BY doc_id""")),
+
+    "q_stat_moments" -> QueryDef(
+      // statistical aggregate family: Pearson correlation, sample
+      // covariance/stddev (standard definitions, built-ins both sides),
+      // and population skewness/kurtosis derived from raw power sums with
+      // ONE shared formula on both engines — Spark's and DuckDB's native
+      // skewness/kurtosis use different bias corrections, so the moments
+      // are computed from sums (exact here: l_quantity is integer-valued,
+      // so every power sum is an exact double) rather than trusting either
+      // engine's adjustment. All one hash-aggregate pass, map-side partial.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val grouped = li.groupBy(col("l_returnflag").as("rf"))
+          .agg(count(lit(1)).as("n"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+            round(stddev_samp(col("l_quantity")), 6).as("stddev_qty"),
+            sum(col("l_quantity")).as("s1"),
+            sum(pow(col("l_quantity"), 2)).as("s2"),
+            sum(pow(col("l_quantity"), 3)).as("s3"),
+            sum(pow(col("l_quantity"), 4)).as("s4"))
+        grouped.select(col("rf"), col("n"), col("corr_qty_price"),
+            col("covar_qty_price"), col("stddev_qty"),
+            expr("""round(
+              ((s3/n) - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+                / pow((s2/n) - pow(s1/n, 2), 1.5), 6)""").as("skew_qty"),
+            expr("""round(
+              ((s4/n) - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4))
+                / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6)""").as("kurt_qty"))
+          .orderBy("rf")
+      },
+      Some("""WITH g AS (SELECT l_returnflag AS rf, count(*) AS n,
+          round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+          round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+          round(stddev_samp(l_quantity), 6) AS stddev_qty,
+          sum(l_quantity) AS s1, sum(pow(l_quantity, 2)) AS s2,
+          sum(pow(l_quantity, 3)) AS s3, sum(pow(l_quantity, 4)) AS s4
+        FROM lineitem GROUP BY 1)
+        SELECT rf, n, corr_qty_price, covar_qty_price, stddev_qty,
+          round(((s3/n) - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+            / pow((s2/n) - pow(s1/n, 2), 1.5), 6) AS skew_qty,
+          round(((s4/n) - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4))
+            / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
+        FROM g ORDER BY rf""")),
+
+    "q_interval_coalesce" -> QueryDef(
+      // interval coalescing (operators.Intervals): each event opens a
+      // closed 5-minute activity interval; overlapping intervals merge
+      // into maximal islands per user. Output is the per-user island
+      // count and total covered milliseconds — the session-coverage
+      // question sessionization windows can't answer (islands carry exact
+      // merged extents, not gap-delimited groups). One key shuffle total.
+      (s, dir) => {
+        val iv = events(s, dir).select(col("user_id"),
+          col("ts_ms").as("s"), (col("ts_ms") + lit(300000L)).as("e"))
+        graft.operators.Intervals.coalesce(iv, Seq("user_id"), "s", "e")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("island_end") - col("island_start")).as("covered_ms"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_ms(ts) AS s,
+          epoch_ms(ts) + 300000 AS e FROM events),
+        o AS (SELECT user_id, s, e,
+            max(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv),
+        i AS (SELECT user_id, s, e,
+            sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS island
+          FROM o),
+        g AS (SELECT user_id, island, min(s) AS island_start,
+            max(e) AS island_end
+          FROM i GROUP BY 1, 2)
+        SELECT user_id, count(*)::BIGINT AS n_islands,
+          sum(island_end - island_start)::BIGINT AS covered_ms
+        FROM g GROUP BY 1 ORDER BY user_id""")),
+
     "q_asof_join" -> QueryDef(
       // the generic as-of join OPERATOR (KVOps.asofJoinBackward — one
       // shuffle, union-window form), oracled against DuckDB's native

@@ -95,6 +95,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"asof should shuffle exactly once on the keys, saw $hashEx hash exchanges in:\n$p")
   }
 
+  test("q_interval_coalesce: one key shuffle — island grouping reuses the window partitioning") {
+    // Intervals.coalesce's scale contract: the running-max/island windows
+    // and BOTH downstream aggregations (by (key, island), then by key)
+    // ride one hashpartitioning(user_id) exchange — the island column
+    // only ever REFINES the window partitioning, so a second hash
+    // exchange appearing means the grouping stopped reusing it.
+    val p = plan("q_interval_coalesce")
+    assert(p.contains("Window"), s"interval coalesce lost its window form:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "interval coalesce regressed to a join-based plan")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"interval coalesce should shuffle exactly once on the key, saw $hashEx hash exchanges in:\n$p")
+  }
+
   test("dedup_embedding_pairs: the certified plan contains no cartesian or nested-loop join") {
     val p = plan("dedup_embedding_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
