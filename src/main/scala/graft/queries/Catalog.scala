@@ -669,7 +669,8 @@ object Catalog {
           FROM i GROUP BY 1, 2)
         SELECT user_id, count(*)::BIGINT AS n_islands,
           sum(island_end - island_start)::BIGINT AS covered_ms
-        FROM g GROUP BY 1 ORDER BY user_id""")),
+        FROM g GROUP BY 1 ORDER BY user_id"""),
+      headline = true),
 
     "q_asof_join" -> QueryDef(
       // the generic as-of join OPERATOR (KVOps.asofJoinBackward — one
