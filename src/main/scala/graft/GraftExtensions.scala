@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_changes"),
       new ExpressionInfo(classOf[graft.core.GraftDB].getName, "graft_changes"),
       (args: Seq[Expression]) => GraftExtensions.graftChangesPlan(args)))
+
+    // ---- optimizer rules: the range-join bin rewrite (opt-in via
+    //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 
@@ -260,5 +264,9 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_agg_view", graftAggViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_join_view", graftJoinViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_changes", graftChangesPlan, "built-in")
+    // runtime twin of injectOptimizerRule (idempotent across register calls)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
   }
 }

@@ -1,0 +1,120 @@
+package graft.plans
+
+import graft.GraftExtensions
+import graft.core.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The opt-in range-join bin rewrite: SQL point-in-interval joins leave
+  * the nested-loop plan family when `spark.graft.rangeJoin.binSize` is
+  * set, and every rewritten result is row-identical to the nested-loop
+  * truth (the residual keeps the original predicates verbatim).
+  */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  // points: (pid, user, t); intervals: (iid, user, s, e) incl. a null-t
+  // point, a null-s interval, and a malformed s > e interval
+  Seq((1L, "u1", Some(5L)), (2L, "u1", Some(25L)), (3L, "u2", Some(5L)),
+      (4L, "u1", None))
+    .toDF("pid", "user", "t").createOrReplaceTempView("pts")
+  Seq((10L, "u1", Some(0L), Some(10L)), (11L, "u1", Some(20L), Some(30L)),
+      (12L, "u2", Some(100L), Some(200L)), (13L, "u1", None, Some(50L)),
+      (14L, "u1", Some(40L), Some(35L)))
+    .toDF("iid", "user", "s", "e").createOrReplaceTempView("iv")
+
+  private def withBin[A](bin: Long)(f: => A): A = {
+    spark.conf.set(RangeJoinRewrite.BinSizeConf, bin.toString)
+    try f finally spark.conf.unset(RangeJoinRewrite.BinSizeConf)
+  }
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  private def rows(sql: String): Seq[(Long, Long)] =
+    spark.sql(sql).as[(Long, Long)].collect().toSeq.sorted
+
+  private val plainSql =
+    "SELECT pid, iid FROM pts JOIN iv ON t >= s AND t <= e"
+  private val keyedSql =
+    """SELECT pid, iid FROM pts JOIN iv
+       ON pts.user = iv.user AND t >= s AND t <= e"""
+  private val strictSql =
+    "SELECT pid, iid FROM pts JOIN iv ON t > s AND t < e"
+
+  test("dormant without the conf: the nested-loop plan survives") {
+    val p = planOf(plainSql)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      s"expected Spark's native non-equi plan when the rule is off:\n$p")
+  }
+
+  test("with the conf: binned equi-join plan, identical rows") {
+    val truth = rows(plainSql)
+    assert(truth.nonEmpty)
+    withBin(8L) {
+      val p = planOf(plainSql)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$p")
+      assert(p.contains("Generate"), s"no bin replication in:\n$p")
+      assert(rows(plainSql) == truth)
+    }
+  }
+
+  test("equality conjuncts join alongside the bin (narrow reducers)") {
+    val truth = rows(keyedSql)
+    assert(truth.nonEmpty)
+    withBin(8L) {
+      val p = planOf(keyedSql)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"keyed rewrite did not fire:\n$p")
+      // the user key must be part of the join, not just the residual
+      assert(p.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("user")), s"equi key left the join:\n$p")
+      assert(rows(keyedSql) == truth)
+    }
+  }
+
+  test("strict bounds stay exact (residual keeps original strictness)") {
+    val truth = rows(strictSql)
+    withBin(8L) {
+      assert(!planOf(strictSql).contains("BroadcastNestedLoopJoin"))
+      assert(rows(strictSql) == truth)
+    }
+  }
+
+  test("nulls and malformed (s > e) intervals match nothing, both modes") {
+    val truth = rows(plainSql)
+    assert(!truth.exists { case (p, i) => p == 4L || i == 13L || i == 14L })
+    withBin(8L) {
+      assert(!rows(plainSql).exists { case (p, i) => p == 4L || i == 13L || i == 14L })
+    }
+  }
+
+  test("bin width never changes rows (sweep, incl. wider than every interval)") {
+    val truth = rows(keyedSql)
+    for (bin <- Seq(1L, 3L, 7L, 64L, 1000000L))
+      withBin(bin) { assert(rows(keyedSql) == truth, s"bin=$bin diverged") }
+  }
+
+  test("fuzz: rewritten rows equal the nested-loop truth on random data") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", Some(rnd.nextInt(1000).toLong)))
+    val ivs = Seq.tabulate(120) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, s"u${rnd.nextInt(5)}", Some(s), Some(s + rnd.nextInt(80).toLong))
+    }
+    pts.toDF("pid", "user", "t").createOrReplaceTempView("fpts")
+    ivs.toDF("iid", "user", "s", "e").createOrReplaceTempView("fiv")
+    val q = """SELECT pid, iid FROM fpts JOIN fiv
+               ON fpts.user = fiv.user AND t >= s AND t <= e"""
+    val truth = rows(q)
+    assert(truth.nonEmpty)
+    withBin(50L) {
+      assert(!planOf(q).contains("BroadcastNestedLoopJoin"))
+      assert(rows(q) == truth)
+    }
+  }
+}
