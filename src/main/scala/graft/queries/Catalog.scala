@@ -1085,6 +1085,35 @@ object Catalog {
         FROM p JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
         GROUP BY p.user_id ORDER BY p.user_id""")),
 
+    "q_range_join_sql" -> QueryDef(
+      // q_range_join's EXACT semantics, but written as the naive non-equi
+      // SQL a migrating user would type — planned scale-safe by the
+      // plans.RangeJoinRewrite optimizer rule (no operator API in sight).
+      // Runs on a cloned session so the bin conf and temp view leak into
+      // no other query; PlanShapeSpec pins the no-nested-loop plan.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        s.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf, "21600000")
+        loadEvents(s, dir).createOrReplaceTempView("graft_ev")
+        s.sql("""WITH w AS (SELECT user_id, ts_ms AS ws, ts_ms + 21600000 AS we
+              FROM graft_ev WHERE event_type = 'error'),
+            p AS (SELECT user_id, ts_ms AS pt, value
+              FROM graft_ev WHERE event_type = 'purchase')
+          SELECT p.user_id, count(*) AS n_pairs,
+            round(sum(p.value), 2) AS sum_value
+          FROM p JOIN w ON p.user_id = w.user_id
+            AND p.pt >= w.ws AND p.pt <= w.we
+          GROUP BY p.user_id ORDER BY p.user_id""")
+      },
+      Some("""WITH w AS (SELECT user_id, epoch_ms(ts) AS ws,
+            epoch_ms(ts) + 21600000 AS we FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, epoch_ms(ts) AS pt, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, count(*) AS n_pairs, round(sum(p.value), 2) AS sum_value
+        FROM p JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
+        GROUP BY p.user_id ORDER BY p.user_id""")),
+
     "q_band_join" -> QueryDef(
       // RangeJoin.bandJoin — |Δt| <= 30min self-pairing of a user's events
       // via the ±1-neighbor bin probe (each qualifying pair meets exactly

@@ -95,6 +95,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"asof should shuffle exactly once on the keys, saw $hashEx hash exchanges in:\n$p")
   }
 
+  test("q_range_join_sql: the optimizer rule plans the naive SQL as a binned equi-join") {
+    val p = plan("q_range_join_sql")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the rewrite rule did not fire on the SQL route:\n$p")
+    assert(p.contains("Generate"),
+      s"no bin replication (Generate) in the SQL-route plan:\n$p")
+  }
+
   test("q_interval_coalesce: one key shuffle — island grouping reuses the window partitioning") {
     // Intervals.coalesce's scale contract: the running-max/island windows
     // and BOTH downstream aggregations (by (key, island), then by key)
