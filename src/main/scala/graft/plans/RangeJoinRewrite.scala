@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, Join
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
-/** Opt-in Catalyst optimizer rule: rewrites point-in-interval INNER joins
-  * — `p.t >= iv.s AND p.t <= iv.e` (any strictness), which Spark can only
-  * plan as a broadcast nested loop or cartesian — into the bin-bucketed
+/** Opt-in Catalyst optimizer rule: rewrites the two nested-loop-only
+  * interval join families — point-in-interval `p.t >= iv.s AND
+  * p.t <= iv.e` and interval overlap `l.s <= r.e AND r.s <= l.e` (any
+  * strictness, either operand order), which Spark can only plan as a
+  * broadcast nested loop or cartesian — into the bin-bucketed
   * equi-join [[graft.operators.RangeJoin.pointInInterval]] certifies:
   * intervals replicate to every fixed-width bin they cover (Generate over
   * `sequence`), points hash to exactly one bin, and the join becomes a
@@ -46,6 +48,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val BinSizeConf = "spark.graft.rangeJoin.binSize"
   private val PBin = "__graft_pbin"
   private val IBin = "__graft_ibin"
+  private val LBin = "__graft_lbin"
+  private val RBin = "__graft_rbin"
+  private val SyntheticBins = Set(PBin, IBin, LBin, RBin)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val binSize =
@@ -60,7 +65,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def alreadyRewritten(j: Join): Boolean =
     (j.left.output.iterator ++ j.right.output.iterator)
-      .exists(a => a.name == PBin || a.name == IBin)
+      .exists(a => SyntheticBins.contains(a.name))
 
   /** floor(e / binSize) — the operator's exact bin expression (double
     * floor-division: correct for negatives, exact to |v| < 2^53).
@@ -105,6 +110,25 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, cond: Expression, bin: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    val equi = conjuncts.filter {
+      case EqualTo(a, b) =>
+        (fromSide(a, j.left) && fromSide(b, j.right)) ||
+          (fromSide(a, j.right) && fromSide(b, j.left))
+      case _ => false
+    }
+    val residual = conjuncts.filterNot(equi.contains)
+    rewritePoint(j, conjuncts, equi, residual, bin)
+      .orElse(rewriteOverlap(j, conjuncts, equi, residual, bin))
+  }
+
+  /** point-in-interval: `p >= s AND p <= e` with p on one side, s/e on
+    * the other — the point projects its single bin, the interval side
+    * replicates; each qualifying pair meets in exactly one reducer (the
+    * point's bin), so no dedup is needed.
+    */
+  private def rewritePoint(j: Join, conjuncts: Seq[Expression],
+      equi: Seq[Expression], residual: Seq[Expression], bin: Long)
+      : Option[LogicalPlan] = {
     val all = conjuncts.flatMap(readings(_, j.left, j.right))
     // first (lower, upper) pair agreeing on the point expression and side,
     // drawn from two distinct conjuncts
@@ -116,23 +140,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     pair.map { case ((pt, sExpr, ptOnLeft, _, _), (_, eExpr, _, _, _)) =>
       val (pointSide, intervalSide) =
         if (ptOnLeft) (j.left, j.right) else (j.right, j.left)
-      val equi = conjuncts.filter {
-        case EqualTo(a, b) =>
-          (fromSide(a, j.left) && fromSide(b, j.right)) ||
-            (fromSide(a, j.right) && fromSide(b, j.left))
-        case _ => false
-      }
-      val residual = conjuncts.filterNot(equi.contains)
-
       val pbin = Alias(binOf(pt, bin), PBin)()
       val pointBinned = Project(pointSide.output :+ pbin, pointSide)
-      val explode = Explode(Sequence(binOf(sExpr, bin), binOf(eExpr, bin),
-        None, Some(conf.sessionLocalTimeZone)))
-      val el = explode.elementSchema.head
-      val ibin = AttributeReference(IBin, el.dataType, el.nullable)()
-      val intervalBinned =
-        Generate(explode, Nil, outer = false, None, Seq(ibin), intervalSide)
-
+      val (ibin, intervalBinned) = binGenerate(IBin, sExpr, eExpr, bin, intervalSide)
       val (newLeft, newRight) =
         if (ptOnLeft) (pointBinned, intervalBinned)
         else (intervalBinned, pointBinned)
@@ -141,5 +151,58 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // residual includes the two bounds, so it is never empty
       Project(j.output, Filter(residual.reduce(And), joined))
     }
+  }
+
+  /** interval overlap: `lS <= rE AND rS <= lE` (any strictness/order) —
+    * BOTH sides replicate to their covered bins, and since an overlapping
+    * pair shares possibly many bins, only its FIRST shared bin
+    * `max(floor(lS/b), floor(rS/b))` emits (the operator's dedup-free
+    * trick, RangeJoin.intervalOverlapJoin): for any pair satisfying the
+    * residual, `floor(lS) <= floor(lE)`-side coverage of that bin follows
+    * from `lS <= lE or the residual's cross bounds`, symmetrically for
+    * the right — so the pair meets there and nowhere else after the
+    * first-shared-bin conjunct. Exact for strict bounds and malformed
+    * (start > end) intervals alike: `sequence` covers the same bin range
+    * in either direction and the residual is the original predicate.
+    */
+  private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
+      equi: Seq[Expression], residual: Seq[Expression], bin: Long)
+      : Option[LogicalPlan] = {
+    def asLoHi(c: Expression): Option[(Expression, Expression)] = c match {
+      case LessThanOrEqual(a, b)    => Some((a, b))
+      case LessThan(a, b)           => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case GreaterThan(a, b)        => Some((b, a))
+      case _                        => None
+    }
+    val lohis = conjuncts.flatMap(c => asLoHi(c).map { case (lo, hi) => (lo, hi, c) })
+    val found = (for {
+      c1 <- lohis.iterator // lS <= rE
+      c2 <- lohis.iterator // rS <= lE
+      if c1._3 ne c2._3
+      if sideOnly(c1._1, j.left) && sideOnly(c1._2, j.right) &&
+        sideOnly(c2._1, j.right) && sideOnly(c2._2, j.left)
+    } yield (c1, c2)).nextOption()
+    found.map { case ((lS, rE, _), (rS, lE, _)) =>
+      val (lbin, lGen) = binGenerate(LBin, lS, lE, bin, j.left)
+      val (rbin, rGen) = binGenerate(RBin, rS, rE, bin, j.right)
+      val newCond = (EqualTo(lbin, rbin) +: equi).reduce(And)
+      val joined = Join(lGen, rGen, Inner, Some(newCond), JoinHint.NONE)
+      val firstShared =
+        EqualTo(lbin, Greatest(Seq(binOf(lS, bin), binOf(rS, bin))))
+      Project(j.output, Filter((residual :+ firstShared).reduce(And), joined))
+    }
+  }
+
+  /** Generate(explode(sequence(floor(s/bin), floor(e/bin)))) over `child`,
+    * exposing the bin as `name`.
+    */
+  private def binGenerate(name: String, s: Expression, e: Expression,
+      bin: Long, child: LogicalPlan): (Attribute, LogicalPlan) = {
+    val explode = Explode(Sequence(binOf(s, bin), binOf(e, bin),
+      None, Some(conf.sessionLocalTimeZone)))
+    val el = explode.elementSchema.head
+    val attr = AttributeReference(name, el.dataType, el.nullable)()
+    (attr, Generate(explode, Nil, outer = false, None, Seq(attr), child))
   }
 }

@@ -98,6 +98,49 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       withBin(bin) { assert(rows(keyedSql) == truth, s"bin=$bin diverged") }
   }
 
+  test("interval overlap: rewrite fires, rows identical, no duplicates") {
+    // iv vs itself: overlap of [s,e] pairs per user — many shared bins
+    // per pair at bin=2, so the first-shared-bin dedup is load-bearing
+    val q = """SELECT a.iid, b.iid FROM iv a JOIN iv b
+               ON a.user = b.user AND a.s <= b.e AND b.s <= a.e"""
+    val truth = rows(q)
+    assert(truth.nonEmpty)
+    for (bin <- Seq(2L, 7L, 1000L)) withBin(bin) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"overlap rewrite did not fire at bin=$bin:\n$p")
+      assert(rows(q) == truth, s"bin=$bin diverged (duplicate or lost pairs)")
+    }
+  }
+
+  test("interval overlap: strict bounds and reversed operand order stay exact") {
+    val q = """SELECT a.iid, b.iid FROM iv a JOIN iv b
+               ON b.e >= a.s AND a.e > b.s AND a.iid < b.iid"""
+    val truth = rows(q)
+    withBin(4L) {
+      assert(!planOf(q).contains("BroadcastNestedLoopJoin"))
+      assert(rows(q) == truth)
+    }
+  }
+
+  test("overlap fuzz: random interval pairs equal the nested-loop truth") {
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, name: String): Unit =
+      Seq.tabulate(n) { i =>
+        val s = rnd.nextInt(500).toLong
+        (i.toLong, s"u${rnd.nextInt(4)}", s, s + rnd.nextInt(60).toLong)
+      }.toDF("iid", "user", "s", "e").createOrReplaceTempView(name)
+    mk(150, "fa"); mk(150, "fb")
+    val q = """SELECT fa.iid, fb.iid FROM fa JOIN fb
+               ON fa.user = fb.user AND fa.s <= fb.e AND fb.s <= fa.e"""
+    val truth = rows(q)
+    assert(truth.nonEmpty)
+    withBin(32L) {
+      assert(!planOf(q).contains("BroadcastNestedLoopJoin"))
+      assert(rows(q) == truth)
+    }
+  }
+
   test("fuzz: rewritten rows equal the nested-loop truth on random data") {
     val rnd = new scala.util.Random(7)
     val pts = Seq.tabulate(300)(i =>
