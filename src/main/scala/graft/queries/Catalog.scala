@@ -1170,6 +1170,35 @@ object Catalog {
         GROUP BY o.user_id ORDER BY o.user_id"""),
       headline = true),
 
+    "q_interval_join_sql" -> QueryDef(
+      // q_interval_join's EXACT semantics as naive overlap SQL, planned by
+      // RangeJoinRewrite's interval-overlap path (first-shared-bin dedup
+      // inside the rule) on a cloned session — both rewrite families now
+      // pass through the driver's oracle gate, not just the spec.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        s.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf, "7200000")
+        loadEvents(s, dir).createOrReplaceTempView("graft_ev")
+        s.sql("""WITH o AS (SELECT user_id, event_id AS err_id, ts_ms AS os,
+              ts_ms + 7200000 AS oe FROM graft_ev WHERE event_type = 'error'),
+            a AS (SELECT user_id, event_id AS buy_id, ts_ms - 3600000 AS as_,
+              ts_ms + 3600000 AS ae FROM graft_ev WHERE event_type = 'purchase')
+          SELECT o.user_id, count(*) AS n_pairs,
+            count(DISTINCT err_id) AS n_errors
+          FROM o JOIN a ON o.user_id = a.user_id
+            AND o.os <= a.ae AND a.as_ <= o.oe
+          GROUP BY o.user_id ORDER BY o.user_id""")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id AS err_id, epoch_ms(ts) AS os,
+            epoch_ms(ts) + 7200000 AS oe FROM events WHERE event_type = 'error'),
+        a AS (SELECT user_id, event_id AS buy_id, epoch_ms(ts) - 3600000 AS as_,
+            epoch_ms(ts) + 3600000 AS ae FROM events WHERE event_type = 'purchase')
+        SELECT o.user_id, count(*) AS n_pairs,
+          count(DISTINCT err_id) AS n_errors
+        FROM o JOIN a ON o.user_id = a.user_id AND o.os <= a.ae AND a.as_ <= o.oe
+        GROUP BY o.user_id ORDER BY o.user_id""")),
+
     "q_resample" -> QueryDef(
       // Resample.resampleForwardFill — per-user hourly regularization of
       // the event stream with zero-filled empty buckets and the last

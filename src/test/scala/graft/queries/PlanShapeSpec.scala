@@ -103,6 +103,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no bin replication (Generate) in the SQL-route plan:\n$p")
   }
 
+  test("q_interval_join_sql: the overlap path of the rule plans SQL without a nested loop") {
+    val p = plan("q_interval_join_sql")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the overlap rewrite did not fire on the SQL route:\n$p")
+    assert(p.contains("Generate"),
+      s"no bin replication (Generate) in the SQL-route overlap plan:\n$p")
+  }
+
   test("q_interval_coalesce: one key shuffle — island grouping reuses the window partitioning") {
     // Intervals.coalesce's scale contract: the running-max/island windows
     // and BOTH downstream aggregations (by (key, island), then by key)
