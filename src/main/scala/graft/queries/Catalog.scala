@@ -672,6 +672,44 @@ object Catalog {
         FROM g GROUP BY 1 ORDER BY user_id"""),
       headline = true),
 
+    "q_interval_gaps" -> QueryDef(
+      // the islands' complement (Intervals.gaps): per-user count and
+      // total span of the idle gaps BETWEEN 5-minute activity islands —
+      // same one-shuffle pedigree as coalesce (gaps derive from islands
+      // by one lag over the same key partitioning). Users with a single
+      // island have no gaps and drop out (inner aggregation semantics,
+      // mirrored in the oracle by the pm IS NOT NULL filter shape).
+      (s, dir) => {
+        val iv = events(s, dir).select(col("user_id"),
+          col("ts_ms").as("s"), (col("ts_ms") + lit(300000L)).as("e"))
+        graft.operators.Intervals.gaps(iv, Seq("user_id"), "s", "e")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap_end") - col("gap_start")).as("idle_ms"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_ms(ts) AS s,
+          epoch_ms(ts) + 300000 AS e FROM events),
+        o AS (SELECT user_id, s, e,
+            max(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv),
+        i AS (SELECT user_id, s, e,
+            sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS island
+          FROM o),
+        g AS (SELECT user_id, island, min(s) AS island_start,
+            max(e) AS island_end
+          FROM i GROUP BY 1, 2),
+        gp AS (SELECT user_id, island_start,
+            lag(island_end) OVER (PARTITION BY user_id ORDER BY island) AS prev_end
+          FROM g)
+        SELECT user_id, count(*)::BIGINT AS n_gaps,
+          sum(island_start - prev_end)::BIGINT AS idle_ms
+        FROM gp WHERE prev_end IS NOT NULL
+        GROUP BY 1 ORDER BY user_id""")),
+
     "q_asof_join" -> QueryDef(
       // the generic as-of join OPERATOR (KVOps.asofJoinBackward — one
       // shuffle, union-window form), oracled against DuckDB's native
