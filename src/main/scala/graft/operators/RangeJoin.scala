@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** The loud degenerate-interval guard shared by every binned builder:
+    * the interval's start column, or a codegen'd `raise_error` when the
+    * interval spans >= `maxBinsPerInterval` bins (one row must never fan
+    * out unboundedly in silence).
+    */
+  private def guardedStart(op: String, startCol: String, endCol: String,
+      binSize: Long, maxBinsPerInterval: Long) =
+    if (maxBinsPerInterval > 0)
+      when(
+        floor(col(endCol) / binSize) - floor(col(startCol) / binSize) >= maxBinsPerInterval,
+        raise_error(concat(
+          lit(s"$op: interval spans >= $maxBinsPerInterval bins of $binSize ("),
+          col(startCol), lit(".."), col(endCol),
+          lit(") — widen binSize or split the interval"))))
+      .otherwise(col(startCol))
+    else col(startCol)
+
   /** Pairs every point row with every interval row whose
     * `[startCol, endCol]` (inclusive both ends) contains its `tCol`.
     * All columns of both inputs pass through; disambiguate upstream.
@@ -47,22 +64,54 @@ object RangeJoin {
       maxBinsPerInterval: Long = 1 << 20): DataFrame = {
     require(binSize > 0, "pointInInterval: binSize must be positive")
     val p = points.withColumn("__bin", floor(col(tCol) / binSize))
-    val guarded =
-      if (maxBinsPerInterval > 0)
-        when(
-          floor(col(endCol) / binSize) - floor(col(startCol) / binSize) >= maxBinsPerInterval,
-          raise_error(concat(
-            lit(s"pointInInterval: interval spans >= $maxBinsPerInterval bins of $binSize ("),
-            col(startCol), lit(".."), col(endCol),
-            lit(") — widen binSize or split the interval"))))
-        .otherwise(col(startCol))
-      else col(startCol)
+    val guarded = guardedStart("pointInInterval", startCol, endCol,
+      binSize, maxBinsPerInterval)
     val iv = intervals
       .withColumn("__bin", explode(sequence(
         floor(guarded / binSize), floor(col(endCol) / binSize))))
     p.join(iv, keys :+ "__bin")
       .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bin")
+  }
+
+  /** LEFT-OUTER [[pointInInterval]]: every point row survives — paired
+    * with each containing interval, or null-extended on the interval's
+    * columns when none contains it (the "events LEFT JOIN shifts" shape a
+    * migrating user types in week one). Same scale story as the inner
+    * form, with one structural difference: because each point hashes to
+    * exactly ONE bin, the point side is never replicated, so a plain
+    * left-outer hash/sort-merge equi-join on (keys, bin) — with the
+    * containment predicate folded into the join condition, NOT a filter
+    * above it — null-extends each unmatched point exactly once. No
+    * anti-join complement pass, no dedup.
+    *
+    * The interval side's `keys` columns are dropped from the output (they
+    * would be null on unmatched rows; the point side's copies are the
+    * preserved ones) — everything else on both sides passes through.
+    */
+  def pointInIntervalLeft(
+      points: DataFrame,
+      intervals: DataFrame,
+      binSize: Long,
+      tCol: String,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 1 << 20): DataFrame = {
+    require(binSize > 0, "pointInIntervalLeft: binSize must be positive")
+    val p = points.withColumn("__bin", floor(col(tCol) / binSize))
+    val guarded = guardedStart("pointInIntervalLeft", startCol, endCol,
+      binSize, maxBinsPerInterval)
+    val iv = keys.foldLeft(
+      intervals.withColumn("__ibin", explode(sequence(
+        floor(guarded / binSize), floor(col(endCol) / binSize))))) {
+      (df, k) => df.withColumnRenamed(k, s"__iv_$k")
+    }
+    val cond = (keys.map(k => col(k) === col(s"__iv_$k")) ++ Seq(
+      col("__bin") === col("__ibin"),
+      col(tCol) >= col(startCol), col(tCol) <= col(endCol))).reduce(_ && _)
+    p.join(iv, cond, "left")
+      .drop("__bin" +: "__ibin" +: keys.map(k => s"__iv_$k"): _*)
   }
 
   /** Interval-overlap join: pairs (l, r) where `[lStart, lEnd]` and
@@ -89,16 +138,8 @@ object RangeJoin {
       maxBinsPerInterval: Long = 1 << 20): DataFrame = {
     require(binSize > 0, "intervalOverlapJoin: binSize must be positive")
     def binned(df: DataFrame, s: String, e: String): DataFrame = {
-      val guarded =
-        if (maxBinsPerInterval > 0)
-          when(
-            floor(col(e) / binSize) - floor(col(s) / binSize) >= maxBinsPerInterval,
-            raise_error(concat(
-              lit(s"intervalOverlapJoin: interval spans >= $maxBinsPerInterval bins of $binSize ("),
-              col(s), lit(".."), col(e),
-              lit(") — widen binSize or split the interval"))))
-          .otherwise(col(s))
-        else col(s)
+      val guarded = guardedStart("intervalOverlapJoin", s, e,
+        binSize, maxBinsPerInterval)
       df.withColumn("__bin", explode(sequence(
         floor(guarded / binSize), floor(col(e) / binSize))))
     }

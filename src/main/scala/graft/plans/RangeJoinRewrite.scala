@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StringType}
 
 /** Opt-in Catalyst optimizer rule: rewrites the two nested-loop-only
   * interval join families — point-in-interval `p.t >= iv.s AND
@@ -37,6 +37,17 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * Registered via `GraftExtensions` (config route `injectOptimizerRule`
   * and the runtime `spark.experimental.extraOptimizations` path).
   *
+  * Join types: Inner for both families, plus LeftOuter/RightOuter for
+  * point-in-interval when the preserved side is the point side ("events
+  * LEFT JOIN shifts ON ... ts in range" keeps unmatched events) — the
+  * point side is never replicated, so the outer join null-extends each
+  * unmatched point exactly once; the full original condition moves into
+  * the join condition, since a Filter above an outer join would drop the
+  * null-extended rows. Joins carrying an explicit user hint are left
+  * untouched (the user's strategy choice wins over the opt-in rule), and
+  * `spark.graft.rangeJoin.maxBinsPerInterval` (default 2^20) ports the
+  * operator API's loud degenerate-interval guard to the rewrite.
+  *
   * Idempotency: the rewritten join's children expose the synthetic
   * `__graft_pbin`/`__graft_ibin` columns; the rule skips any join whose
   * inputs already carry them (filter-pushback folds the residual back
@@ -46,6 +57,8 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinSizeConf = "spark.graft.rangeJoin.binSize"
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
+  private val DefaultMaxBins = 1L << 20
   private val PBin = "__graft_pbin"
   private val IBin = "__graft_ibin"
   private val LBin = "__graft_lbin"
@@ -58,9 +71,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       catch { case _: NumberFormatException => 0L }
     if (binSize <= 0) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _) if !alreadyRewritten(j) =>
+      // A user-supplied join hint (/*+ BROADCAST */ etc.) is an explicit
+      // strategy choice — the rule steps aside rather than discarding it.
+      case j @ Join(_, _, jt, Some(cond), JoinHint.NONE)
+          if supportedType(jt) && !alreadyRewritten(j) =>
         rewrite(j, cond, binSize).getOrElse(j)
     }
+  }
+
+  /** Inner, plus the outer types whose PRESERVED side can be the point
+    * side (the non-replicated side null-extends exactly once per
+    * unmatched row, so outer semantics survive the rewrite for free).
+    * Overlap rewrites stay Inner-only: both sides replicate there, so an
+    * unmatched preserved row would null-extend once per bin copy.
+    */
+  private def supportedType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter => true
+    case _ => false
   }
 
   private def alreadyRewritten(j: Join): Boolean =
@@ -118,24 +145,44 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     val residual = conjuncts.filterNot(equi.contains)
     rewritePoint(j, conjuncts, equi, residual, bin)
-      .orElse(rewriteOverlap(j, conjuncts, equi, residual, bin))
+      .orElse(if (j.joinType == Inner)
+        rewriteOverlap(j, conjuncts, equi, residual, bin) else None)
   }
 
   /** point-in-interval: `p >= s AND p <= e` with p on one side, s/e on
     * the other — the point projects its single bin, the interval side
     * replicates; each qualifying pair meets in exactly one reducer (the
     * point's bin), so no dedup is needed.
+    *
+    * Outer forms: because the point side is NEVER replicated, a
+    * LeftOuter join whose preserved (left) side is the point side — or a
+    * RightOuter whose preserved (right) side is — rewrites to the same
+    * binned join with the SAME outer type, provided the ENTIRE original
+    * condition moves into the join condition (a Filter above an outer
+    * join would eat the null-extended rows). Each unmatched point then
+    * null-extends exactly once, matching the nested-loop semantics. A
+    * LeftOuter preserving the INTERVAL side is not rewritten (the
+    * interval side replicates, so unmatched intervals would null-extend
+    * once per bin).
     */
   private def rewritePoint(j: Join, conjuncts: Seq[Expression],
       equi: Seq[Expression], residual: Seq[Expression], bin: Long)
       : Option[LogicalPlan] = {
     val all = conjuncts.flatMap(readings(_, j.left, j.right))
     // first (lower, upper) pair agreeing on the point expression and side,
-    // drawn from two distinct conjuncts
+    // drawn from two distinct conjuncts; for outer joins, only pairs
+    // whose point side is the PRESERVED side qualify
+    def preservedOk(ptOnLeft: Boolean): Boolean = j.joinType match {
+      case Inner      => true
+      case LeftOuter  => ptOnLeft
+      case RightOuter => !ptOnLeft
+      case _          => false
+    }
     val pair = (for {
       lo <- all.iterator if lo._4
       hi <- all.iterator if !hi._4
       if (lo._5 ne hi._5) && lo._3 == hi._3 && lo._1.semanticEquals(hi._1)
+      if preservedOk(lo._3)
     } yield (lo, hi)).nextOption()
     pair.map { case ((pt, sExpr, ptOnLeft, _, _), (_, eExpr, _, _, _)) =>
       val (pointSide, intervalSide) =
@@ -146,10 +193,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val (newLeft, newRight) =
         if (ptOnLeft) (pointBinned, intervalBinned)
         else (intervalBinned, pointBinned)
-      val newCond = (EqualTo(pbin.toAttribute, ibin) +: equi).reduce(And)
-      val joined = Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE)
-      // residual includes the two bounds, so it is never empty
-      Project(j.output, Filter(residual.reduce(And), joined))
+      val binEq = EqualTo(pbin.toAttribute, ibin)
+      j.joinType match {
+        case Inner =>
+          val newCond = (binEq +: equi).reduce(And)
+          val joined = Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE)
+          // residual includes the two bounds, so it is never empty
+          Project(j.output, Filter(residual.reduce(And), joined))
+        case outer =>
+          // every original conjunct joins the bin equality INSIDE the
+          // join condition; ExtractEquiJoinKeys still finds (bin, equi)
+          // as keys, the bounds ride along as the join's extra condition
+          val newCond = (binEq +: equi ++: residual).reduce(And)
+          Project(j.output,
+            Join(newLeft, newRight, outer, Some(newCond), JoinHint.NONE))
+      }
     }
   }
 
@@ -195,12 +253,34 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Generate(explode(sequence(floor(s/bin), floor(e/bin)))) over `child`,
-    * exposing the bin as `name`.
+    * exposing the bin as `name` — with the operator API's loud
+    * degenerate-interval guard (RangeJoin.guardedStart): an interval
+    * spanning >= `spark.graft.rangeJoin.maxBinsPerInterval` bins (default
+    * 2^20; <= 0 disables) raises a codegen'd error naming the offending
+    * bounds instead of silently replicating one row to millions of bins
+    * (the classic symptom: a units mismatch between the binSize conf and
+    * the column). The guard runs post-analysis, so it is typed by hand:
+    * RaiseError is NullType and is Cast to the bin's LongType to keep the
+    * If well-formed without the analyzer's coercion.
     */
   private def binGenerate(name: String, s: Expression, e: Expression,
       bin: Long, child: LogicalPlan): (Attribute, LogicalPlan) = {
-    val explode = Explode(Sequence(binOf(s, bin), binOf(e, bin),
-      None, Some(conf.sessionLocalTimeZone)))
+    val maxBins =
+      try conf.getConfString(MaxBinsConf, DefaultMaxBins.toString).toLong
+      catch { case _: NumberFormatException => DefaultMaxBins }
+    val startBin = binOf(s, bin)
+    val endBin = binOf(e, bin)
+    val tz = Some(conf.sessionLocalTimeZone)
+    val guardedStart =
+      if (maxBins > 0) {
+        val msg = Concat(Seq(
+          Literal(s"RangeJoinRewrite: interval spans >= $maxBins bins of $bin ("),
+          Cast(s, StringType, tz), Literal(".."), Cast(e, StringType, tz),
+          Literal(s") — widen $BinSizeConf or raise $MaxBinsConf")))
+        If(GreaterThanOrEqual(Subtract(endBin, startBin), Literal(maxBins)),
+          Cast(RaiseError(msg), LongType, tz), startBin)
+      } else startBin
+    val explode = Explode(Sequence(guardedStart, endBin, None, tz))
     val el = explode.elementSchema.head
     val attr = AttributeReference(name, el.dataType, el.nullable)()
     (attr, Generate(explode, Nil, outer = false, None, Seq(attr), child))

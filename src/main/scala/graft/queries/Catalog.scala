@@ -442,9 +442,9 @@ object Catalog {
         per_user AS (
           SELECT user_id, max(v_ts) AS v, max(c_ts) AS c, max(p_ts) AS p
           FROM staged GROUP BY user_id)
-        SELECT sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-          sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
-          sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase
+        SELECT count(v)::BIGINT AS n_view,
+          count(c)::BIGINT AS n_click,
+          count(p)::BIGINT AS n_purchase
         FROM per_user"""),
       headline = true),
 
@@ -921,11 +921,11 @@ object Catalog {
             sum(c) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS n
           FROM bkt)
         SELECT o_orderstatus, o_orderpriority,
-          round(min(CASE WHEN cum >= 0.5::DOUBLE * n THEN b * 10000.0 END), 6)
+          round(min(CASE WHEN cum >= 0.5::DOUBLE * n THEN b * 10000.0 END)::DOUBLE, 6)
             AS o_totalprice_p50,
-          round(min(CASE WHEN cum >= 0.9::DOUBLE * n THEN b * 10000.0 END), 6)
+          round(min(CASE WHEN cum >= 0.9::DOUBLE * n THEN b * 10000.0 END)::DOUBLE, 6)
             AS o_totalprice_p90,
-          round(min(CASE WHEN cum >= 0.99::DOUBLE * n THEN b * 10000.0 END), 6)
+          round(min(CASE WHEN cum >= 0.99::DOUBLE * n THEN b * 10000.0 END)::DOUBLE, 6)
             AS o_totalprice_p99
         FROM cum GROUP BY o_orderstatus, o_orderpriority
         ORDER BY o_orderstatus, o_orderpriority"""),
@@ -1150,6 +1150,73 @@ object Catalog {
             FROM events WHERE event_type = 'purchase')
         SELECT p.user_id, count(*) AS n_pairs, round(sum(p.value), 2) AS sum_value
         FROM p JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
+        GROUP BY p.user_id ORDER BY p.user_id""")),
+
+    "q_range_join_left" -> QueryDef(
+      // RangeJoin.pointInIntervalLeft — the left-outer member of the
+      // family: EVERY purchase survives, paired with each containing
+      // 6h error window or null-extended when none contains it. Because
+      // points hash to exactly one bin, the left-outer equi-join on
+      // (user, bin) null-extends each unmatched point exactly once — no
+      // anti-join complement pass. Matched/unmatched split is oracled
+      // against DuckDB's plain LEFT JOIN.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val wins = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_ms").as("ws"),
+            (col("ts_ms") + lit(21600000L)).as("we"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms").as("pt"), col("value"))
+        graft.operators.RangeJoin.pointInIntervalLeft(
+            purchases, wins, binSize = 21600000L,
+            tCol = "pt", startCol = "ws", endCol = "we", keys = Seq("user_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("ws")).as("n_matched"),
+            (count(lit(1)) - count(col("ws"))).as("n_unmatched"),
+            round(sum("value"), 2).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH w AS (SELECT user_id, epoch_ms(ts) AS ws,
+            epoch_ms(ts) + 21600000 AS we FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, epoch_ms(ts) AS pt, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, count(*) AS n_rows, count(w.ws) AS n_matched,
+          count(*) - count(w.ws) AS n_unmatched,
+          round(sum(p.value), 2) AS sum_value
+        FROM p LEFT JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
+        GROUP BY p.user_id ORDER BY p.user_id""")),
+
+    "q_range_join_left_sql" -> QueryDef(
+      // q_range_join_left's EXACT semantics as the naive LEFT JOIN a
+      // migrating user types — planned by RangeJoinRewrite's outer path
+      // (the full condition moves inside the binned LeftOuter join, so
+      // unmatched purchases null-extend exactly once; no nested loop).
+      // RangeJoinRewriteSpec pins the plan; this row pins the answers.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        s.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf, "21600000")
+        loadEvents(s, dir).createOrReplaceTempView("graft_ev")
+        s.sql("""WITH w AS (SELECT user_id, ts_ms AS ws, ts_ms + 21600000 AS we
+              FROM graft_ev WHERE event_type = 'error'),
+            p AS (SELECT user_id, ts_ms AS pt, value
+              FROM graft_ev WHERE event_type = 'purchase')
+          SELECT p.user_id, count(*) AS n_rows, count(w.ws) AS n_matched,
+            count(*) - count(w.ws) AS n_unmatched,
+            round(sum(p.value), 2) AS sum_value
+          FROM p LEFT JOIN w ON p.user_id = w.user_id
+            AND p.pt >= w.ws AND p.pt <= w.we
+          GROUP BY p.user_id ORDER BY p.user_id""")
+      },
+      Some("""WITH w AS (SELECT user_id, epoch_ms(ts) AS ws,
+            epoch_ms(ts) + 21600000 AS we FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, epoch_ms(ts) AS pt, value
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, count(*) AS n_rows, count(w.ws) AS n_matched,
+          count(*) - count(w.ws) AS n_unmatched,
+          round(sum(p.value), 2) AS sum_value
+        FROM p LEFT JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
         GROUP BY p.user_id ORDER BY p.user_id""")),
 
     "q_band_join" -> QueryDef(

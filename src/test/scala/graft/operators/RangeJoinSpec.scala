@@ -96,6 +96,50 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(RangeJoin.overflowIntervals(iv, 100000L, "s", "e", 1000L).isEmpty)
   }
 
+  test("pointInIntervalLeft matches the brute-force left join") {
+    val p = pts.toDF("pid", "t")
+    val iv = ivs.toDF("iid", "s", "e")
+    for (binSize <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInIntervalLeft(p, iv, binSize, "t", "s", "e")
+        .select("pid", "iid").as[(Long, Option[Long])].collect().sorted.toSeq
+      val want = p.join(iv,
+          col("t") >= col("s") && col("t") <= col("e"), "left")
+        .select("pid", "iid").as[(Long, Option[Long])].collect().sorted.toSeq
+      assert(got == want, s"binSize=$binSize")
+      // every point survives; unmatched points null-extend exactly once
+      assert(got.map(_._1).distinct.sorted == pts.map(_._1).sorted)
+    }
+  }
+
+  test("pointInIntervalLeft with keys: per-key matches, unmatched survive once") {
+    val p = pts.map { case (id, t) => (id, t, id % 3) }.toDF("pid", "t", "k")
+    val iv = ivs.map { case (id, s, e) => (id, s, e, id % 3) }.toDF("iid", "s", "e", "k")
+    val res = RangeJoin.pointInIntervalLeft(p, iv, 64L, "t", "s", "e", keys = Seq("k"))
+    // interval-side key copy is dropped; point columns all survive
+    assert(res.columns.toSeq == Seq("pid", "t", "k", "iid", "s", "e"))
+    val got = res.select("pid", "iid").as[(Long, Option[Long])].collect().sorted.toSeq
+    val want = p.join(iv.select(col("iid"), col("s"), col("e"), col("k").as("k2")),
+        col("k") === col("k2") && col("t") >= col("s") && col("t") <= col("e"), "left")
+      .select("pid", "iid").as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.map(_._1).distinct.sorted == pts.map(_._1).sorted)
+  }
+
+  test("pointInIntervalLeft null point and degenerate-interval guard") {
+    val p = Seq((1L, Some(5L)), (2L, None)).toDF("pid", "t")
+    val iv = Seq((10L, 0L, 10L)).toDF("iid", "s", "e")
+    val rows = RangeJoin.pointInIntervalLeft(p, iv, 8L, "t", "s", "e")
+      .select("pid", "iid").as[(Long, Option[Long])].collect().sorted.toSeq
+    // the null-t point survives, null-extended
+    assert(rows == Seq((1L, Some(10L)), (2L, None)))
+    val wide = Seq((1L, 0L, 10000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInIntervalLeft(p, wide, 1L, "t", "s", "e",
+        maxBinsPerInterval = 1000L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("bandJoin matches brute force, each pair exactly once") {
     val l = pts.toDF("lid", "lt")
     val r = pts.map { case (id, t) => (id + 5000L, t) }.toDF("rid", "rt")

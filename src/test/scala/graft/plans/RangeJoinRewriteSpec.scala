@@ -141,6 +141,76 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  private def rowsOpt(sql: String): Seq[(Long, Option[Long])] =
+    spark.sql(sql).as[(Long, Option[Long])].collect().toSeq.sortBy(r => (r._1, r._2))
+
+  test("LEFT JOIN preserving the point side: no nested loop, identical rows") {
+    val q = """SELECT pid, iid FROM pts LEFT JOIN iv
+               ON pts.user = iv.user AND t >= s AND t <= e"""
+    val truth = rowsOpt(q)
+    // the fixture guarantees both matched and unmatched points
+    assert(truth.exists(_._2.isEmpty) && truth.exists(_._2.nonEmpty))
+    for (bin <- Seq(3L, 8L, 1000L)) withBin(bin) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"left-outer rewrite did not fire at bin=$bin:\n$p")
+      assert(rowsOpt(q) == truth,
+        s"bin=$bin diverged (lost or duplicated a null-extension)")
+    }
+  }
+
+  test("RIGHT JOIN preserving the point side rewrites; interval-preserved does not") {
+    val rightQ = """SELECT pid, iid FROM iv RIGHT JOIN pts
+                    ON pts.user = iv.user AND t >= s AND t <= e"""
+    val truthR = rowsOpt(rightQ)
+    withBin(8L) {
+      assert(!planOf(rightQ).contains("BroadcastNestedLoopJoin"),
+        s"right-outer (point preserved) should rewrite:\n${planOf(rightQ)}")
+      assert(rowsOpt(rightQ) == truthR)
+    }
+    // LEFT JOIN preserving the INTERVAL side: replicated side would
+    // null-extend once per bin — the rule must step aside (no bin
+    // Generate in the plan), rows unchanged
+    val ivQ = """SELECT iid, pid FROM iv LEFT JOIN pts
+                 ON pts.user = iv.user AND t >= s AND t <= e"""
+    val truthI = rowsOpt(ivQ)
+    withBin(8L) {
+      assert(!planOf(ivQ).contains("Generate"),
+        s"interval-preserved outer join must NOT be rewritten:\n${planOf(ivQ)}")
+      assert(rowsOpt(ivQ) == truthI)
+    }
+  }
+
+  test("an explicit user join hint wins over the rule") {
+    val q = """SELECT /*+ BROADCAST(iv) */ pid, iid FROM pts JOIN iv
+               ON t >= s AND t <= e"""
+    val truth = rows(q)
+    withBin(8L) {
+      assert(planOf(q).contains("BroadcastNestedLoopJoin"),
+        s"hinted join must keep the user's strategy:\n${planOf(q)}")
+      assert(rows(q) == truth)
+    }
+  }
+
+  test("degenerate-interval guard: a bin-explosion interval fails loudly") {
+    Seq((1L, "u1", Some(0L), Some(100000000L)))
+      .toDF("iid", "user", "s", "e").createOrReplaceTempView("wideiv")
+    withBin(1L) {
+      spark.conf.set(RangeJoinRewrite.MaxBinsConf, "1000")
+      try {
+        val ex = intercept[Exception] {
+          spark.sql("SELECT pid, iid FROM pts JOIN wideiv ON t >= s AND t <= e")
+            .collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains("bins")),
+          s"expected the loud bins guard, got: ${msgs(ex)}")
+      } finally spark.conf.unset(RangeJoinRewrite.MaxBinsConf)
+    }
+  }
+
   test("fuzz: rewritten rows equal the nested-loop truth on random data") {
     val rnd = new scala.util.Random(7)
     val pts = Seq.tabulate(300)(i =>

@@ -7,9 +7,33 @@ Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 oracle SQL in DuckDB against the sfDir parquet tables, and compares with the
 Spark parquet dump: row count, sorted column names, and a value hash over
 columns sorted by name (the driver's protocol).
+
+Every oracle is also TYPE-LINTED via a LIMIT-0 `.arrow()` probe: any
+DECIMAL128/HUGEINT output column fails, because the driver's pandas/arrow
+path stringifies those as `150.0` vs Spark's BIGINT `150` and the value hash
+diverges even when the answers are identical (the r8 q_funnel incident).
+Pass `--lint` to run ONLY the type lint (no Spark dump needed beyond
+oracle_sql.json).
 """
 import sys, json, glob, hashlib
 import duckdb
+
+# Arrow type ids the driver's hash protocol cannot round-trip: any decimal
+# (DuckDB types sum(int) as DECIMAL128(38,0) == HUGEINT surrogate). Our
+# convention is doubles-rounded / counts-cast-BIGINT, so NO oracle should
+# ever emit a decimal column.
+import pyarrow as pa
+
+
+def lint_types(con, sql):
+    """Return [(col, type), ...] of hash-protocol-unsafe output columns."""
+    tbl = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow()
+    bad = []
+    for field in tbl.schema:
+        t = field.type
+        if pa.types.is_decimal(t):
+            bad.append((field.name, str(t)))
+    return bad
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -25,8 +49,10 @@ def table_hash(rows, cols):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if a != "--lint"]
+    lint_only = "--lint" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    subset = set(args[2].split(",")) if len(args) > 2 else None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
@@ -36,6 +62,19 @@ def main():
     fails = 0
     for name in sorted(oracle):
         if subset and name not in subset:
+            continue
+        try:
+            bad = lint_types(con, oracle[name])
+        except Exception as e:
+            print(f"[typelint] {name:28s} PROBE ERROR: {e}")
+            fails += 1
+            continue
+        if bad:
+            print(f"[typelint] {name:28s} UNSAFE OUTPUT TYPES: {bad}")
+            fails += 1
+        elif lint_only:
+            print(f"[typelint] {name:28s} OK")
+        if lint_only:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
