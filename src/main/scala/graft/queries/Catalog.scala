@@ -1761,6 +1761,41 @@ object Catalog {
         FROM events WHERE event_id % 5 = 0 OR event_id % 2 = 0
         ORDER BY k""")),
 
+    "kv_engine_diff_sql" -> QueryDef(
+      // The SAME net-change feed as kv_engine_diff, consumed through the
+      // pure-SQL boundary: build the before-state, backupTo a second dir
+      // (the manifest-level copy a replica would hold), mutate the live
+      // engine, then read `graft_changes('<backup>', '<live>', asOf)` —
+      // the TVF hands changesBetween's analyzed plan to the SQL tree
+      // (GraftExtensions.graftChangesPlan), so the SQL boundary itself
+      // sits under the oracle gate, not just the Column API. The asOf
+      // instant is EXPLICIT (a fixed future second) — the wall-clock
+      // default would make the row time-dependent.
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q-diffsql").toString
+        val bak = Files.createTempDirectory("graft-q-diffbak").toString
+        val db = new GraftDB(s, tmp, GraftOptions(compactTriggerFiles = 1000))
+        val ev = t(s, dir, "events")
+        val key = encode(concat(lpad(col("user_id").cast("string"), 4, "0"), lit("#"),
+          lpad(col("event_id").cast("string"), 6, "0")), "UTF-8").as("key")
+        db.write(ev.select(key,
+          encode(concat(lit("old:"), col("event_type")), "UTF-8").as("value")))
+        db.backupTo(bak)
+        db.write(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select(key, encode(concat(lit("new:"), col("event_type")), "UTF-8").as("value")))
+        db.write(ev.filter(pmod(col("event_id"), lit(5)) === 0)
+          .select(key, lit(null).cast("binary").as("value")))
+        db.compact() // rewritten-segment candidates must diff away
+        graft.GraftExtensions.register(s)
+        s.sql(s"""SELECT decode(key, 'UTF-8') AS k, op, decode(value, 'UTF-8') AS v
+          FROM graft_changes('$bak', '$tmp', 4102444800) ORDER BY k""")
+      },
+      Some("""SELECT lpad(user_id::VARCHAR, 4, '0') || '#' || lpad(event_id::VARCHAR, 6, '0') AS k,
+        CASE WHEN event_id % 5 = 0 THEN 'del' ELSE 'set' END AS op,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'new:' || event_type END AS v
+        FROM events WHERE event_id % 5 = 0 OR event_id % 2 = 0
+        ORDER BY k""")),
+
     "kv_engine_gc" -> QueryDef(
       // Blob GC END-TO-END (the reference's marquee WiscKey path,
       // kv/vlog_gc.go:75-253): gen1 blob-routes every value, gen2 re-blobs

@@ -54,6 +54,78 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  /** Replay model for PREDICATE stages (possibly overlapping): one event
+    * may complete several stages in order — matching the window pass,
+    * where stage i's gate reads stage i-1's frontier INCLUDING the
+    * current row.
+    */
+  private def refFunnelPred(
+      rows: Seq[(Long, Long, Long, Long)], // key, ts, tie, v
+      preds: Seq[Long => Boolean],
+      horizon: Option[Long]): Map[Long, Seq[Option[Long]]] =
+    rows.groupBy(_._1).map { case (k, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val frontier = Array.fill[Option[Long]](preds.length)(None)
+      for ((_, ts, _, v) <- sorted; i <- preds.indices
+           if frontier(i).isEmpty && preds(i)(v)) {
+        val prevOk = i == 0 || frontier(i - 1).exists(ts >= _)
+        val horizonOk = i == 0 ||
+          horizon.forall(h => frontier.head.exists(ts - _ <= h))
+        if (prevOk && horizonOk) frontier(i) = Some(ts)
+      }
+      k -> frontier.toSeq
+    }
+
+  test("funnelStages fuzz: overlapping predicates, ts ties, horizon boundaries") {
+    // 240 independent histories (keys) across 6 jobs: tiny ts range so
+    // ties are common, horizon 10 over ts 0..15 so boundary (== h) and
+    // just-past (== h+1) gaps both occur, and v-threshold stages OVERLAP
+    // (v=4 satisfies all three), so one event can cascade several stages
+    val rnd = new Random(97L)
+    val preds: Seq[Long => Boolean] = Seq(_ >= 1L, _ >= 2L, _ >= 3L)
+    for (round <- 0 until 3; horizon <- Seq(None, Some(10L))) {
+      val rows = (0 until 600).map { i =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(16).toLong, i.toLong,
+          rnd.nextInt(5).toLong)
+      }
+      val df = rows.toDF("user_id", "ts_ms", "event_id", "v")
+      val got = Analytics.funnelStages(df,
+          stages = Seq("s1" -> (col("v") >= 1), "s2" -> (col("v") >= 2),
+            "s3" -> (col("v") >= 3)),
+          keys = Seq("user_id"), horizonMs = horizon)
+        .collect().map { r =>
+          r.getLong(0) -> (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+        }.toMap
+      val expect = refFunnelPred(rows, preds, horizon)
+      assert(got == expect, s"round $round horizon $horizon:\n" +
+        (got.keySet ++ expect.keySet).toSeq.sorted
+          .filter(k => got.get(k) != expect.get(k))
+          .map(k => s"  key $k got ${got.get(k)} expect ${expect.get(k)}")
+          .mkString("\n"))
+    }
+  }
+
+  test("funnelStages horizon boundary: exactly-h qualifies, h+1 does not") {
+    // key 1: stage2 lands exactly at horizon (10 - 0 == 10 <= 10)
+    // key 2: stage2 one past the horizon (11 - 0 > 10) — never completes
+    // key 3: same-ts cascade — one event (v=3) completes all three stages
+    val rows = Seq(
+      (1L, 0L, 0L, 1L), (1L, 10L, 1L, 2L),
+      (2L, 0L, 2L, 1L), (2L, 11L, 3L, 2L),
+      (3L, 5L, 4L, 3L))
+    val got = Analytics.funnelStages(
+        rows.toDF("user_id", "ts_ms", "event_id", "v"),
+        stages = Seq("s1" -> (col("v") >= 1), "s2" -> (col("v") >= 2),
+          "s3" -> (col("v") >= 3)),
+        keys = Seq("user_id"), horizonMs = Some(10L))
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+      }.toMap
+    assert(got(1L) == Seq(Some(0L), Some(10L), None))
+    assert(got(2L) == Seq(Some(0L), None, None))
+    assert(got(3L) == Seq(Some(5L), Some(5L), Some(5L)))
+  }
+
   test("funnelCounts is monotone non-increasing across stages") {
     val rnd = new Random(82L)
     val rows = (0 until 300).map { i =>

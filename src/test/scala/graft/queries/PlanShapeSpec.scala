@@ -103,6 +103,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no bin replication (Generate) in the SQL-route plan:\n$p")
   }
 
+  test("q_range_join_left_sql: the outer path of the rule keeps LEFT JOIN off the nested loop") {
+    val p = plan("q_range_join_left_sql")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the left-outer rewrite did not fire on the SQL route:\n$p")
+    assert(p.contains("Generate"),
+      s"no bin replication (Generate) in the left-outer SQL plan:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"the rewritten join lost its LeftOuter type (semantics!):\n$p")
+  }
+
   test("q_interval_join_sql: the overlap path of the rule plans SQL without a nested loop") {
     val p = plan("q_interval_join_sql")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -352,6 +362,24 @@ class PlanShapeSpec extends AnyFunSuite {
     // events scans once: a second scan means a stage re-reads the source
     assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
       s"funnel scans the source more than once:\n$p")
+    // the whole scale contract: funnel depth adds projections, never
+    // exchanges — exactly one key shuffle (window + per-user agg share
+    // it) plus the single-partition gather for the one-row final
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"funnel should shuffle exactly once on the keys, saw $hashEx hash exchanges in:\n$p")
+    assert(p.contains("SinglePartition"),
+      s"funnel lost its single-partition final gather:\n$p")
+  }
+
+  test("q_interval_gaps: the complement rides the same single key shuffle as coalesce") {
+    val p = plan("q_interval_gaps")
+    assert(p.contains("Window"), s"interval gaps lost its window form:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "interval gaps regressed to a join-based plan")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"interval gaps should shuffle exactly once on the key, saw $hashEx hash exchanges in:\n$p")
   }
 
   test("text_subword: piece join-back broadcasts — per-instance resplit never returns") {
