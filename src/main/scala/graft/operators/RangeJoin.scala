@@ -150,6 +150,55 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** LEFT-OUTER [[intervalOverlapJoin]]: every left interval survives —
+    * paired with each overlapping right interval, or null-extended when
+    * none overlaps. Unlike the point form, BOTH sides replicate to their
+    * bins, so folding the predicate into an outer bin-join would
+    * null-extend an unmatched left once PER BIN copy; instead this is the
+    * inner binned core (exact, dedup-free) plus a LEFT-ANTI complement of
+    * the left side against the same core's match keys — two keyed passes,
+    * both equi-joins, still no cross product. The right side's `keys`
+    * copies are dropped (the left's are the preserved ones).
+    */
+  def intervalOverlapJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      binSize: Long,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 1 << 20): DataFrame = {
+    require(binSize > 0, "intervalOverlapJoinLeft: binSize must be positive")
+    withLeftComplement(left,
+      intervalOverlapJoin(left, right, binSize,
+        lStart, lEnd, rStart, rEnd, keys, maxBinsPerInterval),
+      right, keys, keys :+ lStart :+ lEnd)
+  }
+
+  /** Left-outer closure over an inner binned join whose LEFT side
+    * replicates: the inner result, plus left rows whose `matchCols`
+    * (keys + the left's join operands) matched nothing, null-extended on
+    * the right's non-key columns. `matchCols` — not the full row — is
+    * the match identity: two left rows equal on it have identical match
+    * sets, and rows with NULL operands match nothing on either path, so
+    * they null-extend exactly as a nested-loop LEFT JOIN would. Both
+    * passes are keyed equi-joins (the anti probe side is a distinct of
+    * bounded match keys), so the scale shape survives.
+    */
+  private def withLeftComplement(left: DataFrame, inner: DataFrame,
+      right: DataFrame, keys: Seq[String], matchCols: Seq[String]): DataFrame = {
+    val rightOnly = right.columns.toSeq.filterNot(keys.contains)
+    val outCols = left.columns.toSeq ++ rightOnly
+    val unmatched = left.join(
+      inner.select(matchCols.map(col): _*).distinct(), matchCols, "left_anti")
+    val nullExtended = rightOnly.foldLeft(unmatched)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    inner.select(outCols.map(col): _*)
+      .unionByName(nullExtended.select(outCols.map(col): _*))
+  }
+
   /** Band join: pairs (l, r) with |l.`lCol` - r.`rCol`| <= delta —
     * the same bin trick with the left side probing its own bin and both
     * neighbors (a band of width delta can only reach adjacent bins when
@@ -175,6 +224,24 @@ object RangeJoin {
       .filter(abs(col(lCol) - col(rCol)) <= delta)
       .drop("__bin")
   }
+
+  /** LEFT-OUTER [[bandJoin]]: every left row survives — paired with each
+    * right row within `delta`, or null-extended when none is (orphan
+    * detection: readings with no counterpart within the tolerance). The
+    * left side replicates to ±1 neighbor bins, so this rides the same
+    * [[withLeftComplement]] closure as the overlap form.
+    */
+  def bandJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      delta: Long,
+      lCol: String,
+      rCol: String,
+      keys: Seq[String] = Nil,
+      binSize: Long = 0L): DataFrame =
+    withLeftComplement(left,
+      bandJoin(left, right, delta, lCol, rCol, keys, binSize),
+      right, keys, keys :+ lCol)
 
   /** The intervals [[pointInInterval]]'s loud guard would reject at this
     * `binSize` + `maxBinsPerInterval`: (start, end, n_bins), empty when

@@ -1275,6 +1275,68 @@ object Catalog {
         GROUP BY o.user_id ORDER BY o.user_id"""),
       headline = true),
 
+    "q_interval_join_left" -> QueryDef(
+      // RangeJoin.intervalOverlapJoinLeft — every outage window survives,
+      // overlapped or not (the "which outages saw NO purchase activity"
+      // question). The binned inner core plus a keyed anti complement —
+      // two equi-join passes, never a nested loop. Matched/unmatched
+      // split oracled against DuckDB's plain LEFT overlap join.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val outages = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            col("ts_ms").as("os"), (col("ts_ms") + lit(7200000L)).as("oe"))
+        val activity = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"),
+            (col("ts_ms") - lit(3600000L)).as("as_"),
+            (col("ts_ms") + lit(3600000L)).as("ae"))
+        graft.operators.RangeJoin.intervalOverlapJoinLeft(
+            outages, activity, binSize = 7200000L,
+            lStart = "os", lEnd = "oe", rStart = "as_", rEnd = "ae",
+            keys = Seq("user_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("buy_id")).as("n_matched"),
+            (count(lit(1)) - count(col("buy_id"))).as("n_unmatched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id AS err_id, epoch_ms(ts) AS os,
+            epoch_ms(ts) + 7200000 AS oe FROM events WHERE event_type = 'error'),
+        a AS (SELECT user_id, event_id AS buy_id, epoch_ms(ts) - 3600000 AS as_,
+            epoch_ms(ts) + 3600000 AS ae FROM events WHERE event_type = 'purchase')
+        SELECT o.user_id, count(*) AS n_rows, count(a.buy_id) AS n_matched,
+          count(*) - count(a.buy_id) AS n_unmatched
+        FROM o LEFT JOIN a ON o.user_id = a.user_id AND o.os <= a.ae AND a.as_ <= o.oe
+        GROUP BY o.user_id ORDER BY o.user_id""")),
+
+    "q_band_join_left" -> QueryDef(
+      // RangeJoin.bandJoinLeft — orphan detection: every error survives,
+      // flagged by whether SOME purchase of the same user landed within
+      // ±30min. Same ±1-neighbor bin probe as the inner band join plus
+      // the keyed anti complement.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val l = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("lid"), col("ts_ms").as("lt"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("rid"), col("ts_ms").as("rt"))
+        graft.operators.RangeJoin.bandJoinLeft(l, r, delta = 1800000L,
+            lCol = "lt", rCol = "rt", keys = Seq("user_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("rid")).as("n_matched"),
+            (count(lit(1)) - count(col("rid"))).as("n_unmatched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id AS lid, epoch_ms(ts) AS lt
+            FROM events WHERE event_type = 'error'),
+        r AS (SELECT user_id, event_id AS rid, epoch_ms(ts) AS rt
+            FROM events WHERE event_type = 'purchase')
+        SELECT l.user_id, count(*) AS n_rows, count(r.rid) AS n_matched,
+          count(*) - count(r.rid) AS n_unmatched
+        FROM l LEFT JOIN r ON l.user_id = r.user_id AND abs(l.lt - r.rt) <= 1800000
+        GROUP BY l.user_id ORDER BY l.user_id""")),
+
     "q_interval_join_sql" -> QueryDef(
       // q_interval_join's EXACT semantics as naive overlap SQL, planned by
       // RangeJoinRewrite's interval-overlap path (first-shared-bin dedup

@@ -140,6 +140,57 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("intervalOverlapJoinLeft matches the brute-force left join") {
+    val l = ivs.toDF("lid", "ls", "le")
+    val r = ivs.map { case (id, s, e) => (2000L + id, s - 40L, s - 40L + (e - s)) }
+      .toDF("rid", "rs", "re")
+    for (binSize <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlapJoinLeft(l, r, binSize,
+          "ls", "le", "rs", "re")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sorted.toSeq
+      val want = l.join(r,
+          col("ls") <= col("re") && col("rs") <= col("le"), "left")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sorted.toSeq
+      assert(got == want, s"binSize=$binSize")
+      assert(got.map(_._1).distinct.sorted == ivs.map(_._1).sorted,
+        s"a left interval vanished or null-extended twice at binSize=$binSize")
+    }
+  }
+
+  test("intervalOverlapJoinLeft with keys; null-bound lefts null-extend once") {
+    val l = ivs.map { case (id, s, e) => (id, s, e, id % 3) }.toDF("lid", "ls", "le", "k")
+    val r = ivs.map { case (id, s, e) => (2000L + id, s - 25L, e - 25L, id % 3) }
+      .toDF("rid", "rs", "re", "k")
+    val res = RangeJoin.intervalOverlapJoinLeft(l, r, 64L,
+      "ls", "le", "rs", "re", keys = Seq("k"))
+    assert(res.columns.toSeq == Seq("lid", "ls", "le", "k", "rid", "rs", "re"))
+    val got = res.select("lid", "rid").as[(Long, Option[Long])].collect().sorted.toSeq
+    val want = l.join(r.select(col("rid"), col("rs"), col("re"), col("k").as("k2")),
+        col("k") === col("k2") && col("ls") <= col("re") && col("rs") <= col("le"),
+        "left")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(got == want)
+    // a null-bound left interval matches nothing but must survive once
+    val nl = Seq((1L, Some(0L), Some(10L)), (2L, None, Some(5L))).toDF("lid", "ls", "le")
+    val nr = Seq((10L, 5L, 8L)).toDF("rid", "rs", "re")
+    val rows = RangeJoin.intervalOverlapJoinLeft(nl, nr, 8L, "ls", "le", "rs", "re")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(rows == Seq((1L, Some(10L)), (2L, None)))
+  }
+
+  test("bandJoinLeft matches the brute-force left join") {
+    val l = pts.toDF("lid", "lt")
+    val r = pts.map { case (id, t) => (id + 5000L, t + 200L) }.toDF("rid", "rt")
+    for ((delta, bin) <- Seq((0L, 0L), (13L, 0L), (13L, 40L))) {
+      val got = RangeJoin.bandJoinLeft(l, r, delta, "lt", "rt", binSize = bin)
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sorted.toSeq
+      val want = l.join(r, abs(col("lt") - col("rt")) <= delta, "left")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sorted.toSeq
+      assert(got == want, s"delta=$delta bin=$bin")
+      assert(got.map(_._1).distinct.sorted == pts.map(_._1).sorted)
+    }
+  }
+
   test("bandJoin matches brute force, each pair exactly once") {
     val l = pts.toDF("lid", "lt")
     val r = pts.map { case (id, t) => (id + 5000L, t) }.toDF("rid", "rt")

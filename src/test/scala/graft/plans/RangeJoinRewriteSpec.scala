@@ -229,5 +229,15 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       assert(!planOf(q).contains("BroadcastNestedLoopJoin"))
       assert(rows(q) == truth)
     }
+    // the outer path on the same data: every point survives, null
+    // extensions appear exactly once, across bin widths
+    val lq = """SELECT pid, iid FROM fpts LEFT JOIN fiv
+                ON fpts.user = fiv.user AND t >= s AND t <= e"""
+    val ltruth = rowsOpt(lq)
+    assert(ltruth.exists(_._2.isEmpty) && ltruth.exists(_._2.nonEmpty))
+    for (bin <- Seq(13L, 50L, 400L)) withBin(bin) {
+      assert(!planOf(lq).contains("BroadcastNestedLoopJoin"))
+      assert(rowsOpt(lq) == ltruth, s"left-outer fuzz diverged at bin=$bin")
+    }
   }
 }

@@ -43,7 +43,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("range/band join: bin-bucketed EQUI-join, never a broadcast nested loop") {
-    for (name <- Seq("q_range_join", "q_band_join")) {
+    // the left-outer members ride the same bins (plus a keyed anti
+    // complement for the replicated-side forms) — same no-nested-loop bar
+    for (name <- Seq("q_range_join", "q_band_join", "q_range_join_left",
+        "q_interval_join_left", "q_band_join_left")) {
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name regressed to Spark's native non-equi plan (nested loop)")
