@@ -57,6 +57,19 @@ object Analytics {
       .agg(frontierCols.head, frontierCols.tail: _*)
   }
 
+  /** Stage-membership bitmask: bit i set iff the row satisfies
+    * `stages(i)` — how arbitrary (possibly overlapping) stage predicates
+    * cross the typed boundary into
+    * [[graft.streaming.EventStream.funnelStream]]'s state function.
+    */
+  def stageBits(stages: Seq[Column]): Column = {
+    require(stages.nonEmpty && stages.length <= 62,
+      "stageBits: 1 to 62 stages")
+    stages.zipWithIndex
+      .map { case (p, i) => when(p, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** Funnel conversion counts: one row, `n_<stage>` = entities whose
     * frontier reached that stage (monotone non-increasing by
     * construction).

@@ -44,6 +44,28 @@ final case class OpenBuckets(
     lastEmitted: Long, hasCarry: Boolean, carryVal: Double,
     open: Map[Long, BucketPartial])
 
+/** One buffered event in [[EventStream.funnelStream]] state — held until
+  * the watermark passes its timestamp, because the funnel's frontier fold
+  * is order-sensitive and an earlier event may still arrive.
+  */
+final case class FunnelPending(tsMs: Long, tie: Long, bits: Long)
+
+/** Per-key state for [[EventStream.funnelStream]]: the committed stage
+  * frontier (Long.MinValue = stage not reached) plus the
+  * still-inside-watermark pending buffer. The frontier is permanent —
+  * a funnel's history never un-happens — so state is one fixed-size row
+  * per key plus a watermark-bounded buffer.
+  */
+final case class FunnelState(frontier: Seq[Long], pending: Seq[FunnelPending])
+
+/** One frontier advance from [[EventStream.funnelStream]] (Update mode):
+  * the key's committed stage timestamps after folding every event the
+  * watermark has sealed, emitted only when a stage completed this batch.
+  * `n_complete` is monotone per key — the latest update is the current
+  * funnel position.
+  */
+final case class FunnelUpdate(key: Long, stage_ts: Seq[Option[Long]], n_complete: Int)
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -495,6 +517,81 @@ object EventStream {
           }
           closed.reverse.iterator
         }
+    }
+  }
+
+  /** Streaming funnel — the streaming dual of the oracled batch
+    * [[graft.operators.Analytics.funnelStages]] (q_funnel): per key, the
+    * ordered stage frontier maintained incrementally as events arrive,
+    * emitted (Update mode) whenever a stage completes. Exactness over
+    * out-of-order arrival is the whole design: the fold is
+    * order-sensitive, so events are BUFFERED until the watermark seals
+    * their timestamp, then folded in (ts, tie) order with the batch
+    * semantics verbatim — same-event stage cascade, `>=` frontier gates,
+    * horizon bound against stage 0 — so the committed frontier equals
+    * the batch operator over the sealed prefix (EventStreamSpec proves
+    * batch == stream).
+    *
+    * Stage membership rides a BITS column (bit i = event satisfies stage
+    * i, build with [[graft.operators.Analytics.stageBits]]) so arbitrary
+    * Column predicates — overlapping included — cross the typed-state
+    * boundary. State per key: one fixed-size frontier forever (funnel
+    * history never un-happens; dropping a completed key would let a new
+    * stage-0 event restart it) plus the watermark-bounded pending
+    * buffer. An event-time timeout drains buffered events for keys that
+    * go quiet once the watermark passes them.
+    *
+    * Input columns: `key` long, `ts` timestamp, `tie` long, `bits` long.
+    */
+  def funnelStream(
+      events: DataFrame,
+      nStages: Int,
+      horizonMs: Option[Long] = None,
+      watermark: String = "10 minutes"): Dataset[FunnelUpdate] = {
+    require(nStages >= 1 && nStages <= 62,
+      "funnelStream: nStages must be in [1, 62] (bits column)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("bits").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[FunnelState, FunnelUpdate](
+      OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+       state: GroupState[FunnelState]) =>
+        val prior = state.getOption.getOrElse(
+          FunnelState(Seq.fill(nStages)(Long.MinValue), Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => FunnelPending(r._2.getTime, r._3, r._4))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        val frontier = prior.frontier.toArray
+        var changed = false
+        // the batch fold, verbatim: events in (ts, tie) order, each event
+        // visiting stages in order (a single event may cascade several)
+        ripe.sortBy(p => (p.tsMs, p.tie)).foreach { p =>
+          var i = 0
+          while (i < nStages) {
+            if (frontier(i) == Long.MinValue && ((p.bits >> i) & 1L) == 1L) {
+              val prevOk = i == 0 ||
+                (frontier(i - 1) != Long.MinValue && p.tsMs >= frontier(i - 1))
+              val horizonOk = i == 0 || horizonMs.forall(h =>
+                frontier(0) != Long.MinValue && p.tsMs - frontier(0) <= h)
+              if (prevOk && horizonOk) { frontier(i) = p.tsMs; changed = true }
+            }
+            i += 1
+          }
+        }
+        state.update(FunnelState(frontier.toSeq, hold))
+        if (hold.nonEmpty)
+          state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        if (changed)
+          Iterator.single(FunnelUpdate(key,
+            frontier.map(v => if (v == Long.MinValue) None else Some(v)).toSeq,
+            frontier.count(_ != Long.MinValue)))
+        else Iterator.empty
     }
   }
 

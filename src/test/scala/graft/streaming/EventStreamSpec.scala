@@ -144,6 +144,66 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream: committed frontiers equal the batch funnel, out-of-order included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stages = Seq(col("v") >= 1, col("v") >= 2, col("v") >= 3) // overlapping
+    val horizon = Some(5000L)
+    val input = MemoryStream[(Long, Long, Long, Long)] // key, ts_ms, tie, v
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "v")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("bits", graft.operators.Analytics.stageBits(stages))
+    val q = EventStream.funnelStream(df, nStages = 3, horizonMs = horizon,
+        watermark = "5 seconds")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_stream_test").start()
+    // key 1: plain a -> b -> c across batches
+    // key 2: OUT OF ORDER across batches — the b/c event (ts 2000) arrives
+    //   a batch BEFORE the stage-a event (ts 1000); an unbuffered fold
+    //   would commit (1000, None, None), the sealed fold must cascade to
+    //   (1000, 2000, 2000)
+    // key 3: stage b lands exactly AT the horizon (6000 - 1000 == 5000)
+    // key 4: stage b one past the horizon — never completes
+    // key 5: same-event cascade, one v=3 event completes all three stages
+    val batch1 = Seq((1L, 1000L, 1L, 1L), (2L, 2000L, 2L, 3L),
+      (3L, 1000L, 3L, 1L), (4L, 1000L, 4L, 1L))
+    val batch2 = Seq((1L, 2000L, 5L, 2L), (2L, 1000L, 6L, 1L),
+      (3L, 6000L, 7L, 2L), (4L, 6001L, 8L, 2L), (5L, 1500L, 9L, 3L))
+    val batch3 = Seq((1L, 3000L, 10L, 3L))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable()
+      // sentinels push the watermark past every real event so the
+      // event-time timeouts drain the pending buffers (wm lags one batch)
+      input.addData((9L, 100000L, 0L, 0L)); q.processAllAvailable()
+      input.addData((9L, 200000L, 0L, 0L)); q.processAllAvailable()
+      // n_complete is monotone per key: the max-update is the final state
+      val streamed = spark.table("funnel_stream_test").as[FunnelUpdate]
+        .collect().filter(_.key != 9L)
+        .groupBy(_.key).map { case (k, us) => k -> us.maxBy(_.n_complete).stage_ts }
+      val all = batch1 ++ batch2 ++ batch3
+      val expect = graft.operators.Analytics.funnelStages(
+          all.toDF("user_id", "ts_ms", "tie", "v"),
+          stages = Seq("s1" -> (col("v") >= 1), "s2" -> (col("v") >= 2),
+            "s3" -> (col("v") >= 3)),
+          keys = Seq("user_id"), tieCol = "tie", horizonMs = horizon)
+        .collect().map { r =>
+          r.getLong(0) -> (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))
+        }.toMap
+        .filter(_._2.exists(_.nonEmpty)) // all-None keys emit no update
+      assert(streamed == expect,
+        s"stream/batch divergence:\nstream: $streamed\nbatch:  $expect")
+      // the out-of-order cascade specifically
+      assert(streamed(2L) == Seq(Some(1000L), Some(2000L), Some(2000L)))
+      assert(streamed(3L) == Seq(Some(1000L), Some(6000L), None))
+      assert(streamed(4L) == Seq(Some(1000L), None, None))
+      assert(streamed(5L) == Seq(Some(1500L), Some(1500L), Some(1500L)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps one row per key with watermark-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
