@@ -47,6 +47,78 @@ object Intervals {
         count(lit(1)).as("n_merged"))
   }
 
+  /** Interval-set SUBTRACTION per key: the maximal disjoint spans covered
+    * by at least one `left` interval and NO `right` interval (uptime
+    * minus maintenance, coverage minus outages). Closed integral
+    * intervals on both sides; output `(keys..., seg_start, seg_end)`
+    * closed, ordered disjoint per key.
+    */
+  def subtract(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String): DataFrame =
+    sweep(left, right, keys, lStart, lEnd, rStart, rEnd,
+      (covL, covR) => covL > 0 && covR === 0)
+
+  /** Interval-set INTERSECTION per key: the maximal disjoint spans
+    * covered by BOTH some `left` and some `right` interval. Same sweep,
+    * same contract as [[subtract]].
+    */
+  def intersect(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String): DataFrame =
+    sweep(left, right, keys, lStart, lEnd, rStart, rEnd,
+      (covL, covR) => covL > 0 && covR > 0)
+
+  /** The boundary sweep shared by the set-algebra ops, still ONE hash
+    * shuffle: every interval contributes a +1 boundary at `s` and a -1 at
+    * `e + 1` (closed -> half-open), tagged by side; one window pass over
+    * (keys) ordered by position accumulates both running coverages; the
+    * LAST row of each position group carries the complete totals at that
+    * position and spans the segment to the next distinct position; kept
+    * segments merge into maximal spans with the islands trick. Every
+    * window and the final aggregation reuse the single
+    * hashpartitioning(keys) exchange (the same superset-grouping property
+    * [[coalesce]] pins); nothing is proportional to anything but the
+    * per-key boundary count.
+    */
+  private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      keep: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "interval set algebra needs at least one key")
+    val kcols = keys.map(col)
+    def bounds(df: DataFrame, s: String, e: String, isLeft: Boolean) = {
+      val (dl, dr) = if (isLeft) (1L, 0L) else (0L, 1L)
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+        .select(kcols :+ explode(array(
+          struct(col(s).cast("long").as("pos"),
+            lit(dl).as("dl"), lit(dr).as("dr")),
+          struct((col(e).cast("long") + 1L).as("pos"),
+            lit(-dl).as("dl"), lit(-dr).as("dr")))).as("b"): _*)
+        .select(kcols :+ col("b.pos") :+ col("b.dl") :+ col("b.dr"): _*)
+    }
+    val w = Window.partitionBy(kcols: _*).orderBy(col("pos"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val prevQual = lag(col("__qual"), 1).over(w)
+    bounds(left, lStart, lEnd, isLeft = true)
+      .unionByName(bounds(right, rStart, rEnd, isLeft = false))
+      .withColumn("__covL", sum(col("dl")).over(run))
+      .withColumn("__covR", sum(col("dr")).over(run))
+      .withColumn("__next_pos", lead(col("pos"), 1).over(w))
+      // last row of each position group: totals include every delta here,
+      // and the segment runs to the next DISTINCT position (the partition's
+      // final boundary has all-zero coverage, so dropping it is exact)
+      .filter(col("__next_pos").isNull || col("__next_pos") =!= col("pos"))
+      .withColumn("__qual",
+        col("__next_pos").isNotNull && keep(col("__covL"), col("__covR")))
+      .withColumn("__new_island",
+        when(col("__qual") && (prevQual.isNull || !prevQual), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island")).over(run))
+      .filter(col("__qual"))
+      .groupBy(kcols :+ col("__island"): _*)
+      .agg(min(col("pos")).as("seg_start"),
+        (max(col("__next_pos")) - 1L).as("seg_end"))
+      .drop("__island")
+  }
+
   /** The complement: one row per GAP between consecutive islands of a key
     * (`gap_start` = previous island's end, `gap_end` = next island's
     * start, both exclusive of covered time). Empty for keys with one

@@ -710,6 +710,108 @@ object Catalog {
         FROM gp WHERE prev_end IS NOT NULL
         GROUP BY 1 ORDER BY user_id""")),
 
+    "q_interval_subtract" -> QueryDef(
+      // Interval-set SUBTRACTION (Intervals.subtract): per user, the
+      // maximal spans of 30-minute view coverage NOT inside any 1-hour
+      // error window — "clean viewing time". One boundary sweep: +-1
+      // deltas at each bound, both running coverages in one window pass,
+      // islands merge — all on a single hashpartitioning(user_id)
+      // exchange (pinned). Fully oracled by replaying the sweep in SQL.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val l = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ms").as("s"),
+            (col("ts_ms") + lit(1800000L)).as("e"))
+        val r = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_ms").as("s"),
+            (col("ts_ms") + lit(3600000L)).as("e"))
+        graft.operators.Intervals.subtract(l, r, Seq("user_id"),
+            "s", "e", "s", "e")
+          .orderBy("user_id", "seg_start")
+      },
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS s,
+            epoch_ms(ts) + 1800000 AS e FROM events WHERE event_type = 'view'),
+        r AS (SELECT user_id, epoch_ms(ts) AS s,
+            epoch_ms(ts) + 3600000 AS e FROM events WHERE event_type = 'error'),
+        b AS (
+          SELECT user_id, s AS pos, 1 AS dl, 0 AS dr FROM l
+          UNION ALL SELECT user_id, e + 1, -1, 0 FROM l
+          UNION ALL SELECT user_id, s, 0, 1 FROM r
+          UNION ALL SELECT user_id, e + 1, 0, -1 FROM r),
+        g AS (SELECT user_id, pos, sum(dl) AS dl, sum(dr) AS dr
+          FROM b GROUP BY user_id, pos),
+        c AS (SELECT user_id, pos,
+            sum(dl) OVER w AS covl, sum(dr) OVER w AS covr,
+            lead(pos) OVER w AS next_pos
+          FROM g WINDOW w AS (PARTITION BY user_id ORDER BY pos)),
+        q AS (SELECT user_id, pos, next_pos,
+            (covl > 0 AND covr = 0 AND next_pos IS NOT NULL) AS qual FROM c),
+        i0 AS (SELECT user_id, pos, next_pos, qual,
+            coalesce(lag(qual) OVER (PARTITION BY user_id ORDER BY pos),
+              false) AS prev_qual
+          FROM q),
+        i AS (SELECT user_id, pos, next_pos, qual,
+            sum(CASE WHEN qual AND NOT prev_qual THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY pos) AS island
+          FROM i0)
+        SELECT user_id, min(pos)::BIGINT AS seg_start,
+          (max(next_pos) - 1)::BIGINT AS seg_end
+        FROM i WHERE qual GROUP BY user_id, island
+        ORDER BY user_id, seg_start"""),
+      headline = true),
+
+    "q_interval_intersect" -> QueryDef(
+      // Interval-set INTERSECTION (Intervals.intersect): the spans where
+      // view coverage and an error window OVERLAP — same single-shuffle
+      // sweep with the other keep-condition, summarized per user (total
+      // overlapped ms and span count) to keep the row compact.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val l = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_ms").as("s"),
+            (col("ts_ms") + lit(1800000L)).as("e"))
+        val r = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_ms").as("s"),
+            (col("ts_ms") + lit(3600000L)).as("e"))
+        graft.operators.Intervals.intersect(l, r, Seq("user_id"),
+            "s", "e", "s", "e")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("seg_end") - col("seg_start") + 1L).as("overlap_ms"))
+          .orderBy("user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS s,
+            epoch_ms(ts) + 1800000 AS e FROM events WHERE event_type = 'view'),
+        r AS (SELECT user_id, epoch_ms(ts) AS s,
+            epoch_ms(ts) + 3600000 AS e FROM events WHERE event_type = 'error'),
+        b AS (
+          SELECT user_id, s AS pos, 1 AS dl, 0 AS dr FROM l
+          UNION ALL SELECT user_id, e + 1, -1, 0 FROM l
+          UNION ALL SELECT user_id, s, 0, 1 FROM r
+          UNION ALL SELECT user_id, e + 1, 0, -1 FROM r),
+        g AS (SELECT user_id, pos, sum(dl) AS dl, sum(dr) AS dr
+          FROM b GROUP BY user_id, pos),
+        c AS (SELECT user_id, pos,
+            sum(dl) OVER w AS covl, sum(dr) OVER w AS covr,
+            lead(pos) OVER w AS next_pos
+          FROM g WINDOW w AS (PARTITION BY user_id ORDER BY pos)),
+        q AS (SELECT user_id, pos, next_pos,
+            (covl > 0 AND covr > 0 AND next_pos IS NOT NULL) AS qual FROM c),
+        i0 AS (SELECT user_id, pos, next_pos, qual,
+            coalesce(lag(qual) OVER (PARTITION BY user_id ORDER BY pos),
+              false) AS prev_qual
+          FROM q),
+        i AS (SELECT user_id, pos, next_pos, qual,
+            sum(CASE WHEN qual AND NOT prev_qual THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY pos) AS island
+          FROM i0),
+        segs AS (SELECT user_id, min(pos) AS seg_start,
+            max(next_pos) - 1 AS seg_end
+          FROM i WHERE qual GROUP BY user_id, island)
+        SELECT user_id, count(*)::BIGINT AS n_spans,
+          sum(seg_end - seg_start + 1)::BIGINT AS overlap_ms
+        FROM segs GROUP BY user_id ORDER BY user_id""")),
+
     "q_asof_join" -> QueryDef(
       // the generic as-of join OPERATOR (KVOps.asofJoinBackward — one
       // shuffle, union-window form), oracled against DuckDB's native
@@ -1185,7 +1287,8 @@ object Catalog {
           count(*) - count(w.ws) AS n_unmatched,
           round(sum(p.value), 2) AS sum_value
         FROM p LEFT JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
-        GROUP BY p.user_id ORDER BY p.user_id""")),
+        GROUP BY p.user_id ORDER BY p.user_id"""),
+      headline = true),
 
     "q_range_join_left_sql" -> QueryDef(
       // q_range_join_left's EXACT semantics as the naive LEFT JOIN a

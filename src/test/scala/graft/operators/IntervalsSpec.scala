@@ -55,6 +55,45 @@ class IntervalsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 25L, 30L)))
   }
 
+  test("subtract/intersect match the integer point-set brute force") {
+    val rnd = new scala.util.Random(19)
+    def mk(n: Int) = Seq.tabulate(n) { _ =>
+      val s = rnd.nextInt(120).toLong
+      (s"k${rnd.nextInt(5)}", s, s + rnd.nextInt(15).toLong)
+    }
+    val lRows = mk(60); val rRows = mk(40)
+    val l = lRows.toDF("k", "s", "e"); val r = rRows.toDF("k", "s", "e")
+    def points(rows: Seq[(String, Long, Long)], k: String): Set[Long] =
+      rows.filter(_._1 == k).flatMap { case (_, s, e) => s to e }.toSet
+    def runs(pts: Set[Long]): Seq[(Long, Long)] =
+      pts.toSeq.sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+    val keys = (lRows ++ rRows).map(_._1).distinct
+    def check(op: String, got: Seq[(String, Long, Long)],
+        model: String => Set[Long]): Unit = {
+      val want = keys.flatMap(k => runs(model(k)).map { case (s, e) => (k, s, e) })
+        .sortBy(x => (x._1, x._2))
+      assert(got == want, s"$op diverged:\ngot:  $got\nwant: $want")
+    }
+    val gotSub = Intervals.subtract(l, r, Seq("k"), "s", "e", "s", "e")
+      .orderBy("k", "seg_start").as[(String, Long, Long)].collect().toSeq
+    check("subtract", gotSub, k => points(lRows, k) -- points(rRows, k))
+    val gotInt = Intervals.intersect(l, r, Seq("k"), "s", "e", "s", "e")
+      .orderBy("k", "seg_start").as[(String, Long, Long)].collect().toSeq
+    check("intersect", gotInt, k => points(lRows, k) & points(rRows, k))
+    // degenerate sides: empty right -> subtract is the left's point-set
+    // union runs (NOTE: stricter than coalesce, which keeps integer-
+    // adjacent islands like [57,62] [63,76] apart — the set algebra is
+    // point-set exact and unifies them)
+    val emptyR = Seq.empty[(String, Long, Long)].toDF("k", "s", "e")
+    val sub2 = Intervals.subtract(l, emptyR, Seq("k"), "s", "e", "s", "e")
+      .orderBy("k", "seg_start").as[(String, Long, Long)].collect().toSeq
+    check("subtract-empty-right", sub2, k => points(lRows, k))
+    assert(Intervals.intersect(l, emptyR, Seq("k"), "s", "e", "s", "e").isEmpty)
+  }
+
   test("coalesce matches a per-key sequential reference on random input") {
     val rnd = new scala.util.Random(42)
     val data = Seq.tabulate(400) { _ =>

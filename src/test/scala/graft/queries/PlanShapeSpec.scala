@@ -139,6 +139,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"interval coalesce should shuffle exactly once on the key, saw $hashEx hash exchanges in:\n$p")
   }
 
+  test("q_interval_subtract: the boundary sweep rides one key shuffle, no join") {
+    // both running coverages, the segment windows, the island merge and
+    // the final aggregation all reuse hashpartitioning(user_id); a join
+    // or a second hash exchange means the sweep stopped being a sweep
+    val p = plan("q_interval_subtract")
+    assert(p.contains("Window"), s"interval subtract lost its window form:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "interval subtract regressed to a join-based plan")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"interval subtract should shuffle exactly once on the key, saw $hashEx in:\n$p")
+  }
+
   test("dedup_embedding_pairs: the certified plan contains no cartesian or nested-loop join") {
     val p = plan("dedup_embedding_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
