@@ -71,6 +71,37 @@ object GraphOps {
       .map { case (id, rank) => (id, rank) }.toDF("vertex", "rank")
   }
 
+  /** Multi-source BFS hop distances via GraphX Pregel: `dist` = the
+    * minimum number of directed src->dst hops from ANY seed, for every
+    * vertex reachable within `maxHops` (unreachable vertices drop out;
+    * vertices exist iff they appear in some edge). Deterministic — min
+    * is confluent, so message order never changes the fixpoint. Each
+    * Pregel round is one frontier-sized shuffle, the same scale contract
+    * as the other iterative analytics here.
+    */
+  def hopDistances(edges: DataFrame, seeds: Seq[Long], maxHops: Int = 10,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(seeds.nonEmpty, "hopDistances: at least one seed")
+    require(maxHops >= 0, "hopDistances: maxHops must be non-negative")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val clean = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    val seedSet = seeds.toSet
+    val init = toGraph(clean, srcCol, dstCol)
+      .mapVertices((id, _) => if (seedSet(id)) 0L else Long.MaxValue)
+    // Pregel rejects maxIterations == 0: zero hops = the seeds themselves
+    if (maxHops == 0)
+      return init.vertices.filter(_._2 == 0L)
+        .map { case (id, d) => (id, d) }.toDF("vertex", "dist")
+    val res = init.pregel(Long.MaxValue, maxIterations = maxHops)(
+      (_, cur, msg) => math.min(cur, msg),
+      t => if (t.srcAttr != Long.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Long.MaxValue)
+      .map { case (id, d) => (id, d) }.toDF("vertex", "dist")
+  }
+
   /** Connected components via GraphX; label = lowest vertex id in component. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -3650,6 +3650,28 @@ object Catalog {
           UNION ALL SELECT e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src = 1)
         ORDER BY vertex""")),
 
+    "graph_bfs" -> QueryDef(
+      // Multi-source BFS hop distance (GraphOps.hopDistances, GraphX
+      // Pregel): min directed hops from seeds {1, 2} bounded to 4 —
+      // deterministic because min is confluent. Fully oracled: DuckDB
+      // replays the frontier expansion as a recursive CTE with UNION
+      // dedup (bounded by |V| x maxHops rows, cycle-safe), then takes
+      // the per-vertex min.
+      (s, dir) => GraphOps.hopDistances(eventEdges(s, dir),
+          seeds = Seq(1L, 2L), maxHops = 4)
+        .orderBy("vertex"),
+      Some(s"""WITH RECURSIVE e AS $edgesSql,
+        v AS (SELECT DISTINCT src AS vertex FROM e WHERE src IS NOT NULL
+              UNION SELECT DISTINCT dst FROM e WHERE dst IS NOT NULL),
+        walk(vertex, dist) AS (
+          SELECT vertex, 0 FROM v WHERE vertex IN (1, 2)
+          UNION
+          SELECT e.dst, walk.dist + 1
+          FROM walk JOIN e ON e.src = walk.vertex
+          WHERE walk.dist < 4 AND e.dst IS NOT NULL)
+        SELECT vertex, min(dist)::BIGINT AS dist
+        FROM walk GROUP BY vertex ORDER BY vertex""")),
+
     "graph_triangles" -> QueryDef(
       (s, dir) => GraphOps.triangleEdges(eventEdges(s, dir))
         .agg(count(lit(1)).as("n_triangles")),

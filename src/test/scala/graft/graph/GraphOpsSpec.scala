@@ -96,4 +96,31 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(1L, 2L, 3L)) // start + hop1 {2} + hop2 {3}
   }
+
+  test("hopDistances: multi-source BFS equals a sequential BFS on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .distinct
+    val seeds = Seq(1L, 7L, 42L)
+    for (maxHops <- Seq(0, 1, 3, 10)) {
+      val got = GraphOps.hopDistances(edges.toDF("src", "dst"), seeds, maxHops)
+        .as[(Long, Long)].collect().sorted.toSeq
+      // sequential reference BFS over the same directed edges
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val dist = scala.collection.mutable.Map[Long, Long]()
+      var frontier = seeds.filter(verts).distinct
+      frontier.foreach(dist(_) = 0L)
+      var d = 0L
+      while (frontier.nonEmpty && d < maxHops) {
+        d += 1
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(dist(_) = d)
+      }
+      val want = dist.toSeq.sorted
+      assert(got == want, s"maxHops=$maxHops:\ngot:  $got\nwant: $want")
+    }
+  }
 }
