@@ -66,7 +66,9 @@ object KVOps {
     * is ONE shuffle on the keys — compared to a range join it never
     * explodes matching pairs, and skewed keys are handled by AQE like any
     * other window shuffle. `rightOrderCol` breaks ties among right rows
-    * sharing a timestamp.
+    * sharing a timestamp. `toleranceMs` (pandas merge_asof's tolerance)
+    * nulls out a match older than the bound — applied AFTER the window
+    * pass, so the plan is unchanged.
     */
   def asofJoinBackward(
       left: DataFrame,
@@ -75,9 +77,10 @@ object KVOps {
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      rightOrderCol: Option[String] = None): DataFrame =
+      rightOrderCol: Option[String] = None,
+      toleranceMs: Option[Long] = None): DataFrame =
     asofJoinImpl(left, right, keys, leftTime, rightTime, payloadCols,
-      rightOrderCol, forward = false)
+      rightOrderCol, forward = false, toleranceMs)
 
   /** Forward as-of join: for every left row, attach the payload of the
     * EARLIEST right row with the same keys and `rightTime >= leftTime`
@@ -95,9 +98,10 @@ object KVOps {
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      rightOrderCol: Option[String] = None): DataFrame =
+      rightOrderCol: Option[String] = None,
+      toleranceMs: Option[Long] = None): DataFrame =
     asofJoinImpl(left, right, keys, leftTime, rightTime, payloadCols,
-      rightOrderCol, forward = true)
+      rightOrderCol, forward = true, toleranceMs)
 
   private def asofJoinImpl(
       left: DataFrame,
@@ -107,8 +111,13 @@ object KVOps {
       rightTime: String,
       payloadCols: Seq[String],
       rightOrderCol: Option[String],
-      forward: Boolean): DataFrame = {
-    val payloadT = struct(payloadCols.map(col): _*)
+      forward: Boolean,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    // the matched right row's own time rides inside the payload struct so
+    // a tolerance (max staleness/lookahead) can null out a carried match
+    // AFTER the window pass — the one-shuffle shape is unchanged
+    val payloadT = struct(payloadCols.map(col) :+
+      col(rightTime).cast("long").as("__graft_rt"): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).cast("long").as("__t"),
@@ -132,8 +141,14 @@ object KVOps {
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+    val withinTol = toleranceMs match {
+      case None => lit(true)
+      case Some(tol) =>
+        if (forward) col("__asof.__graft_rt") - col("__t") <= tol
+        else col("__t") - col("__asof.__graft_rt") <= tol
+    }
     val outCols = left.columns.map(col).toSeq ++
-      payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c"))
+      payloadCols.map(c => when(withinTol, col(s"__asof.$c")).as(s"asof_$c"))
     carried.filter(col("__side") === 1).select(outCols: _*)
   }
 }

@@ -836,6 +836,38 @@ object Catalog {
         ORDER BY e.event_id"""),
       headline = true),
 
+    "q_asof_tolerance" -> QueryDef(
+      // as-of with a STALENESS BOUND (KVOps.asofJoinBackward toleranceMs
+      // — pandas merge_asof's tolerance): each purchase attaches the
+      // user's most recent error only when it happened within 30 minutes;
+      // older matches null out AFTER the one window pass, so the plan is
+      // identical to the unbounded as-of. Oracled with DuckDB's native
+      // ASOF plus the tolerance CASE.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts_ms"), col("event_id").as("err_id"))
+        KVOps.asofJoinBackward(
+            ev.filter(col("event_type") === "purchase")
+              .select(col("event_id"), col("user_id"), col("ts_ms")),
+            errors, keys = Seq("user_id"),
+            leftTime = "ts_ms", rightTime = "ts_ms",
+            payloadCols = Seq("err_id"), rightOrderCol = Some("err_id"),
+            toleranceMs = Some(1800000L))
+          .select(col("event_id"), col("user_id"),
+            col("asof_err_id").as("recent_err_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+          CASE WHEN epoch_ms(p.ts) - epoch_ms(er.ts) <= 1800000
+            THEN er.err_id END AS recent_err_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+          (SELECT user_id, ts, event_id AS err_id FROM events
+           WHERE event_type = 'error') er
+          ON p.user_id = er.user_id AND epoch_ms(p.ts) >= epoch_ms(er.ts)
+        ORDER BY p.event_id""")),
+
     "q_asof_forward" -> QueryDef(
       // the FORWARD as-of join (KVOps.asofJoinForward — same one-shuffle
       // union-window shape, ordering flipped): each event paired with the

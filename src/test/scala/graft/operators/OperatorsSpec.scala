@@ -22,6 +22,41 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, 10L, "b"), (1L, 20L, "b"), (1L, 25L, "c"), (2L, 5L, null)))
   }
 
+  test("asof tolerance: stale matches null out, boundary is inclusive, both directions") {
+    val left = Seq((1L, 100L), (1L, 115L), (1L, 200L)).toDF("k", "t")
+    val right = Seq((1L, 90L, "a", 1L), (1L, 110L, "b", 2L)).toDF("k", "t", "v", "seq")
+    val back = KVOps.asofJoinBackward(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightOrderCol = Some("seq"), toleranceMs = Some(10L))
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    // t=100: match a at 90, 100-90 == 10 <= 10 -> keep (inclusive bound)
+    // t=115: match b at 110 within 5 -> keep; t=200: b is 90 stale -> null
+    assert(back == Seq((100L, "a"), (115L, "b"), (200L, null)))
+    val fwd = KVOps.asofJoinForward(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightOrderCol = Some("seq"), toleranceMs = Some(10L))
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    // t=100: next right at 110, lookahead 10 -> keep; t=115 and t=200:
+    // nothing at-or-after within 10 -> null
+    assert(fwd == Seq((100L, "b"), (115L, null), (200L, null)))
+    // brute-force parity on a random history
+    val rnd = new scala.util.Random(31)
+    val l2 = Seq.fill(200)((rnd.nextInt(4).toLong, rnd.nextInt(500).toLong)).toDF("k", "t")
+    val r2 = Seq.tabulate(120)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toLong)).toDF("k", "t", "rid")
+    val got = KVOps.asofJoinBackward(l2, r2, Seq("k"), "t", "t",
+        Seq("rid"), rightOrderCol = Some("rid"), toleranceMs = Some(40L))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val rrows = r2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = l2.collect().map { lr =>
+      val (k, t) = (lr.getLong(0), lr.getLong(1))
+      val cand = rrows.filter(x => x._1 == k && x._2 <= t && t - x._2 <= 40L)
+      val best = if (cand.isEmpty) -1L
+        else cand.maxBy(x => (x._2, x._3))._3
+      (k, t, best)
+    }.sorted.toSeq
+    assert(got == want)
+  }
+
   test("asofJoinForward: inclusive forward match with earliest-wins tie-break") {
     import org.apache.spark.sql.functions.col
     val left = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 50L))
