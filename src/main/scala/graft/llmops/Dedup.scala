@@ -165,6 +165,43 @@ object Dedup {
         sort_array(array_distinct(Text.tokens(col(textCol)))).as("ts")),
       threshold, maxBucketSize)
 
+  /** EXACT fuzzy JOIN between two different tables (record linkage:
+    * vendor list x catalog, incoming batch x corpus): every (left, right)
+    * pair whose token-set jaccard clears `threshold`, with no false
+    * negatives. Output `(left_id, right_id, jaccard)`.
+    *
+    * Rides the certified [[exactSetJaccardPairs]] kernel rather than a
+    * bespoke A-x-B prefix join: ids are side-tagged into one keyspace
+    * (left -> 2*id, right -> 2*id+1 — ids must be non-negative longs
+    * below 2^62), both tables union into one set table, and only
+    * cross-side survivors are kept. Within-side candidates cost some
+    * wasted verification, but the blocking pipeline (rarity prefixes,
+    * skew chunk-split, size-ratio bound) is shared and stays certified
+    * by one spec + oracle instead of two diverging copies.
+    */
+  def jaccardJoin(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      leftId: String = "doc_id",
+      leftText: String = "text",
+      rightId: String = "doc_id",
+      rightText: String = "text",
+      maxBucketSize: Int = 4096): DataFrame = {
+    def side(df: DataFrame, id: String, text: String, tag: Long) =
+      df.select(lit("__join").as("g"),
+        (col(id).cast("long") * 2 + tag).as("id"),
+        sort_array(array_distinct(Text.tokens(col(text)))).as("ts"))
+    val sets = side(left, leftId, leftText, 0L)
+      .unionByName(side(right, rightId, rightText, 1L))
+    val leftEnc = when(pmod(col("id_a"), lit(2L)) === 0, col("id_a")).otherwise(col("id_b"))
+    val rightEnc = when(pmod(col("id_a"), lit(2L)) === 1, col("id_a")).otherwise(col("id_b"))
+    exactSetJaccardPairs(sets, threshold, maxBucketSize)
+      .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+      .select((leftEnc / 2).cast("long").as("left_id"),
+        ((rightEnc - 1) / 2).cast("long").as("right_id"), col("jaccard"))
+  }
+
   /** EXACT set-similarity self-join over `(g, id, ts sorted-distinct
     * array<string>)`, AllPairs/PPJoin style:
     *  1. order every set's elements by global rarity (freq asc);

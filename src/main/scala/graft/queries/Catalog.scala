@@ -379,6 +379,30 @@ object Catalog {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         ORDER BY event_id""")),
 
+    "q_hopping_window" -> QueryDef(
+      // HOPPING (sliding) time windows — Spark's built-in
+      // `window(ts, dur, slide)`: 1-hour windows every 30 minutes, so
+      // each event lands in exactly dur/slide = 2 windows. The generator
+      // is a Expand-style projection (no join, no explode shuffle);
+      // the aggregation is one hash shuffle on (window, type). Oracled by
+      // replicating each event to its two epoch-aligned window starts in
+      // SQL.
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start_ms", "event_type"),
+      Some("""WITH e AS (SELECT epoch_ms(ts) AS tms, event_type, value FROM events),
+        w AS (SELECT tms, event_type, value,
+            (tms // 1800000) * 1800000 - s.off AS wstart
+          FROM e, (SELECT unnest([0, 1800000]) AS off) s
+          WHERE tms < (tms // 1800000) * 1800000 - s.off + 3600000)
+        SELECT wstart AS window_start_ms, event_type,
+          count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""")),
+
     "q_window_range_frame" -> QueryDef(
       // RANGE frame on a numeric ordering key (the window-frame member
       // rows-frames can't express): per event, the sum of the user's
@@ -2471,6 +2495,29 @@ object Catalog {
           FROM toks l JOIN toks r ON l.source = r.source AND l.doc_id < r.doc_id)
         WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""),
       headline = true),
+
+    "dedup_jaccard_join" -> QueryDef(
+      // EXACT fuzzy JOIN between two TABLES (Dedup.jaccardJoin — record
+      // linkage, not self-dedup): even-id documents matched against
+      // odd-id documents at jaccard >= 0.8, riding the same certified
+      // PPJoin kernel via side-tagged ids. Oracled against the quadratic
+      // cross-side truth in DuckDB.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.jaccardJoin(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            threshold = 0.8)
+          .orderBy("left_id", "right_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS ts FROM documents)
+        SELECT left_id, right_id, jaccard FROM (
+          SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+            round(len(list_intersect(l.ts, r.ts))::DOUBLE /
+              (len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts))), 6) AS jaccard
+          FROM toks l JOIN toks r ON l.doc_id % 2 = 0 AND r.doc_id % 2 = 1)
+        WHERE jaccard >= 0.8 ORDER BY left_id, right_id"""),
+      headline = false),
 
     "dedup_editdist_pairs" -> QueryDef(
       // EXACT edit-distance near-dup pairs via fixed-offset chunk

@@ -60,6 +60,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L), (4L, 5L)), s"unexpected pair set: $got")
   }
 
+  test("jaccardJoin pairs cross-table only and matches the brute-force truth") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def corpus(n: Int) = Seq.tabulate(n) { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val lRows = corpus(40); val rRows = corpus(35)
+    val l = lRows.toDF("doc_id", "text"); val r = rRows.toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(l, r, threshold = 0.6)
+      .select("left_id", "right_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    def toks(t: String) = t.split("\\s+").toSet
+    val want = (for {
+      (li, lt) <- lRows; (ri, rt) <- rRows
+      inter = (toks(lt) & toks(rt)).size.toDouble
+      j = inter / (toks(lt).size + toks(rt).size - inter)
+      if j >= 0.6
+    } yield (li, ri)).toSet
+    assert(want.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == want, s"join diverged:\ngot:  $got\nwant: $want")
+    // ids overlap between the tables; no within-side pair may leak
+    assert(got.forall { case (a, b) => lRows.exists(_._1 == a) && rRows.exists(_._1 == b) })
+  }
+
   test("exactSetJaccardPairs sub-partitions hot buckets without losing a pair") {
     // degenerate corpus: 60 exact near-dup survivors of one text — every
     // prefix token lands all 60 ids in the SAME (g, tok) bucket, the B^2
