@@ -1525,6 +1525,29 @@ object Catalog {
         FROM o JOIN a ON o.user_id = a.user_id AND o.os <= a.ae AND a.as_ <= o.oe
         GROUP BY o.user_id ORDER BY o.user_id""")),
 
+    "q_twa" -> QueryDef(
+      // Time-weighted average (Resample.timeWeightedAvg): the
+      // zero-order-hold mean per user — each value weighs its holding
+      // time, so the plain AVG's burst bias disappears. One shuffle (the
+      // lead window and the per-key agg share hashpartitioning); the
+      // single-sample edge reports the last value by (ts, tie). Fully
+      // oracled by replaying lead + telescoped weights in SQL.
+      (s, dir) => graft.operators.Resample.timeWeightedAvg(
+          events(s, dir), keys = Seq("user_id"),
+          tsMsCol = "ts_ms", valueCol = "value", tieCol = "event_id")
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value
+            FROM events),
+        w AS (SELECT user_id, t, event_id, value,
+            lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+          FROM e)
+        SELECT user_id, count(*)::BIGINT AS n_obs,
+          (max(t) - min(t))::BIGINT AS span_ms,
+          round(CASE WHEN max(t) = min(t)
+            THEN (max({'t': t, 'e': event_id, 'v': value}))['v']
+            ELSE sum((nt - t) * value) / (max(t) - min(t)) END, 6) AS twa
+        FROM w GROUP BY user_id ORDER BY user_id""")),
+
     "q_resample" -> QueryDef(
       // Resample.resampleForwardFill — per-user hourly regularization of
       // the event stream with zero-filled empty buckets and the last

@@ -42,6 +42,33 @@ class ResampleSpec extends AnyFunSuite {
     assert(base == shuffled)
   }
 
+  test("timeWeightedAvg equals the sequential zero-order-hold replay") {
+    val rnd = new scala.util.Random(29)
+    val data = Seq.tabulate(300) { i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, i.toLong,
+        (rnd.nextInt(200) - 100) / 10.0)
+    } :+ (("solo", 500L, 999L, 7.5)) // single-observation key
+    val got = Resample.timeWeightedAvg(data.toDF("k", "t", "tie", "v"),
+        keys = Seq("k"), tsMsCol = "t", valueCol = "v", tieCol = "tie")
+      .orderBy("k")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val want = data.groupBy(_._1).toSeq.map { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val span = sorted.last._2 - sorted.head._2
+      val twa =
+        if (span == 0) sorted.last._4
+        else sorted.sliding(2).collect { case Seq(a, b) =>
+          (b._2 - a._2) * a._4 }.sum / span
+      (k, rows.size.toLong, span,
+        BigDecimal(twa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    // compare twa at 5dp to keep float association order out of the gate
+    def canon(r: (String, Long, Long, Double)) =
+      (r._1, r._2, r._3, math.round(r._4 * 1e5))
+    assert(got.map(canon) == want.map(canon),
+      s"twa diverged:\ngot:  $got\nwant: $want")
+  }
+
   test("a key spanning too many buckets fails loudly") {
     val wide = Seq(("a", 0L, 1L, 1.0), ("a", 10000000L, 2L, 2.0))
       .toDF("k", "t", "tie", "v")
