@@ -66,6 +66,21 @@ final case class FunnelState(frontier: Seq[Long], pending: Seq[FunnelPending])
   */
 final case class FunnelUpdate(key: Long, stage_ts: Seq[Option[Long]], n_complete: Int)
 
+/** One closed maximal island from [[EventStream.coalesceIntervalsStream]] —
+  * emitted once the watermark proves no future interval can start inside
+  * it.
+  */
+final case class IslandRow(key: Long, island_start: Long, island_end: Long, n_merged: Long)
+
+/** Per-key state for [[EventStream.coalesceIntervalsStream]]: the open
+  * island (hasOpen=false = none) plus the still-inside-watermark pending
+  * intervals, buffered because the island fold is order-sensitive in the
+  * start column.
+  */
+final case class CoalesceState(
+    hasOpen: Boolean, startMs: Long, endMs: Long, n: Long,
+    pending: Seq[(Long, Long)])
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -592,6 +607,80 @@ object EventStream {
             frontier.map(v => if (v == Long.MinValue) None else Some(v)).toSeq,
             frontier.count(_ != Long.MinValue)))
         else Iterator.empty
+    }
+  }
+
+  /** Streaming interval coalescing — the streaming dual of the oracled
+    * batch gaps-and-islands ([[graft.operators.Intervals.coalesce]],
+    * q_interval_coalesce): per key, overlapping-or-touching closed
+    * intervals merge into maximal islands, emitted (Append mode) once
+    * CLOSED — the watermark has passed the island's end, so no
+    * non-late interval can start inside it and the island can never
+    * grow again. [[sessionizeStream]] is the point-events special case
+    * of this; here whole `[s, e]` intervals arrive.
+    *
+    * Exactness over out-of-order arrival rides the [[funnelStream]]
+    * discipline: the island fold sorts by the START column, so
+    * intervals buffer in state until the watermark (on `ts` = the
+    * interval start) seals them, then fold in (s, e) order with the
+    * batch rule verbatim (`s <= open.end` merges, else a new island).
+    * State per key: one open island + the watermark-bounded pending
+    * buffer. Event-time timeouts close islands for keys that go quiet.
+    *
+    * Input columns: `key` long, `ts` timestamp (the interval START —
+    * also the watermark column), `end_ms` long. NULL-bounded intervals
+    * are dropped, as in the batch operator.
+    */
+  def coalesceIntervalsStream(
+      intervals: DataFrame,
+      watermark: String = "10 minutes"): Dataset[IslandRow] = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val typed = intervals
+      .withWatermark("ts", watermark)
+      .filter(col("ts").isNotNull && col("end_ms").isNotNull)
+      .select(col("key").cast("long"), col("ts"), col("end_ms").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[CoalesceState, IslandRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+       state: GroupState[CoalesceState]) =>
+        val prior = state.getOption.getOrElse(
+          CoalesceState(hasOpen = false, 0L, 0L, 0L, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++ rows.map(r => (r._2.getTime, r._3))
+        val (ripe, hold) = pending.partition(_._1 <= wm)
+        var open: Option[(Long, Long, Long)] =
+          if (prior.hasOpen) Some((prior.startMs, prior.endMs, prior.n)) else None
+        val closed = Seq.newBuilder[IslandRow]
+        ripe.sortBy(identity).foreach { case (s, e) =>
+          open match {
+            case Some((os, oe, n)) if s <= oe =>
+              open = Some((os, math.max(oe, e), n + 1))
+            case Some((os, oe, n)) =>
+              closed += IslandRow(key, os, oe, n)
+              open = Some((s, e, 1L))
+            case None =>
+              open = Some((s, e, 1L))
+          }
+        }
+        // the open island can never grow once the watermark passes its
+        // end: any interval starting at-or-before it would now be late
+        open match {
+          case Some((os, oe, n)) if wm > oe =>
+            closed += IslandRow(key, os, oe, n)
+            open = None
+          case _ => ()
+        }
+        if (open.isEmpty && hold.isEmpty) state.remove()
+        else {
+          state.update(CoalesceState(open.isDefined,
+            open.map(_._1).getOrElse(0L), open.map(_._2).getOrElse(0L),
+            open.map(_._3).getOrElse(0L), hold))
+          val wake = (open.map(_._2 + 1).toSeq ++ hold.map(_._1)).min
+          state.setTimeoutTimestamp(math.max(wake, wm + 1))
+        }
+        closed.result().iterator
     }
   }
 

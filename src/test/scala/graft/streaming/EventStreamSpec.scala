@@ -204,6 +204,56 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("coalesceIntervalsStream: closed islands equal the batch coalesce") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long)] // key, s_ms, e_ms
+    val df = input.toDF().toDF("key", "s_ms", "end_ms")
+      .withColumn("ts", timestamp_millis(col("s_ms")))
+    val q = EventStream.coalesceIntervalsStream(df, watermark = "5 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("coalesce_stream_test").start()
+    // times sit on a base offset: a row with event time exactly 0 is
+    // dropped by the late filter at the initial watermark 0
+    val T = 100000L
+    // key 1: [T+0,T+1000] [T+500,T+2000] overlap, [T+2000,T+2500]
+    //   touching -> one island; then a gap -> [T+9000,T+9500]
+    // key 2: OUT OF ORDER across batches — [T+3000,T+4000] arrives a
+    //   batch before [T+1000,T+3500]; the sealed fold must merge them
+    //   into one island (an unbuffered fold would emit two)
+    // key 3: a singleton
+    val batch1 = Seq((1L, T, T + 1000L), (1L, T + 500L, T + 2000L),
+      (2L, T + 3000L, T + 4000L))
+    val batch2 = Seq((1L, T + 2000L, T + 2500L), (2L, T + 1000L, T + 3500L),
+      (3L, T + 100L, T + 200L))
+    val batch3 = Seq((1L, T + 9000L, T + 9500L))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch3: _*); q.processAllAvailable()
+      // sentinels advance the watermark past every island end so the
+      // event-time timeouts flush the trailing open islands
+      input.addData((9L, T + 1000000L, T + 1000001L)); q.processAllAvailable()
+      input.addData((9L, T + 3000000L, T + 3000001L)); q.processAllAvailable()
+      val streamed = spark.table("coalesce_stream_test").as[IslandRow]
+        .collect().filter(_.key != 9L)
+        .map(r => (r.key, r.island_start, r.island_end, r.n_merged))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val all = batch1 ++ batch2 ++ batch3
+      val batch = graft.operators.Intervals.coalesce(
+          all.toDF("key", "s", "e"), keys = Seq("key"),
+          startCol = "s", endCol = "e")
+        .select(col("key"), col("island_start"), col("island_end"), col("n_merged"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence:\nstream: $streamed\nbatch:  $batch")
+      // the out-of-order merge specifically
+      assert(streamed.contains((2L, T + 1000L, T + 4000L, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps one row per key with watermark-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
