@@ -254,6 +254,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("coalesceIntervalsStream survives a checkpoint restart mid-island") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val T = 100000L
+    val inDir = Files.createTempDirectory("ci-restart-in").toString
+    val outDir = Files.createTempDirectory("ci-restart-out").toString
+    val ckDir = Files.createTempDirectory("ci-restart-ck").toString
+    val schema = Seq((0L, 0L, 0L)).toDF("key", "s_ms", "end_ms").schema
+    def push(rows: (Long, Long, Long)*): Unit =
+      rows.toSeq.toDF("key", "s_ms", "end_ms").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts", timestamp_millis(col("s_ms")))
+      EventStream.coalesceIntervalsStream(src, watermark = "5 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckDir)
+        .format("parquet").option("path", outDir).start()
+    }
+    // phase 1: open an island for key 1, then STOP mid-island
+    push((1L, T, T + 1000L), (1L, T + 500L, T + 2000L))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // phase 2: a NEW query from the same checkpoint — the overlapping
+    // interval must merge into the RECOVERED open island (an amnesiac
+    // restart would emit two islands), then sentinels flush
+    push((1L, T + 1500L, T + 3000L))
+    val q2 = start(); q2.processAllAvailable()
+    push((9L, T + 1000000L, T + 1000001L)); q2.processAllAvailable()
+    push((9L, T + 3000000L, T + 3000001L)); q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir).as[IslandRow].collect()
+      .filter(_.key == 1L)
+      .map(r => (r.island_start, r.island_end, r.n_merged)).toSeq
+    assert(out == Seq((T, T + 3000L, 3L)),
+      s"restart broke island state: $out")
+  }
+
   test("dedupStream keeps one row per key with watermark-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
