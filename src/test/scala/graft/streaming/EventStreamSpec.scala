@@ -291,6 +291,50 @@ class EventStreamSpec extends AnyFunSuite {
       s"restart broke island state: $out")
   }
 
+  test("funnelStream survives a checkpoint restart mid-funnel") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val T = 100000L
+    val inDir = Files.createTempDirectory("fn-restart-in").toString
+    val outDir = Files.createTempDirectory("fn-restart-out").toString
+    val ckDir = Files.createTempDirectory("fn-restart-ck").toString
+    val schema = Seq((0L, 0L, 0L, 0L)).toDF("key", "ts_ms", "tie", "v").schema
+    def push(rows: (Long, Long, Long, Long)*): Unit =
+      rows.toSeq.toDF("key", "ts_ms", "tie", "v").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withColumn("bits", graft.operators.Analytics.stageBits(
+          Seq(col("v") >= 1, col("v") >= 2, col("v") >= 3)))
+      EventStream.funnelStream(src, nStages = 3, watermark = "5 seconds")
+        .writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelUpdate], _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }.start()
+    }
+    // phase 1: stage 1 completes — sealed by MODEST sentinels (the
+    // watermark must stay behind phase 2's event or it would arrive
+    // late), STOP mid-funnel
+    push((1L, T, 1L, 1L))
+    val q1 = start(); q1.processAllAvailable()
+    push((9L, T + 6000L, 0L, 0L)); q1.processAllAvailable()
+    push((9L, T + 6500L, 0L, 0L)); q1.processAllAvailable()
+    q1.stop()
+    // phase 2: stages 2+3 complete from one event — legal ONLY if the
+    // recovered frontier still holds stage 1 (amnesia would gate them out)
+    push((1L, T + 2000L, 2L, 3L))
+    val q2 = start(); q2.processAllAvailable()
+    push((9L, T + 3000000L, 0L, 0L)); q2.processAllAvailable()
+    push((9L, T + 3100000L, 0L, 0L)); q2.processAllAvailable()
+    q2.stop()
+    val last = spark.read.parquet(outDir).as[FunnelUpdate].collect()
+      .filter(_.key == 1L).maxBy(_.n_complete)
+    assert(last.stage_ts == Seq(Some(T), Some(T + 2000L), Some(T + 2000L)),
+      s"restart broke funnel state: $last")
+  }
+
   test("dedupStream keeps one row per key with watermark-bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
