@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StringType}
@@ -37,13 +37,17 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * Registered via `GraftExtensions` (config route `injectOptimizerRule`
   * and the runtime `spark.experimental.extraOptimizations` path).
   *
-  * Join types: Inner for both families, plus LeftOuter/RightOuter for
-  * point-in-interval when the preserved side is the point side ("events
-  * LEFT JOIN shifts ON ... ts in range" keeps unmatched events) — the
-  * point side is never replicated, so the outer join null-extends each
-  * unmatched point exactly once; the full original condition moves into
-  * the join condition, since a Filter above an outer join would drop the
-  * null-extended rows. Joins carrying an explicit user hint are left
+  * Join types: Inner for both families, plus LeftOuter/RightOuter and
+  * LeftSemi/LeftAnti for point-in-interval when the preserved side is
+  * the point side — "events LEFT JOIN shifts ON ... ts in range" keeps
+  * unmatched events, and `[NOT] EXISTS (SELECT ... WHERE ts BETWEEN s
+  * AND e)` (which the analyzer rewrites to a semi/anti join Spark would
+  * plan as a nested loop) filters them. The point side is never
+  * replicated, so the outer form null-extends each unmatched point
+  * exactly once and the semi/anti forms cannot duplicate; the full
+  * original condition moves into the join condition, since a Filter
+  * above an outer join would drop the null-extended rows. Joins
+  * carrying an explicit user hint are left
   * untouched (the user's strategy choice wins over the opt-in rule), and
   * `spark.graft.rangeJoin.maxBinsPerInterval` (default 2^20) ports the
   * operator API's loud degenerate-interval guard to the rewrite.
@@ -79,14 +83,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Inner, plus the outer types whose PRESERVED side can be the point
-    * side (the non-replicated side null-extends exactly once per
-    * unmatched row, so outer semantics survive the rewrite for free).
-    * Overlap rewrites stay Inner-only: both sides replicate there, so an
-    * unmatched preserved row would null-extend once per bin copy.
+  /** Inner, plus the types whose PRESERVED side can be the point side:
+    * outer (the non-replicated side null-extends exactly once per
+    * unmatched row), and semi/anti — the `[NOT] EXISTS (... t BETWEEN s
+    * AND e)` SQL shape, which Spark otherwise plans as a semi/anti
+    * nested loop; only the non-replicated left survives into the output,
+    * so binning cannot duplicate it. Overlap rewrites stay Inner-only:
+    * both sides replicate there, so a preserved row would emit once per
+    * bin copy.
     */
   private def supportedType(jt: JoinType): Boolean = jt match {
-    case Inner | LeftOuter | RightOuter => true
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
     case _ => false
   }
 
@@ -173,10 +180,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // drawn from two distinct conjuncts; for outer joins, only pairs
     // whose point side is the PRESERVED side qualify
     def preservedOk(ptOnLeft: Boolean): Boolean = j.joinType match {
-      case Inner      => true
-      case LeftOuter  => ptOnLeft
-      case RightOuter => !ptOnLeft
-      case _          => false
+      case Inner                => true
+      case LeftOuter            => ptOnLeft
+      case RightOuter           => !ptOnLeft
+      case LeftSemi | LeftAnti  => ptOnLeft
+      case _                    => false
     }
     val pair = (for {
       lo <- all.iterator if lo._4
@@ -200,13 +208,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val joined = Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE)
           // residual includes the two bounds, so it is never empty
           Project(j.output, Filter(residual.reduce(And), joined))
-        case outer =>
+        case other => // LeftOuter / RightOuter / LeftSemi / LeftAnti
           // every original conjunct joins the bin equality INSIDE the
-          // join condition; ExtractEquiJoinKeys still finds (bin, equi)
-          // as keys, the bounds ride along as the join's extra condition
+          // join condition (a Filter above would break outer null
+          // extension and anti complements alike); ExtractEquiJoinKeys
+          // still finds (bin, equi) as keys, the bounds ride along as
+          // the join's extra condition
           val newCond = (binEq +: equi ++: residual).reduce(And)
           Project(j.output,
-            Join(newLeft, newRight, outer, Some(newCond), JoinHint.NONE))
+            Join(newLeft, newRight, other, Some(newCond), JoinHint.NONE))
       }
     }
   }

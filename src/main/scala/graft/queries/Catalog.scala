@@ -1378,6 +1378,38 @@ object Catalog {
         FROM p LEFT JOIN w ON p.user_id = w.user_id AND p.pt >= w.ws AND p.pt <= w.we
         GROUP BY p.user_id ORDER BY p.user_id""")),
 
+    "q_range_join_semi_sql" -> QueryDef(
+      // the `EXISTS (... ts in range)` SQL shape: the analyzer rewrites
+      // it to a LeftSemi join Spark can only nested-loop; the rule's
+      // semi path plans it as the binned semi equi-join (the preserved
+      // point side is never replicated, so semi cannot duplicate).
+      // Purchases inside any 6h error window, counted per user; oracled
+      // by the same EXISTS in DuckDB.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        s.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf, "21600000")
+        loadEvents(s, dir).createOrReplaceTempView("graft_ev")
+        s.sql("""WITH w AS (SELECT user_id, ts_ms AS ws, ts_ms + 21600000 AS we
+              FROM graft_ev WHERE event_type = 'error'),
+            p AS (SELECT user_id, ts_ms AS pt
+              FROM graft_ev WHERE event_type = 'purchase')
+          SELECT p.user_id, count(*) AS n_shielded
+          FROM p
+          WHERE EXISTS (SELECT 1 FROM w WHERE w.user_id = p.user_id
+            AND p.pt >= w.ws AND p.pt <= w.we)
+          GROUP BY p.user_id ORDER BY p.user_id""")
+      },
+      Some("""WITH w AS (SELECT user_id, epoch_ms(ts) AS ws,
+            epoch_ms(ts) + 21600000 AS we FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, epoch_ms(ts) AS pt
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, count(*) AS n_shielded
+        FROM p
+        WHERE EXISTS (SELECT 1 FROM w WHERE w.user_id = p.user_id
+          AND p.pt >= w.ws AND p.pt <= w.we)
+        GROUP BY p.user_id ORDER BY p.user_id""")),
+
     "q_band_join" -> QueryDef(
       // RangeJoin.bandJoin — |Δt| <= 30min self-pairing of a user's events
       // via the ±1-neighbor bin probe (each qualifying pair meets exactly

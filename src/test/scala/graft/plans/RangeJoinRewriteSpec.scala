@@ -181,6 +181,30 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("EXISTS / NOT EXISTS time-range subqueries leave the nested loop") {
+    val existsQ = """SELECT pid FROM pts WHERE EXISTS (
+      SELECT 1 FROM iv WHERE iv.user = pts.user
+        AND pts.t >= iv.s AND pts.t <= iv.e)"""
+    val notExistsQ = """SELECT pid FROM pts WHERE NOT EXISTS (
+      SELECT 1 FROM iv WHERE iv.user = pts.user
+        AND pts.t >= iv.s AND pts.t <= iv.e)"""
+    def ids(sql: String): Seq[Long] =
+      spark.sql(sql).as[Long].collect().toSeq.sorted
+    val existsTruth = ids(existsQ)
+    val notExistsTruth = ids(notExistsQ)
+    // complementary over the point set, so both sides are exercised
+    assert(existsTruth.nonEmpty && notExistsTruth.nonEmpty)
+    assert((existsTruth ++ notExistsTruth).sorted ==
+      Seq(1L, 2L, 3L, 4L))
+    for ((q, truth) <- Seq(existsQ -> existsTruth, notExistsQ -> notExistsTruth);
+         bin <- Seq(3L, 8L, 1000L)) withBin(bin) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"semi/anti rewrite did not fire at bin=$bin:\n$p")
+      assert(ids(q) == truth, s"bin=$bin diverged for:\n$q")
+    }
+  }
+
   test("an explicit user join hint wins over the rule") {
     val q = """SELECT /*+ BROADCAST(iv) */ pid, iid FROM pts JOIN iv
                ON t >= s AND t <= e"""

@@ -116,6 +116,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the rewritten join lost its LeftOuter type (semantics!):\n$p")
   }
 
+  test("q_range_join_semi_sql: EXISTS plans as a binned semi join, no nested loop") {
+    val p = plan("q_range_join_semi_sql")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the semi rewrite did not fire on the EXISTS route:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the rewritten join lost its LeftSemi type:\n$p")
+    assert(p.contains("Generate"),
+      s"no bin replication (Generate) in the semi SQL plan:\n$p")
+  }
+
   test("q_interval_join_sql: the overlap path of the rule plans SQL without a nested loop") {
     val p = plan("q_interval_join_sql")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
