@@ -151,9 +151,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
     val residual = conjuncts.filterNot(equi.contains)
-    rewritePoint(j, conjuncts, equi, residual, bin)
+    // band-join SQL (`abs(x - y) <= d`) derives its two bounds so the
+    // standard pair machinery sees a point-in-interval; the ORIGINAL abs
+    // conjunct stays in the residual, so exactness is untouched
+    val withBands = conjuncts ++ conjuncts.flatMap(expandAbsBand)
+    rewritePoint(j, withBands, equi, residual, bin)
       .orElse(if (j.joinType == Inner)
         rewriteOverlap(j, conjuncts, equi, residual, bin) else None)
+  }
+
+  /** `abs(x - y) <= d` (either operand order of the comparison, both
+    * strictnesses) expands to `x >= y - d AND x <= y + d` — both bounds
+    * on ONE point expression, which is what the (lower, upper) pairing
+    * needs. `d` may be any expression; side/type eligibility is decided
+    * by the standard `sideOnly` checks downstream.
+    */
+  private def expandAbsBand(c: Expression): Seq[Expression] = c match {
+    case LessThanOrEqual(Abs(Subtract(x, y, _), _), d) =>
+      Seq(GreaterThanOrEqual(x, Subtract(y, d)), LessThanOrEqual(x, Add(y, d)))
+    case LessThan(Abs(Subtract(x, y, _), _), d) =>
+      Seq(GreaterThan(x, Subtract(y, d)), LessThan(x, Add(y, d)))
+    case GreaterThanOrEqual(d, Abs(Subtract(x, y, _), _)) =>
+      Seq(GreaterThanOrEqual(x, Subtract(y, d)), LessThanOrEqual(x, Add(y, d)))
+    case GreaterThan(d, Abs(Subtract(x, y, _), _)) =>
+      Seq(GreaterThan(x, Subtract(y, d)), LessThan(x, Add(y, d)))
+    case _ => Nil
   }
 
   /** point-in-interval: `p >= s AND p <= e` with p on one side, s/e on

@@ -205,6 +205,29 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("abs() band-join SQL rewrites: both strictnesses, either operand order") {
+    // pts x pts self-band on t — the `abs(a.t - b.t) <= d` idiom
+    // the u1 pair sits exactly 20 apart: <= 20 is the inclusive
+    // boundary, < 21 the strict twin
+    val qs = Seq(
+      """SELECT a.pid, b.pid FROM pts a JOIN pts b
+         ON a.user = b.user AND abs(a.t - b.t) <= 20 AND a.pid < b.pid""",
+      """SELECT a.pid, b.pid FROM pts a JOIN pts b
+         ON a.user = b.user AND abs(b.t - a.t) < 21 AND a.pid < b.pid""",
+      """SELECT a.pid, b.pid FROM pts a JOIN pts b
+         ON a.user = b.user AND 20 >= abs(a.t - b.t) AND a.pid < b.pid""")
+    for (q <- qs) {
+      val truth = rows(q)
+      assert(truth.nonEmpty, s"fixture has no band pairs for:\n$q")
+      for (bin <- Seq(5L, 12L, 1000L)) withBin(bin) {
+        val p = planOf(q)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"abs-band rewrite did not fire at bin=$bin:\n$p")
+        assert(rows(q) == truth, s"bin=$bin diverged for:\n$q")
+      }
+    }
+  }
+
   test("an explicit user join hint wins over the rule") {
     val q = """SELECT /*+ BROADCAST(iv) */ pid, iid FROM pts JOIN iv
                ON t >= s AND t <= e"""
