@@ -1431,6 +1431,29 @@ object Catalog {
           AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 1800000
         GROUP BY a.user_id ORDER BY a.user_id""")),
 
+    "q_band_join_sql" -> QueryDef(
+      // q_band_join's EXACT semantics as the naive `abs(x - y) <= d` SQL
+      // a migrating user types — the rule derives the two bounds from
+      // the abs comparison and plans the binned equi-join; the abs
+      // conjunct itself stays in the residual, so exactness holds by
+      // construction. Oracled by the same SQL in DuckDB.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        s.conf.set(graft.plans.RangeJoinRewrite.BinSizeConf, "1800000")
+        loadEvents(s, dir).createOrReplaceTempView("graft_ev")
+        s.sql("""SELECT a.user_id, count(*) AS n_pairs
+          FROM graft_ev a JOIN graft_ev b
+            ON a.user_id = b.user_id AND a.event_id < b.event_id
+            AND abs(a.ts_ms - b.ts_ms) <= 1800000
+          GROUP BY a.user_id ORDER BY a.user_id""")
+      },
+      Some("""SELECT a.user_id, count(*) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 1800000
+        GROUP BY a.user_id ORDER BY a.user_id""")),
+
     "q_interval_join" -> QueryDef(
       // RangeJoin.intervalOverlapJoin — the interval×interval member of
       // the non-equi family (Spark's native plan: nested loop): per user,
