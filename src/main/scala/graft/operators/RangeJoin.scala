@@ -185,7 +185,12 @@ object RangeJoin {
     * sets, and rows with NULL operands match nothing on either path, so
     * they null-extend exactly as a nested-loop LEFT JOIN would. Both
     * passes are keyed equi-joins (the anti probe side is a distinct of
-    * bounded match keys), so the scale shape survives.
+    * bounded match keys), so the scale shape survives. Note the binned
+    * candidate pipeline evaluates twice — once for the output, once for
+    * the match-key distinct; deliberately NOT cached (the
+    * `minhashLshPairs` no-cache discipline: a lazy returned DataFrame
+    * can never unpersist safely, and at 100 TB the intermediate would
+    * not fit in cluster memory anyway).
     */
   private def withLeftComplement(left: DataFrame, inner: DataFrame,
       right: DataFrame, keys: Seq[String], matchCols: Seq[String]): DataFrame = {
