@@ -102,6 +102,43 @@ object GraphOps {
       .map { case (id, d) => (id, d) }.toDF("vertex", "dist")
   }
 
+  /** Hop-bounded WEIGHTED shortest paths from a seed set (bounded
+    * Bellman-Ford via Pregel): `cost` = the minimum total edge weight
+    * over any directed path of at most `maxHops` edges from some seed.
+    * The hop bound makes the result well-defined and deterministic even
+    * with cycles (min is confluent; each Pregel round relaxes one more
+    * hop, exactly Bellman-Ford's invariant), and bounds the rounds the
+    * same way [[hopDistances]] does — that operator is this one with
+    * weight 1. Edges with NULL or negative weight are dropped (negative
+    * cycles would make the unbounded problem undefined).
+    */
+  def boundedShortestPaths(edges: DataFrame, seeds: Seq[Long], maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: String = "w"): DataFrame = {
+    require(seeds.nonEmpty, "boundedShortestPaths: at least one seed")
+    require(maxHops >= 0, "boundedShortestPaths: maxHops must be non-negative")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val clean = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) >= 0)
+    val edgeRdd = clean
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long"),
+        col(weightCol).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val seedSet = seeds.toSet
+    val init = Graph.fromEdges(edgeRdd, defaultValue = 0L)
+      .mapVertices((id, _) => if (seedSet(id)) 0L else Long.MaxValue)
+    def done(g: Graph[Long, Long]) = g.vertices.filter(_._2 != Long.MaxValue)
+      .map { case (id, d) => (id, d) }.toDF("vertex", "cost")
+    if (maxHops == 0) return done(init)
+    val res = init.pregel(Long.MaxValue, maxIterations = maxHops)(
+      (_, cur, msg) => math.min(cur, msg),
+      t => if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    done(res)
+  }
+
   /** Connected components via GraphX; label = lowest vertex id in component. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -3829,6 +3829,32 @@ object Catalog {
         SELECT vertex, min(dist)::BIGINT AS dist
         FROM walk GROUP BY vertex ORDER BY vertex""")),
 
+    "graph_sssp" -> QueryDef(
+      // Hop-bounded WEIGHTED shortest paths (GraphOps.boundedShortestPaths
+      // — bounded Bellman-Ford via Pregel, the weighted generalization of
+      // graph_bfs): min total weight over directed paths of <= 4 edges
+      // from seeds {1, 2}, deterministic edge weights derived from the
+      // destination id. Fully oracled by the recursive-CTE walk with
+      // UNION dedup over (vertex, cost, hops) — bounded because weights
+      // are small integers.
+      (s, dir) => GraphOps.boundedShortestPaths(
+          eventEdges(s, dir).withColumn("w", pmod(col("dst"), lit(7L)) + 1L),
+          seeds = Seq(1L, 2L), maxHops = 4)
+        .orderBy("vertex"),
+      Some(s"""WITH RECURSIVE e0 AS $edgesSql,
+        e AS (SELECT src, dst, (dst % 7) + 1 AS w FROM e0
+              WHERE src IS NOT NULL AND dst IS NOT NULL),
+        v AS (SELECT DISTINCT src AS vertex FROM e
+              UNION SELECT DISTINCT dst FROM e),
+        walk(vertex, cost, hops) AS (
+          SELECT vertex, CAST(0 AS BIGINT), 0 FROM v WHERE vertex IN (1, 2)
+          UNION
+          SELECT e.dst, walk.cost + e.w, walk.hops + 1
+          FROM walk JOIN e ON e.src = walk.vertex
+          WHERE walk.hops < 4)
+        SELECT vertex, min(cost)::BIGINT AS cost
+        FROM walk GROUP BY vertex ORDER BY vertex""")),
+
     "graph_triangles" -> QueryDef(
       (s, dir) => GraphOps.triangleEdges(eventEdges(s, dir))
         .agg(count(lit(1)).as("n_triangles")),

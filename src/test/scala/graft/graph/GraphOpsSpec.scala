@@ -97,6 +97,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L)) // start + hop1 {2} + hop2 {3}
   }
 
+  test("boundedShortestPaths equals sequential Bellman-Ford on random weighted graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(250)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, (rnd.nextInt(9) + 1).toLong))
+      .distinct
+    val seeds = Seq(1L, 5L)
+    for (maxHops <- Seq(0, 1, 4)) {
+      val got = GraphOps.boundedShortestPaths(
+          edges.toDF("src", "dst", "w"), seeds, maxHops)
+        .as[(Long, Long)].collect().sorted.toSeq
+      // sequential bounded Bellman-Ford: k relaxation rounds
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var dist = verts.map(v =>
+        v -> (if (seeds.contains(v)) 0L else Long.MaxValue)).toMap
+      for (_ <- 1 to maxHops) {
+        val next = collection.mutable.Map(dist.toSeq: _*)
+        for ((s, d, w) <- edges if dist(s) != Long.MaxValue)
+          if (dist(s) + w < next(d)) next(d) = dist(s) + w
+        dist = next.toMap
+      }
+      val want = dist.filter(_._2 != Long.MaxValue).toSeq.sorted
+      assert(got == want, s"maxHops=$maxHops:\ngot:  $got\nwant: $want")
+    }
+  }
+
   test("hopDistances: multi-source BFS equals a sequential BFS on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
