@@ -86,4 +86,51 @@ object Profile {
       }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard "did this feature's distribution move"
+    * monitor a training pipeline runs between data refreshes. Fixed
+    * equal-width bins from `lo` (width `binWidth`, `nBins` of them, plus
+    * an underflow and an overflow bin) make the result DETERMINISTIC and
+    * SQL-replayable; empty-bin ratios floor at `eps` (the standard
+    * smoothing — without it one empty bin yields an infinite PSI).
+    * Output: one row `(col_name, n_base, n_current, psi)` (6dp); NULLs
+    * are excluded on both sides. Rule of thumb: < 0.1 stable, > 0.25
+    * shifted.
+    *
+    * Scale shape: one map-side-combined count aggregation per snapshot
+    * (the shuffle carries <= nBins+2 rows), a full-outer join of two
+    * tiny bin tables, and the one-row total broadcast onto them — the
+    * data passes are narrow scans.
+    */
+  def psiDrift(
+      base: DataFrame,
+      current: DataFrame,
+      colName: String,
+      lo: Double,
+      binWidth: Double,
+      nBins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(binWidth > 0, "psiDrift: binWidth must be positive")
+    require(nBins > 0, "psiDrift: nBins must be positive")
+    require(eps > 0, "psiDrift: eps must be positive")
+    def binned(df: DataFrame, out: String) = df
+      .filter(col(colName).isNotNull)
+      .select(least(greatest(
+          floor((col(colName).cast("double") - lo) / binWidth), lit(-1.0)),
+        lit(nBins.toDouble)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val j = binned(base, "nb").join(binned(current, "nc"), Seq("bin"), "full_outer")
+      .select(coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = j.agg(sum("nb").as("tb"), sum("nc").as("tc"))
+    val p = greatest(col("nb") / col("tb"), lit(eps))
+    val q = greatest(col("nc") / col("tc"), lit(eps))
+    j.crossJoin(broadcast(tot))
+      .select(col("tb"), col("tc"), ((p - q) * log(p / q)).as("term"))
+      .agg(max(col("tb")).as("n_base"), max(col("tc")).as("n_current"),
+        round(sum(col("term")), 6).as("psi"))
+      .select(lit(colName).as("col_name"), col("n_base"), col("n_current"),
+        col("psi"))
+  }
 }

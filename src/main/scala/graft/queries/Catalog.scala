@@ -1603,6 +1603,36 @@ object Catalog {
             ELSE sum((nt - t) * value) / (max(t) - min(t)) END, 6) AS twa
         FROM w GROUP BY user_id ORDER BY user_id""")),
 
+    "q_psi_drift" -> QueryDef(
+      // Numeric-distribution drift between two snapshots
+      // (Profile.psiDrift): PSI of the value column, even-id events as
+      // the base vs odd-id as the current refresh, fixed 10-wide bins
+      // from 0 plus under/overflow, eps-smoothed. Deterministic — fully
+      // oracled by replaying bins, ratios, and the log-sum in SQL.
+      (s, dir) => {
+        val ev = events(s, dir)
+        graft.operators.Profile.psiDrift(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          colName = "value", lo = 0.0, binWidth = 10.0, nBins = 10)
+      },
+      Some("""WITH b AS (SELECT least(greatest(floor(value / 10.0), -1), 10)::BIGINT AS bin
+          FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+        c AS (SELECT least(greatest(floor(value / 10.0), -1), 10)::BIGINT AS bin
+          FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+        bc AS (SELECT bin, count(*) AS nb FROM b GROUP BY bin),
+        cc AS (SELECT bin, count(*) AS nc FROM c GROUP BY bin),
+        j AS (SELECT coalesce(bc.nb, 0) AS nb, coalesce(cc.nc, 0) AS nc
+          FROM bc FULL OUTER JOIN cc ON bc.bin = cc.bin),
+        tot AS (SELECT sum(nb)::BIGINT AS tb, sum(nc)::BIGINT AS tc FROM j)
+        SELECT 'value' AS col_name, max(tb)::BIGINT AS n_base,
+          max(tc)::BIGINT AS n_current,
+          round(sum((greatest(nb / (tb::DOUBLE), 0.000001) -
+                     greatest(nc / (tc::DOUBLE), 0.000001)) *
+            ln(greatest(nb / (tb::DOUBLE), 0.000001) /
+               greatest(nc / (tc::DOUBLE), 0.000001))), 6) AS psi
+        FROM j, tot""")),
+
     "q_resample" -> QueryDef(
       // Resample.resampleForwardFill — per-user hourly regularization of
       // the event stream with zero-filled empty buckets and the last

@@ -60,4 +60,38 @@ class ProfileSpec extends AnyFunSuite {
         case e: org.apache.spark.sql.execution.ExpandExec => e
       }.isEmpty, "approx profile still plans an Expand")
   }
+
+  test("psiDrift: zero on identical snapshots, sequential-model parity, shift detection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val baseRows = Seq.fill(600)(rnd.nextGaussian() * 20 + 50)
+    val shiftRows = Seq.fill(600)(rnd.nextGaussian() * 20 + 70)
+    def df(xs: Seq[Double]) = xs.toDF("value")
+    def psiOf(a: Seq[Double], b: Seq[Double]): Double =
+      Profile.psiDrift(df(a), df(b), "value", lo = 0.0, binWidth = 10.0, nBins = 10)
+        .head().getDouble(3)
+    // identical snapshots: every term is (p - p) ln 1 = 0
+    assert(psiOf(baseRows, baseRows) == 0.0)
+    // sequential replay of the declared formula
+    def model(a: Seq[Double], b: Seq[Double]): Double = {
+      def bins(xs: Seq[Double]) = xs
+        .map(v => math.min(math.max(math.floor(v / 10.0), -1.0), 10.0).toLong)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (ba, bb) = (bins(a), bins(b))
+      val keys = ba.keySet ++ bb.keySet
+      val (ta, tb) = (a.size.toDouble, b.size.toDouble)
+      val raw = keys.toSeq.map { k =>
+        val p = math.max(ba.getOrElse(k, 0L) / ta, 1e-6)
+        val q = math.max(bb.getOrElse(k, 0L) / tb, 1e-6)
+        (p - q) * math.log(p / q)
+      }.sum
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = psiOf(baseRows, shiftRows)
+    assert(math.abs(got - model(baseRows, shiftRows)) <= 1e-5,
+      s"psi diverged: got $got, model ${model(baseRows, shiftRows)}")
+    // a 1-sigma mean shift is a textbook "shifted" reading; tiny noise is not
+    assert(got > 0.25, s"shift undetected: $got")
+    assert(psiOf(baseRows, baseRows.map(_ + 0.01)) < 0.1)
+  }
 }
