@@ -286,5 +286,28 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       assert(!planOf(lq).contains("BroadcastNestedLoopJoin"))
       assert(rowsOpt(lq) == ltruth, s"left-outer fuzz diverged at bin=$bin")
     }
+    // the semi/anti paths: EXISTS and NOT EXISTS partition the points
+    def ids(sql: String): Seq[Long] = spark.sql(sql).as[Long].collect().toSeq.sorted
+    val exQ = """SELECT pid FROM fpts WHERE EXISTS (SELECT 1 FROM fiv
+                 WHERE fiv.user = fpts.user AND t >= s AND t <= e)"""
+    val neQ = """SELECT pid FROM fpts WHERE NOT EXISTS (SELECT 1 FROM fiv
+                 WHERE fiv.user = fpts.user AND t >= s AND t <= e)"""
+    val (exTruth, neTruth) = (ids(exQ), ids(neQ))
+    assert(exTruth.nonEmpty && neTruth.nonEmpty &&
+      exTruth.size + neTruth.size == 300)
+    for (bin <- Seq(13L, 400L); (q, truth) <- Seq(exQ -> exTruth, neQ -> neTruth))
+      withBin(bin) {
+        assert(!planOf(q).contains("BroadcastNestedLoopJoin"))
+        assert(ids(q) == truth, s"semi/anti fuzz diverged at bin=$bin")
+      }
+    // the abs band path on random points
+    val absQ = """SELECT a.pid, b.pid FROM fpts a JOIN fpts b
+                  ON a.user = b.user AND abs(a.t - b.t) <= 37 AND a.pid < b.pid"""
+    val absTruth = rows(absQ)
+    assert(absTruth.nonEmpty)
+    for (bin <- Seq(19L, 37L, 500L)) withBin(bin) {
+      assert(!planOf(absQ).contains("BroadcastNestedLoopJoin"))
+      assert(rows(absQ) == absTruth, s"abs fuzz diverged at bin=$bin")
+    }
   }
 }
