@@ -521,6 +521,74 @@ object Dedup {
           .otherwise(round(col("n_dup_spans") / col("n_spans"), 6)))
   }
 
+  /** EXACT repeated-span REMOVAL with global keep-first — the
+    * "deduplicating training data" substring pass ([[dupSpanStats]] only
+    * measures; this one edits): every `width`-token span that occurs
+    * anywhere else in the corpus is cut from all but its globally-first
+    * occurrence (minimum `(doc, position)` — a total order, so any
+    * partitioning elects the same survivor), overlapping duplicate spans
+    * merging into one removed range positionally. Output per doc:
+    * `(idCol, n_tokens, n_removed, text_deduped)` over whitespace tokens
+    * of the normalized text. Docs shorter than `width` carry no spans and
+    * pass through untouched — whole-doc dedup ([[exactSurvivors]]) is the
+    * tool for those, not a substring pass.
+    *
+    * Scale shape — five keyed shuffles, each bounded by the token stream,
+    * no corpus-sized broadcast and no window over unbounded groups:
+    * (1) positioned spans hash-agg by span string (map-side combine keeps
+    * a billion-fold boilerplate span to one row per map task);
+    * (2) occurrence→first join back on the span key — build side is ONE
+    * row per span, so a hyper-repeated span skews but never explodes
+    * (AQE skew-split applies); (3) removed token positions distinct on
+    * `(doc, i)` — duplicate-span overlap collapses here, bounding
+    * downstream work by doc length regardless of how many spans cover a
+    * token; (4) the anti-join of the positioned token stream against the
+    * removed set on `(doc, i)`; (5) the per-doc reassembly agg (per-group
+    * state = the doc's own surviving tokens, the same bound as
+    * [[dedupUnitsAndReassemble]]).
+    */
+  def removeDupSpans(
+      docs: DataFrame,
+      width: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(width > 0, "removeDupSpans: width must be positive")
+    val base = docs.select(col(idCol),
+      filter(graft.functions.Text.tokens(col(textCol)), t => t =!= "").as("__toks"))
+    val withN = base.withColumn("__nt", size(col("__toks")))
+    // positioned spans: p in [0, nt-width], span = tokens p..p+width-1
+    val spans = withN
+      .filter(col("__nt") >= width)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), col("__nt") - width),
+        p => struct(p.as("p"),
+          array_join(slice(col("__toks"), p + 1, lit(width)), " ").as("sp")))).as("__s"))
+      .select(col(idCol), col("__s.p").as("p"), col("__s.sp").as("sp"))
+    val firstOcc = spans.groupBy(col("sp")).agg(
+      min(struct(col(idCol), col("p"))).as("__first"),
+      count(lit(1)).as("__nocc"))
+    val dupOcc = spans.join(firstOcc, Seq("sp"))
+      .filter(col("__nocc") >= 2 &&
+        !(col(idCol) === col(s"__first.$idCol") && col("p") === col("__first.p")))
+      .select(col(idCol), col("p"))
+    val removed = dupOcc
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (width - 1))).as("i"))
+      .distinct()
+    val toks = withN.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("i", "tok")))
+    val kept = toks.join(removed, Seq(idCol, "i"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_deduped"))
+    withN.select(col(idCol), col("__nt").cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Split docs into positioned units (paragraphs/lines) on a regex
     * delimiter: `(<idCol>, pos, unit)` with pos 0-based over the doc's
     * non-empty trimmed segments. The unit table feeds

@@ -329,6 +329,58 @@ object Catalog {
           AND o_orderdate >= TIMESTAMP '2000-01-01')
         ORDER BY c_custkey""")),
 
+    "q_merge_upsert" -> QueryDef(
+      // Three-clause MERGE INTO (operators.Merge.mergeInto): a delta of
+      // updates (key%3=0, price*1.1), deletes (key%9=0, flagged 'D' and
+      // matched by deleteWhen on the INCOMING row), and inserts (key%97=0
+      // re-keyed past the domain) folds into the orders snapshot in ONE
+      // keyed full-outer join — the set-oriented dual of the engine's
+      // per-key Set/Del write path. Duplicate-source keys raise on the
+      // executors (SQL MERGE's ambiguous-match rule).
+      (s, dir) => {
+        val tgt = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        val upd = tgt.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 9 === 0, lit("D")).otherwise(lit("U")))
+          // decimal multiply: round(double * 1.1) puts the two engines on
+          // opposite sides of the half-ulp boundary; exact decimal doesn't
+          .withColumn("o_totalprice",
+            round(col("o_totalprice").cast("decimal(18,2)")
+              * lit(new java.math.BigDecimal("1.1")), 2).cast("double"))
+        val ins = tgt.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_orderstatus", lit("N"))
+        graft.operators.Merge.mergeInto(
+            tgt, upd.unionAll(ins), keys = Seq("o_orderkey"),
+            deleteWhen = col("src_o_orderstatus") === "D")
+          .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+            o_totalprice FROM orders),
+        src AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS o_orderstatus,
+            round(o_totalprice::DECIMAL(18,2) * 1.1, 2)::DOUBLE AS o_totalprice
+          FROM t WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+          FROM t WHERE o_orderkey % 97 = 0),
+        kept AS (
+          SELECT t.* FROM t ANTI JOIN src s ON t.o_orderkey = s.o_orderkey),
+        updated AS (
+          SELECT s.* FROM t JOIN src s ON t.o_orderkey = s.o_orderkey
+          WHERE s.o_orderstatus <> 'D'),
+        inserted AS (
+          SELECT s.* FROM src s ANTI JOIN t ON s.o_orderkey = t.o_orderkey)
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          round(o_totalprice, 2) AS o_totalprice
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM updated
+              UNION ALL SELECT * FROM inserted)
+        ORDER BY o_orderkey""")),
+
     "q_setop_intersect" -> QueryDef(
       (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("custkey"))
         .intersect(t(s, dir, "customer").filter(col("c_acctbal") > 1000)
@@ -492,7 +544,8 @@ object Catalog {
             week FROM per_week)
         SELECT cohort_week, week - cohort_week AS week_offset,
           count(*) AS n_users
-        FROM tagged GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+        FROM tagged GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+      headline = true),
 
     "q_mode_per_group" -> QueryDef(
       // Deterministic mode (most frequent value, smallest wins ties) per
@@ -1632,6 +1685,36 @@ object Catalog {
             ln(greatest(nb / (tb::DOUBLE), 0.000001) /
                greatest(nc / (tc::DOUBLE), 0.000001))), 6) AS psi
         FROM j, tot""")),
+
+    "q_ewma" -> QueryDef(
+      // EWMA smoothing per user (Resample.ewma, alpha=0.2): the
+      // inherently-sequential recurrence run as a SEGMENTED linear-
+      // recurrence scan — block-local HOF folds plus a per-key
+      // block-summary recurrence, ONE full-data exchange, exact
+      // sequential float semantics (no overflowing power trick, no
+      // whole-key collect). blockSize=16 here so sf0.01's ~67-row keys
+      // actually exercise the cross-block composition path. The oracle
+      // replays the closed form ((1-a)^i * running sum of x_j*(1-a)^-j),
+      // safe in SQL at oracle scale where exponents stay small.
+      (s, dir) => graft.operators.Resample.ewma(
+          events(s, dir).select(col("user_id"), col("ts_ms"),
+            col("event_id"), col("value")),
+          keys = Seq("user_id"), alpha = 0.2, blockSize = 16)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("user_id", "ts_ms", "event_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+            value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ms(ts), event_id) AS rn
+          FROM events),
+        c AS (SELECT user_id, ts_ms, event_id, value, rn,
+            (CASE WHEN rn = 1 THEN value ELSE 0.2 * value END)
+              * power(0.8, -rn) AS cj
+          FROM e)
+        SELECT user_id, ts_ms, event_id, round(value, 6) AS value,
+          round(power(0.8, rn) * sum(cj) OVER (PARTITION BY user_id
+            ORDER BY rn), 6) AS ewma
+        FROM c ORDER BY user_id, ts_ms, event_id""")),
 
     "q_resample" -> QueryDef(
       // Resample.resampleForwardFill — per-user hourly regularization of
@@ -3215,6 +3298,43 @@ object Catalog {
           CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
                ELSE round(n_dup / n_spans::DOUBLE, 6) END AS dup_frac
         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
+
+    "dedup_span_removal" -> QueryDef(
+      // Exact repeated-span REMOVAL (Dedup.removeDupSpans, width=4):
+      // every 4-token span occurring anywhere else in the corpus is cut
+      // from all but its globally-first (doc, position) occurrence —
+      // the "deduplicating training data" substring edit dup_span_frac
+      // only measures. Overlapping duplicate spans collapse at the
+      // (doc, token-position) distinct, so removal is bounded by doc
+      // length however many spans cover a token. Five keyed shuffles,
+      // no corpus-sized broadcast (operator scaladoc).
+      (s, dir) => Dedup.removeDupSpans(t(s, dir, "documents"), width = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id,
+          list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS nt FROM d),
+        sp AS (SELECT doc_id, i - 1 AS p,
+            array_to_string(toks[i:i+3], ' ') AS sp
+          FROM n, unnest(generate_series(1, nt - 3)) AS g(i)
+          WHERE nt >= 4),
+        marked AS (SELECT doc_id, p,
+            row_number() OVER (PARTITION BY sp ORDER BY doc_id, p) AS rn,
+            count(*) OVER (PARTITION BY sp) AS nocc
+          FROM sp),
+        rem AS (SELECT DISTINCT doc_id, p + g.o AS i
+          FROM (SELECT doc_id, p FROM marked WHERE nocc >= 2 AND rn > 1),
+            unnest(generate_series(0, 3)) AS g(o)),
+        tok AS (SELECT doc_id, i - 1 AS i, toks[i] AS tok
+          FROM n, unnest(generate_series(1, nt)) AS g(i)),
+        kept AS (SELECT t.doc_id, t.i, t.tok FROM tok t
+          ANTI JOIN rem r ON t.doc_id = r.doc_id AND t.i = r.i),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+            string_agg(tok, ' ' ORDER BY i) AS text_deduped
+          FROM kept GROUP BY doc_id)
+        SELECT n.doc_id, nt::BIGINT AS n_tokens,
+          (nt - coalesce(n_kept, 0))::BIGINT AS n_removed,
+          coalesce(text_deduped, '') AS text_deduped
+        FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
 
     "pipeline_paragraph_dedup" -> QueryDef(
       // C4/RefinedWeb-style unit-level keep-first dedup: every distinct

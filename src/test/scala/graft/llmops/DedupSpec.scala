@@ -208,4 +208,78 @@ class DedupSpec extends AnyFunSuite {
         s"cap=$cap plan went all-pairs:\n${p.take(1200)}")
     }
   }
+
+  // ---- removeDupSpans -------------------------------------------------
+
+  /** Sequential model of removeDupSpans: positioned width-spans, global
+    * keep-first by (doc, pos), overlapping duplicate spans mark token
+    * positions, survivors reassemble in order.
+    */
+  private def spanModel(docs: Seq[(Long, String)], width: Int)
+      : Seq[(Long, Long, Long, String)] = {
+    val toks = docs.map { case (id, tx) =>
+      id -> tx.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val occ = for {
+      (id, ts) <- toks; p <- 0 to ts.length - width
+    } yield (ts.slice(p, p + width).mkString(" "), id, p)
+    val bypos = occ.groupBy(_._1).values.flatMap { os =>
+      if (os.size < 2) Nil
+      else os.sortBy(o => (o._2, o._3)).tail // all but the first occurrence
+    }
+    val removed = bypos.flatMap { case (_, id, p) =>
+      (p until p + width).map(i => (id, i)) }.toSet
+    toks.map { case (id, ts) =>
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !removed((id, i)) => t }
+      (id, ts.length.toLong, (ts.length - kept.length).toLong,
+        kept.mkString(" "))
+    }.sortBy(_._1)
+  }
+
+  test("removeDupSpans cuts repeated spans everywhere but their first occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // first occurrence of "a b c d": kept whole
+      (2L, "x a b c d"),      // repeat -> loses positions 1..4, keeps "x"
+      (3L, "a b c"),          // shorter than width: untouched
+      (4L, ""))               // empty doc: zero tokens
+    val got = Dedup.removeDupSpans(docs.toDF("doc_id", "text"), width = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 5L, 4L, "x"),
+      (3L, 3L, 0L, "a b c"),
+      (4L, 0L, 0L, "")))
+    assert(got == spanModel(docs, 4))
+  }
+
+  test("removeDupSpans: overlapping duplicate spans merge into one removed range") {
+    // "p q p q p q" repeats "p q p q" at positions 0 and 2 of doc 6;
+    // doc 5 holds the first occurrence. Overlap must not double-count.
+    val docs = Seq((5L, "p q p q"), (6L, "p q p q p q"))
+    val got = Dedup.removeDupSpans(docs.toDF("doc_id", "text"), width = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == spanModel(docs, 4))
+    assert(got(1)._3 == 6L && got(1)._4 == "") // doc 6 fully covered
+  }
+
+  test("removeDupSpans matches the sequential model on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val width = 2 + rnd.nextInt(2)
+      val docs = (1L to 12L).map { id =>
+        val n = rnd.nextInt(12)
+        (id, (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" "))
+      }
+      val got = Dedup.removeDupSpans(
+          docs.toDF("doc_id", "text").repartition(5), width = width)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got == spanModel(docs, width),
+        s"trial $trial (width=$width) diverged from the model")
+    }
+  }
 }

@@ -69,6 +69,47 @@ class ResampleSpec extends AnyFunSuite {
       s"twa diverged:\ngot:  $got\nwant: $want")
   }
 
+  test("ewma equals the sequential recurrence, across block boundaries") {
+    // blockSize=4 forces multi-block keys: the cross-block s_in
+    // composition path is what this gate exercises
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 6).flatMap { k =>
+      val n = 1 + rnd.nextInt(30)
+      (1 to n).map(i => (s"k$k", rnd.nextInt(1000).toLong,
+        (k * 1000 + i).toLong, rnd.nextDouble() * 100))
+    }
+    val got = Resample.ewma(
+        data.toDF("k", "t", "tie", "v").repartition(7),
+        keys = Seq("k"), alpha = 0.3, tsMsCol = "t", valueCol = "v",
+        tieCol = "tie", blockSize = 4)
+      .orderBy("k", "t", "tie")
+      .select("k", "t", "tie", "v", "ewma")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val want = data.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.tail.scanLeft(sorted.head._4) { (s, r) => 0.7 * s + 0.3 * r._4 }
+        .zip(sorted).map { case (s, r) => (k, r._2, r._3, r._4, s) }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert((g._1, g._2, g._3, g._4) == (w._1, w._2, w._3, w._4))
+      // got is pre-rounded to 6dp by the operator; tolerance-compare the
+      // smoothed value (digit-rounding a rounded value trips boundaries)
+      assert(math.abs(g._5 - w._5) < 1e-5, s"ewma diverged at $g vs $w")
+    }
+  }
+
+  test("ewma single-row and single-block keys pass through exactly") {
+    val got = Resample.ewma(
+        Seq(("a", 1L, 1L, 5.0), ("b", 1L, 1L, 3.0), ("b", 2L, 2L, 7.0))
+          .toDF("k", "t", "tie", "v"),
+        keys = Seq("k"), alpha = 0.5, tsMsCol = "t", valueCol = "v",
+        tieCol = "tie", blockSize = 256)
+      .orderBy("k", "t")
+      .select("k", "t", "ewma").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 1L, 5.0), ("b", 1L, 3.0), ("b", 2L, 5.0)))
+  }
+
   test("a key spanning too many buckets fails loudly") {
     val wide = Seq(("a", 0L, 1L, 1.0), ("a", 10000000L, 2L, 2.0))
       .toDF("k", "t", "tie", "v")
