@@ -110,6 +110,20 @@ class ResampleSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1L, 5.0), ("b", 1L, 3.0), ("b", 2L, 5.0)))
   }
 
+  test("ewma shuffles its input once: the second pass reuses the exchange") {
+    // the emission and block-summary passes hang off canonically-equal
+    // exchange subtrees; losing that (a column drifts between them) would
+    // silently double the full-data shuffle at scale
+    val data = (1 to 200).map(i => (s"k${i % 5}", i.toLong, i.toLong, i * 1.0))
+    val df = Resample.ewma(data.toDF("k", "t", "tie", "v"),
+      keys = Seq("k"), alpha = 0.2, tsMsCol = "t", valueCol = "v",
+      tieCol = "tie", blockSize = 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange|ReusedQueryStage".r.findAllIn(p).nonEmpty,
+      s"ewma's summary pass re-shuffled the input instead of reusing the exchange:\n${p.take(2000)}")
+  }
+
   test("a key spanning too many buckets fails loudly") {
     val wide = Seq(("a", 0L, 1L, 1.0), ("a", 10000000L, 2L, 2.0))
       .toDF("k", "t", "tie", "v")
