@@ -81,6 +81,24 @@ final case class CoalesceState(
     hasOpen: Boolean, startMs: Long, endMs: Long, n: Long,
     pending: Seq[(Long, Long)])
 
+/** Pending event for [[EventStream.ewmaStream]]: buffered until the
+  * watermark seals its order slot (the recurrence is order-sensitive).
+  */
+final case class EwmaPending(tsMs: Long, tie: Long, x: Double)
+
+/** Per-key state for [[EventStream.ewmaStream]]: the committed carry
+  * `s` (meaningful once `started`) plus the watermark-bounded pending
+  * buffer. The carry is permanent — smoothing never forgets — so state
+  * is one fixed-size row per key plus the buffer.
+  */
+final case class EwmaState(started: Boolean, s: Double, pending: Seq[EwmaPending])
+
+/** One sealed observation from [[EventStream.ewmaStream]] (Append mode):
+  * the event and its committed smoothed value, emitted exactly once,
+  * when the watermark passes the event's timestamp.
+  */
+final case class EwmaRow(key: Long, ts_ms: Long, tie: Long, value: Double, ewma: Double)
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -681,6 +699,64 @@ object EventStream {
           state.setTimeoutTimestamp(math.max(wake, wm + 1))
         }
         closed.result().iterator
+    }
+  }
+
+  /** Streaming EWMA — the streaming dual of the oracled batch segmented
+    * scan ([[graft.operators.Resample.ewma]], q_ewma): per key, each
+    * observation's smoothed value `s_i = (1-alpha) * s_{i-1} + alpha *
+    * x_i` (s_1 = x_1), emitted (Append mode) exactly once — when the
+    * watermark passes the event's timestamp, sealing its slot in the
+    * `(ts, tie)` total order so no non-late arrival can change it.
+    *
+    * Exactness over out-of-order arrival rides the [[funnelStream]]
+    * discipline: events buffer in state until sealed, then fold in
+    * `(ts, tie)` order with the batch recurrence VERBATIM (same
+    * sequential float associativity, same 6dp HALF_UP rounding on
+    * emit), so stream output == batch output row for row. State per
+    * key: the committed carry (one double — smoothing never forgets)
+    * plus the watermark-bounded pending buffer; event-time timeouts
+    * flush sealed-but-quiet keys.
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `value` double.
+    */
+  def ewmaStream(
+      events: DataFrame,
+      alpha: Double,
+      watermark: String = "10 minutes"): Dataset[EwmaRow] = {
+    require(alpha > 0 && alpha <= 1, "ewmaStream: alpha must be in (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[EwmaState, EwmaRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[EwmaState]) =>
+        val prior = state.getOption.getOrElse(EwmaState(started = false, 0.0, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => EwmaPending(r._2.getTime, r._3, r._4))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var started = prior.started
+        var s = prior.s
+        val out = ripe.sortBy(p => (p.tsMs, p.tie)).map { p =>
+          s = if (started) (1 - alpha) * s + alpha * p.x else p.x
+          started = true
+          EwmaRow(key, p.tsMs, p.tie, p.x,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        if (!started && hold.isEmpty) state.remove()
+        else {
+          state.update(EwmaState(started, s, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
     }
   }
 

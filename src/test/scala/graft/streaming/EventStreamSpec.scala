@@ -144,6 +144,88 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ewmaStream: sealed smoothed values equal the batch segmented scan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)] // key, ts_ms, tie, value
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.ewmaStream(df, alpha = 0.3, watermark = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ewma_test").start()
+    // out-of-order ACROSS batches (all inside the watermark bound), plus
+    // a mid-stream sentinel so part of each key folds early and the
+    // carry must survive into the later seal
+    val b1 = Seq((1L, 3000L, 3L, 30.0), (2L, 1500L, 4L, 5.0))
+    val b2 = Seq((1L, 1000L, 1L, 10.0), (1L, 5000L, 5L, 50.0))
+    val b3 = Seq((2L, 2500L, 6L, 15.0), (1L, 2000L, 2L, 20.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      // partial seal at wm=3500: ts<=3500 folds now, the rest later
+      input.addData((9L, 13500L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 100000L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 200000L, 0L, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("ewma_test").as[EwmaRow].collect()
+        .filter(_.key != 9L)
+        .map(r => (r.key, r.ts_ms, r.tie, r.value, r.ewma))
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+      val batch = graft.operators.Resample.ewma(
+          (b1 ++ b2 ++ b3).toDF("key", "ts_ms", "tie", "value"),
+          keys = Seq("key"), alpha = 0.3, tsMsCol = "ts_ms",
+          valueCol = "value", tieCol = "tie", blockSize = 2)
+        .orderBy("key", "ts_ms", "tie")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence:\nstream: $streamed\nbatch:  $batch")
+      assert(streamed.size == 6)
+    } finally q.stop()
+  }
+
+  test("ewmaStream survives a checkpoint restart: the carry is recovered") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val T = 100000L
+    val inDir = Files.createTempDirectory("ew-restart-in").toString
+    val outDir = Files.createTempDirectory("ew-restart-out").toString
+    val ckDir = Files.createTempDirectory("ew-restart-ck").toString
+    val schema = Seq((0L, 0L, 0L, 0.0)).toDF("key", "ts_ms", "tie", "value").schema
+    def push(rows: (Long, Long, Long, Double)*): Unit =
+      rows.toSeq.toDF("key", "ts_ms", "tie", "value").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      EventStream.ewmaStream(src, alpha = 0.5, watermark = "5 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EwmaRow], _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }.start()
+    }
+    // phase 1: first observation folds (s = 10), STOP with the carry
+    // only in the checkpoint
+    push((1L, T, 1L, 10.0))
+    val q1 = start(); q1.processAllAvailable()
+    push((9L, T + 6000L, 0L, 0.0)); q1.processAllAvailable()
+    push((9L, T + 6500L, 0L, 0.0)); q1.processAllAvailable()
+    q1.stop()
+    // phase 2: the next observation must smooth AGAINST the recovered
+    // carry (0.5*10 + 0.5*20 = 15); amnesia would restart at s = 20
+    push((1L, T + 2000L, 2L, 20.0))
+    val q2 = start(); q2.processAllAvailable()
+    push((9L, T + 3000000L, 0L, 0.0)); q2.processAllAvailable()
+    push((9L, T + 3100000L, 0L, 0.0)); q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).as[EwmaRow].collect()
+      .filter(_.key == 1L).sortBy(_.ts_ms).toSeq
+    assert(rows.map(_.ewma) == Seq(10.0, 15.0),
+      s"restart broke the ewma carry: $rows")
+  }
+
   test("funnelStream: committed frontiers equal the batch funnel, out-of-order included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
