@@ -2788,6 +2788,40 @@ object Catalog {
         (SELECT unnest($toksSql) AS tok FROM documents)
         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
+    "text_pmi_pairs" -> QueryDef(
+      // Document-level co-occurrence with PMI (Cooccur.pmiPairs):
+      // collocation discovery over the corpus, capped by definition
+      // (top-500 vocab by (df DESC, term); <= 200 best-ranked vocab
+      // terms per doc) so the within-doc pair join stays bounded; the
+      // oracle replays both caps exactly. Vocab is a distributed top-K
+      // + broadcast join, never a single-partition window over the full
+      // term set.
+      (s, dir) => graft.llmops.Cooccur.pmiPairs(
+          t(s, dir, "documents"), minPairCount = 5L,
+          maxVocab = 500, maxTermsPerDoc = 200)
+        .orderBy("term_a", "term_b"),
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_filter($toksSql, t -> t <> '') AS toks FROM documents),
+        dt AS (SELECT DISTINCT doc_id, t.t AS term
+          FROM d, unnest(toks) AS t(t)),
+        dfv AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        vocab AS (SELECT term, df,
+            row_number() OVER (ORDER BY df DESC, term) AS rnk
+          FROM dfv ORDER BY df DESC, term LIMIT 500),
+        capped AS (SELECT doc_id, term, df FROM (
+          SELECT dt.doc_id, dt.term, v.df,
+            row_number() OVER (PARTITION BY dt.doc_id ORDER BY v.rnk) AS dr
+          FROM dt JOIN vocab v USING (term)) WHERE dr <= 200),
+        p AS (SELECT a.term AS term_a, b.term AS term_b,
+            count(*) AS n_ab, any_value(a.df) AS na, any_value(b.df) AS nb
+          FROM capped a JOIN capped b
+            ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        n AS (SELECT count(*) AS nd FROM documents)
+        SELECT term_a, term_b, n_ab::BIGINT AS n_ab,
+          round(ln(n_ab * nd / (na * nb)), 6) AS pmi
+        FROM p, n ORDER BY term_a, term_b""")),
+
     "pipeline_neardedup" -> QueryDef(
       // NEAR-dup curation — the step a real pipeline ships after exact
       // dedup: near-dup clusters (exact PPJoin pairs -> connected
