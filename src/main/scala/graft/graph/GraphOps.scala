@@ -139,6 +139,65 @@ object GraphOps {
     done(res)
   }
 
+  /** k-CORE of the undirected simple graph: the maximal subgraph where
+    * every vertex keeps degree >= k, found by the standard peel — drop
+    * sub-k vertices, recompute degrees over the surviving subgraph,
+    * repeat to fixpoint. Direction, multi-edges, and self-loops are
+    * normalized away first (k-core is an undirected simple-graph
+    * notion). Output: `(vertex, degree)` — the vertex's degree WITHIN
+    * the core.
+    *
+    * The peel is confluent (removing a sub-k vertex can only lower
+    * other degrees, so removal order never changes the fixpoint) —
+    * deterministic under any partitioning. Each round is one GraphX
+    * degree aggregation + subgraph filter over the SURVIVING edges
+    * (shrinking every round), with the previous round's graph
+    * unpersisted as soon as its successor materializes — the PageRank
+    * iteration discipline. A graph that does not converge within
+    * `maxIters` fails loudly rather than returning a non-fixpoint (the
+    * worst case peels one vertex per round; real graphs converge in a
+    * handful).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 50,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(maxIters >= 1, "kCore: maxIters must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+    var g = Graph.fromEdges(
+      und.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)),
+      defaultValue = 0L).cache()
+    var n = g.vertices.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val deg = g.degrees
+      val next = g.outerJoinVertices(deg)((_, _, d) => d.getOrElse(0).toLong)
+        .subgraph(vpred = (_, d) => d >= k)
+        .cache()
+      val n2 = next.vertices.count()
+      g.unpersist(blocking = false)
+      g = next
+      converged = n2 == n
+      n = n2
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: no fixpoint within $maxIters peel rounds ($n vertices live) — raise maxIters")
+    // report the IN-CORE degree (the last subgraph's attrs are the
+    // pre-peel degrees, so recompute over the surviving edge set)
+    val coreDeg = g.degrees
+    g.vertices.leftJoin(coreDeg)((_, _, d) => d.getOrElse(0).toLong)
+      .map { case (id, d) => (id, d) }.toDF("vertex", "degree")
+  }
+
   /** Connected components via GraphX; label = lowest vertex id in component. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession

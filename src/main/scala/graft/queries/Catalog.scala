@@ -4039,6 +4039,40 @@ object Catalog {
         SELECT vertex, min(cost)::BIGINT AS cost
         FROM walk GROUP BY vertex ORDER BY vertex""")),
 
+    "graph_kcore" -> QueryDef(
+      // k-CORE (GraphOps.kCore, k=9): the maximal subgraph where every
+      // vertex keeps undirected-simple degree >= k, by the standard
+      // confluent peel (removal order never changes the fixpoint).
+      // Spark peels to a VERIFIED fixpoint (fails loudly past maxIters);
+      // the oracle unrolls 10 peel rounds — both sf0.001 (smoke,
+      // 38-vertex core, 2 peel rounds) and sf0.01 (oracle) converge
+      // well inside it, and extra rounds are no-ops at a fixpoint.
+      (s, dir) => GraphOps.kCore(eventEdges(s, dir), k = 9)
+        .orderBy("vertex"),
+      Some {
+        val rounds = 10
+        // MATERIALIZED per round: each e_r is referenced three times by
+        // round r+1, so inlined CTEs would expand ~3^rounds scans of the
+        // base table (observed as fd exhaustion in the lint probe)
+        val steps = (1 to rounds).map { r =>
+          s"""d$r AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+               SELECT a AS v FROM e${r - 1} UNION ALL SELECT b AS v FROM e${r - 1})
+             GROUP BY v),
+           k$r AS MATERIALIZED (SELECT v FROM d$r WHERE c >= 9),
+           e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+             WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))"""
+        }.mkString(",\n")
+        s"""WITH raw AS $edgesSql,
+          e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+          $steps,
+          fin AS (SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds)
+            GROUP BY v)
+          SELECT v AS vertex, c::BIGINT AS degree FROM fin
+          WHERE c >= 9 ORDER BY vertex"""
+      }),
+
     "graph_triangles" -> QueryDef(
       (s, dir) => GraphOps.triangleEdges(eventEdges(s, dir))
         .agg(count(lit(1)).as("n_triangles")),

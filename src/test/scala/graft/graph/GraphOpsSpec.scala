@@ -149,4 +149,58 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(got == want, s"maxHops=$maxHops:\ngot:  $got\nwant: $want")
     }
   }
+
+  /** Sequential peel model over undirected simple edges. */
+  private def kCoreModel(edges: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = und.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, os) => v -> os.size }
+      val keep = deg.collect { case (v, d) if d >= k => v }.toSet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != und.size
+      und = next
+    }
+    und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, os) => (v, os.size.toLong) }.toSeq.sorted
+  }
+
+  test("kCore: triangle survives at k=2, pendant peels; direction/dups normalized") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4; a duplicate and a reversed edge and
+    // a self-loop must not inflate any degree
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 4L), (2L, 3L))
+    val got = GraphOps.kCore(edges.toDF("src", "dst"), k = 2)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore equals the sequential peel on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 18
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rnd.nextDouble() < 0.22
+      } yield (a, b)).toSeq
+      val k = 2 + rnd.nextInt(3)
+      val got = GraphOps.kCore(edges.toDF("src", "dst").repartition(4), k)
+        .orderBy("vertex").as[(Long, Long)].collect().toSeq
+      val want = kCoreModel(edges, k)
+      assert(got == want, s"trial $trial k=$k:\ngot:  $got\nwant: $want")
+    }
+  }
+
+  test("kCore fails loudly when the peel cannot reach a fixpoint in maxIters") {
+    import spark.implicits._
+    // a path peels two endpoints per round: 30 vertices at k=2 need ~15
+    // rounds to empty out, so maxIters=3 must raise, not return a lie
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      GraphOps.kCore(path.toDF("src", "dst"), k = 2, maxIters = 3).count()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
 }
