@@ -44,6 +44,46 @@ object Curation {
     * bounded by the eval vocabulary, so the only shuffles touch
     * eval-sized data. The 100 TB train corpus is read once, narrow.
     */
+  /** Per-group WINSORIZATION: clip a numeric column to its group's
+    * `[loQ, hiQ]` quantiles — the standard outlier-taming pass before
+    * scoring/statistics (a fat-finger value stops dominating a mean
+    * without dropping its row). Output: the input plus
+    * `<valueCol>_w` (clipped) and the group's `__lo`/`__hi` bounds
+    * dropped — quantiles use linear interpolation (Spark `percentile` ==
+    * DuckDB `quantile_cont`, the engine's proven parity pair).
+    *
+    * Scale note: `exact = true` (the oracled form) runs Spark's exact
+    * percentile, whose per-group state is the group's value multiset —
+    * fine up to millions of rows per group, wrong tool past that. At
+    * 100 TB set `exact = false` for `percentile_approx` (t-digest,
+    * bounded state, same plan shape) and accept approximation in the
+    * clip bounds. Either way: one agg over the grouped values + one
+    * keyed join back — the bounds frame is one row per group, so the
+    * join broadcasts when groups are few.
+    */
+  def winsorize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      loQ: Double = 0.01,
+      hiQ: Double = 0.99,
+      exact: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "winsorize: at least one key column")
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ,
+      "winsorize: need 0 <= loQ <= hiQ <= 1")
+    val pct =
+      if (exact) expr(s"percentile($valueCol, array($loQ, $hiQ))")
+      else expr(s"percentile_approx($valueCol, array($loQ, $hiQ), 10000)")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(pct.as("__b"))
+      .select(keys.map(col) :+ col("__b").getItem(0).as("__lo")
+        :+ col("__b").getItem(1).as("__hi"): _*)
+    df.join(bounds, keys)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   def decontaminate(
       train: DataFrame,
       eval: DataFrame,

@@ -1835,6 +1835,30 @@ object Catalog {
         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    "q_winsorize" -> QueryDef(
+      // Per-group winsorization (Curation.winsorize): prices clipped to
+      // their return-flag group's [p05, p95] — exact linear-interpolation
+      // quantiles (percentile == quantile_cont, the proven parity pair)
+      // + one keyed join back of the one-row-per-group bounds frame.
+      (s, dir) => graft.llmops.Curation.winsorize(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice")),
+          keys = Seq("l_returnflag"), valueCol = "l_extendedprice",
+          loQ = 0.05, hiQ = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice"), 2).as("price"),
+          round(col("l_extendedprice_w"), 2).as("price_w"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH b AS (SELECT l_returnflag,
+            quantile_cont(l_extendedprice, 0.05) AS lo,
+            quantile_cont(l_extendedprice, 0.95) AS hi
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+          round(l_extendedprice, 2) AS price,
+          round(least(greatest(l_extendedprice, lo), hi), 2) AS price_w
+        FROM lineitem JOIN b USING (l_returnflag)
+        ORDER BY l_orderkey, l_linenumber""")),
+
     "q_correlated" -> QueryDef(
       // customers above their nation's average balance — the correlated
       // scalar subquery, expressed as join+agg in Spark

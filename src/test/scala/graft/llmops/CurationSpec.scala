@@ -218,4 +218,30 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(one.length == 5 && one.toSeq == wide.toSeq)
   }
+  test("winsorize clips to the group's exact interpolated quantiles") {
+    import spark.implicits._
+    // group g: values 1..10 -> p25 = 3.25, p75 = 7.75 (linear interp);
+    // group h constant -> bounds equal the value, nothing clips
+    val df = ((1 to 10).map(v => ("g", v.toDouble)) :+ ("h", 5.0))
+      .toDF("k", "v")
+    val got = Curation.winsorize(df, Seq("k"), "v", loQ = 0.25, hiQ = 0.75)
+      .orderBy("k", "v").as[(String, Double, Double)].collect().toSeq
+    val gClipped = got.filter(_._1 == "g").map(_._3)
+    assert(gClipped == Seq(3.25, 3.25, 3.25, 4.0, 5.0, 6.0, 7.0, 7.75, 7.75, 7.75))
+    assert(got.filter(_._1 == "h").map(_._3) == Seq(5.0))
+    // every clipped value sits inside the bounds; interior values untouched
+    assert(got.forall { case (_, v, w) => w >= 3.25 || v == 5.0 })
+  }
+
+  test("winsorize approx mode clips with the same plan shape") {
+    import spark.implicits._
+    val df = (1 to 1000).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val got = Curation.winsorize(df, Seq("k"), "v", loQ = 0.01, hiQ = 0.99,
+        exact = false)
+      .agg(org.apache.spark.sql.functions.min("v_w"),
+        org.apache.spark.sql.functions.max("v_w"))
+      .as[(Double, Double)].collect().head
+    // t-digest bounds land within a loose tolerance of the exact ones
+    assert(math.abs(got._1 - 10.99) < 5 && math.abs(got._2 - 990.01) < 5, s"$got")
+  }
 }
