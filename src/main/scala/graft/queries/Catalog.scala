@@ -379,7 +379,8 @@ object Catalog {
           round(o_totalprice, 2) AS o_totalprice
         FROM (SELECT * FROM kept UNION ALL SELECT * FROM updated
               UNION ALL SELECT * FROM inserted)
-        ORDER BY o_orderkey""")),
+        ORDER BY o_orderkey"""),
+      headline = true),
 
     "q_setop_intersect" -> QueryDef(
       (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -1714,7 +1715,8 @@ object Catalog {
         SELECT user_id, ts_ms, event_id, round(value, 6) AS value,
           round(power(0.8, rn) * sum(cj) OVER (PARTITION BY user_id
             ORDER BY rn), 6) AS ewma
-        FROM c ORDER BY user_id, ts_ms, event_id""")),
+        FROM c ORDER BY user_id, ts_ms, event_id"""),
+      headline = true),
 
     "q_resample" -> QueryDef(
       // Resample.resampleForwardFill — per-user hourly regularization of
@@ -2844,7 +2846,8 @@ object Catalog {
         n AS (SELECT count(*) AS nd FROM documents)
         SELECT term_a, term_b, n_ab::BIGINT AS n_ab,
           round(ln(n_ab * nd / (na * nb)), 6) AS pmi
-        FROM p, n ORDER BY term_a, term_b""")),
+        FROM p, n ORDER BY term_a, term_b"""),
+      headline = true),
 
     "pipeline_neardedup" -> QueryDef(
       // NEAR-dup curation — the step a real pipeline ships after exact
@@ -3392,7 +3395,8 @@ object Catalog {
         SELECT n.doc_id, nt::BIGINT AS n_tokens,
           (nt - coalesce(n_kept, 0))::BIGINT AS n_removed,
           coalesce(text_deduped, '') AS text_deduped
-        FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")),
+        FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
+      headline = true),
 
     "pipeline_paragraph_dedup" -> QueryDef(
       // C4/RefinedWeb-style unit-level keep-first dedup: every distinct

@@ -79,6 +79,38 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("mergeInto equals a sequential model on random targets and deltas") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 6) {
+      val tgt = (1L to 40L).filter(_ => rnd.nextDouble() < 0.7)
+        .map(k => (k, s"t$k", rnd.nextInt(100).toDouble))
+      val srcKeys = (1L to 50L).filter(_ => rnd.nextDouble() < 0.4)
+      val src = srcKeys.map(k => (k, if (rnd.nextDouble() < 0.3) "DEL" else s"s$k",
+        rnd.nextInt(100).toDouble))
+      val got = Merge.mergeInto(
+          tgt.toDF("k", "name", "v").repartition(5),
+          src.toDF("k", "name", "v").repartition(3),
+          keys = Seq("k"),
+          updateWhen = col("src_v") >= col("v"),
+          deleteWhen = col("src_name") === "DEL",
+          insertWhen = col("src_name") =!= "DEL")
+        .orderBy("k").as[(Long, String, Double)].collect().toSeq
+      // sequential replay of the clause semantics
+      val srcMap = src.map(r => r._1 -> r).toMap
+      val fromTarget = tgt.flatMap { t =>
+        srcMap.get(t._1) match {
+          case Some(s) if s._2 == "DEL" => None               // matched delete
+          case Some(s) if s._3 >= t._3  => Some(s)            // matched update
+          case Some(_)                  => Some(t)            // update gated off
+          case None                     => Some(t)            // target-only
+        }
+      }
+      val inserts = src.filter(s => !tgt.exists(_._1 == s._1) && s._2 != "DEL")
+      val want = (fromTarget ++ inserts).sortBy(_._1)
+      assert(got == want, s"trial $trial:\ngot:  $got\nwant: $want")
+    }
+  }
+
   test("merge result is invariant to input partitioning") {
     val base = run()
     val got = Merge.mergeInto(

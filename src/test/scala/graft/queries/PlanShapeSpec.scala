@@ -426,4 +426,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "classifier scoring grew a cartesian product")
   }
+
+  test("q_merge_upsert: one keyed outer join, dup guard rides the source exchange") {
+    val p = plan("q_merge_upsert")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge regressed to a non-equi plan:\n${p.take(1500)}")
+    assert(p.contains("FullOuter"), "merge lost its full-outer join form")
+    // the dup-source guard is a FILTER (column-prune-proof), not a projection
+    assert(p.linesIterator.exists(l => l.contains("Filter") || l.contains("raise_error")),
+      "the duplicate-source guard left the plan")
+  }
+
+  test("dedup_span_removal: every join is equi (span key or doc id), no cartesian") {
+    val p = plan("dedup_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span removal grew an all-pairs join:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"), "the removed-position anti-join left the plan")
+  }
 }
