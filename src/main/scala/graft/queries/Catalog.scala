@@ -1693,14 +1693,16 @@ object Catalog {
       // recurrence scan — block-local HOF folds plus a per-key
       // block-summary recurrence, ONE full-data exchange, exact
       // sequential float semantics (no overflowing power trick, no
-      // whole-key collect). blockSize=16 here so sf0.01's ~67-row keys
-      // actually exercise the cross-block composition path. The oracle
+      // whole-key collect). blockSize=64 keeps sf0.01's ~67-row keys
+      // multi-block (the cross-block composition path stays under the
+      // oracle) while halving the sf0.1 bench cost vs smaller blocks
+      // (fewer summary rows and join-back rows per key). The oracle
       // replays the closed form ((1-a)^i * running sum of x_j*(1-a)^-j),
       // safe in SQL at oracle scale where exponents stay small.
       (s, dir) => graft.operators.Resample.ewma(
           events(s, dir).select(col("user_id"), col("ts_ms"),
             col("event_id"), col("value")),
-          keys = Seq("user_id"), alpha = 0.2, blockSize = 16)
+          keys = Seq("user_id"), alpha = 0.2, blockSize = 64)
         .withColumn("value", round(col("value"), 6))
         .orderBy("user_id", "ts_ms", "event_id"),
       Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
