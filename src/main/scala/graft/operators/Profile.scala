@@ -103,6 +103,53 @@ object Profile {
     * tiny bin tables, and the one-row total broadcast onto them — the
     * data passes are narrow scans.
     */
+  /** SET OVERLAP between two snapshots of a key column — the
+    * between-refresh audience/membership monitor (who stayed, who
+    * churned): `(n_a, n_b, n_both, n_union, jaccard)` over DISTINCT
+    * keys, NULLs excluded, jaccard 6dp.
+    *
+    * `exact = true`: one hash aggregation keyed on the key (map-side
+    * combine; side-tag booleans OR-fold, so a key's multiplicity never
+    * matters) + a one-row final — the form the oracle replays.
+    * `exact = false`: HLL sketches via inclusion–exclusion
+    * (`|A∩B| = a + b - u`), in ONE aggregation with NO key shuffle at
+    * all — sketch partials merge map-side, the only movement is one
+    * sketch per partition. That is the 100 TB path: cardinality-scale
+    * state instead of key-scale shuffle; q_overlap_hll_gate pins the
+    * estimate within tolerance of the exact form. Inclusion–exclusion
+    * differences can go slightly negative on tiny overlaps — counts
+    * floor at zero.
+    */
+  def setOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      keyCol: String,
+      exact: Boolean = true): DataFrame = {
+    val tagged = a.select(col(keyCol).as("__k"), lit(true).as("__a"), lit(false).as("__b"))
+      .unionAll(b.select(col(keyCol).as("__k"), lit(false).as("__a"), lit(true).as("__b")))
+      .filter(col("__k").isNotNull)
+    val agg =
+      if (exact)
+        tagged.groupBy(col("__k"))
+          .agg(max(col("__a")).as("__ia"), max(col("__b")).as("__ib"))
+          .agg(
+            sum(when(col("__ia"), 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("__ib"), 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("__ia") && col("__ib"), 1L).otherwise(0L)).as("n_both"),
+            count(lit(1)).as("n_union"))
+      else
+        tagged.agg(
+            approx_count_distinct(when(col("__a"), col("__k")), 0.02).as("__ca"),
+            approx_count_distinct(when(col("__b"), col("__k")), 0.02).as("__cb"),
+            approx_count_distinct(col("__k"), 0.02).as("__cu"))
+          .select(col("__ca").as("n_a"), col("__cb").as("n_b"),
+            greatest(col("__ca") + col("__cb") - col("__cu"), lit(0L)).as("n_both"),
+            col("__cu").as("n_union"))
+    agg.withColumn("jaccard",
+      round(when(col("n_union") === 0, 0.0)
+        .otherwise(col("n_both").cast("double") / col("n_union")), 6))
+  }
+
   def psiDrift(
       base: DataFrame,
       current: DataFrame,

@@ -1687,6 +1687,51 @@ object Catalog {
                greatest(nc / (tc::DOUBLE), 0.000001))), 6) AS psi
         FROM j, tot""")),
 
+    "q_overlap" -> QueryDef(
+      // Snapshot set overlap (Profile.setOverlap, exact form): the
+      // clicking audience vs the purchasing audience over distinct
+      // user_ids — one OR-folding hash agg on the key (multiplicity
+      // never matters) + a one-row final. The HLL form is gated by
+      // q_overlap_hll_gate.
+      (s, dir) => {
+        val ev = events(s, dir)
+        graft.operators.Profile.setOverlap(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), "user_id")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND user_id IS NOT NULL),
+        b AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        u AS (SELECT user_id FROM a UNION SELECT user_id FROM b),
+        i AS (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+        SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+          (SELECT count(*) FROM b)::BIGINT AS n_b,
+          (SELECT count(*) FROM i)::BIGINT AS n_both,
+          (SELECT count(*) FROM u)::BIGINT AS n_union,
+          round(CASE WHEN (SELECT count(*) FROM u) = 0 THEN 0.0
+            ELSE (SELECT count(*) FROM i) /
+              CAST((SELECT count(*) FROM u) AS DOUBLE) END, 6) AS jaccard""")),
+
+    "q_overlap_hll_gate" -> QueryDef(
+      // ORACLED gate for the HLL overlap path: the sketch estimates
+      // (rsd 2%, inclusion-exclusion intersection, NO key shuffle) must
+      // land within 5% of the exact counts and 0.1 absolute on jaccard.
+      (s, dir) => {
+        val ev = events(s, dir)
+        def f(t: String) = ev.filter(col("event_type") === t)
+        val e = graft.operators.Profile.setOverlap(f("click"), f("purchase"), "user_id")
+        val h = graft.operators.Profile.setOverlap(f("click"), f("purchase"), "user_id",
+          exact = false)
+        e.as("e").crossJoin(h.as("h")).select(
+          lit("overlap_hll").as("gate"),
+          ((abs(col("h.n_a") - col("e.n_a")) / col("e.n_a") <= 0.05) &&
+           (abs(col("h.n_b") - col("e.n_b")) / col("e.n_b") <= 0.05) &&
+           (abs(col("h.n_union") - col("e.n_union")) / col("e.n_union") <= 0.05) &&
+           (abs(col("h.jaccard") - col("e.jaccard")) <= 0.1)).as("floor_met"))
+      },
+      Some("SELECT 'overlap_hll' AS gate, true AS floor_met")),
+
     "q_ewma" -> QueryDef(
       // EWMA smoothing per user (Resample.ewma, alpha=0.2): the
       // inherently-sequential recurrence run as a SEGMENTED linear-

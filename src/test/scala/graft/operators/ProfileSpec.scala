@@ -94,4 +94,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(got > 0.25, s"shift undetected: $got")
     assert(psiOf(baseRows, baseRows.map(_ + 0.01)) < 0.1)
   }
+  test("setOverlap exact: multiplicity never matters; jaccard by hand") {
+    import spark.implicits._
+    // A = {1,2,3} (2 repeated heavily), B = {3,4}; a NULL key drops
+    val a = Seq(1L, 2L, 2L, 2L, 3L).map(Option(_)).toDF("k")
+    val b = (Seq(3L, 4L).map(Option(_)) :+ Option.empty[Long]).toDF("k")
+    val got = Profile.setOverlap(a, b, "k")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((3L, 2L, 1L, 4L, 0.25)))
+  }
+
+  test("setOverlap HLL lands within tolerance of exact, with NO key exchange") {
+    import spark.implicits._
+    val a = (1 to 4000).map(_.toLong).toDF("k")
+    val b = (2001 to 6000).map(_.toLong).toDF("k")
+    val e = Profile.setOverlap(a, b, "k")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(e == ((4000L, 4000L, 2000L, 6000L, BigDecimal(2000.0 / 6000)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val hdf = Profile.setOverlap(a, b, "k", exact = false)
+    val h = hdf.as[(Long, Long, Long, Long, Double)].collect().head
+    assert(math.abs(h._1 - 4000) <= 200 && math.abs(h._4 - 6000) <= 300, s"$h")
+    assert(math.abs(h._5 - e._5) <= 0.1, s"jaccard estimate drifted: $h vs $e")
+    // the sketch path must not shuffle on the key: sketch partials merge
+    val plan = hdf.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(__k"),
+      s"HLL overlap shuffled on the key:\n${plan.take(1200)}")
+  }
 }
