@@ -46,6 +46,41 @@ class CooccurSpec extends AnyFunSuite {
     assert(got.exists(p => (p._1, p._2) == ("b", "c")))
   }
 
+  test("pmiPairs equals a sequential model on random corpora (caps active)") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val corpus = (1L to 15L).map { id =>
+        val n = 1 + rnd.nextInt(8)
+        (id, (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar.toString).mkString(" "))
+      }
+      val (maxVocab, cap, minN) = (4, 3, 1 + rnd.nextInt(2))
+      val got = Cooccur.pmiPairs(corpus.toDF("doc_id", "text").repartition(4),
+          minPairCount = minN.toLong, maxVocab = maxVocab, maxTermsPerDoc = cap)
+        .orderBy("term_a", "term_b")
+        .as[(String, String, Long, Double)].collect().toSeq
+      // sequential replay: distinct terms, df, ranked vocab, per-doc cap,
+      // pairs, counts, pmi
+      val docTerms = corpus.map { case (id, tx) =>
+        id -> tx.split(" ").filter(_.nonEmpty).distinct.toSeq }
+      val df = docTerms.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
+      val vocab = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(maxVocab)
+        .zipWithIndex.map { case ((t, d), i) => t -> (i, d) }.toMap
+      val capped = docTerms.map { case (id, ts) =>
+        id -> ts.filter(vocab.contains).sortBy(t => vocab(t)._1).take(cap) }
+      val pairCounts = capped.flatMap { case (_, ts) =>
+        for (x <- ts; y <- ts if x < y) yield (x, y)
+      }.groupBy(identity).map { case (p, o) => p -> o.size }
+        .filter(_._2 >= minN)
+      val nDocs = corpus.size.toDouble
+      val want = pairCounts.toSeq.map { case ((x, y), nab) =>
+        val pmi = BigDecimal(math.log(nab * nDocs / (vocab(x)._2.toDouble * vocab(y)._2)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (x, y, nab.toLong, pmi)
+      }.sortBy(p => (p._1, p._2))
+      assert(got == want, s"trial $trial:\ngot:  $got\nwant: $want")
+    }
+  }
+
   test("plan: vocab joins broadcast, pair join is equi on the doc id, no cartesian") {
     val p = Cooccur.pmiPairs(docs.toDF("doc_id", "text"))
       .queryExecution.executedPlan.toString
