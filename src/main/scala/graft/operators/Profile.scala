@@ -103,6 +103,45 @@ object Profile {
     * tiny bin tables, and the one-row total broadcast onto them — the
     * data passes are narrow scans.
     */
+  /** ROBUST per-group outlier flagging: modified z-score on
+    * median/MAD (`z = 0.6745 * (x - med) / mad`), the estimator that a
+    * fat tail cannot drag the way it drags mean/stddev — the standard
+    * data-quality screen before training statistics. Output: the input
+    * plus `robust_z` (6dp) and `is_outlier` (|z| > cutoff). A
+    * zero-MAD group (constant-majority values) flags nothing and
+    * reports z = 0 — the conventional degenerate reading, documented
+    * rather than NaN.
+    *
+    * Scale shape: two rounds of (exact-percentile agg -> one-row-per-
+    * group join back) — medians are not algebraic, so the MAD needs the
+    * group median joined before its own median. Exact percentile state
+    * is the group's value multiset (the [[graft.llmops.Curation.winsorize]]
+    * caveat); `exact = false` switches both quantiles to t-digest
+    * `percentile_approx` for 100 TB groups.
+    */
+  def outliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      cutoff: Double = 3.5,
+      exact: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "outliers: at least one key column")
+    require(cutoff > 0, "outliers: cutoff must be positive")
+    def med(c: String) =
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"percentile_approx($c, 0.5, 10000)")
+    val m1 = df.groupBy(keys.map(col): _*).agg(med(valueCol).as("__med"))
+    val withMed = df.join(m1, keys)
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val m2 = withMed.groupBy(keys.map(col): _*).agg(med("__ad").as("__mad"))
+    withMed.join(m2, keys)
+      .withColumn("robust_z",
+        round(when(col("__mad") === 0, 0.0)
+          .otherwise(lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad")), 6))
+      .withColumn("is_outlier", abs(col("robust_z")) > cutoff)
+      .drop("__med", "__ad", "__mad")
+  }
+
   /** SET OVERLAP between two snapshots of a key column — the
     * between-refresh audience/membership monitor (who stayed, who
     * churned): `(n_a, n_b, n_both, n_union, jaccard)` over DISTINCT

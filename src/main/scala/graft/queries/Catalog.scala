@@ -1687,6 +1687,35 @@ object Catalog {
                greatest(nc / (tc::DOUBLE), 0.000001))), 6) AS psi
         FROM j, tot""")),
 
+    "q_outliers" -> QueryDef(
+      // Robust per-group outlier screen (Profile.outliers): modified
+      // z-score on median/MAD per event_type — two exact-percentile
+      // agg + one-row-per-group join rounds (medians are not algebraic;
+      // the t-digest switch is the 100 TB form). quantile_cont parity.
+      (s, dir) => graft.operators.Profile.outliers(
+          events(s, dir).select(col("event_id"), col("event_type"),
+            col("value")),
+          keys = Seq("event_type"), valueCol = "value", cutoff = 3.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), col("robust_z"),
+          col("is_outlier"))
+        .orderBy("event_id"),
+      Some("""WITH m1 AS (SELECT event_type,
+            quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1),
+        wm AS (SELECT e.event_id, e.event_type, e.value, m1.med,
+            abs(e.value - m1.med) AS ad
+          FROM events e JOIN m1 USING (event_type)),
+        m2 AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+          FROM wm GROUP BY 1)
+        SELECT event_id, event_type, round(value, 6) AS value,
+          round(CASE WHEN mad = 0 THEN 0.0
+            ELSE 0.6745 * (value - med) / mad END, 6) AS robust_z,
+          abs(round(CASE WHEN mad = 0 THEN 0.0
+            ELSE 0.6745 * (value - med) / mad END, 6)) > 3.5 AS is_outlier
+        FROM wm JOIN m2 USING (event_type)
+        ORDER BY event_id""")),
+
     "q_overlap" -> QueryDef(
       // Snapshot set overlap (Profile.setOverlap, exact form): the
       // clicking audience vs the purchasing audience over distinct

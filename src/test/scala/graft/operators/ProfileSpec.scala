@@ -121,4 +121,19 @@ class ProfileSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(__k"),
       s"HLL overlap shuffled on the key:\n${plan.take(1200)}")
   }
+  test("outliers: median/MAD by hand, zero-MAD degenerate, cutoff flags") {
+    import spark.implicits._
+    // group g: {1..9, 100}: med=5.5, |dev| = {4.5,3.5,...,0.5,94.5} ->
+    // mad median of {0.5..4.5, 94.5} = 2.5; z(100) = 0.6745*94.5/2.5 = 25.5
+    // group c: constant -> mad 0 -> z 0, nothing flags
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 100.0)) ++
+      Seq(("c", 7.0), ("c", 7.0), ("c", 7.0))
+    val got = Profile.outliers(df.toDF("k", "v"), Seq("k"), "v", cutoff = 3.5)
+      .orderBy("k", "v").as[(String, Double, Double, Boolean)].collect().toSeq
+    val gz = got.filter(_._1 == "g")
+    assert(gz.last._3 == BigDecimal(0.6745 * 94.5 / 2.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble && gz.last._4)
+    assert(gz.init.forall(!_._4), s"inliers flagged: $gz")
+    assert(got.filter(_._1 == "c").forall(r => r._3 == 0.0 && !r._4))
+  }
 }
