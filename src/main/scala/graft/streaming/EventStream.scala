@@ -99,6 +99,23 @@ final case class EwmaState(started: Boolean, s: Double, pending: Seq[EwmaPending
   */
 final case class EwmaRow(key: Long, ts_ms: Long, tie: Long, value: Double, ewma: Double)
 
+/** Per-key state for [[EventStream.twaStream]]: the committed running
+  * integral — last sealed sample (the zero-order hold), first-sample
+  * timestamp, the hold-weighted sum, the observation count — plus the
+  * watermark-bounded pending buffer.
+  */
+final case class TwaState(
+    started: Boolean, lastTs: Long, lastV: Double, minTs: Long,
+    wsum: Double, n: Long, pending: Seq[EwmaPending])
+
+/** One sealed observation from [[EventStream.twaStream]] (Append mode):
+  * the key's RUNNING time-weighted average after folding this event —
+  * the latest row per key equals the batch
+  * [[graft.operators.Resample.timeWeightedAvg]] verdict over the same
+  * prefix.
+  */
+final case class TwaRow(key: Long, ts_ms: Long, n_obs: Long, span_ms: Long, twa: Double)
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -753,6 +770,70 @@ object EventStream {
         if (!started && hold.isEmpty) state.remove()
         else {
           state.update(EwmaState(started, s, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming time-weighted average — the streaming dual of the
+    * oracled batch [[graft.operators.Resample.timeWeightedAvg]]
+    * (q_twa): per key, each sealed observation emits the RUNNING
+    * zero-order-hold mean over the history so far (`sum(v_i * hold_i) /
+    * span`; a single-sample or zero-span prefix reports the last value,
+    * exactly the batch rule). Sealed-order exactness rides the
+    * [[funnelStream]] discipline — events buffer until the watermark
+    * passes their timestamp, then fold in `(ts, tie)` order, so the
+    * hold times are computed against the true predecessor even under
+    * out-of-order arrival. State per key: four numbers (the committed
+    * integral) plus the watermark-bounded pending buffer.
+    *
+    * Telescoping makes stream == batch on every prefix: the batch form
+    * weighs each sample by its `lead` hold (the final sample holds 0),
+    * which is exactly this fold's `wsum` after the final seal —
+    * EventStreamSpec compares the latest row per key against the batch
+    * operator bit-for-bit (same 6dp HALF_UP rounding).
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `value` double.
+    */
+  def twaStream(
+      events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[TwaRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[TwaState, TwaRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[TwaState]) =>
+        val prior = state.getOption.getOrElse(
+          TwaState(started = false, 0L, 0.0, 0L, 0.0, 0L, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => EwmaPending(r._2.getTime, r._3, r._4))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var st = prior
+        val out = ripe.sortBy(p => (p.tsMs, p.tie)).map { p =>
+          st =
+            if (!st.started)
+              TwaState(started = true, p.tsMs, p.x, p.tsMs, 0.0, 1L, Nil)
+            else
+              TwaState(started = true, p.tsMs, p.x, st.minTs,
+                st.wsum + (p.tsMs - st.lastTs) * st.lastV, st.n + 1, Nil)
+          val span = st.lastTs - st.minTs
+          val twa = if (span == 0) st.lastV else st.wsum / span
+          TwaRow(key, p.tsMs, st.n, span,
+            BigDecimal(twa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        if (!st.started && hold.isEmpty) state.remove()
+        else {
+          state.update(st.copy(pending = hold))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }

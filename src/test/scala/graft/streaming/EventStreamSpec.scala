@@ -185,6 +185,46 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twaStream: the latest sealed row per key equals the batch TWA") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)] // key, ts_ms, tie, value
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.twaStream(df, watermark = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("twa_test").start()
+    // out-of-order across batches; key 2 has an in-ts tie (hold 0 for the
+    // first of the pair) and key 3 is single-sample (span 0 -> last value)
+    val b1 = Seq((1L, 4000L, 3L, 30.0), (2L, 1500L, 4L, 5.0))
+    val b2 = Seq((1L, 1000L, 1L, 10.0), (2L, 1500L, 5L, 7.0), (3L, 2000L, 9L, 42.0))
+    val b3 = Seq((1L, 2000L, 2L, 20.0), (2L, 2500L, 6L, 15.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      input.addData((9L, 13000L, 0L, 0.0)); q.processAllAvailable() // partial seal
+      input.addData((9L, 100000L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 200000L, 0L, 0.0)); q.processAllAvailable()
+      val latest = spark.table("twa_test").as[TwaRow].collect()
+        .filter(_.key != 9L).groupBy(_.key).map(_._2.maxBy(_.ts_ms))
+        .map(r => (r.key, r.n_obs, r.span_ms, r.twa)).toSeq.sortBy(_._1)
+      val batch = graft.operators.Resample.timeWeightedAvg(
+          (b1 ++ b2 ++ b3).toDF("key", "ts_ms", "tie", "value"),
+          keys = Seq("key"), tsMsCol = "ts_ms", valueCol = "value",
+          tieCol = "tie")
+        .orderBy("key")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(latest == batch,
+        s"stream/batch divergence:\nstream: $latest\nbatch:  $batch")
+      // every prefix emitted: 3 + 3 + 1 rows total
+      assert(spark.table("twa_test").as[TwaRow].collect()
+        .count(_.key != 9L) == 7)
+    } finally q.stop()
+  }
+
   test("ewmaStream survives a checkpoint restart: the carry is recovered") {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
