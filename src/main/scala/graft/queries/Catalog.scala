@@ -1794,6 +1794,36 @@ object Catalog {
         FROM c ORDER BY user_id, ts_ms, event_id"""),
       headline = true),
 
+    "q_decay" -> QueryDef(
+      // Time-decayed running score (Resample.decayedSum, half-life 24h):
+      // each event adds its value; the score halves per day of silence —
+      // the trending/freshness signal with PER-ELAPSED-TIME decay
+      // (irregular gaps decay honestly, unlike per-row EWMA). Same
+      // segmented-scan machinery as q_ewma (one materialized shuffle;
+      // the predecessor-lag window rides the scan's exchange). The
+      // oracle factors the recurrence as exp(-l*t') * running sum of
+      // w*exp(l*t') with t' RELATIVE to the key's first event, so
+      // exponents stay ~21 at a 30-day span (safe in double).
+      (s, dir) => graft.operators.Resample.decayedSum(
+          events(s, dir).select(col("user_id"), col("ts_ms"),
+            col("event_id"), col("value")),
+          keys = Seq("user_id"), halfLifeMs = 86400000L, blockSize = 64)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("user_id", "ts_ms", "event_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+            value,
+            epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY user_id)
+              AS tr
+          FROM events),
+        s AS (SELECT user_id, ts_ms, event_id, value,
+            exp(-(ln(2) / 86400000) * tr) *
+              sum(value * exp((ln(2) / 86400000) * tr))
+                OVER (PARTITION BY user_id ORDER BY tr, event_id) AS sc
+          FROM e)
+        SELECT user_id, ts_ms, event_id, round(value, 6) AS value,
+          round(sc, 6) AS decayed
+        FROM s ORDER BY user_id, ts_ms, event_id""")),
+
     "q_resample" -> QueryDef(
       // Resample.resampleForwardFill — per-user hourly regularization of
       // the event stream with zero-filled empty buckets and the last

@@ -110,6 +110,44 @@ class ResampleSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1L, 5.0), ("b", 1L, 3.0), ("b", 2L, 5.0)))
   }
 
+  test("decayedSum equals the sequential recurrence, across block boundaries") {
+    val rnd = new scala.util.Random(19)
+    val half = 1000.0 // ms
+    val data = (1 to 5).flatMap { k =>
+      val n = 1 + rnd.nextInt(25)
+      var t = 0L
+      (1 to n).map { i =>
+        t += 1 + rnd.nextInt(3000)
+        (s"k$k", t, (k * 1000 + i).toLong, rnd.nextDouble() * 10)
+      }
+    }
+    val got = Resample.decayedSum(
+        data.toDF("k", "t", "tie", "v").repartition(6),
+        keys = Seq("k"), halfLifeMs = half.toLong, tsMsCol = "t",
+        valueCol = "v", tieCol = "tie", blockSize = 4)
+      .orderBy("k", "t", "tie")
+      .select("k", "t", "tie", "v", "decayed")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val lam = math.log(2.0) / half
+    val want = data.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var s = 0.0; var last = 0L; var first = true
+      sorted.map { r =>
+        s = if (first) r._4 else math.exp(-lam * (r._2 - last)) * s + r._4
+        first = false; last = r._2
+        (k, r._2, r._3, r._4, s)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert((g._1, g._2, g._3, g._4) == (w._1, w._2, w._3, w._4))
+      assert(math.abs(g._5 - w._5) < 1e-5, s"decayed diverged at $g vs $w")
+    }
+    // a long-silent key must have decayed toward its latest arrival
+    val lastRow = got.last
+    assert(lastRow._5 >= lastRow._4 - 1e-6, "score lost its newest weight")
+  }
+
   test("ewma shuffles its input once: the second pass reuses the exchange") {
     // the emission and block-summary passes hang off canonically-equal
     // exchange subtrees; losing that (a column drifts between them) would
