@@ -116,6 +116,20 @@ final case class TwaState(
   */
 final case class TwaRow(key: Long, ts_ms: Long, n_obs: Long, span_ms: Long, twa: Double)
 
+/** Per-key state for [[EventStream.decayStream]]: the committed score
+  * and the timestamp it was committed at (decay is computed lazily
+  * against the next sealed arrival), plus the watermark-bounded
+  * pending buffer.
+  */
+final case class DecayState(
+    started: Boolean, lastTs: Long, s: Double, pending: Seq[EwmaPending])
+
+/** One sealed observation from [[EventStream.decayStream]] (Append
+  * mode): the key's time-decayed running score after folding this
+  * event.
+  */
+final case class DecayRow(key: Long, ts_ms: Long, tie: Long, value: Double, decayed: Double)
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -770,6 +784,63 @@ object EventStream {
         if (!started && hold.isEmpty) state.remove()
         else {
           state.update(EwmaState(started, s, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming time-decayed score — the streaming dual of the oracled
+    * batch [[graft.operators.Resample.decayedSum]] (q_decay): per key,
+    * each sealed observation emits `s = exp(-ln2 * dt / halfLifeMs) *
+    * s_prev + w` with `dt` measured against the true predecessor (the
+    * sealed-order buffer guarantees it even under out-of-order
+    * arrival). Decay is applied LAZILY at the next fold — the committed
+    * state is `(score, committed-at ts)`, two numbers per key, so a
+    * silent key costs nothing and reads of the emitted stream decay
+    * downstream if they need "as of now" values. Same (ts, tie) fold
+    * order and 6dp HALF_UP rounding as the batch form, so stream ==
+    * batch row for row.
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `value` double (the weight).
+    */
+  def decayStream(
+      events: DataFrame,
+      halfLifeMs: Long,
+      watermark: String = "10 minutes"): Dataset[DecayRow] = {
+    require(halfLifeMs > 0, "decayStream: halfLifeMs must be positive")
+    val lambda = math.log(2.0) / halfLifeMs
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[DecayState, DecayRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[DecayState]) =>
+        val prior = state.getOption.getOrElse(
+          DecayState(started = false, 0L, 0.0, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => EwmaPending(r._2.getTime, r._3, r._4))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var st = prior
+        val out = ripe.sortBy(p => (p.tsMs, p.tie)).map { p =>
+          val s =
+            if (!st.started) p.x
+            else math.exp(-lambda * (p.tsMs - st.lastTs)) * st.s + p.x
+          st = DecayState(started = true, p.tsMs, s, Nil)
+          DecayRow(key, p.tsMs, p.tie, p.x,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        if (!st.started && hold.isEmpty) state.remove()
+        else {
+          state.update(st.copy(pending = hold))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }
