@@ -715,6 +715,59 @@ object Catalog {
             / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
         FROM g ORDER BY rf""")),
 
+    "q_dq_checks" -> QueryDef(
+      // declarative data-quality audit (operators.Quality): eight
+      // constraint families — completeness, composite-key uniqueness,
+      // bounds, set membership, regex shape, volume, mean band — ALL
+      // measured in ONE aggregation pass (single scan; the exact
+      // distinct adds one Expand-free keyed pre-aggregate). The oracle
+      // replays every metric formula including the null-marked
+      // chr(1)/chr(2) uniqueness key, so the audit itself is audited.
+      (s, dir) => {
+        import graft.operators.Quality._
+        graft.operators.Quality.check(t(s, dir, "lineitem"), Seq(
+          Completeness("l_shipdate"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          Bounds("l_quantity", 1, 50),
+          Bounds("l_extendedprice", 0, 50000),
+          MemberOf("l_returnflag", Seq("A", "N", "R")),
+          Matches("l_linestatus", "[OF]"),
+          MinRows(1000L),
+          MeanInRange("l_discount", 0.02, 0.08)))
+      },
+      Some("""WITH m AS (SELECT
+          round(avg(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END::DOUBLE), 6) AS m_complete,
+          round(count(DISTINCT concat_ws(chr(1),
+              coalesce(l_orderkey::VARCHAR, chr(2)),
+              coalesce(l_linenumber::VARCHAR, chr(2))))::DOUBLE / count(*), 6) AS m_unique,
+          round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END::DOUBLE), 6) AS m_qty,
+          round(avg(CASE WHEN l_extendedprice BETWEEN 0 AND 50000 THEN 1 ELSE 0 END::DOUBLE), 6) AS m_price,
+          round(avg(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END::DOUBLE), 6) AS m_member,
+          round(avg(CASE WHEN l_linestatus IS NOT NULL
+            AND regexp_matches(l_linestatus, '^(?:[OF])$') THEN 1 ELSE 0 END::DOUBLE), 6) AS m_regex,
+          round(least(count(*)::DOUBLE / 1000, 1.0::DOUBLE), 6) AS m_rows,
+          round(avg(l_discount::DOUBLE), 6) AS m_mean
+        FROM lineitem)
+        SELECT * FROM (
+          SELECT 'bounds:l_extendedprice' AS "check", 'l_extendedprice' AS target,
+            m_price AS metric, 1.0::DOUBLE AS threshold, m_price >= 1.0 - 1e-9 AS passed FROM m
+          UNION ALL SELECT 'bounds:l_quantity', 'l_quantity', m_qty, 1.0::DOUBLE,
+            m_qty >= 1.0 - 1e-9 FROM m
+          UNION ALL SELECT 'completeness:l_shipdate', 'l_shipdate', m_complete, 1.0::DOUBLE,
+            m_complete >= 1.0 - 1e-9 FROM m
+          UNION ALL SELECT 'matches:l_linestatus', 'l_linestatus', m_regex, 1.0::DOUBLE,
+            m_regex >= 1.0 - 1e-9 FROM m
+          UNION ALL SELECT 'mean_in_range:l_discount', 'l_discount', m_mean, 0.02::DOUBLE,
+            m_mean >= 0.02 - 1e-9 AND m_mean <= 0.08 + 1e-9 FROM m
+          UNION ALL SELECT 'member_of:l_returnflag', 'l_returnflag', m_member, 1.0::DOUBLE,
+            m_member >= 1.0 - 1e-9 FROM m
+          UNION ALL SELECT 'min_rows:1000', '*', m_rows, 1.0::DOUBLE,
+            m_rows >= 1.0 - 1e-9 FROM m
+          UNION ALL SELECT 'unique:l_orderkey+l_linenumber', 'l_orderkey,l_linenumber',
+            m_unique, 1.0::DOUBLE, m_unique >= 1.0 - 1e-9 FROM m
+        ) ORDER BY "check""""),
+      headline = true),
+
     "q_interval_coalesce" -> QueryDef(
       // interval coalescing (operators.Intervals): each event opens a
       // closed 5-minute activity interval; overlapping intervals merge

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TestSpark
+import graft.operators.Quality._
+
+class QualitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("a"), 10.0, "AIR", "AB"),
+    (2L, Some("b"), 20.0, "RAIL", "CD"),
+    (3L, None, 55.0, "AIR", "EF"),
+    (4L, Some("d"), 30.0, "SHIP", "G7"),
+    (4L, Some("e"), 40.0, "AIR", "HI")
+  ).toDF("id", "s", "v", "mode", "code")
+
+  test("every constraint family measures and judges correctly in one call") {
+    val out = Quality.check(df, Seq(
+      Completeness("s", minRatio = 1.0),
+      Unique(Seq("id")),
+      Bounds("v", 0.0, 50.0, minRatio = 0.9),
+      MemberOf("mode", Seq("AIR", "RAIL"), minRatio = 0.5),
+      Matches("code", "[A-Z]{2}", minRatio = 1.0),
+      MinRows(3L),
+      MeanInRange("v", 20.0, 40.0)
+    )).collect().map(r => r.getString(0) ->
+      ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+
+    assert(out("completeness:s") == ((0.8, 1.0, false)))
+    assert(out("unique:id") == ((0.8, 1.0, false)))
+    assert(out("bounds:v") == ((0.8, 0.9, false)))
+    assert(out("member_of:mode") == ((0.8, 0.5, true)))
+    // "G7" breaks the two-uppercase shape
+    assert(out("matches:code") == ((0.8, 1.0, false)))
+    assert(out("min_rows:3") == ((1.0, 1.0, true)))
+    // mean(10,20,55,30,40) = 31 within [20, 40]
+    assert(out("mean_in_range:v") == ((31.0, 20.0, true)))
+  }
+
+  test("NULLs fail bounds/membership/pattern but count one distinct group") {
+    val d2 = Seq((Some(1.0), Option.empty[String]),
+      (None, Some("x")), (None, Some("x"))).toDF("v", "k")
+    val out = Quality.check(d2, Seq(
+      Bounds("v", 0.0, 9.0), MemberOf("k", Seq("x")),
+      Matches("k", "x+"), Unique(Seq("k"), minRatio = 0.5)
+    )).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("bounds:v") == 0.333333)
+    assert(out("member_of:k") == 0.666667)
+    assert(out("matches:k") == 0.666667)
+    // distinct over (NULL, "x") = 2 groups / 3 rows
+    assert(out("unique:k") == 0.666667)
+  }
+
+  test("composite-key uniqueness distinguishes NULL from empty string") {
+    val d3 = Seq((Option.empty[String], "x"), (Some(""), "x"))
+      .toDF("a", "b")
+    val u = Quality.check(d3, Seq(Unique(Seq("a", "b"))))
+      .collect().head
+    assert(u.getDouble(2) == 1.0 && u.getBoolean(4))
+  }
+
+  test("approxUnique path measures within HLL tolerance and skips Expand") {
+    val big = spark.range(0, 10000)
+      .select((col("id") % 1000).as("k"), col("id"))
+    val exact = Quality.check(big, Seq(Unique(Seq("k"), minRatio = 0.05)))
+      .collect().head.getDouble(2)
+    val approx = Quality.check(big, Seq(Unique(Seq("k"), minRatio = 0.05)),
+      approxUnique = true).collect().head.getDouble(2)
+    assert(exact == 0.1)
+    assert(math.abs(approx - 0.1) < 0.01)
+    val plan = Quality.check(big, Seq(Unique(Seq("k"))), approxUnique = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "HLL uniqueness must not plan an Expand")
+  }
+
+  test("all constraints compile into ONE aggregation pass over the input") {
+    val plan = Quality.check(df, Seq(
+      Completeness("s"), Bounds("v", 0.0, 50.0), MemberOf("mode", Seq("AIR")),
+      Matches("code", "[A-Z]{2}"), MinRows(1L), MeanInRange("v", 0.0, 99.0)
+    )).queryExecution.optimizedPlan
+    val nScans = plan.collectLeaves().size
+    assert(nScans == 1, s"expected one leaf scan, got $nScans:\n$plan")
+  }
+
+  test("duplicate constraint names are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(Completeness("s"), Completeness("s")))
+    }
+  }
+}
