@@ -715,6 +715,30 @@ object Catalog {
             / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
         FROM g ORDER BY rf""")),
 
+    "q_regression" -> QueryDef(
+      // per-group closed-form OLS (the regr_* aggregate family): slope,
+      // intercept, R², and the supporting moments of price-on-quantity
+      // per return flag — one hash-aggregate pass with map-side partials
+      // (each regr_* is a second-moment accumulator, so scale cost equals
+      // q1_agg regardless of group sizes). Identical built-ins both sides.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("avg_qty"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 6).as("avg_price"))
+        .orderBy("rf"),
+      Some("""SELECT l_returnflag AS rf,
+          regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+          round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+          round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+          round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+          round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+          round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_price
+        FROM lineitem GROUP BY 1 ORDER BY rf""")),
+
     "q_dq_checks" -> QueryDef(
       // declarative data-quality audit (operators.Quality): eight
       // constraint families — completeness, composite-key uniqueness,
