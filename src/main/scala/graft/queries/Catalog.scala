@@ -715,6 +715,38 @@ object Catalog {
             / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
         FROM g ORDER BY rf""")),
 
+    "q_scd2" -> QueryDef(
+      // SCD Type-2 history build (operators.Scd): the event log becomes a
+      // versioned dimension — one validity interval per maximal run of an
+      // unchanged event_type per user, half-open [valid_from, valid_to),
+      // NULL-open current row. ONE hash exchange end to end (marker
+      // window, version aggregation, and valid_to lead all reuse the
+      // user_id partitioning — pinned by ScdSpec).
+      (s, dir) => graft.operators.Scd.scd2(events(s, dir),
+          keys = Seq("user_id"), tsCol = "ts_ms", tieCol = "event_id",
+          attrs = Seq("event_type"))
+        .orderBy("user_id", "version"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+          event_type FROM events),
+        mark AS (SELECT user_id, ts_ms, event_id, event_type,
+            CASE WHEN lag(event_type) OVER
+              (PARTITION BY user_id ORDER BY ts_ms, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS opens
+          FROM e),
+        ver AS (SELECT *, sum(opens) OVER (PARTITION BY user_id
+            ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS version
+          FROM mark),
+        g AS (SELECT user_id, event_type, version::BIGINT AS version,
+            min(ts_ms) AS valid_from, count(*)::BIGINT AS n_events
+          FROM ver GROUP BY 1, 2, 3),
+        f AS (SELECT user_id, event_type, version, valid_from,
+            lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+              AS valid_to, n_events
+          FROM g)
+        SELECT user_id, event_type, version, valid_from, valid_to,
+          valid_to IS NULL AS is_current, n_events
+        FROM f ORDER BY user_id, version""")),
+
     "q_regression" -> QueryDef(
       // per-group closed-form OLS (the regr_* aggregate family): slope,
       // intercept, R², and the supporting moments of price-on-quantity
