@@ -263,6 +263,103 @@ object SubwordSplit {
   }
 }
 
+/** `jaro_winkler(a, b)` / `jaro(a, b)`: the classic record-linkage string
+  * similarity in [0, 1] as a codegen'd binary expression — Spark ships
+  * `levenshtein` but no Jaro family, and record-linkage blocking stacks
+  * (match part names, dedup entity aliases) lean on exactly this measure.
+  *
+  * Semantics match DuckDB's built-ins (the Catalog oracle certifies
+  * 6dp-parity): Jaro over code points with the standard match window
+  * `max(|a|,|b|)/2 - 1`, floored transposition halving, and 0 for any empty
+  * side (including empty==empty — DuckDB's convention); Winkler boosts by
+  * `prefix * 0.1 * (1 - jaro)` with the common prefix capped at 4, applied
+  * only when jaro > 0.7. The exact formula lands on thirds, so the
+  * boundary itself is unreachable in floating point and `>` vs `>=` is
+  * immaterial. One static call per row, whole-stage-codegen friendly; the
+  * O(|a|*|b|) flag scan is bounded by the match window, the same cost
+  * class as `levenshtein`.
+  */
+case class JaroWinkler(left: Expression, right: Expression, winkler: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (winkler) "jaro_winkler" else "jaro"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (string, string), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], winkler)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = JaroWinkler.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $util.compute($a, $b, $winkler);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def compute(ua: UTF8String, ub: UTF8String, winkler: Boolean): Double = {
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aFlag = new Array[Boolean](la)
+    val bFlag = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bFlag(j) && b(j) == a(i)) {
+          aFlag(i) = true; bFlag(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched characters out of relative order, halved
+    var trans = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aFlag(i)) {
+        while (!bFlag(j)) j += 1
+        if (a(i) != b(j)) trans += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // transposition count is FLOORED (trans / 2 in integer math) — the
+    // convention DuckDB and the classic C implementations share
+    val jaro = (md / la + md / lb + (md - trans / 2) / md) / 3.0
+    if (!winkler || jaro <= 0.7) return jaro
+    var prefix = 0
+    while (prefix < math.min(4, math.min(la, lb)) && a(prefix) == b(prefix))
+      prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -278,4 +375,14 @@ object TextExpressions {
   def subword_split(word: Column, vocab: Seq[String], maxPieceLen: Int): Column =
     ColumnBridge.column(
       SubwordSplit(ColumnBridge.expression(word), vocab.toArray, maxPieceLen))
+
+  /** Column API: Jaro-Winkler similarity in [0, 1] (DuckDB-compatible). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), winkler = true))
+
+  /** Column API: plain Jaro similarity (no prefix boost). */
+  def jaro(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), winkler = false))
 }

@@ -715,6 +715,35 @@ object Catalog {
             / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
         FROM g ORDER BY rf""")),
 
+    "q_string_sim" -> QueryDef(
+      // the string-similarity function family over adjacent part names
+      // per brand: native codegen'd Jaro / Jaro-Winkler (expressions.
+      // JaroWinkler — Spark has no built-in Jaro family) next to the
+      // built-in levenshtein, certified 6dp against DuckDB's independent
+      // C++ implementations of the same three measures. One window
+      // exchange; the similarity kernels run inside whole-stage codegen.
+      (s, dir) => {
+        import graft.functions.expressions.TextExpressions.{jaro, jaro_winkler}
+        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            lead(col("p_name"), 1).over(w).as("next_name"))
+          .filter(col("next_name").isNotNull)
+          .select(col("p_partkey"),
+            round(jaro(col("p_name"), col("next_name")), 6).as("jaro"),
+            round(jaro_winkler(col("p_name"), col("next_name")), 6).as("jw"),
+            levenshtein(col("p_name"), col("next_name")).cast("long").as("lev"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH n AS (SELECT p_partkey, p_name,
+          lead(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey)
+            AS next_name
+        FROM part)
+        SELECT p_partkey, round(jaro_similarity(p_name, next_name), 6) AS jaro,
+          round(jaro_winkler_similarity(p_name, next_name), 6) AS jw,
+          levenshtein(p_name, next_name)::BIGINT AS lev
+        FROM n WHERE next_name IS NOT NULL ORDER BY p_partkey""")),
+
     "q_scd2" -> QueryDef(
       // SCD Type-2 history build (operators.Scd): the event log becomes a
       // versioned dimension — one validity interval per maximal run of an

@@ -230,4 +230,40 @@ class FunctionsSpec extends AnyFunSuite {
       assert(GridBucket.compute(kb, bs) == linear, s"key=$k")
     }
   }
+
+  test("jaro_winkler matches the canonical record-linkage values") {
+    import graft.functions.expressions.JaroWinkler.compute
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def jw(a: String, b: String) = compute(u(a), u(b), winkler = true)
+    def j(a: String, b: String) = compute(u(a), u(b), winkler = false)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-3)
+    assert(math.abs(j("MARTHA", "MARHTA") - 0.9444444444444444) < 1e-12)
+    // DuckDB convention: any empty side scores 0, even empty==empty
+    assert(jw("", "") == 0.0 && jw("abc", "") == 0.0)
+    assert(jw("a", "b") == 0.0)
+    assert(jw("AB", "AB") == 1.0)
+    // boost only above 0.7: disjoint tails with shared prefix stay raw
+    assert(math.abs(jw("ABCVWXYZ", "ABCDEFGH") - 0.5833333333333334) < 1e-12)
+    // prefix cap 4: 6 shared chars boost like 4
+    assert(math.abs(jw("PREFIXaaaa", "PREFIXbbbb") - 0.84) < 1e-12)
+  }
+
+  test("jaro_winkler codegen path equals interpreted and handles non-BMP") {
+    import graft.functions.expressions.TextExpressions.{jaro, jaro_winkler}
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("h😀x", "h😀y"),
+      ("", ""), ("CRATE", "TRACE")).toDF("a", "b")
+    val rows = df.select(round(jaro_winkler(col("a"), col("b")), 6).as("jw"),
+      round(jaro(col("a"), col("b")), 6).as("j")).collect()
+    assert(rows(0).getDouble(0) == 0.961111)
+    // surrogate pair counts as ONE code point: 2/3 matched of 3
+    assert(rows(1).getDouble(1) == 0.777778)
+    assert(rows(2).getDouble(0) == 0.0)
+    assert(rows(3).getDouble(0) == 0.733333)
+    val withNull = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b"))).collect()
+    assert(withNull.head.isNullAt(0))
+  }
 }
