@@ -715,6 +715,42 @@ object Catalog {
             / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
         FROM g ORDER BY rf""")),
 
+    "q_holt" -> QueryDef(
+      // Holt double exponential smoothing per user (Resample.holt,
+      // alpha=0.3, beta=0.2): level + trend of a drifting series — the
+      // 2-STATE sequential recurrence run as a segmented AFFINE scan
+      // (2x2-matrix block composition, scanAffine2), same single
+      // materialized exchange as q_ewma. No closed scalar form exists
+      // for the oracle this time; DuckDB replays the recurrence with a
+      // RECURSIVE CTE stepping one row ordinal per iteration (depth =
+      // max per-key row count — fine at oracle scale, and exactly the
+      // sequential semantics the scan must reproduce).
+      (s, dir) => graft.operators.Resample.holt(
+          events(s, dir).select(col("user_id"), col("ts_ms"),
+            col("event_id"), col("value")),
+          keys = Seq("user_id"), alpha = 0.3, beta = 0.2, blockSize = 64)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("user_id", "ts_ms", "event_id"),
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+            event_id, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ms(ts), event_id) AS rn
+          FROM events),
+        rec AS (
+          SELECT user_id, ts_ms, event_id, value, rn,
+            value::DOUBLE AS level, 0.0::DOUBLE AS trend
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.ts_ms, e.event_id, e.value, e.rn,
+            0.3 * e.value + 0.7 * (r.level + r.trend) AS level,
+            0.2 * ((0.3 * e.value + 0.7 * (r.level + r.trend)) - r.level)
+              + 0.8 * r.trend AS trend
+          FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, ts_ms, event_id, round(value, 6) AS value,
+          round(level, 6) AS level, round(trend, 6) AS trend
+        FROM rec ORDER BY user_id, ts_ms, event_id"""),
+      headline = true),
+
     "q_string_sim" -> QueryDef(
       // the string-similarity function family over adjacent part names
       // per brand: native codegen'd Jaro / Jaro-Winkler (expressions.
