@@ -130,6 +130,19 @@ final case class DecayState(
   */
 final case class DecayRow(key: Long, ts_ms: Long, tie: Long, value: Double, decayed: Double)
 
+/** Per-key state for [[EventStream.dedupFirstStream]]: the best (smallest
+  * `(ts, tie)`) candidate seen so far, and whether the key's canonical
+  * row has already been emitted (after which every arrival is a
+  * suppressed duplicate).
+  */
+final case class DedupState(
+    emitted: Boolean, bestTs: Long, bestTie: Long, bestValue: Double)
+
+/** The one emitted row per distinct key from [[EventStream.dedupFirstStream]]
+  * (Append mode): the canonical first row by `(ts, tie)` event order.
+  */
+final case class DedupRow(key: Long, ts_ms: Long, tie: Long, value: Double)
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -845,6 +858,69 @@ object EventStream {
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }
         out.iterator
+    }
+  }
+
+  /** Streaming exact keep-first deduplication in EVENT order — per key (a content hash upstream), emit
+    * EXACTLY ONE row, the canonical first by `(ts, tie)` EVENT order —
+    * not arrival order, so stream == batch row for row even when the
+    * first row arrives late. The candidate is sealed once the watermark
+    * strictly passes its timestamp (any still-admissible arrival then
+    * has `ts >= wm > best.ts` and cannot beat it); after emission the
+    * state shrinks to a 4-field emitted marker that suppresses every
+    * later duplicate.
+    *
+    * State cost: one small record per DISTINCT key, forever — the
+    * irreducible price of exact global dedup (matching the batch
+    * semantics; `dropDuplicatesWithinWatermark` trades that for
+    * within-window-only suppression). At 100 TB the same operator runs
+    * with the key space sharded across executors by the groupByKey
+    * exchange, and RocksDB state backing holds the distinct-key set.
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `value` double.
+    */
+  def dedupFirstStream(
+      events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[DedupRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[DedupState, DedupRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[DedupState]) =>
+        val prior = state.getOption
+        if (prior.exists(_.emitted)) {
+          // canonical row already out: everything arriving is a duplicate
+          Iterator.empty
+        } else {
+          val wm = state.getCurrentWatermarkMs()
+          val best = rows.foldLeft(prior) { (acc, r) =>
+            val cand = DedupState(emitted = false, r._2.getTime, r._3, r._4)
+            acc match {
+              case Some(b) if b.bestTs < cand.bestTs
+                || (b.bestTs == cand.bestTs && b.bestTie <= cand.bestTie) => acc
+              case _ => Some(cand)
+            }
+          }
+          best match {
+            case Some(b) if b.bestTs < wm =>
+              state.update(b.copy(emitted = true))
+              Iterator.single(DedupRow(key, b.bestTs, b.bestTie, b.bestValue))
+            case Some(b) =>
+              state.update(b)
+              // EventTimeTimeout fires when wm > timestamp: exactly the
+              // strict-seal condition
+              state.setTimeoutTimestamp(math.max(b.bestTs, wm + 1))
+              Iterator.empty
+            case None => Iterator.empty
+          }
+        }
     }
   }
 

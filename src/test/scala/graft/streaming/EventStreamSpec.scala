@@ -225,6 +225,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupFirstStream: emits the event-order first row once, suppresses the rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.dedupFirstStream(df, watermark = "5 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test").start()
+    try {
+      // key 1: a LATER row arrives first; the true (ts,tie)-first comes
+      // in batch 2 and must be the one emitted. key 2: tie-break on ts.
+      input.addData((1L, 3000L, 3L, 30.0), (2L, 1000L, 7L, 7.0))
+      q.processAllAvailable()
+      input.addData((1L, 1000L, 1L, 10.0), (2L, 1000L, 4L, 4.0))
+      q.processAllAvailable()
+      // watermark driver: push wm past 3000 (wm = max_ts - 5s)
+      input.addData((9L, 20000L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 40000L, 0L, 0.0)); q.processAllAvailable()
+      // post-seal duplicates of key 1 must be suppressed
+      input.addData((1L, 39000L, 9L, 99.0)); q.processAllAvailable()
+      input.addData((9L, 80000L, 0L, 0.0)); q.processAllAvailable()
+      val got = spark.table("dedup_test").as[DedupRow].collect()
+        .filter(_.key != 9L).sortBy(_.key).toSeq
+      assert(got == Seq(DedupRow(1L, 1000L, 1L, 10.0),
+        DedupRow(2L, 1000L, 4L, 4.0)))
+      // exactly the batch keep-first verdict over the same rows
+      val batch = Seq((1L, 3000L, 3L, 30.0), (2L, 1000L, 7L, 7.0),
+          (1L, 1000L, 1L, 10.0), (2L, 1000L, 4L, 4.0), (1L, 39000L, 9L, 99.0))
+        .toDF("key", "ts_ms", "tie", "value")
+        .groupBy("key")
+        .agg(min_by(struct(col("ts_ms"), col("tie"), col("value")),
+          struct(col("ts_ms"), col("tie"))).as("f"))
+        .select(col("key"), col("f.ts_ms"), col("f.tie"), col("f.value"))
+        .as[DedupRow].collect().sortBy(_.key).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("twaStream: the latest sealed row per key equals the batch TWA") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
