@@ -203,4 +203,53 @@ class GraphOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("fixpoint"))
   }
+
+  private def hitsModel(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Double, Double)] = {
+    val e = edges.distinct
+    val vs = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var h = vs.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      val araw = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(p => h(p._1)).sum }
+      val an = math.sqrt(araw.values.map(x => x * x).sum)
+      a = vs.map(v => v -> araw.getOrElse(v, 0.0) / an).toMap
+      val hraw = e.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(p => a(p._2)).sum }
+      val hn = math.sqrt(hraw.values.map(x => x * x).sum)
+      h = vs.map(v => v -> hraw.getOrElse(v, 0.0) / hn).toMap
+    }
+    vs.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("hits equals the sequential mutual-reinforcement model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)).distinct
+    val got = GraphOps.hits(edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val want = hitsModel(edges, 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, (hub, auth)) =>
+      assert(math.abs(hub - want(v)._1) < 1e-9, s"hub diverged at $v")
+      assert(math.abs(auth - want(v)._2) < 1e-9, s"auth diverged at $v")
+    }
+  }
+
+  test("hits separates hubs from authorities on the canonical star") {
+    import spark.implicits._
+    // 1 and 2 point at 3 and 4; 3 also points at 4
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = GraphOps.hits(edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // pure sources are the best hubs and zero authorities
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._1 > got(3L)._1)
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 0.0)
+    // the pure sink is the best authority and a zero hub
+    assert(got(4L)._2 > got(3L)._2 && got(4L)._1 == 0.0)
+  }
 }
