@@ -225,6 +225,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichJoin stream-stream: out-of-order cross-batch arrivals still pair") {
+    // the existing enrichJoin coverage stages files; this drives BOTH
+    // sides as MemoryStreams with the matching click arriving a batch
+    // AFTER its purchase — the state-buffering path file replay can't hit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def mk() = MemoryStream[(Long, Long, Long)]
+    val (clicks, purchases) = (mk(), mk())
+    def df(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.enrichJoin(df(clicks), df(purchases),
+        windowMs = 2000L, watermark = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_mem_test").start()
+    try {
+      // purchase arrives FIRST; its click comes in the next micro-batch
+      purchases.addData((100L, 1L, 3000L)); q.processAllAvailable()
+      assert(spark.table("ssj_mem_test").count() == 0)
+      clicks.addData((7L, 1L, 2000L), (8L, 1L, 500L), (9L, 2L, 2500L))
+      q.processAllAvailable()
+      // second purchase pairs with the already-buffered click 9
+      purchases.addData((200L, 2L, 4000L)); q.processAllAvailable()
+      val got = spark.table("ssj_mem_test")
+        .select("purchase_id", "user_id", "click_id")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      // click 8 (2500ms before) is outside the 2s window; click 7 pairs
+      assert(got == Seq((100L, 1L, 7L), (200L, 2L, 9L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupFirstStream: emits the event-order first row once, suppresses the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
