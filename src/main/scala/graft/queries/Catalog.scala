@@ -715,6 +715,75 @@ object Catalog {
             / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
         FROM g ORDER BY rf""")),
 
+    "q_linkage_pairs" -> QueryDef(
+      // record linkage with blocking: candidate pairs only within a
+      // blocking key (brand), scored by the native Jaro-Winkler
+      // expression, kept at >= 0.92 AFTER 6dp rounding (both engines
+      // filter on the same rounded value, so the threshold can never
+      // disagree at a float boundary). The blocked self-join is
+      // quadratic per block, NOT per table — the standard linkage
+      // scale contract (pick blocking keys so blocks stay bounded);
+      // the kernel runs inside whole-stage codegen.
+      (s, dir) => {
+        import graft.functions.expressions.TextExpressions.jaro_winkler
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("id_a"),
+            col("b.p_partkey").as("id_b"),
+            round(jaro_winkler(col("a.p_name"), col("b.p_name")), 6).as("jw"))
+          .filter(col("jw") >= 0.92)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+          round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.92
+        ORDER BY id_a, id_b""")),
+
+    "q_corr_matrix" -> QueryDef(
+      // pairwise Pearson correlation matrix of four measures in ONE
+      // aggregation pass (six corr accumulators, map-side partials),
+      // emitted long-form (var_a, var_b, corr) — the profiling
+      // companion piece to q_regression; cost is one scan regardless of
+      // how many pairs are requested.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val agged = li.agg(
+          round(corr(col(pairs.head._1), col(pairs.head._2)), 6).as("c0"),
+          pairs.tail.zipWithIndex.map { case ((a, b), ix) =>
+            round(corr(col(a), col(b)), 6).as(s"c${ix + 1}") }: _*)
+        val rows = pairs.zipWithIndex.map { case ((a, b), ix) =>
+          struct(lit(a).as("var_a"), lit(b).as("var_b"),
+            col(s"c$ix").as("corr")) }
+        agged.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.var_a"), col("r.var_b"), col("r.corr"))
+          .orderBy("var_a", "var_b")
+      },
+      Some("""WITH m AS (SELECT
+          round(corr(l_quantity, l_extendedprice), 6) AS c_qe,
+          round(corr(l_quantity, l_discount), 6) AS c_qd,
+          round(corr(l_quantity, l_tax), 6) AS c_qt,
+          round(corr(l_extendedprice, l_discount), 6) AS c_ed,
+          round(corr(l_extendedprice, l_tax), 6) AS c_et,
+          round(corr(l_discount, l_tax), 6) AS c_dt
+        FROM lineitem)
+        SELECT * FROM (
+          SELECT 'l_discount' AS var_a, 'l_tax' AS var_b, c_dt AS corr FROM m
+          UNION ALL SELECT 'l_extendedprice', 'l_discount', c_ed FROM m
+          UNION ALL SELECT 'l_extendedprice', 'l_tax', c_et FROM m
+          UNION ALL SELECT 'l_quantity', 'l_discount', c_qd FROM m
+          UNION ALL SELECT 'l_quantity', 'l_extendedprice', c_qe FROM m
+          UNION ALL SELECT 'l_quantity', 'l_tax', c_qt FROM m
+        ) ORDER BY var_a, var_b""")),
+
     "q_holt" -> QueryDef(
       // Holt double exponential smoothing per user (Resample.holt,
       // alpha=0.3, beta=0.2): level + trend of a drifting series — the
