@@ -103,6 +103,62 @@ object KVOps {
     asofJoinImpl(left, right, keys, leftTime, rightTime, payloadCols,
       rightOrderCol, forward = true, toleranceMs)
 
+  /** Nearest as-of join (pandas `merge_asof direction='nearest'`): for
+    * every left row, attach the right row minimizing `|rightTime -
+    * leftTime|`; at equal distance the BACKWARD candidate (at-or-before)
+    * wins, and within one timestamp the backward side takes the largest
+    * `rightOrderCol` / the forward side the smallest — all
+    * deterministic. `toleranceMs` bounds the distance on both sides.
+    *
+    * Same union-window shape as backward/forward, with BOTH carries
+    * computed over the SAME key partitioning (one hash exchange, two
+    * in-partition sorts — the ascending and descending windows share the
+    * shuffle); the winner is a row-local comparison of the two carried
+    * distances. Still no pair explosion and no range join.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightOrderCol: Option[String] = None,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val payloadT = struct(payloadCols.map(col) :+
+      col(rightTime).cast("long").as("__graft_rt"): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("long").as("__t"),
+        lit(0).as("__side"),
+        coalesce(rightOrderCol.map(col(_).cast("long")).getOrElse(lit(0L)), lit(0L)).as("__ord"),
+        payloadT.as("__payload")): _*)
+    val l = left.withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", lit(Long.MaxValue))
+      .withColumn("__payload", lit(null).cast(r.schema("__payload").dataType))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    def w(o: Seq[Column]) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(o: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = w(Seq(col("__t").asc, col("__side").asc, col("__ord").asc))
+    val wF = w(Seq(col("__t").desc, col("__side").asc, col("__ord").desc))
+    val carried = unioned
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__payload"), ignoreNulls = true).over(wF))
+    val db = col("__t") - col("__b.__graft_rt")
+    val df = col("__f.__graft_rt") - col("__t")
+    val tol = toleranceMs.map(lit(_)).getOrElse(lit(Long.MaxValue))
+    val bOk = col("__b").isNotNull && db <= tol
+    val fOk = col("__f").isNotNull && df <= tol
+    val pick = when(bOk && (!fOk || db <= df), col("__b"))
+      .when(fOk, col("__f"))
+      .otherwise(lit(null).cast(r.schema("__payload").dataType))
+    val outCols = left.columns.map(col).toSeq ++
+      payloadCols.map(c => col(s"__pick.$c").as(s"asof_$c"))
+    carried.withColumn("__pick", pick)
+      .filter(col("__side") === 1).select(outCols: _*)
+  }
+
   private def asofJoinImpl(
       left: DataFrame,
       right: DataFrame,

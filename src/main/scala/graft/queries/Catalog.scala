@@ -1133,6 +1133,42 @@ object Catalog {
           sum(seg_end - seg_start + 1)::BIGINT AS overlap_ms
         FROM segs GROUP BY user_id ORDER BY user_id""")),
 
+    "q_asof_nearest" -> QueryDef(
+      // nearest-mode as-of (KVOps.asofJoinNearest, pandas
+      // direction='nearest'): each click attached to the user's closest
+      // purchase within 1h either way — min |dt|, backward wins distance
+      // ties, deterministic order-col tie-break within a timestamp. Both
+      // direction carries ride ONE hash exchange (OperatorsSpec pin);
+      // the oracle replays the full preference order with a correlated
+      // LIMIT 1 (no native nearest in SQL — fine at oracle scale).
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+        KVOps.asofJoinNearest(clicks, purchases, keys = Seq("user_id"),
+            leftTime = "ts_ms", rightTime = "ts_ms",
+            payloadCols = Seq("value"), rightOrderCol = Some("event_id"),
+            toleranceMs = Some(3600000L))
+          .select(col("event_id"), col("user_id"),
+            round(col("asof_value"), 2).as("near_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+          FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS seq, value
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id,
+          (SELECT round(p.value, 2) FROM p
+           WHERE p.user_id = c.user_id
+             AND abs(p.ts_ms - c.ts_ms) <= 3600000
+           ORDER BY abs(p.ts_ms - c.ts_ms),
+             CASE WHEN p.ts_ms <= c.ts_ms THEN 0 ELSE 1 END,
+             CASE WHEN p.ts_ms <= c.ts_ms THEN -p.seq ELSE p.seq END
+           LIMIT 1) AS near_value
+        FROM c ORDER BY event_id""")),
+
     "q_asof_join" -> QueryDef(
       // the generic as-of join OPERATOR (KVOps.asofJoinBackward — one
       // shuffle, union-window form), oracled against DuckDB's native

@@ -57,6 +57,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("asofJoinNearest: min |dt| wins, backward breaks distance ties") {
+    val left = Seq((1L, 10L), (1L, 14L), (1L, 15L), (1L, 100L), (2L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 12L, "b1", 1L), (1L, 18L, "f1", 2L), (2L, 50L, "x", 3L))
+      .toDF("k", "t", "v", "seq")
+    val out = KVOps.asofJoinNearest(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightOrderCol = Some("seq"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // t=10: only forward-ish 12 at d=2 vs 18 at d=8 -> b1 (12 is forward
+    //       of 10 but nearest overall); t=14: 12@d2 vs 18@d4 -> b1;
+    // t=15: 12@d3 vs 18@d3 TIE -> backward (12) wins; t=100: 18 nearest;
+    // k=2: the only right row is 45 ahead -> still matches (no tolerance)
+    assert(out == Seq((1L, 10L, "b1"), (1L, 14L, "b1"), (1L, 15L, "b1"),
+      (1L, 100L, "f1"), (2L, 5L, "x")))
+  }
+
+  test("asofJoinNearest: tolerance bounds both directions; same-ts ties") {
+    val left = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+    val right = Seq((1L, 100L, "a", 1L), (1L, 100L, "b", 2L), (1L, 150L, "c", 3L))
+      .toDF("k", "t", "v", "seq")
+    val out = KVOps.asofJoinNearest(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightOrderCol = Some("seq"), toleranceMs = Some(40L))
+      .orderBy("t").collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    // t=100: distance 0 on the backward side, largest seq of the ts tie -> b
+    // t=200: nearest is 150 at d=50 > tolerance 40 -> null
+    assert(out == Seq((100L, "b"), (200L, null)))
+  }
+
+  test("asofJoinNearest equals the quadratic model on random data") {
+    val rnd = new scala.util.Random(31)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, s"p$i", i.toLong))
+    val got = KVOps.asofJoinNearest(
+        left.toDF("k", "t", "lid"), right.toDF("k", "t", "v", "seq"),
+        Seq("k"), "t", "t", Seq("v"), rightOrderCol = Some("seq"),
+        toleranceMs = Some(60L))
+      .orderBy("k", "t", "lid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val want = left.sortBy(l => (l._1, l._2, l._3)).map { l =>
+      val cands = right.filter(r => r._1 == l._1 && math.abs(r._2 - l._2) <= 60L)
+      val pick =
+        if (cands.isEmpty) null
+        else cands.minBy(r => (math.abs(r._2 - l._2),
+          if (r._2 <= l._2) 0 else 1, // backward wins distance ties
+          if (r._2 <= l._2) -r._4 else r._4))._3 // ts-tie: back max, fwd min
+      (l._1, l._2, l._3, pick)
+    }
+    assert(got == want)
+  }
+
+  test("asofJoinNearest: both direction windows share ONE hash exchange") {
+    val l = (1 to 50).map(i => (i % 3L, i.toLong)).toDF("k", "t")
+    val r = (1 to 50).map(i => (i % 3L, i * 2L, s"v$i", i.toLong))
+      .toDF("k", "t", "v", "seq")
+    val p = KVOps.asofJoinNearest(l, r, Seq("k"), "t", "t", Seq("v"),
+        rightOrderCol = Some("seq"))
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"nearest regressed to a join plan:\n$p")
+  }
+
   test("asofJoinForward: inclusive forward match with earliest-wins tie-break") {
     import org.apache.spark.sql.functions.col
     val left = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 50L))
