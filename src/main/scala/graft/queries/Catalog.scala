@@ -715,6 +715,62 @@ object Catalog {
             / pow((s2/n) - pow(s1/n, 2), 2) - 3, 6) AS kurt_qty
         FROM g ORDER BY rf""")),
 
+    "q_ab_test" -> QueryDef(
+      // experiment readout: Welch's two-sample t statistic per event
+      // type between a deterministic user split (user_id parity = the
+      // variant), with the Welch-Satterthwaite df — one conditional-
+      // aggregate pass (each variant's n/mean/variance as a filtered
+      // agg, map-side partials), the closed form every metrics pipeline
+      // computes before anyone trusts a dashboard delta.
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("va", (col("user_id") % 2 === 0).cast("int"))
+        def side(f: Column => Column, v: Int) =
+          f(when(col("va") === v, col("value")))
+        val g = ev.groupBy(col("event_type"))
+          .agg(count(when(col("va") === 1, 1)).as("n_a"),
+            count(when(col("va") === 0, 1)).as("n_b"),
+            side(avg, 1).as("m_a"), side(avg, 0).as("m_b"),
+            side(var_samp, 1).as("v_a"), side(var_samp, 0).as("v_b"))
+        g.select(col("event_type"), col("n_a"), col("n_b"),
+            round(col("m_a"), 6).as("mean_a"), round(col("m_b"), 6).as("mean_b"),
+            round((col("m_a") - col("m_b")) /
+              sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 6).as("t_stat"),
+            round(pow(col("v_a") / col("n_a") + col("v_b") / col("n_b"), 2) /
+              (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1) +
+               pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1)), 4).as("df"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type,
+          count(CASE WHEN user_id % 2 = 0 THEN 1 END)::BIGINT AS n_a,
+          count(CASE WHEN user_id % 2 = 1 THEN 1 END)::BIGINT AS n_b,
+          avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+          avg(CASE WHEN user_id % 2 = 1 THEN value END) AS m_b,
+          var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+          var_samp(CASE WHEN user_id % 2 = 1 THEN value END) AS v_b
+        FROM events GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+          round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+          round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+          round(pow(v_a / n_a + v_b / n_b, 2) /
+            (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)),
+            4) AS df
+        FROM g ORDER BY event_type""")),
+
+    "q_json_keys" -> QueryDef(
+      // semi-structured profiling: the key inventory of a JSON column
+      // (which props keys exist, how often) — explode over
+      // json_object_keys, one scan + one hash agg; the schema-discovery
+      // question every ingest of loosely-typed event payloads starts
+      // with. NULL/empty props drop out on both engines.
+      (s, dir) => events(s, dir)
+        .select(explode(json_object_keys(col("props"))).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy("key"),
+      Some("""SELECT k AS key, count(*)::BIGINT AS n
+        FROM events, unnest(json_keys(props)) AS t(k)
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_linkage_pairs" -> QueryDef(
       // record linkage with blocking: candidate pairs only within a
       // blocking key (brand), scored by the native Jaro-Winkler
