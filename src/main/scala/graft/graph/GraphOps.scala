@@ -240,21 +240,30 @@ object GraphOps {
   }
 
   /** HITS (Kleinberg hubs & authorities) over the directed graph, FIXED
-    * iteration count with L2 normalization after each half-step — the
-    * classic mutual-reinforcement ranking (a good hub points at good
-    * authorities; a good authority is pointed at by good hubs), which
-    * PageRank's single score can't separate. Dataframe algebra like
-    * [[labelPropagation]] (not GraphX), so every step replays in SQL and
-    * the Catalog row is FULLY oracled by unrolled iterations.
+    * iteration count — the classic mutual-reinforcement ranking (a good
+    * hub points at good authorities; a good authority is pointed at by
+    * good hubs), which PageRank's single score can't separate.
+    * Dataframe algebra like [[labelPropagation]] (not GraphX), so every
+    * step replays in SQL and the Catalog row is FULLY oracled by
+    * unrolled iterations.
     *
-    * Scale shape: per iteration two keyed joins of the edge set against
-    * the vertex-score frame plus two hash aggs — the PageRank cost
-    * class; the L2 norm is a one-row aggregate broadcast back (no
-    * driver collect). Each half-step localCheckpoints — truncating the
-    * doubly-self-referencing lineage that would otherwise double the
-    * plan per step. Edges are deduplicated and null-free by
-    * construction; vertices with no in-edges (resp. out-edges) carry
-    * authority (resp. hub) 0.
+    * The power steps run UNNORMALIZED with ONE L2 normalization at the
+    * end: per-step and end normalization give exactly proportional
+    * vectors (normalization is a scalar multiple, and every step is
+    * linear), and the unnormalized step references its input ONCE — so
+    * the whole 2·iters-join chain stays a single linear plan in one
+    * Spark job, no per-step norm branch, no lineage checkpoints, no
+    * per-step materialization. The price is dynamic range: raw scores
+    * grow like (average degree)^2k, so past ~50 iterations on dense
+    * graphs doubles overflow — guarded by a loud raise_error when the
+    * final norm is non-finite (choose fewer iterations or rescale
+    * upstream; ranking use cases converge in ~10).
+    *
+    * Scale shape: per iteration two keyed joins of the (persisted,
+    * deduplicated) edge set against the vertex-score frame plus two
+    * hash aggs — the PageRank cost class; the final norms are one-row
+    * aggregates broadcast back (no driver collect). Vertices with no
+    * in-edges (resp. out-edges) carry authority (resp. hub) 0.
     */
   def hits(edges: DataFrame, iters: Int = 10,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
@@ -265,37 +274,29 @@ object GraphOps {
       .distinct().persist()
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().persist()
-    def normalized(raw: DataFrame): DataFrame = {
-      // raw: (v, raw) over the non-zero support; L2-normalize and widen
-      // to every vertex (zeros don't move the norm)
-      val n = raw.agg(sqrt(sum(col("raw") * col("raw"))).as("n"))
-      verts.join(raw, Seq("v"), "left")
-        .crossJoin(broadcast(n))
-        .select(col("v"), (coalesce(col("raw"), lit(0.0)) / col("n")).as("score"))
-    }
     var h = verts.select(col("v"), lit(1.0).as("score"))
     var a: DataFrame = null
-    for (i <- 1 to iters) {
-      // localCheckpoint truncates lineage each half-step: `normalized`
-      // references its input twice (norm + join), so an uncut plan
-      // doubles per step — 2^2·iters node blowup kills the driver long
-      // before the data does
-      val aNew = normalized(
-        e.join(h.withColumnRenamed("v", "sv"), col("src") === col("sv"))
-          .groupBy(col("dst").as("v")).agg(sum(col("score")).as("raw")))
-        .localCheckpoint(true)
-      val hNew = normalized(
-        e.join(aNew.withColumnRenamed("v", "dv").withColumnRenamed("score", "as"),
-            col("dst") === col("dv"))
-          .groupBy(col("src").as("v")).agg(sum(col("as")).as("raw")))
-        .localCheckpoint(true)
-      h = hNew
-      a = aNew
+    for (_ <- 1 to iters) {
+      a = e.join(h.withColumnRenamed("v", "sv"), col("src") === col("sv"))
+        .groupBy(col("dst").as("v")).agg(sum(col("score")).as("score"))
+      h = e.join(a.select(col("v").as("dv"), col("score").as("as")),
+          col("dst") === col("dv"))
+        .groupBy(col("src").as("v")).agg(sum(col("as")).as("score"))
     }
-    val out = h.withColumnRenamed("score", "hub")
-      .join(a.withColumnRenamed("score", "auth"), Seq("v"))
+    def widened(raw: DataFrame, name: String): DataFrame = {
+      val n = raw.agg(sqrt(sum(col("score") * col("score"))).as("n"))
+      val guarded = when(
+        isnan(col("n")) || col("n") === Double.PositiveInfinity || col("n") <= 0,
+        raise_error(lit(s"hits: non-finite or zero $name norm after " +
+          s"$iters iterations — reduce iters or rescale edge weights")))
+        .otherwise(col("n"))
+      verts.join(raw, Seq("v"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("v"),
+          (coalesce(col("score"), lit(0.0)) / guarded).as(name))
+    }
+    widened(h, "hub").join(widened(a, "auth"), Seq("v"))
       .select(col("v").as("vertex"), col("hub"), col("auth"))
-    out
   }
 
   /** Triangle count per vertex — pure SQL 3-way self-join on canonicalized

@@ -4553,9 +4553,11 @@ object Catalog {
         JOIN e e3 ON e2.b = e3.b AND e1.a = e3.a""")),
 
     "graph_hits" -> QueryDef(
-      // HITS hubs & authorities (GraphOps.hits, 10 iterations, L2 norm
-      // each half-step): dataframe algebra with per-half-step
-      // localCheckpoint lineage cuts, FULLY oracled by unrolling all 10
+      // HITS hubs & authorities (GraphOps.hits, 10 iterations):
+      // UNNORMALIZED power steps — per-step and end normalization are
+      // exactly proportional, so one final L2 normalize suffices and the
+      // whole 20-join chain plans as a single linear job (no per-step
+      // norm branch, no checkpoints). FULLY oracled by unrolling all 10
       // mutual-reinforcement iterations in SQL (the pagerank/LPA
       // pattern) — 2 keyed joins + 2 hash aggs per iteration, the same
       // scale class as pagerank's power steps.
@@ -4565,16 +4567,10 @@ object Catalog {
         .orderBy("vertex"),
       Some {
         val steps = (1 to 10).map { i =>
-          s"""ar$i AS MATERIALIZED (SELECT e.dst AS v, sum(h${i - 1}.score) AS raw
+          s"""a$i AS MATERIALIZED (SELECT e.dst AS v, sum(h${i - 1}.score) AS score
                FROM e JOIN h${i - 1} ON e.src = h${i - 1}.v GROUP BY 1),
-             a$i AS MATERIALIZED (SELECT verts.v, coalesce(ar.raw, 0.0)
-                 / (SELECT sqrt(sum(raw * raw)) FROM ar$i) AS score
-               FROM verts LEFT JOIN ar$i ar ON verts.v = ar.v),
-             hr$i AS MATERIALIZED (SELECT e.src AS v, sum(a$i.score) AS raw
-               FROM e JOIN a$i ON e.dst = a$i.v GROUP BY 1),
-             h$i AS MATERIALIZED (SELECT verts.v, coalesce(hr.raw, 0.0)
-                 / (SELECT sqrt(sum(raw * raw)) FROM hr$i) AS score
-               FROM verts LEFT JOIN hr$i hr ON verts.v = hr.v)"""
+             h$i AS MATERIALIZED (SELECT e.src AS v, sum(a$i.score) AS score
+               FROM e JOIN a$i ON e.dst = a$i.v GROUP BY 1)"""
         }.mkString(",\n")
         s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM $edgesSql t
             WHERE dst IS NOT NULL),
@@ -4582,9 +4578,14 @@ object Catalog {
             (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
           h0 AS MATERIALIZED (SELECT v, 1.0::DOUBLE AS score FROM verts),
           $steps
-          SELECT h10.v AS vertex, round(h10.score, 6) AS hub,
-            round(a10.score, 6) AS auth
-          FROM h10 JOIN a10 ON h10.v = a10.v ORDER BY vertex"""
+          SELECT verts.v AS vertex,
+            round(coalesce(h10.score, 0.0)
+              / (SELECT sqrt(sum(score * score)) FROM h10), 6) AS hub,
+            round(coalesce(a10.score, 0.0)
+              / (SELECT sqrt(sum(score * score)) FROM a10), 6) AS auth
+          FROM verts LEFT JOIN h10 ON verts.v = h10.v
+            LEFT JOIN a10 ON verts.v = a10.v
+          ORDER BY vertex"""
       },
       headline = true),
 
