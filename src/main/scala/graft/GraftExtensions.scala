@@ -119,6 +119,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_changes"),
       new ExpressionInfo(classOf[graft.core.GraftDB].getName, "graft_changes"),
       (args: Seq[Expression]) => GraftExtensions.graftChangesPlan(args)))
+    //   SELECT * FROM graft_search('/idx', 'query text')       -- top 10
+    //   SELECT * FROM graft_search('/idx', 'query text', 25)   -- top k
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_search"),
+      new ExpressionInfo(classOf[graft.llmops.Search.type].getName, "graft_search"),
+      (args: Seq[Expression]) => GraftExtensions.graftSearchPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -182,6 +188,28 @@ object GraftExtensions {
       if (args.length == 2) db.view(longLit(args(1), "graft_view asOfUnixSec"))
       else db.view()
     view.queryExecution.analyzed
+  }
+
+  /** `graft_search(indexDir, query[, k])`: BM25 top-k over a persisted
+    * text index as a pure-SQL table function — the partition-pruned
+    * probe plan of [[graft.llmops.Search.bm25TopKIndexed]], identical
+    * scores, one row per hit `(rank, doc_id, score)`.
+    */
+  private[graft] def graftSearchPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_search(indexDir, query[, k]) expects 2-3 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val qs = Seq((0L, stringLit(args(1), "graft_search query")))
+      .toDF("query_id", "qtext")
+    val k = if (args.length == 3) longLit(args(2), "graft_search k").toInt else 10
+    graft.llmops.Search
+      .bm25TopKIndexed(spark, stringLit(args.head, "graft_search indexDir"), qs, k)
+      .select(org.apache.spark.sql.functions.col("rank"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("score"))
+      .queryExecution.analyzed
   }
 
   private[graft] def graftAggViewPlan(
@@ -264,6 +292,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_agg_view", graftAggViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_join_view", graftJoinViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_changes", graftChangesPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_search", graftSearchPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

@@ -4923,6 +4923,24 @@ object Catalog {
       // headline times the PROBE path (index memoized per dataset)
       headline = true),
 
+    "search_bm25_sql" -> QueryDef(
+      // the SAME partition-pruned indexed probe through the pure-SQL
+      // boundary: `SELECT ... FROM graft_search(idx, query, k)` — the
+      // engine's search surface as a table function, planning identically
+      // to the programmatic bm25TopKIndexed call (scores bit-identical,
+      // fully oracled like search_bm25_indexed).
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        val idx = textIndexFor(s, dir)
+        s.sql(s"""SELECT rank, doc_id, score
+          FROM graft_search('$idx', 'stream filter group', 10)
+          ORDER BY rank""")
+      },
+      Some(s"""WITH ${bm25OracleCtes(
+        """SELECT 0::BIGINT AS query_id, 'stream filter group' AS qtext""")}
+        SELECT rank::BIGINT AS rank, doc_id, score
+        FROM ranked WHERE rank <= 10 ORDER BY rank""")),
+
     "search_bm25_deleted" -> QueryDef(
       // The index WITH live tombstones (docs deleted, purge not yet run —
       // the reference's Del before its compaction drops the row): queries

@@ -126,4 +126,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT minhash_bands(sh, 4, 2) FROM t").head().getSeq[Long](0)
     assert(viaCol == viaSql)
   }
+
+  test("graft_search TVF: SQL probe matches the programmatic indexed search") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "stream filter group by join"),
+      (2L, "filter stream stream stream"),
+      (3L, "completely unrelated words here"),
+      (4L, "group group group stream")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-tvf-idx").toString
+    graft.llmops.Search.buildTextIndex(docs, idx, numBuckets = 8)
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+        s"SELECT rank, doc_id, score FROM graft_search('$idx', 'stream filter', 3) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaApi = graft.llmops.Search.bm25TopKIndexed(spark, idx,
+        Seq((0L, "stream filter")).toDF("query_id", "qtext"), k = 3)
+      .orderBy("rank")
+      .select("rank", "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql.nonEmpty && viaSql == viaApi)
+    assert(viaSql.map(_._2).contains(2L)) // the stream-heavy doc ranks
+    // default k and arity guard
+    assert(spark.sql(s"SELECT * FROM graft_search('$idx', 'stream')").count() <= 10)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_search('$idx')").collect()
+    }
+    assert(e.getMessage.contains("graft_search"))
+  }
 }
