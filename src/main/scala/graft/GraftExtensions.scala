@@ -125,6 +125,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_search"),
       new ExpressionInfo(classOf[graft.llmops.Search.type].getName, "graft_search"),
       (args: Seq[Expression]) => GraftExtensions.graftSearchPlan(args)))
+    //   SELECT * FROM graft_ann('/idx', array(0.1, 0.2, ...), 10)     -- top k
+    //   SELECT * FROM graft_ann('/idx', array(...), 10, 8)            -- nProbe
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_ann"),
+      new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_ann"),
+      (args: Seq[Expression]) => GraftExtensions.graftAnnPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -212,6 +218,60 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_ann(indexDir, queryVec, k[, nProbe])`: ANN top-k over a
+    * persisted IVF index as a pure-SQL table function — the broadcast
+    * centroid rank + cell-pruned probe of
+    * [[graft.llmops.Similarity.ivfTopKIndexed]], one row per hit
+    * `(rank, neighbor_id)`. The query vector is a foldable SQL
+    * array literal (`array(0.1, 0.2, ...)`).
+    */
+  private[graft] def graftAnnPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      s"graft_ann(indexDir, queryVec, k[, nProbe]) expects 3-4 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val vec = floatArrayLit(args(1), "graft_ann queryVec")
+    val k = longLit(args(2), "graft_ann k").toInt
+    val nProbe = if (args.length == 4) longLit(args(3), "graft_ann nProbe").toInt else 4
+    val qs = Seq((-1L, vec.toSeq)).toDF("vec_id", "embedding")
+    graft.llmops.Similarity
+      .ivfTopKIndexed(spark, stringLit(args.head, "graft_ann indexDir"),
+        qs, k, nProbe)
+      .select(org.apache.spark.sql.functions.col("rank"),
+        org.apache.spark.sql.functions.col("neighbor_id"))
+      .queryExecution.analyzed
+  }
+
+  /** A FOLDABLE numeric-array literal (`array(0.1, 0.2, ...)`) coerced
+    * to Float elements — the query-vector parameter shape for
+    * `graft_ann` in SQL.
+    */
+  private[graft] def floatArrayLit(e: Expression, name: String): Array[Float] = {
+    require(e.foldable, s"$name expects a foldable array<numeric> literal, got $e")
+    val elemT = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"$name expects an array literal, got type $other")
+    }
+    e.eval() match {
+      case d: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until d.numElements()).map { i =>
+          d.get(i, elemT) match {
+            case f: Float => f
+            case x: Double => x.toFloat
+            case x: Int => x.toFloat
+            case x: Long => x.toFloat
+            case x: org.apache.spark.sql.types.Decimal => x.toFloat
+            case other => throw new IllegalArgumentException(
+              s"$name: non-numeric element $other")
+          }
+        }.toArray
+      case other => throw new IllegalArgumentException(
+        s"$name expects an array literal, evaluated to $other")
+    }
+  }
+
   private[graft] def graftAggViewPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.length == 1,
@@ -293,6 +353,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_join_view", graftJoinViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_changes", graftChangesPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_search", graftSearchPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_ann", graftAnnPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

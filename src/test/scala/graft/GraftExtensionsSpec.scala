@@ -154,4 +154,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("graft_search"))
   }
+
+  test("graft_ann TVF: SQL vector probe matches the programmatic IVF search") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-ivf").toString
+    graft.llmops.Similarity.buildIvfIndex(emb, dir, numCentroids = 4)
+    graft.GraftExtensions.register(spark)
+    val qv = Seq.fill(8)(0.5f)
+    val lit = qv.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+    val viaSql = spark.sql(
+        s"SELECT rank, neighbor_id FROM graft_ann('$dir', $lit, 5, 2) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = graft.llmops.Similarity.ivfTopKIndexed(spark, dir,
+        Seq((-1L, qv)).toDF("vec_id", "embedding"), k = 5, nProbe = 2)
+      .orderBy("rank").select("rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql.size == 5 && viaSql == viaApi)
+    // a plain double-literal array coerces too
+    val viaDouble = spark.sql(
+        s"SELECT count(*) FROM graft_ann('$dir', array(${qv.mkString(", ")}), 5)")
+      .head().getLong(0)
+    assert(viaDouble == 5L)
+  }
 }
