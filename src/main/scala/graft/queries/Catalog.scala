@@ -840,6 +840,38 @@ object Catalog {
           UNION ALL SELECT 'l_quantity', 'l_tax', c_qt FROM m
         ) ORDER BY var_a, var_b""")),
 
+    "q_cusum" -> QueryDef(
+      // two-sided CUSUM control chart per user (Resample.cusum): the
+      // max-recurrence folds to pure window algebra via the reflection
+      // identity s_i = P_i - min(0, running-min P) — two running sums +
+      // two running mins over ONE key exchange; breach = either side
+      // over threshold. The drift-detection dual of q_psi_drift
+      // (distributional) at the per-observation level.
+      (s, dir) => graft.operators.Resample.cusum(
+          events(s, dir).select(col("user_id"), col("ts_ms"),
+            col("event_id"), col("value")),
+          keys = Seq("user_id"), target = 50.0, slack = 5.0,
+          threshold = 300.0)
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("user_id", "ts_ms", "event_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+          value FROM events),
+        p AS (SELECT user_id, ts_ms, event_id, value,
+            sum(value - 50 - 5) OVER w AS ph,
+            sum(50 - 5 - value) OVER w AS pl
+          FROM e WINDOW w AS (PARTITION BY user_id
+            ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING)),
+        c AS (SELECT user_id, ts_ms, event_id, value,
+            round(ph - least(0, min(ph) OVER w2), 6) AS cusum_high,
+            round(pl - least(0, min(pl) OVER w2), 6) AS cusum_low
+          FROM p WINDOW w2 AS (PARTITION BY user_id
+            ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING))
+        SELECT user_id, ts_ms, event_id, round(value, 6) AS value,
+          cusum_high, cusum_low,
+          (cusum_high > 300 OR cusum_low > 300) AS breach
+        FROM c ORDER BY user_id, ts_ms, event_id"""),
+      headline = true),
+
     "q_holt" -> QueryDef(
       // Holt double exponential smoothing per user (Resample.holt,
       // alpha=0.3, beta=0.2): level + trend of a drifting series — the

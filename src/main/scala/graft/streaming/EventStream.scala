@@ -130,6 +130,21 @@ final case class DecayState(
   */
 final case class DecayRow(key: Long, ts_ms: Long, tie: Long, value: Double, decayed: Double)
 
+/** Per-key state for [[EventStream.holtStream]]: the committed level and
+  * trend (meaningful once `started`) plus the watermark-bounded pending
+  * buffer — the 2-state generalization of [[EwmaState]].
+  */
+final case class HoltState(
+    started: Boolean, l: Double, b: Double, pending: Seq[EwmaPending])
+
+/** One sealed observation from [[EventStream.holtStream]] (Append mode):
+  * the event with its committed level and trend; `level + k*trend` is
+  * the k-step-ahead forecast as of this observation.
+  */
+final case class HoltRow(
+    key: Long, ts_ms: Long, tie: Long, value: Double,
+    level: Double, trend: Double)
+
 /** Per-key state for [[EventStream.dedupFirstStream]]: the best (smallest
   * `(ts, tie)`) candidate seen so far, and whether the key's canonical
   * row has already been emitted (after which every arrival is a
@@ -797,6 +812,65 @@ object EventStream {
         if (!started && hold.isEmpty) state.remove()
         else {
           state.update(EwmaState(started, s, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming Holt linear-trend smoothing — the streaming dual of the
+    * oracled batch [[graft.operators.Resample.holt]] (q_holt): per key,
+    * each sealed observation folds the 2-state recurrence `l' = alpha*x
+    * + (1-alpha)*(l + b); b' = beta*(l' - l) + (1-beta)*b` (init `l=x,
+    * b=0`) in `(ts, tie)` order — the [[ewmaStream]] discipline with a
+    * two-double carry, same 6dp HALF_UP rounding, so stream == batch row
+    * for row.
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `value` double.
+    */
+  def holtStream(
+      events: DataFrame,
+      alpha: Double,
+      beta: Double,
+      watermark: String = "10 minutes"): Dataset[HoltRow] = {
+    require(alpha > 0 && alpha <= 1, "holtStream: alpha must be in (0, 1]")
+    require(beta >= 0 && beta <= 1, "holtStream: beta must be in [0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[HoltState, HoltRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[HoltState]) =>
+        val prior = state.getOption.getOrElse(
+          HoltState(started = false, 0.0, 0.0, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => EwmaPending(r._2.getTime, r._3, r._4))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var started = prior.started
+        var l = prior.l
+        var b = prior.b
+        val out = ripe.sortBy(p => (p.tsMs, p.tie)).map { p =>
+          if (!started) { l = p.x; b = 0.0; started = true }
+          else {
+            val l2 = alpha * p.x + (1 - alpha) * (l + b)
+            b = beta * (l2 - l) + (1 - beta) * b
+            l = l2
+          }
+          HoltRow(key, p.tsMs, p.tie, p.x, r6(l), r6(b))
+        }
+        if (!started && hold.isEmpty) state.remove()
+        else {
+          state.update(HoltState(started, l, b, hold))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }

@@ -299,6 +299,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("holtStream: sealed level/trend equal the batch affine scan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.holtStream(df, alpha = 0.4, beta = 0.3,
+        watermark = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("holt_test").start()
+    val b1 = Seq((1L, 3000L, 3L, 8.0), (2L, 1500L, 4L, 5.0))
+    val b2 = Seq((1L, 1000L, 1L, 10.0), (1L, 5000L, 5L, 2.0))
+    val b3 = Seq((2L, 2500L, 6L, 15.0), (1L, 2000L, 2L, 4.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      input.addData((9L, 30000L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 100000L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 200000L, 0L, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("holt_test").as[HoltRow].collect()
+        .filter(_.key != 9L)
+        .map(r => (r.key, r.ts_ms, r.tie, r.value, r.level, r.trend))
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+      val batch = graft.operators.Resample.holt(
+          (b1 ++ b2 ++ b3).toDF("key", "ts_ms", "tie", "value"),
+          keys = Seq("key"), alpha = 0.4, beta = 0.3, tsMsCol = "ts_ms",
+          valueCol = "value", tieCol = "tie", blockSize = 2)
+        .orderBy("key", "ts_ms", "tie")
+        .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (g, w) =>
+        assert((g._1, g._2, g._3, g._4) == (w._1, w._2, w._3, w._4))
+        assert(math.abs(g._5 - w._5) < 1e-5, s"level diverged at $g vs $w")
+        assert(math.abs(g._6 - w._6) < 1e-5, s"trend diverged at $g vs $w")
+      }
+    } finally q.stop()
+  }
+
   test("twaStream: the latest sealed row per key equals the batch TWA") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
