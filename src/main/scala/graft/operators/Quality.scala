@@ -120,7 +120,24 @@ object Quality {
     * by `check` — metrics rounded to 6dp so re-audits hash-compare.
     */
   def check(df: DataFrame, checks: Seq[Check],
+      approxUnique: Boolean = false): DataFrame =
+    checkImpl(df, Nil, checks, approxUnique)
+
+  /** The per-GROUP audit: the same constraint batch measured within
+    * every group of `groupBy` (ingest partition, source, day), one
+    * result row per (group, constraint) — the "WHICH slice is broken"
+    * form of [[check]]. Still one aggregation pass; [[Unique]] measures
+    * distinctness within each group.
+    */
+  def checkGrouped(df: DataFrame, groupBy: Seq[String], checks: Seq[Check],
       approxUnique: Boolean = false): DataFrame = {
+    require(groupBy.nonEmpty,
+      "checkGrouped needs group columns — use check() for the global audit")
+    checkImpl(df, groupBy, checks, approxUnique)
+  }
+
+  private def checkImpl(df: DataFrame, groupBy: Seq[String],
+      checks: Seq[Check], approxUnique: Boolean): DataFrame = {
     require(checks.nonEmpty, "Quality.check needs at least one constraint")
     require(checks.map(_.name).distinct.size == checks.size,
       "duplicate constraint names — name clashes would collapse result rows")
@@ -153,8 +170,11 @@ object Quality {
       case c: MeanInRange => round(avg(col(c.column).cast("double")), 6)
     }
 
-    val agged = df.agg(metricExprs.head.as("m0"),
-      metricExprs.tail.zipWithIndex.map { case (e, i) => e.as(s"m${i + 1}") }: _*)
+    val aliased = metricExprs.head.as("m0") +:
+      metricExprs.tail.zipWithIndex.map { case (e, i) => e.as(s"m${i + 1}") }
+    val agged =
+      if (groupBy.isEmpty) df.agg(aliased.head, aliased.tail: _*)
+      else df.groupBy(groupBy.map(col): _*).agg(aliased.head, aliased.tail: _*)
 
     val verdictOf: (Check, Column) => Column = {
       case (c: MeanInRange, m) => m >= c.lo - Eps && m <= c.hi + Eps
@@ -166,9 +186,9 @@ object Quality {
         m.as("metric"), lit(c.threshold).as("threshold"),
         coalesce(verdictOf(c, m), lit(false)).as("passed"))
     }
-    agged.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.check"), col("r.target"), col("r.metric"),
-        col("r.threshold"), col("r.passed"))
-      .orderBy("check")
+    agged.select(groupBy.map(col) :+ explode(array(rows: _*)).as("r"): _*)
+      .select(groupBy.map(col) ++ Seq(col("r.check"), col("r.target"),
+        col("r.metric"), col("r.threshold"), col("r.passed")): _*)
+      .orderBy(groupBy.map(col) :+ col("check"): _*)
   }
 }

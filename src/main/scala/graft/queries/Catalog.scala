@@ -969,6 +969,60 @@ object Catalog {
           valid_to IS NULL AS is_current, n_events
         FROM f ORDER BY user_id, version""")),
 
+    "q_dq_by_group" -> QueryDef(
+      // the per-slice audit (Quality.checkGrouped): the same constraint
+      // batch measured inside every group — the "WHICH ingest slice is
+      // broken" readout, one grouped aggregation pass, one result row
+      // per (slice, constraint).
+      (s, dir) => {
+        import graft.operators.Quality._
+        graft.operators.Quality.checkGrouped(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), Seq(
+            Completeness("l_shipdate"),
+            Bounds("l_quantity", 1, 50),
+            MeanInRange("l_discount", 0.02, 0.08)))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+          round(avg(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END::DOUBLE), 6) AS m_c,
+          round(avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END::DOUBLE), 6) AS m_b,
+          round(avg(l_discount::DOUBLE), 6) AS m_m
+        FROM lineitem GROUP BY 1)
+        SELECT * FROM (
+          SELECT l_returnflag, 'bounds:l_quantity' AS "check",
+            'l_quantity' AS target, m_b AS metric, 1.0::DOUBLE AS threshold,
+            m_b >= 1.0 - 1e-9 AS passed FROM m
+          UNION ALL SELECT l_returnflag, 'completeness:l_shipdate',
+            'l_shipdate', m_c, 1.0::DOUBLE, m_c >= 1.0 - 1e-9 FROM m
+          UNION ALL SELECT l_returnflag, 'mean_in_range:l_discount',
+            'l_discount', m_m, 0.02::DOUBLE,
+            m_m >= 0.02 - 1e-9 AND m_m <= 0.08 + 1e-9 FROM m
+        ) ORDER BY l_returnflag, "check"""")),
+
+    "q_seasonal_profile" -> QueryDef(
+      // seasonal-profile anomaly scoring: per (event_type, hour-of-day)
+      // the mean/stddev profile (one agg over the facts), broadcast back
+      // onto every event as a z-score — the 120-row profile is the
+      // broadcast side, so the fact table never reshuffles; the per-
+      // observation dual of the CUSUM chart for cyclic baselines.
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("event_type"),
+          hour(col("ts")).cast("long").as("hr"), col("value"))
+        val prof = ev.groupBy("event_type", "hr")
+          .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+        ev.join(broadcast(prof), Seq("event_type", "hr"))
+          .select(col("event_id"), col("event_type"), col("hr"),
+            round(col("value"), 6).as("value"),
+            round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+          extract(hour FROM ts)::BIGINT AS hr, value FROM events),
+        p AS (SELECT event_type, hr, avg(value) AS mu,
+          stddev_samp(value) AS sd FROM e GROUP BY 1, 2)
+        SELECT e.event_id, e.event_type, e.hr, round(e.value, 6) AS value,
+          round((e.value - p.mu) / p.sd, 6) AS z
+        FROM e JOIN p USING (event_type, hr) ORDER BY e.event_id""")),
+
     "q_regression" -> QueryDef(
       // per-group closed-form OLS (the regr_* aggregate family): slope,
       // intercept, R², and the supporting moments of price-on-quantity

@@ -90,4 +90,26 @@ class QualitySpec extends AnyFunSuite {
       Quality.check(df, Seq(Completeness("s"), Completeness("s")))
     }
   }
+
+  test("checkGrouped isolates the broken slice") {
+    val d = Seq(
+      ("day1", Some(1.0)), ("day1", Some(2.0)),
+      ("day2", None), ("day2", Some(9.0))
+    ).toDF("day", "v")
+    val out = Quality.checkGrouped(d, Seq("day"), Seq(
+      Completeness("v"), Bounds("v", 0.0, 5.0)
+    )).collect().map(r => (r.getString(0), r.getString(1),
+      r.getDouble(3), r.getBoolean(5))).toSeq
+    assert(out == Seq(
+      ("day1", "bounds:v", 1.0, true),
+      ("day1", "completeness:v", 1.0, true),
+      ("day2", "bounds:v", 0.0, false),
+      ("day2", "completeness:v", 0.5, false)))
+    // per-group uniqueness is within-group distinctness
+    val u = Quality.checkGrouped(
+        Seq(("a", 1), ("a", 1), ("b", 1)).toDF("g", "k"),
+        Seq("g"), Seq(Unique(Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(u == Seq(("a", 0.5), ("b", 1.0)))
+  }
 }
