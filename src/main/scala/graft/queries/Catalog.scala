@@ -998,6 +998,37 @@ object Catalog {
             m_m >= 0.02 - 1e-9 AND m_m <= 0.08 + 1e-9 FROM m
         ) ORDER BY l_returnflag, "check"""")),
 
+    "q_transitions" -> QueryDef(
+      // first-order Markov transition matrix of the event stream: per
+      // user, each event pairs with its predecessor (one lag window),
+      // then one hash agg builds the (prev, next) counts and a
+      // prev-partitioned window normalizes rows into probabilities —
+      // the sequence model behind "what do users do after X", two keyed
+      // shuffles total (user window, then the 5x5 matrix agg).
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+          .orderBy("prev", "next")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+          event_type FROM events),
+        s AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts_ms, event_id) AS prev FROM e),
+        g AS (SELECT prev, event_type AS next, count(*)::BIGINT AS n
+          FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT prev, next, n,
+          round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
+        FROM g ORDER BY prev, next""")),
+
     "q_seasonal_profile" -> QueryDef(
       // seasonal-profile anomaly scoring: per (event_type, hour-of-day)
       // the mean/stddev profile (one agg over the facts), broadcast back

@@ -48,6 +48,37 @@ class ScdSpec extends AnyFunSuite {
     assert(out(0).getAs[Int]("v") == 1 && out(1).getAs[Int]("v") == 2)
   }
 
+  test("scd2 equals the sequential run-collapse model on random change logs") {
+    val rnd = new scala.util.Random(43)
+    val data = (1 to 8).flatMap { k =>
+      (1 to 60).map { i =>
+        (s"k$k", rnd.nextInt(20).toLong, i.toLong,
+          if (rnd.nextInt(5) == 0) None else Some(s"v${rnd.nextInt(3)}"))
+      }
+    }
+    val got = Scd.scd2(data.toDF("k", "ts", "id", "attr"),
+        Seq("k"), "ts", "id", Seq("attr"))
+      .orderBy("k", "version").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5), r.getLong(6))).toSeq
+    val want = data.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      // collapse maximal runs of equal attr (None == None)
+      val runs = sorted.foldLeft(Vector.empty[(Option[String], Long, Long)]) {
+        case (acc, r) =>
+          if (acc.nonEmpty && acc.last._1 == r._4)
+            acc.init :+ ((acc.last._1, acc.last._2, acc.last._3 + 1))
+          else acc :+ ((r._4, r._2, 1L))
+      }
+      runs.zipWithIndex.map { case ((attr, from, n), i) =>
+        val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+        (k, attr, (i + 1).toLong, from, to, to.isEmpty, n)
+      }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == want)
+  }
+
   test("the whole history builds over ONE exchange (pinned plan shape)") {
     val plan = Scd.scd2(log, Seq("k"), "ts", "id", Seq("attr"))
       .queryExecution.executedPlan.toString
