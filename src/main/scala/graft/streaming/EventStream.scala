@@ -145,6 +145,19 @@ final case class HoltRow(
     key: Long, ts_ms: Long, tie: Long, value: Double,
     level: Double, trend: Double)
 
+/** Per-key state for [[EventStream.cusumStream]]: the committed high and
+  * low cumulative sums plus the watermark-bounded pending buffer.
+  */
+final case class CusumState(hi: Double, lo: Double, pending: Seq[EwmaPending])
+
+/** One sealed observation from [[EventStream.cusumStream]] (Append
+  * mode): the event with its committed two-sided CUSUM values and the
+  * breach verdict.
+  */
+final case class CusumRow(
+    key: Long, ts_ms: Long, tie: Long, value: Double,
+    cusum_high: Double, cusum_low: Double, breach: Boolean)
+
 /** Per-key state for [[EventStream.dedupFirstStream]]: the best (smallest
   * `(ts, tie)`) candidate seen so far, and whether the key's canonical
   * row has already been emitted (after which every arrival is a
@@ -928,6 +941,65 @@ object EventStream {
         if (!st.started && hold.isEmpty) state.remove()
         else {
           state.update(st.copy(pending = hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming CUSUM drift monitor — the streaming dual of the oracled
+    * batch [[graft.operators.Resample.cusum]] (q_cusum): per key, each
+    * sealed observation folds `hi' = max(0, hi + (x - target - slack))`
+    * and `lo' = max(0, lo + (target - slack - x))` in `(ts, tie)` order
+    * and emits both sides plus the breach verdict. Committed state is
+    * two doubles per key (the [[ewmaStream]] discipline); same 6dp
+    * HALF_UP rounding as the batch form, so stream == batch row for
+    * row — the alerting form: run against the live stream, with the
+    * batch chart as the backfill/audit twin.
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `value` double.
+    */
+  def cusumStream(
+      events: DataFrame,
+      target: Double,
+      slack: Double,
+      threshold: Double,
+      watermark: String = "10 minutes"): Dataset[CusumRow] = {
+    require(slack >= 0 && threshold > 0,
+      "cusumStream: slack >= 0, threshold > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[CusumState, CusumRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[CusumState]) =>
+        val prior = state.getOption.getOrElse(CusumState(0.0, 0.0, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => EwmaPending(r._2.getTime, r._3, r._4))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var hi = prior.hi
+        var lo = prior.lo
+        val out = ripe.sortBy(p => (p.tsMs, p.tie)).map { p =>
+          hi = math.max(0.0, hi + (p.x - target - slack))
+          lo = math.max(0.0, lo + (target - slack - p.x))
+          val (rh, rl) = (r6(hi), r6(lo))
+          CusumRow(key, p.tsMs, p.tie, p.x, rh, rl,
+            rh > threshold || rl > threshold)
+        }
+        if (hi == 0.0 && lo == 0.0 && ripe.isEmpty && hold.isEmpty)
+          state.remove()
+        else {
+          state.update(CusumState(hi, lo, hold))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }

@@ -340,6 +340,53 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusumStream: sealed chart values equal the batch reflection form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.cusumStream(df, target = 50.0, slack = 5.0,
+        threshold = 30.0, watermark = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cusum_test").start()
+    // key 1 drifts high (70s) out of order; key 2 stays on target
+    val b1 = Seq((1L, 2000L, 2L, 70.0), (2L, 1000L, 9L, 50.0))
+    val b2 = Seq((1L, 1000L, 1L, 70.0), (1L, 3000L, 3L, 70.0))
+    val b3 = Seq((2L, 2000L, 8L, 51.0), (1L, 4000L, 4L, 70.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      input.addData((9L, 30000L, 0L, 50.0)); q.processAllAvailable()
+      input.addData((9L, 100000L, 0L, 50.0)); q.processAllAvailable()
+      input.addData((9L, 200000L, 0L, 50.0)); q.processAllAvailable()
+      val streamed = spark.table("cusum_test").as[CusumRow].collect()
+        .filter(_.key != 9L)
+        .map(r => (r.key, r.ts_ms, r.tie, r.cusum_high, r.cusum_low, r.breach))
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+      val batch = graft.operators.Resample.cusum(
+          (b1 ++ b2 ++ b3).toDF("key", "ts_ms", "tie", "value"),
+          keys = Seq("key"), target = 50.0, slack = 5.0, threshold = 30.0,
+          tsMsCol = "ts_ms", valueCol = "value", tieCol = "tie")
+        .orderBy("key", "ts_ms", "tie")
+        .select("key", "ts_ms", "tie", "cusum_high", "cusum_low", "breach")
+        .as[(Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (g, w) =>
+        assert((g._1, g._2, g._3, g._6) == (w._1, w._2, w._3, w._6),
+          s"row/breach diverged at $g vs $w")
+        assert(math.abs(g._4 - w._4) < 1e-6 && math.abs(g._5 - w._5) < 1e-6,
+          s"chart diverged at $g vs $w")
+      }
+      // 3 steps of +15 drift breach the 30 threshold at ts=3000
+      assert(streamed.filter(_._1 == 1L).map(r => (r._2, r._6)).toSeq ==
+        Seq((1000L, false), (2000L, false), (3000L, true), (4000L, true)))
+    } finally q.stop()
+  }
+
   test("twaStream: the latest sealed row per key equals the batch TWA") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
