@@ -468,6 +468,49 @@ class EventStreamSpec extends AnyFunSuite {
       s"restart broke the ewma carry: $rows")
   }
 
+  test("cusumStream survives a checkpoint restart: both sums recovered") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val T = 100000L
+    val inDir = Files.createTempDirectory("cu-restart-in").toString
+    val outDir = Files.createTempDirectory("cu-restart-out").toString
+    val ckDir = Files.createTempDirectory("cu-restart-ck").toString
+    val schema = Seq((0L, 0L, 0L, 0.0)).toDF("key", "ts_ms", "tie", "value").schema
+    def push(rows: (Long, Long, Long, Double)*): Unit =
+      rows.toSeq.toDF("key", "ts_ms", "tie", "value").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      EventStream.cusumStream(src, target = 50.0, slack = 5.0,
+          threshold = 25.0, watermark = "5 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[CusumRow], _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }.start()
+    }
+    // phase 1: +20 deviation folds hi to 15; STOP with the sums only in
+    // the checkpoint
+    push((1L, T, 1L, 70.0))
+    val q1 = start(); q1.processAllAvailable()
+    push((9L, T + 6000L, 0L, 50.0)); q1.processAllAvailable()
+    push((9L, T + 6500L, 0L, 50.0)); q1.processAllAvailable()
+    q1.stop()
+    // phase 2: the next +20 must fold AGAINST the recovered 15 -> 30 and
+    // breach the 25 threshold; amnesia would restart at 15 (no breach)
+    push((1L, T + 2000L, 2L, 70.0))
+    val q2 = start(); q2.processAllAvailable()
+    push((9L, T + 3000000L, 0L, 50.0)); q2.processAllAvailable()
+    push((9L, T + 3100000L, 0L, 50.0)); q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).as[CusumRow].collect()
+      .filter(_.key == 1L).sortBy(_.ts_ms).toSeq
+    assert(rows.map(r => (r.cusum_high, r.breach)) ==
+      Seq((15.0, false), (30.0, true)),
+      s"restart broke the cusum sums: $rows")
+  }
+
   test("funnelStream: committed frontiers equal the batch funnel, out-of-order included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
