@@ -998,6 +998,38 @@ object Catalog {
             m_m >= 0.02 - 1e-9 AND m_m <= 0.08 + 1e-9 FROM m
         ) ORDER BY l_returnflag, "check"""")),
 
+    "q_pareto" -> QueryDef(
+      // Pareto / contribution analysis: revenue per supplier, cumulative
+      // share in descending order, and the 80%-head flag. The facts
+      // aggregate FIRST (keyed shuffle, map-side partials); only the
+      // dimension-sized supplier frame enters the single-partition
+      // ranking window — the legitimate global-order pattern (ordering
+      // facts directly would be the scale killer).
+      (s, dir) => {
+        val g = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("rev"))
+        val wOrd = Window.orderBy(col("rev").desc, col("l_suppkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy()
+        g.withColumn("cum_share",
+            round(sum(col("rev")).over(wOrd) / sum(col("rev")).over(wAll), 6))
+          .withColumn("head80", col("cum_share") <= 0.8)
+          .orderBy(col("rev").desc, col("l_suppkey"))
+      },
+      Some("""WITH g AS (SELECT l_suppkey,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem GROUP BY 1),
+        c AS (SELECT l_suppkey, rev,
+            sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+              ROWS UNBOUNDED PRECEDING) AS crev,
+            sum(rev) OVER () AS tot
+          FROM g)
+        SELECT l_suppkey, rev, round(crev / tot, 6) AS cum_share,
+          round(crev / tot, 6) <= 0.8 AS head80
+        FROM c ORDER BY rev DESC, l_suppkey""")),
+
     "q_transitions" -> QueryDef(
       // first-order Markov transition matrix of the event stream: per
       // user, each event pairs with its predecessor (one lag window),
