@@ -998,6 +998,31 @@ object Catalog {
             m_m >= 0.02 - 1e-9 AND m_m <= 0.08 + 1e-9 FROM m
         ) ORDER BY l_returnflag, "check"""")),
 
+    "q_hopping_distinct" -> QueryDef(
+      // sliding-window DISTINCT counting: unique users per 1-hour window
+      // hopping every 30 minutes — the dashboard "active users" curve.
+      // The window generator replicates each event to its 2 windows
+      // (Expand projection, no join), then ONE keyed distinct-aggregate
+      // (Spark plans the two-phase keyed pre-aggregate); the HLL switch
+      // for extreme scale is q_approx_distinct's sketch family, this row
+      // certifies the exact form.
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count_distinct(col("user_id")).as("uniques"),
+          count(lit(1)).as("n_events"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("uniques"), col("n_events"))
+        .orderBy("window_start_ms"),
+      Some("""WITH e AS (SELECT epoch_ms(ts) AS tms, user_id FROM events),
+        w AS (SELECT tms, user_id,
+            (tms // 1800000) * 1800000 - s.off AS wstart
+          FROM e, (SELECT unnest([0, 1800000]) AS off) s
+          WHERE tms < (tms // 1800000) * 1800000 - s.off + 3600000)
+        SELECT wstart AS window_start_ms,
+          count(DISTINCT user_id)::BIGINT AS uniques,
+          count(*)::BIGINT AS n_events
+        FROM w GROUP BY 1 ORDER BY window_start_ms""")),
+
     "q_pareto" -> QueryDef(
       // Pareto / contribution analysis: revenue per supplier, cumulative
       // share in descending order, and the 80%-head flag. The facts
