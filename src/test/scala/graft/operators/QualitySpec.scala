@@ -91,6 +91,36 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("metrics equal a sequential model on random data (fuzz)") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 200).map { _ =>
+        (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(60).toDouble),
+          if (rnd.nextInt(8) == 0) None else Some(s"c${rnd.nextInt(40)}"),
+          Seq("AIR", "RAIL", "SHIP", "ODD")(rnd.nextInt(4)))
+      }
+      val df2 = rows.toDF("v", "k", "mode")
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = Quality.check(df2, Seq(
+        Completeness("v"), Unique(Seq("k")),
+        Bounds("v", 5.0, 50.0), MemberOf("mode", Seq("AIR", "RAIL")),
+        MinRows(150L), MeanInRange("v", 20.0, 40.0)
+      )).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val n = rows.size.toDouble
+      assert(out("completeness:v") == r6(rows.count(_._1.isDefined) / n))
+      assert(out("unique:k") == r6(rows.map(_._2).distinct.size / n))
+      assert(out("bounds:v") ==
+        r6(rows.count(_._1.exists(x => x >= 5.0 && x <= 50.0)) / n))
+      assert(out("member_of:mode") ==
+        r6(rows.count(r => Set("AIR", "RAIL")(r._3)) / n))
+      assert(out("min_rows:150") == r6(math.min(n / 150.0, 1.0)))
+      val defined = rows.flatMap(_._1)
+      assert(math.abs(out("mean_in_range:v") -
+        defined.sum / defined.size) < 1e-5, s"trial $trial mean")
+    }
+  }
+
   test("checkGrouped isolates the broken slice") {
     val d = Seq(
       ("day1", Some(1.0)), ("day1", Some(2.0)),
