@@ -967,7 +967,8 @@ object Catalog {
           FROM g)
         SELECT user_id, event_type, version, valid_from, valid_to,
           valid_to IS NULL AS is_current, n_events
-        FROM f ORDER BY user_id, version""")),
+        FROM f ORDER BY user_id, version"""),
+      headline = true),
 
     "q_dq_by_group" -> QueryDef(
       // the per-slice audit (Quality.checkGrouped): the same constraint
@@ -1397,7 +1398,8 @@ object Catalog {
              CASE WHEN p.ts_ms <= c.ts_ms THEN 0 ELSE 1 END,
              CASE WHEN p.ts_ms <= c.ts_ms THEN -p.seq ELSE p.seq END
            LIMIT 1) AS near_value
-        FROM c ORDER BY event_id""")),
+        FROM c ORDER BY event_id"""),
+      headline = true),
 
     "q_asof_join" -> QueryDef(
       // the generic as-of join OPERATOR (KVOps.asofJoinBackward — one
