@@ -131,6 +131,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_ann"),
       new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_ann"),
       (args: Seq[Expression]) => GraftExtensions.graftAnnPlan(args)))
+    //   SELECT * FROM graft_asof('clicks', 'quotes', 'user_id', 'ts_ms',
+    //                            'ts_ms', 'value', 'backward', 'event_id')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(classOf[graft.operators.KVOps.type].getName, "graft_asof"),
+      (args: Seq[Expression]) => GraftExtensions.graftAsofPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -272,6 +278,52 @@ object GraftExtensions {
     }
   }
 
+  /** `graft_asof(leftTable, rightTable, keysCsv, leftTimeCol,
+    * rightTimeCol, payloadCsv, direction, rightOrderCol[, toleranceMs])`:
+    * the as-of join family ([[graft.operators.KVOps]]) as a pure-SQL
+    * table function over registered tables/views — the #1 event-
+    * analytics idiom, reachable without the Column API. `direction` is
+    * `'backward' | 'forward' | 'nearest'` (pandas merge_asof's three
+    * modes); `rightOrderCol` breaks ties among right rows sharing a
+    * timestamp (pass `''` to skip); `toleranceMs` bounds match distance.
+    * Output = left columns + `asof_<payload>` — and the plan is the
+    * union-window form (ONE hash exchange on the keys, NO join node),
+    * identical to the Column API: PlanShapeSpec pins it.
+    */
+  private[graft] def graftAsofPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 8 || args.length == 9,
+      "graft_asof(leftTable, rightTable, keysCsv, leftTimeCol, rightTimeCol, " +
+        s"payloadCsv, direction, rightOrderCol[, toleranceMs]) expects 8-9 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val left = spark.table(stringLit(args(0), "graft_asof leftTable"))
+    val right = spark.table(stringLit(args(1), "graft_asof rightTable"))
+    def csv(i: Int, name: String): Seq[String] =
+      stringLit(args(i), name).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val keys = csv(2, "graft_asof keysCsv")
+    require(keys.nonEmpty, "graft_asof: keysCsv must name at least one key column")
+    val lt = stringLit(args(3), "graft_asof leftTimeCol")
+    val rt = stringLit(args(4), "graft_asof rightTimeCol")
+    val payload = csv(5, "graft_asof payloadCsv")
+    require(payload.nonEmpty, "graft_asof: payloadCsv must name at least one payload column")
+    val ord = stringLit(args(7), "graft_asof rightOrderCol") match {
+      case "" => None
+      case s => Some(s)
+    }
+    val tol = if (args.length == 9) Some(longLit(args(8), "graft_asof toleranceMs")) else None
+    val out = stringLit(args(6), "graft_asof direction").toLowerCase match {
+      case "backward" =>
+        graft.operators.KVOps.asofJoinBackward(left, right, keys, lt, rt, payload, ord, tol)
+      case "forward" =>
+        graft.operators.KVOps.asofJoinForward(left, right, keys, lt, rt, payload, ord, tol)
+      case "nearest" =>
+        graft.operators.KVOps.asofJoinNearest(left, right, keys, lt, rt, payload, ord, tol)
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: direction must be backward|forward|nearest, got '$other'")
+    }
+    out.queryExecution.analyzed
+  }
+
   private[graft] def graftAggViewPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.length == 1,
@@ -354,6 +406,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_changes", graftChangesPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_search", graftSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_ann", graftAnnPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_asof", graftAsofPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

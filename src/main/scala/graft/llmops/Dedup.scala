@@ -196,10 +196,14 @@ object Dedup {
       .unionByName(side(right, rightId, rightText, 1L))
     val leftEnc = when(pmod(col("id_a"), lit(2L)) === 0, col("id_a")).otherwise(col("id_b"))
     val rightEnc = when(pmod(col("id_a"), lit(2L)) === 1, col("id_a")).otherwise(col("id_b"))
+    // decode with integer arithmetic: Column./ is DOUBLE division, which
+    // loses exactness above ~2^52 — shiftright floors the non-negative
+    // encodings exactly for the full declared id range (left = 2*id,
+    // right = 2*id + 1: both decode as enc >> 1)
     exactSetJaccardPairs(sets, threshold, maxBucketSize)
       .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
-      .select((leftEnc / 2).cast("long").as("left_id"),
-        ((rightEnc - 1) / 2).cast("long").as("right_id"), col("jaccard"))
+      .select(shiftright(leftEnc.cast("long"), 1).as("left_id"),
+        shiftright(rightEnc.cast("long"), 1).as("right_id"), col("jaccard"))
   }
 
   /** EXACT set-similarity self-join over `(g, id, ts sorted-distinct
@@ -535,10 +539,12 @@ object Dedup {
     *
     * Scale shape — five keyed shuffles, each bounded by the token stream,
     * no corpus-sized broadcast and no window over unbounded groups:
-    * (1) positioned spans hash-agg by span string (map-side combine keeps
-    * a billion-fold boilerplate span to one row per map task);
-    * (2) occurrence→first join back on the span key — build side is ONE
-    * row per span, so a hyper-repeated span skews but never explodes
+    * (1) positioned spans hash-agg by a 128-bit span HASH pair — 16
+    * bytes of shuffle key per position instead of the width-token span
+    * string (map-side combine keeps a billion-fold boilerplate span to
+    * one row per map task);
+    * (2) occurrence→first join back on the span-hash key — build side is
+    * ONE row per span, so a hyper-repeated span skews but never explodes
     * (AQE skew-split applies); (3) removed token positions distinct on
     * `(doc, i)` — duplicate-span overlap collapses here, bounding
     * downstream work by doc length regardless of how many spans cover a
@@ -557,17 +563,26 @@ object Dedup {
       filter(graft.functions.Text.tokens(col(textCol)), t => t =!= "").as("__toks"))
     val withN = base.withColumn("__nt", size(col("__toks")))
     // positioned spans: p in [0, nt-width], span = tokens p..p+width-1
+    // the span's shuffle identity is a 128-bit hash PAIR of the token
+    // slice, not the width-token string: the string key shipped ~width x
+    // the token stream through the two keyed shuffles below (the r9
+    // bench's #1 cost), while the hash pair is 16 bytes per position with
+    // identical grouping semantics (two independent xxhash64 seeds; at
+    // 10^13 corpus spans the collision odds are ~n^2/2^129 ~= 1e-13 — and
+    // the output never needs the span text, only positions)
     val spans = withN
       .filter(col("__nt") >= width)
       .select(col(idCol), explode(transform(
         sequence(lit(0), col("__nt") - width),
         p => struct(p.as("p"),
-          array_join(slice(col("__toks"), p + 1, lit(width)), " ").as("sp")))).as("__s"))
-      .select(col(idCol), col("__s.p").as("p"), col("__s.sp").as("sp"))
-    val firstOcc = spans.groupBy(col("sp")).agg(
+          xxhash64(slice(col("__toks"), p + 1, lit(width))).as("h1"),
+          xxhash64(slice(col("__toks"), p + 1, lit(width)), lit(1L)).as("h2")))).as("__s"))
+      .select(col(idCol), col("__s.p").as("p"),
+        col("__s.h1").as("h1"), col("__s.h2").as("h2"))
+    val firstOcc = spans.groupBy(col("h1"), col("h2")).agg(
       min(struct(col(idCol), col("p"))).as("__first"),
       count(lit(1)).as("__nocc"))
-    val dupOcc = spans.join(firstOcc, Seq("sp"))
+    val dupOcc = spans.join(firstOcc, Seq("h1", "h2"))
       .filter(col("__nocc") >= 2 &&
         !(col(idCol) === col(s"__first.$idCol") && col("p") === col("__first.p")))
       .select(col(idCol), col("p"))

@@ -80,10 +80,16 @@ object Merge {
 
     val matched = col("__t_present").isNotNull && col("__s_present").isNotNull
     val sourceOnly = col("__t_present").isNull
-    val keep = when(matched, !deleteWhen)
-      .when(sourceOnly, insertWhen)
+    // SQL MERGE treats a NULL clause condition as FALSE (the clause does
+    // not fire) — e.g. `deleteWhen = col("src_status") === "D"` on a NULL
+    // src_status must KEEP the row, not drop it through a NULL __keep
+    val del = coalesce(deleteWhen, lit(false))
+    val upd = coalesce(updateWhen, lit(false))
+    val ins = coalesce(insertWhen, lit(false))
+    val keep = when(matched, !del)
+      .when(sourceOnly, ins)
       .otherwise(lit(true)) // target-only rows always survive
-    val takeSource = (matched && !deleteWhen && updateWhen) || sourceOnly
+    val takeSource = (matched && !del && upd) || sourceOnly
 
     joined
       .withColumn("__keep", keep)

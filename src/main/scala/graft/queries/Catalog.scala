@@ -236,6 +236,151 @@ object Catalog {
         GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
       headline = true),
 
+    "q7_volume" -> QueryDef(
+      // TPC-H Q7 shape: a 6-relation join (nation aliased TWICE) with a
+      // selective cross-side nation-pair predicate — the multi-join
+      // ordering + AQE-broadcast composition class nothing pairwise
+      // covers. Scale shape: each side's nation filter is applied
+      // BEFORE its join (supplier/customer pruned to 2 of 25 nations
+      // via broadcast dims), so the fact table is cut to ~8% at the
+      // first (broadcast) join and the cross-side pair test runs on
+      // name columns already riding the row — no late filter over a
+      // wide join.
+      (s, dir) => {
+        val nn = Seq("NATION_3", "NATION_7")
+        val n1 = t(s, dir, "nation").filter(col("n_name").isin(nn: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").filter(col("n_name").isin(nn: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val suppN = t(s, dir, "supplier")
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val custN = t(s, dir, "customer")
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val l = t(s, dir, "lineitem").filter(
+          col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp")))
+        l.join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(custN, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          year(l_shipdate)::BIGINT AS l_year,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+          AND n2.n_name IN ('NATION_3', 'NATION_7')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      headline = true),
+
+    "q8_market_share" -> QueryDef(
+      // TPC-H Q8 shape: 8 relations (nation twice, region once), a
+      // conditional-share aggregate — NATION_3's share of PROMO-part
+      // volume sold into ASIA-region customers by order year. The
+      // region restriction reaches customers through a broadcast
+      // nation⋈region dim; parts filter broadcast-prunes lineitem
+      // first (1/6 selectivity); the supplier nation name rides a
+      // broadcast supplier dim. Share = conditional sum / total sum in
+      // ONE aggregation pass (no self-join, no second scan).
+      (s, dir) => {
+        val n1r = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nk"))
+        val custAsia = t(s, dir, "customer")
+          .join(broadcast(n1r), col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"))
+        val suppN = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+              .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val promo = t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val o = t(s, dir, "orders").filter(
+          col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp")))
+        val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        t(s, dir, "lineitem")
+          .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(custAsia, col("o_custkey") === col("c_custkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)))
+              / sum(vol), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT year(o_orderdate)::BIGINT AS o_year,
+          round(sum(CASE WHEN n2.n_name = 'NATION_3'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+            / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        GROUP BY 1 ORDER BY 1"""),
+      headline = true),
+
+    "q9_profit" -> QueryDef(
+      // TPC-H Q9 shape: product-line profit by supplier nation and order
+      // year over a 5-relation join with an unselective-but-real LIKE
+      // part filter. The testdata has no partsupp, so the cost model is
+      // a retail-price proxy (0.6 * p_retailprice * l_quantity) — the
+      // join/agg SHAPE (the point of the row) is Q9's. part and
+      // supplier⋈nation ride broadcasts; orders joins shuffled; one
+      // aggregation pass.
+      (s, dir) => {
+        val redParts = t(s, dir, "part").filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val suppN = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+              .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("nation"))
+        t(s, dir, "lineitem")
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity")), 2)
+            .as("sum_profit"))
+          .orderBy("nation", "o_year")
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+          round(sum(l_extendedprice * (1 - l_discount)
+            - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      headline = true),
+
     "q_outer_join" -> QueryDef(
       // left outer with null-aware aggregation: customers WITHOUT orders
       // surface with zero counts instead of vanishing (the join class the
@@ -951,9 +1096,16 @@ object Catalog {
       Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
           event_type FROM events),
         mark AS (SELECT user_id, ts_ms, event_id, event_type,
-            CASE WHEN lag(event_type) OVER
-              (PARTITION BY user_id ORDER BY ts_ms, event_id)
-              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS opens
+            -- the first row ALWAYS opens version 1 (Spark compares lagged
+            -- attr STRUCTS with <=>, and the first row's NULL struct
+            -- differs from any real struct — including one holding a NULL
+            -- attr, where a scalar lag-IS DISTINCT FROM would yield 0)
+            CASE WHEN lag(ts_ms) OVER
+                (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+              THEN 1
+              WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts_ms, event_id)
+                IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS opens
           FROM e),
         ver AS (SELECT *, sum(opens) OVER (PARTITION BY user_id
             ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS version
@@ -1480,6 +1632,34 @@ object Catalog {
           (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           ON e.user_id = p.user_id AND epoch_ms(e.ts) <= epoch_ms(p.ts)
         ORDER BY e.event_id""")),
+
+    "q_asof_sql" -> QueryDef(
+      // the as-of join reached from PURE SQL: the graft_asof table
+      // function (GraftExtensions) routes to KVOps.asofJoinBackward, so
+      // a SQL user gets q_asof_join's exact semantics without the Column
+      // API — oracled against DuckDB's native ASOF JOIN. The TVF inlines
+      // the analyzed union-window plan: the SQL path keeps the ONE-hash-
+      // exchange no-join shape (PlanShapeSpec pins it).
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        val ev = loadEvents(s, dir)
+        ev.select(col("event_id"), col("user_id"), col("ts_ms"))
+          .createOrReplaceTempView("graft_asof_l")
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+          .createOrReplaceTempView("graft_asof_r")
+        s.sql("""SELECT event_id, user_id, round(asof_value, 2) AS signup_value
+          FROM graft_asof('graft_asof_l', 'graft_asof_r', 'user_id',
+                          'ts_ms', 'ts_ms', 'value', 'backward', 'event_id')
+          ORDER BY event_id""")
+      },
+      Some("""SELECT e.event_id, e.user_id, round(s.value, 2) AS signup_value
+        FROM events e ASOF LEFT JOIN
+          (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+          ON e.user_id = s.user_id AND epoch_ms(e.ts) >= epoch_ms(s.ts)
+        ORDER BY e.event_id"""),
+      headline = true),
 
     "q_skew_distinct" -> QueryDef(
       // two-phase distinct count (Skew.distinctCountTwoPhase) — identical

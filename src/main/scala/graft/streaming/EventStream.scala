@@ -158,6 +158,27 @@ final case class CusumRow(
     key: Long, ts_ms: Long, tie: Long, value: Double,
     cusum_high: Double, cusum_low: Double, breach: Boolean)
 
+/** Pending change-log row for [[EventStream.scd2Stream]]: buffered until
+  * the watermark seals its position in the `(ts, tie)` event order.
+  */
+final case class Scd2Pending(tsMs: Long, tie: Long, attr: Option[String])
+
+/** Per-key state for [[EventStream.scd2Stream]]: the OPEN version — the
+  * batch builder's `is_current` row, held until an attribute change
+  * closes it — plus the standard sealed-order buffer.
+  */
+final case class Scd2State(
+    started: Boolean, attr: Option[String], version: Long,
+    validFrom: Long, nEvents: Long, pending: Seq[Scd2Pending])
+
+/** One CLOSED version from [[EventStream.scd2Stream]] (Append mode) —
+  * exactly the batch [[graft.operators.Scd.scd2]] row with
+  * `is_current = false`.
+  */
+final case class Scd2Row(
+    key: Long, attr: Option[String], version: Long,
+    valid_from: Long, valid_to: Long, n_events: Long)
+
 /** Per-key state for [[EventStream.dedupFirstStream]]: the best (smallest
   * `(ts, tie)`) candidate seen so far, and whether the key's canonical
   * row has already been emitted (after which every arrival is a
@@ -1000,6 +1021,71 @@ object EventStream {
           state.remove()
         else {
           state.update(CusumState(hi, lo, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming SCD Type-2 history builder — the streaming dual of the
+    * oracled batch [[graft.operators.Scd.scd2]] (q_scd2): per key,
+    * sealed rows fold in `(ts, tie)` EVENT order; a (null-safe)
+    * attribute change CLOSES the open version and emits it with
+    * `valid_to` = the new version's `valid_from` — the batch builder's
+    * `is_current = false` row, value for value (Scd2StreamSpec pins the
+    * parity). No-op updates extend the open version's `n_events`
+    * without emitting; the OPEN version is the state itself (Append
+    * mode cannot retract, so the current row surfaces only when a later
+    * change closes it — the live dimension read stays with the batch
+    * builder or the state store).
+    *
+    * State cost: four scalars + the open attribute per key, plus the
+    * sealed-order buffer for rows still inside the watermark — the
+    * [[ewmaStream]] discipline, sharded across executors by the
+    * groupByKey exchange at scale.
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `attr` string (nullable — a NULL attr equals a NULL
+    * attr and does NOT reopen, matching the batch struct `<=>`).
+    */
+  def scd2Stream(
+      events: DataFrame,
+      watermark: String = "10 minutes"): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("attr").cast("string"))
+      .as[(Long, java.sql.Timestamp, Long, Option[String])]
+    typed.groupByKey(_._1).flatMapGroupsWithState[Scd2State, Scd2Row](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Option[String])],
+       state: GroupState[Scd2State]) =>
+        val prior = state.getOption.getOrElse(
+          Scd2State(started = false, None, 0L, 0L, 0L, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => Scd2Pending(r._2.getTime, r._3, r._4))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var st = prior
+        val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+        ripe.sortBy(p => (p.tsMs, p.tie)).foreach { p =>
+          if (!st.started)
+            st = Scd2State(started = true, p.attr, 1L, p.tsMs, 1L, Nil)
+          else if (st.attr == p.attr) // Option equality = the batch <=>
+            st = st.copy(nEvents = st.nEvents + 1)
+          else {
+            out += Scd2Row(key, st.attr, st.version, st.validFrom,
+              p.tsMs, st.nEvents)
+            st = Scd2State(started = true, p.attr, st.version + 1L,
+              p.tsMs, 1L, Nil)
+          }
+        }
+        if (!st.started && hold.isEmpty) state.remove()
+        else {
+          state.update(st.copy(pending = hold))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }

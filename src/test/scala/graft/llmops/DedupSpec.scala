@@ -86,6 +86,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => lRows.exists(_._1 == a) && rRows.exists(_._1 == b) })
   }
 
+  test("jaccardJoin decodes doc ids exactly above 2^52 (integer, not double, arithmetic)") {
+    // double division loses exactness past 2^52; the decode must use
+    // shiftright so ids up to the documented 2^62 round-trip bit-exact
+    val big = (1L << 60) + 12345L
+    val l = Seq((big, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val r = Seq((big + 1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(l, r, threshold = 0.9)
+      .select("left_id", "right_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == Seq((big, big + 1L)), s"large ids corrupted in decode: $got")
+  }
+
   test("exactSetJaccardPairs sub-partitions hot buckets without losing a pair") {
     // degenerate corpus: 60 exact near-dup survivors of one text — every
     // prefix token lands all 60 ids in the SAME (g, tok) bucket, the B^2

@@ -111,6 +111,24 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL clause condition means FALSE (SQL MERGE), never a dropped row") {
+    // src name is NULL for every source row: deleteWhen/updateWhen/
+    // insertWhen all evaluate NULL. SQL MERGE treats a NULL clause
+    // condition as not-fired — the matched row must be KEPT UNCHANGED
+    // (not silently filtered by a NULL __keep) and the unmatched source
+    // row must NOT insert.
+    val tgt = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val src = Seq((1L, Option.empty[String], 99.0),
+      (9L, Option.empty[String], 90.0)).toDF("k", "name", "v")
+    val got = Merge.mergeInto(tgt, src, Seq("k"),
+        updateWhen = col("src_name") =!= "x",
+        deleteWhen = col("src_name") === "DEL",
+        insertWhen = col("src_name") === "n")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b", 20.0)),
+      s"NULL clause conditions must keep matched rows and gate inserts: $got")
+  }
+
   test("merge result is invariant to input partitioning") {
     val base = run()
     val got = Merge.mergeInto(

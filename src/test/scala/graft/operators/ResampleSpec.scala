@@ -162,6 +162,28 @@ class ResampleSpec extends AnyFunSuite {
       s"ewma's summary pass re-shuffled the input instead of reusing the exchange:\n${p.take(2000)}")
   }
 
+  test("a NULL key group survives the segmented scans (family parity with cusum/twa)") {
+    // the join-back keys on a struct of the keys (NULL fields compare
+    // equal in struct equality) — a plain column equi-join would silently
+    // drop the NULL-key group, diverging from the pure window/groupBy
+    // members of the family (cusum, timeWeightedAvg), which keep it
+    val data = Seq((Option.empty[String], 1L, 1L, 10.0),
+      (Option.empty[String], 2L, 2L, 20.0), (Some("a"), 1L, 3L, 5.0))
+    val ew = Resample.ewma(data.toDF("k", "t", "tie", "v"),
+        keys = Seq("k"), alpha = 0.5, tsMsCol = "t", valueCol = "v",
+        tieCol = "tie", blockSize = 1)
+      .orderBy("t", "tie")
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(4))).toSeq
+    assert(ew == Seq((None, 10.0), (Some("a"), 5.0), (None, 15.0)),
+      s"NULL-key group lost or wrong in ewma: $ew")
+    val ho = Resample.holt(data.toDF("k", "t", "tie", "v"),
+        keys = Seq("k"), alpha = 0.5, beta = 0.5, tsMsCol = "t",
+        valueCol = "v", tieCol = "tie", blockSize = 1)
+      .filter(col("k").isNull).orderBy("t")
+      .collect().map(r => r.getDouble(4)).toSeq
+    assert(ho == Seq(10.0, 15.0), s"NULL-key group lost in holt: $ho")
+  }
+
   test("a key spanning too many buckets fails loudly") {
     val wide = Seq(("a", 0L, 1L, 1.0), ("a", 10000000L, 2L, 2.0))
       .toDF("k", "t", "tie", "v")

@@ -179,8 +179,15 @@ class EventStreamSpec extends AnyFunSuite {
           valueCol = "value", tieCol = "tie", blockSize = 2)
         .orderBy("key", "ts_ms", "tie")
         .as[(Long, Long, Long, Double, Double)].collect().toSeq
-      assert(streamed == batch,
-        s"stream/batch divergence:\nstream: $streamed\nbatch:  $batch")
+      // tolerance, not bit-identity: the batch scan evaluates Q + P*s_in,
+      // which regroups the FP ops vs the stream's sequential fold — a
+      // value landing on a 6dp rounding boundary can differ one ulp
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (g, w) =>
+        assert((g._1, g._2, g._3, g._4) == (w._1, w._2, w._3, w._4))
+        assert(math.abs(g._5 - w._5) < 1e-5,
+          s"stream/batch ewma divergence at $g vs $w")
+      }
       assert(streamed.size == 6)
     } finally q.stop()
   }
