@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * keyed shuffle; at extreme scale pass `approxUnique = true` to measure
   * uniqueness with an HLL sketch instead (pure map-side partials again,
   * ~2% tolerance). The result is one row per constraint — driver-weightless.
+  *
+  * MULTI-`Unique` hazard: TWO OR MORE exact [[Quality.Unique]] constraints
+  * on different key sets make Spark plan an `Expand` — still ONE scan, but
+  * every input row is replicated once per distinct set (plus once for the
+  * plain metrics), so an audit with k exact Uniques shuffles ~(k+1)x the
+  * row volume (QualitySpec pins the shape). That is a deliberate,
+  * bounded cost — but at 100 TB prefer `approxUnique = true` whenever the
+  * batch carries more than one Unique: the HLL form keeps every
+  * constraint a plain map-side partial and the Expand never appears.
   */
 object Quality {
 

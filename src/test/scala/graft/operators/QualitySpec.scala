@@ -142,4 +142,29 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
     assert(u == Seq(("a", 0.5), ("b", 1.0)))
   }
+
+  test("two exact Unique constraints plan ONE scan + an Expand (the documented k+1x cost)") {
+    // two exact distinct-counts on different key sets make Spark expand
+    // every row once per distinct set (plus once for plain metrics) —
+    // single scan, ~3x shuffled rows. Pin the shape so the cost model in
+    // the scaladoc stays true; approxUnique = true must avoid the Expand
+    // entirely (pure map-side partials).
+    val d = Seq((1, "a"), (2, "b"), (2, "b")).toDF("x", "y")
+    val exact = Quality.check(d, Seq(
+      Unique(Seq("x")), Unique(Seq("y")), Completeness("x")))
+    val pe = exact.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = pe.linesIterator.count(l =>
+      l.contains("Scan") && !l.contains("Exchange"))
+    assert(pe.contains("Expand"),
+      s"multi-Unique no longer plans an Expand — update the Quality scaladoc cost note:\n$pe")
+    assert(exact.collect().length == 3)
+    val approx = Quality.check(d, Seq(
+      Unique(Seq("x")), Unique(Seq("y")), Completeness("x")),
+      approxUnique = true)
+    val pa = approx.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!pa.contains("Expand"),
+      s"approxUnique grew an Expand — the HLL escape hatch broke:\n$pa")
+  }
 }

@@ -442,5 +442,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"span removal grew an all-pairs join:\n${p.take(1500)}")
     assert(p.contains("LeftAnti"), "the removed-position anti-join left the plan")
+    // the five-keyed-shuffle budget (span-hash agg, first-occurrence join
+    // back, removed-position distinct, anti-join, reassembly agg) — a
+    // sixth exchange means a pass stopped reusing its upstream partitioning
+    val ex = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(ex <= 5, s"span removal grew to $ex keyed exchanges (budget 5):\n${p.take(2000)}")
+    // and the shuffle key is the 128-bit hash pair, not the span string
+    assert(p.contains("xxhash64"), "span shuffle key lost its hash form")
+  }
+
+  test("q_asof_sql: the SQL TVF path plans the union-window form — no join node") {
+    val p = plan("q_asof_sql")
+    assert(!p.contains("Join"),
+      s"graft_asof regressed to a join plan:\n${p.take(2000)}")
+    assert(p.contains("Window"), "graft_asof lost its carry window")
+    val ex = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(ex == 1, s"expected ONE key exchange in the as-of SQL path, got $ex:\n${p.take(2000)}")
+  }
+
+  test("graph_hits: one linear job — normalization happens ONCE per side, not per step") {
+    val p = plan("graph_hits")
+    // a per-step normalize branches the score lineage every iteration
+    // (4^k plan blowup); the deferred design leaves exactly two sqrt
+    // norms (hub + auth) in the whole plan
+    val norms = "(?i)sqrt".r.findAllIn(p).size
+    assert(norms == 2, s"expected exactly 2 final sqrt norms, got $norms")
+    assert(!p.contains("CartesianProduct"),
+      "hits grew a true cartesian (the gate frames must stay one-row broadcasts)")
   }
 }
