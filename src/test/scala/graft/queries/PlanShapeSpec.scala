@@ -451,6 +451,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), "span shuffle key lost its hash form")
   }
 
+  test("q7/q8/q9: dimension sides broadcast, no nested loop, part filter pushes to scan") {
+    for (name <- Seq("q7_volume", "q8_market_share", "q9_profit")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name grew a nested-loop/cartesian join:\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast dimension joins")
+    }
+    // the selective part filters must reach the parquet scan, not sit
+    // above the join (scan-level pruning is the 100 TB lever)
+    val p8 = plan("q8_market_share")
+    assert(p8.linesIterator.filter(_.contains("PushedFilters"))
+        .exists(_.contains("p_type")),
+      "q8's p_type filter no longer pushes to the part scan")
+    val p9 = plan("q9_profit")
+    assert(p9.linesIterator.filter(_.contains("PushedFilters"))
+        .exists(_.contains("p_name")),
+      "q9's p_name LIKE no longer pushes to the part scan")
+  }
+
   test("q_asof_sql: the SQL TVF path plans the union-window form — no join node") {
     val p = plan("q_asof_sql")
     assert(!p.contains("Join"),
