@@ -109,4 +109,81 @@ object Analytics {
       .groupBy("cohort_period", "period_offset")
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Multi-touch attribution: credit each conversion's value to the
+    * touch events (by channel) that preceded it within a lookback
+    * window, under the three standard models at once —
+    * `first_touch` (all credit to the earliest touch in window),
+    * `last_touch` (all to the latest before the conversion), and
+    * `linear` (value split evenly across every touch in window).
+    * Output: `(model, channel, n_conv, credit)` — `n_conv` counts the
+    * conversions contributing to the cell, `credit` the value credited.
+    * Conversions with NO touch in window are dropped (unattributable).
+    *
+    * Scale shape: candidates come from [[RangeJoin.pointInInterval]]
+    * keyed on the entity — a binned EQUI-join ((key, bin) shuffle, no
+    * per-entity cross product, degenerate-interval guard inherited).
+    * After candidates, ONE exchange on the conversion id computes the
+    * per-(conversion, channel) rollup AND the per-conversion frontier
+    * window (groupBy on a superset of the partition key + window on the
+    * key itself both ride the same repartition); the three models then
+    * EXPLODE from each rolled-up row — single lineage, no tri-branch
+    * union recomputation — into the final (model, channel) cells-sized
+    * aggregation. Ties on touch timestamp are broken by `tieCol`
+    * (unique), so first/last are total-order deterministic.
+    *
+    * Extension surface (reference anchor: SURVEY §2.5 — the reference
+    * engine has no joins; this is the event-analytics idiom its users
+    * reach for first).
+    */
+  def attribution(
+      events: DataFrame,
+      convType: String,
+      touchTypes: Seq[String],
+      lookbackMs: Long,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms",
+      tieCol: String = "event_id",
+      valueCol: String = "value",
+      binSizeMs: Long = 86400000L): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: touchTypes must be non-empty")
+    require(lookbackMs > 0, "attribution: lookbackMs must be positive")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(keyCol), col(tieCol).as("__conv_id"),
+        col(tsCol).as("__cts"), col(valueCol).as("__value"))
+      .withColumn("__start", col("__cts") - lit(lookbackMs))
+      .withColumn("__end", col("__cts") - lit(1L)) // strictly before
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol), col(typeCol).as("channel"),
+        col(tsCol).as("__tts"), col(tieCol).as("__tid"))
+    val cand = RangeJoin.pointInInterval(
+      touch, conv, binSizeMs, "__tts", "__start", "__end", Seq(keyCol))
+    val byConv = Window.partitionBy(col("__conv_id"))
+    val perChannel = cand
+      .repartition(col("__conv_id"))
+      .groupBy(col("__conv_id"), col("channel"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        min(struct(col("__tts"), col("__tid"))).as("__first"),
+        max(struct(col("__tts"), col("__tid"))).as("__last"),
+        first(col("__value")).as("__value"))
+      .withColumn("__n", sum(col("__cnt")).over(byConv))
+      .withColumn("__conv_first", min(col("__first")).over(byConv))
+      .withColumn("__conv_last", max(col("__last")).over(byConv))
+    perChannel
+      .select(col("channel"), col("__conv_id"), explode(array(
+        when(col("__first") === col("__conv_first"),
+          struct(lit("first_touch").as("model"), col("__value").as("credit"))),
+        when(col("__last") === col("__conv_last"),
+          struct(lit("last_touch").as("model"), col("__value").as("credit"))),
+        struct(lit("linear").as("model"),
+          (col("__value") * col("__cnt") / col("__n")).as("credit"))
+      )).as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col("__m.model").as("model"), col("channel"),
+        col("__conv_id"), col("__m.credit").as("credit"))
+      .groupBy("model", "channel")
+      .agg(count(lit(1)).as("n_conv"), sum(col("credit")).as("credit"))
+  }
 }

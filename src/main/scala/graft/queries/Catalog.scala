@@ -381,6 +381,152 @@ object Catalog {
         GROUP BY 1, 2 ORDER BY 1, 2"""),
       headline = true),
 
+    // -- subquery decorrelation pack (TPC-H q17/q2/q21/q22 shapes) --------
+    // These four are deliberately written as SQL WITH CORRELATED
+    // SUBQUERIES (not pre-joined DataFrames): the unit under test is
+    // Catalyst's decorrelation — RewriteCorrelatedScalarSubquery turning
+    // per-row scalar aggregates into grouped aggregates joined on the
+    // correlation key, and RewritePredicateSubquery turning EXISTS /
+    // NOT EXISTS into LeftSemi / LeftAnti joins. At 100 TB the naive
+    // reading of these queries is a per-row re-scan of the fact table
+    // (quadratic, a scale-killer); the decorrelated plan is one extra
+    // aggregate + equi-joins — linear and shuffle-bounded.
+    // PlanShapeSpec pins: no CartesianProduct / BroadcastNestedLoopJoin
+    // anywhere in the four plans.
+
+    "q17_small_qty" -> QueryDef(
+      // TPC-H Q17 shape: revenue from "small-quantity" lineitems, where
+      // "small" is a correlated scalar aggregate (half the part's own mean
+      // quantity). Decorrelated: ONE extra aggregate over lineitem grouped
+      // by l_partkey, joined back on the correlation key — the fact table
+      // is scanned twice total, never per-part.
+      (s0, dir) => {
+        val s = s0.newSession()
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+            count(*) AS n_small
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand IN ('Brand#11','Brand#17','Brand#23')
+            AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+          count(*)::BIGINT AS n_small
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand IN ('Brand#11','Brand#17','Brand#23')
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand ORDER BY p_brand"""),
+      headline = true),
+
+    "q2_min_cost" -> QueryDef(
+      // TPC-H Q2 shape: the min-cost supplier per part inside one region,
+      // with the minimum itself a correlated scalar subquery that repeats
+      // the supplier→nation→region restriction. No partsupp in the
+      // testdata, so unit cost is l_extendedprice/l_quantity from the
+      // actual sale rows — the correlated-min-then-join-back SHAPE (the
+      // point of the row) is Q2's. Both the outer and inner pipelines
+      // prune suppliers through broadcast dims BEFORE touching lineitem.
+      (s0, dir) => {
+        val s = s0.newSession()
+        for (n <- Seq("lineitem", "part", "supplier", "nation", "region"))
+          t(s, dir, n).createOrReplaceTempView(n)
+        s.sql("""SELECT DISTINCT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+            p_partkey, p_brand, round(l_extendedprice / l_quantity, 2) AS unit_cost
+          FROM part, supplier, lineitem, nation, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND p_size = 30 AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            AND l_extendedprice / l_quantity = (
+              SELECT min(l2.l_extendedprice / l2.l_quantity)
+              FROM lineitem l2, supplier s2, nation n2, region r2
+              WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+      },
+      Some("""SELECT DISTINCT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+          p_partkey, p_brand, round(l_extendedprice / l_quantity, 2) AS unit_cost
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 30 AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+          AND l_extendedprice / l_quantity = (
+            SELECT min(l2.l_extendedprice / l2.l_quantity)
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")),
+
+    "q21_waiting" -> QueryDef(
+      // TPC-H Q21 shape: the lone-fault supplier — a returned line on a
+      // finished multi-supplier order where NO OTHER supplier's line was
+      // returned. EXISTS and NOT EXISTS are both correlated on l_orderkey
+      // and carry a non-equi conjunct (suppkey <>), so the rewrite is a
+      // LeftSemi and a LeftAnti equi-join on the order key with the
+      // inequality as a residual condition — three passes over lineitem
+      // total, never per-row probes.
+      (s0, dir) => {
+        val s = s0.newSession()
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT s_name, count(*) AS numwait
+          FROM supplier, lineitem l1, orders
+          WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+            AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+          GROUP BY s_name ORDER BY numwait DESC, s_name""")
+      },
+      Some("""SELECT s_name, count(*)::BIGINT AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name"""),
+      headline = true),
+
+    "q22_idle_cust" -> QueryDef(
+      // TPC-H Q22 shape: well-funded customers with no large orders — an
+      // UNcorrelated scalar subquery (the global positive-balance mean,
+      // one broadcast scalar) plus a correlated NOT EXISTS (LeftAnti on
+      // o_custkey; the o_totalprice conjunct is uncorrelated, so it
+      // pushes INTO the anti side's scan rather than bloating the join).
+      (s0, dir) => {
+        val s = s0.newSession()
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_mktsegment AS segment, count(*) AS numcust,
+            round(sum(c_acctbal), 2) AS totacctbal
+          FROM customer
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+            WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+          GROUP BY c_mktsegment ORDER BY segment""")
+      },
+      Some("""SELECT c_mktsegment AS segment, count(*)::BIGINT AS numcust,
+          round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+          WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        GROUP BY c_mktsegment ORDER BY segment""")),
+
     "q_outer_join" -> QueryDef(
       // left outer with null-aware aggregation: customers WITHOUT orders
       // surface with zero counts instead of vanishing (the join class the
@@ -691,6 +837,57 @@ object Catalog {
         SELECT cohort_week, week - cohort_week AS week_offset,
           count(*) AS n_users
         FROM tagged GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+      headline = true),
+
+    "q_attribution" -> QueryDef(
+      // Multi-touch attribution (operators.Analytics.attribution):
+      // purchase value credited to the click/view touches in the 7 days
+      // before each purchase, under first_touch / last_touch / linear at
+      // once. Candidates ride the binned pointInInterval equi-join
+      // ((user, day-bin) shuffle — no per-user cross product); ONE
+      // exchange on the conversion id then serves the per-channel rollup,
+      // the per-conversion frontier windows, and the model explode; the
+      // final (model, channel) agg is cells-sized.
+      (s, dir) => graft.operators.Analytics.attribution(
+          events(s, dir), convType = "purchase",
+          touchTypes = Seq("click", "view"), lookbackMs = 604800000L)
+        .select(col("model"), col("channel"), col("n_conv"),
+          round(col("credit"), 2).as("credit"))
+        .orderBy("model", "channel"),
+      Some("""WITH conv AS (SELECT event_id AS conv_id, user_id,
+            epoch_ms(ts) AS cts, value FROM events
+          WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, event_type AS channel, epoch_ms(ts) AS tts,
+            event_id AS tid FROM events
+          WHERE event_type IN ('click', 'view')),
+        cand AS (SELECT c.conv_id, c.value, t.channel, t.tts, t.tid
+          FROM conv c JOIN tch t ON c.user_id = t.user_id
+            AND t.tts >= c.cts - 604800000 AND t.tts < c.cts),
+        per AS (SELECT conv_id, value, channel,
+            row_number() OVER (PARTITION BY conv_id ORDER BY tts, tid)
+              AS rn_first,
+            row_number() OVER (PARTITION BY conv_id ORDER BY tts DESC, tid DESC)
+              AS rn_last,
+            count(*) OVER (PARTITION BY conv_id) AS n
+          FROM cand),
+        credits AS (
+          -- one row per (model, channel, conversion): the linear branch
+          -- folds a conversion's same-channel touches into ONE row with
+          -- credit = value * cnt / n (the exact multiply-then-divide the
+          -- Spark side computes — float-for-float, so 2dp rounding can
+          -- never straddle differently)
+          SELECT 'first_touch' AS model, channel, conv_id, value AS credit
+            FROM per WHERE rn_first = 1
+          UNION ALL
+          SELECT 'last_touch', channel, conv_id, value
+            FROM per WHERE rn_last = 1
+          UNION ALL
+          SELECT 'linear', channel, conv_id,
+            any_value(value) * count(*) / any_value(n)
+          FROM per GROUP BY channel, conv_id)
+        SELECT model, channel, count(*)::BIGINT AS n_conv,
+          round(sum(credit), 2) AS credit
+        FROM credits GROUP BY 1, 2 ORDER BY model, channel"""),
       headline = true),
 
     "q_mode_per_group" -> QueryDef(
@@ -1051,6 +1248,139 @@ object Catalog {
         SELECT user_id, ts_ms, event_id, round(value, 6) AS value,
           round(level, 6) AS level, round(trend, 6) AS trend
         FROM rec ORDER BY user_id, ts_ms, event_id"""),
+      headline = true),
+
+    "q_decompose" -> QueryDef(
+      // Classical additive seasonal decomposition (Resample.decompose,
+      // period 24) over the regularized hourly event-count series per
+      // type — trend (2x24 centered MA), hour-of-day seasonal indices
+      // (centered phase means), residual. Composed with
+      // resampleForwardFill so the series is genuinely gap-free. ONE key
+      // exchange carries the MA window, the phase window, and the
+      // centering window (superset rule; PlanShapeSpec pins it) — the
+      // phase-mean state never joins back.
+      (s, dir) => {
+        val grid = graft.operators.Resample.resampleForwardFill(
+            events(s, dir), keys = Seq("event_type"), tsMsCol = "ts_ms",
+            valueCol = "value", tieCol = "event_id", stepMs = 3600000L)
+          .select(col("event_type"),
+            (col("bucket_ms") / 3600000L).cast("long").as("hr"),
+            col("n_events"))
+        graft.operators.Resample.decompose(
+            grid, Seq("event_type"), "hr", "n_events", period = 24)
+          .select(col("event_type"), col("hr"), col("n_events"),
+            round(col("trend"), 6).as("trend"),
+            round(col("seasonal"), 6).as("seasonal"))
+          // the surfaced residual derives from the ROUNDED components:
+          // v - trend - seasonal chains three engine-ordered float sums,
+          // and the compounded low bits flaked a 6dp boundary at sf0.01
+          // (observed: one row at .2265625); v - trend6 - seasonal6 is
+          // bit-identical on both engines whenever the components match
+          .withColumn("residual", when(col("trend").isNotNull,
+            round(col("n_events").cast("double") - col("trend") - col("seasonal"), 6)))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr
+            FROM events),
+        b AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY 1, 2),
+        g AS (SELECT event_type,
+            unnest(generate_series(min(hr), max(hr))) AS hr
+          FROM b GROUP BY event_type),
+        s AS (SELECT g.event_type, g.hr, coalesce(b.n, 0)::DOUBLE AS v,
+            coalesce(b.n, 0)::BIGINT AS n_events
+          FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.hr = b.hr),
+        tr AS (SELECT event_type, hr, v, n_events,
+            CASE WHEN count(v) OVER f1 = 24 AND count(v) OVER f2 = 24
+              THEN (sum(v) OVER f1 + sum(v) OVER f2) / 48.0 END AS trend
+          FROM s
+          WINDOW f1 AS (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+            f2 AS (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        d AS (SELECT event_type, hr, v, n_events, trend, v - trend AS det,
+            hr % 24 AS phase FROM tr),
+        ph AS (SELECT event_type, phase, avg(det) AS sraw
+          FROM d GROUP BY 1, 2),
+        ctr AS (SELECT event_type, avg(sraw) AS center FROM ph
+          WHERE sraw IS NOT NULL GROUP BY 1)
+        SELECT d.event_type, d.hr, d.n_events, round(d.trend, 6) AS trend,
+          round(ph.sraw - ctr.center, 6) AS seasonal,
+          round(d.v - round(d.trend, 6)
+            - round(ph.sraw - ctr.center, 6), 6) AS residual
+        FROM d JOIN ph ON d.event_type = ph.event_type AND d.phase = ph.phase
+        JOIN ctr ON d.event_type = ctr.event_type
+        ORDER BY d.event_type, d.hr"""),
+      headline = true),
+
+    "q_seasonal_holt" -> QueryDef(
+      // Seasonality-adjusted Holt (Resample.seasonalHolt): decompose's
+      // fixed hour-of-day indices strip the daily cycle, the certified
+      // 2-state segmented affine scan tracks level+trend of the
+      // adjusted series, and fitted = level + seasonal. The scalable
+      // stand-in for recursive Holt-Winters (whose seasonal state would
+      // need an (m+2)-dim scan); the oracle replays decomposition in
+      // plain SQL then the recurrence with the q_holt recursive CTE.
+      (s, dir) => {
+        val grid = graft.operators.Resample.resampleForwardFill(
+            events(s, dir), keys = Seq("event_type"), tsMsCol = "ts_ms",
+            valueCol = "value", tieCol = "event_id", stepMs = 3600000L)
+          .select(col("event_type"),
+            (col("bucket_ms") / 3600000L).cast("long").as("hr"),
+            col("n_events"))
+        graft.operators.Resample.seasonalHolt(
+            grid, Seq("event_type"), "hr", "n_events", period = 24,
+            alpha = 0.3, beta = 0.2, blockSize = 64)
+          .select(col("event_type"), col("hr"),
+            round(col("seasonal"), 6).as("seasonal"),
+            round(col("adjusted"), 6).as("adjusted"),
+            col("level"), col("trend"),
+            round(col("fitted"), 6).as("fitted"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+            epoch_ms(ts) // 3600000 AS hr FROM events),
+        b AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY 1, 2),
+        g AS (SELECT event_type,
+            unnest(generate_series(min(hr), max(hr))) AS hr
+          FROM b GROUP BY event_type),
+        s AS (SELECT g.event_type, g.hr, coalesce(b.n, 0)::DOUBLE AS v
+          FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.hr = b.hr),
+        tr AS (SELECT event_type, hr, v,
+            CASE WHEN count(v) OVER f1 = 24 AND count(v) OVER f2 = 24
+              THEN (sum(v) OVER f1 + sum(v) OVER f2) / 48.0 END AS trend
+          FROM s
+          WINDOW f1 AS (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+            f2 AS (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        d AS (SELECT event_type, hr, v, trend, v - trend AS det,
+            hr % 24 AS phase FROM tr),
+        ph AS (SELECT event_type, phase, avg(det) AS sraw
+          FROM d GROUP BY 1, 2),
+        ctr AS (SELECT event_type, avg(sraw) AS center FROM ph
+          WHERE sraw IS NOT NULL GROUP BY 1),
+        r0 AS (SELECT d.event_type, d.hr,
+            ph.sraw - ctr.center AS seasonal,
+            d.v - (ph.sraw - ctr.center) AS a,
+            row_number() OVER (PARTITION BY d.event_type ORDER BY d.hr) AS rn
+          FROM d JOIN ph ON d.event_type = ph.event_type AND d.phase = ph.phase
+          JOIN ctr ON d.event_type = ctr.event_type),
+        rec AS (
+          SELECT event_type, hr, seasonal, a, rn,
+            a AS level, 0.0::DOUBLE AS trend
+          FROM r0 WHERE rn = 1
+          UNION ALL
+          SELECT e2.event_type, e2.hr, e2.seasonal, e2.a, e2.rn,
+            0.3 * e2.a + 0.7 * (r.level + r.trend) AS level,
+            0.2 * ((0.3 * e2.a + 0.7 * (r.level + r.trend)) - r.level)
+              + 0.8 * r.trend AS trend
+          FROM rec r JOIN r0 e2 ON e2.event_type = r.event_type
+            AND e2.rn = r.rn + 1)
+        SELECT event_type, hr, round(seasonal, 6) AS seasonal,
+          round(a, 6) AS adjusted, round(level, 6) AS level,
+          round(trend, 6) AS trend,
+          round(round(level, 6) + seasonal, 6) AS fitted
+        FROM rec ORDER BY event_type, hr"""),
       headline = true),
 
     "q_string_sim" -> QueryDef(
@@ -3147,6 +3477,47 @@ object Catalog {
           round((least(n_chars / 500.0, 1.0) + least(sr * 4.0, 1.0) + greatest(1.0 - pr * 5.0, 0.0)) / 3.0, 6) AS quality
         FROM q ORDER BY doc_id"""
       },
+      headline = true),
+
+    "text_repetition_chars" -> QueryDef(
+      // Intra-document repetition signals (llmops.Repetition.signals) —
+      // the CHARACTER-COVERAGE forms of the Gopher filters, complementing
+      // text_repetition's gram-count fractions:
+      // the Gopher-style quality filters — repeated-word fraction, most-
+      // covering word/bigram coverage, duplicated-trigram char fraction.
+      // Explode + two aggs riding ONE doc-id exchange (PlanShapeSpec
+      // pins it); per-doc work bounded by the doc's own length.
+      (s, dir) => graft.llmops.Repetition.signals(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t0 AS (SELECT doc_id, $normSql AS norm FROM documents),
+          t1 AS (SELECT doc_id, len(norm) AS nchars,
+              list_filter(string_split(norm, ' '), x -> len(x) > 0) AS tk
+            FROM t0),
+          t2 AS (SELECT doc_id, nchars, tk, len(tk) AS ntok,
+              len(list_distinct(tk)) AS ndistinct
+            FROM t1 WHERE len(tk) >= 3),
+          g AS (
+            SELECT doc_id, 1 AS n, tk[i] AS g
+              FROM t2, unnest(range(1, ntok + 1)) AS r(i)
+            UNION ALL
+            SELECT doc_id, 2, tk[i] || ' ' || tk[i + 1]
+              FROM t2, unnest(range(1, ntok)) AS r(i)
+            UNION ALL
+            SELECT doc_id, 3, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+              FROM t2, unnest(range(1, ntok - 1)) AS r(i)),
+          c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+          m AS (SELECT doc_id,
+              max(CASE WHEN n = 1 THEN cnt * len(g) END) AS w1,
+              max(CASE WHEN n = 2 THEN cnt * len(g) END) AS w2,
+              coalesce(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt * len(g) END), 0) AS d3
+            FROM c GROUP BY 1)
+        SELECT t2.doc_id, ntok::BIGINT AS n_tokens,
+          round((ntok - ndistinct)::DOUBLE / ntok, 6) AS dup_word_frac,
+          round(w1::DOUBLE / nchars, 6) AS top_word_cov,
+          round(w2::DOUBLE / nchars, 6) AS top_bigram_cov,
+          round(d3::DOUBLE / nchars, 6) AS dup_trigram_frac
+        FROM t2 JOIN m ON t2.doc_id = m.doc_id
+        ORDER BY t2.doc_id"""),
       headline = true),
 
     "text_langid" -> QueryDef(
@@ -5482,8 +5853,15 @@ object Catalog {
 
   // ================================================================ export ==
 
-  val defs: Seq[(String, QueryDef)] =
-    relational ++ kvParity ++ text ++ dedup ++ similarity ++ graph ++ streamingMm ++ search
+  val defs: Seq[(String, QueryDef)] = {
+    val all = relational ++ kvParity ++ text ++ dedup ++ similarity ++ graph ++ streamingMm ++ search
+    // a duplicate name would silently SHADOW the earlier entry in the
+    // toMap below — the earlier query and its oracle vanish from the
+    // correctness gate with every row still green. Fail at load instead.
+    val dups = all.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty, s"Catalog: duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, q) => n -> q.fn }.toMap

@@ -159,4 +159,105 @@ class AnalyticsSpec extends AnyFunSuite {
     }.groupBy(identity).map { case ((c, o), xs) => (c, o, xs.size.toLong) }.toSet
     assert(got == expect)
   }
+
+  // ------------------------------------------------------ attribution --
+
+  // rows: (user, ts, id, type, value); conv type "p", touches "c"/"v"
+  private def refAttribution(
+      rows: Seq[(Long, Long, Long, String, Double)],
+      look: Long): Map[(String, String), (Long, Double)] = {
+    val touches = rows.filter(r => r._4 == "c" || r._4 == "v")
+    val cells = scala.collection.mutable.Map[(String, String), (Long, Double)]()
+    def add(model: String, ch: String, credit: Double): Unit = {
+      val (n, c) = cells.getOrElse((model, ch), (0L, 0.0))
+      cells((model, ch)) = (n + 1, c + credit)
+    }
+    for ((u, ts, _, _, value) <- rows.filter(_._4 == "p")) {
+      val w = touches.filter(t => t._1 == u && t._2 >= ts - look && t._2 < ts)
+        .sortBy(t => (t._2, t._3))
+      if (w.nonEmpty) {
+        add("first_touch", w.head._4, value)
+        add("last_touch", w.last._4, value)
+        w.groupBy(_._4).foreach { case (ch, g) =>
+          add("linear", ch, value * g.size / w.size)
+        }
+      }
+    }
+    cells.toMap
+  }
+
+  private def runAttribution(rows: Seq[(Long, Long, Long, String, Double)],
+      look: Long): Map[(String, String), (Long, Double)] =
+    Analytics.attribution(
+        rows.toDF("user_id", "ts_ms", "event_id", "event_type", "value"),
+        convType = "p", touchTypes = Seq("c", "v"), lookbackMs = look,
+        binSizeMs = look)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("attribution: hand case with window and instant boundaries") {
+    val rows = Seq(
+      (1L, 5L, 1L, "c", 0.0),   // AT window start (15 - 10): included
+      (1L, 6L, 2L, "v", 0.0),   // in window
+      (1L, 10L, 3L, "c", 0.0),  // in window
+      (1L, 15L, 4L, "c", 0.0),  // AT the conversion instant: excluded
+      (1L, 15L, 5L, "p", 100.0),
+      (2L, 40L, 6L, "p", 50.0)) // no touches: unattributable, dropped
+    // user 1 window [5, 15): touches c@5, v@6, c@10
+    val got = runAttribution(rows, look = 10L)
+    val expect = Map(
+      ("first_touch", "c") -> ((1L, 100.0)),  // c@5 is the earliest in [5,15)
+      ("last_touch", "c") -> ((1L, 100.0)),   // c@10 the latest before 15
+      ("linear", "c") -> ((1L, 200.0 / 3)),   // 2 of 3 touches
+      ("linear", "v") -> ((1L, 100.0 / 3)))
+    assert(got.keySet == expect.keySet)
+    for ((k, (n, c)) <- expect) {
+      assert(got(k)._1 == n, s"$k n_conv")
+      assert(math.abs(got(k)._2 - c) < 1e-9, s"$k credit: ${got(k)._2} vs $c")
+    }
+  }
+
+  test("attribution: same-timestamp touches break ties on the tie column") {
+    val rows = Seq(
+      (7L, 10L, 1L, "v", 0.0), (7L, 10L, 2L, "c", 0.0), // tie on ts: ids order
+      (7L, 12L, 3L, "p", 10.0))
+    val got = runAttribution(rows, look = 100L)
+    assert(got(("first_touch", "v"))._1 == 1L) // id 1 < id 2
+    assert(got(("last_touch", "c"))._1 == 1L)
+  }
+
+  test("attribution equals a sequential per-user replay on random streams") {
+    val rnd = new Random(84L)
+    for (look <- Seq(30L, 120L)) {
+      val rows = (0 until 600).map { i =>
+        val tpe = rnd.nextInt(5) match {
+          case 0 => "p"; case 1 | 2 => "c"; case _ => "v"
+        }
+        (rnd.nextInt(15).toLong, rnd.nextInt(300).toLong, i.toLong, tpe,
+          math.rint(rnd.nextDouble() * 10000) / 100)
+      }
+      val got = runAttribution(rows, look)
+      val expect = refAttribution(rows, look)
+      assert(got.keySet == expect.keySet, s"cells at look=$look")
+      for ((k, (n, c)) <- expect) {
+        assert(got(k)._1 == n, s"$k n_conv at look=$look")
+        assert(math.abs(got(k)._2 - c) < 1e-6, s"$k credit at look=$look")
+      }
+    }
+  }
+
+  test("attribution is invariant to input partitioning") {
+    val rnd = new Random(85L)
+    val rows = (0 until 300).map { i =>
+      val tpe = if (i % 4 == 0) "p" else if (i % 2 == 0) "c" else "v"
+      (rnd.nextInt(8).toLong, rnd.nextInt(200).toLong, i.toLong, tpe, 1.0)
+    }
+    val df = rows.toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.attribution(d, "p", Seq("c", "v"), 50L, binSizeMs = 50L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e6))).toSet
+    assert(run(df.coalesce(1)) == run(df.repartition(13)))
+  }
 }

@@ -193,4 +193,121 @@ class ResampleSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("buckets"))
   }
+
+  // ------------------------------------------------------- decompose --
+
+  /** Sequential reference: classical additive decomposition with the
+    * same trend/centering conventions (2xMA even, plain MA odd; phase
+    * means of detrended; centered by the mean of defined phase means).
+    */
+  private def refDecompose(ys: Seq[Double], m: Int)
+      : Seq[(Option[Double], Option[Double], Option[Double])] = {
+    val n = ys.length
+    val half = m / 2
+    val trend = (0 until n).map { t =>
+      if (m % 2 == 1) {
+        if (t - half >= 0 && t + half < n)
+          Some(ys.slice(t - half, t + half + 1).sum / m) else None
+      } else {
+        if (t - half >= 0 && t + half < n)
+          Some((ys.slice(t - half, t + half).sum
+            + ys.slice(t - half + 1, t + half + 1).sum) / (2.0 * m))
+        else None
+      }
+    }
+    val det = ys.zip(trend).map { case (y, tr) => tr.map(y - _) }
+    val phaseMeans = (0 until m).map { p =>
+      val vs = (p until n by m).flatMap(det)
+      if (vs.isEmpty) None else Some(vs.sum / vs.size)
+    }
+    val defined = phaseMeans.flatten
+    val center = defined.sum / defined.size
+    val seasonal = (0 until n).map(t => phaseMeans(t % m).map(_ - center))
+    (0 until n).map { t =>
+      (trend(t), seasonal(t),
+        for (tr <- trend(t); se <- seasonal(t)) yield ys(t) - tr - se)
+    }
+  }
+
+  private def runDecompose(ys: Seq[Double], m: Int,
+      partitions: Int = 4): Seq[(Option[Double], Option[Double], Option[Double])] = {
+    val df = ys.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "ord", "v").repartition(partitions)
+    Resample.decompose(df, Seq("k"), "ord", "v", m)
+      .orderBy("ord")
+      .collect()
+      .map(r => (Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toSeq
+  }
+
+  private def close(a: Option[Double], b: Option[Double]): Boolean =
+    (a, b) match {
+      case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+      case (None, None) => true
+      case _ => false
+    }
+
+  test("decompose: a pure trend+seasonal series recovers both exactly") {
+    // y_t = t + (+5 at even phase, -5 at odd), period 2: interior trend
+    // is exactly t, detrended exactly +-5, seasonal +-5, residual 0
+    val ys = (0 until 8).map(t => t.toDouble + (if (t % 2 == 0) 5.0 else -5.0))
+    val got = runDecompose(ys, 2)
+    assert(got.head == ((None, Some(5.0), None)))      // edge: no trend
+    assert(got.last == ((None, Some(-5.0), None)))
+    for (t <- 1 until 7) {
+      assert(close(got(t)._1, Some(t.toDouble)), s"trend at $t: ${got(t)}")
+      assert(close(got(t)._2, Some(if (t % 2 == 0) 5.0 else -5.0)))
+      assert(close(got(t)._3, Some(0.0)), s"residual at $t: ${got(t)}")
+    }
+  }
+
+  test("decompose equals the sequential reference (odd and even periods)") {
+    val rnd = new scala.util.Random(86L)
+    for (m <- Seq(3, 4, 7); n <- Seq(m + 1, 40)) {
+      val ys = Seq.fill(n)(math.rint(rnd.nextDouble() * 1000) / 10)
+      val got = runDecompose(ys, m)
+      val ref = refDecompose(ys, m)
+      for (((g, r), idx) <- got.zip(ref).zipWithIndex)
+        assert(close(g._1, r._1) && close(g._2, r._2) && close(g._3, r._3),
+          s"m=$m n=$n row $idx: got $g ref $r")
+    }
+  }
+
+  test("decompose is invariant to input partitioning") {
+    val rnd = new scala.util.Random(87L)
+    val ys = Seq.fill(50)(rnd.nextDouble() * 100)
+    assert(runDecompose(ys, 4, partitions = 1) == runDecompose(ys, 4, partitions = 9))
+  }
+
+  test("seasonalHolt: fitted = level + seasonal, and the scan sees the adjusted series") {
+    val rnd = new scala.util.Random(88L)
+    val m = 4
+    val ys = (0 until 32).map(t =>
+      0.5 * t + Seq(3.0, -1.0, -2.5, 0.5)(t % m) + rnd.nextDouble())
+    val df = ys.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "ord", "v")
+    val got = Resample.seasonalHolt(df, Seq("k"), "ord", "v", m,
+        alpha = 0.3, beta = 0.2, blockSize = 8)
+      .orderBy("ord").collect()
+    assert(got.length == 32)
+    // sequential replay: reference decomposition then the holt recurrence
+    val ref = refDecompose(ys, m)
+    val adj = ys.zip(ref).map { case (y, (_, se, _)) => y - se.get }
+    var level = adj.head; var trend = 0.0
+    for ((r, t) <- got.zipWithIndex) {
+      if (t > 0) {
+        val l2 = 0.3 * adj(t) + 0.7 * (level + trend)
+        trend = 0.2 * (l2 - level) + 0.8 * trend
+        level = l2
+      }
+      val seasonal = r.getDouble(2)
+      assert(math.abs(seasonal - ref(t)._2.get) < 1e-9, s"seasonal at $t")
+      assert(math.abs(r.getDouble(3) - adj(t)) < 1e-9, s"adjusted at $t")
+      assert(math.abs(r.getDouble(4) - level) < 1e-5, s"level at $t")
+      assert(math.abs(r.getDouble(6) - (r.getDouble(4) + seasonal)) < 1e-6,
+        s"fitted != level + seasonal at $t")
+    }
+  }
 }

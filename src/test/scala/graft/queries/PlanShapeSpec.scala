@@ -471,6 +471,79 @@ class PlanShapeSpec extends AnyFunSuite {
       "q9's p_name LIKE no longer pushes to the part scan")
   }
 
+  test("decorrelation pack: subqueries rewrite to joins, never nested loops") {
+    // the unit under test is Catalyst decorrelation: a correlated
+    // subquery left as a per-row probe would be quadratic at scale
+    for (name <- Seq("q17_small_qty", "q2_min_cost", "q21_waiting", "q22_idle_cust")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name kept a nested-loop/cartesian — decorrelation failed:\n${p.take(2000)}")
+    }
+  }
+
+  test("q17: the correlated avg becomes ONE grouped aggregate joined back") {
+    val p = plan("q17_small_qty")
+    assert(p.contains("avg(l_quantity"),
+      "the per-part mean is no longer a standalone aggregate")
+  }
+
+  test("q21: EXISTS/NOT EXISTS become LeftSemi/LeftAnti with the <> residual") {
+    val p = plan("q21_waiting")
+    assert(p.contains("LeftSemi"), "EXISTS did not rewrite to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not rewrite to an anti join")
+    assert(p.linesIterator.filter(_.contains("Join condition")).exists(_.contains("NOT")),
+      "the suppkey <> residual left the join condition")
+  }
+
+  test("q22: scalar subquery and anti-side filters push to the scans") {
+    val p = plan("q22_idle_cust")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThan(o_totalprice,300000.0)"),
+      "the uncorrelated NOT EXISTS conjunct no longer pushes into the orders scan")
+    assert(pushed.contains("ScalarSubquery"),
+      "the global-mean scalar subquery no longer pushes into the customer scan")
+  }
+
+  test("text_repetition_chars: explode + both aggs ride ONE doc-id exchange") {
+    val p = plan("text_repetition_chars")
+    assert(p.contains("Generate"), "the gram explode disappeared")
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("doc_id"),
+      s"expected exactly one doc_id hash exchange, got:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q_attribution: rollup, frontier windows, and model explode share one conv-id exchange") {
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the candidate join regressed to a nested loop")
+    assert(p.contains("Window"), "the per-conversion frontier windows disappeared")
+    val reparts = p.linesIterator.filter(_.contains("REPARTITION_BY_COL")).toSeq
+    assert(reparts.size == 1 && reparts.head.contains("__conv_id"),
+      s"expected one conv-id repartition serving rollup+window+explode, got:\n${reparts.mkString("\n")}")
+  }
+
+  test("q_decompose: MA, phase, and centering windows all ride the fill's key exchange") {
+    val p = plan("q_decompose")
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    // exchange 1: the fill's (key, bucket) agg; exchange 2: the key —
+    // decompose itself must add ZERO exchanges (superset rule: the
+    // (key, phase) seasonal window and the key centering window both
+    // accept key-partitioning), and the phase-mean state never joins back
+    assert(hashEx.size == 2,
+      s"decompose grew an exchange:\n${hashEx.mkString("\n")}")
+    assert(hashEx.last.contains("event_type") && !hashEx.last.contains("__"),
+      s"the shared exchange is no longer keyed on the keys alone: ${hashEx.last}")
+    assert(!p.contains("Join"), "the phase-mean state now joins back")
+    assert("Window \\(".r.findAllIn(p).size == 4,
+      "expected fill-lead + MA + phase + centering windows exactly")
+  }
+
+  test("q_seasonal_holt: the composed chain stays nested-loop-free") {
+    val p = plan("q_seasonal_holt")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the seasonal-index join-back regressed to a nested loop")
+  }
+
   test("q_asof_sql: the SQL TVF path plans the union-window form — no join node") {
     val p = plan("q_asof_sql")
     assert(!p.contains("Join"),
