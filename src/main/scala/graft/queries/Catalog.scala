@@ -3982,6 +3982,53 @@ object Catalog {
         (SELECT unnest($toksSql) AS tok FROM documents)
         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
+    "q_heavy_hitters_gate" -> QueryDef(
+      // Misra–Gries heavy-hitters sketch (expressions.MisraGries via
+      // FreqExpressions.approx_heavy_hitters), gated on its DETERMINISTIC
+      // guarantees: with k=28 counters over the 31-word token stream the
+      // sketch runs in the approximation regime (more distinct items than
+      // counters — counters decrement and drop), yet every item with
+      // true count > N/(k+1) MUST surface and every estimate must lie in
+      // [est, est+err], REGARDLESS of partitioning/merge order. The gate
+      // counts the true heavy set exactly, probes the sketch for each,
+      // and tallies bound violations — all four outputs are
+      // merge-order-invariant, so the row is fully oracled (the sketch
+      // CONTENT itself is not value-stable; only these guarantees are).
+      // The one-row sketch/total frames ride broadcasts (gate idiom).
+      (s, dir) => {
+        import graft.functions.expressions.FreqExpressions.approx_heavy_hitters
+        val k = 28
+        val toks = t(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val sk = toks.agg(approx_heavy_hitters(col("tok"), k).as("hh"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = exact.agg(sum(col("cnt")).as("n_total"))
+        exact.crossJoin(broadcast(sk)).crossJoin(broadcast(tot))
+          .withColumn("est",
+            expr("get(filter(hh.items, x -> x.item = tok), 0).count"))
+          .withColumn("heavy", col("cnt") * (k + 1) > col("n_total"))
+          .agg(
+            sum(when(col("heavy"), 1L).otherwise(0L)).as("n_heavy"),
+            sum(when(col("heavy") && col("est").isNotNull, 1L)
+              .otherwise(0L)).as("n_heavy_found"),
+            sum(when(col("est").isNotNull &&
+              (col("est") > col("cnt") ||
+                col("cnt") > col("est") + col("hh.err")), 1L)
+              .otherwise(0L)).as("n_violations"),
+            max(abs(col("hh.n") - col("n_total"))).as("n_count_mismatch"))
+      },
+      Some(s"""WITH toks AS (SELECT t.tok FROM documents,
+            unnest($toksSql) AS t(tok) WHERE len(t.tok) > 0),
+          tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+          tot AS (SELECT sum(cnt) AS n FROM tf),
+          heavy AS (SELECT count(*)::BIGINT AS h FROM tf, tot
+            WHERE cnt * 29 > n)
+        SELECT h AS n_heavy, h AS n_heavy_found, 0::BIGINT AS n_violations,
+          0::BIGINT AS n_count_mismatch
+        FROM heavy"""),
+      headline = true),
+
     "text_pmi_pairs" -> QueryDef(
       // Document-level co-occurrence with PMI (Cooccur.pmiPairs):
       // collocation discovery over the corpus, capped by definition
