@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket, JaccardSorted, MinHashBands, RollingHash64, SimHash64, SubwordSplit, TextStats, TopKBy, WordShingles}
+import graft.functions.expressions.{CosineSimilarity, HyperplaneBucket, JaccardSorted, MinHashBands, MisraGries, RollingHash64, SimHash64, SubwordSplit, TextStats, TopKBy, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same surface
@@ -95,6 +95,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("topk_by_scored", args, 3)
         TopKBy(args(0), args(1), intLit(args(2), "k"), withScores = true)
           .toAggregateExpression() }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("approx_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGries].getName, "approx_heavy_hitters"),
+      (args: Seq[Expression]) => { arity("approx_heavy_hitters", args, 2)
+        MisraGries(args(0), intLit(args(1), "k")).toAggregateExpression() }))
 
     // ---- table-valued functions: the engine's READ surfaces in pure SQL
     //   SELECT * FROM graft_view('/path/to/db')
@@ -399,6 +405,10 @@ object GraftExtensions {
       args => TopKBy(args(0), args(1),
         args(2).asInstanceOf[Literal].value.asInstanceOf[Int],
         withScores = true).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("approx_heavy_hitters",
+      args => MisraGries(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])
+        .toAggregateExpression(), "built-in")
     val treg = spark.sessionState.tableFunctionRegistry
     treg.createOrReplaceTempFunction("graft_view", graftViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_agg_view", graftAggViewPlan, "built-in")

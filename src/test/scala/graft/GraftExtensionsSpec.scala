@@ -40,6 +40,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(scored == Seq((3.0, 11L), (2.0, 12L)))
   }
 
+  test("approx_heavy_hitters callable as a SQL aggregate, exact in the small regime") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (Seq.fill(9)("a") ++ Seq.fill(4)("b") ++ Seq("c"))
+      .toDF("item").createOrReplaceTempView("hh_in")
+    val r = spark.sql(
+      "SELECT hh.n, hh.err, hh.items FROM (SELECT approx_heavy_hitters(item, 4) AS hh FROM hh_in)")
+      .head()
+    assert(r.getLong(0) == 14L && r.getLong(1) == 0L)
+    val items = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(items == Seq(("a", 9L), ("b", 4L), ("c", 1L)))
+  }
+
   test("subword_split callable from SQL with an array-literal vocab") {
     GraftExtensions.register(spark)
     val out = spark.sql(
