@@ -192,6 +192,28 @@ final case class DedupState(
   */
 final case class DedupRow(key: Long, ts_ms: Long, tie: Long, value: Double)
 
+/** One buffered event for [[EventStream.attributionStream]]: a touch
+  * (`isConv = false`, `channel` set) or a conversion (`isConv = true`,
+  * `value` set). Touch rows are retained in state only inside the
+  * lookback of the watermark.
+  */
+final case class AttrPending(
+    tsMs: Long, tie: Long, isConv: Boolean, channel: String, value: Double)
+
+/** [[EventStream.attributionStream]] state: sealed in-window touches
+  * (fold-ordered by (ts, tie)) + the watermark-bounded pending buffer.
+  */
+final case class AttrState(touches: Seq[AttrPending], pending: Seq[AttrPending])
+
+/** One credit cell from [[EventStream.attributionStream]] (Append mode):
+  * a conversion's credit to one channel under one model — final at
+  * emission; rolling up by (model, channel) reproduces the batch
+  * operator's cells.
+  */
+final case class AttrCredit(
+    key: Long, conv_id: Long, model: String, channel: String,
+    credit: Double, n_touches: Long)
+
 /** Structured Streaming surface: the real version of the reference's
   * WAL -> memtable -> flush pipeline (`kv/db.go:191-285`, SURVEY §2.3 B1/P4).
   * A micro-batch IS a flushed L0 generation; checkpointing replaces the WAL
@@ -1086,6 +1108,90 @@ object EventStream {
         if (!st.started && hold.isEmpty) state.remove()
         else {
           state.update(st.copy(pending = hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming multi-touch attribution — the streaming dual of the
+    * oracled batch [[graft.operators.Analytics.attribution]]
+    * (q_attribution): per entity, touches accumulate; once the
+    * watermark seals a conversion's timestamp its in-window touch set
+    * is COMPLETE (a still-unsealed touch has ts > wm >= conv ts, so it
+    * is not strictly-before), and the three models' credits emit FINAL
+    * (Append mode) — one row per (conversion, model, channel), the
+    * pre-aggregation grain whose (model, channel) roll-up equals the
+    * batch operator's cells float-for-float (same value*cnt/n op
+    * order; EventStreamSpec proves batch == stream).
+    *
+    * Out-of-order exactness rides the funnel-frontier discipline:
+    * events buffer until the watermark seals them, then fold in
+    * (ts, tie) order, so a conversion reads its touch window only
+    * after every earlier-ts touch folded — same-instant touches are
+    * excluded exactly as the batch `[cts-L, cts)` window does.
+    *
+    * State per key: the sealed touches within the lookback of the
+    * watermark — a touch at or below wm - lookback can never serve a
+    * future sealed conversion (its ts would need to exceed wm), so the
+    * buffer prunes every batch — plus the watermark-bounded pending
+    * buffer. Event-time timeouts drain quiet keys.
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column),
+    * `tie` long, `is_conv` boolean, `channel` string (touches),
+    * `value` double (conversions).
+    */
+  def attributionStream(
+      events: DataFrame,
+      lookbackMs: Long,
+      watermark: String = "10 minutes"): Dataset[AttrCredit] = {
+    require(lookbackMs > 0, "attributionStream: lookbackMs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"), col("tie").cast("long"),
+        col("is_conv").cast("boolean"),
+        coalesce(col("channel"), lit("")).cast("string"),
+        coalesce(col("value"), lit(0.0)).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Boolean, String, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[AttrState, AttrCredit](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long,
+       rows: Iterator[(Long, java.sql.Timestamp, Long, Boolean, String, Double)],
+       state: GroupState[AttrState]) =>
+        val prior = state.getOption.getOrElse(AttrState(Nil, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(r => AttrPending(r._2.getTime, r._3, r._4, r._5, r._6))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var touches = prior.touches
+        val out = scala.collection.mutable.ArrayBuffer.empty[AttrCredit]
+        ripe.sortBy(p => (p.tsMs, p.tie)).foreach { p =>
+          if (!p.isConv) touches = touches :+ p
+          else {
+            // fold order keeps `touches` (ts, tie)-sorted; the window
+            // filter preserves it, so head/last are first/last touch
+            val w = touches.filter(t =>
+              t.tsMs >= p.tsMs - lookbackMs && t.tsMs < p.tsMs)
+            if (w.nonEmpty) {
+              val n = w.size.toLong
+              out += AttrCredit(key, p.tie, "first_touch", w.head.channel,
+                p.value, n)
+              out += AttrCredit(key, p.tie, "last_touch", w.last.channel,
+                p.value, n)
+              w.groupBy(_.channel).toSeq.sortBy(_._1).foreach { case (ch, g) =>
+                out += AttrCredit(key, p.tie, "linear", ch,
+                  p.value * g.size / n, n)
+              }
+            }
+          }
+        }
+        touches = touches.filter(_.tsMs > wm - lookbackMs)
+        if (touches.isEmpty && hold.isEmpty) state.remove()
+        else {
+          state.update(AttrState(touches, hold))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }
