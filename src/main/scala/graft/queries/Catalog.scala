@@ -527,6 +527,38 @@ object Catalog {
             WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         GROUP BY c_mktsegment ORDER BY segment""")),
 
+    "q20_dominant_supplier" -> QueryDef(
+      // TPC-H Q20 shape: DEPTH-2 nesting — an IN subquery whose HAVING
+      // carries a correlated scalar aggregate (the supplier's shipped
+      // quantity of a part vs 20% of that part's total). Two
+      // decorrelations compose: the inner scalar becomes a per-part
+      // aggregate joined on the correlation key, the outer IN a
+      // LeftSemi; lineitem is scanned twice (grouped two ways), never
+      // probed per row or per group.
+      (s0, dir) => {
+        val s = s0.newSession()
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier")
+        s.sql("""SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+          FROM supplier
+          WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem l1
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > (
+              SELECT 0.2 * sum(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l1.l_partkey))
+          ORDER BY s_name""")
+      },
+      Some("""SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem l1
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > (
+            SELECT 0.2 * sum(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey))
+        ORDER BY s_name""")),
+
     "q_outer_join" -> QueryDef(
       // left outer with null-aware aggregation: customers WITHOUT orders
       // surface with zero counts instead of vanishing (the join class the

@@ -474,11 +474,16 @@ class PlanShapeSpec extends AnyFunSuite {
   test("decorrelation pack: subqueries rewrite to joins, never nested loops") {
     // the unit under test is Catalyst decorrelation: a correlated
     // subquery left as a per-row probe would be quadratic at scale
-    for (name <- Seq("q17_small_qty", "q2_min_cost", "q21_waiting", "q22_idle_cust")) {
+    for (name <- Seq("q17_small_qty", "q2_min_cost", "q21_waiting", "q22_idle_cust",
+        "q20_dominant_supplier")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name kept a nested-loop/cartesian — decorrelation failed:\n${p.take(2000)}")
     }
+    // q20's depth-2 nest: the IN becomes a semi join AND the correlated
+    // HAVING scalar becomes a per-part aggregate — both in one plan
+    val p20 = plan("q20_dominant_supplier")
+    assert(p20.contains("LeftSemi"), "q20's IN did not rewrite to a semi join")
   }
 
   test("q17: the correlated avg becomes ONE grouped aggregate joined back") {
