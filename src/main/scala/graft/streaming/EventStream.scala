@@ -192,6 +192,15 @@ final case class DedupState(
   */
 final case class DedupRow(key: Long, ts_ms: Long, tie: Long, value: Double)
 
+/** [[EventStream.heavyHittersStream]] state and emission: the running
+  * Misra–Gries summary per key — at most k (item, count) counters plus
+  * the stream length `n`; `err = (n - sum(counts)) / (k+1)` bounds
+  * every estimate from above exactly as in the batch aggregate.
+  */
+final case class HHState(n: Long, items: Seq[(String, Long)])
+final case class HHUpdate(
+    key: Long, n: Long, err: Long, items: Seq[(String, Long)])
+
 /** One buffered event for [[EventStream.attributionStream]]: a touch
   * (`isConv = false`, `channel` set) or a conversion (`isConv = true`,
   * `value` set). Touch rows are retained in state only inside the
@@ -1112,6 +1121,48 @@ object EventStream {
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
         }
         out.iterator
+    }
+  }
+
+  /** Streaming heavy hitters — the streaming dual of the gated batch
+    * [[graft.functions.expressions.MisraGries]] aggregate
+    * (q_heavy_hitters_gate): per key, the k-counter Misra–Gries summary
+    * maintained in state and re-emitted (Update mode) whenever the key
+    * sees data. NO watermark buffering on purpose: the sketch's
+    * guarantees — `est <= true <= est + err` and containment of every
+    * item above n/(k+1) — hold for ANY fold order (that is the theorem
+    * the batch gate certifies), so arrival order only perturbs WHICH
+    * sub-threshold items ride along, never the contract. State per key:
+    * at most k counters + one long, forever — the streaming profiler's
+    * price for top-items over an unbounded stream that exact counting
+    * would need unbounded state for.
+    *
+    * Input columns: `key` long, `item` string.
+    */
+  def heavyHittersStream(
+      events: DataFrame,
+      k: Int): Dataset[HHUpdate] = {
+    require(k > 0, "heavyHittersStream: k must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("key").cast("long"), col("item").cast("string"))
+      .as[(Long, String)]
+    typed.groupByKey(_._1).mapGroupsWithState[HHState, HHUpdate](
+      GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[(Long, String)], state: GroupState[HHState]) =>
+        val buf = new graft.functions.expressions.MGBuffer(k)
+        state.getOption.foreach { st =>
+          buf.n = st.n
+          st.items.foreach { case (item, c) => buf.counts.put(item, c) }
+        }
+        rows.foreach { r => if (r._2 != null) buf.update(r._2) }
+        val items = buf.counts.entrySet().toArray(
+            Array.empty[java.util.Map.Entry[String, Long]])
+          .sortBy(e => (-e.getValue, e.getKey))
+          .map(e => (e.getKey, e.getValue)).toSeq
+        state.update(HHState(buf.n, items))
+        HHUpdate(key, buf.n, (buf.n - buf.retained) / (k + 1), items)
     }
   }
 
