@@ -1484,6 +1484,64 @@ object Catalog {
         FROM f ORDER BY user_id, version"""),
       headline = true),
 
+    "q_scd2_lookup" -> QueryDef(
+      // Effective-dated dimension lookup — the warehouse query SCD2
+      // exists FOR: each purchase fact joined to the attribute version
+      // valid AT its timestamp (the user's last non-purchase activity
+      // state). Composition of two certified one-exchange operators:
+      // Scd.scd2 builds the versioned dimension, KVOps.asofJoinBackward
+      // attaches the as-of version (union-window — one key exchange, no
+      // interval pair explosion; rightOrderCol=version makes same-ms
+      // zero-length versions collapse to the survivor, matching the
+      // half-open interval semantics). Purchases before any tracked
+      // activity surface with NULL state (40 rows at sf0.01 — the null
+      // path is exercised, not vacuous). Oracled via DuckDB's native
+      // ASOF LEFT JOIN over the replayed version CTE.
+      (s, dir) => {
+        val ev = events(s, dir)
+        val dim = graft.operators.Scd.scd2(
+            ev.filter(col("event_type") =!= "purchase"),
+            keys = Seq("user_id"), tsCol = "ts_ms", tieCol = "event_id",
+            attrs = Seq("event_type"))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("version"), col("valid_from"))
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+        graft.operators.KVOps.asofJoinBackward(
+            facts, dim, keys = Seq("user_id"),
+            leftTime = "ts_ms", rightTime = "valid_from",
+            payloadCols = Seq("state", "version"),
+            rightOrderCol = Some("version"))
+          .select(col("user_id"), col("ts_ms"), col("event_id"),
+            round(col("value"), 2).as("value"),
+            col("asof_state").as("state"),
+            col("asof_version").cast("long").as("version"))
+          .orderBy("user_id", "ts_ms", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+            event_type, value FROM events),
+        ne AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        mark AS (SELECT user_id, ts_ms, event_id, event_type,
+            CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+              WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS opens
+          FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        ver AS (SELECT *, sum(opens) OVER (PARTITION BY user_id
+            ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS version
+          FROM mark),
+        g AS (SELECT user_id, event_type AS state, version::BIGINT AS version,
+            min(ts_ms) AS valid_from FROM ver GROUP BY 1, 2, 3),
+        d AS (SELECT * FROM g QUALIFY row_number() OVER
+            (PARTITION BY user_id, valid_from ORDER BY version DESC) = 1),
+        facts AS (SELECT user_id, ts_ms, event_id, value FROM e
+          WHERE event_type = 'purchase')
+        SELECT f.user_id, f.ts_ms, f.event_id, round(f.value, 2) AS value,
+          d.state, d.version
+        FROM facts f ASOF LEFT JOIN d
+          ON f.user_id = d.user_id AND f.ts_ms >= d.valid_from
+        ORDER BY f.user_id, f.ts_ms, f.event_id"""),
+      headline = true),
+
     "q_dq_by_group" -> QueryDef(
       // the per-slice audit (Quality.checkGrouped): the same constraint
       // batch measured inside every group — the "WHICH ingest slice is
