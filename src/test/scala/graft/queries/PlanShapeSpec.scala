@@ -549,6 +549,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "the seasonal-index join-back regressed to a nested loop")
   }
 
+  test("q_scd2_lookup: the effective-dated lookup is JOIN-FREE — scd2 + union-window") {
+    val p = plan("q_scd2_lookup")
+    assert(!p.contains("Join"),
+      "the as-of composition regressed to an actual join (pair-explosion risk)")
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hashEx.size == 2 && hashEx.forall(_.contains("user_id")),
+      s"expected scd2's + the as-of window's key exchanges only:\n${hashEx.mkString("\n")}")
+  }
+
   test("q_asof_sql: the SQL TVF path plans the union-window form — no join node") {
     val p = plan("q_asof_sql")
     assert(!p.contains("Join"),
