@@ -143,6 +143,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_asof"),
       new ExpressionInfo(classOf[graft.operators.KVOps.type].getName, "graft_asof"),
       (args: Seq[Expression]) => GraftExtensions.graftAsofPlan(args)))
+    //   SELECT * FROM graft_attribution('events', 'purchase', 'click,view', 604800000)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_attribution"),
+      new ExpressionInfo(classOf[graft.operators.Analytics.type].getName, "graft_attribution"),
+      (args: Seq[Expression]) => GraftExtensions.graftAttributionPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -330,6 +335,28 @@ object GraftExtensions {
     out.queryExecution.analyzed
   }
 
+  /** `graft_attribution(eventsTable, convType, touchTypesCsv, lookbackMs)`:
+    * the multi-touch attribution cells straight from SQL — routes to
+    * [[graft.operators.Analytics.attribution]] with the operator's
+    * default column names (`user_id`/`event_type`/`ts_ms`/`event_id`/
+    * `value`) and a day-sized bin, so the SQL surface carries the same
+    * binned-candidates + one-conv-exchange plan the Column API certifies.
+    */
+  private[graft] def graftAttributionPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      "graft_attribution(eventsTable, convType, touchTypesCsv, lookbackMs) " +
+        s"expects 4 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val events = spark.table(stringLit(args(0), "graft_attribution eventsTable"))
+    val conv = stringLit(args(1), "graft_attribution convType")
+    val touches = stringLit(args(2), "graft_attribution touchTypesCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val look = longLit(args(3), "graft_attribution lookbackMs")
+    graft.operators.Analytics.attribution(events, conv, touches, look)
+      .queryExecution.analyzed
+  }
+
   private[graft] def graftAggViewPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.length == 1,
@@ -417,6 +444,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_search", graftSearchPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_ann", graftAnnPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_asof", graftAsofPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_attribution", graftAttributionPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

@@ -54,6 +54,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(items == Seq(("a", 9L), ("b", 4L), ("c", 1L)))
   }
 
+  test("graft_attribution TVF: SQL cells equal the Column-API operator") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 5L, 1L, "c", 0.0), (1L, 6L, 2L, "v", 0.0),
+      (1L, 10L, 3L, "c", 0.0), (1L, 15L, 5L, "p", 100.0),
+      (2L, 40L, 6L, "p", 50.0))
+    rows.toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+      .createOrReplaceTempView("attr_ev")
+    val viaSql = spark.sql(
+        "SELECT * FROM graft_attribution('attr_ev', 'p', 'c,v', 10)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6))).toSet
+    val viaApi = graft.operators.Analytics.attribution(
+        rows.toDF("user_id", "ts_ms", "event_id", "event_type", "value"),
+        "p", Seq("c", "v"), 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("subword_split callable from SQL with an array-literal vocab") {
     GraftExtensions.register(spark)
     val out = spark.sql(
