@@ -922,6 +922,49 @@ object Catalog {
         FROM credits GROUP BY 1, 2 ORDER BY model, channel"""),
       headline = true),
 
+    "q_attribution_sql" -> QueryDef(
+      // the same attribution cells through the graft_attribution TVF —
+      // the SQL boundary itself under the oracle gate (the q_asof_sql /
+      // search_bm25_sql discipline): a pure-SQL session gets the same
+      // binned-candidates + one-conv-exchange plan the Column API runs.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        events(s, dir).createOrReplaceTempView("graft_ev")
+        s.sql("""SELECT model, channel, n_conv, round(credit, 2) AS credit
+          FROM graft_attribution('graft_ev', 'purchase', 'click,view', 604800000)
+          ORDER BY model, channel""")
+      },
+      Some("""WITH conv AS (SELECT event_id AS conv_id, user_id,
+            epoch_ms(ts) AS cts, value FROM events
+          WHERE event_type = 'purchase'),
+        tch AS (SELECT user_id, event_type AS channel, epoch_ms(ts) AS tts,
+            event_id AS tid FROM events
+          WHERE event_type IN ('click', 'view')),
+        cand AS (SELECT c.conv_id, c.value, t.channel, t.tts, t.tid
+          FROM conv c JOIN tch t ON c.user_id = t.user_id
+            AND t.tts >= c.cts - 604800000 AND t.tts < c.cts),
+        per AS (SELECT conv_id, value, channel,
+            row_number() OVER (PARTITION BY conv_id ORDER BY tts, tid)
+              AS rn_first,
+            row_number() OVER (PARTITION BY conv_id ORDER BY tts DESC, tid DESC)
+              AS rn_last,
+            count(*) OVER (PARTITION BY conv_id) AS n
+          FROM cand),
+        credits AS (
+          SELECT 'first_touch' AS model, channel, conv_id, value AS credit
+            FROM per WHERE rn_first = 1
+          UNION ALL
+          SELECT 'last_touch', channel, conv_id, value
+            FROM per WHERE rn_last = 1
+          UNION ALL
+          SELECT 'linear', channel, conv_id,
+            any_value(value) * count(*) / any_value(n)
+          FROM per GROUP BY channel, conv_id)
+        SELECT model, channel, count(*)::BIGINT AS n_conv,
+          round(sum(credit), 2) AS credit
+        FROM credits GROUP BY 1, 2 ORDER BY model, channel""")),
+
     "q_mode_per_group" -> QueryDef(
       // Deterministic mode (most frequent value, smallest wins ties) per
       // group. Spark's native mode() is tie-nondeterministic, so the
