@@ -186,4 +186,83 @@ object Analytics {
       .groupBy("model", "channel")
       .agg(count(lit(1)).as("n_conv"), sum(col("credit")).as("credit"))
   }
+
+  /** Market-basket association rules (2-itemsets, a-priori pruned):
+    * for every ordered pair of frequent items (A, B) co-occurring in a
+    * basket, emit `support` = P(A,B), `confidence` = P(B|A) and
+    * `lift` = P(B|A)/P(B). Both rule directions surface (A=>B and B=>A
+    * share `n_pair` but differ in confidence/lift).
+    *
+    * Scale shape: basket-item pairs dedup on ONE (basket, item) hash
+    * agg; item supports are an item-keyed agg (vocabulary-sized);
+    * infrequent items are pruned BEFORE pair generation (the a-priori
+    * bound: a pair can't be frequent if either member isn't) via a
+    * broadcast semi-join. Pairs generate MAP-SIDE from each basket's
+    * sorted item array (a higher-order transform — no basket self-join,
+    * so the shuffle carries one row per distinct co-occurring pair per
+    * basket, never the quadratic join intermediate), then aggregate on
+    * the (a, b) pair key — bounded by vocabulary², not by corpus size.
+    * Baskets wider than `maxBasketItems` fail LOUDLY (raise_error in a
+    * filter, so column pruning can't drop the guard): quadratic
+    * per-basket work is a design bound, not a silent cap. The global
+    * basket count rides a one-row broadcast (crossJoin of an
+    * aggregate), never a driver collect.
+    *
+    * Extension surface (reference anchor: SURVEY §2.5 — co-occurrence
+    * mining is the first "what sells together" ask over order data).
+    */
+  def basketRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Double = 0.01,
+      minConfidence: Double = 0.0,
+      maxBasketItems: Int = 10000): DataFrame = {
+    require(minSupport > 0 && minSupport <= 1, "basketRules: minSupport in (0, 1]")
+    val bi = df.select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
+      .filter(col("__basket").isNotNull && col("__item").isNotNull)
+      .distinct()
+    val nBaskets = bi.agg(countDistinct(col("__basket")).as("__n_baskets"))
+    val itemCnt = bi.groupBy(col("__item"))
+      .agg(count(lit(1)).as("__n_item"))
+    val frequent = itemCnt.crossJoin(broadcast(nBaskets))
+      .filter(col("__n_item") >= col("__n_baskets") * minSupport)
+      .select(col("__item"), col("__n_item"))
+    val baskets = bi
+      .join(broadcast(frequent.select(col("__item"))), Seq("__item"), "leftsemi")
+      .groupBy(col("__basket"))
+      .agg(sort_array(collect_set(col("__item"))).as("__items"))
+      .filter(size(col("__items")) <= maxBasketItems ||
+        raise_error(concat(lit(s"basketRules: basket wider than $maxBasketItems items: "),
+          col("__basket").cast("string"))))
+    val pairCnt = baskets
+      .select(explode(expr(
+        """flatten(transform(__items, (x, i) ->
+             transform(slice(__items, i + 2, size(__items)),
+               y -> struct(x AS a, y AS b))))""")).as("__p"))
+      .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .agg(count(lit(1)).as("__n_pair"))
+    val na = frequent.select(col("__item").as("__a"), col("__n_item").as("__n_a"))
+    val nb = frequent.select(col("__item").as("__b"), col("__n_item").as("__n_b"))
+    pairCnt
+      .join(broadcast(na), Seq("__a"))
+      .join(broadcast(nb), Seq("__b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(explode(array(
+        struct(col("__a").as("antecedent"), col("__b").as("consequent"),
+          col("__n_pair"), col("__n_a").as("__n_ante"), col("__n_b").as("__n_cons"),
+          col("__n_baskets")),
+        struct(col("__b").as("antecedent"), col("__a").as("consequent"),
+          col("__n_pair"), col("__n_b").as("__n_ante"), col("__n_a").as("__n_cons"),
+          col("__n_baskets")))).as("__r"))
+      .select(
+        col("__r.antecedent").as("antecedent"),
+        col("__r.consequent").as("consequent"),
+        col("__r.__n_pair").as("n_pair"),
+        (col("__r.__n_pair") / col("__r.__n_baskets")).as("support"),
+        (col("__r.__n_pair") / col("__r.__n_ante")).as("confidence"),
+        (col("__r.__n_pair") / col("__r.__n_ante") * col("__r.__n_baskets")
+          / col("__r.__n_cons")).as("lift"))
+      .filter(col("support") >= minSupport && col("confidence") >= minConfidence)
+  }
 }

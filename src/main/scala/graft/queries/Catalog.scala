@@ -559,6 +559,225 @@ object Catalog {
             WHERE l2.l_partkey = l1.l_partkey))
         ORDER BY s_name""")),
 
+    "q4_priority" -> QueryDef(
+      // TPC-H Q4 shape: EXISTS → LeftSemi then aggregate. Orders in a
+      // one-year window that have at least one returned line, counted by
+      // priority. The R-flag filter lands on the lineitem side BEFORE the
+      // semi join (probe side shrinks ~3×), and the semi join never
+      // duplicates an order no matter how many lines match — the
+      // dedup-free alternative to join+distinct.
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(
+          col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+            lit("1996-12-31").cast("timestamp")))
+        val returned = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(returned, Seq("o_orderkey"), "leftsemi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+            AND TIMESTAMP '1996-12-31'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q13_cust_dist" -> QueryDef(
+      // TPC-H Q13 shape: LEFT OUTER join + two stacked aggregations —
+      // how many customers placed exactly k non-urgent orders, INCLUDING
+      // the zero-order customers (the rows an inner join silently drops).
+      // Scale shape: the first agg keys on c_custkey, the join key — at
+      // dim-broadcast sizes the agg is the row's first exchange; at SMJ
+      // scale the join's hash partitioning satisfies it (exchange
+      // reused). The second agg input is customer-sized, its key space
+      // tiny (~50 distinct counts).
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+        t(s, dir, "customer").select(col("c_custkey"))
+          .join(o, Seq("c_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*)::BIGINT AS custdist FROM (
+          SELECT c.c_custkey, count(o_orderkey)::BIGINT AS c_count
+          FROM customer c LEFT JOIN orders
+            ON o_custkey = c.c_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    "q14_promo" -> QueryDef(
+      // TPC-H Q14 shape: conditional-share aggregate over a fact⋈dim
+      // join — PROMO parts' share of one month's revenue, numerator and
+      // denominator in ONE aggregation pass (conditional sum, no second
+      // scan, no self-join). The month filter prunes lineitem before the
+      // broadcast part join.
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").filter(
+          col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        l.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+              * 100.0 / sum(rev), 6).as("promo_share"))
+      },
+      Some("""SELECT round(
+          sum(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+          * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'""")),
+
+    "q15_top_supplier" -> QueryDef(
+      // TPC-H Q15 shape: an aggregate view consumed TWICE in one query —
+      // once as the join input, once under a scalar max() subquery (the
+      // argmax-by-scalar-subquery idiom). Catalyst plans the revenue agg
+      // twice (CTE inlining), but both instances hash-partition on
+      // l_suppkey over the same pruned scan, and AQE reuses the exchange
+      // at runtime; the max() side collapses to a one-row broadcast.
+      // Ties all surface (no LIMIT), ordered by s_suppkey.
+      (s0, dir) => {
+        val s = s0.newSession()
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier")
+        s.sql("""WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+              sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+          SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+          FROM supplier JOIN revenue ON s_suppkey = supplier_no
+          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          ORDER BY s_suppkey""")
+      },
+      Some("""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey"""),
+      headline = true),
+
+    "q16_supp_count" -> QueryDef(
+      // TPC-H Q16 shape (partsupp synthesized from lineitem's
+      // part⋈supplier pairs): how many distinct suppliers can furnish
+      // each surviving (brand, type, size) cell, excluding one brand,
+      // one type, and every negative-balance supplier (the NOT IN →
+      // LeftAnti class composed with a grouped count-distinct). The
+      // part filters broadcast-prune lineitem first; the anti join's
+      // right side is supplier-sized (tiny, broadcast); distinct pairs
+      // collapse BEFORE the count-distinct agg.
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        val badSupp = t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("l_suppkey"))
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(badSupp), Seq("l_suppkey"), "leftanti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+          count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    "q18_big_orders" -> QueryDef(
+      // TPC-H Q18 shape: large-volume orders — a HAVING-filtered
+      // aggregate drives a 3-table join-back (agg → filter → join, the
+      // decorrelated form of `o_orderkey IN (GROUP BY … HAVING)`).
+      // Scale shape: the lineitem agg shrinks 60k lines → ~1.5k
+      // qualifying orders BEFORE any join; both join-backs then
+      // broadcast the small aggregated side, and the top-100 is a
+      // TakeOrdered, never a global sort.
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 180)
+        t(s, dir, "orders")
+          .join(big, Seq("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+            round(col("o_totalprice"), 2).as("o_totalprice"),
+            round(col("total_qty"), 2).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+          epoch_ms(o_orderdate) AS o_date_ms,
+          round(o_totalprice, 2) AS o_totalprice,
+          round(total_qty, 2) AS total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      headline = true),
+
+    "q19_disjunct" -> QueryDef(
+      // TPC-H Q19 shape: a join whose ON clause is a DISJUNCTION of
+      // brand/size/quantity conjunct bundles. The equi key (partkey)
+      // appears in every branch, so Catalyst must EXTRACT it and plan a
+      // hash join with the residual OR as a post-join filter — the plan
+      // class where a naive engine falls back to nested loops. The whole
+      // composite predicate rides the join call to make that extraction
+      // the unit under test (pinned in PlanShapeSpec: no BNL/cartesian).
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        val branch = (brand: String, maxSize: Int, qLo: Int, qHi: Int) =>
+          col("p_brand") === brand &&
+            col("p_size").between(1, maxSize) &&
+            col("l_quantity").between(qLo, qHi)
+        l.join(p, col("l_partkey") === col("p_partkey") &&
+            (branch("Brand#12", 15, 1, 11) ||
+             branch("Brand#23", 20, 10, 20) ||
+             branch("Brand#3", 25, 20, 30)))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_items,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 20 AND 30))"""),
+      headline = true),
+
     "q_outer_join" -> QueryDef(
       // left outer with null-aware aggregation: customers WITHOUT orders
       // surface with zero counts instead of vanishing (the join class the

@@ -567,6 +567,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex == 1, s"expected ONE key exchange in the as-of SQL path, got $ex:\n${p.take(2000)}")
   }
 
+  test("TPC-H breadth pack: every composed join stays hash-based, nothing nested-loops") {
+    for (name <- Seq("q4_priority", "q13_cust_dist", "q14_promo",
+        "q15_top_supplier", "q16_supp_count", "q18_big_orders", "q19_disjunct")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name grew a nested-loop/cartesian join:\n${p.take(2000)}")
+    }
+  }
+
+  test("q19: the equi key is EXTRACTED from the disjunction — hash join with OR pushed to both scans") {
+    val p = plan("q19_disjunct")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"),
+      "the partkey equi-conjunct was not extracted from the OR — no hash join planned")
+    // the derived per-side disjunct bundles must reach the parquet scans
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("Or(") && pushed.contains("l_quantity"),
+      s"the quantity OR-bundle no longer pushes into the lineitem scan: $pushed")
+    assert(pushed.contains("p_brand"),
+      s"the brand/size OR-bundle no longer pushes into the part scan: $pushed")
+  }
+
+  test("q4: EXISTS plans as LeftSemi with the R-flag filter pushed below the join") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), "EXISTS did not plan as a semi join")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"),
+      s"the returnflag filter no longer pushes into the lineitem scan: $pushed")
+  }
+
+  test("q18: the HAVING agg runs BEFORE the join-backs and top-100 is a TakeOrdered") {
+    val p = plan("q18_big_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 regressed to a global sort + limit")
+    // the qualifying-order filter must sit directly on the aggregate,
+    // under the joins (agg → filter → join), never above them
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      "the lineitem agg no longer feeds the joins (join-then-agg would ship every line)")
+  }
+
+  test("q16: the supplier exclusion is a LeftAnti and part filters push to the scan") {
+    val p = plan("q16_supp_count")
+    assert(p.contains("LeftAnti"), "NOT IN did not plan as an anti join")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("In(p_size"),
+      s"the p_size IN-list no longer pushes into the part scan: $pushed")
+  }
+
   test("graph_hits: one linear job — normalization happens ONCE per side, not per step") {
     val p = plan("graph_hits")
     // a per-step normalize branches the score lineage every iteration
