@@ -242,8 +242,12 @@ object Analytics {
                y -> struct(x AS a, y AS b))))""")).as("__p"))
       .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
       .agg(count(lit(1)).as("__n_pair"))
-    val na = frequent.select(col("__item").as("__a"), col("__n_item").as("__n_a"))
-    val nb = frequent.select(col("__item").as("__b"), col("__n_item").as("__n_b"))
+    // count lookups join the RAW item counts (not `frequent`): the final
+    // support filter re-applies the threshold, and this keeps the one-row
+    // basket-count gate out of the lookup branches — itemCnt's exchange is
+    // identical in both, so AQE reuses it instead of re-aggregating
+    val na = itemCnt.select(col("__item").as("__a"), col("__n_item").as("__n_a"))
+    val nb = itemCnt.select(col("__item").as("__b"), col("__n_item").as("__n_b"))
     pairCnt
       .join(broadcast(na), Seq("__a"))
       .join(broadcast(nb), Seq("__b"))

@@ -1184,6 +1184,51 @@ object Catalog {
           round(sum(credit), 2) AS credit
         FROM credits GROUP BY 1, 2 ORDER BY model, channel""")),
 
+    "q_basket_rules" -> QueryDef(
+      // Market-basket association rules (Analytics.basketRules): which
+      // part brands co-occur in an order, as support/confidence/lift
+      // rules in both directions. Pairs generate MAP-SIDE from sorted
+      // per-basket item arrays (no basket self-join); the oracle is the
+      // classic self-join formulation — two different algorithms, same
+      // cells. A-priori item pruning inside the operator can't change
+      // the answer (a frequent pair's members are frequent), so the
+      // oracle skips it.
+      (s, dir) => {
+        val bi = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+        graft.operators.Analytics
+          .basketRules(bi, "l_orderkey", "p_brand", minSupport = 0.01)
+          .select(col("antecedent"), col("consequent"), col("n_pair"),
+            round(col("support"), 6).as("support"),
+            round(col("confidence"), 6).as("confidence"),
+            round(col("lift"), 6).as("lift"))
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+            p_brand AS item
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        nb AS (SELECT count(DISTINCT basket) AS n FROM bi),
+        ic AS (SELECT item, count(*) AS cnt FROM bi GROUP BY 1),
+        pr AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_pair
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        dirs AS (
+          SELECT ia AS antecedent, ib AS consequent, n_pair FROM pr
+          UNION ALL
+          SELECT ib, ia, n_pair FROM pr)
+      SELECT antecedent, consequent, n_pair::BIGINT AS n_pair,
+        round(n_pair / n, 6) AS support,
+        round(n_pair / ca.cnt, 6) AS confidence,
+        round(n_pair / ca.cnt * n / cc.cnt, 6) AS lift
+      FROM dirs
+      JOIN ic ca ON antecedent = ca.item
+      JOIN ic cc ON consequent = cc.item, nb
+      WHERE n_pair / n >= 0.01
+      ORDER BY antecedent, consequent"""),
+      headline = true),
+
     "q_mode_per_group" -> QueryDef(
       // Deterministic mode (most frequent value, smallest wins ties) per
       // group. Spark's native mode() is tie-nondeterministic, so the

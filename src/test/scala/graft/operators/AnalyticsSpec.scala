@@ -260,4 +260,53 @@ class AnalyticsSpec extends AnyFunSuite {
           math.rint(r.getDouble(3) * 1e6))).toSet
     assert(run(df.coalesce(1)) == run(df.repartition(13)))
   }
+
+  test("basketRules: hand case — counts, both directions, a-priori pruning") {
+    // baskets: {a,b,c} {a,b} {a,c} {a} {d} — d is infrequent at 0.3
+    val bi = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "a"), (5L, "d"), (1L, "a") /* dup row */)
+      .toDF("basket", "item")
+    val got = Analytics.basketRules(bi, "basket", "item",
+        minSupport = 0.3, minConfidence = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(4) * 1e6) / 1e6)).toSet
+    // n=5 baskets; a:4 b:2 c:2; ab:2 ac:2 (support .4); bc:1 (.2 < .3, out)
+    assert(got == Set(
+      ("a", "b", 2L, 0.5), ("b", "a", 2L, 1.0),
+      ("a", "c", 2L, 0.5), ("c", "a", 2L, 1.0)))
+  }
+
+  test("basketRules equals a brute-force pair count on random baskets") {
+    val rnd = new Random(77L)
+    val rows = (0 until 1200).map { _ =>
+      (rnd.nextInt(120).toLong, s"i${rnd.nextInt(12)}") }.distinct
+    val minSup = 0.05
+    val nB = rows.map(_._1).distinct.size.toDouble
+    val byBasket = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pairCnt = byBasket.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val itemCnt = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = pairCnt.toSeq
+      .flatMap { case ((x, y), n) => Seq((x, y, n), (y, x, n)) }
+      .filter { case (_, _, n) => n / nB >= minSup }
+      .map { case (x, y, n) =>
+        (x, y, n.toLong, math.rint(n / itemCnt(x).toDouble * 1e6) / 1e6) }
+      .toSet
+    val got = Analytics.basketRules(rows.toDF("basket", "item"),
+        "basket", "item", minSupport = minSup)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(4) * 1e6) / 1e6)).toSet
+    assert(got == expect)
+  }
+
+  test("basketRules: a basket wider than maxBasketItems fails LOUDLY") {
+    val bi = (0 until 30).map(i => (1L, s"i$i")).toDF("basket", "item")
+    val ex = intercept[Exception] {
+      Analytics.basketRules(bi, "basket", "item",
+        minSupport = 0.001, maxBasketItems = 10).collect()
+    }
+    assert(ex.getMessage.contains("wider than") ||
+      Option(ex.getCause).exists(_.getMessage.contains("wider than")))
+  }
 }

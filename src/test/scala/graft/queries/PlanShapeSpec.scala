@@ -617,6 +617,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the p_size IN-list no longer pushes into the part scan: $pushed")
   }
 
+  test("q_basket_rules: pairs generate MAP-SIDE — no basket self-join, cross gates stay one-row") {
+    val p = plan("q_basket_rules")
+    assert(p.contains("Generate"), "the per-basket pair explode disappeared")
+    val joinKeys = p.linesIterator
+      .filter(l => l.contains("Left keys") || l.contains("Right keys")).mkString
+    assert(!joinKeys.contains("__basket"),
+      "a join keys on the basket id — the quadratic basket self-join returned")
+    val bnl = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin Cross")).toSeq
+    assert(bnl.size <= 2,
+      s"unexpected nested-loop joins (only the two one-row count gates are allowed):\n${bnl.mkString("\n")}")
+  }
+
   test("graph_hits: one linear job — normalization happens ONCE per side, not per step") {
     val p = plan("graph_hits")
     // a per-step normalize branches the score lineage every iteration
