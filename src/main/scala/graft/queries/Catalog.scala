@@ -778,6 +778,109 @@ object Catalog {
                 AND l_quantity BETWEEN 20 AND 30))"""),
       headline = true),
 
+    "q6_forecast_revenue" -> QueryDef(
+      // TPC-H Q6: the pure scan showcase — no join at all, revenue delta
+      // from a discount band over one shipping year. All three predicates
+      // (shipdate range, discount band, quantity cap) must land in the
+      // parquet scan's PushedFilters with a 3-column ReadSchema; at 100 TB
+      // this is the difference between a footer-pruned column scan and
+      // reading the table. Pinned in PlanShapeSpec.
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24"""),
+      headline = true),
+
+    "q10_returned_items" -> QueryDef(
+      // TPC-H Q10 shape: the 4-table returned-item report — customers
+      // ranked by revenue they returned in one quarter. The quarter
+      // filter prunes orders BEFORE the big-big lineitem join; the
+      // R-flag filter prunes lineitem before it; nation broadcasts.
+      // The top-20 cutoff orders by the ROUNDED revenue with c_custkey
+      // as tiebreak so the limit boundary is engine-stable. Revenue
+      // sums FIXED-POINT: prices/discounts carry 2dp, so each term is
+      // exact at 4 decimals — summing e4-scaled BIGINTs makes the
+      // total independent of summation order, and the half-up round to
+      // cents stays INTEGER ((s+50) div 100) because a float round at
+      // a .005 boundary diverges across engines (Spark rounds the
+      // shortest-decimal rendering via BigDecimal.valueOf, DuckDB the
+      // exact binary value — hit 307843.595 at sf0.01).
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+              .cast("long").as("rev_e4"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev_e4")).as("rev_e4s"))
+          .select(col("o_custkey"),
+            (expr("(rev_e4s + 50) div 100") / 100.0).as("revenue"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+          round(c_acctbal, 2) AS c_acctbal,
+          ((sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+            + 50) // 100) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+      headline = true),
+
+    "q12_priority_class" -> QueryDef(
+      // TPC-H Q12 shape on the available columns (no l_shipmode /
+      // commit / receipt dates in this schema): a BIG-BIG equi join
+      // (lineitem ⋈ orders on orderkey — neither side broadcastable at
+      // scale) feeding a TWO-CHANNEL conditional aggregation: per
+      // linestatus, how many 1996-shipped lines belong to high-priority
+      // vs low-priority orders, in one pass (CASE sums, no second scan).
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linestatus"))
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        l.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+          sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+          sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_outer_join" -> QueryDef(
       // left outer with null-aware aggregation: customers WITHOUT orders
       // surface with zero counts instead of vanishing (the join class the

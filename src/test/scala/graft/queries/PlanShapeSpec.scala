@@ -617,6 +617,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the p_size IN-list no longer pushes into the part scan: $pushed")
   }
 
+  test("q6_forecast_revenue: all three predicates push to the scan, 3-column ReadSchema") {
+    val p = plan("q6_forecast_revenue")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c predicate not pushed to the lineitem scan: $pushed")
+    val schema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(schema.contains("l_extendedprice") && !schema.contains("l_orderkey"),
+      s"scan reads more than the 3 needed columns: $schema")
+    assert(!p.contains("Join"), "q6 must be join-free")
+  }
+
+  test("q10_returned_items: nation broadcasts, revenue aggregates BEFORE the customer join") {
+    val p = plan("q10_returned_items")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "nation/customer dims not broadcast at this sf")
+    // the o_custkey revenue agg must sit under the customer join: a plan
+    // that joins customer first carries customer width through the big agg
+    val custScan = p.indexOf("customer.parquet")
+    assert(custScan >= 0, "expected a customer scan in the plan")
+    val before = p.substring(0, custScan)
+    assert(before.contains("partial_sum") && before.contains("Keys [1]: [o_custkey"),
+      "revenue aggregation no longer keys on o_custkey before the customer join")
+  }
+
+  test("q12_priority_class: one conditional agg pass over the join — no second scan") {
+    val p = plan("q12_priority_class")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "lineitem scanned more than once — the two CASE channels split into two passes")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"), s"year filter not pushed: $pushed")
+  }
+
   test("q_basket_rules: pairs generate MAP-SIDE — no basket self-join, cross gates stay one-row") {
     val p = plan("q_basket_rules")
     assert(p.contains("Generate"), "the per-basket pair explode disappeared")
