@@ -1193,6 +1193,69 @@ object Catalog {
         FROM tagged GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
       headline = true),
 
+    "q_rfm" -> QueryDef(
+      // RFM segmentation: per customer, days since last order (R),
+      // order count (F), lifetime spend (M), each scored into quartiles
+      // WITHIN the customer's market segment (standard practice, and it
+      // keeps the ntile window partitioned instead of global), then the
+      // 3-digit segment code. The order aggregation distributes on
+      // o_custkey; the scoring windows run over the already-aggregated
+      // customer frame. "Now" is the corpus max order date riding a
+      // one-row broadcast. Monetary sums FIXED-POINT cents (the q10
+      // float-boundary lesson); every ntile ordering carries c_custkey
+      // so tie assignment is engine-stable.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val now = o.agg(max(col("o_orderdate")).as("now_d"))
+        val agg = o.groupBy(col("o_custkey").as("c_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val base = agg
+          .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+            Seq("c_custkey"))
+          .crossJoin(broadcast(now))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            datediff(col("now_d"), col("last_order")).cast("long").as("recency_days"),
+            col("frequency"), col("cents"))
+        def w(ord: Column*) = Window.partitionBy(col("c_mktsegment")).orderBy(ord: _*)
+        base.select(col("c_custkey"), col("c_mktsegment"),
+            col("recency_days"), col("frequency"),
+            (col("cents") / 100.0).as("monetary"),
+            ntile(4).over(w(col("recency_days"), col("c_custkey")))
+              .cast("long").as("r_score"),
+            ntile(4).over(w(col("frequency").desc, col("c_custkey")))
+              .cast("long").as("f_score"),
+            ntile(4).over(w(col("cents").desc, col("c_custkey")))
+              .cast("long").as("m_score"))
+          .withColumn("segment", concat(col("r_score").cast("string"),
+            col("f_score").cast("string"), col("m_score").cast("string")))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH nowv AS (SELECT max(o_orderdate) AS now_d FROM orders),
+        agg AS (SELECT o_custkey AS c_custkey, max(o_orderdate) AS last_order,
+            count(*) AS frequency,
+            sum(round(o_totalprice * 100)::BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        base AS (SELECT a.c_custkey, c.c_mktsegment,
+            datediff('day', last_order, now_d) AS recency_days,
+            frequency, cents
+          FROM agg a JOIN customer c ON a.c_custkey = c.c_custkey, nowv),
+        scored AS (SELECT c_custkey, c_mktsegment,
+            recency_days::BIGINT AS recency_days,
+            frequency::BIGINT AS frequency,
+            cents / 100.0 AS monetary,
+            ntile(4) OVER (PARTITION BY c_mktsegment
+              ORDER BY recency_days, c_custkey)::BIGINT AS r_score,
+            ntile(4) OVER (PARTITION BY c_mktsegment
+              ORDER BY frequency DESC, c_custkey)::BIGINT AS f_score,
+            ntile(4) OVER (PARTITION BY c_mktsegment
+              ORDER BY cents DESC, c_custkey)::BIGINT AS m_score
+          FROM base)
+        SELECT *, r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+            AS segment
+        FROM scored ORDER BY c_custkey""")),
+
     "q_attribution" -> QueryDef(
       // Multi-touch attribution (operators.Analytics.attribution):
       // purchase value credited to the click/view touches in the 7 days
@@ -1584,6 +1647,47 @@ object Catalog {
         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.92
         ORDER BY id_a, id_b""")),
 
+    "q_linkage_clusters" -> QueryDef(
+      // entity resolution, end to end: the blocked Jaro-Winkler match
+      // pairs of q_linkage_pairs become edges of a similarity graph and
+      // GraphX connected components assigns each matched record its
+      // entity id (= min partkey reachable through any chain of >= 0.92
+      // matches — transitive closure, the step pairwise linkage alone
+      // can't express: A~B, B~C groups A with C even when jw(A,C) is
+      // below threshold). Unmatched records are their own entity and
+      // are omitted. Oracle: recursive-CTE reachability closure over
+      // the same pair SQL (the graph_cc pattern), MATERIALIZED so the
+      // quadratic-per-block similarity join runs once, not per
+      // recursion step.
+      (s, dir) => {
+        import graft.functions.expressions.TextExpressions.jaro_winkler
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val pairs = p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+          .filter(round(jaro_winkler(col("a.p_name"), col("b.p_name")), 6) >= 0.92)
+          .select(col("a.p_partkey").as("src"), col("b.p_partkey").as("dst"))
+        GraphOps.connectedComponents(pairs)
+          .select(col("vertex").as("p_partkey"), col("component").as("entity_id"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH RECURSIVE
+        pairs AS MATERIALIZED (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.92),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        verts AS (SELECT a AS v FROM und UNION SELECT b FROM und),
+        reach(a, b) AS (
+          SELECT v, v FROM verts
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        SELECT a AS p_partkey, min(b) AS entity_id FROM reach
+        GROUP BY a ORDER BY p_partkey""")),
+
     "q_corr_matrix" -> QueryDef(
       // pairwise Pearson correlation matrix of four measures in ONE
       // aggregation pass (six corr accumulators, map-side partials),
@@ -1623,6 +1727,56 @@ object Catalog {
           UNION ALL SELECT 'l_quantity', 'l_extendedprice', c_qe FROM m
           UNION ALL SELECT 'l_quantity', 'l_tax', c_qt FROM m
         ) ORDER BY var_a, var_b""")),
+
+    "q_acf" -> QueryDef(
+      // autocorrelation function of the hourly event-count series at
+      // lags 1..6 — the "is there a daily/weekly pulse" primitive that
+      // decides q_decompose's period. Two-stage shape: the hourly agg
+      // DISTRIBUTES (one keyed exchange); the lag window and the single
+      // 6-corr aggregation pass then run over a dimension-sized series
+      // (hours, not events) — the q_pareto post-aggregation
+      // single-partition pattern, legitimate because the series is
+      // bounded by the time range, not the data volume. Pairwise corr
+      // over lagged copies == standard sample-ACF up to edge terms;
+      // both engines compute the identical estimator.
+      (s, dir) => {
+        val series = events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val w = Window.orderBy(col("h"))
+        val lagged = series.select(col("x") +:
+          (1 to 6).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+        val agged = lagged.agg(
+          round(corr(col("x"), col("l1")), 6).as("a1"),
+          (2 to 6).map(k => round(corr(col("x"), col(s"l$k")), 6).as(s"a$k")): _*)
+        val rows = (1 to 6).map(k =>
+          struct(lit(k).cast("long").as("lag_h"), col(s"a$k").as("acf")))
+        agged.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.lag_h"), col("r.acf"))
+          .orderBy("lag_h")
+      },
+      Some("""WITH series AS (
+          SELECT date_trunc('hour', ts) AS h, count(*)::DOUBLE AS x
+          FROM events GROUP BY 1),
+        lagged AS (
+          SELECT x,
+            lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+            lag(x, 3) OVER w AS l3, lag(x, 4) OVER w AS l4,
+            lag(x, 5) OVER w AS l5, lag(x, 6) OVER w AS l6
+          FROM series WINDOW w AS (ORDER BY h)),
+        m AS (SELECT
+            round(corr(x, l1), 6) AS a1, round(corr(x, l2), 6) AS a2,
+            round(corr(x, l3), 6) AS a3, round(corr(x, l4), 6) AS a4,
+            round(corr(x, l5), 6) AS a5, round(corr(x, l6), 6) AS a6
+          FROM lagged)
+        SELECT * FROM (
+          SELECT 1::BIGINT AS lag_h, a1 AS acf FROM m
+          UNION ALL SELECT 2, a2 FROM m
+          UNION ALL SELECT 3, a3 FROM m
+          UNION ALL SELECT 4, a4 FROM m
+          UNION ALL SELECT 5, a5 FROM m
+          UNION ALL SELECT 6, a6 FROM m
+        ) ORDER BY lag_h""")),
 
     "q_cusum" -> QueryDef(
       // two-sided CUSUM control chart per user (Resample.cusum): the

@@ -650,6 +650,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pushed.contains("l_shipdate"), s"year filter not pushed: $pushed")
   }
 
+  test("q_rfm: scoring windows stay mktsegment-PARTITIONED, never a global ntile") {
+    val p = plan("q_rfm")
+    val ntiles = p.linesIterator.filter(_.contains("ntile(")).toSeq
+    assert(ntiles.nonEmpty, "the quartile windows disappeared")
+    assert(ntiles.forall(_.contains("c_mktsegment")),
+      s"an ntile window lost its partition spec (single-partition sort at scale):\n${ntiles.mkString("\n")}")
+    // formatted mode prints each node twice (tree + detail header); count nodes
+    val bnl = p.linesIterator.filter(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")).toSeq
+    assert(bnl.size <= 1, s"only the one-row now-date gate may cross-join:\n${bnl.mkString("\n")}")
+  }
+
   test("q_basket_rules: pairs generate MAP-SIDE — no basket self-join, cross gates stay one-row") {
     val p = plan("q_basket_rules")
     assert(p.contains("Generate"), "the per-basket pair explode disappeared")
