@@ -1604,6 +1604,64 @@ object Catalog {
             4) AS df
         FROM g ORDER BY event_type""")),
 
+    "q_chi_square" -> QueryDef(
+      // chi-square test of independence (event type x 6-hour band of
+      // day) + Cramer's V — the categorical companion to q_ab_test's
+      // Welch t. One distributed hash agg builds the contingency counts;
+      // everything after runs on the CELLS frame (|types| x 4 rows):
+      // the zero-observed grid completion (tiny x tiny cross join), the
+      // margin windows, and the statistic. Cell contributions round to
+      // 6dp and sum as DECIMALs so the total is independent of
+      // summation order (margins are integer-valued doubles, exact at
+      // any order already).
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_type").as("t"),
+          floor(hour(col("ts")) / 6).cast("long").as("band"))
+        val obs = ev.groupBy("t", "band").agg(count(lit(1)).as("oc"))
+        val grid = obs.select("t").distinct().crossJoin(obs.select("band").distinct())
+        val cells = grid.join(obs, Seq("t", "band"), "left")
+          .select(col("t"), col("band"),
+            coalesce(col("oc"), lit(0L)).cast("double").as("o"))
+        val m = cells.select(col("o"),
+          sum(col("o")).over(Window.partitionBy(col("t"))).as("rt"),
+          sum(col("o")).over(Window.partitionBy(col("band"))).as("ct"),
+          sum(col("o")).over(Window.partitionBy()).as("n"),
+          col("t"), col("band"))
+        val e = col("rt") * col("ct") / col("n")
+        val agg = m.agg(
+          sum(round(pow(col("o") - e, 2) / e, 6).cast("decimal(20,6)"))
+            .cast("double").as("chi2"),
+          countDistinct(col("t")).as("r"), countDistinct(col("band")).as("c"),
+          max(col("n")).as("nd"))
+        agg.select(round(col("chi2"), 6).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          col("nd").cast("long").as("n"),
+          round(sqrt(col("chi2") /
+            (col("nd") * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS t, hour(ts) // 6 AS band
+          FROM events),
+        obs AS (SELECT t, band, count(*) AS oc FROM ev GROUP BY 1, 2),
+        grid AS (SELECT t, band
+          FROM (SELECT DISTINCT t FROM obs), (SELECT DISTINCT band FROM obs)),
+        cells AS (SELECT g.t, g.band, coalesce(oc, 0)::DOUBLE AS o
+          FROM grid g LEFT JOIN obs ON g.t = obs.t AND g.band = obs.band),
+        m AS (SELECT o,
+            sum(o) OVER (PARTITION BY t) AS rt,
+            sum(o) OVER (PARTITION BY band) AS ct,
+            sum(o) OVER () AS n, t, band
+          FROM cells),
+        agg AS (SELECT
+            sum(round(pow(o - rt * ct / n, 2) / (rt * ct / n), 6)
+              ::DECIMAL(20,6))::DOUBLE AS chi2,
+            count(DISTINCT t) AS r, count(DISTINCT band) AS c,
+            max(n) AS nd
+          FROM m)
+        SELECT round(chi2, 6) AS chi2, ((r - 1) * (c - 1))::BIGINT AS dof,
+          nd::BIGINT AS n,
+          round(sqrt(chi2 / (nd * least(r - 1, c - 1))), 6) AS cramers_v
+        FROM agg""")),
+
     "q_json_keys" -> QueryDef(
       // semi-structured profiling: the key inventory of a JSON column
       // (which props keys exist, how often) — explode over
@@ -4406,6 +4464,90 @@ object Catalog {
           FROM tot)
         SELECT doc_id, label AS predicted, round(tot::DOUBLE, 6) AS score
         FROM ranked WHERE r = 1 ORDER BY doc_id"""),
+      headline = true),
+
+    "q_classifier_eval" -> QueryDef(
+      // the eval half of the curation-classifier loop: confusion-matrix
+      // marginals + per-class precision/recall/F1 for text_nb_classify's
+      // self-scored predictions against the true source labels. The
+      // prediction join distributes on doc_id; every metric then runs on
+      // the classes frame. Zero-denominator classes score 0 (not NULL)
+      // on both engines; ratios are integer/integer so 6dp rounding is
+      // engine-stable. ("prec"/"rec" because PRECISION is a SQL keyword.)
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val j = Classify.classifySelf(docs, "source")
+          .select(col("doc_id"), col("predicted"))
+          .join(docs.select(col("doc_id"), col("source").as("label")), Seq("doc_id"))
+        val labTot = j.groupBy(col("label").as("cls"))
+          .agg(count(lit(1)).as("support"))
+        val predTot = j.groupBy(col("predicted").as("cls"))
+          .agg(count(lit(1)).as("n_pred"))
+        val tp = j.filter(col("label") === col("predicted"))
+          .groupBy(col("label").as("cls")).agg(count(lit(1)).as("tp"))
+        val base = docs.select(col("source").as("cls")).distinct()
+          .join(labTot, Seq("cls"), "left")
+          .join(predTot, Seq("cls"), "left")
+          .join(tp, Seq("cls"), "left")
+          .select(col("cls"),
+            coalesce(col("support"), lit(0L)).as("support"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+        val p = when(col("n_pred") > 0, col("tp") / col("n_pred")).otherwise(lit(0.0))
+        val r = when(col("support") > 0, col("tp") / col("support")).otherwise(lit(0.0))
+        base.select(col("cls").as("label"), col("support"), col("n_pred"), col("tp"),
+            round(p, 6).as("prec"), round(r, 6).as("rec"),
+            round(when(p + r > 0, lit(2) * p * r / (p + r)).otherwise(lit(0.0)), 6)
+              .as("f1"))
+          .orderBy("label")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        lab AS (SELECT doc_id, source AS label FROM documents),
+        cnt AS (SELECT label, tok, count(*) AS c
+          FROM toks JOIN lab USING (doc_id) GROUP BY label, tok),
+        ltot AS (SELECT label, sum(c)::BIGINT AS n_lab FROM cnt GROUP BY label),
+        vsz AS (SELECT count(DISTINCT tok) AS vs FROM toks),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        pri AS (SELECT label, round(ln(count(*)::DOUBLE / n_docs), 6)::DECIMAL(18,6) AS prior
+          FROM lab, nd GROUP BY label, n_docs),
+        grid AS (SELECT tok, label FROM (SELECT DISTINCT tok FROM toks), ltot),
+        w AS (SELECT grid.tok, grid.label,
+            round(ln((coalesce(c, 0) + 1.0) / (n_lab + vs)), 6)::DECIMAL(18,6) AS w
+          FROM grid LEFT JOIN cnt ON grid.tok = cnt.tok AND grid.label = cnt.label
+          JOIN ltot ON grid.label = ltot.label, vsz),
+        sums AS (SELECT doc_id, w.label, sum(w.w) AS sll
+          FROM toks JOIN w ON toks.tok = w.tok GROUP BY doc_id, w.label),
+        tot AS (SELECT d.doc_id, pri.label,
+            (pri.prior + coalesce(sll, 0::DECIMAL(18,6))) AS tot
+          FROM documents d CROSS JOIN pri
+          LEFT JOIN sums ON d.doc_id = sums.doc_id AND pri.label = sums.label),
+        ranked AS (SELECT doc_id, label, tot,
+            row_number() OVER (PARTITION BY doc_id ORDER BY tot DESC, label) AS r
+          FROM tot),
+        j AS (SELECT d.source AS label, p.label AS predicted
+          FROM documents d JOIN ranked p ON d.doc_id = p.doc_id AND p.r = 1),
+        labtot AS (SELECT label AS cls, count(*) AS support FROM j GROUP BY 1),
+        predtot AS (SELECT predicted AS cls, count(*) AS n_pred FROM j GROUP BY 1),
+        tpc AS (SELECT label AS cls, count(*) AS tp FROM j
+          WHERE label = predicted GROUP BY 1),
+        base AS (SELECT c.cls,
+            coalesce(support, 0)::BIGINT AS support,
+            coalesce(n_pred, 0)::BIGINT AS n_pred,
+            coalesce(tp, 0)::BIGINT AS tp
+          FROM (SELECT DISTINCT source AS cls FROM documents) c
+          LEFT JOIN labtot USING (cls) LEFT JOIN predtot USING (cls)
+          LEFT JOIN tpc USING (cls))
+        SELECT cls AS label, support, n_pred, tp,
+          round(CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END, 6) AS prec,
+          round(CASE WHEN support > 0 THEN tp / support ELSE 0.0 END, 6) AS rec,
+          round(CASE WHEN (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END)
+                   + (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END) > 0
+            THEN 2 * (CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END)
+                   * (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END)
+                 / ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END)
+                   + (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END))
+            ELSE 0.0 END, 6) AS f1
+        FROM base ORDER BY label"""),
       headline = true),
 
     "text_drift" -> QueryDef(
