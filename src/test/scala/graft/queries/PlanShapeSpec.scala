@@ -650,6 +650,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pushed.contains("l_shipdate"), s"year filter not pushed: $pushed")
   }
 
+  test("runtime bloom filter: a selective dim filter seeds might_contain on the fact side") {
+    // The 100 TB shuffle-saver this suite can't see at sf sizes: when a
+    // big-big join's build side carries a selective filter, Catalyst
+    // injects a bloom_filter_agg on it and a might_contain runtime
+    // filter on the probe-side scan, cutting the fact shuffle BEFORE the
+    // join. Defaults gate on a 10 GB application-side scan, so the test
+    // lowers the thresholds to prove the capability path stays alive on
+    // this build (a Spark upgrade or an extensions change could silently
+    // lose it).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      val p = spark.read.parquet(s"$sf/part.parquet")
+        .filter(org.apache.spark.sql.functions.col("p_size") <= 2)
+      val j = l.join(p, org.apache.spark.sql.functions.col("l_partkey") ===
+        org.apache.spark.sql.functions.col("p_partkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"runtime bloom-filter injection regressed — no might_contain in:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q_rfm: scoring windows stay mktsegment-PARTITIONED, never a global ntile") {
     val p = plan("q_rfm")
     val ntiles = p.linesIterator.filter(_.contains("ntile(")).toSeq
