@@ -1662,6 +1662,142 @@ object Catalog {
           round(sqrt(chi2 / (nd * least(r - 1, c - 1))), 6) AS cramers_v
         FROM agg""")),
 
+    "q_benford" -> QueryDef(
+      // Benford first-digit screen over order totals — the forensic
+      // data-quality check for fabricated/defaulted numeric columns.
+      // The first digit comes from the STRING of exact integer cents
+      // (never floor(log10(x)): a price at a power-of-ten boundary can
+      // flip digits across libm implementations); expected shares are
+      // log10(1+1/d), whose 6dp roundings sit nowhere near a rounding
+      // boundary. One hash agg to digits, everything after on 9 rows.
+      (s, dir) => {
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        val digits = t(s, dir, "orders")
+          .select(cents.as("cents")).filter(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+          .select(col("digit"), col("n"),
+            round(col("n") / col("total"), 6).as("obs_frac"),
+            round(log10(lit(1) + lit(1.0) / col("digit")), 6).as("benford_frac"),
+            round(abs(col("n") / col("total") -
+              log10(lit(1) + lit(1.0) / col("digit"))), 6).as("abs_dev"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+          SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)
+              ::BIGINT AS digit, count(*) AS n
+          FROM orders WHERE round(o_totalprice * 100)::BIGINT > 0
+          GROUP BY 1),
+        tot AS (SELECT sum(n) AS total FROM d)
+        SELECT digit, n::BIGINT AS n,
+          round(n / total, 6) AS obs_frac,
+          round(log10(1 + 1.0 / digit), 6) AS benford_frac,
+          round(abs(n / total - log10(1 + 1.0 / digit)), 6) AS abs_dev
+        FROM d, tot ORDER BY digit""")),
+
+    "q_gini" -> QueryDef(
+      // Gini coefficient of customer lifetime spend (revenue-inequality
+      // readout): on the PER-CUSTOMER aggregate (one distributed keyed
+      // agg over orders), rank-weighted sum formula
+      // G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending spend.
+      // The ranking window is global but runs on the post-agg customer
+      // frame (the q_pareto pattern); tie order can't move the statistic
+      // (equal x swap freely in sum(i*x_i)); spend is exact integer
+      // cents so both sums are order-independent.
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val ranked = spend.select(col("cents"),
+          row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
+            .cast("long").as("rn"))
+        ranked.agg(count(lit(1)).as("n"),
+            sum(col("rn") * col("cents")).as("s1"), sum(col("cents")).as("s0"))
+          .select(col("n"),
+            round(lit(2.0) * col("s1") / (col("n") * col("s0")) -
+              (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        ranked AS (SELECT cents,
+            row_number() OVER (ORDER BY cents, o_custkey) AS rn
+          FROM spend),
+        agg AS (SELECT count(*) AS n, sum(rn * cents) AS s1, sum(cents) AS s0
+          FROM ranked)
+        SELECT n::BIGINT AS n,
+          round(2.0 * s1 / (n * s0) - (n + 1.0) / n, 6) AS gini
+        FROM agg""")),
+
+    "q_new_vs_returning" -> QueryDef(
+      // the weekly new-vs-returning split every growth dashboard opens
+      // with: per week, how many active users are in their FIRST week
+      // vs coming back. (user, week) dedup agg distributes; the
+      // first-week marker is a per-user window over weeks (not raw
+      // events); final roll-up is weeks-sized.
+      (s, dir) => {
+        val perWeek = events(s, dir)
+          .select(col("user_id"), (col("ts_ms") / 604800000L).cast("long").as("week"))
+          .distinct()
+        val tagged = perWeek.withColumn("first_week",
+          min(col("week")).over(Window.partitionBy(col("user_id"))))
+        tagged.groupBy(col("week"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("week") === col("first_week"), 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("week") === col("first_week"), 0L).otherwise(1L)).as("n_returning"))
+          .orderBy("week")
+      },
+      Some("""WITH per_week AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+          FROM events),
+        tagged AS (SELECT week,
+            min(week) OVER (PARTITION BY user_id) AS first_week
+          FROM per_week)
+        SELECT week, count(*)::BIGINT AS n_users,
+          sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)::BIGINT AS n_new,
+          sum(CASE WHEN week = first_week THEN 0 ELSE 1 END)::BIGINT AS n_returning
+        FROM tagged GROUP BY 1 ORDER BY 1""")),
+
+    "q_interpurchase" -> QueryDef(
+      // inter-purchase interval distribution per market segment: the
+      // per-customer order-gap lag window distributes on o_custkey;
+      // gaps are exact integer days, so mean is an exact-integer ratio
+      // and the percentiles ride the proven quantile_cont parity.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val gaps = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .withColumn("gap_days",
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+              .cast("long"))
+          .filter(col("gap_days").isNotNull)
+        gaps.join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_gaps"),
+            round(sum(col("gap_days")) / count(lit(1)), 6).as("mean_gap"),
+            round(expr("percentile(gap_days, 0.5)"), 6).as("p50_gap"),
+            round(expr("percentile(gap_days, 0.9)"), 6).as("p90_gap"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH gaps AS (
+          SELECT o_custkey,
+            datediff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS gap_days
+          FROM orders),
+        g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+        SELECT c_mktsegment, count(*)::BIGINT AS n_gaps,
+          round(sum(gap_days) / count(*), 6) AS mean_gap,
+          round(quantile_cont(gap_days, 0.5), 6) AS p50_gap,
+          round(quantile_cont(gap_days, 0.9), 6) AS p90_gap
+        FROM g JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
     "q_json_keys" -> QueryDef(
       // semi-structured profiling: the key inventory of a JSON column
       // (which props keys exist, how often) — explode over
