@@ -148,6 +148,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_attribution"),
       new ExpressionInfo(classOf[graft.operators.Analytics.type].getName, "graft_attribution"),
       (args: Seq[Expression]) => GraftExtensions.graftAttributionPlan(args)))
+    //   SELECT * FROM graft_skyline('parts', 'p_retailprice', 'p_size')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_skyline"),
+      new ExpressionInfo(classOf[graft.operators.Analytics.type].getName, "graft_skyline"),
+      (args: Seq[Expression]) => GraftExtensions.graftSkylinePlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -357,6 +362,23 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_skyline(table, minCol, maxCol)`: the 2-attribute Pareto
+    * frontier straight from SQL — routes to
+    * [[graft.operators.Analytics.skyline2]] (distinct-cell sort-scan;
+    * the frontier window runs on the cells frame, never the table).
+    */
+  private[graft] def graftSkylinePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      s"graft_skyline(table, minCol, maxCol) expects 3 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_skyline table"))
+    graft.operators.Analytics.skyline2(df,
+        stringLit(args(1), "graft_skyline minCol"),
+        stringLit(args(2), "graft_skyline maxCol"))
+      .queryExecution.analyzed
+  }
+
   private[graft] def graftAggViewPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.length == 1,
@@ -445,6 +467,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_ann", graftAnnPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_asof", graftAsofPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_attribution", graftAttributionPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_skyline", graftSkylinePlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

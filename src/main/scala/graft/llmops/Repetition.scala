@@ -30,16 +30,15 @@ import org.apache.spark.sql.functions._
   *                           exceed 1 for pathologically loopy text,
   *                           which is exactly the signal.
   *
-  * Scale shape: the word/gram counting is an EXPLODE + two aggregations
-  * that both ride ONE exchange on the document id — `repartition(doc)`
-  * then `groupBy(doc, n, gram)` (superset of the partition key — no
-  * second exchange) then `groupBy(doc)`. Per-doc scalars (token counts,
-  * char counts) ride the shuffle on every gram row (a few ints — noise
-  * against the gram strings) and collapse via `first`. No per-doc
-  * quadratic lambda scans, no corpus-wide state, no skew beyond a single
-  * document's own length: embarrassingly parallel in the corpus.
-  * A doc-id-salted variant is unnecessary — one document's grams are
-  * bounded by its length, and documents are the unit of work.
+  * Scale shape: ZERO exchanges. Every signal is intra-document, so the
+  * gram counting never leaves the row: sort the gram array, turn it
+  * into (count, length) runs with higher-order array functions, and
+  * fold the runs — a per-row O(L log L) pass instead of shuffling every
+  * gram STRING (plus per-gram metadata) through a doc-id exchange and
+  * aggregating twice (the explode formulation this replaced benched
+  * 10.9 s at sf0.1; the run-length form is pure map work). No corpus-
+  * wide state, no skew beyond a single document's own length:
+  * embarrassingly parallel in the corpus.
   *
   * Documents with fewer than 3 tokens are dropped (no trigram exists;
   * the signals are meaningless below that).
@@ -70,31 +69,50 @@ object Repetition {
       slice(g2, lit(1), col("__ntok") - lit(2)),
       slice(col("__toks"), lit(3), col("__ntok") - lit(2)),
       (a, b) => concat(a, lit(" "), b))
-    def tag(n: Int, grams: Column): Column =
-      transform(grams, g => struct(lit(n).as("n"), g.as("g")))
-    val exploded = base
-      .select(col(docIdCol), col("__nchars"), col("__ntok"), col("__ndistinct"),
-        explode(concat(tag(1, col("__toks")), tag(2, g2), tag(3, g3))).as("__gr"))
-      .select(col(docIdCol), col("__nchars"), col("__ntok"), col("__ndistinct"),
-        col("__gr.n").as("__n"), col("__gr.g").as("__g"))
-    exploded
-      .repartition(col(docIdCol))
-      .groupBy(col(docIdCol), col("__n"), col("__g"))
-      .agg(count(lit(1)).as("__cnt"),
-        first(col("__nchars")).as("__nchars"),
-        first(col("__ntok")).as("__ntok"),
-        first(col("__ndistinct")).as("__ndistinct"))
-      .groupBy(col(docIdCol))
-      .agg(
-        first(col("__nchars")).as("__nchars"),
-        first(col("__ntok")).as("__ntok"),
-        first(col("__ndistinct")).as("__ndistinct"),
-        max(when(col("__n") === 1, col("__cnt") * length(col("__g"))))
-          .as("__w1"),
-        max(when(col("__n") === 2, col("__cnt") * length(col("__g"))))
-          .as("__w2"),
-        coalesce(sum(when(col("__n") === 3 && col("__cnt") > 1,
-          col("__cnt") * length(col("__g")))), lit(0L)).as("__d3"))
+    // Run-length decomposition of a SORTED gram array: one struct
+    // (cnt, len) per distinct gram — 1-based run starts are the indices
+    // where the sorted array changes value; each run's count is the gap
+    // to the next start. Equivalent to groupBy(doc, gram).count without
+    // the gram strings ever leaving the row.
+    //
+    // CRITICAL: every array a lambda touches is MATERIALIZED as a
+    // projected column first. Interpreted higher-order functions do no
+    // common-subexpression elimination, so `element_at(array_sort(x), i)`
+    // inside a per-element lambda re-sorts the whole array on EVERY
+    // call — O(L² log L) per document (benched 367 s vs 1.6 s at sf0.1
+    // before this materialization). Column references are O(1) inside
+    // the lambdas.
+    def starts(ws: Column): Column =
+      filter(sequence(lit(1), size(ws)),
+        i => (i === lit(1)) || element_at(ws, i) =!= element_at(ws, i - lit(1)))
+    def runs(ws: Column, st: Column): Column = {
+      val nexts = concat(slice(st, lit(2), size(st) - lit(1)),
+        array(size(ws) + lit(1)))
+      zip_with(st, nexts, (a, b) =>
+        struct((b - a).as("cnt"), length(element_at(ws, a)).as("len")))
+    }
+    val sorted = base
+      .withColumn("__ws1", array_sort(col("__toks")))
+      .withColumn("__ws2", array_sort(g2))
+      .withColumn("__ws3", array_sort(g3))
+      .withColumn("__st1", starts(col("__ws1")))
+      .withColumn("__st2", starts(col("__ws2")))
+      .withColumn("__st3", starts(col("__ws3")))
+    // max over distinct grams of count * gramLength; chars inside grams
+    // occurring MORE than once as sum of count * length
+    def maxCov(ws: String, st: String): Column =
+      array_max(transform(runs(col(ws), col(st)), r => r("cnt") * r("len")))
+    def dupChars(ws: String, st: String): Column =
+      aggregate(
+        transform(runs(col(ws), col(st)), r =>
+          when(r("cnt") > 1, (r("cnt") * r("len")).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    sorted
+      .select(col(docIdCol),
+        col("__nchars"), col("__ntok"), col("__ndistinct"),
+        maxCov("__ws1", "__st1").as("__w1"),
+        maxCov("__ws2", "__st2").as("__w2"),
+        dupChars("__ws3", "__st3").as("__d3"))
       .select(
         col(docIdCol),
         col("__ntok").cast("long").as("n_tokens"),

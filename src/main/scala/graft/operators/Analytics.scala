@@ -269,4 +269,35 @@ object Analytics {
           / col("__r.__n_cons")).as("lift"))
       .filter(col("support") >= minSupport && col("confidence") >= minConfidence)
   }
+
+  /** 2-attribute skyline (Pareto frontier): the distinct (`minCol`,
+    * `maxCol`) cells no other row dominates — dominance = `<=` on the
+    * minimized attribute and `>=` on the maximized one, strict on at
+    * least one. The multi-objective "best tradeoff" operator relational
+    * engines lack natively (every cheaper row is smaller, every larger
+    * row is pricier).
+    *
+    * Sort-scan algorithm over DISTINCT cells: ordered by (minCol asc,
+    * maxCol desc), every EARLIER cell is a dominance candidate (strictly
+    * cheaper, or same price and strictly larger — cells are distinct, so
+    * the ambiguity between `>=` and `>` never arises), and a cell is on
+    * the frontier iff its maxCol beats the running max. Scale shape: one
+    * distributed hash agg to cells; the frontier window is global but
+    * runs on the cells frame, bounded by the attribute-domain product,
+    * not the table (the q_pareto post-aggregation pattern). NULL in
+    * either attribute can't rank — those rows are excluded.
+    *
+    * Output: (minCol, maxCol, n_rows) frontier cells, original names.
+    */
+  def skyline2(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val cells = df.select(col(minCol).as("__lo"), col(maxCol).as("__hi"))
+      .filter(col("__lo").isNotNull && col("__hi").isNotNull)
+      .groupBy(col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("__lo"), col("__hi").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells.withColumn("__runmax", max(col("__hi")).over(w))
+      .filter(col("__runmax").isNull || col("__hi") > col("__runmax"))
+      .select(col("__lo").as(minCol), col("__hi").as(maxCol), col("n_rows"))
+  }
 }

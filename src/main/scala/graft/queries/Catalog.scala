@@ -1798,6 +1798,136 @@ object Catalog {
         FROM g JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_time_to_convert" -> QueryDef(
+      // conversion latency: first click -> first purchase per user,
+      // distribution in minutes. One (user, type) hash agg finds both
+      // frontiers; the self-join-free pivot pairs them per user; stats
+      // aggregate exact integer MILLISECONDS (sum/percentile on BIGINT,
+      // divide to minutes once at the end) so no float summation order
+      // can move the 6dp rounds.
+      (s, dir) => {
+        val f = events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("ts_ms")).as("t"))
+        val paired = f.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "click", col("t"))).as("tc"),
+            min(when(col("event_type") === "purchase", col("t"))).as("tp"))
+          .filter(col("tc").isNotNull && col("tp").isNotNull && col("tp") >= col("tc"))
+          .select((col("tp") - col("tc")).as("gap_ms"))
+        paired.agg(count(lit(1)).as("n_converted"),
+            round(sum(col("gap_ms")) / count(lit(1)) / 60000.0, 6).as("mean_min"),
+            round(expr("percentile(gap_ms, 0.5)") / 60000.0, 6).as("p50_min"),
+            round(expr("percentile(gap_ms, 0.9)") / 60000.0, 6).as("p90_min"))
+      },
+      Some("""WITH f AS (SELECT user_id, event_type, min(epoch_ms(ts)) AS t
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2),
+        paired AS (SELECT user_id,
+            min(CASE WHEN event_type = 'click' THEN t END) AS tc,
+            min(CASE WHEN event_type = 'purchase' THEN t END) AS tp
+          FROM f GROUP BY 1),
+        g AS (SELECT tp - tc AS gap_ms FROM paired
+          WHERE tc IS NOT NULL AND tp IS NOT NULL AND tp >= tc)
+        SELECT count(*)::BIGINT AS n_converted,
+          round(sum(gap_ms) / count(*) / 60000.0, 6) AS mean_min,
+          round(quantile_cont(gap_ms, 0.5) / 60000.0, 6) AS p50_min,
+          round(quantile_cont(gap_ms, 0.9) / 60000.0, 6) AS p90_min
+        FROM g""")),
+
+    "q_skyline_parts" -> QueryDef(
+      // 2-attribute skyline (Pareto frontier): parts where no other part
+      // is both cheaper and larger — the multi-objective "best tradeoff"
+      // operator relational engines lack natively. Sort-scan algorithm
+      // on the DISTINCT (price, size) cells: ordered by (price asc,
+      // size desc), a cell is on the frontier iff its size beats the
+      // running max of every EARLIER cell (earlier == cheaper, or same
+      // price and strictly larger — exactly the dominance candidates;
+      // distinct cells make >= vs > unambiguous). The grouping agg
+      // distributes; the frontier window runs on the cells frame
+      // (bounded by the price x size domain, not the table).
+      (s, dir) => graft.operators.Analytics
+        .skyline2(t(s, dir, "part"), "p_retailprice", "p_size")
+        .select(round(col("p_retailprice"), 2).as("price"),
+          col("p_size").cast("long").as("p_size"),
+          col("n_rows").as("n_parts"))
+        .orderBy("price"),
+      Some("""WITH cells AS (SELECT p_retailprice AS price, p_size AS sz,
+            count(*) AS n_parts
+          FROM part GROUP BY 1, 2),
+        marked AS (SELECT price, sz, n_parts,
+            max(sz) OVER (ORDER BY price, sz DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+          FROM cells)
+        SELECT round(price, 2) AS price, sz::BIGINT AS p_size,
+          n_parts::BIGINT AS n_parts
+        FROM marked WHERE runmax IS NULL OR sz > runmax
+        ORDER BY price""")),
+
+    "q_skyline_sql" -> QueryDef(
+      // the skyline reached from PURE SQL: the graft_skyline TVF
+      // (GraftExtensions) routes to Analytics.skyline2, so a SQL user
+      // gets q_skyline_parts' exact semantics without the Column API —
+      // same independent DuckDB window-scan oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "part").createOrReplaceTempView("graft_sky_parts")
+        s.sql("""SELECT round(p_retailprice, 2) AS price,
+            CAST(p_size AS BIGINT) AS p_size, n_rows AS n_parts
+          FROM graft_skyline('graft_sky_parts', 'p_retailprice', 'p_size')
+          ORDER BY price""")
+      },
+      Some("""WITH cells AS (SELECT p_retailprice AS price, p_size AS sz,
+            count(*) AS n_parts
+          FROM part GROUP BY 1, 2),
+        marked AS (SELECT price, sz, n_parts,
+            max(sz) OVER (ORDER BY price, sz DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+          FROM cells)
+        SELECT round(price, 2) AS price, sz::BIGINT AS p_size,
+          n_parts::BIGINT AS n_parts
+        FROM marked WHERE runmax IS NULL OR sz > runmax
+        ORDER BY price""")),
+
+    "q_hhi" -> QueryDef(
+      // Herfindahl–Hirschman market-concentration index per region:
+      // squared revenue shares of each region's suppliers, summed — the
+      // antitrust-style complement to q_gini (share concentration, not
+      // rank inequality). Revenue aggregates fixed-point on
+      // (region, supplier) — one distributed keyed agg through two
+      // broadcast dims; shares and the HHI run on the suppliers frame;
+      // squared-share contributions round to 9dp and sum as DECIMALs so
+      // the statistic is summation-order independent.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("s_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+            .cast("long")).as("rev_e4"))
+        val tot = rev.groupBy(col("r_name")).agg(sum(col("rev_e4")).as("tot"))
+        rev.join(tot, Seq("r_name"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum(round(pow(col("rev_e4") / col("tot"), 2), 9)
+              .cast("decimal(20,9)")).cast("double"), 6).as("hhi"))
+          .orderBy("r_name")
+      },
+      Some("""WITH rev AS (SELECT r_name, s_suppkey,
+            sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+              AS rev_e4
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        tot AS (SELECT r_name, sum(rev_e4) AS tot FROM rev GROUP BY 1)
+        SELECT r.r_name, count(*)::BIGINT AS n_suppliers,
+          round(sum(round(pow(rev_e4 / tot, 2), 9)::DECIMAL(20,9))::DOUBLE, 6)
+            AS hhi
+        FROM rev r JOIN tot USING (r_name) GROUP BY 1 ORDER BY 1""")),
+
     "q_json_keys" -> QueryDef(
       // semi-structured profiling: the key inventory of a JSON column
       // (which props keys exist, how often) — explode over
@@ -4333,8 +4463,9 @@ object Catalog {
       // text_repetition's gram-count fractions:
       // the Gopher-style quality filters — repeated-word fraction, most-
       // covering word/bigram coverage, duplicated-trigram char fraction.
-      // Explode + two aggs riding ONE doc-id exchange (PlanShapeSpec
-      // pins it); per-doc work bounded by the doc's own length.
+      // ZERO exchanges (PlanShapeSpec pins it): sorted-gram run-length
+      // algebra per row, never a gram-string shuffle; per-doc work
+      // bounded by the doc's own length.
       (s, dir) => graft.llmops.Repetition.signals(t(s, dir, "documents"))
         .orderBy("doc_id"),
       Some(s"""WITH t0 AS (SELECT doc_id, $normSql AS norm FROM documents),
@@ -4683,8 +4814,7 @@ object Catalog {
                  / ((CASE WHEN n_pred > 0 THEN tp / n_pred ELSE 0.0 END)
                    + (CASE WHEN support > 0 THEN tp / support ELSE 0.0 END))
             ELSE 0.0 END, 6) AS f1
-        FROM base ORDER BY label"""),
-      headline = true),
+        FROM base ORDER BY label""")),
 
     "text_drift" -> QueryDef(
       // Corpus drift monitoring (Curation.corpusDrift): top-20 unigram

@@ -300,6 +300,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("skyline2 equals brute-force dominance on random points, any partitioning") {
+    val rnd = new Random(42L)
+    val pts = (0 until 400).map(_ => (rnd.nextInt(50) * 1.0, rnd.nextInt(40)))
+    val cells = pts.groupBy(identity).view.mapValues(_.size).toMap
+    val frontier = cells.keySet.filter { case (lo, hi) =>
+      !cells.keySet.exists { case (lo2, hi2) =>
+        lo2 <= lo && hi2 >= hi && (lo2 < lo || hi2 > hi) } }
+    val expect = frontier.map { case (lo, hi) => (lo, hi, cells((lo, hi)).toLong) }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.skyline2(df, "price", "size")
+        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSet
+    val df = pts.toDF("price", "size")
+    assert(run(df.coalesce(1)) == expect)
+    assert(run(df.repartition(13)) == expect)
+  }
+
   test("basketRules: a basket wider than maxBasketItems fails LOUDLY") {
     val bi = (0 until 30).map(i => (1L, s"i$i")).toDF("basket", "item")
     val ex = intercept[Exception] {

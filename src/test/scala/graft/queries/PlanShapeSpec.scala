@@ -509,12 +509,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "the global-mean scalar subquery no longer pushes into the customer scan")
   }
 
-  test("text_repetition_chars: explode + both aggs ride ONE doc-id exchange") {
+  test("text_repetition_chars: pure per-row algebra — ZERO hash exchanges, no explode") {
     val p = plan("text_repetition_chars")
-    assert(p.contains("Generate"), "the gram explode disappeared")
+    assert(!p.contains("Generate"),
+      "a gram explode reappeared — signals should never leave the row")
     val hashEx = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
-    assert(hashEx.size == 1 && hashEx.head.contains("doc_id"),
-      s"expected exactly one doc_id hash exchange, got:\n${hashEx.mkString("\n")}")
+    assert(hashEx.isEmpty,
+      s"expected zero hash exchanges (intra-document algebra), got:\n${hashEx.mkString("\n")}")
   }
 
   test("q_attribution: rollup, frontier windows, and model explode share one conv-id exchange") {
