@@ -6318,6 +6318,44 @@ object Catalog {
         SELECT vertex, min(dist)::BIGINT AS dist
         FROM walk GROUP BY vertex ORDER BY vertex""")),
 
+    "graph_closeness" -> QueryDef(
+      // hop-bounded closeness centrality for a seed set: per seed,
+      // reachable-node count over summed min hop distances (the
+      // truncated form — at 100 TB closeness is computed for a seed
+      // SAMPLE, one bounded BFS per seed, exactly this shape). Composes
+      // GraphOps.hopDistances per seed; integer count/sum ratio, so the
+      // 6dp round is engine-stable. Oracle: ONE recursive CTE carrying
+      // the seed through the frontier walk.
+      (s, dir) => {
+        val e = eventEdges(s, dir)
+        Seq(1L, 2L).map { sd =>
+          GraphOps.hopDistances(e, Seq(sd), maxHops = 6)
+            .select(lit(sd).as("seed"), col("vertex"), col("dist"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("seed"))
+          .agg(count(when(col("dist") > 0, 1)).as("n_reached"),
+            sum(col("dist")).as("sum_dist"),
+            round(count(when(col("dist") > 0, 1)) / sum(col("dist")), 6)
+              .as("closeness"))
+          .orderBy("seed")
+      },
+      Some(s"""WITH RECURSIVE e AS $edgesSql,
+        seeds(s) AS (SELECT * FROM (VALUES (1), (2)) t(s)),
+        walk(seed, vertex, dist) AS (
+          SELECT s, s::BIGINT, 0 FROM seeds
+          UNION
+          SELECT walk.seed, e.dst, walk.dist + 1
+          FROM walk JOIN e ON e.src = walk.vertex
+          WHERE walk.dist < 6 AND e.dst IS NOT NULL),
+        d AS (SELECT seed, vertex, min(dist) AS dist FROM walk
+          GROUP BY 1, 2)
+        SELECT seed::BIGINT AS seed,
+          count(CASE WHEN dist > 0 THEN 1 END)::BIGINT AS n_reached,
+          sum(dist)::BIGINT AS sum_dist,
+          round(count(CASE WHEN dist > 0 THEN 1 END) / sum(dist), 6)
+            AS closeness
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
     "graph_sssp" -> QueryDef(
       // Hop-bounded WEIGHTED shortest paths (GraphOps.boundedShortestPaths
       // — bounded Bellman-Ford via Pregel, the weighted generalization of
