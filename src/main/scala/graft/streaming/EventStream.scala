@@ -192,6 +192,19 @@ final case class DedupState(
   */
 final case class DedupRow(key: Long, ts_ms: Long, tie: Long, value: Double)
 
+/** Per-key state for [[EventStream.newVsReturningStream]]: the smallest
+  * period bucket ever seen, the buckets awaiting their seal (watermark
+  * has not passed their start), and the buckets already emitted.
+  */
+final case class NewVsState(
+    minBucket: Long, pending: Seq[Long], sealedBuckets: Seq[Long])
+
+/** One row per distinct (key, bucket) from
+  * [[EventStream.newVsReturningStream]] (Append mode): `is_new` iff the
+  * bucket is the key's earliest ever.
+  */
+final case class NewVsRow(key: Long, bucket: Long, is_new: Boolean)
+
 /** [[EventStream.heavyHittersStream]] state and emission: the running
   * Misra–Gries summary per key — at most k (item, count) counters plus
   * the stream length `n`; `err = (n - sum(counts)) / (k+1)` bounds
@@ -1310,6 +1323,60 @@ object EventStream {
             case None => Iterator.empty
           }
         }
+    }
+  }
+
+  /** Streaming new-vs-returning labels — the streaming dual of
+    * q_new_vs_returning's per-(key, period-bucket) tagging: each
+    * distinct (key, bucket) emits EXACTLY ONCE, `is_new` iff the bucket
+    * is the key's earliest ever. Sealed-order exactness: a bucket seals
+    * only when the watermark passes its START — by then every event
+    * with an earlier timestamp has either arrived or been dropped as
+    * late, so "no smaller bucket exists for this key" is a fact, not a
+    * race, and the label equals the batch rule
+    * (`bucket == min(bucket) over key`) on all watermark-admitted data.
+    * Buckets seal in bucket order, so an already-emitted label can
+    * never be invalidated by later arrivals (anything that could lower
+    * the min is below the watermark and dropped before reaching the
+    * state function).
+    *
+    * State per key: min bucket + pending buckets + sealed buckets —
+    * grows with the key's distinct ACTIVE buckets, not its event count
+    * (a real deployment prunes sealedBuckets below its retention
+    * horizon; dropped-late re-arrivals are the only thing the set
+    * guards against).
+    *
+    * Input columns: `key` long, `ts` timestamp (the watermark column).
+    */
+  def newVsReturningStream(
+      events: DataFrame,
+      periodMs: Long = 604800000L,
+      watermark: String = "10 minutes"): Dataset[NewVsRow] = {
+    require(periodMs > 0, "newVsReturningStream: periodMs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[NewVsState, NewVsRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+       state: GroupState[NewVsState]) =>
+        val prior = state.getOption
+          .getOrElse(NewVsState(Long.MaxValue, Seq.empty, Seq.empty))
+        val known = prior.pending.toSet ++ prior.sealedBuckets.toSet
+        val fresh = rows.map(r => Math.floorDiv(r._2.getTime, periodMs))
+          .toSet.diff(known)
+        val minSeen = (prior.minBucket +: fresh.toSeq).min
+        val wm = state.getCurrentWatermarkMs()
+        val (ripe, still) = (prior.pending ++ fresh).sorted
+          .partition(b => b * periodMs <= wm)
+        state.update(
+          NewVsState(minSeen, still, prior.sealedBuckets ++ ripe))
+        if (still.nonEmpty)
+          state.setTimeoutTimestamp(math.max(still.head * periodMs, wm + 1))
+        ripe.map(b => NewVsRow(key, b, b == minSeen)).iterator
     }
   }
 
