@@ -1798,6 +1798,60 @@ object Catalog {
         FROM g JOIN customer ON o_custkey = c_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q_rolling_corr" -> QueryDef(
+      // rolling 24-hour correlation between the click and purchase
+      // hourly series — the co-movement monitor dashboards run on metric
+      // pairs. One conditional agg builds both series in a single pass;
+      // the rolling window carries SIX integer sums (n, Σx, Σy, Σx²,
+      // Σy², Σxy — exact at any order) and Pearson assembles from them
+      // identically on both engines (never a native windowed corr: its
+      // accumulation order is engine-private). Zero-variance windows
+      // yield NULL explicitly (Spark would produce NaN/Inf on /0.0).
+      // Post-agg hours frame rides one unpartitioned window (q_pareto
+      // pattern).
+      (s, dir) => {
+        val series = events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(when(col("event_type") === "click", 1)).as("x"),
+            count(when(col("event_type") === "purchase", 1)).as("y"))
+        val w = Window.orderBy(col("h")).rowsBetween(-23, 0)
+        val sums = series.select(col("h"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+          sum(col("x") * col("x")).over(w).as("sxx"),
+          sum(col("y") * col("y")).over(w).as("syy"),
+          sum(col("x") * col("y")).over(w).as("sxy"))
+        sums.select(unix_millis(col("h")).as("hour_ms"), col("n"),
+            round(when(
+              (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                     (col("n") * col("syy") - col("sy") * col("sy")))
+            ), 6).as("roll_corr"))
+          .orderBy("hour_ms")
+      },
+      Some("""WITH series AS (
+          SELECT date_trunc('hour', ts) AS h,
+            count(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1),
+        sums AS (
+          SELECT h, count(*) OVER w AS n,
+            sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+            sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+            sum(x * y) OVER w AS sxy
+          FROM series
+          WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT epoch_ms(h) AS hour_ms, n::BIGINT AS n,
+          round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            END, 6) AS roll_corr
+        FROM sums ORDER BY hour_ms""")),
+
     "q_time_to_convert" -> QueryDef(
       // conversion latency: first click -> first purchase per user,
       // distribution in minutes. One (user, type) hash agg finds both
