@@ -678,6 +678,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("q_acf / q_rolling_corr: the hourly agg DISTRIBUTES before any unpartitioned window") {
+    // both rows run their (documented, dimension-sized) unpartitioned
+    // window strictly AFTER the keyed hourly aggregation — if the agg
+    // ever slips above the window, the full event stream funnels into
+    // one partition
+    for (name <- Seq("q_acf", "q_rolling_corr")) {
+      val p = plan(name)
+      // in the formatted TREE a node prints above its children: the
+      // Window must sit above a HashAggregate that sits above the scan
+      val winIdx = p.indexOf("Window")
+      assert(winIdx >= 0, s"$name lost its window")
+      val below = p.substring(winIdx)
+      val aggIdx = below.indexOf("HashAggregate")
+      assert(aggIdx >= 0,
+        s"$name: the hourly aggregation no longer sits between scan and window")
+      assert(below.indexOf("events.parquet") > aggIdx,
+        s"$name: the scan feeds the window directly — the keyed agg moved above it")
+    }
+  }
+
   test("q_rfm: scoring windows stay mktsegment-PARTITIONED, never a global ntile") {
     val p = plan("q_rfm")
     val ntiles = p.linesIterator.filter(_.contains("ntile(")).toSeq
