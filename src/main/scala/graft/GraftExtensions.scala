@@ -153,6 +153,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_skyline"),
       new ExpressionInfo(classOf[graft.operators.Analytics.type].getName, "graft_skyline"),
       (args: Seq[Expression]) => GraftExtensions.graftSkylinePlan(args)))
+    //   SELECT * FROM graft_rules('baskets', 'order_id', 'item', 0.01)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_rules"),
+      new ExpressionInfo(classOf[graft.operators.Analytics.type].getName, "graft_rules"),
+      (args: Seq[Expression]) => GraftExtensions.graftRulesPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -379,6 +384,41 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_rules(table, basketCol, itemCol, minSupport[, minConfidence])`:
+    * market-basket association rules straight from SQL — routes to
+    * [[graft.operators.Analytics.basketRules]] (map-side pair
+    * generation, a-priori pruning, loud width guard).
+    */
+  private[graft] def graftRulesPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4 || args.length == 5,
+      "graft_rules(table, basketCol, itemCol, minSupport[, minConfidence]) " +
+        s"expects 4-5 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_rules table"))
+    graft.operators.Analytics.basketRules(df,
+        stringLit(args(1), "graft_rules basketCol"),
+        stringLit(args(2), "graft_rules itemCol"),
+        minSupport = doubleLit(args(3), "graft_rules minSupport"),
+        minConfidence =
+          if (args.length == 5) doubleLit(args(4), "graft_rules minConfidence")
+          else 0.0)
+      .queryExecution.analyzed
+  }
+
+  private def doubleLit(e: Expression, name: String): Double = {
+    require(e.foldable, s"$name expects a numeric literal, got $e")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name expects a numeric literal, evaluated to $other")
+    }
+  }
+
   private[graft] def graftAggViewPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.length == 1,
@@ -468,6 +508,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_asof", graftAsofPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_attribution", graftAttributionPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_skyline", graftSkylinePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_rules", graftRulesPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

@@ -1395,6 +1395,48 @@ object Catalog {
       ORDER BY antecedent, consequent"""),
       headline = true),
 
+    "q_basket_sql" -> QueryDef(
+      // association rules reached from PURE SQL: the graft_rules TVF
+      // (GraftExtensions) routes to Analytics.basketRules, so a SQL
+      // user gets q_basket_rules' exact cells without the Column API —
+      // same independent self-join oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+          .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .createOrReplaceTempView("graft_rules_bi")
+        s.sql("""SELECT antecedent, consequent, n_pair,
+            round(support, 6) AS support,
+            round(confidence, 6) AS confidence,
+            round(lift, 6) AS lift
+          FROM graft_rules('graft_rules_bi', 'l_orderkey', 'p_brand', 0.01)
+          ORDER BY antecedent, consequent""")
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+            p_brand AS item
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        nb AS (SELECT count(DISTINCT basket) AS n FROM bi),
+        ic AS (SELECT item, count(*) AS cnt FROM bi GROUP BY 1),
+        pr AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_pair
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        dirs AS (
+          SELECT ia AS antecedent, ib AS consequent, n_pair FROM pr
+          UNION ALL
+          SELECT ib, ia, n_pair FROM pr)
+      SELECT antecedent, consequent, n_pair::BIGINT AS n_pair,
+        round(n_pair / n, 6) AS support,
+        round(n_pair / ca.cnt, 6) AS confidence,
+        round(n_pair / ca.cnt * n / cc.cnt, 6) AS lift
+      FROM dirs
+      JOIN ic ca ON antecedent = ca.item
+      JOIN ic cc ON consequent = cc.item, nb
+      WHERE n_pair / n >= 0.01
+      ORDER BY antecedent, consequent""")),
+
     "q_mode_per_group" -> QueryDef(
       // Deterministic mode (most frequent value, smallest wins ties) per
       // group. Spark's native mode() is tie-nondeterministic, so the
