@@ -567,16 +567,22 @@ object Dedup {
     // slice, not the width-token string: the string key shipped ~width x
     // the token stream through the two keyed shuffles below (the r9
     // bench's #1 cost), while the hash pair is 16 bytes per position with
-    // identical grouping semantics (two independent xxhash64 seeds; at
-    // 10^13 corpus spans the collision odds are ~n^2/2^129 ~= 1e-13 — and
-    // the output never needs the span text, only positions)
+    // identical grouping semantics. Independence matters: Spark's
+    // multi-arg xxhash64 CHAINS the accumulator, so a trailing salt
+    // (hash(slice, 1L) = hashLong(1L, h1)) would be a pure function of
+    // h1 — any h1 collision collides the pair, leaving only 64 bits.
+    // Salting FIRST (hash(1L, slice)) perturbs the initial state before
+    // the slice folds in, so h2 varies independently of h1 on h1-equal
+    // inputs; the effective pair resistance is ~2^128 (~n^2/2^129 at
+    // 10^13 corpus spans — and the output never needs the span text,
+    // only positions)
     val spans = withN
       .filter(col("__nt") >= width)
       .select(col(idCol), explode(transform(
         sequence(lit(0), col("__nt") - width),
         p => struct(p.as("p"),
           xxhash64(slice(col("__toks"), p + 1, lit(width))).as("h1"),
-          xxhash64(slice(col("__toks"), p + 1, lit(width)), lit(1L)).as("h2")))).as("__s"))
+          xxhash64(lit(1L), slice(col("__toks"), p + 1, lit(width))).as("h2")))).as("__s"))
       .select(col(idCol), col("__s.p").as("p"),
         col("__s.h1").as("h1"), col("__s.h2").as("h2"))
     val firstOcc = spans.groupBy(col("h1"), col("h2")).agg(

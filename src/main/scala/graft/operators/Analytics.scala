@@ -282,10 +282,13 @@ object Analytics {
     * cheaper, or same price and strictly larger — cells are distinct, so
     * the ambiguity between `>=` and `>` never arises), and a cell is on
     * the frontier iff its maxCol beats the running max. Scale shape: one
-    * distributed hash agg to cells; the frontier window is global but
-    * runs on the cells frame, bounded by the attribute-domain product,
-    * not the table (the q_pareto post-aggregation pattern). NULL in
-    * either attribute can't rank — those rows are excluded.
+    * distributed hash agg to cells, then the running max rides
+    * [[Rank.prefixMax]]'s two-phase distributed scan — the cells frame
+    * of a CONTINUOUS attribute pair is not structurally bounded (it can
+    * approach the table's cardinality), so no single-partition window
+    * anywhere in the plan; both attributes must be numeric (the scan
+    * quantile-buckets on `minCol`). NULL in either attribute can't
+    * rank — those rows are excluded.
     *
     * Output: (minCol, maxCol, n_rows) frontier cells, original names.
     */
@@ -294,9 +297,8 @@ object Analytics {
       .filter(col("__lo").isNotNull && col("__hi").isNotNull)
       .groupBy(col("__lo"), col("__hi"))
       .agg(count(lit(1)).as("n_rows"))
-    val w = Window.orderBy(col("__lo"), col("__hi").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    cells.withColumn("__runmax", max(col("__hi")).over(w))
+    Rank.prefixMax(cells, Seq(col("__lo"), col("__hi").desc),
+        bucketOn = col("__lo"), value = col("__hi"), out = "__runmax")
       .filter(col("__runmax").isNull || col("__hi") > col("__runmax"))
       .select(col("__lo").as(minCol), col("__hi").as(maxCol), col("n_rows"))
   }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global-order prefix scans — `row_number`, running sum,
+  * strict-prefix max over a TOTAL order — without ever shuffling the
+  * data frame to one partition.
+  *
+  * Spark's `Window.orderBy(...)` with no `partitionBy` plans an
+  * `Exchange SinglePartition` of the whole input: fine on a frame that
+  * is structurally bounded (a dimension, an hours series), a ceiling on
+  * anything data-sized. The members of this family that rank
+  * *unbounded* post-aggregation frames (customer spend for the Gini
+  * statistic, distinct attribute cells for the skyline, supplier
+  * revenue for Pareto heads) route through here instead.
+  *
+  * Two-phase plan, fully declarative (no collect, no RDDs):
+  *
+  *  1. '''Bucket''' — one aggregate computes `parts-1` approximate
+  *     quantile boundaries of the numeric bucket key
+  *     (`percentile_approx`); a one-row broadcast cross-join tags every
+  *     row with `__bkt` = count of boundaries strictly below its key.
+  *     Equal keys always share a bucket, so bucket ranges respect any
+  *     total order whose FIRST attribute is the bucket key, in either
+  *     direction (pass the negated key for descending). Boundary
+  *     placement only balances work — every output value is
+  *     independent of where the cuts land.
+  *  2. '''Local scan''' — the ordinary `Window.partitionBy("__bkt")`
+  *     running aggregate: one keyed exchange, each bucket ~n/parts rows.
+  *  3. '''Offsets''' — per-bucket totals (`groupBy("__bkt")`, map-side
+  *     partials) combined by a triangular `b.__bkt < a.__bkt` self-join
+  *     over the ≤parts-row bucket frame (≤parts² ~ 4k intermediate
+  *     rows) — the exclusive prefix aggregate of the buckets WITHOUT a
+  *     single-partition window. Broadcast back on `__bkt` and folded
+  *     into the local scan.
+  *
+  * Result: the only exchanges are two keyed hash shuffles on `__bkt`
+  * plus aggregate-sized broadcasts; `PlanShapeSpec` pins that every
+  * `Window` in the routed queries carries a non-empty partition spec.
+  *
+  * Contract: the combined `orderCols` must be a TOTAL order (unique
+  * key) whose first attribute is `bucketOn`'s ordering — ties broken
+  * by later columns stay inside one bucket, so local ranks compose
+  * exactly. `bucketOn` must be numeric (quantile boundaries); NULL
+  * bucket keys land in bucket 0, matching NULLS-FIRST ascending
+  * window order. Skew bound: all rows sharing one bucket-key value
+  * share a bucket — a single dominant value degrades toward the
+  * single-partition plan for that bucket only; callers ranking frames
+  * with heavy single-value concentration should rank a rounded/jittered
+  * key or pre-aggregate per value (the routed callers rank aggregates
+  * keyed by the value's owner, so each key value is one row per owner).
+  *
+  * The input is traversed three times (boundaries, scan, offsets);
+  * callers ranking an expensive upstream should persist it first —
+  * the routed queries rank cheap keyed aggregates where the repeated
+  * map-side partial is noise.
+  */
+object Rank {
+
+  private def nParts(df: DataFrame): Int =
+    math.min(64,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Tags `__bkt`: quantile-bucket index of `bucketOn`, order-consistent
+    * (ascending) and equal-keys-share-a-bucket. One extra column. */
+  private def tag(df: DataFrame, bucketOn: Column, parts: Int): DataFrame = {
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bnd = df.agg(
+      percentile_approx(bucketOn.cast("double"), lit(probs), lit(10000))
+        .as("__bnds"))
+    df.crossJoin(broadcast(bnd))
+      .withColumn("__bkt",
+        coalesce(size(filter(col("__bnds"),
+          b => b < bucketOn.cast("double"))), lit(0)))
+      .drop("__bnds")
+  }
+
+  /** Exclusive per-bucket prefix of `perBucket`'s `__bagg` column via the
+    * triangular self-join; output (`__bkt`, `__off`) with `__off` NULL
+    * for the first bucket (no predecessors). `combine` folds the
+    * predecessor aggregates (sum for sum/count scans, max for max). */
+  private def offsets(perBucket: DataFrame,
+      combine: Column => Column): DataFrame = {
+    val a = perBucket.select(col("__bkt"), col("__bagg"))
+    val b = perBucket.select(col("__bkt").as("__bkt_b"),
+      col("__bagg").as("__bagg_b"))
+    a.join(broadcast(b), col("__bkt_b") < col("__bkt"), "left")
+      .groupBy(col("__bkt"))
+      .agg(combine(col("__bagg_b")).as("__off"))
+  }
+
+  /** Global `row_number` over `orderCols` (total order, first attribute
+    * = `bucketOn` ascending), 1-based, as `out`. */
+  def rowNumber(df: DataFrame, orderCols: Seq[Column], bucketOn: Column,
+      out: String, parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts else nParts(df)
+    val tagged = tag(df, bucketOn, p)
+    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+    val local = tagged.withColumn("__lrn", row_number().over(w).cast("long"))
+    val perB = tagged.groupBy(col("__bkt")).agg(count(lit(1)).as("__bagg"))
+    local.join(broadcast(offsets(perB, sum)), Seq("__bkt"), "left")
+      .withColumn(out, col("__lrn") + coalesce(col("__off"), lit(0L)))
+      .drop("__bkt", "__lrn", "__off")
+  }
+
+  /** Global running sum of `value` (current row INCLUSIVE) over
+    * `orderCols`, as `out`. Use an exact-integer `value` when the
+    * result feeds an oracle hash — two-phase summation is
+    * order-independent only in exact arithmetic. */
+  def runningSum(df: DataFrame, orderCols: Seq[Column], bucketOn: Column,
+      value: Column, out: String, parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts else nParts(df)
+    val tagged = tag(df, bucketOn, p)
+    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = tagged.withColumn("__lrs", sum(value).over(w))
+    val perB = tagged.groupBy(col("__bkt")).agg(sum(value).as("__bagg"))
+    local.join(broadcast(offsets(perB, sum)), Seq("__bkt"), "left")
+      .withColumn(out, col("__lrs") + coalesce(col("__off"), lit(0L)))
+      .drop("__bkt", "__lrs", "__off")
+  }
+
+  /** Global STRICT-prefix max of `value` (current row excluded:
+    * `rowsBetween(unboundedPreceding, -1)`) over `orderCols`, as `out`
+    * — NULL for the global first row, the frontier-scan contract. */
+  def prefixMax(df: DataFrame, orderCols: Seq[Column], bucketOn: Column,
+      value: Column, out: String, parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts else nParts(df)
+    val tagged = tag(df, bucketOn, p)
+    val w = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = tagged.withColumn("__lpm", max(value).over(w))
+    val perB = tagged.groupBy(col("__bkt")).agg(max(value).as("__bagg"))
+    // greatest() skips NULLs (returns NULL only when all inputs are),
+    // exactly the fold wanted: first row of first bucket stays NULL.
+    local.join(broadcast(offsets(perB, max)), Seq("__bkt"), "left")
+      .withColumn(out, greatest(col("__lpm"), col("__off")))
+      .drop("__bkt", "__lpm", "__off")
+  }
+}

@@ -851,6 +851,56 @@ object Catalog {
         ORDER BY revenue DESC, c_custkey LIMIT 20"""),
       headline = true),
 
+    "q11_important_stock" -> QueryDef(
+      // TPC-H Q11 shape (partsupp synthesized from lineitem like q16:
+      // each distinct (partkey, suppkey) pair is a stock cell whose
+      // value is that pair's exact-e4 revenue): per-part stock value
+      // held by ONE nation's suppliers, keeping parts whose value
+      // exceeds a FRACTION of the nation's grand total — the
+      // correlated HAVING-share subquery, decorrelated: the grand
+      // total is a one-row aggregate equi-joined back on a dummy key
+      // (BroadcastHashJoin, NOT a nested loop — plan-pinned). Scale
+      // shape: lineitem collapses to pair cells first (keyed shuffle,
+      // map-side partials), the nation's supplier list broadcasts,
+      // the part-level agg is cell-sized, and e4 integer sums make
+      // every total order-independent.
+      (s, dir) => {
+        val natSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name") === "NATION_7")
+          .select(col("s_suppkey").as("l_suppkey"))
+        val ps = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000,
+            0).cast("long")).as("__e4"))
+        val g = ps.join(broadcast(natSupp), Seq("l_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("__e4")).as("__val"))
+        // the dummy key must DERIVE from data (val*0), not lit(1):
+        // a literal key constant-folds the join condition to true and
+        // the plan degrades to the nested loop this query pins against
+        val tot = g.agg(sum(col("__val")).as("__tot"))
+          .withColumn("__one", coalesce(col("__tot") * 0L, lit(0L)))
+        g.withColumn("__one", coalesce(col("__val") * 0L, lit(0L)))
+          .join(broadcast(tot), Seq("__one"))
+          .filter(col("__val") > col("__tot") * 0.001)
+          .select(col("l_partkey").as("ps_partkey"),
+            (expr("(__val + 50) div 100") / 100.0).as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+          sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) AS e4
+        FROM lineitem GROUP BY 1, 2),
+        g AS (SELECT l_partkey, sum(e4) AS val
+          FROM ps
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7' GROUP BY 1)
+        SELECT l_partkey AS ps_partkey, ((val + 50) // 100) / 100.0 AS value
+        FROM g WHERE val > 0.001 * (SELECT sum(val) FROM g)
+        ORDER BY value DESC, ps_partkey""")),
+
     "q12_priority_class" -> QueryDef(
       // TPC-H Q12 shape on the available columns (no l_shipmode /
       // commit / receipt dates in this schema): a BIG-BIG equi join
@@ -1743,17 +1793,20 @@ object Catalog {
       // readout): on the PER-CUSTOMER aggregate (one distributed keyed
       // agg over orders), rank-weighted sum formula
       // G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending spend.
-      // The ranking window is global but runs on the post-agg customer
-      // frame (the q_pareto pattern); tie order can't move the statistic
+      // The customer frame is NOT structurally bounded (one row per
+      // customer), so the global rank rides Rank.rowNumber's two-phase
+      // distributed scan — quantile buckets on cents, per-bucket
+      // row_number, broadcast count offsets; no single-partition window
+      // (PlanShapeSpec pins it). Tie order can't move the statistic
       // (equal x swap freely in sum(i*x_i)); spend is exact integer
       // cents so both sums are order-independent.
       (s, dir) => {
         val spend = t(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-        val ranked = spend.select(col("cents"),
-          row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
-            .cast("long").as("rn"))
+        val ranked = graft.operators.Rank.rowNumber(spend,
+          Seq(col("cents"), col("o_custkey")), bucketOn = col("cents"),
+          out = "rn")
         ranked.agg(count(lit(1)).as("n"),
             sum(col("rn") * col("cents")).as("s1"), sum(col("cents")).as("s0"))
           .select(col("n"),
@@ -2583,32 +2636,42 @@ object Catalog {
     "q_pareto" -> QueryDef(
       // Pareto / contribution analysis: revenue per supplier, cumulative
       // share in descending order, and the 80%-head flag. The facts
-      // aggregate FIRST (keyed shuffle, map-side partials); only the
-      // dimension-sized supplier frame enters the single-partition
-      // ranking window — the legitimate global-order pattern (ordering
-      // facts directly would be the scale killer).
+      // aggregate FIRST (keyed shuffle, map-side partials); the
+      // cumulative sum over the supplier frame rides Rank.runningSum's
+      // two-phase distributed scan (bucket on -rev for the descending
+      // order) and the grand total is a one-row broadcast — no
+      // single-partition window anywhere (PlanShapeSpec pins it). The
+      // prefix sums run on exact e4 fixed-point (the q10 idiom: 2dp
+      // price x 2dp discount is exact at 4 decimals) so two-phase
+      // summation is order-independent (float running sums would drift
+      // with bucket placement); display rev half-up-rounds to cents in
+      // INTEGER arithmetic; one divide to double at the end.
       (s, dir) => {
         val g = t(s, dir, "lineitem")
           .groupBy(col("l_suppkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("rev"))
-        val wOrd = Window.orderBy(col("rev").desc, col("l_suppkey"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wAll = Window.partitionBy()
-        g.withColumn("cum_share",
-            round(sum(col("rev")).over(wOrd) / sum(col("rev")).over(wAll), 6))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000,
+            0).cast("long")).as("__e4"))
+        val cum = graft.operators.Rank.runningSum(g,
+          Seq(col("__e4").desc, col("l_suppkey")),
+          bucketOn = -col("__e4"), value = col("__e4"), out = "__crev")
+        val tot = g.agg(sum(col("__e4")).as("__tot"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("l_suppkey"),
+            (expr("(__e4 + 50) div 100") / 100.0).as("rev"),
+            round(col("__crev") / col("__tot").cast("double"), 6).as("cum_share"))
           .withColumn("head80", col("cum_share") <= 0.8)
           .orderBy(col("rev").desc, col("l_suppkey"))
       },
       Some("""WITH g AS (SELECT l_suppkey,
-          round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+          sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) AS e4
         FROM lineitem GROUP BY 1),
-        c AS (SELECT l_suppkey, rev,
-            sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+        c AS (SELECT l_suppkey, e4,
+            sum(e4) OVER (ORDER BY e4 DESC, l_suppkey
               ROWS UNBOUNDED PRECEDING) AS crev,
-            sum(rev) OVER () AS tot
+            sum(e4) OVER () AS tot
           FROM g)
-        SELECT l_suppkey, rev, round(crev / tot, 6) AS cum_share,
+        SELECT l_suppkey, ((e4 + 50) // 100) / 100.0 AS rev,
+          round(crev / tot, 6) AS cum_share,
           round(crev / tot, 6) <= 0.8 AS head80
         FROM c ORDER BY rev DESC, l_suppkey""")),
 

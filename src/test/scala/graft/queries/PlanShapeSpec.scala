@@ -722,6 +722,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected nested-loop joins (only the two one-row count gates are allowed):\n${bnl.mkString("\n")}")
   }
 
+  test("distributed rank family: NO single-partition window in gini / pareto / skyline") {
+    // these three rank frames that are NOT structurally bounded (one
+    // row per customer / supplier / distinct attribute cell), so they
+    // route through Rank's two-phase scan: every Window must carry a
+    // partition spec (the per-bucket local scan), and any
+    // SinglePartition exchange may only funnel partial-aggregate rows
+    // (the scalar-total idiom), never sort or window data
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    for (name <- Seq("q_gini", "q_pareto", "q_skyline_parts", "q_skyline_sql")) {
+      val df = Catalog.queries(name)(spark, sf)
+      val phys = df.queryExecution.sparkPlan
+      val wins = phys.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name lost its per-bucket scan window")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name has an UNPARTITIONED window — the single-partition ceiling is back"))
+      val singles = phys.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      singles.foreach(e => assert(e.child.isInstanceOf[BaseAggregateExec],
+        s"$name: a SinglePartition exchange feeds ${e.child.nodeName}, not a scalar aggregate"))
+    }
+  }
+
+  test("q11_important_stock: share threshold decorrelates to a hash join — no nested loop") {
+    val p = plan("q11_important_stock")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the HAVING-share total joined as a nested loop — key the one-row total on the dummy column")
+    assert(p.contains("BroadcastHashJoin"),
+      "the nation supplier list / grand total lost their broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "a broadcastable side fell back to sort-merge")
+  }
+
   test("graph_hits: one linear job — normalization happens ONCE per side, not per step") {
     val p = plan("graph_hits")
     // a per-step normalize branches the score lineage every iteration
