@@ -206,6 +206,36 @@ object GraphOps {
       .map { case (id, cc) => (id, cc) }.toDF("vertex", "component")
   }
 
+  /** Directed STRONGLY connected components via GraphX
+    * `stronglyConnectedComponents`: label = lowest vertex id in the
+    * vertex's SCC (every vertex trivially reaches itself, so singleton
+    * vertices label themselves). Unlike [[connectedComponents]] the
+    * edge DIRECTION is load-bearing — a→b alone does not merge a and
+    * b; only mutual reachability does. NULL endpoints are dropped
+    * (they cannot participate in a cycle); self-loops are harmless
+    * (v is always in its own SCC).
+    *
+    * `maxIters` bounds the OUTER peel/color phases; GraphX resolves at
+    * least one condensation-DAG layer per phase, so the bound needed
+    * grows with the longest chain of SCCs, not the cycle length (the
+    * inner Pregel color propagation runs to convergence each phase).
+    * The default 50 covers any realistic event graph; a too-small
+    * bound under-merges, which the oracle (mutual-reachability closure
+    * in recursive SQL) would catch red.
+    */
+  def scc(edges: DataFrame, maxIters: Int = 50,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
+    val edgeRdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0L)
+      .stronglyConnectedComponents(maxIters)
+      .vertices.map { case (id, c) => (id, c) }.toDF("vertex", "component")
+  }
+
   /** Synchronous label propagation (community detection) over the
     * undirected graph, a FIXED iteration count: every vertex starts as
     * its own label; each round adopts the most frequent label among its

@@ -6694,7 +6694,28 @@ object Catalog {
           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
         SELECT a AS vertex, min(b) AS component FROM reach
         GROUP BY a ORDER BY vertex"""),
-      headline = true))
+      headline = true),
+
+    "graph_scc" -> QueryDef(
+      // Directed strongly connected components (GraphOps.scc): label =
+      // min vertex id under MUTUAL reachability. The oracle builds the
+      // directed reachability closure with a recursive CTE (the
+      // graph_cc discipline — feasible at sf0.01 vertex counts), then
+      // intersects it with its transpose: v's SCC = {u : v→*u AND
+      // u→*v}, label = min of that set (always contains v itself).
+      (s, dir) => GraphOps.scc(eventEdges(s, dir)).orderBy("vertex"),
+      Some(s"""WITH RECURSIVE
+        e0 AS $edgesSql,
+        e AS (SELECT DISTINCT src, dst FROM e0
+          WHERE src IS NOT NULL AND dst IS NOT NULL),
+        verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        reach(a, b) AS (
+          SELECT v, v FROM verts
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+        SELECT r1.a AS vertex, min(r1.b)::BIGINT AS component
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY r1.a ORDER BY vertex""")))
 
   // ============================================== G. streaming/multimodal ==
 

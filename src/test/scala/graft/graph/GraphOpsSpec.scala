@@ -252,4 +252,31 @@ class GraphOpsSpec extends AnyFunSuite {
     // the pure sink is the best authority and a zero hub
     assert(got(4L)._2 > got(3L)._2 && got(4L)._1 == 0.0)
   }
+
+  test("scc: direction splits what cc merges; two cycles bridged one-way stay apart") {
+    import spark.implicits._
+    // cycle {1,2,3} → bridge → cycle {10,11}, plus a dangling chain
+    // 20→21→22: mutual reachability holds only inside each cycle, so
+    // the one-way bridge must NOT merge them (cc would), and every
+    // chain vertex is its own singleton SCC
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 10L),
+      (10L, 11L), (11L, 10L),
+      (20L, 21L), (21L, 22L)).toDF("src", "dst")
+    val got = GraphOps.scc(edges)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L, 22L -> 22L), s"got $got")
+    // sanity: undirected cc DOES merge everything reachable
+    val cc = GraphOps.connectedComponents(edges)
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(cc.take(5).forall(_._2 == 1L), s"cc should merge across the bridge: $cc")
+    // partition invariance: the label is a graph property, not a
+    // partitioning artifact
+    val again = GraphOps.scc(edges.repartition(7))
+      .orderBy("vertex").as[(Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }
