@@ -179,6 +179,33 @@ final case class Scd2Row(
     key: Long, attr: Option[String], version: Long,
     valid_from: Long, valid_to: Long, n_events: Long)
 
+/** Pending row for [[EventStream.asofStream]]: one event of EITHER side
+  * (side 0 = right/reference, side 1 = left/probe — the batch
+  * union-window tag), buffered until the watermark seals its position
+  * in the `(ts, side, tie)` merge order.
+  */
+final case class AsofPending(
+    tsMs: Long, side: Int, tie: Long, payload: Option[String])
+
+/** Per-key state for [[EventStream.asofStream]]: the CARRIED right row
+  * (the latest sealed reference at-or-before the fold cursor — the
+  * streaming twin of the batch `last(payload, ignoreNulls)` window
+  * carry) plus the standard sealed-order buffer. `carryTs = None`
+  * means no reference has sealed yet.
+  */
+final case class AsofState(
+    carryTs: Option[Long], carryTie: Long, carryPayload: Option[String],
+    pending: Seq[AsofPending])
+
+/** One matched left row from [[EventStream.asofStream]] (Append mode):
+  * the batch [[graft.operators.KVOps.asofJoinBackward]] output row —
+  * `asof_*` NULL when no reference at-or-before exists (or the match
+  * is older than the tolerance).
+  */
+final case class AsofRow(
+    key: Long, ts_ms: Long, tie: Long,
+    asof_ts_ms: Option[Long], asof_payload: Option[String])
+
 /** Per-key state for [[EventStream.dedupFirstStream]]: the best (smallest
   * `(ts, tie)`) candidate seen so far, and whether the key's canonical
   * row has already been emitted (after which every arrival is a
@@ -1128,6 +1155,91 @@ object EventStream {
           }
         }
         if (!st.started && hold.isEmpty) state.remove()
+        else {
+          state.update(st.copy(pending = hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming BACKWARD as-of join — the streaming dual of the oracled
+    * batch [[graft.operators.KVOps.asofJoinBackward]] (q_asof /
+    * graft_asof): for every LEFT (probe) event, attach the payload of
+    * the latest RIGHT (reference) event with the same key and
+    * `rightTs <= leftTs`, NULL when none exists or the match is older
+    * than `toleranceMs` — prices onto trades, deploys onto errors,
+    * config versions onto requests, as the events arrive.
+    *
+    * Both sides union into ONE keyed stream tagged `side` (0 = right,
+    * 1 = left) — the batch union-window trick carried over: state never
+    * holds a join buffer of right HISTORY, only the single latest
+    * sealed reference, because backward as-of is a carry, not a join.
+    * The sealed-order fold (the [[scd2Stream]] discipline) buffers rows
+    * inside the watermark, and once the watermark passes them replays
+    * in `(ts, side, tie)` order: a right row overwrites the carry
+    * (side 0 sorts first, so an equal-timestamp reference matches its
+    * probe — the batch INCLUSIVE bound; equal-timestamp references
+    * resolve to the largest `tie`, the batch `rightOrderCol` rule), a
+    * left row emits with the current carry. Out-of-order arrival
+    * within the watermark cannot change the output (AsofStreamSpec
+    * pins batch ≡ stream on shuffled histories).
+    *
+    * State cost: ONE carried reference + the sealed-order buffer per
+    * key. The carry never expires on its own — a reference matches
+    * probes arbitrarily far in the future, exactly like the batch
+    * window carry; `toleranceMs` bounds match STALENESS in the output,
+    * and keys whose stream ends simply hold one row of state (sharded
+    * by the groupByKey exchange at scale).
+    *
+    * Input columns — left: `key` long, `ts` timestamp, `tie` long;
+    * right: `key` long, `ts` timestamp, `tie` long, `payload` string
+    * (nullable). The watermark applies to the unioned stream, so both
+    * sides share one lateness budget, as one stream-stream watermark
+    * would.
+    */
+  def asofStream(
+      left: DataFrame,
+      right: DataFrame,
+      watermark: String = "10 minutes",
+      toleranceMs: Option[Long] = None): Dataset[AsofRow] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(col("key").cast("long"), col("ts"),
+      lit(1).as("side"), col("tie").cast("long"),
+      lit(null).cast("string").as("payload"))
+    val r = right.select(col("key").cast("long"), col("ts"),
+      lit(0).as("side"), col("tie").cast("long"),
+      col("payload").cast("string"))
+    val typed = l.unionByName(r)
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, Long, Option[String])]
+    val tol = toleranceMs
+    typed.groupByKey(_._1).flatMapGroupsWithState[AsofState, AsofRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, Long, Option[String])],
+       state: GroupState[AsofState]) =>
+        val prior = state.getOption.getOrElse(AsofState(None, 0L, None, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(e => AsofPending(e._2.getTime, e._3, e._4, e._5))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        var st = prior
+        val out = scala.collection.mutable.ArrayBuffer.empty[AsofRow]
+        ripe.sortBy(p => (p.tsMs, p.side, p.tie)).foreach { p =>
+          if (p.side == 0)
+            st = st.copy(carryTs = Some(p.tsMs), carryTie = p.tie,
+              carryPayload = p.payload)
+          else {
+            val inTol = st.carryTs.exists(ct =>
+              tol.forall(t => p.tsMs - ct <= t))
+            out += AsofRow(key, p.tsMs, p.tie,
+              if (inTol) st.carryTs else None,
+              if (inTol) st.carryPayload else None)
+          }
+        }
+        if (st.carryTs.isEmpty && hold.isEmpty) state.remove()
         else {
           state.update(st.copy(pending = hold))
           if (hold.nonEmpty)

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.core.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** asofStream — the streaming backward as-of dual: sealed-order parity
+  * with the oracled batch KVOps.asofJoinBackward on out-of-order
+  * histories, tolerance staleness, and checkpoint-restart recovery of
+  * the carried reference.
+  */
+class AsofStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // (key, ts_ms, tie, payload) — reference side
+  private val rightRows = Seq(
+    (1L, 1000L, 1L, Some("r1")), (1L, 1000L, 2L, Some("r2")),
+    (1L, 4000L, 3L, Some("r3")), (2L, 5000L, 1L, Some("rA")))
+  // (key, ts_ms, tie) — probe side; expected backward matches:
+  // (1,500)→none, (1,1000)→r2 (inclusive + largest tie), (1,3500)→r2,
+  // (1,4000)→r3, (1,9000)→r3, (2,4500)→none, (2,6000)→rA, (3,700)→none
+  private val leftRows = Seq(
+    (1L, 500L, 1L), (1L, 1000L, 2L), (1L, 3500L, 3L), (1L, 4000L, 4L),
+    (1L, 9000L, 5L), (2L, 4500L, 1L), (2L, 6000L, 2L), (3L, 700L, 1L))
+
+  private def runStream(tol: Option[Long],
+      name: String): Seq[(Long, Long, Long, Option[Long], Option[String])] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long, Option[String])]
+    val lDf = lIn.toDF().toDF("key", "ts_ms", "tie")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val rDf = rIn.toDF().toDF("key", "ts_ms", "tie", "payload")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    // the lateness budget must cover the deliberate cross-batch shuffle
+    // (ts 500..9000 arrive in arbitrary batch order): 20s means nothing
+    // here is "too late", and the sentinels then seal everything
+    val q = EventStream.asofStream(lDf, rDf, watermark = "20 seconds",
+        toleranceMs = tol)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try {
+      // out-of-order ACROSS batches: late probes arrive after later
+      // references; the sealed-order fold must not care
+      rIn.addData(rightRows(2), rightRows(3)); q.processAllAvailable()
+      lIn.addData(leftRows(4), leftRows(0), leftRows(6)); q.processAllAvailable()
+      rIn.addData(rightRows(0), rightRows(1)); q.processAllAvailable()
+      lIn.addData(leftRows(1), leftRows(5), leftRows(7)); q.processAllAvailable()
+      lIn.addData(leftRows(2), leftRows(3)); q.processAllAvailable()
+      // watermark sentinels (filtered out of the assertion)
+      for (t <- Seq(50000L, 100000L, 150000L)) {
+        lIn.addData((9L, t, 0L)); q.processAllAvailable()
+      }
+      spark.table(name).as[AsofRow].collect()
+        .filter(_.key != 9L)
+        .map(r => (r.key, r.ts_ms, r.tie, r.asof_ts_ms, r.asof_payload))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    } finally q.stop()
+  }
+
+  test("asofStream: matches equal the batch asofJoinBackward on shuffled arrivals") {
+    import spark.implicits._
+    val streamed = runStream(tol = None, name = "asof_test")
+    val batchL = leftRows.toDF("key", "ts_ms", "tie")
+    val batchR = rightRows.toDF("key", "ts_ms", "tie", "payload")
+      .withColumn("rt_ms", col("ts_ms"))
+    val batch = graft.operators.KVOps.asofJoinBackward(
+        batchL, batchR, keys = Seq("key"), leftTime = "ts_ms",
+        rightTime = "ts_ms", payloadCols = Seq("payload", "rt_ms"),
+        rightOrderCol = Some("tie"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("asof_rt_ms")).map(_.longValue),
+        Option(r.getAs[String]("asof_payload"))))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(streamed == batch,
+      s"stream/batch divergence:\nstream: $streamed\nbatch:  $batch")
+    // spot anchors: inclusive equal-ts match takes the LARGEST tie, and
+    // a probe before any reference emits NULLs rather than nothing
+    assert(streamed.contains((1L, 1000L, 2L, Some(1000L), Some("r2"))))
+    assert(streamed.contains((1L, 500L, 1L, None, None)))
+  }
+
+  test("asofStream: tolerance nulls matches older than the bound, keeps the rest") {
+    val streamed = runStream(tol = Some(3000L), name = "asof_tol_test")
+    // 9000 - 4000 = 5000 > 3000 → stale, NULLed; 3500 - 1000 = 2500 ok
+    assert(streamed.contains((1L, 9000L, 5L, None, None)))
+    assert(streamed.contains((1L, 3500L, 3L, Some(1000L), Some("r2"))))
+  }
+
+  test("asofStream survives a checkpoint restart: the carried reference is recovered") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val T = 100000L
+    val inDir = Files.createTempDirectory("asof-restart-in").toString
+    val outDir = Files.createTempDirectory("asof-restart-out").toString
+    val ckDir = Files.createTempDirectory("asof-restart-ck").toString
+    val schema = Seq((0L, 0L, 0L, 0, Option.empty[String]))
+      .toDF("key", "ts_ms", "tie", "side", "payload").schema
+    def push(rows: (Long, Long, Long, Int, Option[String])*): Unit =
+      rows.toSeq.toDF("key", "ts_ms", "tie", "side", "payload").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      EventStream.asofStream(
+          src.filter(col("side") === 1), src.filter(col("side") === 0),
+          watermark = "5 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[AsofRow], _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }.start()
+    }
+    // phase 1: seal ONE reference into the carry, no probes; stop with
+    // the carry only in the checkpoint
+    push((1L, T, 1L, 0, Some("ref")))
+    val q1 = start(); q1.processAllAvailable()
+    push((9L, T + 6000L, 0L, 1, None)); q1.processAllAvailable()
+    push((9L, T + 6500L, 0L, 1, None)); q1.processAllAvailable()
+    q1.stop()
+    // phase 2: a probe after restart must match the RECOVERED carry —
+    // amnesia would emit NULLs
+    push((1L, T + 2000L, 1L, 1, None))
+    val q2 = start(); q2.processAllAvailable()
+    push((9L, T + 3000000L, 0L, 1, None)); q2.processAllAvailable()
+    push((9L, T + 3100000L, 0L, 1, None)); q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).as[AsofRow].collect()
+      .filter(_.key == 1L)
+      .map(r => (r.ts_ms, r.tie, r.asof_ts_ms, r.asof_payload)).toSeq
+    assert(rows == Seq((T + 2000L, 1L, Some(T), Some("ref"))),
+      s"restart broke the reference carry: $rows")
+  }
+}
