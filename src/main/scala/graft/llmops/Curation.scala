@@ -192,6 +192,43 @@ object Curation {
       .filter(col("__rk") <= n).drop("__rk")
   }
 
+  /** Deterministic per-stratum BUDGET cap — the RefinedWeb-style
+    * per-domain cap: within each stratum, keep documents in the stable
+    * md5(id) order while the running total of `weightCol` stays within
+    * `budget`, drop the rest. With no `weightCol` every row weighs 1
+    * and this is the plain top-N-rows-per-domain cap; with a token or
+    * char weight it is the "at most B tokens from any one domain"
+    * mixing rule — the cap form [[sampleStrata]] (a fraction) and
+    * [[sampleFixedPerStratum]] (an exact count for eval sets) don't
+    * express. Weights must be positive, so the kept set is a clean
+    * prefix of the stratum's md5 order: once the budget trips, every
+    * later row is out — membership is a pure function of the
+    * population + ids (no RNG), reproducible across runs, engines, and
+    * cluster sizes, and the EXACT set is SQL-verifiable
+    * (pipeline_domain_cap oracles the window replay).
+    *
+    * One window shuffle on the stratum — the sampleFixedPerStratum
+    * scale shape; per-domain row counts are the skew bound (a domain's
+    * rows sort within one partition; cap inputs are per-domain
+    * document sets, not the raw corpus).
+    */
+  def capPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      budget: Long,
+      weightCol: Option[String] = None,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "capPerStratum: budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wt = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    df.withColumn("__cum", sum(wt).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Deterministic leakage-free train/val/test split: every row gets a
     * `split` label as a pure function of its id (16-bit md5 bucket, the
     * [[Catalog]] `pipeline_sample` convention), cut by cumulative

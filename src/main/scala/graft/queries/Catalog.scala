@@ -5453,6 +5453,26 @@ object Catalog {
           FROM documents)
         WHERE rk <= 20 ORDER BY doc_id""")),
 
+    "pipeline_domain_cap" -> QueryDef(
+      // RefinedWeb-style per-domain cap (Curation.capPerStratum): at
+      // most 5000 chars from any one source, kept in the stable md5
+      // order — strata under budget keep everything, heavy strata
+      // truncate at the budget prefix. Oracled on the exact membership
+      // (the window replay recomputes the same running sum in DuckDB).
+      (s, dir) => Curation.capPerStratum(
+          t(s, dir, "documents"), "source", budget = 5000,
+          weightCol = Some("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+            sum(n_chars) OVER (PARTITION BY source
+              ORDER BY md5(doc_id::VARCHAR), doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        WHERE cum <= 5000
+        ORDER BY doc_id""")),
+
     "pipeline_weighted_sample" -> QueryDef(
       // Length-weighted deterministic sampling (Curation.sampleByWeight):
       // keep probability = min(n_chars/1000, 1). This row oracles the

@@ -163,6 +163,43 @@ class CurationSpec extends AnyFunSuite {
     assert(tiny == 5L)
   }
 
+  test("capPerStratum: budget prefix in md5 order, pure, unweighted = top-N") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    // 100 rows x 100 chars per stratum, budget 1000 → exactly 10 kept each
+    val a = graft.llmops.Curation
+      .capPerStratum(docs, "source", budget = 1000, weightCol = Some("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("s0" -> 10, "s1" -> 10, "s2" -> 10))
+    // purity: identical membership under different partitioning
+    val b = graft.llmops.Curation
+      .capPerStratum(docs.repartition(13), "source", budget = 1000,
+        weightCol = Some("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sorted.sameElements(b.sorted))
+    // kept set = the md5-order PREFIX: every kept row ranks before every
+    // dropped row of its stratum in md5(id) order
+    val ranked = docs.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    val keptIds = a.map(_._1).toSet
+    assert(keptIds.forall(id => ranked(id) <= 10),
+      "a kept row ranked past the budget prefix")
+    // unweighted degenerates to the plain top-N-rows cap
+    val n = graft.llmops.Curation.capPerStratum(docs, "source", budget = 7)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(n.forall(_ == 7L))
+    // a stratum under budget keeps everything
+    val whole = graft.llmops.Curation.capPerStratum(
+      docs.filter(col("doc_id") < 5), "source", budget = 1000,
+      weightCol = Some("n_chars")).count()
+    assert(whole == 5L)
+    intercept[IllegalArgumentException](
+      graft.llmops.Curation.capPerStratum(docs, "source", budget = 0))
+  }
+
   test("redactPii replaces emails, phones, and IPs and counts each kind") {
     val docs = Seq(
       (0L, "mail me at jane.doe+x@example.org or call 555-123-4567 from 10.0.0.1"),
