@@ -868,7 +868,7 @@ object Catalog {
         val natSupp = t(s, dir, "supplier")
           .join(broadcast(t(s, dir, "nation")),
             col("s_nationkey") === col("n_nationkey"))
-          .filter(col("n_name") === "NATION_7")
+          .filter(col("n_name") === "NATION_8")
           .select(col("s_suppkey").as("l_suppkey"))
         val ps = t(s, dir, "lineitem")
           .groupBy(col("l_partkey"), col("l_suppkey"))
@@ -896,7 +896,7 @@ object Catalog {
           FROM ps
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
-          WHERE n_name = 'NATION_7' GROUP BY 1)
+          WHERE n_name = 'NATION_8' GROUP BY 1)
         SELECT l_partkey AS ps_partkey, ((val + 50) // 100) / 100.0 AS value
         FROM g WHERE val > 0.001 * (SELECT sum(val) FROM g)
         ORDER BY value DESC, ps_partkey""")),

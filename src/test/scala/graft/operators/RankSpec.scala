@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.core.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rank — the two-phase distributed prefix scans. Ground truth is the
+  * sequential scan over the collected, fully-sorted data; the points
+  * pinned are exactness (not approximation — bucket boundaries must
+  * never move a value), partition invariance, and the degenerate
+  * shapes that break naive bucketing (heavy ties, fewer distinct
+  * values than buckets, single row).
+  */
+class RankSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // keys with heavy ties (values mod 17) so quantile boundaries land ON
+  // tied runs, ids unique for the total order
+  private def data(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(11)
+    (0 until n).map(i => (i.toLong, (rnd.nextInt(17) * 10 + 3).toLong))
+  }
+
+  test("rowNumber equals the sequential rank, survives repartitioning and ties") {
+    val rows = data(5000)
+    val df = rows.toDF("id", "v").repartition(13)
+    val got = Rank.rowNumber(df, Seq(col("v"), col("id")),
+        bucketOn = col("v"), out = "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+    val again = Rank.rowNumber(df.repartition(3), Seq(col("v"), col("id")),
+        bucketOn = col("v"), out = "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(again == want)
+  }
+
+  test("runningSum is the exact inclusive prefix sum in total order") {
+    val rows = data(3000)
+    val df = rows.toDF("id", "v")
+    val got = Rank.runningSum(df, Seq(col("v"), col("id")),
+        bucketOn = col("v"), value = col("v"), out = "rs")
+      .select("id", "rs").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = rows.sortBy(r => (r._2, r._1)).map { case (id, v) =>
+      acc += v; id -> acc
+    }.toMap
+    assert(got == want)
+  }
+
+  test("runningSum descending via negated bucket key (the q_pareto shape)") {
+    val rows = data(2000)
+    val df = rows.toDF("id", "v")
+    val got = Rank.runningSum(df, Seq(col("v").desc, col("id")),
+        bucketOn = -col("v"), value = col("v"), out = "rs")
+      .select("id", "rs").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = rows.sortBy(r => (-r._2, r._1)).map { case (id, v) =>
+      acc += v; id -> acc
+    }.toMap
+    assert(got == want)
+  }
+
+  test("prefixMax is strict (current row excluded), NULL on the global first row") {
+    val rows = data(2000).map { case (id, v) => (id, v, (id * 7919) % 1000) }
+    val df = rows.toDF("id", "v", "m")
+    val got = Rank.prefixMax(df, Seq(col("v"), col("id")),
+        bucketOn = col("v"), value = col("m"), out = "pm")
+      .select("id", "pm").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    var best: Option[Long] = None
+    val want = rows.sortBy(r => (r._2, r._1)).map { case (id, _, m) =>
+      val out = id -> best
+      best = Some(best.fold(m)(math.max(_, m)))
+      out
+    }.toMap
+    assert(got == want)
+    assert(got(rows.minBy(r => (r._2, r._1))._1).isEmpty,
+      "the global first row must carry NULL")
+  }
+
+  test("degenerate shapes: one distinct key, fewer rows than buckets, one row") {
+    // every row shares the bucket key — one giant bucket, still exact
+    val tied = (0L until 100L).map(i => (i, 5L)).toDF("id", "v")
+    val rn = Rank.rowNumber(tied, Seq(col("v"), col("id")),
+        bucketOn = col("v"), out = "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(rn == (0L until 100L).map(i => i -> (i + 1L)).toMap)
+    // 3 rows, default bucket count far larger
+    val tiny = Seq((1L, 30L), (2L, 10L), (3L, 20L)).toDF("id", "v")
+    val rs = Rank.runningSum(tiny, Seq(col("v"), col("id")),
+        bucketOn = col("v"), value = col("v"), out = "rs")
+      .select("id", "rs").as[(Long, Long)].collect().toMap
+    assert(rs == Map(2L -> 10L, 3L -> 30L, 1L -> 60L))
+    // single row
+    val one = Rank.prefixMax(Seq((1L, 1L)).toDF("id", "v"),
+        Seq(col("v"), col("id")), bucketOn = col("v"), value = col("v"),
+        out = "pm")
+      .select("pm").collect()
+    assert(one.length == 1 && one(0).isNullAt(0))
+  }
+}
