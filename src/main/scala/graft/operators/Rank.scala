@@ -122,6 +122,37 @@ object Rank {
       .drop("__bkt", "__lrs", "__off")
   }
 
+  /** Distributed EXACT discrete quantiles: for each `p` in `probs`, the
+    * value whose global ascending rank is `max(1, ceil(p * n))` — the
+    * `quantile_disc` selection rule, computed without a single-partition
+    * sort AND without the per-group value-multiset state Spark's exact
+    * `percentile` aggregate holds (the whole column in one aggregation
+    * buffer — the other 100 TB ceiling on exact quantiles;
+    * `percentile_approx` trades exactness away instead). Rank order
+    * among TIED values is arbitrary, but the value AT any rank is
+    * well-defined, so the result is exact and deterministic regardless.
+    *
+    * Output: (`p` double, `value` = the input column) one row per prob.
+    * NULL values are excluded (they have no rank), matching every SQL
+    * quantile. The rank target uses plain IEEE `ceil(p * n)` so an
+    * external SQL oracle replaying the same formula agrees bit-for-bit.
+    */
+  def quantilesDisc(df: DataFrame, valueCol: String, probs: Seq[Double],
+      parts: Int = 0): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "quantilesDisc: probs must be in [0, 1]")
+    val in = df.filter(col(valueCol).isNotNull)
+    val ranked = rowNumber(in, Seq(col(valueCol)), bucketOn = col(valueCol),
+      out = "__rn", parts = parts)
+    val n = in.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col(valueCol), col("__rn"),
+        explode(lit(probs.toArray)).as("p"), col("__n"))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(col("p") * col("__n")).cast("long")))
+      .select(col("p"), col(valueCol))
+  }
+
   /** Global STRICT-prefix max of `value` (current row excluded:
     * `rowsBetween(unboundedPreceding, -1)`) over `orderCols`, as `out`
     * — NULL for the global first row, the frontier-scan contract. */

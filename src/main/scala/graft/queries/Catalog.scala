@@ -2633,6 +2633,34 @@ object Catalog {
           count(*)::BIGINT AS n_events
         FROM w GROUP BY 1 ORDER BY window_start_ms""")),
 
+    "q_quantiles_exact" -> QueryDef(
+      // EXACT order-value deciles (Rank.quantilesDisc): the quantile
+      // whose rank is max(1, ceil(p*n)) in the GLOBAL cents order —
+      // computed by the two-phase distributed rank, so no
+      // single-partition sort and no whole-column aggregation buffer
+      // (Spark's exact `percentile` holds the full value multiset in
+      // one buffer; percentile_approx trades exactness). The oracle
+      // replays the identical rank formula — both engines do the same
+      // IEEE ceil(p*n) on the same doubles, so selection is
+      // bit-stable even when p*n lands a ulp off an integer.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        graft.operators.Rank.quantilesDisc(o, "cents",
+            probs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+          .select(round(col("p"), 2).as("p"),
+            (col("cents") / 100.0).as("value"))
+          .orderBy("p")
+      },
+      Some("""WITH c AS (SELECT round(o_totalprice * 100)::BIGINT AS cents
+          FROM orders),
+        r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+            count(*) OVER () AS n FROM c),
+        p AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p)
+        SELECT round(p.p, 2) AS p, cents / 100.0 AS value
+        FROM r JOIN p ON r.rn = greatest(1, ceil(p.p * r.n)::BIGINT)
+        ORDER BY p""")),
+
     "q_pareto" -> QueryDef(
       // Pareto / contribution analysis: revenue per supplier, cumulative
       // share in descending order, and the 80%-head flag. The facts

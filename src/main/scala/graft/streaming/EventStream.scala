@@ -206,6 +206,15 @@ final case class AsofRow(
     key: Long, ts_ms: Long, tie: Long,
     asof_ts_ms: Option[Long], asof_payload: Option[String])
 
+/** Per-key state for [[EventStream.asofForwardStream]]: sealed
+  * references still inside some live probe's forward window, probes
+  * waiting for their window to resolve, and the standard sealed-order
+  * buffer — all bounded by the tolerance window.
+  */
+final case class AsofFwdState(
+    refs: Seq[AsofPending], waiting: Seq[AsofPending],
+    pending: Seq[AsofPending])
+
 /** Per-key state for [[EventStream.dedupFirstStream]]: the best (smallest
   * `(ts, tie)`) candidate seen so far, and whether the key's canonical
   * row has already been emitted (after which every arrival is a
@@ -1244,6 +1253,93 @@ object EventStream {
           state.update(st.copy(pending = hold))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(math.max(hold.map(_.tsMs).min, wm + 1))
+        }
+        out.iterator
+    }
+  }
+
+  /** Streaming FORWARD as-of join — the dual of the batch
+    * [[graft.operators.KVOps.asofJoinForward]] with a tolerance: for
+    * every LEFT probe, the EARLIEST RIGHT reference with
+    * `probeTs <= refTs <= probeTs + toleranceMs` (equal-timestamp
+    * references break toward the SMALLEST `tie`, the batch forward
+    * rule), or NULLs once the watermark proves none can arrive —
+    * "what happens next": the next error after each deploy, the next
+    * purchase after each click.
+    *
+    * The tolerance is REQUIRED here where batch leaves it optional:
+    * an unbounded forward match would hold every probe (and state)
+    * forever awaiting a reference that may never come; the bound is
+    * what makes the wait — and the state — finite. Emission timing:
+    * a probe emits the moment a sealed in-window reference exists
+    * (sealed references are complete up to the watermark, so the
+    * earliest sealed candidate IS the earliest candidate), or the
+    * moment the watermark passes `probeTs + tolerance` (every
+    * still-unsealed reference is provably later). State per key:
+    * waiting probes + references inside some live window + the
+    * sealed-order buffer — all tolerance-bounded, unlike
+    * [[asofStream]]'s single everlasting carry.
+    *
+    * Input columns match [[asofStream]] (left: key/ts/tie; right:
+    * key/ts/tie/payload); one shared watermark over the union.
+    */
+  def asofForwardStream(
+      left: DataFrame,
+      right: DataFrame,
+      toleranceMs: Long,
+      watermark: String = "10 minutes"): Dataset[AsofRow] = {
+    require(toleranceMs >= 0, "asofForwardStream: tolerance must be >= 0")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(col("key").cast("long"), col("ts"),
+      lit(1).as("side"), col("tie").cast("long"),
+      lit(null).cast("string").as("payload"))
+    val r = right.select(col("key").cast("long"), col("ts"),
+      lit(0).as("side"), col("tie").cast("long"),
+      col("payload").cast("string"))
+    val typed = l.unionByName(r)
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, Long, Option[String])]
+    typed.groupByKey(_._1).flatMapGroupsWithState[AsofFwdState, AsofRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, Long, Option[String])],
+       state: GroupState[AsofFwdState]) =>
+        val prior = state.getOption.getOrElse(AsofFwdState(Nil, Nil, Nil))
+        val wm = state.getCurrentWatermarkMs()
+        val pending = prior.pending ++
+          rows.map(e => AsofPending(e._2.getTime, e._3, e._4, e._5))
+        val (ripe, hold) = pending.partition(_.tsMs <= wm)
+        val refs = (prior.refs ++ ripe.filter(_.side == 0))
+          .sortBy(p => (p.tsMs, p.tie))
+        val out = scala.collection.mutable.ArrayBuffer.empty[AsofRow]
+        val waiting = ((prior.waiting ++ ripe.filter(_.side == 1))
+          .sortBy(p => (p.tsMs, p.tie))).filter { p =>
+          refs.find(rf => rf.tsMs >= p.tsMs &&
+              rf.tsMs - p.tsMs <= toleranceMs) match {
+            case Some(rf) =>
+              out += AsofRow(key, p.tsMs, p.tie, Some(rf.tsMs), rf.payload)
+              false
+            case None if wm > p.tsMs + toleranceMs =>
+              out += AsofRow(key, p.tsMs, p.tie, None, None); false
+            case None => true
+          }
+        }
+        // a reference can still matter only to a waiting probe's window
+        // or to a future probe (whose ts is >= the watermark — Spark
+        // drops later-than-late input below it)
+        val keepFrom = (waiting.map(_.tsMs) :+ wm).min
+        val keptRefs = refs.filter(_.tsMs >= keepFrom)
+        if (waiting.isEmpty && hold.isEmpty && keptRefs.isEmpty) state.remove()
+        else {
+          state.update(AsofFwdState(keptRefs, waiting, hold))
+          // always schedule a wake-up: waiting probes resolve at their
+          // window end, held rows at their seal point, and a refs-only
+          // state (references at the exact watermark edge) folds once
+          // more so the next advance prunes it to empty and removes —
+          // no timeout would leave it behind forever on a quiet key
+          val next = (waiting.map(_.tsMs + toleranceMs + 1) ++
+            hold.map(_.tsMs)).reduceOption(_ min _).getOrElse(wm + 1)
+          state.setTimeoutTimestamp(math.max(next, wm + 1))
         }
         out.iterator
     }

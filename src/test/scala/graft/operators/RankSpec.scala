@@ -82,6 +82,30 @@ class RankSpec extends AnyFunSuite {
       "the global first row must carry NULL")
   }
 
+  test("quantilesDisc picks the exact ceil(p*n)-ranked value, ties and all") {
+    val rnd = new scala.util.Random(23)
+    val vals = (0 until 2001).map(_ => rnd.nextInt(50).toLong) // heavy ties
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(9)
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Rank.quantilesDisc(df, "v", probs)
+      .as[(Double, Long)].collect().toMap
+    val sorted = vals.sorted
+    val want = probs.map { p =>
+      val r = math.max(1L, math.ceil(p * sorted.length).toLong)
+      p -> sorted((r - 1).toInt)
+    }.toMap
+    assert(got == want)
+    // NULLs carry no rank
+    val withNulls = df.select(col("id"),
+      when(col("id") % 3 === 0, col("v")).as("v"))
+    val live = vals.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v }.sorted
+    val g2 = Rank.quantilesDisc(withNulls, "v", Seq(0.5))
+      .as[(Double, Long)].collect().toMap
+    assert(g2(0.5) ==
+      live((math.max(1L, math.ceil(0.5 * live.length).toLong) - 1).toInt))
+  }
+
   test("degenerate shapes: one distinct key, fewer rows than buckets, one row") {
     // every row shares the bucket key — one giant bucket, still exact
     val tied = (0L until 100L).map(i => (i, 5L)).toDF("id", "v")

@@ -92,6 +92,60 @@ class AsofStreamSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 3500L, 3L, Some(1000L), Some("r2"))))
   }
 
+  test("asofForwardStream: matches equal the batch asofJoinForward within tolerance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tol = 3000L
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long, Option[String])]
+    val lDf = lIn.toDF().toDF("key", "ts_ms", "tie")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val rDf = rIn.toDF().toDF("key", "ts_ms", "tie", "payload")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.asofForwardStream(lDf, rDf, toleranceMs = tol,
+        watermark = "20 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_fwd_test").start()
+    try {
+      // probes BEFORE their references, shuffled across batches;
+      // (1,500)→r2 wins the 1000-ts tie (smallest tie), (1,3500)→r3,
+      // (1,4100)→NULL (4000 already past, window [4100,7100] empty),
+      // (1,900)→r2, (2,4500)→rA at 5000, (3,100)→NULL (no refs at all)
+      lIn.addData((1L, 500L, 1L), (1L, 3500L, 2L), (2L, 4500L, 1L)); q.processAllAvailable()
+      rIn.addData(rightRows(2), rightRows(3)); q.processAllAvailable()
+      lIn.addData((1L, 4100L, 3L), (1L, 900L, 4L), (3L, 100L, 1L)); q.processAllAvailable()
+      rIn.addData(rightRows(0), rightRows(1)); q.processAllAvailable()
+      for (t <- Seq(50000L, 100000L, 150000L)) {
+        lIn.addData((9L, t, 0L)); q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_fwd_test").as[AsofRow].collect()
+        .filter(_.key != 9L)
+        .map(r => (r.key, r.ts_ms, r.tie, r.asof_ts_ms, r.asof_payload))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      // forward ties at one timestamp break SMALLEST tie → r1, not r2
+      assert(streamed.contains((1L, 500L, 1L, Some(1000L), Some("r1"))))
+      assert(streamed.contains((1L, 4100L, 3L, None, None)))
+      assert(streamed.contains((3L, 100L, 1L, None, None)))
+      val batchL = Seq((1L, 500L, 1L), (1L, 3500L, 2L), (2L, 4500L, 1L),
+        (1L, 4100L, 3L), (1L, 900L, 4L), (3L, 100L, 1L)).toDF("key", "ts_ms", "tie")
+      val batchR = rightRows.toDF("key", "ts_ms", "tie", "payload")
+        .withColumn("rt_ms", col("ts_ms"))
+      val batch = graft.operators.KVOps.asofJoinForward(
+          batchL, batchR, keys = Seq("key"), leftTime = "ts_ms",
+          rightTime = "ts_ms", payloadCols = Seq("payload", "rt_ms"),
+          rightOrderCol = Some("tie"), toleranceMs = Some(tol))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Long]("asof_rt_ms")).map(_.longValue),
+          Option(r.getAs[String]("asof_payload"))))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence:\nstream: $streamed\nbatch:  $batch")
+    } finally q.stop()
+  }
+
   test("asofStream survives a checkpoint restart: the carried reference is recovered") {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
