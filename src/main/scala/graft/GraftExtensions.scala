@@ -158,6 +158,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rules"),
       new ExpressionInfo(classOf[graft.operators.Analytics.type].getName, "graft_rules"),
       (args: Seq[Expression]) => GraftExtensions.graftRulesPlan(args)))
+    //   SELECT * FROM graft_quantiles('orders', 'o_totalprice', '0.25,0.5,0.75')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_quantiles"),
+      new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_quantiles"),
+      (args: Seq[Expression]) => GraftExtensions.graftQuantilesPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -406,6 +411,25 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_quantiles(table, valueCol, probsCsv)`: EXACT distributed
+    * discrete quantiles straight from SQL — routes to
+    * [[graft.operators.Rank.quantilesDisc]] (two-phase global rank, no
+    * single-partition sort, no whole-column aggregation buffer).
+    * `probsCsv` is a comma-separated list of probabilities in [0, 1].
+    */
+  private[graft] def graftQuantilesPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      s"graft_quantiles(table, valueCol, probsCsv) expects 3 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_quantiles table"))
+    val probs = stringLit(args(2), "graft_quantiles probsCsv")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+    graft.operators.Rank.quantilesDisc(df,
+        stringLit(args(1), "graft_quantiles valueCol"), probs)
+      .queryExecution.analyzed
+  }
+
   private def doubleLit(e: Expression, name: String): Double = {
     require(e.foldable, s"$name expects a numeric literal, got $e")
     e.eval() match {
@@ -509,6 +533,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_attribution", graftAttributionPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_skyline", graftSkylinePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_rules", graftRulesPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_quantiles", graftQuantilesPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

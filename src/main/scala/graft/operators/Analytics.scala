@@ -292,6 +292,87 @@ object Analytics {
     *
     * Output: (minCol, maxCol, n_rows) frontier cells, original names.
     */
+  /** d-attribute skyline (Pareto frontier, d >= 2): the distinct cells
+    * over `minCols ++ maxCols` no other cell dominates (`<=` on every
+    * minimized, `>=` on every maximized attribute, strict somewhere).
+    * [[skyline2]]'s sort-scan is 2-attribute-only — past two dimensions
+    * there is no total order whose prefix carries the frontier, so this
+    * is the classic distributed LOCAL-SKYLINE-THEN-MERGE:
+    *
+    *  1. one hash agg to distinct cells (+ row counts);
+    *  2. a per-partition frontier scan (`mapPartitions` — genuinely
+    *     imperative per-partition logic: each point tests against and
+    *     prunes a running frontier; no join/window composition expresses
+    *     local-then-merge without going quadratic in the CELLS) keeps
+    *     each partition's local skyline. EXACT under any partitioning:
+    *     a global skyline point is dominated by nothing, so it survives
+    *     its partition; and any dominated point's maximal dominator
+    *     chain ends at a skyline point (transitivity), so no false
+    *     positives survive the merge;
+    *  3. the merged candidates — typically a few hundred cells — fold
+    *     through the SAME frontier scan in one partition, with a LOUD
+    *     guard at `maxCandidates` (a frontier that big means the
+    *     attributes are anti-correlated noise and the skyline is not a
+    *     useful summary; raise, don't silently crawl).
+    *
+    * All attributes must be numeric (dominance compares doubles;
+    * maximized attributes are negated internally and restored on
+    * output); rows with a NULL in any attribute can't rank and are
+    * excluded ([[skyline2]]'s contract). Output: the attribute columns
+    * (as doubles, original orientation) + `n_rows` per frontier cell.
+    */
+  def skylineN(
+      df: DataFrame,
+      minCols: Seq[String],
+      maxCols: Seq[String],
+      maxCandidates: Int = 200000): DataFrame = {
+    val names = minCols ++ maxCols
+    val d = names.size
+    require(d >= 2, "skylineN: need at least two attributes")
+    require(names.distinct.size == d, "skylineN: attributes must be distinct")
+    val oriented = minCols.map(c => col(c).cast("double").as(c)) ++
+      maxCols.map(c => (-col(c).cast("double")).as(c))
+    val cells = df.select(oriented: _*)
+      .filter(names.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(names.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    // distinct cells ⇒ all-<= implies strict-somewhere, so dominance is
+    // a plain conjunction of <= over the oriented attributes
+    def localSky(cap: Int)(it: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = {
+      val frontier = scala.collection.mutable.ArrayBuffer
+        .empty[(Array[Double], org.apache.spark.sql.Row)]
+      var seen = 0L
+      for (r <- it) {
+        seen += 1
+        if (cap > 0 && seen > cap)
+          throw new IllegalStateException(
+            s"skylineN: merged candidate set exceeded $maxCandidates cells — " +
+              "the local frontiers are data-sized (anti-correlated attributes); " +
+              "a skyline over them is not a meaningful summary at this scale")
+        val v = Array.tabulate(d)(i => r.getDouble(i))
+        val dominated = frontier.exists { case (q, _) =>
+          var i = 0; var le = true
+          while (le && i < d) { le = q(i) <= v(i); i += 1 }
+          le
+        }
+        if (!dominated) {
+          frontier.filterInPlace { case (q, _) =>
+            var i = 0; var le = true
+            while (le && i < d) { le = v(i) <= q(i); i += 1 }
+            !le
+          }
+          frontier += ((v, r))
+        }
+      }
+      frontier.iterator.map(_._2)
+    }
+    val enc = org.apache.spark.sql.Encoders.row(cells.schema)
+    val local = cells.mapPartitions(localSky(0) _)(enc)
+    val global = local.coalesce(1).mapPartitions(localSky(maxCandidates) _)(enc)
+    global.select(minCols.map(col) ++
+      maxCols.map(c => (-col(c)).as(c)) :+ col("n_rows"): _*)
+  }
+
   def skyline2(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     val cells = df.select(col(minCol).as("__lo"), col(maxCol).as("__hi"))
       .filter(col("__lo").isNotNull && col("__hi").isNotNull)

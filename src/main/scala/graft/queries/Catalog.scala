@@ -899,7 +899,8 @@ object Catalog {
           WHERE n_name = 'NATION_8' GROUP BY 1)
         SELECT l_partkey AS ps_partkey, ((val + 50) // 100) / 100.0 AS value
         FROM g WHERE val > 0.001 * (SELECT sum(val) FROM g)
-        ORDER BY value DESC, ps_partkey""")),
+        ORDER BY value DESC, ps_partkey"""),
+      headline = true),
 
     "q12_priority_class" -> QueryDef(
       // TPC-H Q12 shape on the available columns (no l_shipmode /
@@ -2039,6 +2040,33 @@ object Catalog {
         FROM marked WHERE runmax IS NULL OR sz > runmax
         ORDER BY price""")),
 
+    "q_quantiles_sql" -> QueryDef(
+      // exact quantiles from PURE SQL: the graft_quantiles TVF routes
+      // to Rank.quantilesDisc, so a SQL user gets q_quantiles_exact's
+      // distributed-exact selection without the Column API — same
+      // explicit rank-formula oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .createOrReplaceTempView("graft_q_cents")
+        // SQL numeric literals parse as DECIMAL under ANSI — cast the
+        // display math back to DOUBLE or the hash diverges on rendering
+        s.sql("""SELECT CAST(round(p, 2) AS DOUBLE) AS p,
+            cents / CAST(100 AS DOUBLE) AS value
+          FROM graft_quantiles('graft_q_cents', 'cents', '0.25, 0.5, 0.75')
+          ORDER BY p""")
+      },
+      Some("""WITH c AS (SELECT round(o_totalprice * 100)::BIGINT AS cents
+          FROM orders),
+        r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+            count(*) OVER () AS n FROM c),
+        p AS (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+        SELECT round(p.p, 2)::DOUBLE AS p, (cents / 100.0)::DOUBLE AS value
+        FROM r JOIN p ON r.rn = greatest(1, ceil(p.p::DOUBLE * r.n)::BIGINT)
+        ORDER BY p""")),
+
     "q_hhi" -> QueryDef(
       // Herfindahl–Hirschman market-concentration index per region:
       // squared revenue shares of each region's suppliers, summed — the
@@ -2633,6 +2661,40 @@ object Catalog {
           count(*)::BIGINT AS n_events
         FROM w GROUP BY 1 ORDER BY window_start_ms""")),
 
+    "q_skyline3" -> QueryDef(
+      // 3-attribute skyline (Analytics.skylineN): lineitem cells no
+      // other cell beats on (price low, quantity high, discount high)
+      // simultaneously — the d>2 frontier the 2-attribute sort-scan
+      // cannot express. Local-skyline-then-merge: per-partition
+      // frontier scans, exact under any partitioning (a skyline point
+      // survives its partition; dominator chains end at skyline
+      // points), merged through the same scan with a loud candidate
+      // guard. Oracle: literal quadratic NOT-EXISTS dominance over the
+      // 60k distinct cells (feasible at sf0.01, and the definition
+      // itself — no algorithm shared with the operator).
+      (s, dir) => graft.operators.Analytics.skylineN(
+          t(s, dir, "lineitem"),
+          minCols = Seq("l_extendedprice"),
+          maxCols = Seq("l_quantity", "l_discount"))
+        .select(round(col("l_extendedprice"), 2).as("price"),
+          round(col("l_quantity"), 2).as("qty"),
+          round(col("l_discount"), 2).as("disc"), col("n_rows"))
+        .orderBy("price", "qty", "disc"),
+      Some("""WITH cells AS (
+          SELECT l_extendedprice AS a, l_quantity AS b, l_discount AS c,
+            count(*)::BIGINT AS n_rows
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            AND l_discount IS NOT NULL
+          GROUP BY 1, 2, 3)
+        SELECT round(a, 2) AS price, round(b, 2) AS qty,
+          round(c, 2) AS disc, n_rows
+        FROM cells x WHERE NOT EXISTS (
+          SELECT 1 FROM cells y
+          WHERE y.a <= x.a AND y.b >= x.b AND y.c >= x.c
+            AND (y.a < x.a OR y.b > x.b OR y.c > x.c))
+        ORDER BY price, qty, disc""")),
+
     "q_quantiles_exact" -> QueryDef(
       // EXACT order-value deciles (Rank.quantilesDisc): the quantile
       // whose rank is max(1, ceil(p*n)) in the GLOBAL cents order —
@@ -2657,9 +2719,10 @@ object Catalog {
         r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
             count(*) OVER () AS n FROM c),
         p AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p)
-        SELECT round(p.p, 2) AS p, cents / 100.0 AS value
-        FROM r JOIN p ON r.rn = greatest(1, ceil(p.p * r.n)::BIGINT)
-        ORDER BY p""")),
+        SELECT round(p.p, 2)::DOUBLE AS p, (cents / 100.0)::DOUBLE AS value
+        FROM r JOIN p ON r.rn = greatest(1, ceil(p.p::DOUBLE * r.n)::BIGINT)
+        ORDER BY p"""),
+      headline = true),
 
     "q_pareto" -> QueryDef(
       // Pareto / contribution analysis: revenue per supplier, cumulative

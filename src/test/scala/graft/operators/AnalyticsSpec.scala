@@ -316,6 +316,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(df.repartition(13)) == expect)
   }
 
+  test("skylineN equals brute-force 3-d dominance on random points, any partitioning") {
+    val rnd = new Random(7L)
+    val pts = (0 until 600).map(_ =>
+      (rnd.nextInt(30) * 1.0, rnd.nextInt(20) * 1.0, rnd.nextInt(10) * 1.0))
+    val cells = pts.groupBy(identity).view.mapValues(_.size).toMap
+    val frontier = cells.keySet.filter { case (a, b, c) =>
+      !cells.keySet.exists { case (a2, b2, c2) =>
+        a2 <= a && b2 >= b && c2 >= c && (a2 < a || b2 > b || c2 > c) } }
+    val expect = frontier.map { case (a, b, c) => (a, b, c, cells((a, b, c)).toLong) }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.skylineN(df, minCols = Seq("cost"),
+          maxCols = Seq("perf", "life"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val df = pts.toDF("cost", "perf", "life")
+    assert(run(df.coalesce(1)) == expect)
+    assert(run(df.repartition(17)) == expect)
+    // d=2 via skylineN agrees with skyline2's frontier on the same data
+    val two = Analytics.skylineN(df, Seq("cost"), Seq("perf"))
+      .select("cost", "perf").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val sk2 = Analytics.skyline2(df, "cost", "perf")
+      .select("cost", "perf").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(two == sk2)
+  }
+
+  test("skylineN: the merged-candidate guard fails loudly, NULL attrs excluded") {
+    // anti-correlated exact diagonal: every cell is on the frontier, so
+    // the merge sees every cell — a tiny cap must trip
+    val diag = (0 until 500).map(i => (i * 1.0, i * 1.0)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Analytics.skylineN(diag, Seq("a"), Seq("b"), maxCandidates = 100)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("candidate set exceeded")))
+    // NULLs can't rank
+    val withNull = Seq((1.0, Some(2.0)), (0.5, None)).toDF("a", "b")
+    val got = Analytics.skylineN(withNull, Seq("a"), Seq("b")).collect()
+    assert(got.length == 1 && got(0).getDouble(0) == 1.0)
+  }
+
   test("basketRules: a basket wider than maxBasketItems fails LOUDLY") {
     val bi = (0 until 30).map(i => (1L, s"i$i")).toDF("basket", "item")
     val ex = intercept[Exception] {
