@@ -146,6 +146,55 @@ class AsofStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofForwardStream survives a restart: the WAITING probe is recovered and matched") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val T = 100000L
+    val inDir = Files.createTempDirectory("asoff-restart-in").toString
+    val outDir = Files.createTempDirectory("asoff-restart-out").toString
+    val ckDir = Files.createTempDirectory("asoff-restart-ck").toString
+    val schema = Seq((0L, 0L, 0L, 0, Option.empty[String]))
+      .toDF("key", "ts_ms", "tie", "side", "payload").schema
+    def push(rows: (Long, Long, Long, Int, Option[String])*): Unit =
+      rows.toSeq.toDF("key", "ts_ms", "tie", "side", "payload").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      EventStream.asofForwardStream(
+          src.filter(col("side") === 1), src.filter(col("side") === 0),
+          toleranceMs = 60000L, watermark = "5 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[AsofRow], _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }.start()
+    }
+    // phase 1: seal the probe with NO reference in sight — it must wait
+    // (emitting nothing), with only the checkpoint holding it
+    push((1L, T, 1L, 1, None))
+    val q1 = start(); q1.processAllAvailable()
+    push((9L, T + 6000L, 0L, 1, None)); q1.processAllAvailable()
+    push((9L, T + 6500L, 0L, 1, None)); q1.processAllAvailable()
+    q1.stop()
+    assert(!new java.io.File(outDir).exists() ||
+      spark.read.parquet(outDir).filter(col("key") === 1L).count() == 0,
+      "the probe emitted before any reference or window expiry")
+    // phase 2: the in-window reference arrives after restart — the
+    // RECOVERED probe must match it (amnesia would drop the probe and
+    // emit nothing, or re-emit NULLs at window end)
+    push((1L, T + 30000L, 1L, 0, Some("next")))
+    val q2 = start(); q2.processAllAvailable()
+    push((9L, T + 300000L, 0L, 1, None)); q2.processAllAvailable()
+    push((9L, T + 400000L, 0L, 1, None)); q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).as[AsofRow].collect()
+      .filter(_.key == 1L)
+      .map(r => (r.ts_ms, r.tie, r.asof_ts_ms, r.asof_payload)).toSeq
+    assert(rows == Seq((T, 1L, Some(T + 30000L), Some("next"))),
+      s"restart broke the waiting-probe recovery: $rows")
+  }
+
   test("asofStream survives a checkpoint restart: the carried reference is recovered") {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
