@@ -10,15 +10,18 @@ import graft.functions.expressions.TextExpressions
   * runs between curation and batching, as dataframe algebra plus one
   * native segmentation kernel. Two halves:
   *
-  *  - [[learnSubwordVocab]]: a DETERMINISTIC one-shot frequent-substring
+  *  - [[bpeMerges]]: TRUE iterative BPE merge learning over the distinct-
+  *    word frequency table — most frequent adjacent pair fuses each
+  *    round; the space-separated symbol-string encoding makes every
+  *    round one aggregate + one `replace`, so the full merge trajectory
+  *    is SQL-replayable (text_bpe_merges oracles the chosen pairs and
+  *    counts round for round).
+  *  - [[learnSubwordVocab]]: the DETERMINISTIC one-shot frequent-substring
   *    vocabulary (all substrings up to `maxPieceLen` of every distinct
   *    word, weighted by word frequency, top-K by score with total
-  *    tie-breaks). This is the closed-form stand-in for iterative BPE
-  *    merge learning: the iterative merge order is data-dependent state
-  *    that no external engine can replay, while the frequent-substring
-  *    rule is pure aggregation — same spirit (frequent fragments become
-  *    units), fully SQL-replayable, so the Catalog row is FULLY oracled
-  *    end to end including the learned vocabulary.
+  *    tie-breaks) — the closed-form alternative when a single
+  *    aggregation pass must produce the vocabulary (no training loop),
+  *    also fully oracled.
   *  - [[encodeSubwords]]: greedy longest-match-first segmentation
   *    (WordPiece's inference rule, marker-free) with single-character
   *    fallback — lossless by construction (pieces concatenate back to
@@ -34,6 +37,98 @@ import graft.functions.expressions.TextExpressions
   * re-segmenting per instance).
   */
 object Tokenize {
+
+  /** TRUE iterative BPE merge learning — the canonical tokenizer
+    * trainer: starting from characters (+ the `</w>` end-of-word mark),
+    * repeatedly find the most frequent adjacent symbol pair across the
+    * corpus and fuse it, `numMerges` times. Returns the learned merge
+    * table `(merge_rank, pair, pair_count)` — the artifact a tokenizer
+    * ships (apply merges in rank order to encode).
+    *
+    * Spark-first shape, the industry trainer's: ONE corpus-scale pass
+    * folds the corpus to the distinct-WORD frequency table (capped at
+    * `maxWords` by frequency via TakeOrdered — the standard trainer
+    * cap); every merge round then runs on that vocabulary-sized frame:
+    * a pair-count aggregate (map-side partials), a 1-row deterministic
+    * argmax (`count DESC, pair` — collected: one bounded row per
+    * round), and a string `replace` fusing the pair. Words are held as
+    * DOUBLE-SPACE-separated symbol strings, so "merge every
+    * non-overlapping occurrence left-to-right" — exactly BPE's
+    * application rule, self-chains included — is plain
+    * `replace(sym, ' l  r ', ' lr ')` (see the encoding-invariant
+    * comment in the body), an expression ANY SQL engine evaluates
+    * identically. That makes the full iterative
+    * trajectory externally replayable: the text_bpe_merges oracle
+    * unrolls the rounds in DuckDB (MATERIALIZED per round, the
+    * graph_kcore discipline) and must reproduce every chosen pair and
+    * count — not a gate, the merges themselves. ([[learnSubwordVocab]]
+    * remains the closed-form one-shot alternative; its scaladoc's old
+    * claim that the merge order is not replayable is retired by this
+    * encoding.)
+    *
+    * Stops early (fewer rows) if the vocabulary runs out of adjacent
+    * pairs. The per-round state persists vocabulary-sized only.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text",
+      maxWords: Int = 1000000): DataFrame = {
+    require(numMerges > 0, "bpeMerges: numMerges must be positive")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(maxWords)
+    // Encoding invariant: symbols are separated (and bounded) by
+    // exactly TWO spaces. The merge needle is ' l  r ' — one space of
+    // the left boundary, both inner, one of the right — so two
+    // occurrences SHARING a boundary (self-chains: 'a a a' under merge
+    // (a,a), 'banana' under (an,an)…) each take a different half of
+    // the shared boundary and BOTH merge; a single-space encoding
+    // consumes the shared delimiter with the first match and silently
+    // skips the second (caught by the sequential-reference spec on
+    // 'banana'). The replacement ' lr ' restores both boundaries to
+    // two spaces, so the invariant holds round over round, and
+    // left-to-right non-overlapping replace() — identical semantics in
+    // the JVM and DuckDB — walks exactly the symbol-level greedy scan.
+    //
+    // Eager localCheckpoint per round (NOT persist): the replace-chain
+    // grows the LOGICAL plan every round and AQE re-renders the full
+    // explain string per job — 30 rounds of accumulated projections
+    // OOM'd the driver in explainString; the checkpoint pins each
+    // round to a vocabulary-sized LogicalRDD so the plan stays O(1)
+    var tbl = words.select(
+      concat(lit("  "),
+        regexp_replace(col("w"), "(.)", "$1  "), lit("</w>  ")).as("sym"),
+      col("n")).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (r <- 1 to numMerges if !exhausted) {
+      val best = tbl
+        .select(col("n"), split(trim(col("sym")), "  ").as("a"))
+        .select(col("n"), explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (l, rr) => concat(l, lit(" "), rr))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        merges += ((r.toLong, pair, best(0).getLong(1)))
+        val fused = pair.replace(" ", "")
+        val needle = " " + pair.replace(" ", "  ") + " "
+        tbl = tbl.withColumn("sym",
+          org.apache.spark.sql.functions.replace(col("sym"),
+            lit(needle), lit(s" $fused "))).localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "pair", "pair_count")
+  }
 
   /** Top-`vocabSize` substrings (length <= `maxPieceLen`, in code points)
     * of the corpus's distinct words, scored by sum over words of

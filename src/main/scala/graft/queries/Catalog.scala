@@ -5098,6 +5098,52 @@ object Catalog {
         SELECT tok, p_old::DOUBLE AS p_old, p_new::DOUBLE AS p_new, delta::DOUBLE AS delta
         FROM d ORDER BY abs(delta) DESC, tok LIMIT 20""")),
 
+    "text_bpe_merges" -> QueryDef(
+      // TRUE iterative BPE merge training (Tokenize.bpeMerges, 8
+      // rounds): most frequent adjacent symbol pair fuses each round,
+      // starting from characters + </w>. The space-separated
+      // symbol-string encoding turns each round into one pair-count
+      // aggregate + one replace(), so the oracle UNROLLS the whole
+      // trajectory in DuckDB (MATERIALIZED per round, the graph_kcore
+      // discipline) and must reproduce every chosen pair AND its count
+      // — the learned artifact itself, not a property gate.
+      (s, dir) => Tokenize.bpeMerges(t(s, dir, "documents"), numMerges = 8)
+        .orderBy("merge_rank"),
+      Some {
+        val rounds = 8
+        // symbols separated by exactly TWO spaces; the needle
+        // ' l  r ' takes one space of each shared boundary, so
+        // self-chaining occurrences all merge (see Tokenize.bpeMerges'
+        // encoding-invariant comment) — replace() then walks exactly
+        // the symbol-level greedy scan, identically in both engines
+        val steps = (1 to rounds).map { r =>
+          s"""p$r AS MATERIALIZED (
+            SELECT a[i] || ' ' || a[i+1] AS pair, sum(n)::BIGINT AS c
+            FROM (SELECT string_split(trim(sym), '  ') AS a, n FROM t${r - 1}),
+              LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) u
+            GROUP BY 1),
+          b$r AS MATERIALIZED (SELECT pair, c FROM p$r
+            ORDER BY c DESC, pair LIMIT 1),
+          t$r AS MATERIALIZED (
+            SELECT replace(sym,
+                ' ' || replace((SELECT pair FROM b$r), ' ', '  ') || ' ',
+                ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS sym, n
+            FROM t${r - 1})"""
+        }.mkString(",\n")
+        val union = (1 to rounds)
+          .map(r => s"SELECT ${r}::BIGINT AS merge_rank, pair, c AS pair_count FROM b$r")
+          .mkString("\n          UNION ALL ")
+        s"""WITH words AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS n
+          FROM (SELECT unnest($toksSql) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        t0 AS MATERIALIZED (
+          SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w>  ' AS sym, n
+          FROM words),
+        $steps
+        SELECT * FROM ($union) ORDER BY merge_rank"""
+      }),
+
     "text_subword" -> QueryDef(
       // Learned subword tokenization END-TO-END (llmops.Tokenize): a
       // deterministic frequent-substring vocabulary (the closed-form,

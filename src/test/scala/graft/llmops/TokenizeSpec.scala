@@ -112,4 +112,73 @@ class TokenizeSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  // sequential reference BPE: word-frequency table, most frequent
+  // adjacent pair (ties → lexicographically smallest pair string),
+  // merge every non-overlapping occurrence left-to-right
+  private def refBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, Long)] = {
+    var tbl = words.map { case (w, n) => (w.map(_.toString) :+ "</w>", n) }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- tbl; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.nonEmpty) {
+        val ((l, rr), c) = counts.minBy { case ((l, rr), c) => (-c, s"$l $rr") }
+        out += ((r.toLong, s"$l $rr", c))
+        tbl = tbl.map { case (syms, n) =>
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+              b += l + rr; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.toIndexedSeq, n)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges equals the sequential reference trainer, any partitioning") {
+    val rnd = new scala.util.Random(31)
+    val lexicon = Seq("alpha", "beta", "gamma", "delta", "scan", "merge",
+      "banana", "bandana", "abcabc", "zz")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(10))(
+        lexicon(rnd.nextInt(lexicon.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val want = refBpe(words, 30)
+    val got = Tokenize.bpeMerges(docs, numMerges = 30)
+      .orderBy("merge_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == want, s"got:  $got\nwant: $want")
+    val again = Tokenize.bpeMerges(docs.repartition(13), numMerges = 30)
+      .orderBy("merge_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again == want)
+    // self-chaining pair: 'zzzz' = z,z,z,z counts THREE (z,z)
+    // adjacencies (x2 words = 6), and the greedy merge fuses TWO
+    // non-overlapping occurrences per word → zz,zz,</w>. Round 2 then
+    // sees (zz,zz)=2 and (zz,</w>)=2 — the '<' tie-break picks
+    // "zz </w>". A shared-boundary encoding bug would instead leave
+    // z,z unmerged mid-word and surface (zz,z)/(z,</w>) pairs here.
+    val zz = Seq((0L, "zzzz zzzz")).toDF("doc_id", "text")
+    val m2 = Tokenize.bpeMerges(zz, numMerges = 2)
+      .orderBy("merge_rank").as[(Long, String, Long)].collect().toSeq
+    assert(m2 == Seq((1L, "z z", 6L), (2L, "zz </w>", 2L)), s"got $m2")
+  }
+
+  test("bpeMerges stops early when no adjacent pairs remain") {
+    val tiny = Seq((0L, "a a a")).toDF("doc_id", "text")
+    // 'a</w>' fuses in round 1; after that the single-symbol word has no
+    // pairs — rounds 2+ must not emit
+    val m = Tokenize.bpeMerges(tiny, numMerges = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(m == Seq((1L, "a </w>", 3L)), s"got $m")
+  }
 }
