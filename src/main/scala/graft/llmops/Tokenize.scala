@@ -130,6 +130,53 @@ object Tokenize {
     merges.toSeq.toDF("merge_rank", "pair", "pair_count")
   }
 
+  /** Apply a learned [[bpeMerges]] table: encode every document's token
+    * stream into BPE pieces by replaying the merges IN RANK ORDER over
+    * each distinct word (the tokenizer's inference rule — merge
+    * priority is training order, not greedy length). Returns one row
+    * per document: `(idCol, n_pieces, pieces_md5)` where the md5
+    * fingerprints the full space-joined piece stream in token order —
+    * the same certify-the-whole-segmentation contract text_subword
+    * uses.
+    *
+    * Scale shape (the [[encodeSubwords]] discipline): the merge chain
+    * — a bounded, collected list, one `replace` per merge — evaluates
+    * once per DISTINCT word inside a single projection; the corpus
+    * pays one explode and one join on the word key (broadcast at
+    * query scale, shuffle at open-web scale), never re-encoding per
+    * instance. Every step is engine-portable string algebra, so the
+    * text_bpe_encode oracle replays training AND encoding end to end.
+    */
+  def encodeBpe(
+      docs: DataFrame,
+      merges: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ms = merges.orderBy("merge_rank")
+      .select("pair").collect().map(_.getString(0)).toSeq
+    val toks = docs
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val words = toks.select(col("w")).distinct()
+    val sym0: org.apache.spark.sql.Column = concat(lit("  "),
+      regexp_replace(col("w"), "(.)", "$1  "), lit("</w>  "))
+    val symN = ms.foldLeft(sym0) { (c, pair) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + pair.replace(" ", "") + " "))
+    }
+    val enc = words.select(col("w"),
+      org.apache.spark.sql.functions.replace(trim(symN), lit("  "), lit(" "))
+        .as("pieces"),
+      size(split(trim(symN), "  ")).cast("long").as("np"))
+    toks.join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("np")).as("n_pieces"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("pieces")))),
+          x => x.getField("pieces")), " ")).as("pieces_md5"))
+  }
+
   /** Top-`vocabSize` substrings (length <= `maxPieceLen`, in code points)
     * of the corpus's distinct words, scored by sum over words of
     * `wordFreq x occurrencePositions`, ties broken by piece order.

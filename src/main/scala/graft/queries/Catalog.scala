@@ -5144,6 +5144,57 @@ object Catalog {
         SELECT * FROM ($union) ORDER BY merge_rank"""
       }),
 
+    "text_bpe_encode" -> QueryDef(
+      // BPE END-TO-END: train 8 merges (text_bpe_merges' trajectory)
+      // then ENCODE every document by replaying them in rank order —
+      // per doc the piece count and the md5 of the full piece stream
+      // in token order (the text_subword certify-everything contract).
+      // The oracle replays training AND encoding: the unrolled merge
+      // rounds carry the word column through, t8 IS each word's final
+      // segmentation, and string_agg(... ORDER BY pos) rebuilds the
+      // same fingerprint.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Tokenize.bpeMerges(docs, numMerges = 8)
+        Tokenize.encodeBpe(docs, merges).orderBy("doc_id")
+      },
+      Some {
+        val rounds = 8
+        val steps = (1 to rounds).map { r =>
+          s"""p$r AS MATERIALIZED (
+            SELECT a[i] || ' ' || a[i+1] AS pair, sum(n)::BIGINT AS c
+            FROM (SELECT string_split(trim(sym), '  ') AS a, n FROM t${r - 1}),
+              LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) u
+            GROUP BY 1),
+          b$r AS MATERIALIZED (SELECT pair, c FROM p$r
+            ORDER BY c DESC, pair LIMIT 1),
+          t$r AS MATERIALIZED (
+            SELECT w, replace(sym,
+                ' ' || replace((SELECT pair FROM b$r), ' ', '  ') || ' ',
+                ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS sym, n
+            FROM t${r - 1})"""
+        }.mkString(",\n")
+        s"""WITH words AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS n
+          FROM (SELECT unnest($toksSql) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        t0 AS MATERIALIZED (
+          SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w>  ' AS sym, n
+          FROM words),
+        $steps,
+        enc AS (SELECT w, replace(trim(sym), '  ', ' ') AS pieces,
+            len(string_split(trim(sym), '  '))::BIGINT AS np
+          FROM t$rounds),
+        toks AS (SELECT doc_id, i AS pos, toks[i] AS w
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+            LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+          WHERE toks[i] <> '')
+        SELECT doc_id, sum(np)::BIGINT AS n_pieces,
+          md5(string_agg(pieces, ' ' ORDER BY pos)) AS pieces_md5
+        FROM toks JOIN enc USING (w)
+        GROUP BY 1 ORDER BY doc_id"""
+      }),
+
     "text_subword" -> QueryDef(
       // Learned subword tokenization END-TO-END (llmops.Tokenize): a
       // deterministic frequent-substring vocabulary (the closed-form,

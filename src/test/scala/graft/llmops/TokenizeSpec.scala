@@ -173,6 +173,44 @@ class TokenizeSpec extends AnyFunSuite {
     assert(m2 == Seq((1L, "z z", 6L), (2L, "zz </w>", 2L)), s"got $m2")
   }
 
+  test("encodeBpe: pieces are lossless and rank-order replay, counts sum per doc") {
+    val docs = Seq((0L, "banana band banana"), (1L, "band banana")).toDF("doc_id", "text")
+    val merges = Tokenize.bpeMerges(docs, numMerges = 4)
+    val got = Tokenize.encodeBpe(docs, merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    // reconstruct the expected segmentation with the reference trainer
+    val words = Map("banana" -> 3L, "band" -> 2L)
+    val ms = refBpe(words, 4).map(_._2)
+    def encode(w: String): Seq[String] = {
+      var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+      for (m <- ms) {
+        val Array(l, r) = m.split(" ", 2)
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += l + r; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.toSeq
+      }
+      syms
+    }
+    // losslessness: pieces concatenate back to word + </w>
+    for (w <- words.keys)
+      assert(encode(w).mkString("") == w + "</w>")
+    val expect = Seq(
+      (0L, Seq("banana", "band", "banana").map(encode(_).length.toLong).sum),
+      (1L, Seq("band", "banana").map(encode(_).length.toLong).sum))
+    assert(got.map(g => (g._1, g._2)) == expect, s"got $got")
+    // fingerprint changes iff segmentation changes: zero merges ≠ four
+    val got0 = Tokenize.encodeBpe(docs,
+        Tokenize.bpeMerges(docs, numMerges = 4).limit(0))
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got0.head._2 > got.head._2 && got0.head._3 != got.head._3)
+  }
+
   test("bpeMerges stops early when no adjacent pairs remain") {
     val tiny = Seq((0L, "a a a")).toDF("doc_id", "text")
     // 'a</w>' fuses in round 1; after that the single-symbol word has no
