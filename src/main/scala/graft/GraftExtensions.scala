@@ -163,6 +163,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_quantiles"),
       new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_quantiles"),
       (args: Seq[Expression]) => GraftExtensions.graftQuantilesPlan(args)))
+    //   SELECT * FROM graft_bpe('documents', 8)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[graft.llmops.Tokenize.type].getName, "graft_bpe"),
+      (args: Seq[Expression]) => GraftExtensions.graftBpePlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -430,6 +435,27 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_bpe(table, numMerges[, textCol])`: iterative BPE merge
+    * training straight from SQL — routes to
+    * [[graft.llmops.Tokenize.bpeMerges]]; returns the learned
+    * `(merge_rank, pair, pair_count)` table. Note the training loop
+    * runs at PLAN time (one bounded argmax collect per round), so the
+    * TVF call itself pays the rounds — the standard trainer contract.
+    */
+  private[graft] def graftBpePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_bpe(table, numMerges[, textCol]) expects 2-3 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_bpe table"))
+    graft.llmops.Tokenize.bpeMerges(df,
+        numMerges = longLit(args(1), "graft_bpe numMerges").toInt,
+        textCol =
+          if (args.length == 3) stringLit(args(2), "graft_bpe textCol")
+          else "text")
+      .queryExecution.analyzed
+  }
+
   private def doubleLit(e: Expression, name: String): Double = {
     require(e.foldable, s"$name expects a numeric literal, got $e")
     e.eval() match {
@@ -534,6 +560,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_skyline", graftSkylinePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_rules", graftRulesPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_quantiles", graftQuantilesPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_bpe", graftBpePlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

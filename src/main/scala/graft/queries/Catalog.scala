@@ -5144,6 +5144,47 @@ object Catalog {
         SELECT * FROM ($union) ORDER BY merge_rank"""
       }),
 
+    "text_bpe_sql" -> QueryDef(
+      // BPE training from PURE SQL: the graft_bpe TVF routes to
+      // Tokenize.bpeMerges, so a SQL user gets the identical merge
+      // trajectory — same unrolled-round oracle as text_bpe_merges.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_bpe_docs")
+        s.sql("""SELECT merge_rank, pair, pair_count
+          FROM graft_bpe('graft_bpe_docs', 5) ORDER BY merge_rank""")
+      },
+      Some {
+        val rounds = 5
+        val steps = (1 to rounds).map { r =>
+          s"""p$r AS MATERIALIZED (
+            SELECT a[i] || ' ' || a[i+1] AS pair, sum(n)::BIGINT AS c
+            FROM (SELECT string_split(trim(sym), '  ') AS a, n FROM t${r - 1}),
+              LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) u
+            GROUP BY 1),
+          b$r AS MATERIALIZED (SELECT pair, c FROM p$r
+            ORDER BY c DESC, pair LIMIT 1),
+          t$r AS MATERIALIZED (
+            SELECT replace(sym,
+                ' ' || replace((SELECT pair FROM b$r), ' ', '  ') || ' ',
+                ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS sym, n
+            FROM t${r - 1})"""
+        }.mkString(",\n")
+        val union = (1 to rounds)
+          .map(r => s"SELECT ${r}::BIGINT AS merge_rank, pair, c AS pair_count FROM b$r")
+          .mkString("\n          UNION ALL ")
+        s"""WITH words AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS n
+          FROM (SELECT unnest($toksSql) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        t0 AS MATERIALIZED (
+          SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w>  ' AS sym, n
+          FROM words),
+        $steps
+        SELECT * FROM ($union) ORDER BY merge_rank"""
+      }),
+
     "text_bpe_encode" -> QueryDef(
       // BPE END-TO-END: train 8 merges (text_bpe_merges' trajectory)
       // then ENCODE every document by replaying them in rank order —
