@@ -733,7 +733,8 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    for (name <- Seq("q_gini", "q_pareto", "q_skyline_parts", "q_skyline_sql")) {
+    for (name <- Seq("q_gini", "q_pareto", "q_skyline_parts", "q_skyline_sql",
+        "q_quantiles_exact", "q_quantiles_sql")) {
       val df = Catalog.queries(name)(spark, sf)
       val phys = df.queryExecution.sparkPlan
       val wins = phys.collect { case w: WindowExec => w }
@@ -746,6 +747,19 @@ class PlanShapeSpec extends AnyFunSuite {
       singles.foreach(e => assert(e.child.isInstanceOf[BaseAggregateExec],
         s"$name: a SinglePartition exchange feeds ${e.child.nodeName}, not a scalar aggregate"))
     }
+  }
+
+  test("q_skyline3: one cells aggregate, frontier scans stay join-free") {
+    val p = plan("q_skyline3")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the d-dim frontier regressed to a quadratic join formulation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "skylineN grew a join — local-then-merge needs none")
+    // exactly one keyed exchange: the distinct-cells aggregate (formatted
+    // mode prints each node twice: tree line + detail header)
+    val exchanges = p.linesIterator
+      .count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected exactly 1 exchange (the cells agg), got $exchanges:\n$p")
   }
 
   test("q11_important_stock: share threshold decorrelates to a hash join — no nested loop") {
