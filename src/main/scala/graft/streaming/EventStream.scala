@@ -1206,7 +1206,10 @@ object EventStream {
     * right: `key` long, `ts` timestamp, `tie` long, `payload` string
     * (nullable). The watermark applies to the unioned stream, so both
     * sides share one lateness budget, as one stream-stream watermark
-    * would.
+    * would. Engine caveat inherited by every watermark-ed stateful
+    * operator here: Spark's late filter drops rows AT the watermark
+    * (sealed means final), and the initial watermark is 0 — an event
+    * timestamped exactly epoch 0 is late before the stream starts.
     */
   def asofStream(
       left: DataFrame,

@@ -92,6 +92,66 @@ class AsofStreamSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 3500L, 3L, Some(1000L), Some("r2"))))
   }
 
+  test("asofStream: random histories in random batch order equal the batch join (seeded fuzz)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    // ~25 keys, ts 1000..31000, duplicate timestamps ON PURPOSE (tie
+    // rules are where stream and batch most easily diverge). NEVER
+    // ts=0: Spark's stateful late-filter drops rows AT the watermark
+    // (sealed-means-final), and the initial watermark is 0 — an
+    // epoch-0 event is late before the stream even starts (verified:
+    // ts=0 dropped, ts=1 kept).
+    val rs = (0 until 300).map { i =>
+      (rnd.nextInt(25).toLong, (1 + rnd.nextInt(31)) * 1000L, i.toLong,
+        Some(s"r$i"))
+    }
+    val ls = (0 until 300).map { i =>
+      (rnd.nextInt(25).toLong, (1 + rnd.nextInt(31)) * 1000L, i.toLong)
+    }
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long, Option[String])]
+    val lDf = lIn.toDF().toDF("key", "ts_ms", "tie")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val rDf = rIn.toDF().toDF("key", "ts_ms", "tie", "payload")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.asofStream(lDf, rDf, watermark = "40 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_fuzz").start()
+    try {
+      // interleave both sides in shuffled chunks across many batches
+      val lChunks = rnd.shuffle(ls).grouped(40).toSeq
+      val rChunks = rnd.shuffle(rs).grouped(40).toSeq
+      for (i <- 0 until math.max(lChunks.size, rChunks.size)) {
+        if (i < rChunks.size) { rIn.addData(rChunks(i): _*); q.processAllAvailable() }
+        if (i < lChunks.size) { lIn.addData(lChunks(i): _*); q.processAllAvailable() }
+      }
+      for (t <- Seq(100000L, 200000L, 300000L)) {
+        lIn.addData((99L, t, 0L)); q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_fuzz").as[AsofRow].collect()
+        .filter(_.key != 99L)
+        .map(r => (r.key, r.ts_ms, r.tie, r.asof_ts_ms, r.asof_payload))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      val batch = graft.operators.KVOps.asofJoinBackward(
+          ls.toDF("key", "ts_ms", "tie"),
+          rs.toDF("key", "ts_ms", "tie", "payload")
+            .withColumn("rt_ms", col("ts_ms")),
+          keys = Seq("key"), leftTime = "ts_ms", rightTime = "ts_ms",
+          payloadCols = Seq("payload", "rt_ms"), rightOrderCol = Some("tie"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Long]("asof_rt_ms")).map(_.longValue),
+          Option(r.getAs[String]("asof_payload"))))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(streamed.size == ls.size, s"lost probes: ${streamed.size}/${ls.size}")
+      assert(streamed == batch,
+        s"fuzz divergence (first diff: ${streamed.zip(batch).find(p => p._1 != p._2)})")
+    } finally q.stop()
+  }
+
   test("asofForwardStream: matches equal the batch asofJoinForward within tolerance") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
