@@ -168,6 +168,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe"),
       new ExpressionInfo(classOf[graft.llmops.Tokenize.type].getName, "graft_bpe"),
       (args: Seq[Expression]) => GraftExtensions.graftBpePlan(args)))
+    //   SELECT * FROM graft_rank('orders', 'o_totalprice', 'o_orderkey')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_rank"),
+      new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_rank"),
+      (args: Seq[Expression]) => GraftExtensions.graftRankPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -456,6 +461,28 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_rank(table, valueCol, tieCol)`: the two-phase distributed
+    * global `row_number` from SQL — routes to
+    * [[graft.operators.Rank.rowNumber]] over the total order
+    * `(valueCol, tieCol)` (no single-partition window; `valueCol` must
+    * be numeric — it seeds the quantile buckets). Returns the input
+    * columns plus `rn`.
+    */
+  private[graft] def graftRankPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      s"graft_rank(table, valueCol, tieCol) expects 3 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_rank table"))
+    val v = stringLit(args(1), "graft_rank valueCol")
+    val tie = stringLit(args(2), "graft_rank tieCol")
+    graft.operators.Rank.rowNumber(df,
+        Seq(org.apache.spark.sql.functions.col(v),
+          org.apache.spark.sql.functions.col(tie)),
+        bucketOn = org.apache.spark.sql.functions.col(v), out = "rn")
+      .queryExecution.analyzed
+  }
+
   private def doubleLit(e: Expression, name: String): Double = {
     require(e.foldable, s"$name expects a numeric literal, got $e")
     e.eval() match {
@@ -561,6 +588,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_rules", graftRulesPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_quantiles", graftQuantilesPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_bpe", graftBpePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_rank", graftRankPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

@@ -2067,6 +2067,30 @@ object Catalog {
         FROM r JOIN p ON r.rn = greatest(1, ceil(p.p::DOUBLE * r.n)::BIGINT)
         ORDER BY p""")),
 
+    "q_rank_sql" -> QueryDef(
+      // the two-phase distributed row_number from PURE SQL: the
+      // graft_rank TVF routes to Rank.rowNumber, so a SQL user ranks a
+      // data-sized frame with no single-partition window (pinned with
+      // the rest of the rank family); oracle replays the rank as a
+      // plain window over the same total order.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+          .createOrReplaceTempView("graft_rank_spend")
+        s.sql("""SELECT o_custkey, cents, rn
+          FROM graft_rank('graft_rank_spend', 'cents', 'o_custkey')
+          ORDER BY rn""")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS cents
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, cents,
+          row_number() OVER (ORDER BY cents, o_custkey) AS rn
+        FROM spend ORDER BY rn""")),
+
     "q_hhi" -> QueryDef(
       // Herfindahl–Hirschman market-concentration index per region:
       // squared revenue shares of each region's suppliers, summed — the

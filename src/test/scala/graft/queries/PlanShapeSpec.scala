@@ -734,7 +734,7 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     for (name <- Seq("q_gini", "q_pareto", "q_skyline_parts", "q_skyline_sql",
-        "q_quantiles_exact", "q_quantiles_sql")) {
+        "q_quantiles_exact", "q_quantiles_sql", "q_rank_sql")) {
       val df = Catalog.queries(name)(spark, sf)
       val phys = df.queryExecution.sparkPlan
       val wins = phys.collect { case w: WindowExec => w }
