@@ -29,6 +29,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    writeOracleJson(outDir)
+    spark.stop()
+  }
+
+  /** Serializes `SparkEntry.oracleSql` to `<outDir>/oracle_sql.json` — the
+    * exact bytes the driver's DuckDB compare (and `tools/oracle_check.py`)
+    * consume. Shared with `OracleTypeLintSpec` so the in-suite type lint
+    * probes the same serialization the driver reads. */
+  def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +53,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -2085,7 +2085,7 @@ object Catalog {
           ORDER BY rn""")
       },
       Some("""WITH spend AS (
-          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS cents
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
           FROM orders GROUP BY 1)
         SELECT o_custkey, cents,
           row_number() OVER (ORDER BY cents, o_custkey) AS rn

@@ -1,0 +1,47 @@
+package graft.queries
+
+import java.nio.file.Files
+import scala.sys.process._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Makes the oracle decimal type-lint UN-SKIPPABLE: the failure class
+  * "DuckDB widens an aggregate to DECIMAL128(38,0) and the driver's
+  * pandas/arrow hash path stringifies `150.0` vs Spark's BIGINT `150`"
+  * shipped a red correctness row twice (r8 `q_funnel`, r11 `q_rank_sql`)
+  * because `tools/oracle_check.py --lint` ran only at the builder's
+  * discretion. This spec dumps the live `SparkEntry.oracleSql` map through
+  * the same serializer the driver consumes (`Verify.writeOracleJson`) and
+  * shells out to the lint, so `sbt test` itself goes red on any oracle
+  * whose output schema contains a decimal column.
+  *
+  * The lint is a LIMIT-0 type probe — DuckDB plans each oracle against the
+  * sf0.001 parquet views but materializes zero rows, so the whole catalog
+  * lints in seconds and needs no Spark session.
+  */
+class OracleTypeLintSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val repoRoot = new java.io.File(".").getCanonicalPath
+
+  test("no oracle emits a decimal-typed output column (driver hash safety)") {
+    val py = new java.io.File(repoRoot, "tools/oracle_check.py")
+    assume(py.isFile, s"lint tool missing at $py")
+    assume(new java.io.File(sfDir).isDirectory, s"testdata missing at $sfDir")
+
+    val tmp = Files.createTempDirectory("oracle-lint-").toFile
+    graft.Verify.writeOracleJson(tmp.getAbsolutePath)
+
+    val out = new StringBuilder
+    val rc = Process(
+      Seq("python3", py.getAbsolutePath, sfDir, tmp.getAbsolutePath,
+        "--lint"),
+      new java.io.File(repoRoot))
+      .!(ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+
+    val failures = out.toString.linesIterator
+      .filterNot(_.endsWith("OK")).toSeq
+    assert(rc == 0,
+      s"oracle type lint failed (exit $rc):\n${failures.mkString("\n")}")
+  }
+}
