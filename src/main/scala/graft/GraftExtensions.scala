@@ -169,10 +169,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.llmops.Tokenize.type].getName, "graft_bpe"),
       (args: Seq[Expression]) => GraftExtensions.graftBpePlan(args)))
     //   SELECT * FROM graft_rank('orders', 'o_totalprice', 'o_orderkey')
+    //   SELECT * FROM graft_rank('orders', 'o_totalprice', 'o_orderkey', true)  -- desc
     ext.injectTableFunction((
       new FunctionIdentifier("graft_rank"),
       new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_rank"),
       (args: Seq[Expression]) => GraftExtensions.graftRankPlan(args)))
+    //   SELECT * FROM graft_running_sum('spend', 'cents', 'o_custkey', 'cents')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_running_sum"),
+      new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_running_sum"),
+      (args: Seq[Expression]) => GraftExtensions.graftRunningSumPlan(args)))
+    //   SELECT * FROM graft_prefix_max('spend', 'cents', 'o_custkey', 'cents')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_prefix_max"),
+      new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_prefix_max"),
+      (args: Seq[Expression]) => GraftExtensions.graftPrefixMaxPlan(args)))
+    //   SELECT * FROM graft_skyline_n('part', 'p_retailprice', 'p_size,p_partkey')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_skyline_n"),
+      new ExpressionInfo(classOf[graft.operators.Analytics.type].getName, "graft_skyline_n"),
+      (args: Seq[Expression]) => GraftExtensions.graftSkylineNPlan(args)))
 
     // ---- optimizer rules: the range-join bin rewrite (opt-in via
     //   SET spark.graft.rangeJoin.binSize=<units> — see RangeJoinRewrite)
@@ -384,8 +400,12 @@ object GraftExtensions {
 
   /** `graft_skyline(table, minCol, maxCol)`: the 2-attribute Pareto
     * frontier straight from SQL — routes to
-    * [[graft.operators.Analytics.skyline2]] (distinct-cell sort-scan;
-    * the frontier window runs on the cells frame, never the table).
+    * [[graft.operators.Analytics.skyline2]] (distinct cells → the
+    * distributed two-phase prefix-max frontier scan; never a
+    * single-partition window, never the raw table). `minCol` must be
+    * NUMERIC — it seeds the frontier's quantile buckets (enforced with a
+    * clear error); `maxCol` needs only an ordering. For d≥3 attributes
+    * use `graft_skyline_n`.
     */
   private[graft] def graftSkylinePlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -461,25 +481,107 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
-  /** `graft_rank(table, valueCol, tieCol)`: the two-phase distributed
-    * global `row_number` from SQL — routes to
+  /** `graft_rank(table, valueCol, tieCol[, descending])`: the two-phase
+    * distributed global `row_number` from SQL — routes to
     * [[graft.operators.Rank.rowNumber]] over the total order
     * `(valueCol, tieCol)` (no single-partition window; `valueCol` must
-    * be numeric — it seeds the quantile buckets). Returns the input
-    * columns plus `rn`.
+    * be numeric — it seeds the quantile buckets). Pass `true` as the
+    * optional 4th argument for a DESCENDING value order (ties still
+    * ascend): the TVF negates the numeric key internally, so SQL users
+    * never hand-negate. Returns the input columns plus `rn`.
     */
   private[graft] def graftRankPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(args.length == 3,
-      s"graft_rank(table, valueCol, tieCol) expects 3 arguments, got ${args.length}")
+    require(args.length == 3 || args.length == 4,
+      "graft_rank(table, valueCol, tieCol[, descending]) expects 3-4 " +
+        s"arguments, got ${args.length}")
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_rank table"))
     val v = stringLit(args(1), "graft_rank valueCol")
     val tie = stringLit(args(2), "graft_rank tieCol")
+    val desc = args.length == 4 && boolLit(args(3), "graft_rank descending")
+    val key =
+      if (desc) org.apache.spark.sql.functions.negate(
+        org.apache.spark.sql.functions.col(v))
+      else org.apache.spark.sql.functions.col(v)
     graft.operators.Rank.rowNumber(df,
-        Seq(org.apache.spark.sql.functions.col(v),
+        Seq(key, org.apache.spark.sql.functions.col(tie)),
+        bucketOn = key, out = "rn")
+      .queryExecution.analyzed
+  }
+
+  /** `graft_running_sum(table, orderCol, tieCol, valueCol)`: distributed
+    * global running sum (current row inclusive) over the total order
+    * `(orderCol, tieCol)` — routes to
+    * [[graft.operators.Rank.runningSum]]; no single-partition window.
+    * `orderCol` must be numeric (quantile-bucket seed); use an
+    * exact-integer `valueCol` when the result feeds a hash compare (the
+    * Rank contract). Returns the input columns plus `running_sum`.
+    */
+  private[graft] def graftRunningSumPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      "graft_running_sum(table, orderCol, tieCol, valueCol) expects 4 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_running_sum table"))
+    val o = stringLit(args(1), "graft_running_sum orderCol")
+    val tie = stringLit(args(2), "graft_running_sum tieCol")
+    val v = stringLit(args(3), "graft_running_sum valueCol")
+    graft.operators.Rank.runningSum(df,
+        Seq(org.apache.spark.sql.functions.col(o),
           org.apache.spark.sql.functions.col(tie)),
-        bucketOn = org.apache.spark.sql.functions.col(v), out = "rn")
+        bucketOn = org.apache.spark.sql.functions.col(o),
+        value = org.apache.spark.sql.functions.col(v), out = "running_sum")
+      .queryExecution.analyzed
+  }
+
+  /** `graft_prefix_max(table, orderCol, tieCol, valueCol)`: distributed
+    * global STRICT-prefix max (current row excluded; NULL for the global
+    * first row) over the total order `(orderCol, tieCol)` — routes to
+    * [[graft.operators.Rank.prefixMax]]; no single-partition window.
+    * `orderCol` must be numeric. Returns the input columns plus
+    * `prefix_max`.
+    */
+  private[graft] def graftPrefixMaxPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      "graft_prefix_max(table, orderCol, tieCol, valueCol) expects 4 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_prefix_max table"))
+    val o = stringLit(args(1), "graft_prefix_max orderCol")
+    val tie = stringLit(args(2), "graft_prefix_max tieCol")
+    val v = stringLit(args(3), "graft_prefix_max valueCol")
+    graft.operators.Rank.prefixMax(df,
+        Seq(org.apache.spark.sql.functions.col(o),
+          org.apache.spark.sql.functions.col(tie)),
+        bucketOn = org.apache.spark.sql.functions.col(o),
+        value = org.apache.spark.sql.functions.col(v), out = "prefix_max")
+      .queryExecution.analyzed
+  }
+
+  /** `graft_skyline_n(table, minColsCsv, maxColsCsv)`: the d-dimensional
+    * Pareto frontier from SQL — routes to
+    * [[graft.operators.Analytics.skylineN]] (distinct cells →
+    * per-partition frontier scan → candidates-only merge with a loud
+    * guard). Either CSV may be empty, but together they must name ≥2
+    * DISTINCT NUMERIC attributes (dominance compares doubles — enforced
+    * with a clear error). Output: the attributes as doubles (original
+    * orientation) + `n_rows` per frontier cell.
+    */
+  private[graft] def graftSkylineNPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      "graft_skyline_n(table, minColsCsv, maxColsCsv) expects 3 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_skyline_n table"))
+    def csvCols(i: Int, name: String): Seq[String] =
+      stringLit(args(i), name).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.operators.Analytics.skylineN(df,
+        minCols = csvCols(1, "graft_skyline_n minColsCsv"),
+        maxCols = csvCols(2, "graft_skyline_n maxColsCsv"))
       .queryExecution.analyzed
   }
 
@@ -589,6 +691,9 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_quantiles", graftQuantilesPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_bpe", graftBpePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_rank", graftRankPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_running_sum", graftRunningSumPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_prefix_max", graftPrefixMaxPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_skyline_n", graftSkylineNPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
       spark.experimental.extraOptimizations =

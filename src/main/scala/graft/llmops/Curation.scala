@@ -200,7 +200,8 @@ object Curation {
     * char weight it is the "at most B tokens from any one domain"
     * mixing rule — the cap form [[sampleStrata]] (a fraction) and
     * [[sampleFixedPerStratum]] (an exact count for eval sets) don't
-    * express. Weights must be positive, so the kept set is a clean
+    * express. Weights must be positive integral values (ENFORCED in the
+    * plan — an offending row raises), so the kept set is a clean
     * prefix of the stratum's md5 order: once the budget trips, every
     * later row is out — membership is a pure function of the
     * population + ids (no RNG), reproducible across runs, engines, and
@@ -223,7 +224,22 @@ object Curation {
       .partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wt = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    // The clean-prefix membership guarantee above REQUIRES positive
+    // integral weights: a zero/negative weight would let rows after the
+    // budget trip back in, and a fractional weight silently truncated by
+    // cast('long') would under-count. Enforce it in the plan (the weight
+    // is data, not a parameter — a driver-side require can't see it):
+    // any offending row raises a loud executor-side error.
+    val wt = weightCol.map { c =>
+      val raw = col(c)
+      when(raw.isNull || raw.cast("double") <= 0.0 ||
+          raw.cast("double") =!= raw.cast("long").cast("double"),
+        raise_error(concat(
+          lit(s"capPerStratum: weight column '$c' must be a positive " +
+            "integral value (clean-prefix cap contract), got "),
+          raw.cast("string"))).cast("long"))
+        .otherwise(raw.cast("long"))
+    }.getOrElse(lit(1L))
     df.withColumn("__cum", sum(wt).over(w))
       .filter(col("__cum") <= budget)
       .drop("__cum")

@@ -330,6 +330,10 @@ object Analytics {
     val d = names.size
     require(d >= 2, "skylineN: need at least two attributes")
     require(names.distinct.size == d, "skylineN: attributes must be distinct")
+    names.foreach(c => require(df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"skylineN: attribute '$c' must be numeric (dominance compares " +
+        s"doubles), got ${df.schema(c).dataType.simpleString}"))
     val oriented = minCols.map(c => col(c).cast("double").as(c)) ++
       maxCols.map(c => (-col(c).cast("double")).as(c))
     val cells = df.select(oriented: _*)
@@ -374,6 +378,15 @@ object Analytics {
   }
 
   def skyline2(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    // The distributed frontier quantile-buckets minCol (Rank.prefixMax
+    // casts it to double) — a date/timestamp/string minCol would silently
+    // degrade to one bucket or fail mid-plan. Fail loudly at the boundary
+    // instead; maxCol only needs an ordering, so any comparable type works.
+    require(df.schema(minCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"skyline2: minCol '$minCol' must be numeric (it seeds the " +
+        s"distributed frontier's quantile buckets), got " +
+        df.schema(minCol).dataType.simpleString)
     val cells = df.select(col(minCol).as("__lo"), col(maxCol).as("__hi"))
       .filter(col("__lo").isNotNull && col("__hi").isNotNull)
       .groupBy(col("__lo"), col("__hi"))

@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   * statistic, distinct attribute cells for the skyline, supplier
   * revenue for Pareto heads) route through here instead.
   *
-  * Two-phase plan, fully declarative (no collect, no RDDs):
+  * Two-phase plan (no RDDs; the only collect is the bounded one-row
+  * boundary array, for determinism — see `tag`):
   *
   *  1. '''Bucket''' — one aggregate computes `parts-1` approximate
   *     quantile boundaries of the numeric bucket key
-  *     (`percentile_approx`); a one-row broadcast cross-join tags every
-  *     row with `__bkt` = count of boundaries strictly below its key.
-  *     Equal keys always share a bucket, so bucket ranges respect any
+  *     (`percentile_approx`), collected to the driver (bounded: one row,
+  *     ≤ parts-1 doubles — see `tag`) and embedded as a literal that tags
+  *     every row with `__bkt` = count of boundaries strictly below its
+  *     key. Equal keys always share a bucket, so bucket ranges respect any
   *     total order whose FIRST attribute is the bucket key, in either
   *     direction (pass the negated key for descending). Boundary
   *     placement only balances work — every output value is
@@ -64,17 +66,29 @@ object Rank {
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** Tags `__bkt`: quantile-bucket index of `bucketOn`, order-consistent
-    * (ascending) and equal-keys-share-a-bucket. One extra column. */
+    * (ascending) and equal-keys-share-a-bucket. One extra column.
+    *
+    * The boundary array is COLLECTED to the driver (one row, ≤ parts-1
+    * doubles) and re-embedded as a literal rather than left in the plan
+    * as a subtree: `percentile_approx` is an order-sensitive approximate
+    * sketch, and the tagged frame fans out to BOTH the local window scan
+    * and the per-bucket offsets aggregate — if exchange reuse ever failed
+    * to deduplicate the aggregate (AQE re-plan, task retry, speculation),
+    * the two sides could compute different cuts and a row would be tagged
+    * into one bucket but counted in another. A driver-side literal makes
+    * bucket assignment single-sourced and deterministic; the boundary
+    * VALUES still only balance work, never change any output. Cost: one
+    * bounded eager job at plan-build time (the documented first pass). */
   private def tag(df: DataFrame, bucketOn: Column, parts: Int): DataFrame = {
     val probs = (1 until parts).map(_.toDouble / parts).toArray
-    val bnd = df.agg(
+    val row = df.agg(
       percentile_approx(bucketOn.cast("double"), lit(probs), lit(10000))
-        .as("__bnds"))
-    df.crossJoin(broadcast(bnd))
-      .withColumn("__bkt",
-        coalesce(size(filter(col("__bnds"),
-          b => b < bucketOn.cast("double"))), lit(0)))
-      .drop("__bnds")
+        .as("__bnds")).collect()(0)
+    val bnds: Array[Double] =
+      if (row.isNullAt(0)) Array.empty else row.getSeq[Double](0).toArray
+    df.withColumn("__bkt",
+      coalesce(size(filter(lit(bnds),
+        b => b < bucketOn.cast("double"))), lit(0)))
   }
 
   /** Exclusive per-bucket prefix of `perBucket`'s `__bagg` column via the

@@ -882,9 +882,13 @@ object Catalog {
         // the plan degrades to the nested loop this query pins against
         val tot = g.agg(sum(col("__val")).as("__tot"))
           .withColumn("__one", coalesce(col("__tot") * 0L, lit(0L)))
+        // share threshold in EXACT integer math (val*1000 > tot), never
+        // `__tot * 0.001`: Spark would compare in IEEE double while the
+        // DuckDB oracle's decimal literal multiplies exactly — a
+        // borderline part could flip inclusion between engines
         g.withColumn("__one", coalesce(col("__val") * 0L, lit(0L)))
           .join(broadcast(tot), Seq("__one"))
-          .filter(col("__val") > col("__tot") * 0.001)
+          .filter(col("__val") * 1000L > col("__tot"))
           .select(col("l_partkey").as("ps_partkey"),
             (expr("(__val + 50) div 100") / 100.0).as("value"))
           .orderBy(col("value").desc, col("ps_partkey"))
@@ -898,7 +902,7 @@ object Catalog {
           JOIN nation ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_8' GROUP BY 1)
         SELECT l_partkey AS ps_partkey, ((val + 50) // 100) / 100.0 AS value
-        FROM g WHERE val > 0.001 * (SELECT sum(val) FROM g)
+        FROM g WHERE val * 1000 > (SELECT sum(val) FROM g)
         ORDER BY value DESC, ps_partkey"""),
       headline = true),
 
@@ -2090,6 +2094,116 @@ object Catalog {
         SELECT o_custkey, cents,
           row_number() OVER (ORDER BY cents, o_custkey) AS rn
         FROM spend ORDER BY rn""")),
+
+    "q_rank_desc_sql" -> QueryDef(
+      // the graft_rank TVF's DESCENDING mode: rank customers by spend
+      // high-to-low from pure SQL — the TVF negates the numeric key
+      // internally (the Rank contract's "pass the negated key for
+      // descending"), so a SQL user never hand-negates; same two-phase
+      // no-single-partition-window plan, pinned with the family.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+          .createOrReplaceTempView("graft_rankd_spend")
+        s.sql("""SELECT o_custkey, cents, rn
+          FROM graft_rank('graft_rankd_spend', 'cents', 'o_custkey', true)
+          ORDER BY rn""")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, cents,
+          row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+        FROM spend ORDER BY rn""")),
+
+    "q_running_sum_sql" -> QueryDef(
+      // the distributed global running total from PURE SQL: the
+      // graft_running_sum TVF routes to Rank.runningSum — before this
+      // surface existed, a SQL user writing `sum(x) OVER (ORDER BY ...)`
+      // got exactly the single-partition window the Rank family exists
+      // to avoid. Exact-integer cents per the Rank contract (two-phase
+      // summation is order-independent only in exact arithmetic).
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+          .createOrReplaceTempView("graft_rs_spend")
+        s.sql("""SELECT o_custkey, cents, running_sum
+          FROM graft_running_sum('graft_rs_spend', 'cents', 'o_custkey', 'cents')
+          ORDER BY cents, o_custkey""")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, cents,
+          (sum(cents) OVER (ORDER BY cents, o_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS running_sum
+        FROM spend ORDER BY cents, o_custkey""")),
+
+    "q_prefix_max_sql" -> QueryDef(
+      // the distributed STRICT-prefix max from PURE SQL: best
+      // order-count seen so far while walking customers in spend order —
+      // prefix max of a DIFFERENT attribute than the ordering key, the
+      // frontier-scan shape skyline2 builds on. NULL first row coalesced
+      // to 0 on both sides (counts are >= 1, so 0 is unambiguous).
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+            count(lit(1)).as("nord"))
+          .createOrReplaceTempView("graft_pm_spend")
+        s.sql("""SELECT o_custkey, cents, nord,
+            coalesce(prefix_max, 0) AS prefix_max
+          FROM graft_prefix_max('graft_pm_spend', 'cents', 'o_custkey', 'nord')
+          ORDER BY cents, o_custkey""")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+            count(*)::BIGINT AS nord
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, cents, nord,
+          coalesce(max(nord) OVER (ORDER BY cents, o_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+            AS prefix_max
+        FROM spend ORDER BY cents, o_custkey""")),
+
+    "q_skyline3_sql" -> QueryDef(
+      // the d-dimensional skyline from PURE SQL: graft_skyline_n routes
+      // to Analytics.skylineN over the same 3 lineitem attributes
+      // q_skyline3 certifies via the Column API; oracle is the literal
+      // quadratic NOT-EXISTS dominance definition (no algorithm shared).
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_skyn_lineitem")
+        s.sql("""SELECT round(l_extendedprice, 2) AS price,
+            round(l_quantity, 2) AS qty, round(l_discount, 2) AS disc, n_rows
+          FROM graft_skyline_n('graft_skyn_lineitem',
+            'l_extendedprice', 'l_quantity,l_discount')
+          ORDER BY price, qty, disc""")
+      },
+      Some("""WITH cells AS (
+          SELECT l_extendedprice AS a, l_quantity AS b, l_discount AS c,
+            count(*)::BIGINT AS n_rows
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            AND l_discount IS NOT NULL
+          GROUP BY 1, 2, 3)
+        SELECT round(a, 2) AS price, round(b, 2) AS qty,
+          round(c, 2) AS disc, n_rows
+        FROM cells x WHERE NOT EXISTS (
+          SELECT 1 FROM cells y
+          WHERE y.a <= x.a AND y.b >= x.b AND y.c >= x.c
+            AND (y.a < x.a OR y.b > x.b OR y.c > x.c))
+        ORDER BY price, qty, disc""")),
 
     "q_hhi" -> QueryDef(
       // Herfindahl–Hirschman market-concentration index per region:

@@ -200,6 +200,27 @@ class CurationSpec extends AnyFunSuite {
       graft.llmops.Curation.capPerStratum(docs, "source", budget = 0))
   }
 
+  test("capPerStratum: zero/negative/fractional weights raise loudly (clean-prefix contract)") {
+    // the guard lives in the plan (the weight is data, not a parameter):
+    // any offending row must fail the job, never silently re-admit rows
+    // after the budget trips (w<=0) or under-count (fractional cast-trunc)
+    def run(ws: Seq[Double]): Unit = graft.llmops.Curation
+      .capPerStratum(
+        ws.zipWithIndex.map { case (w, i) => (i.toLong, "s", w) }
+          .toDF("doc_id", "source", "w"),
+        "source", budget = 100, weightCol = Some("w"))
+      .collect()
+    for (bad <- Seq(Seq(10.0, 0.0), Seq(10.0, -3.0), Seq(10.0, 2.5))) {
+      val e = intercept[Exception](run(bad))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("capPerStratum")),
+        s"expected the capPerStratum weight guard to fire for $bad, got $e")
+    }
+    // integral doubles are fine (exact long values in a double column)
+    run(Seq(10.0, 20.0, 30.0))
+  }
+
   test("redactPii replaces emails, phones, and IPs and counts each kind") {
     val docs = Seq(
       (0L, "mail me at jane.doe+x@example.org or call 555-123-4567 from 10.0.0.1"),

@@ -361,6 +361,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getDouble(0) == 1.0)
   }
 
+  test("skylines reject non-numeric attributes with a clear boundary error") {
+    // skyline2 quantile-buckets minCol (cast to double) — a string/date
+    // attribute would silently degrade to one bucket or fail mid-plan,
+    // so the boundary requires numeric loudly
+    val df = Seq(("x", 1.0), ("y", 2.0)).toDF("s", "v")
+    val e2 = intercept[IllegalArgumentException](
+      Analytics.skyline2(df, minCol = "s", maxCol = "v"))
+    assert(e2.getMessage.contains("must be numeric"))
+    val eN = intercept[IllegalArgumentException](
+      Analytics.skylineN(df, minCols = Seq("v"), maxCols = Seq("s")))
+    assert(eN.getMessage.contains("must be numeric"))
+  }
+
   test("basketRules: a basket wider than maxBasketItems fails LOUDLY") {
     val bi = (0 until 30).map(i => (1L, s"i$i")).toDF("basket", "item")
     val ex = intercept[Exception] {

@@ -734,7 +734,8 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     for (name <- Seq("q_gini", "q_pareto", "q_skyline_parts", "q_skyline_sql",
-        "q_quantiles_exact", "q_quantiles_sql", "q_rank_sql")) {
+        "q_quantiles_exact", "q_quantiles_sql", "q_rank_sql",
+        "q_rank_desc_sql", "q_running_sum_sql", "q_prefix_max_sql")) {
       val df = Catalog.queries(name)(spark, sf)
       val phys = df.queryExecution.sparkPlan
       val wins = phys.collect { case w: WindowExec => w }
@@ -749,17 +750,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q_skyline3: one cells aggregate, frontier scans stay join-free") {
-    val p = plan("q_skyline3")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "the d-dim frontier regressed to a quadratic join formulation")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "skylineN grew a join — local-then-merge needs none")
-    // exactly one keyed exchange: the distinct-cells aggregate (formatted
-    // mode prints each node twice: tree line + detail header)
-    val exchanges = p.linesIterator
-      .count(_.trim.matches("""\(\d+\) Exchange.*"""))
-    assert(exchanges == 1, s"expected exactly 1 exchange (the cells agg), got $exchanges:\n$p")
+  test("q_skyline3 + its graft_skyline_n TVF twin: one cells aggregate, frontier scans stay join-free") {
+    for (name <- Seq("q_skyline3", "q_skyline3_sql")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: the d-dim frontier regressed to a quadratic join formulation")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$name: skylineN grew a join — local-then-merge needs none")
+      // exactly one keyed exchange: the distinct-cells aggregate (formatted
+      // mode prints each node twice: tree line + detail header)
+      val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+      assert(ex == 1, s"$name: expected exactly 1 exchange (the cells agg), got $ex:\n$p")
+    }
   }
 
   test("q11_important_stock: share threshold decorrelates to a hash join — no nested loop") {
