@@ -103,9 +103,15 @@ object Bench {
         }
         val pre = (0 until runs).map(_ => once()).min
         // minor fold first (the streaming-maintenance shape: appends fold,
-        // base untouched), then the major fold's one-root floor
+        // base untouched), then the major fold's one-root floor.
+        // Same steady-state pin the _indexed/_deleted probes got in r11:
+        // one untimed probe absorbs the post-fold file-listing cold path,
+        // and five samples floor the ~±0.2 s listing jitter a sub-second
+        // row is otherwise dominated by (r10→r11 this row drifted
+        // 0.33→0.61 s with no code change)
         Search.compactTextIndex(spark, laDir, includeBase = false)
-        val minor = (0 until runs).map(_ => once()).min
+        once()
+        val minor = (0 until runs.max(5)).map(_ => once()).min
         Search.compactTextIndex(spark, laDir)
         val post = (0 until runs).map(_ => once()).min
         // delete lifecycle on the same folded index: 20% of docs

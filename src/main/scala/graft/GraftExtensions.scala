@@ -97,6 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression() }))
 
     ext.injectFunction((
+      new FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[graft.functions.expressions.QuantileSketch].getName,
+        "quantile_sketch"),
+      (args: Seq[Expression]) => { arity("quantile_sketch", args, 3)
+        graft.functions.expressions.QuantileSketch(args(0),
+          GraftExtensions.doubleCsvLit(args(1), "quantile_sketch probsCsv"),
+          intLit(args(2), "k")).toAggregateExpression() }))
+
+    ext.injectFunction((
       new FunctionIdentifier("approx_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGries].getName, "approx_heavy_hitters"),
       (args: Seq[Expression]) => { arity("approx_heavy_hitters", args, 2)
@@ -197,6 +206,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** A FOLDABLE probs-CSV string literal (e.g. `'0.25,0.5,0.75'`) — the
+    * probabilities parameter shape for `quantile_sketch` in SQL. */
+  private[graft] def doubleCsvLit(e: Expression, name: String): Seq[Double] = {
+    require(e.foldable, s"$name expects a CSV string literal, got $e")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        s.toString.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$name expects a CSV string literal, evaluated to $other")
+    }
+  }
 
   /** A FOLDABLE array-of-strings argument (e.g. `array('ab', 'cd')`) —
     * the vocab parameter shape for `subword_split` in SQL.
@@ -676,6 +697,11 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("approx_heavy_hitters",
       args => MisraGries(args(0),
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int])
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("quantile_sketch",
+      args => graft.functions.expressions.QuantileSketch(args(0),
+        doubleCsvLit(args(1), "quantile_sketch probsCsv"),
+        args(2).asInstanceOf[Literal].value.asInstanceOf[Int])
         .toAggregateExpression(), "built-in")
     val treg = spark.sessionState.tableFunctionRegistry
     treg.createOrReplaceTempFunction("graft_view", graftViewPlan, "built-in")

@@ -68,6 +68,16 @@ object Tokenize {
     *
     * Stops early (fewer rows) if the vocabulary runs out of adjacent
     * pairs. The per-round state persists vocabulary-sized only.
+    *
+    * Cost model: each merge round is ONE pair-count aggregate over the
+    * capped word table plus a one-row argmax collect and a
+    * localCheckpoint — `numMerges` SEQUENTIAL Spark jobs by definition
+    * (merge r+1's counts depend on merge r's rewrite; no trainer
+    * parallelizes across rounds). That is the offline-training shape:
+    * fine for a vocabulary build, not a per-query operator. The
+    * `maxWords` cap (top by frequency, default 1M) bounds every round
+    * to a vocabulary-sized frame regardless of corpus size — the corpus
+    * is touched exactly once, in the initial word count.
     */
   def bpeMerges(
       docs: DataFrame,

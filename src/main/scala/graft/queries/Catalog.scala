@@ -5617,6 +5617,54 @@ object Catalog {
         FROM heavy"""),
       headline = true),
 
+    "q_quantiles_sketch_gate" -> QueryDef(
+      // Mergeable KLL-style quantile sketch (expressions.QuantileSketch
+      // via QuantileFunctions.quantile_sketch), gated on its carried
+      // DETERMINISTIC guarantee: the sketch accumulates an exact
+      // worst-case rank-error bound per compaction, so for every prob
+      // the answer's TRUE rank span must intersect
+      // [target-bound, target+bound] with target = max(1, ceil(p*n)) —
+      // under ANY partitioning/merge order — and total weight must
+      // equal n exactly (a weight-leaking sketch shifts every rank).
+      // k=64 over 150k order values forces deep compaction cascades
+      // (the approximation regime), yet violations are structurally
+      // zero: the bound's VALUE varies with the merge tree, its
+      // VALIDITY never does — which is what makes the row fully
+      // oracle-able while the sketch content itself is not value-stable.
+      // One data pass for the sketch, one for the rank counts against
+      // the 9-row broadcast estimate frame (gate idiom). Streaming twin:
+      // EventStream.quantilesStream (QuantilesStreamSpec: per-emission
+      // bound, restart, batch parity of the contract).
+      (s, dir) => {
+        import graft.functions.expressions.QuantileFunctions.quantile_sketch
+        val probs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        val cents = t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100, 0).cast("long")
+            .cast("double").as("v"))
+        val sk = cents.agg(quantile_sketch(col("v"), probs, 64).as("s"))
+          .select(col("s.n").as("sk_n"), col("s.bound").as("bound"),
+            posexplode(col("s.qs")).as(Seq("i", "qv")))
+        cents.crossJoin(broadcast(sk))
+          .groupBy(col("i"), col("qv"), col("sk_n"), col("bound"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("v") < col("qv"), 1L).otherwise(0L)).as("cnt_lt"),
+            sum(when(col("v") <= col("qv"), 1L).otherwise(0L)).as("cnt_le"))
+          .withColumn("p", element_at(lit(probs.toArray), col("i") + 1))
+          .withColumn("target",
+            greatest(lit(1L), ceil(col("p") * col("n_total")).cast("long")))
+          .agg(
+            max(col("sk_n")).as("n_rows"),
+            count(lit(1)).as("n_probes"),
+            sum(when(col("cnt_le") < col("target") - col("bound") ||
+                col("cnt_lt") + lit(1L) > col("target") + col("bound"), 1L)
+              .otherwise(0L)).as("n_violations"),
+            max(abs(col("sk_n") - col("n_total"))).as("n_count_mismatch"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n_rows, 9::BIGINT AS n_probes,
+          0::BIGINT AS n_violations, 0::BIGINT AS n_count_mismatch
+        FROM orders"""),
+      headline = true),
+
     "text_pmi_pairs" -> QueryDef(
       // Document-level co-occurrence with PMI (Cooccur.pmiPairs):
       // collocation discovery over the corpus, capped by definition

@@ -250,6 +250,16 @@ final case class HHState(n: Long, items: Seq[(String, Long)])
 final case class HHUpdate(
     key: Long, n: Long, err: Long, items: Seq[(String, Long)])
 
+/** [[EventStream.quantilesStream]] state: the KLL compactor stack — per
+  * level the retained values (weight 2^level), plus the stream length
+  * and the accumulated worst-case rank-error bound, exactly the batch
+  * [[graft.functions.expressions.KLLBuffer]] fields. O(k log n) per key,
+  * forever — never the O(n) value multiset exact quantiles would need.
+  */
+final case class QSState(n: Long, errBound: Long, levels: Seq[Seq[Double]])
+final case class QSUpdate(
+    key: Long, n: Long, bound: Long, qs: Seq[Double])
+
 /** One buffered event for [[EventStream.attributionStream]]: a touch
   * (`isConv = false`, `channel` set) or a conversion (`isConv = true`,
   * `value` set). Touch rows are retained in state only inside the
@@ -1387,6 +1397,57 @@ object EventStream {
           .map(e => (e.getKey, e.getValue)).toSeq
         state.update(HHState(buf.n, items))
         HHUpdate(key, buf.n, (buf.n - buf.retained) / (k + 1), items)
+    }
+  }
+
+  /** Streaming quantiles — the streaming dual of the gated batch
+    * [[graft.functions.expressions.QuantileSketch]] aggregate
+    * (q_quantiles_sketch_gate), closing the profiler's last
+    * batch-only family (heavy hitters and HLL profiles already had
+    * streaming twins; percentiles did not — exact
+    * [[graft.operators.Rank.quantilesDisc]] is a 3-pass batch plan no
+    * stream can incrementalize). Per key, the KLL compactor stack is
+    * maintained in state and the current quantile answers re-emitted
+    * (Update mode) whenever the key sees data. NO watermark buffering
+    * on purpose: the sketch's carried bound — every answer's true rank
+    * within `bound` of `max(1, ceil(p*n))` — holds for ANY fold order
+    * (the theorem the batch gate certifies), so arrival order only
+    * perturbs WHICH retained values answer, never the contract.
+    * State per key: O(k log n) doubles, forever.
+    *
+    * Input columns: `key` long, `value` double.
+    */
+  def quantilesStream(
+      events: DataFrame,
+      probs: Seq[Double],
+      k: Int): Dataset[QSUpdate] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "quantilesStream: probs must be in [0, 1]")
+    require(k >= 8, "quantilesStream: k must be >= 8")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("key").cast("long"), col("value").cast("double"))
+      .as[(Long, java.lang.Double)]
+    typed.groupByKey(_._1).mapGroupsWithState[QSState, QSUpdate](
+      GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[(Long, java.lang.Double)],
+       state: GroupState[QSState]) =>
+        val buf = new graft.functions.expressions.KLLBuffer(k)
+        state.getOption.foreach { st =>
+          buf.n = st.n
+          buf.errBound = st.errBound
+          st.levels.zipWithIndex.foreach { case (lvl, h) =>
+            while (buf.levels.size <= h)
+              buf.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+            buf.levels(h) ++= lvl
+          }
+        }
+        rows.foreach { r => if (r._2 != null) buf.update(r._2.doubleValue()) }
+        state.update(QSState(buf.n, buf.errBound,
+          buf.levels.map(_.toSeq).toSeq))
+        if (buf.n == 0L) QSUpdate(key, 0L, 0L, Nil)
+        else QSUpdate(key, buf.n, buf.bound, buf.quantiles(probs))
     }
   }
 
