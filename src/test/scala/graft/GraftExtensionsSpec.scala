@@ -214,4 +214,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaDouble == 5L)
   }
+
+  test("rank-family + skyline_n TVFs: values on a hand-checked frame, loud arity errors") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 30L), (3L, 20L)).toDF("id", "v")
+      .createOrReplaceTempView("rk_in")
+    val asc = spark.sql(
+        "SELECT id, rn FROM graft_rank('rk_in', 'v', 'id') ORDER BY rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(asc == Seq((1L, 1L), (3L, 2L), (2L, 3L)))
+    // descending mode: the TVF negates the key internally
+    val desc = spark.sql(
+        "SELECT id, rn FROM graft_rank('rk_in', 'v', 'id', true) ORDER BY rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(desc == Seq((2L, 1L), (3L, 2L), (1L, 3L)))
+    val rs = spark.sql("""SELECT id, running_sum
+        FROM graft_running_sum('rk_in', 'v', 'id', 'v') ORDER BY running_sum""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rs == Seq((1L, 10L), (3L, 30L), (2L, 60L)))
+    // strict prefix: global first row is NULL
+    val pm = spark.sql(
+        "SELECT id, prefix_max FROM graft_prefix_max('rk_in', 'v', 'id', 'v')")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(pm == Map(1L -> -1L, 3L -> 10L, 2L -> 20L))
+    // skyline_n over (min v, max id): (20,3) dominates (30,2); (10,1) stays
+    val sk = spark.sql("SELECT v, id FROM graft_skyline_n('rk_in', 'v', 'id')")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(sk == Set((10.0, 1.0), (20.0, 3.0)))
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_rank('rk_in', 'v')").collect())
+    assert(e.getMessage.contains("graft_rank"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_running_sum('rk_in', 'v', 'id')").collect())
+    assert(e2.getMessage.contains("graft_running_sum"))
+  }
 }
