@@ -31,6 +31,21 @@ class OracleTypeLintSpec extends AnyFunSuite {
     val tmp = Files.createTempDirectory("oracle-lint-").toFile
     graft.Verify.writeOracleJson(tmp.getAbsolutePath)
 
+    // schema parity: the driver hashes columns SORTED BY NAME, so any
+    // column-set difference between a query and its oracle is a
+    // guaranteed red row (the r7 events-schema incident class). Emit
+    // every oracled query's Spark column list (analysis only — no jobs
+    // beyond what plan construction itself runs) for the lint to
+    // compare against each oracle's LIMIT-0 schema.
+    val spark = graft.core.TestSpark.spark
+    val colsJson = Catalog.defs.toSeq.collect {
+      case (name, qd) if qd.oracle.isDefined =>
+        val cols = qd.fn(spark, sfDir).columns
+        s""""$name": [${cols.map(c => s""""$c"""").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    Files.writeString(
+      tmp.toPath.resolve("spark_columns.json"), colsJson)
+
     val out = new StringBuilder
     val rc = Process(
       Seq("python3", py.getAbsolutePath, sfDir, tmp.getAbsolutePath,

@@ -26,14 +26,15 @@ import pyarrow as pa
 
 
 def lint_types(con, sql):
-    """Return [(col, type), ...] of hash-protocol-unsafe output columns."""
+    """Return ([(col, type), ...] of hash-protocol-unsafe output columns,
+    [oracle column names])."""
     tbl = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow()
     bad = []
     for field in tbl.schema:
         t = field.type
         if pa.types.is_decimal(t):
             bad.append((field.name, str(t)))
-    return bad
+    return bad, [f.name for f in tbl.schema]
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -54,6 +55,15 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     subset = set(args[2].split(",")) if len(args) > 2 else None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional schema-parity input: {name: [spark column names]} — when
+    # present (written by OracleTypeLintSpec), each oracle's LIMIT-0
+    # column set must equal the Spark side's (the driver hashes columns
+    # sorted by name, so ANY mismatch is a guaranteed red row)
+    spark_cols = {}
+    try:
+        spark_cols = json.load(open(f"{out_dir}/spark_columns.json"))
+    except FileNotFoundError:
+        pass
     con = duckdb.connect()
     for t in TABLES:
         if glob.glob(f"{sf_dir}/{t}.parquet"):
@@ -64,15 +74,21 @@ def main():
         if subset and name not in subset:
             continue
         try:
-            bad = lint_types(con, oracle[name])
+            bad, ocols = lint_types(con, oracle[name])
         except Exception as e:
             print(f"[typelint] {name:28s} PROBE ERROR: {e}")
             fails += 1
             continue
+        schema_ok = True
+        if name in spark_cols and sorted(spark_cols[name]) != sorted(ocols):
+            print(f"[typelint] {name:28s} COLUMN MISMATCH: "
+                  f"spark={sorted(spark_cols[name])} oracle={sorted(ocols)}")
+            fails += 1
+            schema_ok = False
         if bad:
             print(f"[typelint] {name:28s} UNSAFE OUTPUT TYPES: {bad}")
             fails += 1
-        elif lint_only:
+        elif lint_only and schema_ok:
             print(f"[typelint] {name:28s} OK")
         if lint_only:
             continue
