@@ -193,6 +193,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_prefix_max"),
       new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_prefix_max"),
       (args: Seq[Expression]) => GraftExtensions.graftPrefixMaxPlan(args)))
+    //   SELECT * FROM graft_ntile('spend', 'cents', 'o_custkey', 4)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_ntile"),
+      new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_ntile"),
+      (args: Seq[Expression]) => GraftExtensions.graftNtilePlan(args)))
+    //   SELECT * FROM graft_percent_rank('spend', 'cents', 'o_custkey')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_percent_rank"),
+      new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_percent_rank"),
+      (args: Seq[Expression]) => GraftExtensions.graftPercentRankPlan(args)))
     //   SELECT * FROM graft_skyline_n('part', 'p_retailprice', 'p_size,p_partkey')
     ext.injectTableFunction((
       new FunctionIdentifier("graft_skyline_n"),
@@ -582,6 +592,51 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_ntile(table, valueCol, tieCol, n)`: global EXACT-SQL
+    * `ntile(n)` over the total order `(valueCol, tieCol)` — routes to
+    * [[graft.operators.Rank.ntile]]; pure integer bucket arithmetic any
+    * SQL engine's `ntile()` reproduces bit-for-bit, no single-partition
+    * window. Returns the input columns plus `bucket`.
+    */
+  private[graft] def graftNtilePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      s"graft_ntile(table, valueCol, tieCol, n) expects 4 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_ntile table"))
+    val v = stringLit(args(1), "graft_ntile valueCol")
+    val tie = stringLit(args(2), "graft_ntile tieCol")
+    graft.operators.Rank.ntile(df,
+        Seq(org.apache.spark.sql.functions.col(v),
+          org.apache.spark.sql.functions.col(tie)),
+        bucketOn = org.apache.spark.sql.functions.col(v),
+        n = longLit(args(3), "graft_ntile n").toInt, out = "bucket")
+      .queryExecution.analyzed
+  }
+
+  /** `graft_percent_rank(table, valueCol, tieCol)`: global
+    * `percent_rank` over the total order `(valueCol, tieCol)` — routes
+    * to [[graft.operators.Rank.percentRank]] (`(rn-1)/(c-1)` IEEE
+    * double, 0.0 for a single row); no single-partition window.
+    * Returns the input columns plus `percent_rank`.
+    */
+  private[graft] def graftPercentRankPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      "graft_percent_rank(table, valueCol, tieCol) expects 3 arguments, " +
+        s"got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_percent_rank table"))
+    val v = stringLit(args(1), "graft_percent_rank valueCol")
+    val tie = stringLit(args(2), "graft_percent_rank tieCol")
+    graft.operators.Rank.percentRank(df,
+        Seq(org.apache.spark.sql.functions.col(v),
+          org.apache.spark.sql.functions.col(tie)),
+        bucketOn = org.apache.spark.sql.functions.col(v),
+        out = "percent_rank")
+      .queryExecution.analyzed
+  }
+
   /** `graft_skyline_n(table, minColsCsv, maxColsCsv)`: the d-dimensional
     * Pareto frontier from SQL — routes to
     * [[graft.operators.Analytics.skylineN]] (distinct cells →
@@ -719,6 +774,8 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_rank", graftRankPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_running_sum", graftRunningSumPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_prefix_max", graftPrefixMaxPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_ntile", graftNtilePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_skyline_n", graftSkylineNPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))

@@ -192,6 +192,47 @@ object Rank {
       .select(col("p"), col(valueCol))
   }
 
+  /** Global `ntile(n)` over `orderCols` (total order, first attribute =
+    * `bucketOn` ascending), as `out` — the EXACT SQL semantics: with
+    * `c` rows, `q = c div n`, `r = c mod n`, the first `r` buckets get
+    * `q+1` rows and the rest `q` (when `n > c`, row k is alone in
+    * bucket k). Derived from the two-phase [[rowNumber]] plus a one-row
+    * count broadcast, in pure integer arithmetic an external SQL
+    * engine's `ntile()` reproduces bit-for-bit — no single-partition
+    * window. */
+  def ntile(df: DataFrame, orderCols: Seq[Column], bucketOn: Column,
+      n: Int, out: String, parts: Int = 0): DataFrame = {
+    require(n > 0, "ntile: n must be positive")
+    val ranked = rowNumber(df, orderCols, bucketOn, "__rn", parts)
+    val cnt = df.agg(count(lit(1)).as("__c"))
+    // `div` (true integer division), never floor(a/b): an IEEE quotient
+    // a ulp under an integer would floor off by one at large counts
+    ranked.crossJoin(broadcast(cnt))
+      .withColumn("__q", expr(s"__c div ${n}L"))
+      .withColumn("__r", expr(s"__c % ${n}L"))
+      .withColumn(out, expr(
+        """CASE WHEN __rn - 1 < __r * (__q + 1)
+             THEN (__rn - 1) div (__q + 1) + 1
+             ELSE __r + ((__rn - 1) - __r * (__q + 1)) div __q + 1 END"""))
+      .drop("__rn", "__c", "__q", "__r")
+  }
+
+  /** Global `percent_rank` over `orderCols`, as `out`: `(rn-1)/(c-1)`
+    * as an IEEE double (0.0 for a single row, the SQL convention) — the
+    * same division every SQL engine's `percent_rank()` performs, so
+    * parity is bit-exact. No single-partition window. */
+  def percentRank(df: DataFrame, orderCols: Seq[Column], bucketOn: Column,
+      out: String, parts: Int = 0): DataFrame = {
+    val ranked = rowNumber(df, orderCols, bucketOn, "__rn", parts)
+    val cnt = df.agg(count(lit(1)).as("__c"))
+    ranked.crossJoin(broadcast(cnt))
+      .withColumn(out,
+        when(col("__c") === 1L, lit(0.0))
+          .otherwise((col("__rn") - 1L).cast("double") /
+            (col("__c") - 1L).cast("double")))
+      .drop("__rn", "__c")
+  }
+
   /** Global STRICT-prefix max of `value` (current row excluded:
     * `rowsBetween(unboundedPreceding, -1)`) over `orderCols`, as `out`
     * — NULL for the global first row, the frontier-scan contract. */

@@ -2175,6 +2175,53 @@ object Catalog {
             AS prefix_max
         FROM spend ORDER BY cents, o_custkey""")),
 
+    "q_ntile_sql" -> QueryDef(
+      // global EXACT-SQL ntile from PURE SQL: 7 tiles over 1500
+      // customers (1500 % 7 = 2) so both bucket-size branches of the
+      // integer arithmetic are exercised; the TVF routes to Rank.ntile
+      // (two-phase rank + one-row count broadcast, integer `div` only —
+      // never floor(a/b), whose IEEE quotient can floor off by one at
+      // large counts). Oracle replays with the native ntile() window.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+          .createOrReplaceTempView("graft_nt_spend")
+        s.sql("""SELECT o_custkey, cents, bucket
+          FROM graft_ntile('graft_nt_spend', 'cents', 'o_custkey', 7)
+          ORDER BY cents, o_custkey""")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, cents,
+          ntile(7) OVER (ORDER BY cents, o_custkey) AS bucket
+        FROM spend ORDER BY cents, o_custkey""")),
+
+    "q_percent_rank_sql" -> QueryDef(
+      // global percent_rank from PURE SQL: (rn-1)/(c-1) in IEEE double,
+      // the identical division DuckDB's percent_rank() performs —
+      // rounded 6dp on both sides per the ratio convention.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+          .createOrReplaceTempView("graft_pr_spend")
+        s.sql("""SELECT o_custkey, cents, round(percent_rank, 6) AS pr
+          FROM graft_percent_rank('graft_pr_spend', 'cents', 'o_custkey')
+          ORDER BY cents, o_custkey""")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, cents,
+          round(percent_rank() OVER (ORDER BY cents, o_custkey), 6) AS pr
+        FROM spend ORDER BY cents, o_custkey""")),
+
     "q_skyline3_sql" -> QueryDef(
       // the d-dimensional skyline from PURE SQL: graft_skyline_n routes
       // to Analytics.skylineN over the same 3 lineitem attributes

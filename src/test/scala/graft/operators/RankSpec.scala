@@ -82,6 +82,47 @@ class RankSpec extends AnyFunSuite {
       "the global first row must carry NULL")
   }
 
+  test("ntile matches the exact SQL bucket sizes, heavy ties, n > count edge") {
+    val rows = data(1003) // 1003 % 7 = 2: both bucket-size branches
+    val df = rows.toDF("id", "v").repartition(9)
+    val got = Rank.ntile(df, Seq(col("v"), col("id")),
+        bucketOn = col("v"), n = 7, out = "bucket")
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    // sequential reference: first (c mod n) buckets get q+1 rows
+    val c = rows.size; val q = c / 7; val r = c % 7
+    val want = rows.sortBy(x => (x._2, x._1)).zipWithIndex.map {
+      case ((id, _), i) =>
+        id -> (if (i < r * (q + 1)) i / (q + 1) + 1L
+               else r + (i - r * (q + 1)) / q + 1L)
+    }.toMap
+    assert(got == want)
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(1L -> 144, 2L -> 144, 3L -> 143, 4L -> 143,
+      5L -> 143, 6L -> 143, 7L -> 143))
+    // n > count: every row alone in its own rank-numbered bucket
+    val tiny = rows.take(3).toDF("id", "v")
+    val g2 = Rank.ntile(tiny, Seq(col("v"), col("id")),
+        bucketOn = col("v"), n = 10, out = "bucket")
+      .select("bucket").as[Long].collect().sorted.toSeq
+    assert(g2 == Seq(1L, 2L, 3L))
+  }
+
+  test("percentRank is (rn-1)/(c-1); single row is 0.0") {
+    val rows = data(500)
+    val df = rows.toDF("id", "v").repartition(5)
+    val got = Rank.percentRank(df, Seq(col("v"), col("id")),
+        bucketOn = col("v"), out = "pr")
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    val want = rows.sortBy(x => (x._2, x._1)).zipWithIndex.map {
+      case ((id, _), i) => id -> i.toDouble / (rows.size - 1)
+    }.toMap
+    assert(got == want) // bit-exact: same IEEE division
+    val one = Rank.percentRank(rows.take(1).toDF("id", "v"),
+        Seq(col("v"), col("id")), bucketOn = col("v"), out = "pr")
+      .select("pr").as[Double].head()
+    assert(one == 0.0)
+  }
+
   test("quantilesDisc picks the exact ceil(p*n)-ranked value, ties and all") {
     val rnd = new scala.util.Random(23)
     val vals = (0 until 2001).map(_ => rnd.nextInt(50).toLong) // heavy ties
