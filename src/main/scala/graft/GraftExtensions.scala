@@ -217,6 +217,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Rank-family TVF boundary guard: the ordering key seeds the
+    * quantile buckets via a double cast, so a non-numeric column would
+    * silently cast to NULL and collapse every row into bucket 0 —
+    * correct output, single-partition performance (the skyline2 hazard
+    * class). Fail loudly at the SQL boundary instead. */
+  private def requireNumeric(df: org.apache.spark.sql.DataFrame,
+      colName: String, fn: String): Unit =
+    require(df.schema(colName).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$fn: ordering column '$colName' must be numeric (it seeds the " +
+        "distributed rank's quantile buckets), got " +
+        df.schema(colName).dataType.simpleString)
+
   /** A FOLDABLE probs-CSV string literal (e.g. `'0.25,0.5,0.75'`) — the
     * probabilities parameter shape for `quantile_sketch` in SQL. */
   private[graft] def doubleCsvLit(e: Expression, name: String): Seq[Double] = {
@@ -484,6 +497,7 @@ object GraftExtensions {
       s"graft_quantiles(table, valueCol, probsCsv) expects 3 arguments, got ${args.length}")
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_quantiles table"))
+    requireNumeric(df, stringLit(args(1), "graft_quantiles valueCol"), "graft_quantiles")
     val probs = stringLit(args(2), "graft_quantiles probsCsv")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
     graft.operators.Rank.quantilesDisc(df,
@@ -529,6 +543,7 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_rank table"))
     val v = stringLit(args(1), "graft_rank valueCol")
+    requireNumeric(df, v, "graft_rank")
     val tie = stringLit(args(2), "graft_rank tieCol")
     val desc = args.length == 4 && boolLit(args(3), "graft_rank descending")
     val key =
@@ -557,6 +572,7 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_running_sum table"))
     val o = stringLit(args(1), "graft_running_sum orderCol")
+    requireNumeric(df, o, "graft_running_sum")
     val tie = stringLit(args(2), "graft_running_sum tieCol")
     val v = stringLit(args(3), "graft_running_sum valueCol")
     graft.operators.Rank.runningSum(df,
@@ -582,6 +598,7 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_prefix_max table"))
     val o = stringLit(args(1), "graft_prefix_max orderCol")
+    requireNumeric(df, o, "graft_prefix_max")
     val tie = stringLit(args(2), "graft_prefix_max tieCol")
     val v = stringLit(args(3), "graft_prefix_max valueCol")
     graft.operators.Rank.prefixMax(df,
@@ -605,6 +622,7 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_ntile table"))
     val v = stringLit(args(1), "graft_ntile valueCol")
+    requireNumeric(df, v, "graft_ntile")
     val tie = stringLit(args(2), "graft_ntile tieCol")
     graft.operators.Rank.ntile(df,
         Seq(org.apache.spark.sql.functions.col(v),
@@ -628,6 +646,7 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_percent_rank table"))
     val v = stringLit(args(1), "graft_percent_rank valueCol")
+    requireNumeric(df, v, "graft_percent_rank")
     val tie = stringLit(args(2), "graft_percent_rank tieCol")
     graft.operators.Rank.percentRank(df,
         Seq(org.apache.spark.sql.functions.col(v),

@@ -249,5 +249,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       spark.sql("SELECT * FROM graft_running_sum('rk_in', 'v', 'id')").collect())
     assert(e2.getMessage.contains("graft_running_sum"))
+    // non-numeric ordering key fails LOUDLY at the boundary: a string
+    // key would cast to NULL and collapse every row into bucket 0 —
+    // right answer, single-partition performance (the skyline2 hazard)
+    Seq(("a", 1L), ("b", 2L)).toDF("s", "id")
+      .createOrReplaceTempView("rk_str")
+    for (q <- Seq(
+        "SELECT * FROM graft_rank('rk_str', 's', 'id')",
+        "SELECT * FROM graft_running_sum('rk_str', 's', 'id', 'id')",
+        "SELECT * FROM graft_prefix_max('rk_str', 's', 'id', 'id')",
+        "SELECT * FROM graft_ntile('rk_str', 's', 'id', 2)",
+        "SELECT * FROM graft_percent_rank('rk_str', 's', 'id')",
+        "SELECT * FROM graft_quantiles('rk_str', 's', '0.5')")) {
+      val ex = intercept[Exception](spark.sql(q).collect())
+      assert(ex.getMessage.contains("must be numeric"), s"no guard for: $q")
+    }
   }
 }
