@@ -203,6 +203,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_percent_rank"),
       new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_percent_rank"),
       (args: Seq[Expression]) => GraftExtensions.graftPercentRankPlan(args)))
+    //   SELECT * FROM graft_cume_dist('spend', 'cents')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_cume_dist"),
+      new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_cume_dist"),
+      (args: Seq[Expression]) => GraftExtensions.graftCumeDistPlan(args)))
     //   SELECT * FROM graft_skyline_n('part', 'p_retailprice', 'p_size,p_partkey')
     ext.injectTableFunction((
       new FunctionIdentifier("graft_skyline_n"),
@@ -656,6 +661,24 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_cume_dist(table, valueCol)`: global `cume_dist` over the
+    * ascending value — routes to [[graft.operators.Rank.cumeDist]]
+    * (distinct-value running sum + keyed join back; the SQL tie rule,
+    * no single-partition window). Returns the input columns plus
+    * `cume_dist`.
+    */
+  private[graft] def graftCumeDistPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2,
+      s"graft_cume_dist(table, valueCol) expects 2 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_cume_dist table"))
+    val v = stringLit(args(1), "graft_cume_dist valueCol")
+    requireNumeric(df, v, "graft_cume_dist")
+    graft.operators.Rank.cumeDist(df, v, out = "cume_dist")
+      .queryExecution.analyzed
+  }
+
   /** `graft_skyline_n(table, minColsCsv, maxColsCsv)`: the d-dimensional
     * Pareto frontier from SQL — routes to
     * [[graft.operators.Analytics.skylineN]] (distinct cells →
@@ -794,6 +817,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_running_sum", graftRunningSumPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_prefix_max", graftPrefixMaxPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_ntile", graftNtilePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_cume_dist", graftCumeDistPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_skyline_n", graftSkylineNPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)

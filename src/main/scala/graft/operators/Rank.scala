@@ -233,6 +233,29 @@ object Rank {
       .drop("__rn", "__c")
   }
 
+  /** Global `cume_dist` over ascending `valueCol`, as `out`:
+    * `count(rows with value <= current) / n` in IEEE double — the SQL
+    * tie rule (all peers share the cumulative count of their LAST
+    * member), which `percent_rank`'s row-level form can't express.
+    * Computed on the DISTINCT-VALUE frame: per-value counts fold
+    * through the two-phase [[runningSum]] (distinct values are their
+    * own total order, so no tie column is needed) and join back on the
+    * value — a keyed shuffle join at scale, never a single-partition
+    * window, never a self-join on rows. */
+  def cumeDist(df: DataFrame, valueCol: String, out: String,
+      parts: Int = 0): DataFrame = {
+    val perV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cv"))
+    val cumLe = runningSum(perV, Seq(col(valueCol)),
+        bucketOn = col(valueCol), value = col("__cv"), out = "__le",
+        parts = parts)
+      .select(col(valueCol), col("__le"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    df.join(cumLe, Seq(valueCol))
+      .crossJoin(broadcast(n))
+      .withColumn(out, col("__le").cast("double") / col("__n").cast("double"))
+      .drop("__le", "__n")
+  }
+
   /** Global STRICT-prefix max of `value` (current row excluded:
     * `rowsBetween(unboundedPreceding, -1)`) over `orderCols`, as `out`
     * — NULL for the global first row, the frontier-scan contract. */

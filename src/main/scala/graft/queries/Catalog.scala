@@ -2222,6 +2222,32 @@ object Catalog {
           round(percent_rank() OVER (ORDER BY cents, o_custkey), 6) AS pr
         FROM spend ORDER BY cents, o_custkey""")),
 
+    "q_cume_dist_sql" -> QueryDef(
+      // global cume_dist from PURE SQL — the rank-family member with
+      // the SQL TIE rule (all peers share their last member's
+      // cumulative count), which the TVF computes on the DISTINCT-VALUE
+      // frame (per-value counts -> two-phase running sum -> keyed join
+      // back), never a single-partition window. Probing on order
+      // PRIORITY (5 distinct values over 150k orders) makes ties the
+      // whole test: every row shares its cume_dist with ~30k peers.
+      // Rounded 6dp both sides per the ratio convention.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            substring(col("o_orderpriority"), 1, 1).cast("int").as("prio"))
+          .createOrReplaceTempView("graft_cd_orders")
+        s.sql("""SELECT o_orderkey, prio, round(cume_dist, 6) AS cd
+          FROM graft_cume_dist('graft_cd_orders', 'prio')
+          ORDER BY prio, o_orderkey""")
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+            substr(o_orderpriority, 1, 1)::INT AS prio FROM orders)
+        SELECT o_orderkey, prio,
+          round(cume_dist() OVER (ORDER BY prio), 6) AS cd
+        FROM o ORDER BY prio, o_orderkey""")),
+
     "q_skyline3_sql" -> QueryDef(
       // the d-dimensional skyline from PURE SQL: graft_skyline_n routes
       // to Analytics.skylineN over the same 3 lineitem attributes

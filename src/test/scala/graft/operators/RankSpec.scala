@@ -123,6 +123,22 @@ class RankSpec extends AnyFunSuite {
     assert(one == 0.0)
   }
 
+  test("cumeDist follows the SQL tie rule (peers share the last member's count)") {
+    val rows = data(2000) // 17 distinct values: every row has ~117 peers
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = Rank.cumeDist(df, "v", out = "cd")
+      .select("id", "cd").as[(Long, Double)].collect().toMap
+    val n = rows.size
+    val leByValue = rows.map(_._2).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val sortedVals = leByValue.keys.toSeq.sorted
+    val cumLe = sortedVals.zip(
+      sortedVals.scanLeft(0L)(_ + leByValue(_)).tail).toMap
+    val want = rows.map { case (id, v) => id -> cumLe(v).toDouble / n }.toMap
+    assert(got == want) // bit-exact: same IEEE division
+    assert(got.values.max == 1.0, "the top tie group must reach exactly 1.0")
+  }
+
   test("quantilesDisc picks the exact ceil(p*n)-ranked value, ties and all") {
     val rnd = new scala.util.Random(23)
     val vals = (0 until 2001).map(_ => rnd.nextInt(50).toLong) // heavy ties

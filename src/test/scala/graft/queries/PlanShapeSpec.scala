@@ -736,7 +736,7 @@ class PlanShapeSpec extends AnyFunSuite {
     for (name <- Seq("q_gini", "q_pareto", "q_skyline_parts", "q_skyline_sql",
         "q_quantiles_exact", "q_quantiles_sql", "q_rank_sql",
         "q_rank_desc_sql", "q_running_sum_sql", "q_prefix_max_sql",
-        "q_ntile_sql", "q_percent_rank_sql")) {
+        "q_ntile_sql", "q_percent_rank_sql", "q_cume_dist_sql")) {
       val df = Catalog.queries(name)(spark, sf)
       val phys = df.queryExecution.sparkPlan
       val wins = phys.collect { case w: WindowExec => w }
