@@ -244,13 +244,21 @@ object Rank {
     * window, never a self-join on rows. */
   def cumeDist(df: DataFrame, valueCol: String, out: String,
       parts: Int = 0): DataFrame = {
-    val perV = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cv"))
+    // NULL values are EXCLUDED up front (the quantilesDisc contract:
+    // they have no rank) — left in, they would inflate n and, sorting
+    // NULLS-FIRST, every value's cumulative count, while the keyed
+    // join back dropped their rows anyway (NULL joins nothing):
+    // silently wrong for every row. Engines also disagree on NULL
+    // order (Spark NULLS FIRST asc, DuckDB NULLS LAST), so excluding
+    // is the only cross-engine-stable semantics.
+    val in = df.filter(col(valueCol).isNotNull)
+    val perV = in.groupBy(col(valueCol)).agg(count(lit(1)).as("__cv"))
     val cumLe = runningSum(perV, Seq(col(valueCol)),
         bucketOn = col(valueCol), value = col("__cv"), out = "__le",
         parts = parts)
       .select(col(valueCol), col("__le"))
-    val n = df.agg(count(lit(1)).as("__n"))
-    df.join(cumLe, Seq(valueCol))
+    val n = in.agg(count(lit(1)).as("__n"))
+    in.join(cumLe, Seq(valueCol))
       .crossJoin(broadcast(n))
       .withColumn(out, col("__le").cast("double") / col("__n").cast("double"))
       .drop("__le", "__n")

@@ -137,6 +137,13 @@ class RankSpec extends AnyFunSuite {
     val want = rows.map { case (id, v) => id -> cumLe(v).toDouble / n }.toMap
     assert(got == want) // bit-exact: same IEEE division
     assert(got.values.max == 1.0, "the top tie group must reach exactly 1.0")
+    // NULL values are excluded entirely: not ranked, not counted in n
+    val withNull = (rows.take(50).map { case (id, v) => (id, Some(v)) } :+
+      (9999L, Option.empty[Long])).toDF("id", "v")
+    val g2 = Rank.cumeDist(withNull, "v", out = "cd")
+      .select("id", "cd").as[(Long, Double)].collect()
+    assert(g2.length == 50 && !g2.exists(_._1 == 9999L))
+    assert(g2.map(_._2).max == 1.0, "n must exclude the NULL row")
   }
 
   test("quantilesDisc picks the exact ceil(p*n)-ranked value, ties and all") {
