@@ -291,6 +291,23 @@ object GraftExtensions {
     e.eval().asInstanceOf[Boolean]
   }
 
+  /** An integral literal that must FIT in 32 bits: a bare
+    * `longLit(...).toInt` silently truncates an out-of-range value (e.g.
+    * `graft_ntile(..., 5000000000)` becomes a wrong-but-positive bucket
+    * count that passes downstream `require(n > 0)` checks), so every TVF
+    * int parameter routes through this boundary check instead.
+    */
+  private def intLit(e: Expression, name: String): Int = {
+    val l = longLit(e, name)
+    require(l >= Int.MinValue && l <= Int.MaxValue,
+      s"$name must fit in a 32-bit integer, got $l")
+    l.toInt
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+
   private[graft] def graftViewPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.length == 1 || args.length == 2,
@@ -316,7 +333,7 @@ object GraftExtensions {
     import spark.implicits._
     val qs = Seq((0L, stringLit(args(1), "graft_search query")))
       .toDF("query_id", "qtext")
-    val k = if (args.length == 3) longLit(args(2), "graft_search k").toInt else 10
+    val k = if (args.length == 3) intLit(args(2), "graft_search k") else 10
     graft.llmops.Search
       .bm25TopKIndexed(spark, stringLit(args.head, "graft_search indexDir"), qs, k)
       .select(org.apache.spark.sql.functions.col("rank"),
@@ -339,8 +356,8 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val vec = floatArrayLit(args(1), "graft_ann queryVec")
-    val k = longLit(args(2), "graft_ann k").toInt
-    val nProbe = if (args.length == 4) longLit(args(3), "graft_ann nProbe").toInt else 4
+    val k = intLit(args(2), "graft_ann k")
+    val nProbe = if (args.length == 4) intLit(args(3), "graft_ann nProbe") else 4
     val qs = Seq((-1L, vec.toSeq)).toDF("vec_id", "embedding")
     graft.llmops.Similarity
       .ivfTopKIndexed(spark, stringLit(args.head, "graft_ann indexDir"),
@@ -524,7 +541,7 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_bpe table"))
     graft.llmops.Tokenize.bpeMerges(df,
-        numMerges = longLit(args(1), "graft_bpe numMerges").toInt,
+        numMerges = intLit(args(1), "graft_bpe numMerges"),
         textCol =
           if (args.length == 3) stringLit(args(2), "graft_bpe textCol")
           else "text")
@@ -633,7 +650,7 @@ object GraftExtensions {
         Seq(org.apache.spark.sql.functions.col(v),
           org.apache.spark.sql.functions.col(tie)),
         bucketOn = org.apache.spark.sql.functions.col(v),
-        n = longLit(args(3), "graft_ntile n").toInt, out = "bucket")
+        n = intLit(args(3), "graft_ntile n"), out = "bucket")
       .queryExecution.analyzed
   }
 
@@ -764,42 +781,45 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("simhash64",
       args => SimHash64(args.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands",
-      args => MinHashBands(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int],
-        args(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      args => { arity("minhash_bands", args, 3)
+        MinHashBands(args(0), intLit(args(1), "numBands"),
+          intLit(args(2), "rowsPerBand")) }, "built-in")
     reg.createOrReplaceTempFunction("jaccard_sorted",
       args => JaccardSorted(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
-      args => WordShingles(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      args => { arity("word_shingles", args, 2)
+        WordShingles(args(0), intLit(args(1), "k")) }, "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       args => TextStats(args.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bucket",
-      args => HyperplaneBucket(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      args => { arity("hyperplane_bucket", args, 2)
+        HyperplaneBucket(args(0), intLit(args(1), "bits")) }, "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       args => CosineSimilarity(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash64",
       args => RollingHash64(args.head), "built-in")
     reg.createOrReplaceTempFunction("subword_split",
-      args => SubwordSplit(args(0), stringArrayLit(args(1), "vocab"),
-        args(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      args => { arity("subword_split", args, 3)
+        SubwordSplit(args(0), stringArrayLit(args(1), "vocab"),
+          intLit(args(2), "maxPieceLen")) }, "built-in")
     reg.createOrReplaceTempFunction("topk_by",
-      args => TopKBy(args(0), args(1),
-        args(2).asInstanceOf[Literal].value.asInstanceOf[Int]).toAggregateExpression(), "built-in")
+      args => { arity("topk_by", args, 3)
+        TopKBy(args(0), args(1), intLit(args(2), "k"))
+          .toAggregateExpression() }, "built-in")
     reg.createOrReplaceTempFunction("topk_by_scored",
-      args => TopKBy(args(0), args(1),
-        args(2).asInstanceOf[Literal].value.asInstanceOf[Int],
-        withScores = true).toAggregateExpression(), "built-in")
+      args => { arity("topk_by_scored", args, 3)
+        TopKBy(args(0), args(1), intLit(args(2), "k"), withScores = true)
+          .toAggregateExpression() }, "built-in")
     reg.createOrReplaceTempFunction("approx_heavy_hitters",
-      args => MisraGries(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int])
-        .toAggregateExpression(), "built-in")
+      args => { arity("approx_heavy_hitters", args, 2)
+        MisraGries(args(0), intLit(args(1), "k"))
+          .toAggregateExpression() }, "built-in")
     reg.createOrReplaceTempFunction("quantile_sketch",
-      args => graft.functions.expressions.QuantileSketch(args(0),
-        doubleCsvLit(args(1), "quantile_sketch probsCsv"),
-        args(2).asInstanceOf[Literal].value.asInstanceOf[Int])
-        .toAggregateExpression(), "built-in")
+      args => { arity("quantile_sketch", args, 3)
+        graft.functions.expressions.QuantileSketch(args(0),
+          doubleCsvLit(args(1), "quantile_sketch probsCsv"),
+          intLit(args(2), "quantile_sketch k"))
+          .toAggregateExpression() }, "built-in")
     val treg = spark.sessionState.tableFunctionRegistry
     treg.createOrReplaceTempFunction("graft_view", graftViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_agg_view", graftAggViewPlan, "built-in")

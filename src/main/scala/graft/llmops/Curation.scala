@@ -232,7 +232,12 @@ object Curation {
     // any offending row raises a loud executor-side error.
     val wt = weightCol.map { c =>
       val raw = col(c)
-      when(raw.isNull || raw.cast("double") <= 0.0 ||
+      // First disjunct must be cast-based: a non-numeric weight (e.g. a
+      // string column) casts to NULL, and with a bare raw.isNull the whole
+      // WHEN condition would evaluate NULL and fall through to
+      // otherwise(raw.cast('long')) = NULL — a silent zero-weight row that
+      // breaks the clean-prefix contract instead of raising.
+      when(raw.cast("double").isNull || raw.cast("double") <= 0.0 ||
           raw.cast("double") =!= raw.cast("long").cast("double"),
         raise_error(concat(
           lit(s"capPerStratum: weight column '$c' must be a positive " +

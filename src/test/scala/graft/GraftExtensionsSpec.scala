@@ -265,4 +265,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("must be numeric"), s"no guard for: $q")
     }
   }
+
+  test("int-parameter boundaries: out-of-Int-range literals and bad arity fail loudly") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 30L)).toDF("id", "v").createOrReplaceTempView("bnd_in")
+    // 5000000000 truncates to a wrong-but-positive Int under a bare
+    // .toInt; the boundary must reject it instead of mis-bucketing
+    val eN = intercept[Exception](
+      spark.sql("SELECT * FROM graft_ntile('bnd_in', 'v', 'id', 5000000000)")
+        .collect())
+    assert(eN.getMessage.contains("32-bit"), s"got: ${eN.getMessage}")
+    // register()-path aggregates get the same arity + literal diagnostics
+    // as the extension-injection path (no IndexOutOfBounds / opaque casts)
+    val eA = intercept[Exception](
+      spark.sql("SELECT quantile_sketch(v, '0.5') FROM bnd_in").collect())
+    assert(eA.getMessage.contains("quantile_sketch expects 3"),
+      s"got: ${eA.getMessage}")
+    val eK = intercept[Exception](
+      spark.sql("SELECT quantile_sketch(v, '0.5', v) FROM bnd_in").collect())
+    assert(eK.getMessage.toLowerCase.contains("literal"),
+      s"got: ${eK.getMessage}")
+  }
 }

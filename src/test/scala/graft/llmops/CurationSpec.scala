@@ -219,6 +219,20 @@ class CurationSpec extends AnyFunSuite {
     }
     // integral doubles are fine (exact long values in a double column)
     run(Seq(10.0, 20.0, 30.0))
+    // a NON-NUMERIC weight column must also raise: the string casts to
+    // NULL double, and a bare isNull first disjunct would let the whole
+    // WHEN condition go NULL -> otherwise -> NULL weight (silent zero
+    // contribution instead of the loud failure the contract promises)
+    val eStr = intercept[Exception] {
+      graft.llmops.Curation.capPerStratum(
+          Seq((0L, "s", "ten"), (1L, "s", "20")).toDF("doc_id", "source", "w"),
+          "source", budget = 100, weightCol = Some("w"))
+        .collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs2(x.getCause))
+    assert(msgs2(eStr).exists(m => m != null && m.contains("capPerStratum")),
+      s"expected the weight guard to fire for a non-numeric weight, got $eStr")
   }
 
   test("redactPii replaces emails, phones, and IPs and counts each kind") {

@@ -20,13 +20,25 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleTypeLintSpec extends AnyFunSuite {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  // Overridable so CI hosts with fixtures elsewhere still RUN the lint —
+  // but never silently skipped: if the catalog declares oracles and the
+  // fixture is missing, that's a broken test environment and the spec
+  // FAILS (an assume() here would quietly reintroduce the discretionary
+  // lint gap this spec exists to close).
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_LINT_SF_DIR",
+    sys.props.getOrElse("graft.lint.sf.dir", "/root/testdata/sf0.001"))
   private val repoRoot = new java.io.File(".").getCanonicalPath
 
   test("no oracle emits a decimal-typed output column (driver hash safety)") {
     val py = new java.io.File(repoRoot, "tools/oracle_check.py")
-    assume(py.isFile, s"lint tool missing at $py")
-    assume(new java.io.File(sfDir).isDirectory, s"testdata missing at $sfDir")
+    val haveOracles = Catalog.defs.exists(_._2.oracle.isDefined)
+    assert(!haveOracles || py.isFile,
+      s"catalog declares oracles but the lint tool is missing at $py — " +
+        "the decimal type-lint MUST run (un-skippable by design)")
+    assert(!haveOracles || new java.io.File(sfDir).isDirectory,
+      s"catalog declares oracles but testdata is missing at $sfDir — " +
+        "set SPARK_GRAFT_LINT_SF_DIR (or -Dgraft.lint.sf.dir) to a " +
+        "directory with the parquet fixture tables")
 
     val tmp = Files.createTempDirectory("oracle-lint-").toFile
     graft.Verify.writeOracleJson(tmp.getAbsolutePath)
