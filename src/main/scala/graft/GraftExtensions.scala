@@ -208,6 +208,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cume_dist"),
       new ExpressionInfo(classOf[graft.operators.Rank.type].getName, "graft_cume_dist"),
       (args: Seq[Expression]) => GraftExtensions.graftCumeDistPlan(args)))
+    //   SELECT * FROM graft_priority_sample('documents', 50, 'n_chars', 'doc_id')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_priority_sample"),
+      new ExpressionInfo(classOf[graft.llmops.Curation.type].getName, "graft_priority_sample"),
+      (args: Seq[Expression]) => GraftExtensions.graftPrioritySamplePlan(args)))
     //   SELECT * FROM graft_skyline_n('part', 'p_retailprice', 'p_size,p_partkey')
     ext.injectTableFunction((
       new FunctionIdentifier("graft_skyline_n"),
@@ -696,6 +701,30 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_priority_sample(table, k, weightCol, idCol)`: fixed-size
+    * weighted sample without replacement (priority sampling,
+    * Duffield–Lund–Thorup) — routes to
+    * [[graft.llmops.Curation.prioritySample]]: map-side top-k partial
+    * aggregate on the bit-stable `w/u` priority key, winners broadcast
+    * back; no global sort, no single-partition window. Returns the
+    * input columns plus `priority` and the `w_hat` tau-threshold
+    * estimator.
+    */
+  private[graft] def graftPrioritySamplePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      "graft_priority_sample(table, k, weightCol, idCol) expects 4 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_priority_sample table"))
+    val k = intLit(args(1), "graft_priority_sample k")
+    val w = stringLit(args(2), "graft_priority_sample weightCol")
+    requireNumeric(df, w, "graft_priority_sample")
+    val id = stringLit(args(3), "graft_priority_sample idCol")
+    graft.llmops.Curation.prioritySample(df, k, w, id)
+      .queryExecution.analyzed
+  }
+
   /** `graft_skyline_n(table, minColsCsv, maxColsCsv)`: the d-dimensional
     * Pareto frontier from SQL — routes to
     * [[graft.operators.Analytics.skylineN]] (distinct cells →
@@ -838,6 +867,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_prefix_max", graftPrefixMaxPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_ntile", graftNtilePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_cume_dist", graftCumeDistPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_priority_sample", graftPrioritySamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_skyline_n", graftSkylineNPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)

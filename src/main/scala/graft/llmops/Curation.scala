@@ -170,6 +170,80 @@ object Curation {
     df.filter(knuthDraw(col(idCol)) < w * 4294967296.0)
   }
 
+  /** Deterministic fixed-size WEIGHTED sample without replacement —
+    * priority sampling (Duffield–Lund–Thorup, JACM 2007): each row gets
+    * priority `q = w / u` with `u` a (0,1] uniform derived from md5 of
+    * its id, and the k HIGHEST priorities are the sample. This is the
+    * global "exactly k rows, inclusion probability ~ proportional to
+    * weight" sampler the fractional forms can't express
+    * ([[sampleByWeight]] fixes the RATE, not the size; a global
+    * `row_number` window would be the single-partition hazard the rank
+    * family exists to avoid). Output: the k sampled rows plus their
+    * `priority` and `w_hat = max(w, tau)` where `tau` is the (k+1)-th
+    * priority — the unbiased Horvitz–Thompson-style weight-sum estimator
+    * the paper proves (near-)optimal; when the population has at most k
+    * rows, `tau = 0` and the sample is exhaustive with `w_hat = w`.
+    *
+    * Determinism, cross-engine: `u = (U+1)/2^52` from the first 13 hex
+    * chars of md5(id) — the numerator is an exact <= 2^52 integer, the
+    * divisor an exact power of two (exponent shift, no rounding), and
+    * the single `w/u` IEEE division is correctly rounded on every
+    * engine, so priorities (and therefore the EXACT sample and
+    * estimators) are bit-identical in Spark and the DuckDB oracle —
+    * transcendental-free on purpose (the classic `u^(1/w)` exponential
+    * key of Efraimidis–Spirakis is libm-dependent and not replayable).
+    *
+    * Scale shape: one narrow scan into the map-side [[graft.functions
+    * .expressions.TopKBy]] partial aggregate (per-partition top-(k+1)
+    * buffers merged, never a global sort, never a single-partition
+    * window), then the k winners broadcast-joined back for their full
+    * rows and the scalar `tau` attached as a one-row broadcast. Weights
+    * must be positive (ENFORCED in the plan, the [[capPerStratum]]
+    * discipline — the weight is data, a driver-side require can't see
+    * it); a zero/negative/non-numeric weight raises loudly.
+    */
+  def prioritySample(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "prioritySample: k must be positive")
+    val raw = col(weightCol)
+    val w = when(raw.cast("double").isNull || raw.cast("double") <= 0.0,
+        raise_error(concat(
+          lit(s"prioritySample: weight column '$weightCol' must be a " +
+            "positive numeric value, got "),
+          raw.cast("string"))).cast("double"))
+      .otherwise(raw.cast("double"))
+    val arr = df
+      .select(priorityKey(col(idCol), w).as("__pri"),
+        col(idCol).cast("long").as("__id"))
+      .agg(graft.functions.expressions.TopKExpressions
+        .topk_by_scored(col("__pri"), col("__id"), k + 1).as("arr"))
+    // tau = the (k+1)-th priority (0.0 when the population fits in k);
+    // `get` is 0-based and NULL-safe out of bounds (never ANSI-throws)
+    val sel = arr
+      .select(explode(slice(col("arr"), 1, k)).as("e"),
+        coalesce(get(col("arr"), lit(k))("score"), lit(0.0)).as("__tau"))
+      .select(col("e.id").as("__sel_id"), col("e.score").as("priority"),
+        col("__tau"))
+    df.join(broadcast(sel), col(idCol).cast("long") === col("__sel_id"))
+      .withColumn("w_hat",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__sel_id", "__tau")
+  }
+
+  /** The priority-sampling key `w / u`: `u = (U+1)/2^52` with `U` the
+    * first 52 md5 bits of the id — every step exact except the final
+    * correctly-rounded division, so the key is bit-stable across
+    * engines (see [[prioritySample]]).
+    */
+  private[graft] def priorityKey(id: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    w.cast("double") /
+      ((conv(substring(md5(id.cast("string")), 1, 13), 16, 10).cast("long") +
+        lit(1L)).cast("double") / lit(4503599627370496.0))
+
   /** Deterministic fixed-SIZE sample per stratum — eval-set construction
     * ("exactly 100 docs per language"), where the fractional samplers
     * can't hit an exact count: rank rows within each stratum by the md5

@@ -5981,6 +5981,63 @@ object Catalog {
             < least(n_chars / 1000.0, 1.0) * 4294967296
         ORDER BY doc_id""")),
 
+    "pipeline_priority_sample" -> QueryDef(
+      // Fixed-size weighted sample WITHOUT replacement (Curation
+      // .prioritySample — priority sampling, Duffield–Lund–Thorup):
+      // exactly 50 documents with inclusion ~ proportional to n_chars,
+      // plus the tau-threshold unbiased estimator column. The fractional
+      // samplers above fix the RATE; this is the "give me exactly k,
+      // weight-proportional" form a corpus-mixing pipeline needs, with
+      // the 100 TB shape (map-side top-k partial aggregate, never a
+      // global sort or single-partition window; winners broadcast back).
+      // Fully oracled BIT-EXACTLY: the priority key w/u is built from
+      // exact integer md5 bits and one correctly-rounded IEEE division,
+      // so DuckDB's ORDER BY priority DESC LIMIT k reproduces the exact
+      // sample, priorities, and w_hat estimators.
+      (s, dir) => Curation.prioritySample(
+          t(s, dir, "documents"), k = 50, weightCol = "n_chars")
+        .select(col("doc_id"), col("n_chars"), col("priority"), col("w_hat"))
+        .orderBy("doc_id"),
+      Some("""WITH pri AS (
+          SELECT doc_id, n_chars,
+            n_chars::DOUBLE /
+              ((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)::DOUBLE
+                / 4503599627370496.0) AS priority
+          FROM documents),
+        tau AS (
+          SELECT coalesce((SELECT priority FROM pri
+            ORDER BY priority DESC, doc_id OFFSET 50 LIMIT 1), 0.0) AS t),
+        sel AS (
+          SELECT doc_id, n_chars, priority,
+            greatest(n_chars::DOUBLE, (SELECT t FROM tau)) AS w_hat
+          FROM pri ORDER BY priority DESC, doc_id LIMIT 50)
+        SELECT * FROM sel ORDER BY doc_id""")),
+
+    "pipeline_priority_sample_sql" -> QueryDef(
+      // the same fixed-size weighted sample from PURE SQL: the
+      // graft_priority_sample TVF routes to Curation.prioritySample, so
+      // a SQL user gets the map-side top-k shape (no global sort, no
+      // single-partition window) without touching the Column API; the
+      // oracle replays the bit-exact w/u priority selection.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_ps_docs")
+        s.sql("""SELECT doc_id, n_chars, priority
+          FROM graft_priority_sample('graft_ps_docs', 20, 'n_chars', 'doc_id')
+          ORDER BY doc_id""")
+      },
+      Some("""WITH pri AS (
+          SELECT doc_id, n_chars,
+            n_chars::DOUBLE /
+              ((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)::DOUBLE
+                / 4503599627370496.0) AS priority
+          FROM documents),
+        sel AS (
+          SELECT doc_id, n_chars, priority
+          FROM pri ORDER BY priority DESC, doc_id LIMIT 20)
+        SELECT * FROM sel ORDER BY doc_id""")),
+
     "pipeline_shuffle" -> QueryDef(
       // Deterministic global shuffle into training shards
       // (Curation.shuffleShards): the training ORDER itself is a pure

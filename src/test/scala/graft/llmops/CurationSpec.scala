@@ -200,6 +200,65 @@ class CurationSpec extends AnyFunSuite {
       graft.llmops.Curation.capPerStratum(docs, "source", budget = 0))
   }
 
+  // Independent reference for the priority-sampling key: same math as
+  // Curation.priorityKey but via java MessageDigest, no Spark involved.
+  private def refPriority(id: Long, w: Double): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val u52 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    w / ((u52 + 1).toDouble / 4503599627370496.0)
+  }
+
+  test("prioritySample: exact top-k by the w/u priority key, tau estimator") {
+    val n = 200
+    val rows = (1L to n).map(i => (i, (i % 17 + 1) * 10L))
+    val df = rows.toDF("doc_id", "w")
+    val k = 25
+    val got = Curation.prioritySample(df.repartition(7), k, "w")
+      .select("doc_id", "w", "priority", "w_hat")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // expected: k highest reference priorities, tau = (k+1)-th
+    val pris = rows.map { case (id, w) => (id, w, refPriority(id, w.toDouble)) }
+      .sortBy(t => (-t._3, t._1))
+    val expIds = pris.take(k).map(_._1).toSet
+    val tau = pris(k)._3
+    assert(got.length == k)
+    assert(got.map(_._1).toSet == expIds)
+    got.foreach { case (id, w, pri, wHat) =>
+      assert(pri == refPriority(id, w.toDouble), s"priority mismatch for $id")
+      assert(wHat == math.max(w.toDouble, tau), s"w_hat mismatch for $id")
+    }
+    // population <= k: exhaustive sample, tau = 0, w_hat = w exactly
+    val small = Seq((1L, 5L), (2L, 7L)).toDF("doc_id", "w")
+    val all = Curation.prioritySample(small, 10, "w")
+      .select("doc_id", "w_hat").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(all.toSeq == Seq((1L, 5.0), (2L, 7.0)))
+  }
+
+  test("prioritySample: non-positive or non-numeric weights raise loudly") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    for (bad <- Seq(Seq(10.0, 0.0), Seq(10.0, -1.0))) {
+      val e = intercept[Exception] {
+        Curation.prioritySample(
+          bad.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+            .toDF("doc_id", "w"), 5, "w").collect()
+      }
+      assert(msgs(e).exists(m => m != null && m.contains("prioritySample")),
+        s"expected the weight guard for $bad, got $e")
+    }
+    val eStr = intercept[Exception] {
+      Curation.prioritySample(
+        Seq((1L, "ten"), (2L, "20")).toDF("doc_id", "w"), 5, "w").collect()
+    }
+    assert(msgs(eStr).exists(m => m != null && m.contains("prioritySample")))
+    intercept[IllegalArgumentException](
+      Curation.prioritySample(Seq((1L, 1L)).toDF("doc_id", "w"), 0, "w"))
+  }
+
   test("capPerStratum: zero/negative/fractional weights raise loudly (clean-prefix contract)") {
     // the guard lives in the plan (the weight is data, not a parameter):
     // any offending row must fail the job, never silently re-admit rows

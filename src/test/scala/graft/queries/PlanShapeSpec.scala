@@ -751,6 +751,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_priority_sample: map-side top-k aggregate — no sort, no window, winners broadcast back") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("pipeline_priority_sample", "pipeline_priority_sample_sql")) {
+      val df = Catalog.queries(name)(spark, sf)
+      val phys = df.queryExecution.sparkPlan
+      // the global fixed-k sample must never rank via a window or sort
+      // the data (the ORDER BY on the k output rows is fine — it sits
+      // above the broadcast join of an already-k-sized frame)
+      assert(phys.collect { case w: WindowExec => w }.isEmpty,
+        s"$name: the priority sample grew a window — the single-partition ranking hazard")
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the k winners must join back as a broadcast, never a shuffle")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: the k-row winner frame fell back to sort-merge")
+      // exactly the TopKBy aggregate pair (partial + final) ranks the data:
+      // no SortExec may sit BELOW the aggregate (sorting the corpus to
+      // sample it is the anti-pattern this operator exists to avoid)
+      val aggs = phys.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a }
+      assert(aggs.nonEmpty, s"$name: the TopKBy aggregate disappeared")
+      assert(aggs.forall(a => a.collect { case s: SortExec => s }.isEmpty),
+        s"$name: a sort feeds the top-k aggregate — the corpus is being sorted")
+    }
+  }
+
   test("q_skyline3 + its graft_skyline_n TVF twin: one cells aggregate, frontier scans stay join-free") {
     for (name <- Seq("q_skyline3", "q_skyline3_sql")) {
       val p = plan(name)
