@@ -3514,6 +3514,62 @@ object Catalog {
       // only the first run pays the z-order write, like q_bucketed_join)
       headline = true),
 
+    "q_hilbert_key" -> QueryDef(
+      // The Hilbert curve position ITSELF, fully oracled: fixed
+      // power-of-two buckets (no quantile fit — this row certifies the
+      // curve math, not the layout) and the kernel's quadrant-rotation
+      // rounds replayed in DuckDB as generated integer-only CTEs
+      // (hilbertOracleSql). LayoutSpec separately pins the curve's
+      // adjacency/bijection properties and its locality win over Morton;
+      // this row pins the EXACT position of every row cross-engine.
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 400)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 64).cast("int").as("bx"),
+          (col("l_suppkey") % 64).cast("int").as("by"))
+        .withColumn("h", graft.functions.expressions.LayoutExpressions
+          .hilbert_key(col("bx"), col("by"), 6))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(hilbertOracleSql(6,
+        src = "SELECT l_orderkey, l_linenumber, " +
+          "(l_partkey % 64)::INT AS bx, (l_suppkey % 64)::INT AS by, " +
+          "(l_partkey % 64)::BIGINT AS x, (l_suppkey % 64)::BIGINT AS y, " +
+          "0::BIGINT AS d FROM lineitem WHERE l_orderkey <= 400",
+        outCols = "l_orderkey, l_linenumber, bx, by",
+        orderBy = "l_orderkey, l_linenumber"))),
+
+    "q_hilbert_scan" -> QueryDef(
+      // Hilbert-curve layout (Layout.writeHilbertOrdered): the
+      // q_zorder_scan read over the TIGHTER curve — consecutive key
+      // values are always grid-adjacent (LayoutSpec measures hilbert
+      // worst-chunk spans strictly below Morton's off power-of-4
+      // alignment), so per-file min/max spans shrink and footer
+      // pruning keeps fewer files for the same two-column predicate.
+      // Values are layout-independent — fully oracled against DuckDB
+      // over the ORIGINAL table, same as q_zorder_scan. Revenue is
+      // summed in EXACT decimal (the q_agg_view convention): the
+      // clustered rewrite reorders rows, and a double sum is
+      // order-dependent (measured: one cent of drift at sf0.01), so
+      // only an order-independent exact sum can hash-match a layout
+      // the oracle never sees.
+      (s, dir) => s.read.parquet(hilbertFor(s, dir))
+        .filter(col("l_orderkey") <= 1000 && col("l_partkey") <= 150)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("decimal(38,4)")).cast("double"), 2).as("revenue"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum((l_extendedprice::DECIMAL(18,2) *
+            (1 - l_discount)::DECIMAL(18,2))::DECIMAL(38,4))::DOUBLE, 2) AS revenue
+        FROM lineitem WHERE l_orderkey <= 1000 AND l_partkey <= 150
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      // headline times the CLUSTERED READ (layout memoized per dataset)
+      headline = true),
+
     "q_agg_view" -> QueryDef(
       // Incrementally-maintained materialized aggregate (operators.AggView):
       // the orders GROUP BY is built from a base third of the table and
@@ -6602,6 +6658,57 @@ object Catalog {
         Seq("l_orderkey", "l_partkey"), bits = 6, numFiles = 8)
       out
     })
+  }
+
+  /** Memoized Hilbert-clustered lineitem rewrite — the [[zorderFor]]
+    * convention (same columns, bits, file count) with the
+    * tighter-locality curve, so q_hilbert_scan times the same read
+    * path over the alternative layout.
+    */
+  private val hilbertDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hilbertFor(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}").mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    hilbertDirs.computeIfAbsent(s"${src.getPath}|${sig(src)}", _ => {
+      val out = Files.createTempDirectory("graft-q-hilbert").toString + "/lineitem"
+      graft.operators.Layout.writeHilbertOrdered(t(s, dir, "lineitem"), out,
+        Seq("l_orderkey", "l_partkey"), bits = 6, numFiles = 8)
+      out
+    })
+  }
+
+  /** The q_hilbert_key oracle: the kernel's `bits` quadrant-rotation
+    * rounds unrolled into plain-SQL CTEs (two per round: rx/ry, then
+    * the d/x/y update) — pure integer compare/add/xor/shift, so DuckDB
+    * replays the EXACT curve position of every row.
+    */
+  private def hilbertOracleSql(bits: Int, src: String, outCols: String,
+      orderBy: String): String = {
+    // distinct names per stage (rx/ry, then nd/nx/ny, then a rename CTE)
+    // so no expression can ever bind a freshly-defined lateral alias in
+    // place of the source column it means
+    val rounds = (0 until bits).reverse.zipWithIndex.map { case (i, r) =>
+      val s = 1L << i
+      s"""r$r AS (
+        SELECT *, CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM ${if (r == 0) "h_src" else s"v${r - 1}"}),
+      u$r AS (
+        SELECT $outCols, d + ${s * s} * xor(3 * rx, ry) AS nd,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+               ELSE x END AS nx,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+               ELSE y END AS ny
+        FROM r$r),
+      v$r AS (SELECT $outCols, nd AS d, nx AS x, ny AS y FROM u$r)"""
+    }.mkString(",\n      ")
+    s"""WITH h_src AS ($src),
+      $rounds
+      SELECT $outCols, d AS h FROM v${bits - 1} ORDER BY $orderBy"""
   }
 
   /** Memoized incremental aggregate view over orders — built from the

@@ -344,6 +344,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!scanLine.contains("l_comment"), s"column pruning lost: $scanLine")
   }
 
+  test("q_hilbert_scan: both clustered-column predicates reach the parquet scan") {
+    val p = plan("q_hilbert_scan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_orderkey") && pushed.contains("l_partkey"),
+      s"hilbert-ordered scan lost its pushed predicates: $pushed")
+    val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanLine.contains("l_comment"), s"column pruning lost: $scanLine")
+  }
+
   test("q_agg_view: merge-on-read touches aggregate state only — no join, no window") {
     val p = plan("q_agg_view")
     // the read merges partial-agg roots with ONE re-aggregation; any join
