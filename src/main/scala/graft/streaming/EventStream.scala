@@ -260,6 +260,20 @@ final case class QSState(n: Long, errBound: Long, levels: Seq[Seq[Double]])
 final case class QSUpdate(
     key: Long, n: Long, bound: Long, qs: Seq[Double])
 
+/** [[EventStream.prioritySampleStream]] state: the running top-(k+1)
+  * (priority, id) pairs per key plus the stream length — O(k) per key,
+  * forever. k+1 (not k) so the tau threshold the batch estimator uses
+  * is always emittable.
+  */
+final case class PSampleState(n: Long, pairs: Seq[(Double, Long)])
+
+/** One [[EventStream.prioritySampleStream]] emission: the key's current
+  * exact priority sample — ids with their priorities (best-first), the
+  * tau threshold, and how many rows contributed.
+  */
+final case class PSampleUpdate(
+    key: Long, n: Long, tau: Double, ids: Seq[Long], priorities: Seq[Double])
+
 /** One buffered event for [[EventStream.attributionStream]]: a touch
   * (`isConv = false`, `channel` set) or a conversion (`isConv = true`,
   * `value` set). Touch rows are retained in state only inside the
@@ -1448,6 +1462,64 @@ object EventStream {
           buf.levels.map(_.toSeq).toSeq))
         if (buf.n == 0L) QSUpdate(key, 0L, 0L, Nil)
         else QSUpdate(key, buf.n, buf.bound, buf.quantiles(probs))
+    }
+  }
+
+  /** Streaming priority sample — the streaming dual of the oracled batch
+    * [[graft.llmops.Curation.prioritySample]] (pipeline_priority_sample):
+    * per key, the running EXACT fixed-size weighted sample without
+    * replacement. Unlike the sketch twins (heavy hitters, quantiles),
+    * the stream here is not an approximation of the batch answer — the
+    * priority `w/u` is a pure function of (id, weight) and a top-k of a
+    * set is order-independent, so after any prefix of the stream the
+    * emission IS the batch sample of exactly the rows seen so far
+    * (PrioritySampleStreamSpec proves bit-parity under shuffled
+    * delivery and across restarts). NO watermark buffering needed for
+    * the same reason. State per key: k+1 (priority, id) pairs + one
+    * long, forever.
+    *
+    * Input columns: `key` long (stratum), `doc_id` long, `w` positive
+    * numeric weight. A null/non-positive weight fails the query loudly
+    * (the batch operator's plan-guard contract — silent drops would
+    * bias every later sample).
+    */
+  def prioritySampleStream(
+      docs: DataFrame,
+      k: Int): Dataset[PSampleUpdate] = {
+    require(k > 0, "prioritySampleStream: k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // priority computed as the SAME column expression the batch
+    // operator uses (bit-identical md5 bits + one rounded division)
+    val typed = docs
+      .select(col("key").cast("long"), col("doc_id").cast("long"),
+        col("w").cast("double"),
+        graft.llmops.Curation.priorityKey(col("doc_id"), col("w")).as("pri"))
+      .as[(Long, Long, java.lang.Double, java.lang.Double)]
+    typed.groupByKey(_._1).mapGroupsWithState[PSampleState, PSampleUpdate](
+      GroupStateTimeout.NoTimeout) {
+      (key: Long, rows: Iterator[(Long, Long, java.lang.Double, java.lang.Double)],
+       state: GroupState[PSampleState]) =>
+        val buf = new graft.functions.expressions.TopKByBuffer(k + 1)
+        var n = 0L
+        state.getOption.foreach { st =>
+          n = st.n
+          st.pairs.foreach { case (s, i) => buf.insert(s, i) }
+        }
+        rows.foreach { r =>
+          if (r._3 == null || r._3.doubleValue() <= 0.0)
+            throw new IllegalArgumentException(
+              s"prioritySampleStream: weight must be a positive numeric " +
+                s"value, got ${r._3} for doc_id ${r._2}")
+          buf.insert(r._4.doubleValue(), r._2)
+          n += 1
+        }
+        val pairs = buf.sortedPairs.toSeq
+        state.update(PSampleState(n, pairs))
+        val (sample, tail) = pairs.splitAt(k)
+        PSampleUpdate(key, n,
+          tail.headOption.map(_._1).getOrElse(0.0),
+          sample.map(_._2), sample.map(_._1))
     }
   }
 
