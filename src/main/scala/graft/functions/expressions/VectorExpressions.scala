@@ -656,6 +656,72 @@ case class MmrSelectExpr(child: Expression, lambda: Double, k: Int)
     copy(child = newChild)
 }
 
+/** `PcaProject(vec, components, mean)`: the centered projection
+  * `y_c = sum_j components[c][j] * (x_j - mean[j])` — a k x d mat-vec per
+  * row with the basis riding the generated class as a reference object
+  * (the [[NearestCentroid]] discipline). Spark's own ml PCA transform
+  * skips the centering (a long-standing quirk); this one centers, which
+  * is what makes the projected covariance exactly diagonal and the
+  * whitened variance exactly 1 — the properties emb_pca_gate certifies.
+  */
+case class PcaProject(child: Expression, components: Array[Array[Double]],
+    mean: Array[Double])
+    extends UnaryExpression {
+
+  require(components.nonEmpty && components.forall(_.length == mean.length),
+    "pca_project: components must be non-empty k x d with d == mean length")
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"pca_project expects array<float> or array<double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PcaProject.compute(input.asInstanceOf[ArrayData], components, mean, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = PcaProject.getClass.getName.stripSuffix("$")
+    val matRef = ctx.addReferenceObj("components", components, "double[][]")
+    val meanRef = ctx.addReferenceObj("mean", mean, "double[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $util.compute($arr, $matRef, $meanRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaProject =
+    copy(child = newChild)
+}
+
+object PcaProject {
+  def compute(arr: ArrayData, components: Array[Array[Double]],
+      mean: Array[Double], isFloat: Boolean): ArrayData = {
+    val d = math.min(arr.numElements(), mean.length)
+    val centered = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      centered(j) =
+        (if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)) - mean(j)
+      j += 1
+    }
+    val out = new Array[Double](components.length)
+    var c = 0
+    while (c < components.length) {
+      val row = components(c)
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += row(i) * centered(i); i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -680,6 +746,12 @@ object VectorExpressions {
   /** Column API: squared-euclidean nearest-centroid index (narrow map). */
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  /** Column API: centered PCA projection (k x d mat-vec, narrow map). */
+  def pca_project(vec: Column, components: Array[Array[Double]],
+      mean: Array[Double]): Column =
+    ColumnBridge.column(
+      PcaProject(ColumnBridge.expression(vec), components, mean))
 
   /** Column API: squared-euclidean distance to the nearest centroid (the
     * IVF drift signal; narrow map like [[nearest_centroid]]).

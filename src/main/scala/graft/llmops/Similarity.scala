@@ -1188,4 +1188,95 @@ object Similarity {
       .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
     topKPerQuery(exact, k)
   }
+
+  /** A fitted PCA basis: the full-data mean, `k` orthonormal principal
+    * axes as rows (sign-normalized: each axis's largest-|coordinate|
+    * entry is positive, killing the eigenvector sign ambiguity so two
+    * fits of the same data are identical), and the per-axis explained
+    * variance proportions.
+    */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      explained: Array[Double])
+
+  /** Fit a PCA basis for embedding compression/whitening — the
+    * dimensionality-reduction step a pipeline runs before ANN indexing
+    * or SemDeDup (fewer dims = smaller index, faster distance math,
+    * decorrelated axes). Two bounded passes: the full-data mean (one
+    * narrow explode to d cells — Spark's own PCA transform never
+    * centers, a long-standing quirk, so the mean is computed here and
+    * the centered projection done natively in [[pcaProject]]), then the
+    * covariance eigenbasis via ml's treeAggregate-backed PCA on a
+    * bounded sample (the [[buildIvfIndex]] fit-sample discipline:
+    * identical to a full fit below `fitSampleRows` rows, and a d x d
+    * covariance never materializes per-row anywhere).
+    */
+  def pcaFit(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      fitSampleRows: Long = 262144L): PcaModel = {
+    require(k > 0, "pcaFit: k must be positive")
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val meanRows = vecs
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x")).as("m"))
+      .collect()
+    require(meanRows.nonEmpty, "pcaFit: no vectors to fit")
+    val d = meanRows.map(_.getInt(0)).max + 1
+    require(k <= d, s"pcaFit: k=$k exceeds dimensionality $d")
+    val mean = new Array[Double](d)
+    meanRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    val total = vecs.count()
+    val fitInput =
+      if (fitSampleRows > 0 && total > fitSampleRows)
+        vecs.sample(withReplacement = false, fitSampleRows.toDouble / total, 42L)
+      else vecs
+    val model = new PCA().setK(k).setInputCol("fv").setOutputCol("pc")
+      .fit(fitInput.withColumn("fv", array_to_vector(col("v"))))
+    val pc = model.pc // d x k, column-major
+    val comps = Array.tabulate(k) { c =>
+      val row = Array.tabulate(d)(j => pc(j, c))
+      val mx = row.indices.maxBy(j => math.abs(row(j)))
+      if (row(mx) < 0) row.map(v => -v) else row
+    }
+    PcaModel(mean, comps, model.explainedVariance.toArray)
+  }
+
+  /** Project vectors onto a fitted PCA basis: `out` becomes the CENTERED
+    * k-dim projection (one codegen'd k x d mat-vec per row — narrow map,
+    * no shuffle, basis broadcast as a plan reference object). With
+    * `whiten = true` each output axis is additionally rescaled to unit
+    * variance (one k-cell aggregate over the projection itself, then a
+    * per-row rescale) — the normalization embedding-cosine pipelines
+    * want before mixing axes of very different spread.
+    */
+  def pcaProject(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      out: String = "pca",
+      whiten: Boolean = false): DataFrame = {
+    val proj = df.withColumn(out,
+      graft.functions.expressions.VectorExpressions.pca_project(
+        col(vecCol), model.components, model.mean))
+    if (!whiten) proj
+    else {
+      // centered projection => per-axis variance is avg(y^2); bounded
+      // k-row collect, then one narrow rescale
+      val scales = proj
+        .select(posexplode(col(out)).as(Seq("i", "y")))
+        .groupBy("i").agg(sqrt(avg(col("y") * col("y"))).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val safe = Array.tabulate(model.components.length)(i =>
+        math.max(scales.getOrElse(i, 1.0), 1e-300))
+      proj.withColumn(out,
+        zip_with(col(out), lit(safe),
+          (y, s) => y / s))
+    }
+  }
 }

@@ -479,4 +479,78 @@ class SimilaritySpec extends AnyFunSuite {
     val rawRecall = (exact intersect raw).size.toDouble / exact.size
     assert(recall >= rawRecall, s"re-rank ($recall) worse than raw ADC ($rawRecall)")
   }
+
+  test("pcaFit recovers a known dominant axis; basis orthonormal; fits deterministic") {
+    import spark.implicits._
+    // points spread along (1, 2)/sqrt(5) with small off-axis jitter
+    val rnd = new scala.util.Random(7L)
+    val rows = (1L to 500L).map { i =>
+      val t = rnd.nextGaussian() * 10.0
+      val e = rnd.nextGaussian() * 0.1
+      (i, Array(t * 1.0 / math.sqrt(5) - e * 2 / math.sqrt(5) + 3.0,
+                t * 2.0 / math.sqrt(5) + e * 1 / math.sqrt(5) - 1.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, "embedding", k = 2)
+    val axis = m.components(0)
+    assert(math.abs(axis(0) - 1 / math.sqrt(5)) < 0.02 &&
+      math.abs(axis(1) - 2 / math.sqrt(5)) < 0.02,
+      s"dominant axis ${axis.toSeq} != (1,2)/sqrt(5)")
+    assert(math.abs(m.mean(0) - 3.0) < 1.0 && math.abs(m.mean(1) + 1.0) < 1.0)
+    // orthonormal basis
+    for (a <- m.components.indices; b <- m.components.indices) {
+      val dot = m.components(a).zip(m.components(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"basis not orthonormal at ($a,$b): $dot")
+    }
+    // sign convention kills the eigenvector ambiguity: refits identical
+    val m2 = Similarity.pcaFit(df, "embedding", k = 2)
+    assert(m.components.flatten.toSeq == m2.components.flatten.toSeq &&
+      m.mean.toSeq == m2.mean.toSeq)
+  }
+
+  test("pcaProject: k=d reconstruction is lossless; whiten gives unit variance") {
+    import spark.implicits._
+    val sample = emb.limit(200).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val d = 64
+    val m = Similarity.pcaFit(sample, "embedding", k = d)
+    val proj = Similarity.pcaProject(sample, "embedding", m, "y")
+      .select("vec_id", "embedding", "y").collect()
+    proj.foreach { r =>
+      val x = r.getSeq[Double](1).toArray
+      val y = r.getSeq[Double](2).toArray
+      // complete orthonormal basis: x == mean + E^T y exactly (within FP)
+      val rec = Array.tabulate(d)(j =>
+        m.mean(j) + m.components.indices.map(c => m.components(c)(j) * y(c)).sum)
+      x.zip(rec).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"reconstruction off: $a vs $b") }
+    }
+    // whitening: every projected axis has unit variance over the df itself
+    val white = Similarity.pcaProject(sample, "embedding", m, "y", whiten = true)
+    val vars = white.select(posexplode(col("y")).as(Seq("i", "v")))
+      .groupBy("i").agg(avg(col("v") * col("v")).as("s2"))
+      .collect().map(r => r.getDouble(1))
+    vars.foreach(v => assert(math.abs(v - 1.0) < 1e-6, s"whitened var $v != 1"))
+  }
+
+  test("pcaProject decorrelates: projected covariance is diagonal with ordered spectrum") {
+    val sample = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val k = 8
+    val m = Similarity.pcaFit(sample, "embedding", k)
+    val proj = Similarity.pcaProject(sample, "embedding", m, "y")
+    val mom = proj.select(posexplode(
+        flatten(transform(col("y"), a => transform(col("y"), b => a * b)))
+      ).as(Seq("i", "v")))
+      .groupBy("i").agg(avg(col("v")).as("mom"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val diag = (0 until k).map(c => mom(c * k + c))
+    val offMax = (for (a <- 0 until k; b <- 0 until k if a != b)
+      yield math.abs(mom(a * k + b))).max
+    assert(offMax < 0.02 * diag.max,
+      s"projection not decorrelated: max offdiag $offMax vs diag max ${diag.max}")
+    diag.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(hi >= lo - 1e-9, s"spectrum out of order: $diag") }
+  }
 }
