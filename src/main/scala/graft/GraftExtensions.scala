@@ -111,6 +111,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("approx_heavy_hitters", args, 2)
         MisraGries(args(0), intLit(args(1), "k")).toAggregateExpression() }))
 
+    //   SELECT hilbert_key(x, y, 8), interleave_bits(array(x, y), 8) ...
+    // the layout keys as plain scalar functions, so a SQL user can
+    // cluster-sort or inspect curve positions without the Column API
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[graft.functions.expressions.HilbertD2].getName,
+        "hilbert_key"),
+      (args: Seq[Expression]) => { arity("hilbert_key", args, 3)
+        graft.functions.expressions.HilbertD2(
+          org.apache.spark.sql.catalyst.expressions.CreateArray(
+            Seq(args(0), args(1))), intLit(args(2), "bits")) }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[graft.functions.expressions.InterleaveBits].getName,
+        "interleave_bits"),
+      (args: Seq[Expression]) => { arity("interleave_bits", args, 2)
+        graft.functions.expressions.InterleaveBits(args(0), intLit(args(1), "bits")) }))
+
     // ---- table-valued functions: the engine's READ surfaces in pure SQL
     //   SELECT * FROM graft_view('/path/to/db')
     //   SELECT * FROM graft_view('/path/to/db', 1755150000)   -- asOf secs
@@ -849,6 +868,15 @@ object GraftExtensions {
           doubleCsvLit(args(1), "quantile_sketch probsCsv"),
           intLit(args(2), "quantile_sketch k"))
           .toAggregateExpression() }, "built-in")
+    reg.createOrReplaceTempFunction("hilbert_key",
+      args => { arity("hilbert_key", args, 3)
+        graft.functions.expressions.HilbertD2(
+          org.apache.spark.sql.catalyst.expressions.CreateArray(
+            Seq(args(0), args(1))), intLit(args(2), "bits")) }, "built-in")
+    reg.createOrReplaceTempFunction("interleave_bits",
+      args => { arity("interleave_bits", args, 2)
+        graft.functions.expressions.InterleaveBits(args(0),
+          intLit(args(1), "bits")) }, "built-in")
     val treg = spark.sessionState.tableFunctionRegistry
     treg.createOrReplaceTempFunction("graft_view", graftViewPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_agg_view", graftAggViewPlan, "built-in")

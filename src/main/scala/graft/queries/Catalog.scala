@@ -3538,6 +3538,30 @@ object Catalog {
         outCols = "l_orderkey, l_linenumber, bx, by",
         orderBy = "l_orderkey, l_linenumber"))),
 
+    "q_hilbert_key_sql" -> QueryDef(
+      // the curve position from PURE SQL: the hilbert_key scalar
+      // function (GraftExtensions) on fixed buckets, same generated
+      // integer-CTE oracle as q_hilbert_key over a different slice.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_hk_li")
+        s.sql("""SELECT l_orderkey, l_linenumber, bx, by,
+            hilbert_key(bx, by, 6) AS h
+          FROM (SELECT l_orderkey, l_linenumber,
+              CAST(l_partkey % 64 AS INT) AS bx,
+              CAST(l_suppkey % 64 AS INT) AS by
+            FROM graft_hk_li WHERE l_orderkey <= 200)
+          ORDER BY l_orderkey, l_linenumber""")
+      },
+      Some(hilbertOracleSql(6,
+        src = "SELECT l_orderkey, l_linenumber, " +
+          "(l_partkey % 64)::INT AS bx, (l_suppkey % 64)::INT AS by, " +
+          "(l_partkey % 64)::BIGINT AS x, (l_suppkey % 64)::BIGINT AS y, " +
+          "0::BIGINT AS d FROM lineitem WHERE l_orderkey <= 200",
+        outCols = "l_orderkey, l_linenumber, bx, by",
+        orderBy = "l_orderkey, l_linenumber"))),
+
     "q_hilbert_scan" -> QueryDef(
       // Hilbert-curve layout (Layout.writeHilbertOrdered): the
       // q_zorder_scan read over the TIGHTER curve — consecutive key
@@ -6067,7 +6091,9 @@ object Catalog {
           SELECT doc_id, n_chars, priority,
             greatest(n_chars::DOUBLE, (SELECT t FROM tau)) AS w_hat
           FROM pri ORDER BY priority DESC, doc_id LIMIT 50)
-        SELECT * FROM sel ORDER BY doc_id""")),
+        SELECT * FROM sel ORDER BY doc_id"""),
+      // headline: one narrow corpus pass into the map-side top-k
+      headline = true),
 
     "pipeline_priority_sample_sql" -> QueryDef(
       // the same fixed-size weighted sample from PURE SQL: the

@@ -266,6 +266,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("layout keys callable from SQL: hilbert_key and interleave_bits hand values") {
+    GraftExtensions.register(spark)
+    // order-1 Hilbert quadrants + a Morton hand value (x=3, y=1 -> 0b0111)
+    val r = spark.sql("""SELECT
+        hilbert_key(CAST(0 AS INT), CAST(1 AS INT), 1) AS h01,
+        hilbert_key(CAST(1 AS INT), CAST(1 AS INT), 1) AS h11,
+        hilbert_key(CAST(1 AS INT), CAST(0 AS INT), 1) AS h10,
+        interleave_bits(array(CAST(3 AS INT), CAST(1 AS INT)), 2) AS z""").head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 7L)
+    val e = intercept[Exception](
+      spark.sql("SELECT hilbert_key(1, 2)").collect())
+    assert(e.getMessage.contains("hilbert_key expects 3"))
+  }
+
   test("int-parameter boundaries: out-of-Int-range literals and bad arity fail loudly") {
     GraftExtensions.register(spark)
     import spark.implicits._
