@@ -4398,6 +4398,41 @@ object Catalog {
         FROM j ORDER BY user_id, bucket_ms"""),
       headline = true),
 
+    "q_interpolate" -> QueryDef(
+      // Resample.resampleInterpolate — the LINEAR gap-fill the LOCF grid
+      // can't express (a value ramping across an empty hour reads the
+      // ramp, not the stale anchor). Same keyed-agg + span-explode shape
+      // as q_resample; the blend is one fixed parenthesization of
+      // correctly-rounded IEEE ops over exact integer bucket deltas, so
+      // DuckDB replays every interpolated cell bit-for-bit — emitted RAW
+      // (a 6dp round is weaker: 1/16-style fractions make exact decimal
+      // ties, and the engines break round-half differently).
+      (s, dir) => graft.operators.Resample.resampleInterpolate(
+          events(s, dir).filter(col("user_id") < 40),
+          keys = Seq("user_id"), tsMsCol = "ts_ms", valueCol = "value",
+          tieCol = "event_id", stepMs = 3600000L)
+        .orderBy("user_id", "bucket_ms"),
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+            epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 3600000 AS bkt
+          FROM events WHERE user_id < 40),
+        b AS (SELECT user_id, bkt, count(*) AS n,
+            (max({'t': ts_ms, 'e': event_id, 'v': value}))['v']::DOUBLE AS lastv
+          FROM e GROUP BY user_id, bkt),
+        b2 AS (SELECT user_id, bkt, n, lastv,
+            lead(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS nb,
+            lead(lastv) OVER (PARTITION BY user_id ORDER BY bkt) AS nv
+          FROM b),
+        g AS (SELECT user_id, bkt AS anchor, n, lastv, nb, nv,
+            unnest(generate_series(bkt, coalesce(nb - 1, bkt))) AS grid
+          FROM b2)
+        SELECT user_id, grid * 3600000 AS bucket_ms,
+          CASE WHEN grid = anchor THEN n ELSE 0 END AS n_events,
+          CASE WHEN grid = anchor THEN lastv
+            ELSE lastv + (nv - lastv) *
+              ((grid - anchor)::DOUBLE / (nb - anchor)::DOUBLE) END
+            AS interp_value
+        FROM g ORDER BY user_id, bucket_ms""")),
+
     "q_pivot" -> QueryDef(
       // Native pivot (Spark RelationalGroupedDataset.pivot with explicit
       // values — one pass, no per-value scans): lineitem quantity by

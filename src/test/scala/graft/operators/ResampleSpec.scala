@@ -42,6 +42,30 @@ class ResampleSpec extends AnyFunSuite {
     assert(base == shuffled)
   }
 
+  private def runInterp(df: org.apache.spark.sql.DataFrame) =
+    Resample.resampleInterpolate(df, Seq("k"), "t", "v", "tie", stepMs = 10L)
+      .orderBy("k", "bucket_ms")
+      .select("k", "bucket_ms", "n_events", "interp_v")
+      .as[(String, Long, Long, Double)].collect().toSeq
+
+  test("interpolation: anchors exact, gaps blend linearly, no extrapolation") {
+    val got = runInterp(rows.toDF("k", "t", "tie", "v"))
+    assert(got == Seq(
+      // anchors emit their last-by-(ts, tie) value exactly
+      ("a", 0L, 2L, 2.0),
+      ("a", 10L, 2L, 6.0),
+      // gap of 3 buckets from 6.0 (bucket 1) to 9.0 (bucket 4):
+      // fractions 1/3 and 2/3 of the delta
+      ("a", 20L, 0L, 7.0),
+      ("a", 30L, 0L, 8.0),
+      ("a", 40L, 1L, 9.0),
+      // single-anchor key: its own value, no generated tail
+      ("b", 100L, 1L, 42.0)))
+    // partitioning invariance (the forward-fill discipline)
+    val shuffled = runInterp(rows.reverse.toDF("k", "t", "tie", "v").repartition(7))
+    assert(got == shuffled)
+  }
+
   test("timeWeightedAvg equals the sequential zero-order-hold replay") {
     val rnd = new scala.util.Random(29)
     val data = Seq.tabulate(300) { i =>
