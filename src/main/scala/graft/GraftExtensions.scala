@@ -232,6 +232,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_priority_sample"),
       new ExpressionInfo(classOf[graft.llmops.Curation.type].getName, "graft_priority_sample"),
       (args: Seq[Expression]) => GraftExtensions.graftPrioritySamplePlan(args)))
+    //   SELECT * FROM graft_resample('events_view', 'user_id', 'ts_ms', 'value', 'event_id', 3600000)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_resample"),
+      new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
+      (args: Seq[Expression]) => GraftExtensions.graftResamplePlan(args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_interpolate"),
+      new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_interpolate"),
+      (args: Seq[Expression]) => GraftExtensions.graftInterpolatePlan(args)))
     //   SELECT * FROM graft_skyline_n('part', 'p_retailprice', 'p_size,p_partkey')
     ext.injectTableFunction((
       new FunctionIdentifier("graft_skyline_n"),
@@ -744,6 +753,50 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_resample(table, keyCol, tsMsCol, valueCol, tieCol, stepMs)`:
+    * fixed-step gap-filled resampling from SQL — routes to
+    * [[graft.operators.Resample.resampleForwardFill]] (one keyed hash
+    * agg; the grid materializes from aggregated spans, never from raw
+    * events). Returns `(keyCol, bucket_ms, n_events, sum_<valueCol>,
+    * last_<valueCol>)`.
+    */
+  private[graft] def graftResamplePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 6,
+      "graft_resample(table, keyCol, tsMsCol, valueCol, tieCol, stepMs) " +
+        s"expects 6 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_resample table"))
+    graft.operators.Resample.resampleForwardFill(df,
+        keys = Seq(stringLit(args(1), "graft_resample keyCol")),
+        tsMsCol = stringLit(args(2), "graft_resample tsMsCol"),
+        valueCol = stringLit(args(3), "graft_resample valueCol"),
+        tieCol = stringLit(args(4), "graft_resample tieCol"),
+        stepMs = longLit(args(5), "graft_resample stepMs"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_interpolate(table, keyCol, tsMsCol, valueCol, tieCol,
+    * stepMs)`: the LINEAR gap-fill twin — routes to
+    * [[graft.operators.Resample.resampleInterpolate]]. Returns
+    * `(keyCol, bucket_ms, n_events, interp_<valueCol>)`.
+    */
+  private[graft] def graftInterpolatePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 6,
+      "graft_interpolate(table, keyCol, tsMsCol, valueCol, tieCol, stepMs) " +
+        s"expects 6 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_interpolate table"))
+    graft.operators.Resample.resampleInterpolate(df,
+        keys = Seq(stringLit(args(1), "graft_interpolate keyCol")),
+        tsMsCol = stringLit(args(2), "graft_interpolate tsMsCol"),
+        valueCol = stringLit(args(3), "graft_interpolate valueCol"),
+        tieCol = stringLit(args(4), "graft_interpolate tieCol"),
+        stepMs = longLit(args(5), "graft_interpolate stepMs"))
+      .queryExecution.analyzed
+  }
+
   /** `graft_skyline_n(table, minColsCsv, maxColsCsv)`: the d-dimensional
     * Pareto frontier from SQL — routes to
     * [[graft.operators.Analytics.skylineN]] (distinct cells →
@@ -896,6 +949,8 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_ntile", graftNtilePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_cume_dist", graftCumeDistPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_priority_sample", graftPrioritySamplePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_skyline_n", graftSkylineNPlan, "built-in")
     // runtime twin of injectOptimizerRule (idempotent across register calls)

@@ -4433,6 +4433,74 @@ object Catalog {
             AS interp_value
         FROM g ORDER BY user_id, bucket_ms""")),
 
+    "q_resample_sql" -> QueryDef(
+      // the forward-fill grid from PURE SQL: the graft_resample TVF
+      // routes to Resample.resampleForwardFill; same oracle replay over
+      // a smaller slice.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        events(s, dir).filter(col("user_id") < 20)
+          .createOrReplaceTempView("graft_rs_ev")
+        s.sql("""SELECT user_id, bucket_ms, n_events, sum_value,
+            round(last_value, 2) AS last_value
+          FROM graft_resample('graft_rs_ev', 'user_id', 'ts_ms',
+            'value', 'event_id', 3600000)
+          ORDER BY user_id, bucket_ms""")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+            epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 3600000 AS bucket
+          FROM events WHERE user_id < 20),
+        b AS (SELECT user_id, bucket, count(*) AS n,
+            sum(value::DECIMAL(18,2)) AS s,
+            (max({'t': ts_ms, 'e': event_id, 'v': value}))['v'] AS lastv
+          FROM e GROUP BY user_id, bucket),
+        g AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+          FROM b GROUP BY user_id),
+        j AS (SELECT g.user_id, g.bucket, b.n, b.s, b.lastv
+          FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
+        SELECT user_id, bucket * 3600000 AS bucket_ms,
+          coalesce(n, 0) AS n_events,
+          round(coalesce(s, 0)::DOUBLE, 2) AS sum_value,
+          round(last_value(lastv IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket), 2) AS last_value
+        FROM j ORDER BY user_id, bucket_ms""")),
+
+    "q_interpolate_sql" -> QueryDef(
+      // the linear gap-fill from PURE SQL: the graft_interpolate TVF
+      // routes to Resample.resampleInterpolate; same bit-exact replay
+      // over a smaller slice.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        events(s, dir).filter(col("user_id") < 20)
+          .createOrReplaceTempView("graft_interp_ev")
+        s.sql("""SELECT user_id, bucket_ms, n_events, interp_value
+          FROM graft_interpolate('graft_interp_ev', 'user_id', 'ts_ms',
+            'value', 'event_id', 3600000)
+          ORDER BY user_id, bucket_ms""")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+            epoch_ms(ts) AS ts_ms, epoch_ms(ts) // 3600000 AS bkt
+          FROM events WHERE user_id < 20),
+        b AS (SELECT user_id, bkt, count(*) AS n,
+            (max({'t': ts_ms, 'e': event_id, 'v': value}))['v']::DOUBLE AS lastv
+          FROM e GROUP BY user_id, bkt),
+        b2 AS (SELECT user_id, bkt, n, lastv,
+            lead(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS nb,
+            lead(lastv) OVER (PARTITION BY user_id ORDER BY bkt) AS nv
+          FROM b),
+        g AS (SELECT user_id, bkt AS anchor, n, lastv, nb, nv,
+            unnest(generate_series(bkt, coalesce(nb - 1, bkt))) AS grid
+          FROM b2)
+        SELECT user_id, grid * 3600000 AS bucket_ms,
+          CASE WHEN grid = anchor THEN n ELSE 0 END AS n_events,
+          CASE WHEN grid = anchor THEN lastv
+            ELSE lastv + (nv - lastv) *
+              ((grid - anchor)::DOUBLE / (nb - anchor)::DOUBLE) END
+            AS interp_value
+        FROM g ORDER BY user_id, bucket_ms""")),
+
     "q_pivot" -> QueryDef(
       // Native pivot (Spark RelationalGroupedDataset.pivot with explicit
       // values — one pass, no per-value scans): lineitem quantity by

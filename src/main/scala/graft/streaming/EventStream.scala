@@ -44,6 +44,22 @@ final case class OpenBuckets(
     lastEmitted: Long, hasCarry: Boolean, carryVal: Double,
     open: Map[Long, BucketPartial])
 
+/** One closed bucket from [[EventStream.interpolateStream]]: an anchor
+  * (observed, `n_events > 0`, exact value) or a gap row linearly blended
+  * between its two enclosing anchors.
+  */
+final case class InterpRow(
+    key: Long, bucket_ms: Long, n_events: Long, interp_value: Double)
+
+/** State per key for [[EventStream.interpolateStream]]: the last emitted
+  * ANCHOR (gap rows behind it blend against the next anchor, so the
+  * previous anchor is all the history interpolation ever needs) plus the
+  * still incomplete buckets — bounded exactly like [[OpenBuckets]].
+  */
+final case class InterpState(
+    hasPrev: Boolean, prevBucket: Long, prevVal: Double,
+    open: Map[Long, BucketPartial])
+
 /** One buffered event in [[EventStream.funnelStream]] state — held until
   * the watermark passes its timestamp, because the funnel's frontier fold
   * is order-sensitive and an earlier event may still arrive.
@@ -1892,6 +1908,94 @@ object EventStream {
           // up to the last observation, and only a future event (which
           // wakes the group by itself) can extend it
         }
+        out.reverse.iterator
+    }
+  }
+
+  /** Streaming LINEAR interpolation resample — the streaming dual of the
+    * oracled batch [[graft.operators.Resample.resampleInterpolate]]
+    * (q_interpolate), closing the resample family's last batch-only
+    * form (forward fill has [[resampleStream]]). Per key, one row per
+    * fixed `stepMs` bucket: anchors (observed buckets) emit their exact
+    * in-bucket last-by-(ts, tie) value; gap rows blend
+    * `prev + (next - prev) * f` — which means a gap row can only emit
+    * once its NEXT anchor is sealed, so emission walks sealed anchors
+    * in order and flushes each anchor's preceding gap run with it. The
+    * blend uses the identical operation order as the batch operator, so
+    * sealed emissions are bit-equal to the batch grid (spec-proved).
+    *
+    * State per key is BOUNDED: the one previous anchor (all the history
+    * interpolation needs) + the buckets still inside the watermark
+    * delay. Trailing buckets past the final watermark stay unemitted
+    * (streams have no end) — the [[resampleStream]] caveat.
+    *
+    * Input columns: `key` long, `ts` timestamp, `tie` long, `value`
+    * double.
+    */
+  def interpolateStream(
+      events: DataFrame,
+      stepMs: Long,
+      watermark: String = "10 minutes"): Dataset[InterpRow] = {
+    require(stepMs > 0, "interpolateStream: stepMs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("key").cast("long"), col("ts"),
+        col("tie").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState[InterpState, InterpRow](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+       state: GroupState[InterpState]) =>
+        val prior = state.getOption.getOrElse(
+          InterpState(hasPrev = false, 0L, 0.0, Map.empty))
+        var open = prior.open
+        rows.foreach { case (_, ts, tie, v) =>
+          val t = ts.getTime
+          val b = math.floorDiv(t, stepMs)
+          val p = open.get(b) match {
+            case Some(p0) =>
+              val takes = t > p0.lastTs || (t == p0.lastTs && tie > p0.lastTie)
+              BucketPartial(p0.n + 1, 0L,
+                if (takes) t else p0.lastTs,
+                if (takes) tie else p0.lastTie,
+                if (takes) v else p0.lastVal)
+            case None => BucketPartial(1L, 0L, t, tie, v)
+          }
+          open = open.updated(b, p)
+        }
+        // an anchor is sealed once the watermark passes its bucket end;
+        // sealed anchors emit in order, each flushing the gap run since
+        // the previous anchor with the linear blend
+        val wm = state.getCurrentWatermarkMs()
+        val completeUpTo = math.floorDiv(wm, stepMs) - 1
+        var prev = (prior.hasPrev, prior.prevBucket, prior.prevVal)
+        var out = List.empty[InterpRow]
+        open.keys.filter(_ <= completeUpTo).toSeq.sorted.foreach { b =>
+          val p = open(b)
+          if (prev._1) {
+            var g = prev._2 + 1
+            while (g < b) {
+              // the batch operator's exact parenthesization:
+              // prev + (next - prev) * ((g - a) / (b - a))
+              val frac = (g - prev._2).toDouble / (b - prev._2).toDouble
+              out ::= InterpRow(key, g * stepMs, 0L,
+                prev._3 + (p.lastVal - prev._3) * frac)
+              g += 1
+            }
+          }
+          out ::= InterpRow(key, b * stepMs, p.n, p.lastVal)
+          prev = (true, b, p.lastVal)
+          open -= b
+        }
+        state.update(InterpState(prev._1, prev._2, prev._3, open))
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max((open.keys.min + 1) * stepMs, wm + 1))
+        // anchor-only state keeps no timeout: the grid is complete up to
+        // the last sealed anchor; only a future event extends it
         out.reverse.iterator
     }
   }

@@ -144,6 +144,48 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interpolateStream: sealed anchors + linear gap blends equal the batch interpolation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)] // key, ts_ms, tie, value
+    val df = input.toDF().toDF("key", "ts_ms", "tie", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = EventStream.interpolateStream(df, stepMs = 1000L, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("interp_test").start()
+    // key 1: anchors at buckets 0 (in-bucket tie), 1, then a 2-bucket gap
+    // whose rows must blend 5.0 -> 9.0, then bucket 4 — delivered across
+    // batches and out of order; key 2: a single anchor (no gaps, no tail)
+    val b1 = Seq(
+      (1L, 100L, 1L, 1.0), (1L, 700L, 2L, 2.0), (1L, 700L, 1L, 7.0),
+      (2L, 300L, 4L, 42.0))
+    val b2 = Seq((1L, 4200L, 5L, 9.0), (1L, 1500L, 3L, 5.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // sentinels advance the watermark so the trailing anchors seal
+      input.addData((9L, 100000L, 0L, 0.0)); q.processAllAvailable()
+      input.addData((9L, 200000L, 0L, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("interp_test").as[InterpRow].collect()
+        .filter(_.key != 9L)
+        .map(r => (r.key, r.bucket_ms, r.n_events, r.interp_value))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.operators.Resample.resampleInterpolate(
+          (b1 ++ b2).toDF("key", "ts_ms", "tie", "value"),
+          keys = Seq("key"), tsMsCol = "ts_ms", valueCol = "value",
+          tieCol = "tie", stepMs = 1000L)
+        .orderBy("key", "bucket_ms")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence:\nstream: $streamed\nbatch:  $batch")
+      // the blended gap: 5.0 -> 9.0 over buckets 2 and 3
+      assert(streamed.filter(r => r._1 == 1L && r._2 == 2000L).head._4 == 5.0 + (9.0 - 5.0) * (1.0 / 3.0))
+      assert(streamed.filter(r => r._1 == 1L && r._2 == 3000L).head._4 == 5.0 + (9.0 - 5.0) * (2.0 / 3.0))
+    } finally q.stop()
+  }
+
   test("ewmaStream: sealed smoothed values equal the batch segmented scan") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -432,6 +474,50 @@ class EventStreamSpec extends AnyFunSuite {
       assert(spark.table("twa_test").as[TwaRow].collect()
         .count(_.key != 9L) == 7)
     } finally q.stop()
+  }
+
+  test("interpolateStream survives a checkpoint restart: the previous anchor is recovered") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("ip-restart-in").toString
+    val outDir = Files.createTempDirectory("ip-restart-out").toString
+    val ckDir = Files.createTempDirectory("ip-restart-ck").toString
+    val schema = Seq((0L, 0L, 0L, 0.0)).toDF("key", "ts_ms", "tie", "value").schema
+    def push(rows: (Long, Long, Long, Double)*): Unit =
+      rows.toSeq.toDF("key", "ts_ms", "tie", "value").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      EventStream.interpolateStream(src, stepMs = 1000L, watermark = "0 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[InterpRow], _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }.start()
+    }
+    // phase 1: anchor at bucket 0 seals and emits; ONLY the checkpoint
+    // now knows the previous anchor
+    push((1L, 500L, 1L, 10.0))
+    val q1 = start(); q1.processAllAvailable()
+    push((9L, 2000L, 0L, 0.0)); q1.processAllAvailable()
+    q1.stop()
+    // phase 2: the next anchor (bucket 3) must blend its gap run against
+    // the RECOVERED anchor — amnesia would emit the anchor with no gaps
+    push((1L, 3500L, 2L, 40.0))
+    val q2 = start(); q2.processAllAvailable()
+    push((9L, 100000L, 0L, 0.0)); q2.processAllAvailable()
+    push((9L, 200000L, 0L, 0.0)); q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).as[InterpRow].collect()
+      .filter(_.key == 1L).sortBy(_.bucket_ms)
+      .map(r => (r.bucket_ms, r.n_events, r.interp_value)).toSeq
+    assert(rows == Seq(
+      (0L, 1L, 10.0),
+      (1000L, 0L, 10.0 + (40.0 - 10.0) * (1.0 / 3.0)),
+      (2000L, 0L, 10.0 + (40.0 - 10.0) * (2.0 / 3.0)),
+      (3000L, 1L, 40.0)),
+      s"restart broke the interpolation anchor: $rows")
   }
 
   test("ewmaStream survives a checkpoint restart: the carry is recovered") {
