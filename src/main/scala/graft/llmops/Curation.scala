@@ -233,6 +233,52 @@ object Curation {
       .drop("__sel_id", "__tau")
   }
 
+  /** [[prioritySample]] PER STRATUM: exactly `k` weight-proportional
+    * rows from EVERY stratum (balanced corpus construction — "200
+    * weight-proportional docs per language"), where the global form
+    * would let heavy strata crowd light ones out and
+    * [[sampleFixedPerStratum]] ignores weights. One aggregate keyed by
+    * the stratum (map-side TopKBy partials, so the exchange carries at
+    * most k+1 pairs per stratum per partition — never a per-stratum
+    * window sort), winners broadcast back with their stratum's tau.
+    * Same bit-stable `w/u` priority key, so the exact per-stratum
+    * sample and `w_hat` estimators replay in the oracle.
+    */
+  def prioritySampleByStratum(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      strataCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "prioritySampleByStratum: k must be positive")
+    val raw = col(weightCol)
+    val w = when(raw.cast("double").isNull || raw.cast("double") <= 0.0,
+        raise_error(concat(
+          lit(s"prioritySampleByStratum: weight column '$weightCol' must " +
+            "be a positive numeric value, got "),
+          raw.cast("string"))).cast("double"))
+      .otherwise(raw.cast("double"))
+    val arr = df
+      .select(col(strataCol).as("__stratum"),
+        priorityKey(col(idCol), w).as("__pri"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("__stratum"))
+      .agg(graft.functions.expressions.TopKExpressions
+        .topk_by_scored(col("__pri"), col("__id"), k + 1).as("arr"))
+    val sel = arr
+      .select(col("__stratum"),
+        explode(slice(col("arr"), 1, k)).as("e"),
+        coalesce(get(col("arr"), lit(k))("score"), lit(0.0)).as("__tau"))
+      .select(col("__stratum"), col("e.id").as("__sel_id"),
+        col("e.score").as("priority"), col("__tau"))
+    df.join(broadcast(sel),
+        col(idCol).cast("long") === col("__sel_id") &&
+          col(strataCol) === col("__stratum"))
+      .withColumn("w_hat",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__sel_id", "__stratum", "__tau")
+  }
+
   /** The priority-sampling key `w / u`: `u = (U+1)/2^52` with `U` the
     * first 52 md5 bits of the id — every step exact except the final
     * correctly-rounded division, so the key is bit-stable across

@@ -6223,6 +6223,36 @@ object Catalog {
           FROM pri ORDER BY priority DESC, doc_id LIMIT 20)
         SELECT * FROM sel ORDER BY doc_id""")),
 
+    "pipeline_stratum_sample" -> QueryDef(
+      // Per-stratum priority sampling (Curation.prioritySampleByStratum):
+      // exactly 10 weight-proportional docs from EVERY language — the
+      // balanced-corpus form (the global sampler lets heavy strata crowd
+      // light ones out; sampleFixedPerStratum ignores weights). One
+      // stratum-keyed TopKBy aggregate; the oracle replays the exact
+      // per-stratum selection and tau estimators with a window.
+      (s, dir) => Curation.prioritySampleByStratum(
+          t(s, dir, "documents"), k = 10, weightCol = "n_chars",
+          strataCol = "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("priority"), col("w_hat"))
+        .orderBy("doc_id"),
+      Some("""WITH pri AS (
+          SELECT doc_id, lang, n_chars,
+            n_chars::DOUBLE /
+              ((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)::DOUBLE
+                / 4503599627370496.0) AS priority
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY priority DESC, doc_id) AS rn
+          FROM pri),
+        tau AS (SELECT lang,
+            coalesce(max(CASE WHEN rn = 11 THEN priority END), 0.0) AS t
+          FROM r GROUP BY lang)
+        SELECT r.doc_id, r.lang, r.n_chars, r.priority,
+          greatest(r.n_chars::DOUBLE, tau.t) AS w_hat
+        FROM r JOIN tau USING (lang) WHERE rn <= 10
+        ORDER BY doc_id""")),
+
     "pipeline_shuffle" -> QueryDef(
       // Deterministic global shuffle into training shards
       // (Curation.shuffleShards): the training ORDER itself is a pure

@@ -238,6 +238,38 @@ class CurationSpec extends AnyFunSuite {
     assert(all.toSeq == Seq((1L, 5.0), (2L, 7.0)))
   }
 
+  test("prioritySampleByStratum: exact per-stratum top-k, per-stratum tau") {
+    val rows = for (s <- Seq("a", "b", "c"); i <- 1L to 60L)
+      yield (i + (s.head - 'a') * 1000L, s, (i % 13 + 1) * 10L)
+    val df = rows.toDF("doc_id", "stratum", "w")
+    val k = 7
+    val got = Curation
+      .prioritySampleByStratum(df.repartition(5), k, "w", "stratum")
+      .select("doc_id", "stratum", "w", "priority", "w_hat")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 3 * k)
+    for (s <- Seq("a", "b", "c")) {
+      val mine = rows.filter(_._2 == s)
+        .map { case (id, _, w) => (id, w, refPriority(id, w.toDouble)) }
+        .sortBy(t => (-t._3, t._1))
+      val expIds = mine.take(k).map(_._1).toSet
+      val tau = mine(k)._3
+      val g = got.filter(_._2 == s)
+      assert(g.map(_._1).toSet == expIds, s"stratum $s ids differ")
+      g.foreach { case (id, _, w, pri, wHat) =>
+        assert(pri == refPriority(id, w.toDouble))
+        assert(wHat == math.max(w.toDouble, tau), s"stratum $s tau differs")
+      }
+    }
+    // small stratum: exhaustive with tau = 0
+    val withTiny = (rows :+ (9999L, "tiny", 5L)).toDF("doc_id", "stratum", "w")
+    val tiny = Curation.prioritySampleByStratum(withTiny, k, "w", "stratum")
+      .filter(col("stratum") === "tiny")
+      .select("doc_id", "w_hat").collect()
+    assert(tiny.length == 1 && tiny.head.getDouble(1) == 5.0)
+  }
+
   test("prioritySample: non-positive or non-numeric weights raise loudly") {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
