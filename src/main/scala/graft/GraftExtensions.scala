@@ -234,6 +234,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftExtensions.graftPrioritySamplePlan(args)))
     //   SELECT * FROM graft_resample('events_view', 'user_id', 'ts_ms', 'value', 'event_id', 3600000)
     ext.injectTableFunction((
+      new FunctionIdentifier("graft_stratum_sample"),
+      new ExpressionInfo(classOf[graft.llmops.Curation.type].getName, "graft_stratum_sample"),
+      (args: Seq[Expression]) => GraftExtensions.graftStratumSamplePlan(args)))
+    ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
       (args: Seq[Expression]) => GraftExtensions.graftResamplePlan(args)))
@@ -753,6 +757,27 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
+    * per-stratum form — exactly k weight-proportional rows from EVERY
+    * stratum, routed to
+    * [[graft.llmops.Curation.prioritySampleByStratum]].
+    */
+  private[graft] def graftStratumSamplePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 5,
+      "graft_stratum_sample(table, k, weightCol, strataCol, idCol) " +
+        s"expects 5 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_stratum_sample table"))
+    val k = intLit(args(1), "graft_stratum_sample k")
+    val w = stringLit(args(2), "graft_stratum_sample weightCol")
+    requireNumeric(df, w, "graft_stratum_sample")
+    graft.llmops.Curation.prioritySampleByStratum(df, k, w,
+        strataCol = stringLit(args(3), "graft_stratum_sample strataCol"),
+        idCol = stringLit(args(4), "graft_stratum_sample idCol"))
+      .queryExecution.analyzed
+  }
+
   /** `graft_resample(table, keyCol, tsMsCol, valueCol, tieCol, stepMs)`:
     * fixed-step gap-filled resampling from SQL — routes to
     * [[graft.operators.Resample.resampleForwardFill]] (one keyed hash
@@ -949,6 +974,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_ntile", graftNtilePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_cume_dist", graftCumeDistPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_priority_sample", graftPrioritySamplePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_stratum_sample", graftStratumSamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

@@ -266,6 +266,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling TVFs: graft_stratum_sample per-stratum counts and guards") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (for (s <- Seq("a", "b"); i <- 1L to 20L)
+      yield (i + (s.head - 'a') * 100L, s, i % 5 + 1))
+      .toDF("doc_id", "stratum", "w")
+      .createOrReplaceTempView("strat_in")
+    val got = spark.sql("""SELECT stratum, count(*) AS n
+        FROM graft_stratum_sample('strat_in', 4, 'w', 'stratum', 'doc_id')
+        GROUP BY stratum ORDER BY stratum""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 4L), ("b", 4L)))
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_stratum_sample('strat_in', 4, 'stratum', 'stratum', 'doc_id')")
+        .collect())
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
   test("layout keys callable from SQL: hilbert_key and interleave_bits hand values") {
     GraftExtensions.register(spark)
     // order-1 Hilbert quadrants + a Morton hand value (x=3, y=1 -> 0b0111)
