@@ -237,6 +237,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_stratum_sample"),
       new ExpressionInfo(classOf[graft.llmops.Curation.type].getName, "graft_stratum_sample"),
       (args: Seq[Expression]) => GraftExtensions.graftStratumSamplePlan(args)))
+    //   SELECT * FROM graft_pca('/model', 'emb_view', 'embedding', true)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_pca"),
+      new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_pca"),
+      (args: Seq[Expression]) => GraftExtensions.graftPcaPlan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -757,6 +762,29 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_pca(modelDir, table, vecCol[, whiten])`: project a table's
+    * vectors through a [[graft.llmops.Similarity.savePcaModel]]-persisted
+    * basis — the persisted-model read surface (the `graft_ann` /
+    * `graft_search` convention: fit once programmatically, consume from
+    * any SQL session). Returns the input columns plus `pca`
+    * (array<double>, length k; centered, optionally whitened by the
+    * model's fit-time scales).
+    */
+  private[graft] def graftPcaPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_pca(modelDir, table, vecCol[, whiten]) expects 3-4 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val model = graft.llmops.Similarity.loadPcaModel(spark,
+      stringLit(args(0), "graft_pca modelDir"))
+    val df = spark.table(stringLit(args(1), "graft_pca table"))
+    graft.llmops.Similarity.pcaProject(df,
+        stringLit(args(2), "graft_pca vecCol"), model, out = "pca",
+        whiten = args.length == 4 && boolLit(args(3), "graft_pca whiten"))
+      .queryExecution.analyzed
+  }
+
   /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
     * per-stratum form — exactly k weight-proportional rows from EVERY
     * stratum, routed to
@@ -975,6 +1003,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_cume_dist", graftCumeDistPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_priority_sample", graftPrioritySamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_stratum_sample", graftStratumSamplePlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_pca", graftPcaPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

@@ -1198,7 +1198,8 @@ object Similarity {
   final case class PcaModel(
       mean: Array[Double],
       components: Array[Array[Double]],
-      explained: Array[Double])
+      explained: Array[Double],
+      scales: Array[Double])
 
   /** Fit a PCA basis for embedding compression/whitening — the
     * dimensionality-reduction step a pipeline runs before ANN indexing
@@ -1244,16 +1245,29 @@ object Similarity {
       val mx = row.indices.maxBy(j => math.abs(row(j)))
       if (row(mx) < 0) row.map(v => -v) else row
     }
-    PcaModel(mean, comps, model.explainedVariance.toArray)
+    // whitening scales are FIT-TIME parameters (the ML semantics: learned
+    // once, applied to any later data): per-axis stddev of the centered
+    // projection over the full df — one more bounded k-cell aggregate,
+    // and it makes [[pcaProject]] a pure narrow map with zero passes
+    val projCol = graft.functions.expressions.VectorExpressions
+      .pca_project(col("v"), comps, mean)
+    val scaleRows = vecs.select(posexplode(projCol).as(Seq("i", "y")))
+      .groupBy("i").agg(sqrt(avg(col("y") * col("y"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val scales = Array.tabulate(k)(i =>
+      math.max(scaleRows.getOrElse(i, 1.0), 1e-300))
+    PcaModel(mean, comps, model.explainedVariance.toArray, scales)
   }
 
   /** Project vectors onto a fitted PCA basis: `out` becomes the CENTERED
     * k-dim projection (one codegen'd k x d mat-vec per row — narrow map,
     * no shuffle, basis broadcast as a plan reference object). With
-    * `whiten = true` each output axis is additionally rescaled to unit
-    * variance (one k-cell aggregate over the projection itself, then a
-    * per-row rescale) — the normalization embedding-cosine pipelines
-    * want before mixing axes of very different spread.
+    * `whiten = true` each axis is additionally divided by the model's
+    * FIT-TIME stddev (stored in the model, so whitening is a learned
+    * parameter applied identically to any later data, and projection
+    * stays a single narrow map with no extra pass) — the normalization
+    * embedding-cosine pipelines want before mixing axes of very
+    * different spread.
     */
   def pcaProject(
       df: DataFrame,
@@ -1265,18 +1279,47 @@ object Similarity {
       graft.functions.expressions.VectorExpressions.pca_project(
         col(vecCol), model.components, model.mean))
     if (!whiten) proj
-    else {
-      // centered projection => per-axis variance is avg(y^2); bounded
-      // k-row collect, then one narrow rescale
-      val scales = proj
-        .select(posexplode(col(out)).as(Seq("i", "y")))
-        .groupBy("i").agg(sqrt(avg(col("y") * col("y"))).as("s"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val safe = Array.tabulate(model.components.length)(i =>
-        math.max(scales.getOrElse(i, 1.0), 1e-300))
-      proj.withColumn(out,
-        zip_with(col(out), lit(safe),
-          (y, s) => y / s))
-    }
+    else proj.withColumn(out,
+      zip_with(col(out), lit(model.scales), (y, s) => y / s))
+  }
+
+  /** Persist a fitted [[PcaModel]] at `dir` — the persisted-index
+    * discipline (the IVF/BM25 convention): a model fits once and serves
+    * any number of later jobs and SQL sessions (`graft_pca` TVF).
+    * One small parquet of (kind, idx, vec) rows; written with
+    * mode=overwrite so a re-fit atomically replaces the previous model
+    * for new readers.
+    */
+  def savePcaModel(model: PcaModel, dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows =
+      Seq(("mean", 0, model.mean.toSeq),
+        ("explained", 0, model.explained.toSeq),
+        ("scales", 0, model.scales.toSeq)) ++
+      model.components.zipWithIndex.map { case (c, i) =>
+        ("component", i, c.toSeq)
+      }
+    rows.toDF("kind", "idx", "vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Load a [[savePcaModel]]-persisted model (byte-identical roundtrip —
+    * doubles ride parquet untouched).
+    */
+  def loadPcaModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PcaModel = {
+    val rows = spark.read.parquet(s"$dir/model")
+      .select(col("kind"), col("idx"), col("vec"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def one(kind: String): Array[Double] =
+      rows.find(_._1 == kind).map(_._3).getOrElse(
+        throw new IllegalStateException(
+          s"loadPcaModel: corrupt model at $dir — missing '$kind' row"))
+    val comps = rows.filter(_._1 == "component").sortBy(_._2).map(_._3)
+    require(comps.nonEmpty, s"loadPcaModel: no components at $dir")
+    PcaModel(one("mean"), comps, one("explained"), one("scales"))
   }
 }

@@ -534,6 +534,40 @@ class SimilaritySpec extends AnyFunSuite {
     vars.foreach(v => assert(math.abs(v - 1.0) < 1e-6, s"whitened var $v != 1"))
   }
 
+  test("PCA model persistence: byte-identical roundtrip; graft_pca TVF equals the API") {
+    import spark.implicits._
+    val sample = emb.limit(150).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val m = Similarity.pcaFit(sample, "embedding", k = 6)
+    val dir = java.nio.file.Files.createTempDirectory("pca-model").toString
+    Similarity.savePcaModel(m, dir, spark)
+    val m2 = Similarity.loadPcaModel(spark, dir)
+    assert(m2.mean.toSeq == m.mean.toSeq)
+    assert(m2.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+    assert(m2.explained.toSeq == m.explained.toSeq)
+    assert(m2.scales.toSeq == m.scales.toSeq)
+    // the SQL read surface projects identically (incl. fit-time whiten)
+    graft.GraftExtensions.register(spark)
+    sample.createOrReplaceTempView("pca_tvf_in")
+    val viaSql = spark.sql(
+        s"SELECT vec_id, pca FROM graft_pca('$dir', 'pca_tvf_in', 'embedding', true)")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaApi = Similarity.pcaProject(sample, "embedding", m, "pca", whiten = true)
+      .select("vec_id", "pca")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql == viaApi)
+    // whitened variance over the FIT data is exactly unit (fit-time scales)
+    val vars = Similarity.pcaProject(sample, "embedding", m2, "y", whiten = true)
+      .select(posexplode(col("y")).as(Seq("i", "v")))
+      .groupBy("i").agg(avg(col("v") * col("v")).as("s2"))
+      .collect().map(_.getDouble(1))
+    vars.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"whitened var $v"))
+    // corrupt model fails loudly
+    val e = intercept[Exception](
+      Similarity.loadPcaModel(spark, dir + "/nope"))
+    assert(e != null)
+  }
+
   test("pcaProject decorrelates: projected covariance is diagonal with ordered spectrum") {
     val sample = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
