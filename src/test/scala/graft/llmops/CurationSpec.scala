@@ -238,6 +238,33 @@ class CurationSpec extends AnyFunSuite {
     assert(all.toSeq == Seq((1L, 5.0), (2L, 7.0)))
   }
 
+  test("prioritySample fuzz: random sizes/weights/partitionings all equal the reference") {
+    val rnd = new scala.util.Random(1313L)
+    for (round <- 1 to 12) {
+      val n = 1 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(40)
+      val parts = 1 + rnd.nextInt(9)
+      // ids sparse and shuffled; weights any positive double shape
+      val rows = rnd.shuffle((1 to n).map(_ => rnd.nextLong(1000000L) + 1L)
+        .distinct.toList).map { id =>
+        (id, math.exp(rnd.nextGaussian() * 3)) // spans ~1e-4 .. 1e4
+      }
+      val got = Curation.prioritySample(
+          rows.toDF("doc_id", "w").repartition(parts), k, "w")
+        .select("doc_id", "priority", "w_hat")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val ranked = rows.map { case (id, w) => (id, w, refPriority(id, w)) }
+        .sortBy(t => (-t._3, t._1))
+      val expSel = ranked.take(k)
+      val tau = if (ranked.length > k) ranked(k)._3 else 0.0
+      val exp = expSel.map { case (id, w, p) =>
+        (id, p, math.max(w, tau)) }.sortBy(_._1)
+      assert(got == exp,
+        s"round $round (n=$n k=$k parts=$parts): fuzz mismatch")
+    }
+  }
+
   test("prioritySampleByStratum: exact per-stratum top-k, per-stratum tau") {
     val rows = for (s <- Seq("a", "b", "c"); i <- 1L to 60L)
       yield (i + (s.head - 'a') * 1000L, s, (i % 13 + 1) * 10L)
