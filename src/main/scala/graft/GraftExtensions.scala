@@ -820,6 +820,13 @@ object GraftExtensions {
         s"expects 6 arguments, got ${args.length}")
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_resample table"))
+    // a non-numeric ts/value would cast to NULL inside the bucketing
+    // arithmetic and yield a silent NULL-bucket row — the
+    // graft_priority_sample requireNumeric discipline applies here too
+    requireNumeric(df, stringLit(args(2), "graft_resample tsMsCol"),
+      "graft_resample")
+    requireNumeric(df, stringLit(args(3), "graft_resample valueCol"),
+      "graft_resample")
     graft.operators.Resample.resampleForwardFill(df,
         keys = Seq(stringLit(args(1), "graft_resample keyCol")),
         tsMsCol = stringLit(args(2), "graft_resample tsMsCol"),
@@ -841,6 +848,10 @@ object GraftExtensions {
         s"expects 6 arguments, got ${args.length}")
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_interpolate table"))
+    requireNumeric(df, stringLit(args(2), "graft_interpolate tsMsCol"),
+      "graft_interpolate")
+    requireNumeric(df, stringLit(args(3), "graft_interpolate valueCol"),
+      "graft_interpolate")
     graft.operators.Resample.resampleInterpolate(df,
         keys = Seq(stringLit(args(1), "graft_interpolate keyCol")),
         tsMsCol = stringLit(args(2), "graft_interpolate tsMsCol"),

@@ -200,7 +200,15 @@ object Curation {
     * rows and the scalar `tau` attached as a one-row broadcast. Weights
     * must be positive (ENFORCED in the plan, the [[capPerStratum]]
     * discipline — the weight is data, a driver-side require can't see
-    * it); a zero/negative/non-numeric weight raises loudly.
+    * it); a zero/negative/non-numeric weight raises loudly. The id
+    * column carries the SAME plan-guard: the winner set is keyed on
+    * `idCol` cast to long, so a non-long-castable id (a string doc-id
+    * corpus, a NULL) would silently vanish from the TopKBy buffer and
+    * the join-back — the exact silent-bias failure the weight guard
+    * exists to prevent, one column over. Ids must also be UNIQUE: a
+    * duplicated id fans out the winner join and returns more than `k`
+    * rows (enforced in specs, documented here — a global distinct-count
+    * would cost a full extra aggregate per call).
     */
   def prioritySample(
       df: DataFrame,
@@ -215,9 +223,9 @@ object Curation {
             "positive numeric value, got "),
           raw.cast("string"))).cast("double"))
       .otherwise(raw.cast("double"))
+    val idL = guardedLongId(col(idCol), idCol, "prioritySample")
     val arr = df
-      .select(priorityKey(col(idCol), w).as("__pri"),
-        col(idCol).cast("long").as("__id"))
+      .select(priorityKey(col(idCol), w).as("__pri"), idL.as("__id"))
       .agg(graft.functions.expressions.TopKExpressions
         .topk_by_scored(col("__pri"), col("__id"), k + 1).as("arr"))
     // tau = the (k+1)-th priority (0.0 when the population fits in k);
@@ -227,7 +235,12 @@ object Curation {
         coalesce(get(col("arr"), lit(k))("score"), lit(0.0)).as("__tau"))
       .select(col("e.id").as("__sel_id"), col("e.score").as("priority"),
         col("__tau"))
-    df.join(broadcast(sel), col(idCol).cast("long") === col("__sel_id"))
+    // try_cast on the probe side: the winner build (where the guard
+    // lives) always executes before the broadcast probe streams, so a
+    // malformed id has already raised OUR error by the time this side
+    // would see it — a plain ANSI cast here could race in first with
+    // the generic message
+    df.join(broadcast(sel), col(idCol).try_cast("long") === col("__sel_id"))
       .withColumn("w_hat",
         greatest(col(weightCol).cast("double"), col("__tau")))
       .drop("__sel_id", "__tau")
@@ -242,15 +255,33 @@ object Curation {
     * most k+1 pairs per stratum per partition — never a per-stratum
     * window sort), winners broadcast back with their stratum's tau.
     * Same bit-stable `w/u` priority key, so the exact per-stratum
-    * sample and `w_hat` estimators replay in the oracle.
+    * sample and `w_hat` estimators replay in the oracle. Same id
+    * plan-guard as [[prioritySample]] (a non-long-castable id raises
+    * instead of silently emptying the sample); a NULL stratum is a
+    * stratum like any other — the winner join-back is null-safe
+    * (`<=>`), so NULL-stratum winners survive instead of being
+    * silently dropped by a plain equi-join.
+    *
+    * Scale bound: the winner frame broadcast back is `k × |strata|`
+    * rows — fine for domain/language-like strata, but at millions of
+    * strata the broadcast (not the corpus scan) becomes the bound, so
+    * the winner frame streams through a single-partition counter that
+    * raises loudly past `maxBroadcastWinners` rows (the
+    * [[graft.operators.Analytics.skylineN]] cap discipline; reduce `k`
+    * or stratify coarser). The counter never materializes the frame —
+    * rows stream through it into the broadcast that was going to
+    * single-node them anyway.
     */
   def prioritySampleByStratum(
       df: DataFrame,
       k: Int,
       weightCol: String,
       strataCol: String,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxBroadcastWinners: Int = 200000): DataFrame = {
     require(k > 0, "prioritySampleByStratum: k must be positive")
+    require(maxBroadcastWinners > 0,
+      "prioritySampleByStratum: maxBroadcastWinners must be positive")
     val raw = col(weightCol)
     val w = when(raw.cast("double").isNull || raw.cast("double") <= 0.0,
         raise_error(concat(
@@ -258,26 +289,58 @@ object Curation {
             "be a positive numeric value, got "),
           raw.cast("string"))).cast("double"))
       .otherwise(raw.cast("double"))
+    val idL = guardedLongId(col(idCol), idCol, "prioritySampleByStratum")
     val arr = df
       .select(col(strataCol).as("__stratum"),
-        priorityKey(col(idCol), w).as("__pri"),
-        col(idCol).cast("long").as("__id"))
+        priorityKey(col(idCol), w).as("__pri"), idL.as("__id"))
       .groupBy(col("__stratum"))
       .agg(graft.functions.expressions.TopKExpressions
         .topk_by_scored(col("__pri"), col("__id"), k + 1).as("arr"))
-    val sel = arr
+    val selRaw = arr
       .select(col("__stratum"),
         explode(slice(col("arr"), 1, k)).as("e"),
         coalesce(get(col("arr"), lit(k))("score"), lit(0.0)).as("__tau"))
       .select(col("__stratum"), col("e.id").as("__sel_id"),
         col("e.score").as("priority"), col("__tau"))
+    val enc = org.apache.spark.sql.Encoders.row(selRaw.schema)
+    val cap = maxBroadcastWinners
+    val sel = selRaw.repartition(1).mapPartitions { it =>
+      var n = 0L
+      it.map { r =>
+        n += 1
+        if (n > cap) throw new IllegalStateException(
+          s"prioritySampleByStratum: winner set exceeded $cap rows " +
+            "(k x |strata|) — the broadcast join-back would bottleneck " +
+            "on a single node; reduce k, stratify coarser, or raise " +
+            "maxBroadcastWinners")
+        r
+      }
+    }(enc)
     df.join(broadcast(sel),
-        col(idCol).cast("long") === col("__sel_id") &&
-          col(strataCol) === col("__stratum"))
+        col(idCol).try_cast("long") === col("__sel_id") &&
+          col(strataCol) <=> col("__stratum"))
       .withColumn("w_hat",
         greatest(col(weightCol).cast("double"), col("__tau")))
       .drop("__sel_id", "__stratum", "__tau")
   }
+
+  /** The shared id plan-guard of the priority samplers: `idCol` cast to
+    * long, raising loudly on a non-long-castable value (NULL, a string
+    * doc-id) — the winner set and join-back are keyed on this cast, so
+    * without the guard such rows silently vanish from the sample.
+    */
+  private[graft] def guardedLongId(id: org.apache.spark.sql.Column,
+      idCol: String, op: String): org.apache.spark.sql.Column =
+    // try_cast, not cast: under ANSI (the Spark 4 default) a plain cast
+    // of a malformed id throws the generic CAST_INVALID_INPUT before
+    // this guard's condition can see the NULL — try_cast yields the
+    // NULL the guard exists to catch, so the error names the contract
+    when(id.try_cast("long").isNull,
+      raise_error(concat(
+        lit(s"$op: id column '$idCol' must be a long-castable unique " +
+          "id (it keys the winner set and the join-back), got "),
+        coalesce(id.cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(id.try_cast("long"))
 
   /** The priority-sampling key `w / u`: `u = (U+1)/2^52` with `U` the
     * first 52 md5 bits of the id — every step exact except the final

@@ -1212,6 +1212,17 @@ object Similarity {
     * bounded sample (the [[buildIvfIndex]] fit-sample discipline:
     * identical to a full fit below `fitSampleRows` rows, and a d x d
     * covariance never materializes per-row anywhere).
+    *
+    * Cost at 100 TB (the BPE cost-note convention): TWO full-data
+    * linear passes — the posexplode mean pass and the whitening-scale
+    * pass — each a map-side partial aggregate whose exchange carries
+    * only d (resp. k) cells, plus the `vecs.count` scan and the ONE
+    * sampled eigenfit (bounded at `fitSampleRows` rows regardless of
+    * corpus size). Nothing here is quadratic in rows or materializes
+    * more than d·k doubles on the driver. Fitting k above the data's
+    * effective rank fails loudly at fit time (a degenerate axis's
+    * whitening scale would otherwise explode the projection by ~1e300
+    * while claiming unit variance).
     */
   def pcaFit(
       df: DataFrame,
@@ -1254,8 +1265,18 @@ object Similarity {
     val scaleRows = vecs.select(posexplode(projCol).as(Seq("i", "y")))
       .groupBy("i").agg(sqrt(avg(col("y") * col("y"))).as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val scales = Array.tabulate(k)(i =>
-      math.max(scaleRows.getOrElse(i, 1.0), 1e-300))
+    val scales = Array.tabulate(k)(i => scaleRows.getOrElse(i, 1.0))
+    // a near-zero axis means k exceeded the data's effective rank —
+    // whitening would multiply that axis by an astronomical factor and
+    // silently violate the unit-variance contract; fail loudly instead
+    // (relative to the dominant axis, so a uniformly tiny but
+    // full-rank embedding still fits)
+    val sMax = scales.max
+    scales.zipWithIndex.foreach { case (s, i) =>
+      require(sMax > 0.0 && s > 1e-12 * sMax,
+        s"pcaFit: axis $i has near-zero variance (stddev $s vs max " +
+          s"$sMax) — k=$k exceeds the data's effective rank; reduce k")
+    }
     PcaModel(mean, comps, model.explainedVariance.toArray, scales)
   }
 

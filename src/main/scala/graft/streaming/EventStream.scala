@@ -1497,7 +1497,8 @@ object EventStream {
     * Input columns: `key` long (stratum), `doc_id` long, `w` positive
     * numeric weight. A null/non-positive weight fails the query loudly
     * (the batch operator's plan-guard contract — silent drops would
-    * bias every later sample).
+    * bias every later sample), and so does a non-long-castable
+    * `doc_id` (same guard, same column-over failure mode).
     */
   def prioritySampleStream(
       docs: DataFrame,
@@ -1506,9 +1507,14 @@ object EventStream {
     val spark = docs.sparkSession
     import spark.implicits._
     // priority computed as the SAME column expression the batch
-    // operator uses (bit-identical md5 bits + one rounded division)
+    // operator uses (bit-identical md5 bits + one rounded division);
+    // doc_id carries the batch operator's id plan-guard — a
+    // non-long-castable id would otherwise decode-fail (or silently
+    // skew the sample) instead of naming the offending value
     val typed = docs
-      .select(col("key").cast("long"), col("doc_id").cast("long"),
+      .select(col("key").cast("long"),
+        graft.llmops.Curation.guardedLongId(col("doc_id"), "doc_id",
+          "prioritySampleStream").as("doc_id"),
         col("w").cast("double"),
         graft.llmops.Curation.priorityKey(col("doc_id"), col("w")).as("pri"))
       .as[(Long, Long, java.lang.Double, java.lang.Double)]
@@ -1814,7 +1820,10 @@ object EventStream {
     * State per key (`flatMapGroupsWithState`, EventTimeTimeout) is
     * BOUNDED: the forward-fill carry plus the buckets still inside the
     * watermark delay — gap runs are emitted, never stored, and a bucket
-    * leaves the state the moment it closes. Determinism matches the
+    * leaves the state the moment it closes. The per-invocation emission
+    * List is bounded by the batch operator's `maxBuckets` gap guard: a
+    * run of that many consecutive gap-fill rows raises loudly instead
+    * of building a multi-million-row emission in one trigger. Determinism matches the
     * batch operator observation for observation: in-bucket last by
     * (ts, tie), sums accumulated as per-row HALF_UP cents (the
     * decimal(18,2) ingest cast).
@@ -1830,7 +1839,8 @@ object EventStream {
   def resampleStream(
       events: DataFrame,
       stepMs: Long,
-      watermark: String = "10 minutes"): Dataset[ResampleRow] = {
+      watermark: String = "10 minutes",
+      maxBuckets: Long = 1 << 22): Dataset[ResampleRow] = {
     require(stepMs > 0, "resampleStream: stepMs must be positive")
     val spark = events.sparkSession
     import spark.implicits._
@@ -1882,13 +1892,25 @@ object EventStream {
         var last = first
         if (first != Long.MinValue && emitUpTo != Long.MinValue) {
           var g = first + 1
+          // the batch operator's gap guard, measured where the memory
+          // actually lives: consecutive gap-fill rows built inside THIS
+          // group invocation (a long dark period seals in one watermark
+          // jump, so the run and the gap coincide in the blowup case)
+          var fill = 0L
           while (g <= emitUpTo) {
             open.get(g) match {
               case Some(p) =>
                 out ::= ResampleRow(key, g * stepMs, p.n, p.sumCents / 100.0, p.lastVal)
                 carry = (true, p.lastVal)
+                fill = 0L
                 open -= g
               case None if carry._1 =>
+                fill += 1
+                if (maxBuckets > 0 && fill >= maxBuckets)
+                  throw new IllegalStateException(
+                    s"resampleStream: key $key gap spans >= $maxBuckets " +
+                      s"buckets of $stepMs ms after bucket ${g - fill} — " +
+                      "widen stepMs or bound the time range")
                 out ::= ResampleRow(key, g * stepMs, 0L, 0.0, carry._2)
               case None => // before the first observation: nothing
             }
@@ -1926,7 +1948,11 @@ object EventStream {
     *
     * State per key is BOUNDED: the one previous anchor (all the history
     * interpolation needs) + the buckets still inside the watermark
-    * delay. Trailing buckets past the final watermark stay unemitted
+    * delay. Emission per invocation is bounded too: a gap spanning
+    * `maxBuckets` buckets raises loudly BEFORE its run is built (the
+    * batch twin's guard — a months-dark key at a small `stepMs` would
+    * otherwise materialize a multi-million-row List in one trigger).
+    * Trailing buckets past the final watermark stay unemitted
     * (streams have no end) — the [[resampleStream]] caveat.
     *
     * Input columns: `key` long, `ts` timestamp, `tie` long, `value`
@@ -1935,7 +1961,8 @@ object EventStream {
   def interpolateStream(
       events: DataFrame,
       stepMs: Long,
-      watermark: String = "10 minutes"): Dataset[InterpRow] = {
+      watermark: String = "10 minutes",
+      maxBuckets: Long = 1 << 22): Dataset[InterpRow] = {
     require(stepMs > 0, "interpolateStream: stepMs must be positive")
     val spark = events.sparkSession
     import spark.implicits._
@@ -1976,6 +2003,15 @@ object EventStream {
         open.keys.filter(_ <= completeUpTo).toSeq.sorted.foreach { b =>
           val p = open(b)
           if (prev._1) {
+            // the batch twin's gap guard (Resample.resampleInterpolate):
+            // a sealed anchor after a long dark period would otherwise
+            // materialize the whole gap run as one in-memory emission
+            // inside this group invocation — raise before building it
+            if (maxBuckets > 0 && b - prev._2 >= maxBuckets)
+              throw new IllegalStateException(
+                s"interpolateStream: key $key gap spans >= $maxBuckets " +
+                  s"buckets of $stepMs ms after bucket ${prev._2} — widen " +
+                  "stepMs or bound the time range")
             var g = prev._2 + 1
             while (g < b) {
               // the batch operator's exact parenthesization:

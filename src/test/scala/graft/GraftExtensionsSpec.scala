@@ -284,6 +284,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be numeric"))
   }
 
+  test("resample TVFs: non-numeric ts/value boundaries raise loudly") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // a string ts would cast to NULL inside floor(col/step) and yield a
+    // silent NULL-bucket row — the graft_priority_sample requireNumeric
+    // discipline, applied to both TVF boundaries
+    Seq((1L, "noon", 1L, 2.0), (1L, "one", 2L, 3.0))
+      .toDF("key", "ts_ms", "tie", "value")
+      .createOrReplaceTempView("rs_strts")
+    Seq((1L, 100L, 1L, "two"), (1L, 1500L, 2L, "three"))
+      .toDF("key", "ts_ms", "tie", "value")
+      .createOrReplaceTempView("rs_strval")
+    for (tvf <- Seq("graft_resample", "graft_interpolate");
+         t <- Seq("rs_strts", "rs_strval")) {
+      val ex = intercept[Exception](spark.sql(
+        s"SELECT * FROM $tvf('$t', 'key', 'ts_ms', 'value', 'tie', 1000)")
+        .collect())
+      assert(ex.getMessage.contains("must be numeric"),
+        s"no numeric guard for $tvf on $t: ${ex.getMessage}")
+    }
+    // numeric boundaries still resample fine through the same TVF path
+    Seq((1L, 100L, 1L, 2.0), (1L, 2500L, 2L, 8.0))
+      .toDF("key", "ts_ms", "tie", "value")
+      .createOrReplaceTempView("rs_ok")
+    val n = spark.sql(
+      "SELECT * FROM graft_interpolate('rs_ok', 'key', 'ts_ms', 'value', 'tie', 1000)")
+      .count()
+    assert(n == 3L)
+  }
+
   test("layout keys callable from SQL: hilbert_key and interleave_bits hand values") {
     GraftExtensions.register(spark)
     // order-1 Hilbert quadrants + a Morton hand value (x=3, y=1 -> 0b0111)

@@ -353,6 +353,82 @@ class CurationSpec extends AnyFunSuite {
       s"expected the weight guard to fire for a non-numeric weight, got $eStr")
   }
 
+  test("prioritySample/byStratum: non-long-castable ids raise loudly (no silent empty sample)") {
+    // the winner set is keyed on idCol cast to long: without the guard a
+    // string doc-id corpus casts to NULL, the TopKBy buffer skips every
+    // row, and the caller gets an EMPTY "sample" with no error — the
+    // silent-bias failure the weight guard prevents, one column over
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val strIds = Seq(("docA", 10.0), ("docB", 20.0)).toDF("doc_id", "w")
+    val e1 = intercept[Exception](
+      Curation.prioritySample(strIds, 5, "w").collect())
+    assert(msgs(e1).exists(m => m != null && m.contains("id column")),
+      s"expected the id guard, got $e1")
+    val e2 = intercept[Exception](
+      Curation.prioritySampleByStratum(
+        Seq(("docA", "s", 10.0), ("docB", "s", 20.0))
+          .toDF("doc_id", "stratum", "w"), 5, "w", "stratum").collect())
+    assert(msgs(e2).exists(m => m != null && m.contains("id column")),
+      s"expected the id guard, got $e2")
+    // numeric-STRING ids are long-castable and sample fine (same winners
+    // as the long-typed equivalent: the priority hashes the string form,
+    // which for a numeric string equals the long's toString)
+    val numStr = Seq(("1", 10.0), ("2", 20.0), ("3", 30.0)).toDF("doc_id", "w")
+    val ok = Curation.prioritySample(numStr, 2, "w")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val okLong = Curation.prioritySample(
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("doc_id", "w"), 2, "w")
+      .select("doc_id").collect().map(_.getLong(0).toString).toSet
+    assert(ok == okLong)
+  }
+
+  test("prioritySampleByStratum: a NULL stratum is sampled, not silently dropped") {
+    // the winner join-back is null-safe (<=>): NULL-stratum winners must
+    // survive — a plain equi-join would select them in the aggregate and
+    // then drop them on the way back
+    val rows: Seq[(Long, Option[String], Double)] =
+      (1L to 30L).map(i => (i, Some("a"), (i % 7 + 1).toDouble)) ++
+        (101L to 130L).map(i => (i, None: Option[String], (i % 5 + 1).toDouble))
+    val df = rows.toDF("doc_id", "stratum", "w")
+    val k = 4
+    val got = Curation.prioritySampleByStratum(df.repartition(3), k, "w", "stratum")
+      .select("doc_id", "stratum", "priority", "w_hat").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getDouble(3)))
+    assert(got.count(_._2.isEmpty) == k, "NULL stratum must contribute k rows")
+    assert(got.count(_._2.contains("a")) == k)
+    // NULL-stratum winners are the reference top-k of exactly those rows
+    val mine = rows.filter(_._2.isEmpty)
+      .map { case (id, _, w) => (id, refPriority(id, w)) }
+      .sortBy(t => (-t._2, t._1))
+    assert(got.filter(_._2.isEmpty).map(_._1).toSet == mine.take(k).map(_._1).toSet)
+    got.filter(_._2.isEmpty).foreach { case (id, _, _, wHat) =>
+      val tau = mine(k)._2
+      val w = rows.find(_._1 == id).get._3
+      assert(wHat == math.max(w, tau))
+    }
+  }
+
+  test("prioritySampleByStratum: winner broadcast past maxBroadcastWinners raises loudly") {
+    // k x |strata| bounds the broadcast join-back; past the cap the
+    // single-partition counter must raise (the skylineN discipline),
+    // never silently single-node a huge frame
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val rows = for (s <- 1 to 20; i <- 1 to 3)
+      yield (s * 100L + i, s.toString, i.toDouble)
+    val df = rows.toDF("doc_id", "stratum", "w")
+    val e = intercept[Exception](
+      Curation.prioritySampleByStratum(df, 2, "w", "stratum",
+        maxBroadcastWinners = 10).collect())
+    assert(msgs(e).exists(m => m != null && m.contains("winner set exceeded")),
+      s"expected the broadcast cap guard, got $e")
+    // under the cap the same frame samples normally
+    val ok = Curation.prioritySampleByStratum(df, 2, "w", "stratum",
+      maxBroadcastWinners = 40)
+    assert(ok.count() == 40L)
+  }
+
   test("redactPii replaces emails, phones, and IPs and counts each kind") {
     val docs = Seq(
       (0L, "mail me at jane.doe+x@example.org or call 555-123-4567 from 10.0.0.1"),

@@ -509,6 +509,27 @@ class SimilaritySpec extends AnyFunSuite {
       m.mean.toSeq == m2.mean.toSeq)
   }
 
+  test("pcaFit: k above the data's effective rank fails loudly at fit time") {
+    import spark.implicits._
+    // 3-dim vectors confined to a 2-dim subspace (z = x + y): the third
+    // principal axis has ~zero variance, so whitening would multiply it
+    // by an astronomical factor while claiming unit variance — the fit
+    // must raise instead of shipping a degenerate scale
+    val rnd = new scala.util.Random(23L)
+    val rows = (1L to 300L).map { i =>
+      val t = rnd.nextGaussian() * 5.0
+      val s = rnd.nextGaussian() * 2.0
+      (i, Array(t, s, t + s))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.pcaFit(df, "embedding", k = 3))
+    assert(e.getMessage.contains("effective rank"), e.getMessage)
+    // at the true rank the same data fits (and whitens) fine
+    val m = Similarity.pcaFit(df, "embedding", k = 2)
+    assert(m.scales.forall(s => s > 0.0 && java.lang.Double.isFinite(s)))
+  }
+
   test("pcaProject: k=d reconstruction is lossless; whiten gives unit variance") {
     import spark.implicits._
     val sample = emb.limit(200).select(col("vec_id"),

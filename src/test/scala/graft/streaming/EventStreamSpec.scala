@@ -186,6 +186,54 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("resampleStream/interpolateStream: a gap past maxBuckets raises loudly instead of materializing the run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // one key dark for 20 buckets; guard at 10 — the batch twin's gap
+    // guard, applied where the stream's memory actually lives (the gap
+    // run is built inside ONE group invocation once the next anchor
+    // seals in a single watermark jump)
+    val events = Seq((1L, 500L, 1L, 1.0), (1L, 20500L, 2L, 5.0))
+    def drive(start: MemoryStream[(Long, Long, Long, Double)] =>
+        org.apache.spark.sql.streaming.StreamingQuery): Throwable = {
+      val input = MemoryStream[(Long, Long, Long, Double)]
+      val q = start(input)
+      try {
+        input.addData(events: _*)
+        intercept[Exception] {
+          q.processAllAvailable()
+          // sentinels seal the trailing bucket/anchor -> the gap run flushes
+          input.addData((9L, 100000L, 0L, 0.0)); q.processAllAvailable()
+          input.addData((9L, 200000L, 0L, 0.0)); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val eR = drive { input =>
+      EventStream.resampleStream(
+          input.toDF().toDF("key", "ts_ms", "tie", "value")
+            .withColumn("ts", timestamp_millis(col("ts_ms"))),
+          stepMs = 1000L, watermark = "0 seconds", maxBuckets = 10L)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("resample_gap_guard").start()
+    }
+    assert(msgs(eR).exists(m => m != null && m.contains("resampleStream") &&
+        m.contains("gap spans")), s"expected the gap guard, got $eR")
+    val eI = drive { input =>
+      EventStream.interpolateStream(
+          input.toDF().toDF("key", "ts_ms", "tie", "value")
+            .withColumn("ts", timestamp_millis(col("ts_ms"))),
+          stepMs = 1000L, watermark = "0 seconds", maxBuckets = 10L)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("interp_gap_guard").start()
+    }
+    assert(msgs(eI).exists(m => m != null && m.contains("interpolateStream") &&
+        m.contains("gap spans")), s"expected the gap guard, got $eI")
+  }
+
   test("ewmaStream: sealed smoothed values equal the batch segmented scan") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

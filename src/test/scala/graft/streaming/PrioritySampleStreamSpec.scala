@@ -135,4 +135,24 @@ class PrioritySampleStreamSpec extends AnyFunSuite {
         s"expected the weight guard, got $e")
     } finally q.stop()
   }
+
+  test("non-long-castable doc_id fails the query loudly (the batch id guard)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Double)]
+    val q = EventStream.prioritySampleStream(
+        input.toDF().toDF("key", "doc_id", "w"), 3)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("ps_id_guard").start()
+    try {
+      input.addData((1L, "docA", 1.0))
+      val e = intercept[Exception](q.processAllAvailable())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("id column")),
+        s"expected the id guard, got $e")
+    } finally q.stop()
+  }
 }
