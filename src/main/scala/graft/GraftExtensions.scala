@@ -242,6 +242,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pca"),
       new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_pca"),
       (args: Seq[Expression]) => GraftExtensions.graftPcaPlan(args)))
+    //   SELECT * FROM graft_random_project('emb_view', 'embedding', 16, 64, 7)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_random_project"),
+      new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_random_project"),
+      (args: Seq[Expression]) => GraftExtensions.graftRandomProjectPlan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -785,6 +790,29 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_random_project(table, vecCol, k, d, seed)`: Johnson–
+    * Lindenstrauss random projection of an embedding column to `k`
+    * dims — routes to [[graft.llmops.Similarity.randomProject]] (a
+    * deterministic md5-sign ±1/sqrt(k) basis, codegen'd k x d mat-vec,
+    * narrow map; the "model" is just the literals, so any SQL session
+    * projects identically with no persisted state). Returns the input
+    * columns plus `rp` (array<double>, length k).
+    */
+  private[graft] def graftRandomProjectPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 5,
+      "graft_random_project(table, vecCol, k, d, seed) expects 5 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_random_project table"))
+    graft.llmops.Similarity.randomProject(df,
+        vecCol = stringLit(args(1), "graft_random_project vecCol"),
+        k = intLit(args(2), "graft_random_project k"),
+        d = intLit(args(3), "graft_random_project d"),
+        seed = longLit(args(4), "graft_random_project seed"))
+      .queryExecution.analyzed
+  }
+
   /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
     * per-stratum form — exactly k weight-proportional rows from EVERY
     * stratum, routed to
@@ -1015,6 +1043,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_priority_sample", graftPrioritySamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_stratum_sample", graftStratumSamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_pca", graftPcaPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_random_project", graftRandomProjectPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

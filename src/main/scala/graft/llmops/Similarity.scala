@@ -1326,6 +1326,128 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/model")
   }
 
+  /** Deterministic ±1/sqrt(k) Johnson–Lindenstrauss sign basis: entry
+    * (c, j) is `+scale` when the first hex character of
+    * `md5("<seed>:<c>:<j>")` is below '8' (the hash's top bit), else
+    * `-scale`, with `scale = 1/sqrt(k)`. Achlioptas's database-friendly
+    * construction (random signs preserve pairwise distances in
+    * expectation exactly like Gaussian entries) made REPLAYABLE: the
+    * basis is a pure function of (seed, k, d) — no fit, no state, no
+    * persisted model, and any engine with md5 regenerates it
+    * bit-for-bit, which is what lets the emb_rp oracle replay the whole
+    * projection in SQL.
+    */
+  def randomProjectionBasis(k: Int, d: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(k > 0, "randomProjectionBasis: k must be positive")
+    require(d > 0, "randomProjectionBasis: d must be positive")
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, d) { (c, j) =>
+      md.reset()
+      val hex = md.digest(s"$seed:$c:$j".getBytes("UTF-8"))
+      // first hex char < '8' <=> top bit of the first byte is 0
+      if ((hex(0) & 0x80) == 0) scale else -scale
+    }
+  }
+
+  /** Random projection of an embedding column to `k` dims — the
+    * DATA-INDEPENDENT compression path ([[pcaFit]]'s scale alternative):
+    * no passes over the corpus at all, the "model" is just (seed, k, d),
+    * and the JL lemma bounds pairwise-distance distortion without
+    * looking at the data — which is exactly what a 100 TB pipeline
+    * wants when even PCA's two linear fit passes are too expensive, or
+    * when the corpus grows continuously and a fitted basis would go
+    * stale. One codegen'd k x d mat-vec per row ([[PcaProject]] with a
+    * zero mean — projection IS the centered projection of an origin
+    * basis), narrow map, no shuffle, no driver state beyond k·d signs.
+    */
+  def randomProject(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      d: Int,
+      seed: Long = 42L,
+      out: String = "rp"): DataFrame = {
+    val basis = randomProjectionBasis(k, d, seed)
+    df.withColumn(out,
+      graft.functions.expressions.VectorExpressions.pca_project(
+        col(vecCol), basis, new Array[Double](d)))
+  }
+
+  /** A fitted per-dimension scalar-quantization range: `mins(j)` /
+    * `maxs(j)` over the corpus. 8-bit codes cut an ANN index's vector
+    * bytes 4x vs float32 with far simpler decode than PQ — the
+    * memory-bound regime's first lever.
+    */
+  final case class SqModel(mins: Array[Double], maxs: Array[Double]) {
+    require(mins.length == maxs.length, "SqModel: mins/maxs length mismatch")
+    def d: Int = mins.length
+  }
+
+  /** Fit per-dimension min/max for 8-bit scalar quantization: ONE
+    * linear pass (posexplode + map-side partial min/max, the exchange
+    * carries d cells), and min/max are exact and association-order-free
+    * — unlike a mean/stddev fit, the model is bit-identical however the
+    * corpus is partitioned, which is what lets emb_sq8's integer codes
+    * hash-match a SQL oracle exactly.
+    */
+  def sqFit(df: DataFrame, vecCol: String): SqModel = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy("j").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    require(rows.nonEmpty, "sqFit: no vectors to fit")
+    val d = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](d)
+    val maxs = new Array[Double](d)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    SqModel(mins, maxs)
+  }
+
+  /** 8-bit scalar-quantize an embedding column against a fitted
+    * [[SqModel]]: `code_j = clamp(floor((x_j - min_j) * (255 / (max_j -
+    * min_j))), 0, 255)` (a constant dimension encodes 0). Codegen'd
+    * builtin HOFs only (two zip_with + floor/clamp — whole-stage
+    * codegen keeps it a narrow map); the exact parenthesization is the
+    * cross-engine contract: every step is one correctly-rounded IEEE op
+    * on values both engines derive identically, so the integer codes
+    * hash-match the oracle bit-for-bit.
+    */
+  def sqEncode(
+      df: DataFrame,
+      vecCol: String,
+      model: SqModel,
+      out: String = "sq"): DataFrame = {
+    val scales = Array.tabulate(model.d)(j =>
+      if (model.maxs(j) > model.mins(j)) 255.0 / (model.maxs(j) - model.mins(j))
+      else 0.0)
+    df.withColumn(out,
+      zip_with(
+        zip_with(col(vecCol).cast("array<double>"), lit(model.mins),
+          (x, m) => x - m),
+        lit(scales),
+        (y, s) => least(greatest(floor(y * s), lit(0.0)), lit(255.0))
+          .cast("int")))
+  }
+
+  /** Decode [[sqEncode]] codes back to cell midpoints:
+    * `min_j + (code + 0.5) * ((max_j - min_j) / 255)` — the midpoint
+    * rule bounds |x - decode| by half a cell, the property
+    * emb_sq8_gate certifies. Narrow map like the encode.
+    */
+  def sqDecode(codes: org.apache.spark.sql.Column,
+      model: SqModel): org.apache.spark.sql.Column = {
+    val cells = Array.tabulate(model.d)(j => (model.maxs(j) - model.mins(j)) / 255.0)
+    zip_with(
+      zip_with(codes, lit(cells), (c, w) => (c.cast("double") + lit(0.5)) * w),
+      lit(model.mins),
+      (y, m) => y + m)
+  }
+
   /** Load a [[savePcaModel]]-persisted model (byte-identical roundtrip —
     * doubles ride parquet untouched).
     */

@@ -7322,7 +7322,164 @@ object Catalog {
         FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS e,
                 generate_subscripts(embedding, 1) - 1 AS dim
               FROM embeddings)
-        GROUP BY label, dim ORDER BY label, dim""")))
+        GROUP BY label, dim ORDER BY label, dim""")),
+
+    "emb_rp" -> QueryDef(
+      // Johnson–Lindenstrauss random projection to k=16 dims
+      // (Similarity.randomProject): the DATA-INDEPENDENT compression
+      // path — zero passes over the corpus (PCA needs two + an eigenfit),
+      // the "model" is just (seed, k, d), and the codegen'd mat-vec is a
+      // narrow map. BIT-REPLAYED by the oracle: the ±1/sqrt(16) sign of
+      // basis cell (c, j) is the top md5 bit of "7:c:j" (scale 0.25 is an
+      // exact power of two), each term x_j * (±0.25) is one exact-input
+      // IEEE multiply, and the accumulation order is pinned (j ascending
+      // — the expression's loop = the oracle's ordered running sum), so
+      // the doubles agree to the last bit before the 6dp round.
+      (s, dir) => Similarity.randomProject(
+          t(s, dir, "embeddings"), "embedding", k = 16, d = 64, seed = 7L)
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("c", "y")))
+        .select(col("vec_id"), col("c").cast("long").as("c"),
+          round(col("y"), 6).as("y"))
+        .orderBy("vec_id", "c"),
+      Some("""WITH u AS (SELECT vec_id,
+            generate_subscripts(embedding, 1) - 1 AS j,
+            CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        sgn AS (SELECT c.range AS c, j.range AS j,
+            CASE WHEN substr(md5(concat('7:', c.range, ':', j.range)), 1, 1) < '8'
+              THEN 1.0 / sqrt(16.0) ELSE -(1.0 / sqrt(16.0)) END AS s
+          FROM range(16) c, range(64) j),
+        p AS (SELECT u.vec_id, sgn.c, u.j,
+            sum(u.x * sgn.s) OVER (PARTITION BY u.vec_id, sgn.c
+              ORDER BY u.j) AS acc
+          FROM u JOIN sgn ON u.j = sgn.j)
+        SELECT vec_id, c::BIGINT AS c, round(arg_max(acc, j), 6) AS y
+        FROM p GROUP BY vec_id, c ORDER BY vec_id, c"""),
+      headline = true),
+
+    "emb_rp_sql" -> QueryDef(
+      // the same projection from PURE SQL: the graft_random_project TVF
+      // routes to Similarity.randomProject, so a SQL session gets the
+      // identical basis from the same (seed, k, d) literals — no
+      // persisted model to ship (the whole point of the JL path); same
+      // bit-replay oracle as emb_rp.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "embeddings").createOrReplaceTempView("graft_rp_emb")
+        s.sql("""SELECT vec_id, CAST(c.i AS BIGINT) AS c, round(c.y, 6) AS y
+          FROM (SELECT vec_id, posexplode(rp) AS (i, y)
+                FROM graft_random_project('graft_rp_emb', 'embedding', 16, 64, 7)) c
+          ORDER BY vec_id, c""")
+      },
+      Some("""WITH u AS (SELECT vec_id,
+            generate_subscripts(embedding, 1) - 1 AS j,
+            CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        sgn AS (SELECT c.range AS c, j.range AS j,
+            CASE WHEN substr(md5(concat('7:', c.range, ':', j.range)), 1, 1) < '8'
+              THEN 1.0 / sqrt(16.0) ELSE -(1.0 / sqrt(16.0)) END AS s
+          FROM range(16) c, range(64) j),
+        p AS (SELECT u.vec_id, sgn.c, u.j,
+            sum(u.x * sgn.s) OVER (PARTITION BY u.vec_id, sgn.c
+              ORDER BY u.j) AS acc
+          FROM u JOIN sgn ON u.j = sgn.j)
+        SELECT vec_id, c::BIGINT AS c, round(arg_max(acc, j), 6) AS y
+        FROM p GROUP BY vec_id, c ORDER BY vec_id, c""")),
+
+    "emb_rp_gate" -> QueryDef(
+      // the JL lemma itself, certified on the data: squared pairwise
+      // distances between projected vectors concentrate around the
+      // originals (E[ratio] = 1 for the sign basis, Var = O(1/k)). All
+      // 435 pairs among the first 30 vectors: the MEAN distortion ratio
+      // must sit within ±25% of 1 and no pair may collapse below 1%
+      // of its true distance — exact math on the same projection emb_rp
+      // hash-verifies, so the gate fails if the basis, the scale, or
+      // the mat-vec drifts.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 30)
+        val proj = Similarity.randomProject(emb, "embedding", k = 16, d = 64,
+          seed = 7L)
+        val both = proj.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("x"), col("rp"))
+        val pairs = both.as("a").join(both.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        def sqDist(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)),
+            lit(0.0), (acc, v) => acc + v)
+        val ratios = pairs.select(
+            (sqDist(col("a.rp"), col("b.rp")) /
+              sqDist(col("a.x"), col("b.x"))).as("r"))
+          .agg(avg(col("r")).as("mean_r"), min(col("r")).as("min_r"),
+            count(lit(1)).as("n"))
+          .head()
+        val ok = ratios.getLong(2) == 435L &&
+          math.abs(ratios.getDouble(0) - 1.0) < 0.25 &&
+          ratios.getDouble(1) > 0.01
+        s.range(1).select(lit("rp_jl_gate").as("gate"), lit(ok).as("floor_met"))
+      },
+      Some("SELECT 'rp_jl_gate' AS gate, true AS floor_met")),
+
+    "emb_sq8" -> QueryDef(
+      // 8-bit scalar quantization (Similarity.sqFit/sqEncode): 4x
+      // smaller vectors than float32 with trivial decode — the
+      // memory-bound ANN regime's first lever (PQ's heavier codebooks
+      // are the second). The fit is ONE linear pass whose min/max cells
+      // are exact and association-order-free, so the model — and
+      // therefore every INTEGER code — is bit-identical across engines
+      // and partitionings: the oracle recomputes the ranges itself and
+      // replays clamp(floor((x - min) * (255 / (max - min)))) with the
+      // identical parenthesization, hash-exact with no rounding.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = Similarity.sqFit(emb, "embedding")
+        Similarity.sqEncode(emb, "embedding", model)
+          .select(col("vec_id"), posexplode(col("sq")).as(Seq("j", "code")))
+          .select(col("vec_id"), col("j").cast("long").as("j"), col("code"))
+          .orderBy("vec_id", "j")
+      },
+      Some("""WITH u AS (SELECT vec_id,
+            generate_subscripts(embedding, 1) - 1 AS j,
+            CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        m AS (SELECT j, min(x) AS mn, max(x) AS mx FROM u GROUP BY j)
+        SELECT u.vec_id, u.j::BIGINT AS j,
+          CASE WHEN m.mx > m.mn
+            THEN least(greatest(CAST(floor((u.x - m.mn) * (255.0 / (m.mx - m.mn)))
+              AS INT), 0), 255)
+            ELSE 0 END AS code
+        FROM u JOIN m USING (j) ORDER BY vec_id, j"""),
+      headline = true),
+
+    "emb_sq8_gate" -> QueryDef(
+      // the quantizer's defining guarantee, certified: decoding to cell
+      // midpoints bounds every element's error by HALF a cell width —
+      // max |x - decode(encode(x))| <= (max_j - min_j) / 255 / 2 (plus
+      // fp slack) on every dimension, and the codes stay in [0, 255].
+      // Exact math, not tuning: the bound fails if the clamp, the floor,
+      // or the midpoint rule drifts.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = Similarity.sqFit(emb, "embedding")
+        val enc = Similarity.sqEncode(emb, "embedding", model)
+        val dec = enc.withColumn("xhat", Similarity.sqDecode(col("sq"), model))
+        val halfCells = Array.tabulate(model.d)(j =>
+          (model.maxs(j) - model.mins(j)) / 255.0 / 2.0)
+        val errOk = dec.select(posexplode(
+            zip_with(
+              zip_with(col("embedding").cast("array<double>"), col("xhat"),
+                (x, y) => abs(x - y)),
+              lit(halfCells), (e, h) => e <= h * lit(1.0 + 1e-9) + lit(1e-12)))
+            .as(Seq("j", "ok")))
+          .agg(min(col("ok").cast("int"))).head.getInt(0) == 1
+        val rangeOk = enc.select(posexplode(col("sq")).as(Seq("j", "code")))
+          .agg(min(col("code")).as("lo"), max(col("code")).as("hi")).head() match {
+            case r => r.getInt(0) >= 0 && r.getInt(1) <= 255
+          }
+        s.range(1).select(lit("sq8_half_cell").as("gate"),
+          lit(errOk && rangeOk).as("floor_met"))
+      },
+      Some("SELECT 'sq8_half_cell' AS gate, true AS floor_met")))
 
   // ============================================================= F. graph ==
 

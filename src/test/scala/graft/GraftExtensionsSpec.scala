@@ -284,6 +284,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be numeric"))
   }
 
+  test("graft_random_project TVF: SQL projection equals the API, loud arity error") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(8L)
+    val df = (1L to 30L).map(i => (i, Array.fill(12)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    df.createOrReplaceTempView("rp_tvf_in")
+    val viaSql = spark.sql(
+        "SELECT vec_id, rp FROM graft_random_project('rp_tvf_in', 'embedding', 5, 12, 77)")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaApi = graft.llmops.Similarity
+      .randomProject(df, "embedding", k = 5, d = 12, seed = 77L)
+      .select("vec_id", "rp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql == viaApi)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_random_project('rp_tvf_in', 'embedding', 5)").collect())
+    assert(e.getMessage.contains("graft_random_project"), e.getMessage)
+  }
+
   test("resample TVFs: non-numeric ts/value boundaries raise loudly") {
     GraftExtensions.register(spark)
     import spark.implicits._

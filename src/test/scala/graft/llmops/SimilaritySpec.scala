@@ -509,6 +509,95 @@ class SimilaritySpec extends AnyFunSuite {
       m.mean.toSeq == m2.mean.toSeq)
   }
 
+  test("randomProject: basis replays an independent MessageDigest reference; projection is the exact mat-vec") {
+    import spark.implicits._
+    val k = 8; val d = 16; val seed = 99L
+    // independent basis reference: MessageDigest directly, no graft code
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refSign(c: Int, j: Int): Double = {
+      md.reset()
+      val hex = md.digest(s"$seed:$c:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+    val basis = Similarity.randomProjectionBasis(k, d, seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    for (c <- 0 until k; j <- 0 until d)
+      assert(basis(c)(j) == refSign(c, j) * scale, s"basis ($c,$j)")
+    // both sign values occur (a constant basis would project to a line)
+    assert(basis.flatten.distinct.length == 2)
+    // projection equals the driver-side mat-vec bit-for-bit
+    val rnd = new scala.util.Random(3L)
+    val rows = (1L to 50L).map(i => (i, Array.fill(d)(rnd.nextGaussian())))
+    val got = Similarity.randomProject(rows.toDF("vec_id", "v"), "v", k, d, seed)
+      .select("vec_id", "rp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { case (id, v) =>
+      val exp = Array.tabulate(k) { c =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += basis(c)(j) * v(j); j += 1 }
+        acc
+      }
+      assert(got(id).toSeq == exp.toSeq, s"projection differs for $id")
+    }
+    intercept[IllegalArgumentException](Similarity.randomProjectionBasis(0, d, seed))
+    intercept[IllegalArgumentException](Similarity.randomProjectionBasis(k, 0, seed))
+  }
+
+  test("randomProject: JL distance preservation on gaussian vectors") {
+    import spark.implicits._
+    val d = 64; val k = 24
+    val rnd = new scala.util.Random(11L)
+    val rows = (1L to 40L).map(i => (i, Array.fill(d)(rnd.nextGaussian())))
+    val proj = Similarity.randomProject(rows.toDF("vec_id", "v"), "v", k, d, seed = 5L)
+      .select("vec_id", "rp").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val orig = rows.toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for (a <- 1L to 40L; b <- (a + 1) to 40L)
+      yield sq(proj(a), proj(b)) / sq(orig(a), orig(b))
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.2, s"mean distortion $mean")
+    assert(ratios.min > 0.05 && ratios.max < 5.0,
+      s"distortion tails ${ratios.min} .. ${ratios.max}")
+  }
+
+  test("sqFit/sqEncode/sqDecode: codes in range, half-cell reconstruction, degenerate dims encode 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    // dim 0 constant (degenerate), dim 1 tiny range, dim 2 wide
+    val rows = (1L to 200L).map(i =>
+      (i, Array(7.5, rnd.nextDouble() * 0.001, rnd.nextGaussian() * 100)))
+    val df = rows.toDF("vec_id", "v")
+    val m = Similarity.sqFit(df, "v")
+    assert(m.d == 3 && m.mins(0) == 7.5 && m.maxs(0) == 7.5)
+    val enc = Similarity.sqEncode(df, "v", m)
+    val codes = enc.select("vec_id", "sq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(codes.values.forall(_(0) == 0), "degenerate dim must encode 0")
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // extremes hit the code range ends
+    assert(codes.values.map(_(2)).min == 0 && codes.values.map(_(2)).max == 255)
+    // midpoint decode: every element within half a cell of the original
+    val dec = enc.withColumn("xhat", Similarity.sqDecode(col("sq"), m))
+      .select("vec_id", "v", "xhat").collect()
+    dec.foreach { r =>
+      val x = r.getSeq[Double](1); val xh = r.getSeq[Double](2)
+      for (j <- 1 until 3) { // skip the degenerate dim (decode = midpoint of cell 0)
+        val half = (m.maxs(j) - m.mins(j)) / 255.0 / 2.0
+        assert(math.abs(x(j) - xh(j)) <= half * (1 + 1e-9) + 1e-12,
+          s"dim $j error ${math.abs(x(j) - xh(j))} > half-cell $half")
+      }
+    }
+    // code is monotone in the value within each dim
+    val sorted2 = rows.sortBy(_._2(2))
+    val codeSeq = sorted2.map(t => codes(t._1)(2))
+    assert(codeSeq == codeSeq.sorted, "codes must be monotone in the value")
+    intercept[IllegalArgumentException](
+      Similarity.sqFit(Seq.empty[(Long, Array[Double])].toDF("vec_id", "v"), "v"))
+  }
+
   test("pcaFit: k above the data's effective rank fails loudly at fit time") {
     import spark.implicits._
     // 3-dim vectors confined to a 2-dim subspace (z = x + y): the third
