@@ -1448,6 +1448,47 @@ object Similarity {
       (y, m) => y + m)
   }
 
+  /** SQ8 ANN: the scan reads 8-bit codes (4x fewer bytes per vector than
+    * float32 — the memory-bound regime's cheap lever, simpler than PQ's
+    * codebooks and far more accurate per byte than its 4-bit cells),
+    * scores each row against the query by decoded-midpoint cosine (a
+    * narrow map — the decode is two codegen'd zip_with, no codebook
+    * lookups), and re-ranks the top `rerank` candidates by exact cosine
+    * on the full vectors (the [[pqTopK]] pipeline: cheap scan first,
+    * exact math on a bounded candidate set). Returns (query_id,
+    * neighbor_id, rank) like the other ANN paths.
+    *
+    * `fitted` supplies a pre-fitted [[SqModel]] so repeated queries pay
+    * the one-pass min/max fit once; the fit is deterministic, so
+    * results are identical either way.
+    */
+  def sq8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      fitted: Option[SqModel] = None): DataFrame = {
+    val model = fitted.getOrElse(sqFit(corpus, vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val codes = sqEncode(c, "cv", model, out = "code")
+      .select(col("neighbor_id"), col("code"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), sqDecode(col("code"), model)))
+    if (rerank <= 0) topKPerQuery(scored, k)
+    else {
+      val cand = topKPerQuery(scored, math.max(k, rerank))
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = c.join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      topKPerQuery(exact, k)
+    }
+  }
+
   /** Load a [[savePcaModel]]-persisted model (byte-identical roundtrip —
     * doubles ride parquet untouched).
     */

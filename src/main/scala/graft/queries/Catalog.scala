@@ -7161,6 +7161,38 @@ object Catalog {
       },
       Some("SELECT 'pq_recall_at_5' AS gate, true AS floor_met")),
 
+    "ann_sq8_topk" -> QueryDef(
+      // SQ8 ANN (Similarity.sq8TopK): the scan reads 8-bit codes — 4x
+      // fewer bytes per vector than float32, simpler than PQ's codebooks
+      // and more accurate per byte than its 4-bit cells — scores by
+      // decoded-midpoint cosine (two codegen'd zip_with, no lookups),
+      // and re-ranks the top-20 candidates by exact cosine. Quantized
+      // by construction: rows-only + oracled recall gate (the ann_*
+      // convention).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+            rerank = 20)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    "ann_sq8_recall" -> QueryDef(
+      // Recall gate for the rows-only SQ8 query — 8 bits per dimension
+      // blur almost nothing (cell width ~range/255), so with the
+      // 20-candidate exact re-rank measured recall@5 is 1.0 at both
+      // sf0.001 and sf0.01; floor 0.8 is the regression tripwire (a
+      // broken clamp/floor/midpoint collapses it far below that).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Recall.gate(
+          Similarity.sq8TopK(emb, q, k = 5, rerank = 20),
+          Similarity.bruteForceTopK(emb, q, k = 5),
+          Seq("query_id", "neighbor_id"), floor = 0.8, name = "sq8_recall_at_5")
+      },
+      Some("SELECT 'sq8_recall_at_5' AS gate, true AS floor_met")),
+
     "ann_ivfpq_topk" -> QueryDef(
       // The BILLION-scale composition (FAISS IVFPQ): IVF cells prune
       // WHICH partitions a probe reads (dynamic partition pruning, pinned

@@ -598,6 +598,31 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.sqFit(Seq.empty[(Long, Array[Double])].toDF("vec_id", "v"), "v"))
   }
 
+  test("sq8TopK: near-exact recall with re-rank, shape, no self-matches") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(emb, queries, k = 5, rerank = 20).collect()
+    assert(sq.length == 10 * 5)
+    assert(sq.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val approx = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 8 bits per dim blurs almost nothing; with exact re-rank the SQ8
+    // path should essentially reproduce brute force
+    assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
+    // no-rerank path still beats chance by a wide margin (pure
+    // decoded-midpoint ranking)
+    val raw = Similarity.sq8TopK(emb, queries, k = 5, rerank = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (exact intersect raw).size.toDouble / exact.size
+    assert(rawRecall >= 0.7, s"raw SQ8 recall $rawRecall below 0.7")
+    // a pre-fitted model gives identical results (deterministic fit)
+    val m = Similarity.sqFit(emb, "embedding")
+    val refit = Similarity.sq8TopK(emb, queries, k = 5, rerank = 20,
+      fitted = Some(m)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refit == approx)
+  }
+
   test("pcaFit: k above the data's effective rank fails loudly at fit time") {
     import spark.implicits._
     // 3-dim vectors confined to a 2-dim subspace (z = x + y): the third
