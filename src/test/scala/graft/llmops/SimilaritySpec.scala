@@ -623,6 +623,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refit == approx)
   }
 
+  test("randomProject/sqEncode are stream-safe: stateless narrow maps give batch-identical output on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val rows = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val batch = rows.toDF("vec_id", "v")
+    val m = Similarity.sqFit(batch, "v")
+    val input = MemoryStream[(Long, Array[Double])]
+    val streamed = Similarity.sqEncode(
+      Similarity.randomProject(input.toDF().toDF("vec_id", "v"),
+        "v", k = 4, d = 8, seed = 3L),
+      "v", m, out = "sq")
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rp_sq_stream").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = spark.table("rp_sq_stream").select("vec_id", "rp", "sq")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Int](2)))
+        .sortBy(_._1).toSeq
+      val exp = Similarity.sqEncode(
+          Similarity.randomProject(batch, "v", k = 4, d = 8, seed = 3L),
+          "v", m, out = "sq")
+        .select("vec_id", "rp", "sq").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Int](2)))
+        .sortBy(_._1).toSeq
+      assert(got == exp, "streaming projection/quantization diverged from batch")
+    } finally q.stop()
+  }
+
   test("pcaFit: k above the data's effective rank fails loudly at fit time") {
     import spark.implicits._
     // 3-dim vectors confined to a 2-dim subspace (z = x + y): the third

@@ -20,6 +20,26 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("emb_rp / emb_sq8: projection and quantization stay narrow maps — one exchange (the output sort), pruned scan") {
+    for (name <- Seq("emb_rp", "emb_sq8")) {
+      val p = plan(name)
+      // the compression itself must never shuffle: the only exchange in
+      // the plan is the presentation ORDER BY's range partitioning
+      val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+      assert(ex == 1, s"$name: expected exactly 1 exchange (the output sort), got $ex:\n$p")
+      // (emb_sq8's min/max fit is a separate bounded job at build time —
+      // the RETURNED plan is pure encode, so neither row may aggregate)
+      assert(!p.contains("HashAggregate"),
+        s"$name: the narrow map grew an aggregate")
+      assert(!p.contains("Join"), s"$name: the narrow map grew a join")
+      // column pruning: the scan reads only (vec_id, embedding)
+      val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(read.contains("vec_id") && read.contains("embedding") &&
+        !read.contains("label"),
+        s"$name: scan is not pruned to (vec_id, embedding): $read")
+    }
+  }
+
   test("kv_prefix_scan: prefix reaches the parquet scan as a pushed StringStartsWith") {
     val p = plan("kv_prefix_scan")
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
