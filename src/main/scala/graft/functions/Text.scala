@@ -90,6 +90,73 @@ object Text {
     round((lenScore + stopScore + punctPenalty) / 3.0, 6)
   }
 
+  /** Marker keywords for [[codeScore]] — a fixed cross-language set
+    * (Python/JS/Java/C-family), matched against normalized tokens.
+    */
+  private val codeKeywordList = Seq(
+    "def", "return", "if", "else", "for", "while", "import", "class",
+    "function", "var", "let", "const", "int", "void", "public", "static",
+    "new", "null", "true", "false")
+
+  def codeKeywords: Seq[String] = codeKeywordList
+
+  /** Ratio of code-structural symbols (braces/brackets/parens/semicolons/
+    * operators) to characters — prose sits near 0, source code well above.
+    */
+  def symbolRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[{}\\[\\]();=<>#_]", "")))
+        .cast("double") / length(text))
+
+  /** Fraction of normalized tokens that are cross-language code keywords. */
+  def codeKeywordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(codeKeywordList.map(lit): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** Fraction of raw (case-preserving) whitespace tokens containing a
+    * lower→upper camelCase transition, over the normalized token count —
+    * identifier-shaped tokens are a code signal prose lacks.
+    */
+  def camelRatio(text: Column): Column = {
+    val n = size(tokens(text))
+    when(n === 0, lit(0.0)).otherwise(
+      size(filter(split(text, "\\s+"), t => t.rlike("[a-z][A-Z]")))
+        .cast("double") / n)
+  }
+
+  /** Fraction of non-empty lines that LOOK like statements: ending in
+    * `;`/`{`/`}`/`:` (modulo trailing spaces) or starting with an indent
+    * (4 spaces or a tab). Single-line text degenerates gracefully (one
+    * line, scored by its ending alone).
+    */
+  def structuredLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      size(filter(lines, l =>
+        l.rlike("[;{}:] *$") || l.rlike("^(    |\t)")))
+        .cast("double") / size(lines))
+  }
+
+  /** Code-vs-prose score in [0,1] — the routing signal a pretraining
+    * pipeline uses to send documents to a code-specific cleaning path
+    * (or to weight the code share of a training mix) before any
+    * model-based classifier runs. Four independent cheap signals, each
+    * saturated then averaged, so no single feature can dominate:
+    * symbols, keywords, camelCase identifiers, statement-shaped lines.
+    * Built from codegen'd functions only (the [[qualityScore]]
+    * discipline) and exactly replayable in SQL: every feature is a
+    * character/token count both engines derive identically, and the
+    * composite keeps one fixed parenthesization.
+    */
+  def codeScore(text: Column): Column =
+    round((least(symbolRatio(text) * 8.0, lit(1.0)) +
+      least(codeKeywordRatio(text) * 10.0, lit(1.0)) +
+      least(camelRatio(text) * 5.0, lit(1.0)) +
+      least(structuredLineRatio(text) * 2.0, lit(1.0))) / 4.0, 6)
+
   /** Language-ID by marker-stopword scoring: counts hits from a per-language
     * marker set over the token array and picks the best score (ties resolve
     * by fixed language order). N-gram-heuristic class, deterministic, no UDF.

@@ -5162,6 +5162,47 @@ object Catalog {
           ELSE 'und' END AS lang_pred
         FROM sc ORDER BY doc_id""")),
 
+    "text_codeid" -> QueryDef(
+      // Code-vs-prose routing (Text.codeScore): the signal that sends a
+      // document to a code-specific cleaning path (or weights the code
+      // share of a training mix) before any model-based classifier runs
+      // — the text_langid convention applied to the code/prose axis.
+      // Four saturated cheap signals averaged (symbols, keywords,
+      // camelCase identifiers, statement-shaped lines), each a
+      // character/token count both engines derive identically; one
+      // fixed parenthesization, fully oracled.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(Text.symbolRatio(col("text")), 6).as("symbol_ratio"),
+          round(Text.codeKeywordRatio(col("text")), 6).as("keyword_ratio"),
+          round(Text.camelRatio(col("text")), 6).as("camel_ratio"),
+          round(Text.structuredLineRatio(col("text")), 6).as("line_ratio"),
+          Text.codeScore(col("text")).as("code_score"))
+        .orderBy("doc_id"),
+      Some {
+        val kw = Text.codeKeywords.map(w => s"'$w'").mkString(", ")
+        s"""WITH lines AS (SELECT doc_id,
+            list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS nel
+          FROM documents),
+        f AS (SELECT d.doc_id,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[{}\\[\\]();=<>#_]', '', 'g')))::DOUBLE / length(text) END AS sym,
+            CASE WHEN len($toksSql) = 0 THEN 0.0
+                 ELSE len(list_filter($toksSql, tk -> tk IN ($kw)))::DOUBLE / len($toksSql) END AS kw,
+            CASE WHEN len($toksSql) = 0 THEN 0.0
+                 ELSE len(list_filter(string_split_regex(text, '\\s+'),
+                     x -> regexp_matches(x, '[a-z][A-Z]')))::DOUBLE / len($toksSql) END AS cam,
+            CASE WHEN len(nel) = 0 THEN 0.0
+                 ELSE len(list_filter(nel, l -> regexp_matches(l, '[;{}:] *$$')
+                     OR regexp_matches(l, '^(    |\t)')))::DOUBLE / len(nel) END AS ln
+          FROM documents d JOIN lines ON d.doc_id = lines.doc_id)
+        SELECT doc_id, round(sym, 6) AS symbol_ratio, round(kw, 6) AS keyword_ratio,
+          round(cam, 6) AS camel_ratio, round(ln, 6) AS line_ratio,
+          round((least(sym * 8.0, 1.0) + least(kw * 10.0, 1.0) +
+            least(cam * 5.0, 1.0) + least(ln * 2.0, 1.0)) / 4.0, 6) AS code_score
+        FROM f ORDER BY doc_id"""
+      }),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))

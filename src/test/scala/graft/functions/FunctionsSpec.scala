@@ -74,6 +74,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(Text.langId(col("text")), "zzz qqq") == "und")
   }
 
+  test("codeScore separates code from prose; features bounded and degenerate-safe") {
+    val code =
+      "def countItems(itemList):\n    totalCount = 0\n    for x in itemList:\n" +
+        "        if x != null:\n            totalCount = totalCount + 1;\n    return totalCount;"
+    val prose = "The quick brown fox jumps over the lazy dog and then " +
+      "it rests in the shade of an old oak tree for the afternoon."
+    val cs = one(Text.codeScore(col("text")), code).asInstanceOf[Double]
+    val ps = one(Text.codeScore(col("text")), prose).asInstanceOf[Double]
+    assert(cs > 0.5, s"code snippet scored $cs")
+    assert(ps < 0.2, s"prose scored $ps")
+    assert(cs > ps + 0.4, s"separation too weak: code=$cs prose=$ps")
+    // features individually bounded in [0,1] and empty-safe
+    for (f <- Seq(Text.symbolRatio _, Text.codeKeywordRatio _,
+        Text.camelRatio _, Text.structuredLineRatio _)) {
+      val v = one(f(col("text")), code).asInstanceOf[Double]
+      assert(v >= 0.0 && v <= 1.0)
+      assert(one(f(col("text")), "").asInstanceOf[Double] == 0.0)
+    }
+    // the statement-line signal sees indents AND terminators
+    val lr = one(Text.structuredLineRatio(col("text")), code).asInstanceOf[Double]
+    assert(lr == 1.0, s"every line of the snippet is statement-shaped, got $lr")
+    // camelCase counts case transitions, not lowercase words
+    assert(one(Text.camelRatio(col("text")), "itemList totalCount plain")
+      .asInstanceOf[Double] > 0.5)
+    assert(one(Text.camelRatio(col("text")), "plain words only")
+      .asInstanceOf[Double] == 0.0)
+  }
+
   test("cosine/jaccard basics") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
