@@ -247,6 +247,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_random_project"),
       new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_random_project"),
       (args: Seq[Expression]) => GraftExtensions.graftRandomProjectPlan(args)))
+    //   SELECT doc_id, code_score FROM graft_codeid('documents', 'text')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_codeid"),
+      new ExpressionInfo(classOf[graft.functions.Text.type].getName, "graft_codeid"),
+      (args: Seq[Expression]) => GraftExtensions.graftCodeidPlan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -813,6 +818,30 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_codeid(table, textCol)`: code-vs-prose routing signals from
+    * SQL — routes to [[graft.functions.Text.codeScore]] and its four
+    * component features (all codegen'd builtin functions, narrow map).
+    * Returns the input columns plus `symbol_ratio`, `keyword_ratio`,
+    * `camel_ratio`, `line_ratio`, `code_score` (6dp doubles).
+    */
+  private[graft] def graftCodeidPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2,
+      s"graft_codeid(table, textCol) expects 2 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_codeid table"))
+    val tc = org.apache.spark.sql.functions.col(
+      stringLit(args(1), "graft_codeid textCol"))
+    import org.apache.spark.sql.functions.round
+    val T = graft.functions.Text
+    df.withColumn("symbol_ratio", round(T.symbolRatio(tc), 6))
+      .withColumn("keyword_ratio", round(T.codeKeywordRatio(tc), 6))
+      .withColumn("camel_ratio", round(T.camelRatio(tc), 6))
+      .withColumn("line_ratio", round(T.structuredLineRatio(tc), 6))
+      .withColumn("code_score", T.codeScore(tc))
+      .queryExecution.analyzed
+  }
+
   /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
     * per-stratum form — exactly k weight-proportional rows from EVERY
     * stratum, routed to
@@ -1044,6 +1073,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_stratum_sample", graftStratumSamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_pca", graftPcaPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_random_project", graftRandomProjectPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_codeid", graftCodeidPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

@@ -76,6 +76,34 @@ object Catalog {
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** Shared oracle of text_codeid / text_codeid_sql: every feature is a
+    * character/token count both engines derive identically, composed
+    * with the exact parenthesization of [[graft.functions.Text.codeScore]].
+    */
+  private lazy val codeidOracleSql: String = {
+    val kw = graft.functions.Text.codeKeywords.map(w => s"'$w'").mkString(", ")
+    s"""WITH lines AS (SELECT doc_id,
+        list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS nel
+      FROM documents),
+    f AS (SELECT d.doc_id,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[{}\\[\\]();=<>#_]', '', 'g')))::DOUBLE / length(text) END AS sym,
+        CASE WHEN len($toksSql) = 0 THEN 0.0
+             ELSE len(list_filter($toksSql, tk -> tk IN ($kw)))::DOUBLE / len($toksSql) END AS kw,
+        CASE WHEN len($toksSql) = 0 THEN 0.0
+             ELSE len(list_filter(string_split_regex(text, '\\s+'),
+                 x -> regexp_matches(x, '[a-z][A-Z]')))::DOUBLE / len($toksSql) END AS cam,
+        CASE WHEN len(nel) = 0 THEN 0.0
+             ELSE len(list_filter(nel, l -> regexp_matches(l, '[;{}:] *$$')
+                 OR regexp_matches(l, '^(    |\t)')))::DOUBLE / len(nel) END AS ln
+      FROM documents d JOIN lines ON d.doc_id = lines.doc_id)
+    SELECT doc_id, round(sym, 6) AS symbol_ratio, round(kw, 6) AS keyword_ratio,
+      round(cam, 6) AS camel_ratio, round(ln, 6) AS line_ratio,
+      round((least(sym * 8.0, 1.0) + least(kw * 10.0, 1.0) +
+        least(cam * 5.0, 1.0) + least(ln * 2.0, 1.0)) / 4.0, 6) AS code_score
+    FROM f ORDER BY doc_id"""
+  }
+
   // ======================================================== A. relational ==
 
   /** Write-once bucketed copies of (lineitem, orders) per dataset,
@@ -5179,29 +5207,21 @@ object Catalog {
           round(Text.structuredLineRatio(col("text")), 6).as("line_ratio"),
           Text.codeScore(col("text")).as("code_score"))
         .orderBy("doc_id"),
-      Some {
-        val kw = Text.codeKeywords.map(w => s"'$w'").mkString(", ")
-        s"""WITH lines AS (SELECT doc_id,
-            list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS nel
-          FROM documents),
-        f AS (SELECT d.doc_id,
-            CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE (length(text) - length(regexp_replace(text, '[{}\\[\\]();=<>#_]', '', 'g')))::DOUBLE / length(text) END AS sym,
-            CASE WHEN len($toksSql) = 0 THEN 0.0
-                 ELSE len(list_filter($toksSql, tk -> tk IN ($kw)))::DOUBLE / len($toksSql) END AS kw,
-            CASE WHEN len($toksSql) = 0 THEN 0.0
-                 ELSE len(list_filter(string_split_regex(text, '\\s+'),
-                     x -> regexp_matches(x, '[a-z][A-Z]')))::DOUBLE / len($toksSql) END AS cam,
-            CASE WHEN len(nel) = 0 THEN 0.0
-                 ELSE len(list_filter(nel, l -> regexp_matches(l, '[;{}:] *$$')
-                     OR regexp_matches(l, '^(    |\t)')))::DOUBLE / len(nel) END AS ln
-          FROM documents d JOIN lines ON d.doc_id = lines.doc_id)
-        SELECT doc_id, round(sym, 6) AS symbol_ratio, round(kw, 6) AS keyword_ratio,
-          round(cam, 6) AS camel_ratio, round(ln, 6) AS line_ratio,
-          round((least(sym * 8.0, 1.0) + least(kw * 10.0, 1.0) +
-            least(cam * 5.0, 1.0) + least(ln * 2.0, 1.0)) / 4.0, 6) AS code_score
-        FROM f ORDER BY doc_id"""
-      }),
+      Some(codeidOracleSql)),
+
+    "text_codeid_sql" -> QueryDef(
+      // the same routing signals from PURE SQL: the graft_codeid TVF
+      // routes to Text.codeScore and its component features, so a SQL
+      // session scores identically with no Column API; same oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_cid_docs")
+        s.sql("""SELECT doc_id, symbol_ratio, keyword_ratio, camel_ratio,
+            line_ratio, code_score
+          FROM graft_codeid('graft_cid_docs', 'text') ORDER BY doc_id""")
+      },
+      Some(codeidOracleSql)),
 
     "text_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")

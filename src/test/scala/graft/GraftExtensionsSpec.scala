@@ -304,6 +304,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_random_project"), e.getMessage)
   }
 
+  test("graft_codeid TVF: SQL scores equal the Column API, loud arity error") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "def countItems(itemList):\n    return len(itemList);"),
+      (2L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("cid_tvf_in")
+    val viaSql = spark.sql(
+        "SELECT doc_id, code_score FROM graft_codeid('cid_tvf_in', 'text')")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaApi = df.select(col("doc_id"),
+        graft.functions.Text.codeScore(col("text")).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql(1L) > viaSql(2L), "code must outscore prose through SQL")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_codeid('cid_tvf_in')").collect())
+    assert(e.getMessage.contains("graft_codeid"), e.getMessage)
+  }
+
   test("resample TVFs: non-numeric ts/value boundaries raise loudly") {
     GraftExtensions.register(spark)
     import spark.implicits._
