@@ -315,6 +315,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
         "SELECT doc_id, code_score FROM graft_codeid('cid_tvf_in', 'text')")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import org.apache.spark.sql.functions.col
     val viaApi = df.select(col("doc_id"),
         graft.functions.Text.codeScore(col("text")).as("cs"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
