@@ -252,6 +252,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_codeid"),
       new ExpressionInfo(classOf[graft.functions.Text.type].getName, "graft_codeid"),
       (args: Seq[Expression]) => GraftExtensions.graftCodeidPlan(args)))
+    //   SELECT vec_id, sq FROM graft_sq8('/model', 'emb_view', 'embedding')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_sq8"),
+      new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_sq8"),
+      (args: Seq[Expression]) => GraftExtensions.graftSq8Plan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -818,6 +823,26 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_sq8(modelDir, table, vecCol)`: 8-bit scalar-quantize a
+    * table's vectors against a
+    * [[graft.llmops.Similarity.saveSqModel]]-persisted model — the
+    * `graft_pca` convention (fit once programmatically, consume from
+    * any SQL session). Returns the input columns plus `sq`
+    * (array<int> codes in [0, 255]).
+    */
+  private[graft] def graftSq8Plan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      s"graft_sq8(modelDir, table, vecCol) expects 3 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val model = graft.llmops.Similarity.loadSqModel(spark,
+      stringLit(args(0), "graft_sq8 modelDir"))
+    val df = spark.table(stringLit(args(1), "graft_sq8 table"))
+    graft.llmops.Similarity.sqEncode(df,
+        stringLit(args(2), "graft_sq8 vecCol"), model)
+      .queryExecution.analyzed
+  }
+
   /** `graft_codeid(table, textCol)`: code-vs-prose routing signals from
     * SQL — routes to [[graft.functions.Text.codeScore]] and its four
     * component features (all codegen'd builtin functions, narrow map).
@@ -1074,6 +1099,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_pca", graftPcaPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_random_project", graftRandomProjectPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_codeid", graftCodeidPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_sq8", graftSq8Plan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

@@ -1448,6 +1448,32 @@ object Similarity {
       (y, m) => y + m)
   }
 
+  /** Persist a fitted [[SqModel]] at `dir` — the [[savePcaModel]]
+    * convention: a model fits once and serves any number of later jobs
+    * and SQL sessions (`graft_sq8` TVF). One small parquet of
+    * (kind, vec) rows, mode=overwrite for atomic re-fit replacement.
+    */
+  def saveSqModel(model: SqModel, dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq(("mins", model.mins.toSeq), ("maxs", model.maxs.toSeq))
+      .toDF("kind", "vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Load a [[saveSqModel]]-persisted model (byte-identical roundtrip). */
+  def loadSqModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SqModel = {
+    val rows = spark.read.parquet(s"$dir/model")
+      .select(col("kind"), col("vec"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    def one(kind: String): Array[Double] = rows.getOrElse(kind,
+      throw new IllegalStateException(
+        s"loadSqModel: corrupt model at $dir — missing '$kind' row"))
+    SqModel(one("mins"), one("maxs"))
+  }
+
   /** SQ8 ANN: the scan reads 8-bit codes (4x fewer bytes per vector than
     * float32 — the memory-bound regime's cheap lever, simpler than PQ's
     * codebooks and far more accurate per byte than its 4-bit cells),

@@ -623,6 +623,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refit == approx)
   }
 
+  test("SQ model persistence: byte-identical roundtrip; graft_sq8 TVF equals the API") {
+    import spark.implicits._
+    val sample = emb.limit(100).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val m = Similarity.sqFit(sample, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("sq-model").toString
+    Similarity.saveSqModel(m, dir, spark)
+    val m2 = Similarity.loadSqModel(spark, dir)
+    assert(m2.mins.toSeq == m.mins.toSeq && m2.maxs.toSeq == m.maxs.toSeq)
+    graft.GraftExtensions.register(spark)
+    sample.createOrReplaceTempView("sq_tvf_in")
+    val viaSql = spark.sql(
+        s"SELECT vec_id, sq FROM graft_sq8('$dir', 'sq_tvf_in', 'embedding')")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaApi = Similarity.sqEncode(sample, "embedding", m)
+      .select("vec_id", "sq")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaSql == viaApi)
+    // corrupt model (missing maxs row) loads loudly, never half-formed
+    val bad = java.nio.file.Files.createTempDirectory("sq-bad").toString
+    Seq(("mins", m.mins.toSeq)).toDF("kind", "vec")
+      .write.mode("overwrite").parquet(s"$bad/model")
+    val e = intercept[IllegalStateException](Similarity.loadSqModel(spark, bad))
+    assert(e.getMessage.contains("missing 'maxs'"), e.getMessage)
+  }
+
   test("randomProject/sqEncode are stream-safe: stateless narrow maps give batch-identical output on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
