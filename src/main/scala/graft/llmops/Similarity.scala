@@ -1405,6 +1405,15 @@ object Similarity {
     rows.foreach { r =>
       mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
     }
+    // an Inf/NaN element would make a range infinite and poison every
+    // code on that dimension via inf * 0 = NaN (silently null codes);
+    // quantization is only meaningful over finite ranges — fail loudly
+    (0 until d).foreach { j =>
+      require(java.lang.Double.isFinite(mins(j)) &&
+          java.lang.Double.isFinite(maxs(j)),
+        s"sqFit: dimension $j has a non-finite range [${mins(j)}, " +
+          s"${maxs(j)}] — quantization needs finite inputs")
+    }
     SqModel(mins, maxs)
   }
 

@@ -623,6 +623,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refit == approx)
   }
 
+  test("sq8 fuzz: codes equal an independent driver-side reference across random shapes/partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    for (round <- 1 to 8) {
+      val n = 5 + rnd.nextInt(80)
+      val d = 1 + rnd.nextInt(12)
+      val parts = 1 + rnd.nextInt(5)
+      val rows = (1L to n).map(i =>
+        (i, Array.fill(d)(rnd.nextGaussian() * math.exp(rnd.nextGaussian()))))
+      val df = rows.toDF("vec_id", "v").repartition(parts)
+      val m = Similarity.sqFit(df, "v")
+      val got = Similarity.sqEncode(df, "v", m)
+        .select("vec_id", "sq").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      // independent reference: plain Scala over the raw rows, same ops
+      val mins = Array.tabulate(d)(j => rows.map(_._2(j)).min)
+      val maxs = Array.tabulate(d)(j => rows.map(_._2(j)).max)
+      rows.foreach { case (id, v) =>
+        val exp = Array.tabulate(d) { j =>
+          if (maxs(j) > mins(j)) {
+            val s = 255.0 / (maxs(j) - mins(j))
+            math.min(math.max(math.floor((v(j) - mins(j)) * s), 0.0), 255.0).toInt
+          } else 0
+        }.toSeq
+        assert(got(id) == exp, s"round $round (n=$n d=$d parts=$parts) id=$id")
+      }
+    }
+    // non-finite inputs fail the fit loudly, never NaN-poison the codes
+    val e = intercept[IllegalArgumentException](Similarity.sqFit(
+      Seq((1L, Array(1.0, Double.PositiveInfinity)), (2L, Array(0.5, 2.0)))
+        .toDF("vec_id", "v"), "v"))
+    assert(e.getMessage.contains("non-finite"), e.getMessage)
+  }
+
+  test("randomProjectionBasis fuzz: random (k, d, seed) all equal the MessageDigest reference") {
+    val rnd = new scala.util.Random(55L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (_ <- 1 to 10) {
+      val k = 1 + rnd.nextInt(20)
+      val d = 1 + rnd.nextInt(100)
+      val seed = rnd.nextLong()
+      val basis = Similarity.randomProjectionBasis(k, d, seed)
+      val scale = 1.0 / math.sqrt(k.toDouble)
+      for (c <- 0 until k; j <- 0 until d) {
+        md.reset()
+        val b0 = md.digest(s"$seed:$c:$j".getBytes("UTF-8"))(0)
+        val exp = if ((b0 & 0x80) == 0) scale else -scale
+        assert(basis(c)(j) == exp, s"k=$k d=$d seed=$seed cell ($c,$j)")
+      }
+    }
+  }
+
   test("SQ model persistence: byte-identical roundtrip; graft_sq8 TVF equals the API") {
     import spark.implicits._
     val sample = emb.limit(100).select(col("vec_id"),
