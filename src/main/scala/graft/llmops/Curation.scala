@@ -153,6 +153,63 @@ object Curation {
     df.filter(knuthDraw(col(idCol)) < frac * 4294967296.0)
   }
 
+  /** Temperature-flattened source mixing — the `p^alpha` recipe
+    * multilingual/pretraining corpora use to keep high-resource strata
+    * from drowning low-resource ones (alpha = 1 reproduces natural
+    * proportions, alpha → 0 approaches uniform): stratum `s` with share
+    * `p_s = n_s / N` gets sampling weight `q_s ∝ p_s^alpha`, and a
+    * total `budget` rows are drawn as per-stratum keep-rates
+    * `r_s = min(1, budget · (q_s / Z) / n_s)` (without-replacement
+    * clamp — the standard practice when a low-resource stratum's target
+    * exceeds its size). The draw itself is [[sampleStrata]]'s certified
+    * pure-int64 Knuth hash, so the EXACT surviving set is a function of
+    * the ids and SQL-verifiable.
+    *
+    * Cost: one count aggregate (exchange carries |strata| cells,
+    * collected bounded) + one narrow filter — no shuffle of the corpus,
+    * no RNG state. Cross-engine replay: with `alpha = 0.5` every step
+    * is IEEE-correctly-rounded (integer counts, one exact division,
+    * `sqrt`, a fixed-order denominator sum, one 9dp HALF_UP round) and
+    * the pipeline_temperature_mix oracle replays the whole recipe;
+    * other alphas go through `pow`, which is libm-dependent (the
+    * documented reason the priority sampler avoids transcendentals) —
+    * fine for use, not for bit-level cross-engine replay.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      budget: Long,
+      alpha: Double = 0.5,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "temperatureMix: budget must be positive")
+    require(alpha > 0.0 && alpha <= 1.0,
+      "temperatureMix: alpha must be in (0, 1] (1 = natural proportions)")
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMix: strataCol '$strataCol' must be a string (the " +
+        "keep-rate map keys match on string equality), got " +
+        df.schema(strataCol).dataType.simpleString)
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: no strata to mix")
+    val total = counts.map(_._2).sum.toDouble
+    // sqrt (correctly rounded) for the replayable alpha; pow otherwise
+    def flat(p: Double): Double =
+      if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)
+    val qs = counts.map { case (s, n) => (s, n, flat(n / total)) }
+    // denominator summed in SORTED-stratum order — the same sequential
+    // fold the oracle's ordered running sum replays
+    var z = 0.0
+    qs.foreach(z += _._3)
+    val rates = qs.map { case (s, n, q) =>
+      val r = math.min(1.0, budget.toDouble * (q / z) / n.toDouble)
+      s -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    sampleStrata(df, strataCol, rates, defaultFraction = 0.0, idCol)
+  }
+
   /** Deterministic per-row WEIGHTED sampling: keep each row with
     * probability `weightCol` (clamped to [0, 1]) — quality- or
     * length-proportional downsampling, the continuous generalization of

@@ -6364,6 +6364,35 @@ object Catalog {
           FROM mixed)
         ORDER BY shard, pos""")),
 
+    "pipeline_temperature_mix" -> QueryDef(
+      // Temperature-flattened language mixing (Curation.temperatureMix):
+      // the p^alpha recipe multilingual corpora use — en (218 docs at
+      // sf0.01) is downsampled hardest, fr (64) gentlest, per-stratum
+      // keep-rates min(1, B·q/Z/n) with q = sqrt(share). EVERY step
+      // replays in SQL: integer counts, one exact division, sqrt
+      // (correctly rounded), a sorted-stratum ordered denominator sum,
+      // a 9dp HALF_UP round, then the certified pure-int64 Knuth draw —
+      // so the oracle verifies the exact surviving set, not just
+      // per-stratum counts.
+      (s, dir) => Curation.temperatureMix(
+          t(s, dir, "documents"), "lang", budget = 250L, alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang AS s, count(*) AS n FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang),
+          tt AS (SELECT sum(n)::DOUBLE AS nn FROM c),
+          q AS (SELECT s, n, sqrt(n::DOUBLE / (SELECT nn FROM tt)) AS qa FROM c),
+          z AS (SELECT max(zz) AS z FROM
+            (SELECT sum(qa) OVER (ORDER BY s) AS zz FROM q)),
+          r AS (SELECT s, round(least(1.0,
+              250.0 * (qa / (SELECT z FROM z)) / n::DOUBLE), 9) AS rate FROM q)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN r ON d.lang = r.s
+        WHERE ((d.doc_id % 1000003 + 1) * 2654435761
+             + (d.doc_id % 999983 + 1) * 2246822519) % 4294967296
+            < rate * 4294967296
+        ORDER BY d.doc_id""")),
+
     "pipeline_token_budget" -> QueryDef(
       // Token-budget packing: fill a per-language token budget with the
       // highest-quality documents first — the selection step between

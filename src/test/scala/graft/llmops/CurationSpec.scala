@@ -353,6 +353,50 @@ class CurationSpec extends AnyFunSuite {
       s"expected the weight guard to fire for a non-numeric weight, got $eStr")
   }
 
+  test("temperatureMix: exact keep set equals an independent reference; alpha flattens; guards raise") {
+    // skewed strata: "big" 300 docs, "mid" 60, "small" 20
+    val rows = (1L to 300L).map(i => (i, "big")) ++
+      (1001L to 1060L).map(i => (i, "mid")) ++
+      (2001L to 2020L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "lang")
+    val budget = 120L
+    val got = Curation.temperatureMix(df.repartition(5), "lang", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent reference: plain Scala recompute of rates + draw
+    def draw(id: Long): Long =
+      ((id % 1000003 + 1) * 2654435761L + (id % 999983 + 1) * 2246822519L) % 4294967296L
+    val counts = rows.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+      .toSeq.sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    var z = 0.0
+    counts.foreach { case (_, n) => z += math.sqrt(n / total) }
+    val rates = counts.map { case (s, n) =>
+      val r = math.min(1.0, budget.toDouble * (math.sqrt(n / total) / z) / n.toDouble)
+      s -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val exp = rows.filter { case (id, s) =>
+      draw(id) < rates(s) * 4294967296.0
+    }.map(_._1).toSet
+    assert(got == exp, "keep set differs from the independent reference")
+    // flattening: smaller strata keep a HIGHER fraction under alpha = 0.5
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"),
+      s"rates not flattened: $rates")
+    // alpha = 1 reproduces natural proportions: one uniform keep-rate
+    val natural = Curation.temperatureMix(df, "lang", budget, alpha = 1.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // uniform rate ~ budget/N = 0.316: every stratum downsamples by the
+    // SAME fraction (binomial noise aside, each stays well below its size)
+    assert(natural.values.sum < 200L && natural("big") > 5 * natural("small"),
+      s"alpha=1 should keep natural skew, got $natural")
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(df, "lang", 0L))
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(df, "lang", 10L, alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(df.withColumn("lang", col("doc_id")), "lang", 10L))
+  }
+
   test("prioritySample/byStratum: non-long-castable ids raise loudly (no silent empty sample)") {
     // the winner set is keyed on idCol cast to long: without the guard a
     // string doc-id corpus casts to NULL, the TopKBy buffer skips every
