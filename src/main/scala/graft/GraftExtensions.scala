@@ -257,6 +257,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sq8"),
       new ExpressionInfo(classOf[graft.llmops.Similarity.type].getName, "graft_sq8"),
       (args: Seq[Expression]) => GraftExtensions.graftSq8Plan(args)))
+    //   SELECT * FROM graft_temperature_mix('documents', 'lang', 250)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_temperature_mix"),
+      new ExpressionInfo(classOf[graft.llmops.Curation.type].getName, "graft_temperature_mix"),
+      (args: Seq[Expression]) => GraftExtensions.graftTemperatureMixPlan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -843,6 +848,28 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_temperature_mix(table, strataCol, budget[, alpha])`:
+    * temperature-flattened source mixing from SQL — routes to
+    * [[graft.llmops.Curation.temperatureMix]] (p^alpha keep-rates over
+    * the certified Knuth draw; the |strata|-cell count fit runs at plan
+    * build, the `graft_bpe` eager-fit convention). Returns the
+    * surviving rows with their original columns.
+    */
+  private[graft] def graftTemperatureMixPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_temperature_mix(table, strataCol, budget[, alpha]) expects " +
+        s"3-4 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_temperature_mix table"))
+    graft.llmops.Curation.temperatureMix(df,
+        strataCol = stringLit(args(1), "graft_temperature_mix strataCol"),
+        budget = longLit(args(2), "graft_temperature_mix budget"),
+        alpha = if (args.length == 4)
+          doubleLit(args(3), "graft_temperature_mix alpha") else 0.5)
+      .queryExecution.analyzed
+  }
+
   /** `graft_codeid(table, textCol)`: code-vs-prose routing signals from
     * SQL — routes to [[graft.functions.Text.codeScore]] and its four
     * component features (all codegen'd builtin functions, narrow map).
@@ -1100,6 +1127,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_random_project", graftRandomProjectPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_codeid", graftCodeidPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_sq8", graftSq8Plan, "built-in")
+    treg.createOrReplaceTempFunction("graft_temperature_mix", graftTemperatureMixPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

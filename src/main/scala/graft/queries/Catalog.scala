@@ -76,6 +76,27 @@ object Catalog {
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** Shared oracle of pipeline_temperature_mix / _sql: replays the whole
+    * alpha=0.5 rate recipe (counts, sqrt shares, sorted-stratum ordered
+    * denominator sum, 9dp HALF_UP round) and the certified Knuth draw,
+    * verifying the EXACT surviving set.
+    */
+  private lazy val temperatureMixOracleSql: String =
+    """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang),
+        tt AS (SELECT sum(n)::DOUBLE AS nn FROM c),
+        q AS (SELECT s, n, sqrt(n::DOUBLE / (SELECT nn FROM tt)) AS qa FROM c),
+        z AS (SELECT max(zz) AS z FROM
+          (SELECT sum(qa) OVER (ORDER BY s) AS zz FROM q)),
+        r AS (SELECT s, round(least(1.0,
+            250.0 * (qa / (SELECT z FROM z)) / n::DOUBLE), 9) AS rate FROM q)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN r ON d.lang = r.s
+      WHERE ((d.doc_id % 1000003 + 1) * 2654435761
+           + (d.doc_id % 999983 + 1) * 2246822519) % 4294967296
+          < rate * 4294967296
+      ORDER BY d.doc_id"""
+
   /** Shared oracle of text_codeid / text_codeid_sql: every feature is a
     * character/token count both engines derive identically, composed
     * with the exact parenthesization of [[graft.functions.Text.codeScore]].
@@ -6378,20 +6399,22 @@ object Catalog {
           t(s, dir, "documents"), "lang", budget = 250L, alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id"),
-      Some("""WITH c AS (SELECT lang AS s, count(*) AS n FROM documents
-            WHERE lang IS NOT NULL GROUP BY lang),
-          tt AS (SELECT sum(n)::DOUBLE AS nn FROM c),
-          q AS (SELECT s, n, sqrt(n::DOUBLE / (SELECT nn FROM tt)) AS qa FROM c),
-          z AS (SELECT max(zz) AS z FROM
-            (SELECT sum(qa) OVER (ORDER BY s) AS zz FROM q)),
-          r AS (SELECT s, round(least(1.0,
-              250.0 * (qa / (SELECT z FROM z)) / n::DOUBLE), 9) AS rate FROM q)
-        SELECT d.doc_id, d.lang, d.source
-        FROM documents d JOIN r ON d.lang = r.s
-        WHERE ((d.doc_id % 1000003 + 1) * 2654435761
-             + (d.doc_id % 999983 + 1) * 2246822519) % 4294967296
-            < rate * 4294967296
-        ORDER BY d.doc_id""")),
+      Some(temperatureMixOracleSql)),
+
+    "pipeline_temperature_mix_sql" -> QueryDef(
+      // the same flattened mix from PURE SQL: the graft_temperature_mix
+      // TVF routes to Curation.temperatureMix (the count fit runs at
+      // plan build — the graft_bpe eager-fit convention), so a SQL
+      // session draws the identical surviving set; same oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_tm_docs")
+        s.sql("""SELECT doc_id, lang, source
+          FROM graft_temperature_mix('graft_tm_docs', 'lang', 250)
+          ORDER BY doc_id""")
+      },
+      Some(temperatureMixOracleSql)),
 
     "pipeline_token_budget" -> QueryDef(
       // Token-budget packing: fill a per-language token budget with the

@@ -304,6 +304,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_random_project"), e.getMessage)
   }
 
+  test("graft_temperature_mix TVF: SQL keep set equals the API, loud arity error") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = (1L to 120L).map(i => (i, if (i <= 100) "big" else "small"))
+    val df = rows.toDF("doc_id", "lang")
+    df.createOrReplaceTempView("tm_tvf_in")
+    val viaSql = spark.sql(
+        "SELECT doc_id FROM graft_temperature_mix('tm_tvf_in', 'lang', 40)")
+      .collect().map(_.getLong(0)).toSet
+    val viaApi = graft.llmops.Curation
+      .temperatureMix(df, "lang", budget = 40L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_temperature_mix('tm_tvf_in', 'lang')").collect())
+    assert(e.getMessage.contains("graft_temperature_mix"), e.getMessage)
+  }
+
   test("graft_codeid TVF: SQL scores equal the Column API, loud arity error") {
     GraftExtensions.register(spark)
     import spark.implicits._
