@@ -848,25 +848,30 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
-  /** `graft_temperature_mix(table, strataCol, budget[, alpha])`:
+  /** `graft_temperature_mix(table, strataCol, budget[, alpha[, exact]])`:
     * temperature-flattened source mixing from SQL — routes to
     * [[graft.llmops.Curation.temperatureMix]] (p^alpha keep-rates over
     * the certified Knuth draw; the |strata|-cell count fit runs at plan
-    * build, the `graft_bpe` eager-fit convention). Returns the
-    * surviving rows with their original columns.
+    * build, the `graft_bpe` eager-fit convention — bounded there by the
+    * operator's maxStrata guard, so an accidental high-cardinality
+    * strataCol fails loudly at SQL analysis instead of flooding the
+    * driver). `exact = true` selects the water-filling exact-budget
+    * mode. Returns the surviving rows with their original columns.
     */
   private[graft] def graftTemperatureMixPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(args.length == 3 || args.length == 4,
-      "graft_temperature_mix(table, strataCol, budget[, alpha]) expects " +
-        s"3-4 arguments, got ${args.length}")
+    require(args.length >= 3 && args.length <= 5,
+      "graft_temperature_mix(table, strataCol, budget[, alpha[, exact]]) " +
+        s"expects 3-5 arguments, got ${args.length}")
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.table(stringLit(args(0), "graft_temperature_mix table"))
     graft.llmops.Curation.temperatureMix(df,
         strataCol = stringLit(args(1), "graft_temperature_mix strataCol"),
         budget = longLit(args(2), "graft_temperature_mix budget"),
-        alpha = if (args.length == 4)
-          doubleLit(args(3), "graft_temperature_mix alpha") else 0.5)
+        alpha = if (args.length >= 4)
+          doubleLit(args(3), "graft_temperature_mix alpha") else 0.5,
+        exactBudget = args.length == 5 &&
+          boolLit(args(4), "graft_temperature_mix exact"))
       .queryExecution.analyzed
   }
 

@@ -163,14 +163,42 @@ object Curation {
     * clamp — the standard practice when a low-resource stratum's target
     * exceeds its size). The draw itself is [[sampleStrata]]'s certified
     * pure-int64 Knuth hash, so the EXACT surviving set is a function of
-    * the ids and SQL-verifiable.
+    * the ids and SQL-verifiable. A NULL stratum is a stratum of its own
+    * — counted, rated, and matched null-safely (the `<=>` discipline of
+    * [[prioritySampleByStratum]]); rows never vanish silently on a NULL
+    * `strataCol`.
     *
-    * Cost: one count aggregate (exchange carries |strata| cells,
-    * collected bounded) + one narrow filter — no shuffle of the corpus,
-    * no RNG state. Cross-engine replay: with `alpha = 0.5` every step
-    * is IEEE-correctly-rounded (integer counts, one exact division,
-    * `sqrt`, a fixed-order denominator sum, one 9dp HALF_UP round) and
-    * the pipeline_temperature_mix oracle replays the whole recipe;
+    * Budget semantics, default mode: when a low-resource stratum's
+    * target `budget · q_s / Z` exceeds its size `n_s`, the clamp keeps
+    * ALL of that stratum and the realized expected total undershoots
+    * `budget` by exactly `Σ_clamped (budget · q_s / Z − n_s)` — the
+    * residual is NOT redistributed. `exactBudget = true` redistributes
+    * it by water-filling: sort strata by `n_s / q_s` ascending (the
+    * order in which they saturate), find the maximal clamp prefix, and
+    * rate the rest at `λ* · q_s / n_s` where
+    * `λ* = (budget − Σ_clamped n) / (Σ_unclamped q)` — the expected
+    * total then equals `min(budget, N)` up to the 9dp rate rounding.
+    * The prefix scan replaces the usual iterative renormalization (the
+    * clamp set under water-filling is always a prefix of the
+    * `n_s / q_s` order), so the whole recipe stays one driver-side pass
+    * and — at `alpha = 0.5` — stays IEEE-replayable: the sort key is a
+    * correctly-rounded division, the running sums fold in that sorted
+    * order, and the final rate is one multiply, one divide, one 9dp
+    * HALF_UP round, exactly what the pipeline_temperature_mix_exact
+    * oracle replays in SQL.
+    *
+    * Cost: one count aggregate (exchange carries |strata| cells;
+    * the driver collect is BOUNDED at `maxStrata` rows by a plan-side
+    * limit and raises loudly past it — the keep-rate plan enumerates
+    * every stratum as a literal branch, so an accidental
+    * high-cardinality strataCol must fail, not OOM the driver or
+    * build a million-branch CASE) + one narrow filter — no shuffle of
+    * the corpus, no RNG state. Cross-engine replay: with `alpha = 0.5`
+    * every step is IEEE-correctly-rounded (integer counts, one exact
+    * division, `sqrt`, fixed-order sums — strata ordered by UTF-8 byte
+    * order with NULL last, matching SQL collation where Java's UTF-16
+    * `compareTo` diverges above the BMP — one 9dp HALF_UP round) and
+    * the pipeline_temperature_mix oracles replay the whole recipe;
     * other alphas go through `pow`, which is libm-dependent (the
     * documented reason the priority sampler avoids transcendentals) —
     * fine for use, not for bit-level cross-engine replay.
@@ -180,35 +208,128 @@ object Curation {
       strataCol: String,
       budget: Long,
       alpha: Double = 0.5,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      exactBudget: Boolean = false,
+      maxStrata: Int = 10000): DataFrame = {
     require(budget > 0, "temperatureMix: budget must be positive")
     require(alpha > 0.0 && alpha <= 1.0,
       "temperatureMix: alpha must be in (0, 1] (1 = natural proportions)")
+    require(maxStrata > 0, "temperatureMix: maxStrata must be positive")
     require(df.schema(strataCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"temperatureMix: strataCol '$strataCol' must be a string (the " +
         "keep-rate map keys match on string equality), got " +
         df.schema(strataCol).dataType.simpleString)
-    val counts = df.filter(col(strataCol).isNotNull)
+    // NULL is a first-class stratum (no isNotNull pre-filter: silent
+    // stratum loss is a bias bug); the limit bounds the collect BEFORE
+    // rows reach the driver, so the guard below fires on maxStrata + 1
+    // rows instead of materializing an unbounded stratum list
+    val raw = df
       .groupBy(col(strataCol).as("__s"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    require(counts.nonEmpty, "temperatureMix: no strata to mix")
+      .limit(maxStrata + 1)
+      .collect()
+    require(raw.length <= maxStrata,
+      s"temperatureMix: more than $maxStrata distinct strata in " +
+        s"'$strataCol' — the keep-rate plan enumerates every stratum as " +
+        "a literal branch; stratify coarser or raise maxStrata")
+    require(raw.nonEmpty, "temperatureMix: no strata to mix")
+    val counts: Seq[(Option[String], Long)] = raw.toSeq
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
+        r.getLong(1))
+      .sortBy(_._1)(utf8NullsLast)
     val total = counts.map(_._2).sum.toDouble
     // sqrt (correctly rounded) for the replayable alpha; pow otherwise
     def flat(p: Double): Double =
       if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)
+    def round9(r: Double): Double =
+      BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val qs = counts.map { case (s, n) => (s, n, flat(n / total)) }
-    // denominator summed in SORTED-stratum order — the same sequential
-    // fold the oracle's ordered running sum replays
-    var z = 0.0
-    qs.foreach(z += _._3)
-    val rates = qs.map { case (s, n, q) =>
-      val r = math.min(1.0, budget.toDouble * (q / z) / n.toDouble)
-      s -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }.toMap
-    sampleStrata(df, strataCol, rates, defaultFraction = 0.0, idCol)
+    val rates: Seq[(Option[String], Double)] =
+      if (!exactBudget) {
+        // denominator summed in SORTED-stratum order — the same
+        // sequential fold the oracle's ordered running sum replays
+        var z = 0.0
+        qs.foreach(z += _._3)
+        qs.map { case (s, n, q) =>
+          s -> round9(math.min(1.0, budget.toDouble * (q / z) / n.toDouble))
+        }
+      } else {
+        // water-filling by prefix scan: strata saturate in n/q order, so
+        // the clamp set is a prefix; λ_k = (budget − Σ_{i≤k} n) /
+        // (Z − Σ_{i≤k} q) is the water level with the first k strata
+        // clamped, and the valid k is the first whose level sits below
+        // the next stratum's saturation ratio. Running sums fold in the
+        // (ratio, stratum) sort order — the oracle's windowed sums.
+        val byRatio = qs.map { case (s, n, q) => (s, n, q, n.toDouble / q) }
+          .sortBy(t => (t._4, t._1))(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, utf8NullsLast))
+        val m = byRatio.length
+        val cn = new Array[Long](m + 1)
+        val cq = new Array[Double](m + 1)
+        for (i <- 0 until m) {
+          cn(i + 1) = cn(i) + byRatio(i)._2
+          cq(i + 1) = cq(i) + byRatio(i)._3
+        }
+        val zTotal = cq(m)
+        // first rank (1-based) whose water level clears its ratio; all
+        // ranks before it clamp at rate 1. budget ≥ N leaves none.
+        var firstSat = m + 1
+        var lamStar = 0.0
+        var r = 1
+        while (r <= m && firstSat > m) {
+          val lam = (budget.toDouble - cn(r - 1).toDouble) /
+            (zTotal - cq(r - 1))
+          if (lam < byRatio(r - 1)._4) { firstSat = r; lamStar = lam }
+          r += 1
+        }
+        byRatio.zipWithIndex.map { case ((s, n, q, _), i) =>
+          s -> (if (i + 1 < firstSat) 1.0
+                else math.min(1.0, round9(lamStar * q / n.toDouble)))
+        }
+      }
+    // every observed stratum (NULL included) carries its rate into one
+    // literal CASE chain; the 0.0 base only matters for strata that
+    // appear between the count and the filter (a moving input)
+    val nullRate = rates.collectFirst { case (None, f) => f }
+    val base = nullRate match {
+      case Some(f) => when(col(strataCol).isNull, lit(f)).otherwise(lit(0.0))
+      case None => lit(0.0)
+    }
+    val frac = rates.collect { case (Some(k), f) => k -> f }
+      .foldLeft(base) { case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit(f)).otherwise(acc)
+      }
+    df.filter(knuthDraw(col(idCol)) < frac * 4294967296.0)
   }
+
+  /** UTF-8 byte order (== Unicode code-point order) with NULL sorting
+    * LAST — the stratum fold order of [[temperatureMix]]'s replay
+    * contract. Java's `String.compareTo` is UTF-16 code-unit order,
+    * which diverges from SQL's binary UTF-8 collation for
+    * supplementary-plane code points (surrogates sort above U+E000 in
+    * UTF-16, below in UTF-8), so a sortBy(_._1) fold could sum the Z
+    * denominator in a different order than the oracle's running sum.
+    */
+  private[graft] val utf8NullsLast: Ordering[Option[String]] =
+    new Ordering[Option[String]] {
+      def compare(a: Option[String], b: Option[String]): Int = (a, b) match {
+        case (None, None) => 0
+        case (None, _) => 1
+        case (_, None) => -1
+        case (Some(x), Some(y)) =>
+          val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(xb.length, yb.length)
+          while (i < n) {
+            val c = java.lang.Integer.compare(xb(i) & 0xff, yb(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          java.lang.Integer.compare(xb.length, yb.length)
+      }
+    }
 
   /** Deterministic per-row WEIGHTED sampling: keep each row with
     * probability `weightCol` (clamped to [0, 1]) — quality- or

@@ -1390,12 +1390,31 @@ object Similarity {
     * carries d cells), and min/max are exact and association-order-free
     * — unlike a mean/stddev fit, the model is bit-identical however the
     * corpus is partitioned, which is what lets emb_sq8's integer codes
-    * hash-match a SQL oracle exactly.
+    * hash-match a SQL oracle exactly. A NULL element raises loudly at
+    * fit (the Inf/NaN discipline below): silently skipping it would fit
+    * a range the encode then can't honor — sqEncode's zip_with emits a
+    * silent NULL code for that element, and a dimension that is NULL in
+    * every row would default to range [0, 0] (every code 0) with no
+    * error anywhere. A NULL whole vector raises too (it would vanish
+    * from a posexplode with no trace, then resurface as an all-NULL
+    * code row at encode).
     */
   def sqFit(df: DataFrame, vecCol: String): SqModel = {
+    val vec = col(vecCol).cast("array<double>")
     val rows = df
-      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
-      .filter(col("x").isNotNull)
+      .select(when(vec.isNull, raise_error(lit(
+          s"sqFit: NULL vector in '$vecCol' — quantization needs every " +
+            "row's vector present; filter or impute upstream"))
+          .cast("array<double>"))
+        .otherwise(vec).as("v"))
+      .select(posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("j"),
+        when(col("x").isNull, raise_error(concat(
+            lit("sqFit: NULL element at dimension "),
+            col("j").cast("string"),
+            lit(" — quantization needs every element present; fix or " +
+              "impute upstream"))).cast("double"))
+          .otherwise(col("x")).as("x"))
       .groupBy("j").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect()
     require(rows.nonEmpty, "sqFit: no vectors to fit")

@@ -77,21 +77,66 @@ object Catalog {
   private val toksSql = s"string_split($normSql, ' ')"
 
   /** Shared oracle of pipeline_temperature_mix / _sql: replays the whole
-    * alpha=0.5 rate recipe (counts, sqrt shares, sorted-stratum ordered
-    * denominator sum, 9dp HALF_UP round) and the certified Knuth draw,
-    * verifying the EXACT surviving set.
+    * alpha=0.5 rate recipe (counts — NULL is a stratum of its own, so no
+    * NOT NULL filter and a null-safe join back — sqrt shares,
+    * sorted-stratum ordered denominator sum with NULLS LAST, 9dp HALF_UP
+    * round) and the certified Knuth draw, verifying the EXACT surviving
+    * set.
     */
   private lazy val temperatureMixOracleSql: String =
     """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents
-          WHERE lang IS NOT NULL GROUP BY lang),
+          GROUP BY lang),
         tt AS (SELECT sum(n)::DOUBLE AS nn FROM c),
         q AS (SELECT s, n, sqrt(n::DOUBLE / (SELECT nn FROM tt)) AS qa FROM c),
         z AS (SELECT max(zz) AS z FROM
-          (SELECT sum(qa) OVER (ORDER BY s) AS zz FROM q)),
+          (SELECT sum(qa) OVER (ORDER BY s NULLS LAST) AS zz FROM q)),
         r AS (SELECT s, round(least(1.0,
             250.0 * (qa / (SELECT z FROM z)) / n::DOUBLE), 9) AS rate FROM q)
       SELECT d.doc_id, d.lang, d.source
-      FROM documents d JOIN r ON d.lang = r.s
+      FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.s
+      WHERE ((d.doc_id % 1000003 + 1) * 2654435761
+           + (d.doc_id % 999983 + 1) * 2246822519) % 4294967296
+          < rate * 4294967296
+      ORDER BY d.doc_id"""
+
+  /** Shared oracle of pipeline_temperature_mix_exact / _sql: replays the
+    * water-filling prefix scan — strata sorted by the correctly-rounded
+    * saturation ratio n/q (stratum name NULLS LAST as tiebreak), running
+    * sums in that order (the sequential fold temperatureMix uses), the
+    * first rank whose water level λ = (budget − Σn_clamped) /
+    * (Z − Σq_clamped) clears its own ratio, rate 1 before it and
+    * round(least(1, (λ*·q)/n), 9) from it on — then the certified Knuth
+    * draw on the exact per-stratum rates. Budget 420 at sf0.01 clamps
+    * four of the five languages (only `en` stays fractional), so the
+    * redistribution path is genuinely exercised; every step is one
+    * correctly-rounded IEEE op on values both engines derive
+    * identically.
+    */
+  private lazy val temperatureMixExactOracleSql: String =
+    """WITH c AS (SELECT lang AS s, count(*) AS n FROM documents
+          GROUP BY lang),
+        tt AS (SELECT sum(n)::DOUBLE AS nn FROM c),
+        q AS (SELECT s, n, sqrt(n::DOUBLE / (SELECT nn FROM tt)) AS qa FROM c),
+        o AS (SELECT s, n, qa, n::DOUBLE / qa AS ratio,
+            row_number() OVER (ORDER BY n::DOUBLE / qa, s NULLS LAST) AS rk,
+            sum(n) OVER (ORDER BY n::DOUBLE / qa, s NULLS LAST) AS cni,
+            sum(qa) OVER (ORDER BY n::DOUBLE / qa, s NULLS LAST) AS cqi
+          FROM q),
+        f AS (SELECT s, n, qa, ratio, rk,
+            (420.0 - coalesce(lag(cni) OVER (ORDER BY rk), 0)::DOUBLE)
+              / ((SELECT max(cqi) FROM o)
+                 - coalesce(lag(cqi) OVER (ORDER BY rk), 0.0)) AS lam
+          FROM o),
+        k AS (SELECT min(rk) AS fs FROM f WHERE lam < ratio),
+        ls AS (SELECT lam AS lamstar FROM f WHERE rk = (SELECT fs FROM k)),
+        r AS (SELECT s, CASE
+            WHEN (SELECT fs FROM k) IS NULL OR rk < (SELECT fs FROM k)
+              THEN 1.0
+            ELSE least(1.0,
+              round(((SELECT lamstar FROM ls) * qa) / n::DOUBLE, 9))
+            END AS rate FROM f)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.s
       WHERE ((d.doc_id % 1000003 + 1) * 2654435761
            + (d.doc_id % 999983 + 1) * 2246822519) % 4294967296
           < rate * 4294967296
@@ -5228,7 +5273,8 @@ object Catalog {
           round(Text.structuredLineRatio(col("text")), 6).as("line_ratio"),
           Text.codeScore(col("text")).as("code_score"))
         .orderBy("doc_id"),
-      Some(codeidOracleSql)),
+      Some(codeidOracleSql),
+      headline = true),
 
     "text_codeid_sql" -> QueryDef(
       // the same routing signals from PURE SQL: the graft_codeid TVF
@@ -6399,7 +6445,38 @@ object Catalog {
           t(s, dir, "documents"), "lang", budget = 250L, alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id"),
-      Some(temperatureMixOracleSql)),
+      Some(temperatureMixOracleSql),
+      headline = true),
+
+    "pipeline_temperature_mix_exact" -> QueryDef(
+      // The exact-budget mode: when the flattened target of a stratum
+      // exceeds its size, the default clamp keeps all of it and quietly
+      // undershoots the budget; exactBudget water-fills the residual
+      // over the unclamped strata by a single prefix scan (the clamp set
+      // is always a prefix of the n/q saturation order). Budget 420 at
+      // sf0.01 clamps de/es/fr/zh whole and redistributes onto en —
+      // the EXACT keep set is oracled through the same certified draw.
+      (s, dir) => Curation.temperatureMix(
+          t(s, dir, "documents"), "lang", budget = 420L, alpha = 0.5,
+          exactBudget = true)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some(temperatureMixExactOracleSql)),
+
+    "pipeline_temperature_mix_exact_sql" -> QueryDef(
+      // the same water-filled mix from PURE SQL: the TVF's optional
+      // 5th argument selects exactBudget, so a SQL session draws the
+      // identical surviving set; same oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_tmx_docs")
+        s.sql("""SELECT doc_id, lang, source
+          FROM graft_temperature_mix('graft_tmx_docs', 'lang', 420,
+            0.5, true)
+          ORDER BY doc_id""")
+      },
+      Some(temperatureMixExactOracleSql)),
 
     "pipeline_temperature_mix_sql" -> QueryDef(
       // the same flattened mix from PURE SQL: the graft_temperature_mix
@@ -7288,7 +7365,8 @@ object Catalog {
             rerank = 20)
           .orderBy("query_id", "rank")
       },
-      None),
+      None,
+      headline = true),
 
     "ann_sq8_recall" -> QueryDef(
       // Recall gate for the rows-only SQ8 query — 8 bits per dimension

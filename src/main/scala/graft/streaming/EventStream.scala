@@ -2006,8 +2006,12 @@ object EventStream {
             // the batch twin's gap guard (Resample.resampleInterpolate):
             // a sealed anchor after a long dark period would otherwise
             // materialize the whole gap run as one in-memory emission
-            // inside this group invocation — raise before building it
-            if (maxBuckets > 0 && b - prev._2 >= maxBuckets)
+            // inside this group invocation — raise before building it.
+            // Counted as FILL ROWS (b - prev - 1), the same boundary as
+            // the batch twin and resampleStream: a gap of exactly
+            // maxBuckets - 1 fill rows succeeds on both, so the
+            // stream/batch parity contract holds at the cap itself
+            if (maxBuckets > 0 && b - prev._2 - 1 >= maxBuckets)
               throw new IllegalStateException(
                 s"interpolateStream: key $key gap spans >= $maxBuckets " +
                   s"buckets of $stepMs ms after bucket ${prev._2} — widen " +

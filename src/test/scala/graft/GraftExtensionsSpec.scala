@@ -317,6 +317,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .temperatureMix(df, "lang", budget = 40L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaSql == viaApi && viaSql.nonEmpty)
+    // the optional 5th argument selects the exactBudget water-filling
+    // mode — a clamping stratum ("tiny", 3 rows whose flattened target
+    // exceeds its size) exercises the redistribution path through SQL
+    val rows2 = rows ++ (9001L to 9003L).map(i => (i, "tiny"))
+    rows2.toDF("doc_id", "lang").createOrReplaceTempView("tm_tvf_exact_in")
+    val viaSqlExact = spark.sql(
+        "SELECT doc_id FROM graft_temperature_mix('tm_tvf_exact_in', " +
+          "'lang', 40, 0.5, true)")
+      .collect().map(_.getLong(0)).toSet
+    val viaApiExact = graft.llmops.Curation
+      .temperatureMix(rows2.toDF("doc_id", "lang"), "lang", budget = 40L,
+        exactBudget = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSqlExact == viaApiExact && viaSqlExact.nonEmpty)
+    // the clamped stratum arrives whole through the SQL path too
+    assert((9001L to 9003L).forall(viaSqlExact),
+      s"clamped stratum incomplete via SQL: $viaSqlExact")
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft_temperature_mix('tm_tvf_in', 'lang')").collect())
     assert(e.getMessage.contains("graft_temperature_mix"), e.getMessage)

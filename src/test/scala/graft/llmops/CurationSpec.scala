@@ -397,6 +397,141 @@ class CurationSpec extends AnyFunSuite {
       Curation.temperatureMix(df.withColumn("lang", col("doc_id")), "lang", 10L))
   }
 
+  test("temperatureMix: NULL is a stratum of its own (counted, rated, sampled — never silently dropped)") {
+    // the prioritySampleByStratum <=> discipline: silent stratum loss is
+    // a bias bug — rows with a NULL strataCol must be sampled at the
+    // NULL stratum's own flattened rate, not vanish
+    val rows: Seq[(Long, Option[String])] =
+      (1L to 300L).map(i => (i, Some("big"))) ++
+      (2001L to 2020L).map(i => (i, Some("small"))) ++
+      (5001L to 5050L).map(i => (i, Option.empty[String]))
+    val df = rows.toDF("doc_id", "lang")
+    val budget = 120L
+    val got = Curation.temperatureMix(df.repartition(5), "lang", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def draw(id: Long): Long =
+      ((id % 1000003 + 1) * 2654435761L + (id % 999983 + 1) * 2246822519L) % 4294967296L
+    // independent reference: NULL sorts LAST in the Z fold (the oracle's
+    // ORDER BY s NULLS LAST), then the same recipe
+    val counts: Seq[(Option[String], Long)] =
+      Seq(Some("big") -> 300L, Some("small") -> 20L, None -> 50L)
+    val total = counts.map(_._2).sum.toDouble
+    var z = 0.0
+    counts.foreach { case (_, n) => z += math.sqrt(n / total) }
+    val rates = counts.map { case (s, n) =>
+      val r = math.min(1.0, budget.toDouble * (math.sqrt(n / total) / z) / n.toDouble)
+      s -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val exp = rows.filter { case (id, s) =>
+      draw(id) < rates(s) * 4294967296.0
+    }.map(_._1).toSet
+    assert(got == exp, "keep set differs from the independent reference")
+    // and the NULL stratum genuinely contributed rows
+    assert(exp.exists(_ >= 5001L), "NULL stratum drew no rows — bad test setup")
+    assert(got.exists(_ >= 5001L), "NULL-stratum rows were dropped")
+  }
+
+  test("temperatureMix: more strata than maxStrata raises loudly before flooding the driver") {
+    val df = (1L to 500L).map(i => (i, s"s$i")).toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException](
+      Curation.temperatureMix(df, "lang", 100L, maxStrata = 100))
+    assert(e.getMessage.contains("maxStrata") ||
+        e.getMessage.contains("distinct strata"), e.getMessage)
+    // and the cap is a limit on DISTINCT STRATA, not rows: many rows in
+    // few strata sail through
+    val ok = Curation.temperatureMix(
+        (1L to 500L).map(i => (i, s"s${i % 5}")).toDF("doc_id", "lang"),
+        "lang", 100L, maxStrata = 100)
+      .count()
+    assert(ok > 0)
+  }
+
+  test("temperatureMix exactBudget: water-fills clamped residual; matches iterative renormalization; hits the budget") {
+    // "small" saturates (its flattened target exceeds its 4 rows), so the
+    // default clamp undershoots; exactBudget redistributes the residual
+    val rows = (1L to 300L).map(i => (i, "big")) ++
+      (1001L to 1060L).map(i => (i, "mid")) ++
+      (2001L to 2004L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "lang")
+    val budget = 120L
+    val counts = Seq(("big", 300L), ("mid", 60L), ("small", 4L))
+    val total = counts.map(_._2).sum.toDouble
+    val qs = counts.map { case (s, n) => (s, n, math.sqrt(n / total)) }
+    // reference 1: the CLASSIC iterative renormalization loop (clamp,
+    // re-level over the unclamped, repeat to fixpoint) — an independent
+    // formulation of water-filling the prefix scan must agree with
+    def iterative(): Map[String, Double] = {
+      var clamped = Set.empty[String]
+      while (true) {
+        val residual = budget.toDouble - qs.filter(c => clamped(c._1)).map(_._2).sum
+        val zu = qs.filterNot(c => clamped(c._1)).map(_._3).sum
+        val lam = residual / zu
+        val newly = qs.filterNot(c => clamped(c._1))
+          .filter(c => lam >= c._2.toDouble / c._3).map(_._1)
+        if (newly.isEmpty)
+          return qs.map { case (s, n, q) =>
+            s -> (if (clamped(s)) 1.0 else lam * q / n.toDouble)
+          }.toMap
+        clamped ++= newly
+      }
+      sys.error("unreachable")
+    }
+    val refRates = iterative()
+    assert(refRates("small") == 1.0, s"small should clamp: $refRates")
+    // reference 2: the operator's own prefix-scan recipe, recomputed
+    // independently (ratio sort, running sums, first clearing level,
+    // 9dp round) — pins the EXACT keep set through the certified draw
+    val byRatio = qs.map { case (s, n, q) => (s, n, q, n.toDouble / q) }
+      .sortBy(_._4)
+    val cn = byRatio.scanLeft(0L)(_ + _._2)
+    val cq = byRatio.scanLeft(0.0)(_ + _._3)
+    val zT = cq.last
+    val firstSat = byRatio.indices
+      .find(i => (budget.toDouble - cn(i).toDouble) / (zT - cq(i)) < byRatio(i)._4)
+      .map(_ + 1).getOrElse(byRatio.length + 1)
+    val lam = (budget.toDouble - cn(firstSat - 1).toDouble) / (zT - cq(firstSat - 1))
+    val exactRates = byRatio.zipWithIndex.map { case ((s, n, q, _), i) =>
+      s -> (if (i + 1 < firstSat) 1.0
+            else math.min(1.0, BigDecimal(lam * q / n.toDouble)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    // the two formulations agree (to the 9dp rounding the operator applies)
+    for ((s, r) <- exactRates)
+      assert(math.abs(r - math.min(1.0, refRates(s))) < 1e-6,
+        s"prefix scan vs iterative diverge at $s: $r vs ${refRates(s)}")
+    // realized EXPECTED total ~ budget (the whole point of the mode);
+    // the default clamp mode undershoots on the same data
+    val realized = counts.map { case (s, n) => n * exactRates(s) }.sum
+    assert(math.abs(realized - budget.toDouble) < 0.01,
+      s"exactBudget expected total $realized != $budget")
+    val clampOnly = {
+      var z = 0.0
+      qs.sortBy(_._1).foreach(z += _._3)
+      counts.map { case (s, n) =>
+        val q = math.sqrt(n / total)
+        n * math.min(1.0, budget.toDouble * (q / z) / n.toDouble)
+      }.sum
+    }
+    assert(clampOnly < budget.toDouble - 1.0,
+      s"test setup: default mode should undershoot, got $clampOnly")
+    // the operator's exact keep set equals the recipe's
+    def draw(id: Long): Long =
+      ((id % 1000003 + 1) * 2654435761L + (id % 999983 + 1) * 2246822519L) % 4294967296L
+    val got = Curation.temperatureMix(df.repartition(7), "lang", budget,
+        exactBudget = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exp = rows.filter { case (id, s) =>
+      draw(id) < exactRates(s) * 4294967296.0
+    }.map(_._1).toSet
+    assert(got == exp, "exactBudget keep set differs from the recipe")
+    // clamped strata are kept WHOLE
+    assert((2001L to 2004L).forall(got), "clamped stratum not fully kept")
+    // budget >= N keeps everything
+    val all = Curation.temperatureMix(df, "lang", 1000L, exactBudget = true)
+      .count()
+    assert(all == rows.size.toLong, s"budget >= N should keep all, got $all")
+  }
+
   test("prioritySample/byStratum: non-long-castable ids raise loudly (no silent empty sample)") {
     // the winner set is keyed on idCol cast to long: without the guard a
     // string doc-id corpus casts to NULL, the TopKBy buffer skips every

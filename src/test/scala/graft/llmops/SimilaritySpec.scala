@@ -657,6 +657,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-finite"), e.getMessage)
   }
 
+  test("sqFit: NULL elements and NULL vectors raise loudly (no silent NULL codes or [0,0] ranges)") {
+    // a NULL element would pass a skip-nulls fit yet make sqEncode's
+    // zip_with emit a silent NULL code for it — and a dimension NULL in
+    // EVERY row would fit range [0, 0] (every code 0, decode 0) with no
+    // error anywhere; both must fail at fit like the Inf/NaN case
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val withNullElem = Seq(
+        (1L, Seq[Option[Double]](Some(1.0), None)),
+        (2L, Seq[Option[Double]](Some(0.5), Some(2.0))))
+      .toDF("vec_id", "v")
+    val e1 = intercept[Exception](Similarity.sqFit(withNullElem, "v"))
+    assert(msgs(e1).exists(m => m != null && m.contains("sqFit") &&
+        m.contains("NULL element")), s"expected the NULL-element guard, got $e1")
+    // a dimension that is NULL in every row (the [0,0]-range hole)
+    val allNullDim = Seq(
+        (1L, Seq[Option[Double]](Some(1.0), None)),
+        (2L, Seq[Option[Double]](Some(0.5), None)))
+      .toDF("vec_id", "v")
+    val e2 = intercept[Exception](Similarity.sqFit(allNullDim, "v"))
+    assert(msgs(e2).exists(m => m != null && m.contains("sqFit")), s"got $e2")
+    // a NULL whole vector (it would skip the posexplode silently, then
+    // resurface as an all-NULL code row at encode)
+    val withNullVec = Seq(
+        (1L, Seq[Option[Double]](Some(1.0), Some(2.0))),
+        (2L, null.asInstanceOf[Seq[Option[Double]]]))
+      .toDF("vec_id", "v")
+    val e3 = intercept[Exception](Similarity.sqFit(withNullVec, "v"))
+    assert(msgs(e3).exists(m => m != null && m.contains("sqFit") &&
+        m.contains("NULL vector")), s"expected the NULL-vector guard, got $e3")
+    // and a clean fit still succeeds with the guards in the plan
+    val m = Similarity.sqFit(
+      Seq((1L, Array(1.0, 2.0)), (2L, Array(0.5, 3.0))).toDF("vec_id", "v"), "v")
+    assert(m.d == 2 && m.mins(0) == 0.5 && m.maxs(1) == 3.0)
+  }
+
   test("randomProjectionBasis fuzz: random (k, d, seed) all equal the MessageDigest reference") {
     val rnd = new scala.util.Random(55L)
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -234,6 +234,66 @@ class EventStreamSpec extends AnyFunSuite {
         m.contains("gap spans")), s"expected the gap guard, got $eI")
   }
 
+  test("interpolateStream: the gap cap boundary matches the batch twin (maxBuckets-1 fill rows pass, maxBuckets raise)") {
+    // stream/batch parity AT the cap: resampleInterpolate allows a gap of
+    // exactly maxBuckets - 1 fill rows and raises at maxBuckets — the
+    // stream twin must draw the line at the same gap, not one bucket
+    // earlier (the r14 guard raised where the batch twin succeeded)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val cap = 10L
+    def driveStream(events: Seq[(Long, Long, Long, Double)],
+        name: String): Seq[(Long, Long, Long, Double)] = {
+      val input = MemoryStream[(Long, Long, Long, Double)]
+      val q = EventStream.interpolateStream(
+          input.toDF().toDF("key", "ts_ms", "tie", "value")
+            .withColumn("ts", timestamp_millis(col("ts_ms"))),
+          stepMs = 1000L, watermark = "0 seconds", maxBuckets = cap)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(events: _*); q.processAllAvailable()
+        input.addData((9L, 500000L, 0L, 0.0)); q.processAllAvailable()
+        input.addData((9L, 900000L, 0L, 0.0)); q.processAllAvailable()
+        spark.table(name).as[InterpRow].collect()
+          .filter(_.key != 9L)
+          .map(r => (r.key, r.bucket_ms, r.n_events, r.interp_value))
+          .sortBy(r => (r._1, r._2)).toSeq
+      } finally q.stop()
+    }
+    // anchors at buckets 0 and 10: 9 fill rows == cap - 1 -> both succeed,
+    // and the sealed grid is bit-equal to the batch twin's
+    val atCap = Seq((1L, 500L, 1L, 1.0), (1L, 10500L, 2L, 5.0))
+    val streamed = driveStream(atCap, "interp_cap_ok")
+    val batch = graft.operators.Resample.resampleInterpolate(
+        atCap.toDF("key", "ts_ms", "tie", "value"),
+        keys = Seq("key"), tsMsCol = "ts_ms", valueCol = "value",
+        tieCol = "tie", stepMs = 1000L, maxBuckets = cap)
+      .orderBy("key", "bucket_ms")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed.size == 11 && streamed == batch,
+      s"boundary divergence:\nstream: $streamed\nbatch:  $batch")
+    // anchors at buckets 0 and 11: 10 fill rows == cap -> BOTH raise
+    val pastCap = Seq((1L, 500L, 1L, 1.0), (1L, 11500L, 2L, 5.0))
+    val eS = intercept[Exception](driveStream(pastCap, "interp_cap_bad"))
+    assert(msgs(eS).exists(m => m != null && m.contains("interpolateStream") &&
+        m.contains("gap spans")), s"expected the stream guard, got $eS")
+    val eB = intercept[Exception] {
+      graft.operators.Resample.resampleInterpolate(
+          pastCap.toDF("key", "ts_ms", "tie", "value"),
+          keys = Seq("key"), tsMsCol = "ts_ms", valueCol = "value",
+          tieCol = "tie", stepMs = 1000L, maxBuckets = cap)
+        .collect()
+    }
+    assert(msgs(eB).exists(m => m != null &&
+        m.contains("resampleInterpolate") && m.contains("gap spans")),
+      s"expected the batch guard, got $eB")
+  }
+
   test("ewmaStream: sealed smoothed values equal the batch segmented scan") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
