@@ -876,10 +876,14 @@ object GraftExtensions {
   }
 
   /** `graft_codeid(table, textCol)`: code-vs-prose routing signals from
-    * SQL — routes to [[graft.functions.Text.codeScore]] and its four
-    * component features (all codegen'd builtin functions, narrow map).
-    * Returns the input columns plus `symbol_ratio`, `keyword_ratio`,
-    * `camel_ratio`, `line_ratio`, `code_score` (6dp doubles).
+    * SQL — routes to [[graft.functions.Text.withCodeFeatures]] (builtin
+    * functions only, narrow map, each regex/token scan evaluated ONCE
+    * per row via the layered projection — the fused single-Project form
+    * ran every scan twice because CASE-branch subtrees are invisible to
+    * Spark's subexpression elimination). Returns the input columns plus
+    * `symbol_ratio`, `keyword_ratio`, `camel_ratio`, `line_ratio`,
+    * `code_score` (6dp doubles, bit-equal to the standalone
+    * [[graft.functions.Text.codeScore]] family).
     */
   private[graft] def graftCodeidPlan(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -889,13 +893,7 @@ object GraftExtensions {
     val df = spark.table(stringLit(args(0), "graft_codeid table"))
     val tc = org.apache.spark.sql.functions.col(
       stringLit(args(1), "graft_codeid textCol"))
-    import org.apache.spark.sql.functions.round
-    val T = graft.functions.Text
-    df.withColumn("symbol_ratio", round(T.symbolRatio(tc), 6))
-      .withColumn("keyword_ratio", round(T.codeKeywordRatio(tc), 6))
-      .withColumn("camel_ratio", round(T.camelRatio(tc), 6))
-      .withColumn("line_ratio", round(T.structuredLineRatio(tc), 6))
-      .withColumn("code_score", T.codeScore(tc))
+    graft.functions.Text.withCodeFeatures(df, tc)
       .queryExecution.analyzed
   }
 

@@ -157,6 +157,70 @@ object Text {
       least(camelRatio(text) * 5.0, lit(1.0)) +
       least(structuredLineRatio(text) * 2.0, lit(1.0))) / 4.0, 6)
 
+  /** Append the four code-routing features (6dp) AND `code_score` with
+    * SINGLE evaluation of every regex/token scan. Emitting
+    * [[codeScore]] next to its component features in one projection
+    * evaluates each feature expression twice per row: the shared
+    * subtrees sit inside CASE branches (the empty-input guards), and
+    * Spark's subexpression elimination — codegen and interpreted alike
+    * — only extracts ALWAYS-evaluated subtrees, so conditional
+    * positions never collapse (verified against
+    * `EquivalentExpressions.getCommonSubexpressions` on the fused
+    * plan: only the guard predicates dedup, not the scans). This
+    * builder instead layers the projection — shared scans once (the
+    * strip/tokenize/split/line arrays), raw ratios from those, rounded
+    * features + composite from the raw ratios — and the layering
+    * survives the optimizer because CollapseProject refuses to inline
+    * a non-cheap alias referenced more than once. Every value is the
+    * SAME IEEE operation sequence as the standalone functions (the
+    * scans feed identical subtrees), so results are bit-equal to
+    * [[codeScore]]/[[symbolRatio]]/etc. and the text_codeid oracle
+    * replays unchanged; PlanShapeSpec pins one scan per regex in the
+    * optimized plan.
+    */
+  def withCodeFeatures(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val scans = df
+      .withColumn("__cid_len", length(text))
+      .withColumn("__cid_stripped",
+        length(regexp_replace(text, "[{}\\[\\]();=<>#_]", "")))
+      .withColumn("__cid_toks", tokens(text))
+      .withColumn("__cid_camel_hits",
+        size(filter(split(text, "\\s+"), t => t.rlike("[a-z][A-Z]"))))
+      .withColumn("__cid_lines",
+        filter(split(text, "\n"), l => length(trim(l)) > 0))
+    val raw = scans
+      .withColumn("__cid_sym",
+        when(col("__cid_len") === 0, lit(0.0)).otherwise(
+          (col("__cid_len") - col("__cid_stripped")).cast("double") /
+            col("__cid_len")))
+      .withColumn("__cid_kw",
+        when(size(col("__cid_toks")) === 0, lit(0.0)).otherwise(
+          size(filter(col("__cid_toks"),
+              t => t.isin(codeKeywordList.map(lit): _*)))
+            .cast("double") / size(col("__cid_toks"))))
+      .withColumn("__cid_cam",
+        when(size(col("__cid_toks")) === 0, lit(0.0)).otherwise(
+          col("__cid_camel_hits").cast("double") / size(col("__cid_toks"))))
+      .withColumn("__cid_ln",
+        when(size(col("__cid_lines")) === 0, lit(0.0)).otherwise(
+          size(filter(col("__cid_lines"),
+              l => l.rlike("[;{}:] *$") || l.rlike("^(    |\t)")))
+            .cast("double") / size(col("__cid_lines"))))
+    raw
+      .withColumn("symbol_ratio", round(col("__cid_sym"), 6))
+      .withColumn("keyword_ratio", round(col("__cid_kw"), 6))
+      .withColumn("camel_ratio", round(col("__cid_cam"), 6))
+      .withColumn("line_ratio", round(col("__cid_ln"), 6))
+      .withColumn("code_score",
+        round((least(col("__cid_sym") * 8.0, lit(1.0)) +
+          least(col("__cid_kw") * 10.0, lit(1.0)) +
+          least(col("__cid_cam") * 5.0, lit(1.0)) +
+          least(col("__cid_ln") * 2.0, lit(1.0))) / 4.0, 6))
+      .drop("__cid_len", "__cid_stripped", "__cid_toks", "__cid_camel_hits",
+        "__cid_lines", "__cid_sym", "__cid_kw", "__cid_cam", "__cid_ln")
+  }
+
   /** Language-ID by marker-stopword scoring: counts hits from a per-language
     * marker set over the token array and picks the best score (ties resolve
     * by fixed language order). N-gram-heuristic class, deterministic, no UDF.

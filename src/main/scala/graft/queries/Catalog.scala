@@ -5264,14 +5264,13 @@ object Catalog {
       // Four saturated cheap signals averaged (symbols, keywords,
       // camelCase identifiers, statement-shaped lines), each a
       // character/token count both engines derive identically; one
-      // fixed parenthesization, fully oracled.
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          round(Text.symbolRatio(col("text")), 6).as("symbol_ratio"),
-          round(Text.codeKeywordRatio(col("text")), 6).as("keyword_ratio"),
-          round(Text.camelRatio(col("text")), 6).as("camel_ratio"),
-          round(Text.structuredLineRatio(col("text")), 6).as("line_ratio"),
-          Text.codeScore(col("text")).as("code_score"))
+      // fixed parenthesization, fully oracled. withCodeFeatures layers
+      // the projection so every regex/token scan runs ONCE per row
+      // (the fused form ran each twice — CASE-branch subtrees are
+      // invisible to Spark's CSE); values are bit-equal either way.
+      (s, dir) => Text.withCodeFeatures(t(s, dir, "documents"), col("text"))
+        .select("doc_id", "symbol_ratio", "keyword_ratio", "camel_ratio",
+          "line_ratio", "code_score")
         .orderBy("doc_id"),
       Some(codeidOracleSql),
       headline = true),

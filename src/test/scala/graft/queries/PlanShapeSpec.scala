@@ -841,4 +841,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "hits grew a true cartesian (the gate frames must stay one-row broadcasts)")
   }
+
+  test("text_codeid: every regex/token scan appears ONCE — the layered projection defeats CASE-branch double evaluation") {
+    // emitting code_score next to its component features in one fused
+    // Project evaluated every scan twice per row (CASE-branch subtrees
+    // are invisible to Spark's CSE — verified via
+    // EquivalentExpressions.getCommonSubexpressions, which extracted
+    // only the guard predicates); withCodeFeatures layers the
+    // projection so each regex runs once. Pin the count in the
+    // OPTIMIZED plan: CollapseProject must keep refusing to inline the
+    // multiply-referenced feature aliases.
+    val opt = Catalog.queries("text_codeid")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    def cnt(pat: String): Int =
+      java.util.regex.Pattern.quote(pat).r.findAllIn(opt).size
+    for ((label, pat, want) <- Seq(
+        ("symbol strip", "[{}\\[\\]();=<>#_]", 1),
+        ("token normalize", "regexp_replace(lower(", 1),
+        ("camel rlike", "[a-z][A-Z]", 1),
+        ("statement-end rlike", "[;{}:] *$", 1)))
+      assert(cnt(pat) == want,
+        s"$label regex appears ${cnt(pat)}x in the optimized plan " +
+          s"(want $want — a scan is being re-evaluated):\n$opt")
+    // and it stays a pure narrow map: no exchange but the output sort
+    val p = plan("text_codeid")
+    val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(ex == 1, s"text_codeid: expected 1 exchange (output sort), got $ex")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "text_codeid grew a join or aggregate")
+  }
+
+  test("pipeline_temperature_mix: the returned plan is scan + filter only — no corpus shuffle, join, or aggregate") {
+    // the |strata|-cell count fit runs at BUILD time as its own bounded
+    // job; the plan handed back must be nothing but the Knuth-draw
+    // filter over the pruned scan (plus the presentation sort) — in
+    // both modes (clamp and exact-budget water-filling)
+    for (name <- Seq("pipeline_temperature_mix",
+        "pipeline_temperature_mix_exact")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$name grew an aggregate:\n$p")
+      val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+      assert(ex == 1, s"$name: expected 1 exchange (output sort), got $ex")
+      assert(p.contains("Filter"), s"$name lost its draw filter")
+    }
+  }
 }
