@@ -7,12 +7,16 @@ import graft.queries.Catalog
   * sink (count() would let Catalyst prune projections/sorts and under-report
   * the real work).
   *
-  * Each query runs THREE times and reports the MIN: single-shot timings on
-  * a shared machine whipsaw with load (observed 0.4 s vs 15.5 s for the
-  * same query across rounds, and round-5 shipped two 4-5x phantom
-  * regressions where BOTH of min-of-2's runs landed in one load spike); a
-  * third run makes the floor a property of the code, not the machine. Set
-  * SPARK_GRAFT_BENCH_RUNS to change.
+  * Headline rows are timed over INTERLEAVED suite passes — one untimed
+  * warm pass, then `runs` (default 3) timed passes in row-major order,
+  * per-row MIN across passes. Single-shot timings on a shared machine
+  * whipsaw with load (observed 0.4 s vs 15.5 s for the same query across
+  * rounds); back-to-back min-of-3 fixed the single-row spikes but r14
+  * showed its failure mode — a multi-minute load window overlapped a
+  * CONTIGUOUS ten-row block and swallowed all three adjacent samples of
+  * each — so samples of one row are now separated by a full pass of other
+  * work and a transient window can poison at most one of them. Set
+  * SPARK_GRAFT_BENCH_RUNS to change the pass count.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,48 +35,46 @@ object Bench {
     // warm-up: JIT + codegen + file listing on a small query, not timed
     try SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // index-backed probes: force the memoized index BUILDS and one
-    // untimed probe each before timing. Without this, the first timed
-    // run pays the build (min-of-3 floors on only two probe samples)
-    // and the probe floor whipsaws across rounds with no code change
-    // (r9 0.34 s → r10 0.63 s on an untouched Search.scala); with it,
-    // every timed run is a steady-state probe
-    // graph_hits joined the warm-probe set in r14: the suite's most
-    // expensive single row crept 4.10 -> 4.95 -> 5.46 s over two rounds
-    // with zero code changes — an untimed probe absorbs the iteration
-    // loop's cold localCheckpoint/shuffle-dir path, min-of-5 floors the
-    // rest (the search_bm25_minorfold treatment, which held it stable)
-    for (warm <- Seq("search_bm25_indexed", "search_bm25_deleted",
-          "graph_hits")
-        if names.contains(warm)) {
-      try SparkEntry.queries(warm)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // ---- headline timing: INTERLEAVED suite passes, not back-to-back
+    // per-row runs. In r14 a CONTIGUOUS block of ten rows regressed
+    // 2.0-3.1x in the official record with zero code changes, while two
+    // builder-run suites showed the same rows at floor: an environmental
+    // slowdown window during the driver run swallowed ALL THREE
+    // back-to-back samples of every row it overlapped, so min-of-3 was
+    // powerless. Timed samples of one row are now separated by a full
+    // suite pass (minutes of other work), so a transient window can
+    // poison at most one of a row's samples and the min stays a
+    // property of the code. Pass 0 is an untimed warm pass over every
+    // row — it generalizes the old per-row warm probes (memoized index
+    // builds, file listings, codegen, the graph iteration loop's cold
+    // localCheckpoint path all land there, outside any measurement).
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
+      }
+    }
+    names.foreach(once) // pass 0: warm, untimed
+    // sub-second rows dominated by per-call file-listing jitter (~±0.2 s)
+    // keep their 5+-sample floor (the r9→r10 phantom-drift pair, plus
+    // graph_hits from r14) by sampling twice per timed pass
+    val extraSamples =
+      Set("search_bm25_indexed", "search_bm25_deleted", "graph_hits")
+    val samples =
+      scala.collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)
+    for (_ <- 1 to runs; name <- names) {
+      val perPass = if (extraSamples.contains(name)) 2 else 1
+      for (_ <- 1 to perPass) samples(name) ::= once(name)
     }
     // a failed query reports -1 (matching the lifecycle rows' convention),
     // never its elapsed-to-failure: a 0.06 s fail-fast silently deflating
     // `total` would let a regression masquerade as a speedup (round-7 bug)
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
-        }
-      }
-      // the two index-probe rows are sub-second and dominated by
-      // per-call file-listing jitter (~±0.2 s): five samples make the
-      // min a stable floor where three still whipsawed consecutive
-      // full-suite runs (the r9→r10 phantom-drift row pair)
-      val rowRuns =
-        if (name == "search_bm25_indexed" || name == "search_bm25_deleted" ||
-            name == "graph_hits")
-          runs.max(5)
-        else runs
-      val times = (0 until rowRuns).map(_ => once())
+      val times = samples(name)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // text-index lifecycle: the number that certifies compactTextIndex

@@ -252,6 +252,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_codeid"),
       new ExpressionInfo(classOf[graft.functions.Text.type].getName, "graft_codeid"),
       (args: Seq[Expression]) => GraftExtensions.graftCodeidPlan(args)))
+    //   SELECT doc_id, enc_score FROM graft_encoding('documents', 'text')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_encoding"),
+      new ExpressionInfo(classOf[graft.functions.Text.type].getName, "graft_encoding"),
+      (args: Seq[Expression]) => GraftExtensions.graftEncodingPlan(args)))
+    //   SELECT doc_id, script_pred FROM graft_script('documents', 'text')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_script"),
+      new ExpressionInfo(classOf[graft.functions.Text.type].getName, "graft_script"),
+      (args: Seq[Expression]) => GraftExtensions.graftScriptPlan(args)))
     //   SELECT vec_id, sq FROM graft_sq8('/model', 'emb_view', 'embedding')
     ext.injectTableFunction((
       new FunctionIdentifier("graft_sq8"),
@@ -897,6 +907,40 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_encoding(table, textCol)`: encoding-quality signals from SQL
+    * — routes to [[graft.functions.Text.withEncodingQuality]] (narrow
+    * map, each regex scan once per row). Returns the input columns plus
+    * `n_cp`, `repl_ratio`, `ctrl_ratio`, `enc_score`.
+    */
+  private[graft] def graftEncodingPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2,
+      s"graft_encoding(table, textCol) expects 2 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_encoding table"))
+    graft.functions.Text.withEncodingQuality(df,
+        org.apache.spark.sql.functions.col(
+          stringLit(args(1), "graft_encoding textCol")))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_script(table, textCol)`: Unicode-script profile from SQL —
+    * routes to [[graft.functions.Text.withScriptProfile]] (narrow map).
+    * Returns the input columns plus `script_latin/_han/_cyrillic/
+    * _arabic/_other` and `script_pred`.
+    */
+  private[graft] def graftScriptPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2,
+      s"graft_script(table, textCol) expects 2 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_script table"))
+    graft.functions.Text.withScriptProfile(df,
+        org.apache.spark.sql.functions.col(
+          stringLit(args(1), "graft_script textCol")))
+      .queryExecution.analyzed
+  }
+
   /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
     * per-stratum form — exactly k weight-proportional rows from EVERY
     * stratum, routed to
@@ -1129,6 +1173,8 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_pca", graftPcaPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_random_project", graftRandomProjectPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_codeid", graftCodeidPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_encoding", graftEncodingPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_script", graftScriptPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_sq8", graftSq8Plan, "built-in")
     treg.createOrReplaceTempFunction("graft_temperature_mix", graftTemperatureMixPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")

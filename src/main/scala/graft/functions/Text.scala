@@ -221,6 +221,96 @@ object Text {
         "__cid_lines", "__cid_sym", "__cid_kw", "__cid_cam", "__cid_ln")
   }
 
+  /** Append encoding-quality signals — the cheap structural filter a
+    * pretraining pipeline runs BEFORE language-ID or quality scoring
+    * (CCNet/Gopher-style: a crawl shard with broken transcoding reads
+    * as fluent tokens but is unrecoverable garbage):
+    *   - `n_cp`      — code-point count (NOT UTF-16 units: counted via a
+    *                   DOTALL single-char regex, which Java's code-point-
+    *                   aware engine and the oracle's RE2 agree on, where
+    *                   `length()` diverges above the BMP),
+    *   - `repl_ratio`— fraction of U+FFFD replacement characters (the
+    *                   tombstone a lossy decode leaves behind),
+    *   - `ctrl_ratio`— fraction of C0 control chars (minus \t \n \r) and
+    *                   DEL — binary-in-text contamination,
+    *   - `enc_score` — `max(0, 1 − (repl + ctrl) · 25)`: 4% garbage
+    *                   zeroes the score; clean text scores 1.
+    * Ratios 6dp; the composite uses the UNROUNDED ratios in one fixed
+    * parenthesization (the codeScore contract). Layered projection =
+    * each regex scan once per row ([[withCodeFeatures]]); pure narrow
+    * map, no UDF, fully SQL-replayable (text_encoding oracle).
+    */
+  def withEncodingQuality(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val scans = df
+      .withColumn("__enc_ncp", regexp_count(text, lit("(?s).")).cast("long"))
+      .withColumn("__enc_repl", regexp_count(text, lit("\uFFFD")).cast("long"))
+      .withColumn("__enc_ctrl", regexp_count(text,
+        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).cast("long"))
+    val raw = scans
+      .withColumn("__enc_rr",
+        when(col("__enc_ncp") === 0, lit(0.0)).otherwise(
+          col("__enc_repl").cast("double") / col("__enc_ncp")))
+      .withColumn("__enc_cr",
+        when(col("__enc_ncp") === 0, lit(0.0)).otherwise(
+          col("__enc_ctrl").cast("double") / col("__enc_ncp")))
+    raw
+      .withColumn("n_cp", col("__enc_ncp"))
+      .withColumn("repl_ratio", round(col("__enc_rr"), 6))
+      .withColumn("ctrl_ratio", round(col("__enc_cr"), 6))
+      .withColumn("enc_score",
+        round(greatest(lit(0.0),
+          lit(1.0) - (col("__enc_rr") * 25.0 + col("__enc_cr") * 25.0)), 6))
+      .drop("__enc_ncp", "__enc_repl", "__enc_ctrl", "__enc_rr", "__enc_cr")
+  }
+
+  /** Append a Unicode-script profile — the wrong-script filter a
+    * multilingual pipeline applies per language bucket (a "zh" document
+    * that is 90% Latin is mislabeled or transliterated; script ratios
+    * catch it where stopword language-ID can't). Emits
+    * `script_latin/_han/_cyrillic/_arabic` (fraction of ALL code points
+    * in that script, 6dp), `script_other` (everything else — spaces,
+    * digits, punctuation, unlisted scripts), and `script_pred` (argmax
+    * with the fixed tie order latin > han > cyrillic > arabic on
+    * integer counts; `und` when no listed script appears). Java's
+    * `\p{IsX}` script classes and the oracle's RE2 `\p{X}` agree on the
+    * assignments; counts are code points on both engines. Narrow map,
+    * layered for single evaluation, fully SQL-replayable (text_script
+    * oracle).
+    */
+  def withScriptProfile(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val scans = df
+      .withColumn("__scr_ncp", regexp_count(text, lit("(?s).")).cast("long"))
+      .withColumn("__scr_lat", regexp_count(text, lit("\\p{IsLatin}")).cast("long"))
+      .withColumn("__scr_han", regexp_count(text, lit("\\p{IsHan}")).cast("long"))
+      .withColumn("__scr_cyr", regexp_count(text, lit("\\p{IsCyrillic}")).cast("long"))
+      .withColumn("__scr_ara", regexp_count(text, lit("\\p{IsArabic}")).cast("long"))
+    def ratio(c: Column): Column =
+      when(col("__scr_ncp") === 0, lit(0.0))
+        .otherwise(round(c.cast("double") / col("__scr_ncp"), 6))
+    scans
+      .withColumn("script_latin", ratio(col("__scr_lat")))
+      .withColumn("script_han", ratio(col("__scr_han")))
+      .withColumn("script_cyrillic", ratio(col("__scr_cyr")))
+      .withColumn("script_arabic", ratio(col("__scr_ara")))
+      .withColumn("script_other", ratio(col("__scr_ncp") - col("__scr_lat") -
+        col("__scr_han") - col("__scr_cyr") - col("__scr_ara")))
+      .withColumn("script_pred",
+        when(col("__scr_lat") >= col("__scr_han") &&
+            col("__scr_lat") >= col("__scr_cyr") &&
+            col("__scr_lat") >= col("__scr_ara") &&
+            col("__scr_lat") > 0, lit("latin"))
+          .when(col("__scr_han") >= col("__scr_cyr") &&
+            col("__scr_han") >= col("__scr_ara") &&
+            col("__scr_han") > 0, lit("han"))
+          .when(col("__scr_cyr") >= col("__scr_ara") &&
+            col("__scr_cyr") > 0, lit("cyrillic"))
+          .when(col("__scr_ara") > 0, lit("arabic"))
+          .otherwise(lit("und")))
+      .drop("__scr_ncp", "__scr_lat", "__scr_han", "__scr_cyr", "__scr_ara")
+  }
+
   /** Language-ID by marker-stopword scoring: counts hits from a per-language
     * marker set over the token array and picks the best score (ties resolve
     * by fixed language order). N-gram-heuristic class, deterministic, no UDF.

@@ -170,6 +170,59 @@ object Catalog {
     FROM f ORDER BY doc_id"""
   }
 
+  /** Shared oracle of text_encoding / _sql: numerators and the code-point
+    * denominator are regex counts both engines derive identically (Java's
+    * regex engine and RE2 are both code-point based, so `(?s).` on the
+    * Spark side equals DuckDB's `length()`); ratios and the composite
+    * keep one fixed parenthesization.
+    */
+  private lazy val encodingOracleSql: String =
+    """WITH f AS (SELECT doc_id, length(text) AS ncp,
+          len(regexp_extract_all(text, chr(65533))) AS repl,
+          len(regexp_extract_all(text,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS ctrl
+        FROM documents),
+      g AS (SELECT doc_id, ncp,
+          CASE WHEN ncp = 0 THEN 0.0 ELSE repl::DOUBLE / ncp END AS rr,
+          CASE WHEN ncp = 0 THEN 0.0 ELSE ctrl::DOUBLE / ncp END AS cr
+        FROM f)
+      SELECT doc_id, ncp AS n_cp, round(rr, 6) AS repl_ratio,
+        round(cr, 6) AS ctrl_ratio,
+        round(greatest(0.0, 1.0 - (rr * 25.0 + cr * 25.0)), 6) AS enc_score
+      FROM g ORDER BY doc_id"""
+
+  /** Shared oracle of text_script / _sql: per-script code-point counts via
+    * RE2's `\p{Script}` classes (the assignments Java's `\p{IsScript}`
+    * agrees on), ratios over ALL code points, argmax on the INTEGER
+    * counts with the fixed tie order latin > han > cyrillic > arabic.
+    */
+  private lazy val scriptOracleSql: String =
+    """WITH f AS (SELECT doc_id, length(text) AS ncp,
+          len(regexp_extract_all(text, '\p{Latin}')) AS lat,
+          len(regexp_extract_all(text, '\p{Han}')) AS han,
+          len(regexp_extract_all(text, '\p{Cyrillic}')) AS cyr,
+          len(regexp_extract_all(text, '\p{Arabic}')) AS ara
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN ncp = 0 THEN 0.0
+          ELSE round(lat::DOUBLE / ncp, 6) END AS script_latin,
+        CASE WHEN ncp = 0 THEN 0.0
+          ELSE round(han::DOUBLE / ncp, 6) END AS script_han,
+        CASE WHEN ncp = 0 THEN 0.0
+          ELSE round(cyr::DOUBLE / ncp, 6) END AS script_cyrillic,
+        CASE WHEN ncp = 0 THEN 0.0
+          ELSE round(ara::DOUBLE / ncp, 6) END AS script_arabic,
+        CASE WHEN ncp = 0 THEN 0.0
+          ELSE round((ncp - lat - han - cyr - ara)::DOUBLE / ncp, 6)
+          END AS script_other,
+        CASE WHEN lat >= han AND lat >= cyr AND lat >= ara AND lat > 0
+            THEN 'latin'
+          WHEN han >= cyr AND han >= ara AND han > 0 THEN 'han'
+          WHEN cyr >= ara AND cyr > 0 THEN 'cyrillic'
+          WHEN ara > 0 THEN 'arabic'
+          ELSE 'und' END AS script_pred
+      FROM f ORDER BY doc_id"""
+
   // ======================================================== A. relational ==
 
   /** Write-once bucketed copies of (lineitem, orders) per dataset,
@@ -5288,6 +5341,60 @@ object Catalog {
           FROM graft_codeid('graft_cid_docs', 'text') ORDER BY doc_id""")
       },
       Some(codeidOracleSql)),
+
+    "text_encoding" -> QueryDef(
+      // Encoding-quality audit (Text.withEncodingQuality): U+FFFD
+      // replacement-char and control-char ratios over CODE POINTS plus
+      // a saturating composite — the pre-language-ID structural filter
+      // that catches broken transcoding and binary-in-text before any
+      // content scoring. Counts are regex counts both engines derive
+      // identically (Java regex and RE2 are code-point based); narrow
+      // map, one scan per regex (the withCodeFeatures layering).
+      (s, dir) => Text.withEncodingQuality(t(s, dir, "documents"),
+          col("text"))
+        .select("doc_id", "n_cp", "repl_ratio", "ctrl_ratio", "enc_score")
+        .orderBy("doc_id"),
+      Some(encodingOracleSql),
+      headline = true),
+
+    "text_encoding_sql" -> QueryDef(
+      // the same audit from PURE SQL via the graft_encoding TVF.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_enc_docs")
+        s.sql("""SELECT doc_id, n_cp, repl_ratio, ctrl_ratio, enc_score
+          FROM graft_encoding('graft_enc_docs', 'text') ORDER BY doc_id""")
+      },
+      Some(encodingOracleSql)),
+
+    "text_script" -> QueryDef(
+      // Unicode-script profile (Text.withScriptProfile): per-script
+      // code-point ratios + argmax routing label — the wrong-script
+      // filter a multilingual pipeline applies per language bucket
+      // (script ratios catch a mislabeled or transliterated document
+      // where stopword language-ID can't). Java `\p{IsX}` and RE2
+      // `\p{X}` agree on the script assignments; integer-count argmax
+      // with a fixed tie order keeps the label replayable.
+      (s, dir) => Text.withScriptProfile(t(s, dir, "documents"),
+          col("text"))
+        .select("doc_id", "script_latin", "script_han", "script_cyrillic",
+          "script_arabic", "script_other", "script_pred")
+        .orderBy("doc_id"),
+      Some(scriptOracleSql),
+      headline = true),
+
+    "text_script_sql" -> QueryDef(
+      // the same profile from PURE SQL via the graft_script TVF.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_scr_docs")
+        s.sql("""SELECT doc_id, script_latin, script_han, script_cyrillic,
+            script_arabic, script_other, script_pred
+          FROM graft_script('graft_scr_docs', 'text') ORDER BY doc_id""")
+      },
+      Some(scriptOracleSql)),
 
     "text_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")

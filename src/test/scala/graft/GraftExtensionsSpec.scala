@@ -361,6 +361,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_codeid"), e.getMessage)
   }
 
+  test("graft_encoding / graft_script TVFs: SQL equals the API, loud arity errors") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "clean latin text"),
+      (2L, "bro�ken transcode"),
+      (3L, "你好世界好世界 hi")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("encscr_tvf_in")
+    val encSql = spark.sql(
+        "SELECT doc_id, enc_score FROM graft_encoding('encscr_tvf_in', 'text')")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val encApi = graft.functions.Text
+      .withEncodingQuality(df, col("text"))
+      .select("doc_id", "enc_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(encSql == encApi)
+    assert(encSql(1L) == 1.0 && encSql(2L) < 1.0,
+      s"mojibake must lower enc_score via SQL: $encSql")
+    val scrSql = spark.sql(
+        "SELECT doc_id, script_pred FROM graft_script('encscr_tvf_in', 'text')")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scrApi = graft.functions.Text
+      .withScriptProfile(df, col("text"))
+      .select("doc_id", "script_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrSql == scrApi)
+    assert(scrSql(3L) == "han", s"CJK row must route han via SQL: $scrSql")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_encoding('encscr_tvf_in')").collect())
+    assert(e1.getMessage.contains("graft_encoding"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM graft_script('encscr_tvf_in')").collect())
+    assert(e2.getMessage.contains("graft_script"), e2.getMessage)
+  }
+
   test("resample TVFs: non-numeric ts/value boundaries raise loudly") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -102,6 +102,98 @@ class FunctionsSpec extends AnyFunSuite {
       .asInstanceOf[Double] == 0.0)
   }
 
+  test("withCodeFeatures is bit-equal to the standalone feature/score functions") {
+    import spark.implicits._
+    val texts = Seq(
+      "def countItems(itemList):\n    return len(itemList);",
+      "The quick brown fox jumps over the lazy dog.",
+      "", "   \n  \n", "x = 1; y = 2;\nif (x) { y++; }")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val layered = Text.withCodeFeatures(df, col("text")).orderBy("id")
+      .select("symbol_ratio", "keyword_ratio", "camel_ratio", "line_ratio",
+        "code_score").collect()
+    val fused = df.orderBy("id").select(
+        round(Text.symbolRatio(col("text")), 6),
+        round(Text.codeKeywordRatio(col("text")), 6),
+        round(Text.camelRatio(col("text")), 6),
+        round(Text.structuredLineRatio(col("text")), 6),
+        Text.codeScore(col("text"))).collect()
+    layered.zip(fused).zip(texts).foreach { case ((l, f), t) =>
+      for (i <- 0 until 5)
+        assert(l.getDouble(i) == f.getDouble(i),
+          s"column $i diverges for '$t': ${l.getDouble(i)} vs ${f.getDouble(i)}")
+    }
+  }
+
+  test("withEncodingQuality: replacement/control chars counted per CODE POINT; clean text scores 1") {
+    import spark.implicits._
+    val texts = Seq(
+      "clean plain text",
+      "bad � te�xt here",
+      "ctl ok\nnewline\tand\rcr",
+      "",
+      "emoji 😀 pair")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = Text.withEncodingQuality(df, col("text")).orderBy("id")
+      .select("n_cp", "repl_ratio", "ctrl_ratio", "enc_score").collect()
+    // independent reference over code points
+    def ref(s: String): (Long, Double, Double, Double) = {
+      val cps = s.codePoints().toArray
+      val n = cps.length.toLong
+      val repl = cps.count(_ == 0xFFFD)
+      val ctrl = cps.count(c => (c <= 0x08) || c == 0x0B || c == 0x0C ||
+        (c >= 0x0E && c <= 0x1F) || c == 0x7F)
+      val rr = if (n == 0) 0.0 else repl.toDouble / n
+      val cr = if (n == 0) 0.0 else ctrl.toDouble / n
+      (n, rr, cr, math.max(0.0, 1.0 - (rr * 25.0 + cr * 25.0)))
+    }
+    got.zip(texts).foreach { case (g, t) =>
+      val (n, rr, cr, sc) = ref(t)
+      assert(g.getLong(0) == n,
+        s"n_cp for '$t': ${g.getLong(0)} vs $n (code points, NOT UTF-16 units)")
+      assert(math.abs(g.getDouble(1) - rr) < 1e-6, s"repl for '$t'")
+      assert(math.abs(g.getDouble(2) - cr) < 1e-6, s"ctrl for '$t'")
+      assert(math.abs(g.getDouble(3) - sc) < 1e-6, s"score for '$t'")
+    }
+    // the supplementary-plane row is the load-bearing case: one emoji is
+    // ONE code point (Java length() would say two)
+    assert(got(4).getLong(0) == texts(4).codePointCount(0, texts(4).length))
+    assert(got(0).getDouble(3) == 1.0 && got(1).getDouble(3) < 1.0)
+  }
+
+  test("withScriptProfile: mixed-script rows route by the argmax; ratios partition the code points") {
+    import spark.implicits._
+    val texts = Seq(
+      "hello world",
+      "你好世界",                    // Chinese: all Han
+      "привет мир", // Russian
+      "مرحبا",              // Arabic
+      "123 !!! ...",                                 // no letters: und
+      "hello 世界 big world")                // mixed, Latin wins
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = Text.withScriptProfile(df, col("text")).orderBy("id")
+      .select("script_latin", "script_han", "script_cyrillic",
+        "script_arabic", "script_other", "script_pred").collect()
+    val preds = got.map(_.getString(5)).toSeq
+    assert(preds == Seq("latin", "han", "cyrillic", "arabic", "und", "latin"),
+      s"predictions: $preds")
+    // the five ratios partition the code points (up to 6dp rounding)
+    got.zip(texts).foreach { case (g, t) =>
+      if (t.nonEmpty) {
+        val sum = (0 until 5).map(g.getDouble).sum
+        assert(math.abs(sum - 1.0) < 5e-6, s"ratios for '$t' sum to $sum")
+      }
+    }
+    // all-Han row: script_han exactly 1
+    assert(got(1).getDouble(1) == 1.0)
+    // the mixed row counts 2 Han of 18 code points
+    assert(math.abs(got(5).getDouble(1) - 2.0 / 18.0) < 1e-6,
+      s"mixed han ${got(5)}")
+  }
+
   test("cosine/jaccard basics") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
