@@ -124,12 +124,28 @@ object Curation {
     * block at billion-doc scale, and stacked [[sampleStrata]] calls
     * composed dependently — whereas here two ids congruent mod 1000003
     * still draw independently through the second modulus.
+    *
+    * The id is PLAN-GUARDED to a long (the priority samplers'
+    * [[guardedLongId]] discipline): a NULL or non-long-castable id
+    * would draw NULL, the keep predicate would go NULL, and the row
+    * would silently vanish from EVERY knuthDraw-based sampler
+    * ([[sampleStrata]], [[sampleByWeight]], [[temperatureMix]]) — the
+    * same silent-bias hole the r13 fix closed for the priority family.
+    * Long ids pass through value-identical, so existing draws (and
+    * their oracles) are unchanged.
     */
-  private def knuthDraw(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def knuthDraw(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idL = when(id.try_cast("long").isNull,
+      raise_error(concat(
+        lit("deterministic sampler: the id column must be a " +
+          "long-castable unique id (it seeds the keep/drop draw), got "),
+        coalesce(id.cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(id.try_cast("long"))
     pmod(
-      (pmod(id, lit(1000003L)) + 1L) * lit(2654435761L) +
-        (pmod(id, lit(999983L)) + 1L) * lit(2246822519L),
+      (pmod(idL, lit(1000003L)) + 1L) * lit(2654435761L) +
+        (pmod(idL, lit(999983L)) + 1L) * lit(2246822519L),
       lit(4294967296L))
+  }
 
   /** Deterministic stratified sampling — the domain-mixing step: keep each
     * row of stratum `s` with probability `fractions(s)` (strata absent

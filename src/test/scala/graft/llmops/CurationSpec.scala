@@ -532,6 +532,37 @@ class CurationSpec extends AnyFunSuite {
     assert(all == rows.size.toLong, s"budget >= N should keep all, got $all")
   }
 
+  test("knuthDraw samplers: NULL / non-long-castable ids raise loudly (no silent row loss)") {
+    // a NULL or garbage id draws NULL, the keep predicate goes NULL, and
+    // the row silently vanishes from the sample — the silent-bias hole
+    // the priority family's guardedLongId closed; the fractional family
+    // (sampleStrata / sampleByWeight / temperatureMix) shares one guard
+    // inside the draw itself
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    def expectLoud(f: => Unit, what: String): Unit = {
+      val e = intercept[Exception](f)
+      assert(msgs(e).exists(m => m != null && m.contains("long-castable")),
+        s"$what: expected the id guard, got $e")
+    }
+    val nullId = Seq((Some(1L), "a"), (None, "a"))
+      .toDF("doc_id", "lang")
+    expectLoud(Curation.sampleStrata(nullId, "lang", Map("a" -> 0.5)).collect(),
+      "sampleStrata NULL id")
+    expectLoud(Curation.temperatureMix(nullId, "lang", 1L).collect(),
+      "temperatureMix NULL id")
+    val strId = Seq(("docA", "a", 0.5), ("17", "a", 0.5))
+      .toDF("doc_id", "lang", "w")
+    expectLoud(Curation.sampleByWeight(strId, "w").collect(),
+      "sampleByWeight garbage id")
+    // numeric-string ids are long-castable and draw like their value
+    val okStr = Seq(("1", "a"), ("2", "a"))
+      .toDF("doc_id", "lang")
+    val gotStr = Curation.sampleStrata(okStr, "lang", Map("a" -> 1.0))
+      .count()
+    assert(gotStr == 2L)
+  }
+
   test("prioritySample/byStratum: non-long-castable ids raise loudly (no silent empty sample)") {
     // the winner set is keyed on idCol cast to long: without the guard a
     // string doc-id corpus casts to NULL, the TopKBy buffer skips every
