@@ -226,7 +226,27 @@ object Curation {
       alpha: Double = 0.5,
       idCol: String = "doc_id",
       exactBudget: Boolean = false,
-      maxStrata: Int = 10000): DataFrame = {
+      maxStrata: Int = 10000): DataFrame =
+    applyStratumRates(df, strataCol,
+      temperatureRates(df, strataCol, budget, alpha, exactBudget, maxStrata),
+      idCol)
+
+  /** The FIT half of [[temperatureMix]]: per-stratum keep-rates from one
+    * bounded count pass, exposed so the fit can run on a STATIC
+    * reference corpus and the filter apply elsewhere — most usefully to
+    * a live STREAM via [[applyStratumRates]] (the rate filter is a
+    * stateless narrow map, so it is stream-safe; the fit's
+    * count+collect is not). Keys are `Option[String]` because NULL is a
+    * stratum of its own; rates are the 9dp-rounded values the oracles
+    * replay.
+    */
+  def temperatureRates(
+      df: DataFrame,
+      strataCol: String,
+      budget: Long,
+      alpha: Double = 0.5,
+      exactBudget: Boolean = false,
+      maxStrata: Int = 10000): Seq[(Option[String], Double)] = {
     require(budget > 0, "temperatureMix: budget must be positive")
     require(alpha > 0.0 && alpha <= 1.0,
       "temperatureMix: alpha must be in (0, 1] (1 = natural proportions)")
@@ -304,9 +324,25 @@ object Curation {
                 else math.min(1.0, round9(lamStar * q / n.toDouble)))
         }
       }
-    // every observed stratum (NULL included) carries its rate into one
-    // literal CASE chain; the 0.0 base only matters for strata that
-    // appear between the count and the filter (a moving input)
+    rates
+  }
+
+  /** The APPLY half of [[temperatureMix]]: keep each row by its
+    * stratum's rate through the certified Knuth draw. Every observed
+    * stratum (NULL included) carries its rate into one literal CASE
+    * chain; the 0.0 base only matters for strata absent from `rates`
+    * (a moving input, or a stream with strata the static fit never
+    * saw). STATELESS narrow filter — no shuffle, no RNG state — so it
+    * applies unchanged to a streaming DataFrame (spec-proved
+    * batch-identical through MemoryStream).
+    */
+  def applyStratumRates(
+      df: DataFrame,
+      strataCol: String,
+      rates: Seq[(Option[String], Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(rates.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      "applyStratumRates: rates must be in [0, 1]")
     val nullRate = rates.collectFirst { case (None, f) => f }
     val base = nullRate match {
       case Some(f) => when(col(strataCol).isNull, lit(f)).otherwise(lit(0.0))

@@ -194,6 +194,37 @@ class FunctionsSpec extends AnyFunSuite {
       s"mixed han ${got(5)}")
   }
 
+  test("encoding/script audits are stream-safe: stateless narrow maps give batch-identical output on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clean latin text"),
+      (2L, "bro�ken byte soup"),
+      (3L, "你好世界好 mixed"),
+      (4L, ""))
+    val batch = rows.toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val streamed = Text.withScriptProfile(
+      Text.withEncodingQuality(input.toDF().toDF("doc_id", "text"),
+        col("text")), col("text"))
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("encscr_stream").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "n_cp", "repl_ratio", "ctrl_ratio", "enc_score",
+          "script_latin", "script_han", "script_other", "script_pred")
+        .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      val got = snap(spark.table("encscr_stream"))
+      val exp = snap(Text.withScriptProfile(
+        Text.withEncodingQuality(batch, col("text")), col("text")))
+      assert(got.toSeq.map(_.toList) == exp.toSeq.map(_.toList),
+        "streaming audit diverged from batch")
+    } finally q.stop()
+  }
+
   test("cosine/jaccard basics") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))

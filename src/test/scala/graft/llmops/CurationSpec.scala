@@ -532,6 +532,40 @@ class CurationSpec extends AnyFunSuite {
     assert(all == rows.size.toLong, s"budget >= N should keep all, got $all")
   }
 
+  test("temperatureRates + applyStratumRates: a static fit applies to a STREAM batch-identically") {
+    // the fit/apply split's purpose: the count+collect fit runs on a
+    // static reference corpus, the rate filter is a stateless narrow
+    // map — so a live ingest stream can be mixed with the SAME certified
+    // draw, and sealed output equals the batch filter row-for-row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows: Seq[(Long, Option[String])] =
+      (1L to 200L).map(i => (i, Some(if (i <= 150) "big" else "small"))) ++
+      (901L to 920L).map(i => (i, Option.empty[String]))
+    val batch = rows.toDF("doc_id", "lang")
+    val rates = Curation.temperatureRates(batch, "lang", budget = 60L)
+    assert(rates.exists(_._1.isEmpty), "NULL stratum must carry a rate")
+    val input = MemoryStream[(Long, Option[String])]
+    val q = Curation.applyStratumRates(
+        input.toDF().toDF("doc_id", "lang"), "lang", rates)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tmix_stream").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = spark.table("tmix_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val exp = Curation.applyStratumRates(batch, "lang", rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == exp && got.nonEmpty,
+        s"stream mix diverged from batch: ${got.size} vs ${exp.size}")
+      // and the batch path through temperatureMix is the same set
+      val direct = Curation.temperatureMix(batch, "lang", 60L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(direct == exp)
+    } finally q.stop()
+  }
+
   test("knuthDraw samplers: NULL / non-long-castable ids raise loudly (no silent row loss)") {
     // a NULL or garbage id draws NULL, the keep predicate goes NULL, and
     // the row silently vanishes from the sample — the silent-bias hole
