@@ -262,6 +262,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_script"),
       new ExpressionInfo(classOf[graft.functions.Text.type].getName, "graft_script"),
       (args: Seq[Expression]) => GraftExtensions.graftScriptPlan(args)))
+    //   SELECT doc_id, clean_text FROM graft_c4_clean('documents', 'text')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_c4_clean"),
+      new ExpressionInfo(classOf[graft.functions.Text.type].getName, "graft_c4_clean"),
+      (args: Seq[Expression]) => GraftExtensions.graftC4CleanPlan(args)))
     //   SELECT vec_id, sq FROM graft_sq8('/model', 'emb_view', 'embedding')
     ext.injectTableFunction((
       new FunctionIdentifier("graft_sq8"),
@@ -924,6 +929,23 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_c4_clean(table, textCol)`: C4-style line cleaning from SQL —
+    * routes to [[graft.functions.Text.withC4LineClean]] (narrow map).
+    * Returns the input columns plus `clean_text`, `n_lines`, `n_kept`,
+    * `n_dropped`.
+    */
+  private[graft] def graftC4CleanPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2,
+      s"graft_c4_clean(table, textCol) expects 2 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_c4_clean table"))
+    graft.functions.Text.withC4LineClean(df,
+        org.apache.spark.sql.functions.col(
+          stringLit(args(1), "graft_c4_clean textCol")))
+      .queryExecution.analyzed
+  }
+
   /** `graft_script(table, textCol)`: Unicode-script profile from SQL —
     * routes to [[graft.functions.Text.withScriptProfile]] (narrow map).
     * Returns the input columns plus `script_latin/_han/_cyrillic/
@@ -1175,6 +1197,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_codeid", graftCodeidPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_encoding", graftEncodingPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_script", graftScriptPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_c4_clean", graftC4CleanPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_sq8", graftSq8Plan, "built-in")
     treg.createOrReplaceTempFunction("graft_temperature_mix", graftTemperatureMixPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")

@@ -311,6 +311,38 @@ object Text {
       .drop("__scr_ncp", "__scr_lat", "__scr_han", "__scr_cyr", "__scr_ara")
   }
 
+  /** Append C4-style line-level cleaning (the Raffel et al. 2020 C4
+    * heuristics — the canonical pre-training line filter): a line
+    * survives iff it is non-empty, has at least 3 whitespace tokens,
+    * ends in terminal punctuation (`.` `!` `?` `"` `”`, modulo trailing
+    * spaces), does not mention "javascript" (case-insensitive — the
+    * boilerplate "enable JavaScript" banner), and contains no curly
+    * brace (leaked code/markup). Emits `clean_text` (surviving lines
+    * re-joined with newlines), `n_lines`, `n_kept`, `n_dropped`. All
+    * builtin HOFs over per-row line arrays (cost bounded by document
+    * length, never corpus size), layered for single evaluation of the
+    * split ([[withCodeFeatures]]); stateless narrow map, fully
+    * SQL-replayable (pipeline_c4_clean oracle).
+    */
+  def withC4LineClean(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val scans = df.withColumn("__c4_lines", split(text, "\n"))
+    val raw = scans.withColumn("__c4_kept",
+      filter(col("__c4_lines"), l =>
+        length(trim(l)) > 0 &&
+          size(split(trim(l), "\\s+")) >= 3 &&
+          l.rlike("[.!?\"”] *$") &&
+          !lower(l).contains("javascript") &&
+          !l.contains("{") && !l.contains("}")))
+    raw
+      .withColumn("clean_text", array_join(col("__c4_kept"), "\n"))
+      .withColumn("n_lines", size(col("__c4_lines")).cast("long"))
+      .withColumn("n_kept", size(col("__c4_kept")).cast("long"))
+      .withColumn("n_dropped",
+        (size(col("__c4_lines")) - size(col("__c4_kept"))).cast("long"))
+      .drop("__c4_lines", "__c4_kept")
+  }
+
   /** Language-ID by marker-stopword scoring: counts hits from a per-language
     * marker set over the token array and picks the best score (ties resolve
     * by fixed language order). N-gram-heuristic class, deterministic, no UDF.

@@ -223,6 +223,31 @@ object Catalog {
           ELSE 'und' END AS script_pred
       FROM f ORDER BY doc_id"""
 
+  /** Shared oracle of pipeline_c4_clean / _sql: the documents are first
+    * LINE-IFIED deterministically (every 5-token run becomes a
+    * period-terminated line — the synthetic corpus has no newlines or
+    * punctuation of its own, and the trailing sub-5-token remainder
+    * stays unterminated, so both kept AND dropped lines are exercised
+    * on real data), then the C4 rules replay line-by-line: non-empty,
+    * >= 3 tokens, terminal punctuation, no "javascript", no braces.
+    */
+  private lazy val c4CleanOracleSql: String =
+    """WITH f AS (SELECT doc_id,
+          string_split(regexp_replace(text,
+            '((\S+ ){4}\S+) ', '\1.' || chr(10), 'g'), chr(10)) AS ls
+        FROM documents),
+      k AS (SELECT doc_id, ls,
+          list_filter(ls, l -> len(trim(l)) > 0
+            AND len(string_split_regex(trim(l), '\s+')) >= 3
+            AND regexp_matches(l, '[.!?"”] *$')
+            AND NOT contains(lower(l), 'javascript')
+            AND NOT contains(l, '{') AND NOT contains(l, '}')) AS kept
+        FROM f)
+      SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        len(ls) AS n_lines, len(kept) AS n_kept,
+        len(ls) - len(kept) AS n_dropped
+      FROM k ORDER BY doc_id"""
+
   // ======================================================== A. relational ==
 
   /** Write-once bucketed copies of (lineitem, orders) per dataset,
@@ -5395,6 +5420,39 @@ object Catalog {
           FROM graft_script('graft_scr_docs', 'text') ORDER BY doc_id""")
       },
       Some(scriptOracleSql)),
+
+    "pipeline_c4_clean" -> QueryDef(
+      // C4-style line cleaning (Text.withC4LineClean — the Raffel et
+      // al. 2020 heuristics): the canonical line filter between "raw
+      // crawl" and every scorer in this catalog. Documents are
+      // line-ified deterministically first (every 5-token run becomes a
+      // period-terminated line; the sub-5-token remainder stays
+      // unterminated) so kept AND dropped lines are exercised; the
+      // oracle replays the line-ification and every rule.
+      (s, dir) => Text.withC4LineClean(
+          t(s, dir, "documents").withColumn("lined",
+            regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1.\n")),
+          col("lined"))
+        .select(col("doc_id"), col("clean_text"), col("n_lines"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy("doc_id"),
+      Some(c4CleanOracleSql),
+      headline = true),
+
+    "pipeline_c4_clean_sql" -> QueryDef(
+      // the same cleaning from PURE SQL via the graft_c4_clean TVF
+      // (line-ification precomputed into the view so the TVF surface
+      // stays (table, textCol)); same oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").withColumn("lined",
+            regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1.\n"))
+          .createOrReplaceTempView("graft_c4_docs")
+        s.sql("""SELECT doc_id, clean_text, n_lines, n_kept, n_dropped
+          FROM graft_c4_clean('graft_c4_docs', 'lined') ORDER BY doc_id""")
+      },
+      Some(c4CleanOracleSql)),
 
     "text_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")

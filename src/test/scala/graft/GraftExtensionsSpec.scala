@@ -398,6 +398,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("graft_script"), e2.getMessage)
   }
 
+  test("graft_c4_clean TVF: SQL cleaning equals the API, loud arity error") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "Good line stays right here.\ntoo short\nAnother keeper ends well."),
+      (2L, "Enable JavaScript to view this page.\nbraces { inside } fail.")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("c4_tvf_in")
+    val viaSql = spark.sql(
+        "SELECT doc_id, clean_text, n_kept FROM graft_c4_clean('c4_tvf_in', 'text')")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val viaApi = graft.functions.Text.withC4LineClean(df, col("text"))
+      .select("doc_id", "clean_text", "n_kept")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql(1L)._2 == 2L && viaSql(2L)._2 == 0L, s"rules via SQL: $viaSql")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_c4_clean('c4_tvf_in')").collect())
+    assert(e.getMessage.contains("graft_c4_clean"), e.getMessage)
+  }
+
   test("resample TVFs: non-numeric ts/value boundaries raise loudly") {
     GraftExtensions.register(spark)
     import spark.implicits._

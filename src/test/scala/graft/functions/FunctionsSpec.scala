@@ -194,6 +194,40 @@ class FunctionsSpec extends AnyFunSuite {
       s"mixed han ${got(5)}")
   }
 
+  test("withC4LineClean: each C4 rule drops its line; survivors rejoin in order") {
+    import spark.implicits._
+    val doc = Seq(
+      "This line survives the filter intact.",   // kept
+      "",                                          // empty -> dropped
+      "   ",                                       // blank -> dropped
+      "Too short.",                                // 2 tokens -> dropped
+      "no terminal punctuation at all",            // no punct -> dropped
+      "Please enable JavaScript to continue.",     // javascript -> dropped
+      "object literal { key: value } here.",       // braces -> dropped
+      "Ends with a question mark?",                // kept
+      "Quoted ending stays in too.\"",             // kept (")
+      "Trailing spaces are fine.   "               // kept
+    ).mkString("\n")
+    val df = Seq((1L, doc), (2L, ""), (3L, "single unterminated line"))
+      .toDF("doc_id", "text")
+    val got = Text.withC4LineClean(df, col("text")).orderBy("doc_id")
+      .select("clean_text", "n_lines", "n_kept", "n_dropped").collect()
+    val kept = got(0).getString(0).split("\n").toSeq
+    assert(kept == Seq(
+      "This line survives the filter intact.",
+      "Ends with a question mark?",
+      "Quoted ending stays in too.\"",
+      "Trailing spaces are fine.   "),
+      s"kept lines: $kept")
+    assert(got(0).getLong(1) == 10 && got(0).getLong(2) == 4 &&
+      got(0).getLong(3) == 6, s"counts: ${got(0)}")
+    // empty doc: one empty line, nothing kept
+    assert(got(1).getString(0) == "" && got(1).getLong(2) == 0)
+    // unterminated single line drops; counts stay consistent
+    assert(got(2).getLong(1) == 1 && got(2).getLong(2) == 0 &&
+      got(2).getLong(3) == 1)
+  }
+
   test("encoding/script audits are stream-safe: stateless narrow maps give batch-identical output on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
