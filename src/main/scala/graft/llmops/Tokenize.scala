@@ -273,4 +273,48 @@ object Tokenize {
       .select(col("__id").as(idCol), col("n_words"), col("n_pieces"),
         col("n_fallback"), col("pieces_fp"))
   }
+
+  /** Per-document vocabulary coverage / OOV rate against the corpus's
+    * own top-`vocabSize` terms — the tokenizer-fertility signal a
+    * pipeline tracks per source/shard (a shard whose OOV rate spikes is
+    * drifting away from the tokenizer's training distribution and will
+    * fragment into fallback pieces). Fit: exact top-K terms by
+    * (count DESC, term ASC — a total order, so the vocabulary is
+    * deterministic and SQL-replayable), which plans as a map-side
+    * partial count + TakeOrdered(K) — never a full sort. Apply: the
+    * token stream LEFT-joins the broadcast vocabulary and one aggregate
+    * counts misses per document (the [[encodeSubwords]] relational
+    * discipline — an IN-list of the whole vocabulary per token would
+    * fight codegen at real vocab sizes). Zero-token documents surface
+    * with `n_tokens = 0, oov_rate = 0.0` (a left join back to the
+    * corpus — rows must not silently vanish). Output: (idCol, n_tokens,
+    * n_oov, oov_rate 6dp).
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      vocabSize: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabCoverage: vocabSize must be positive")
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__v"))
+    val perDoc = toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__v").isNull, 1)).as("n_oov"))
+    docs.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .as("oov_rate"))
+  }
 }

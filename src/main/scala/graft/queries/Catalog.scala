@@ -5454,6 +5454,32 @@ object Catalog {
       },
       Some(c4CleanOracleSql)),
 
+    "text_oov" -> QueryDef(
+      // Vocabulary coverage / OOV rate (Tokenize.vocabCoverage): each
+      // document's fraction of tokens outside the corpus's top-15 terms
+      // (the synthetic corpus has 31 distinct tokens, so 15 leaves a
+      // ~49% OOV mass to measure) — the tokenizer-fertility drift
+      // signal, fit as an exact deterministic top-K (count DESC, term
+      // ASC) and applied as one broadcast left join + aggregate. Oracle
+      // replays the vocabulary fit and the per-document miss counts.
+      (s, dir) => Tokenize.vocabCoverage(t(s, dir, "documents"),
+          vocabSize = 15)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, tk
+            FROM documents, unnest($toksSql) AS t(tk) WHERE len(tk) > 0),
+          v AS (SELECT tk FROM (SELECT tk, count(*) AS cnt FROM toks
+            GROUP BY tk ORDER BY cnt DESC, tk LIMIT 15)),
+          c AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(CASE WHEN tk IN (SELECT tk FROM v) THEN 0 ELSE 1
+                END)::BIGINT AS n_oov
+            FROM toks GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
+          coalesce(c.n_oov, 0)::BIGINT AS n_oov,
+          CASE WHEN coalesce(c.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(c.n_oov::DOUBLE / c.n_tokens, 6) END AS oov_rate
+        FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        ORDER BY d.doc_id""")),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))

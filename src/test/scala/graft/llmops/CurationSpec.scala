@@ -566,6 +566,54 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("temperatureRates exactBudget fuzz: random strata/budgets match iterative water-filling; expected total hits min(budget, N)") {
+    val rnd = new scala.util.Random(77L)
+    for (round <- 1 to 20) {
+      val k = 1 + rnd.nextInt(8)
+      val counts = (1 to k).map(i => s"s$i" -> (1L + rnd.nextInt(400)))
+      val total = counts.map(_._2).sum
+      val budget = 1L + rnd.nextInt((total * 1.3).toInt).toLong
+      var id = 0L
+      val rows = counts.flatMap { case (s, n) =>
+        (1L to n).map { _ => id += 1; (id, s) }
+      }
+      val df = rows.toDF("doc_id", "lang")
+      val got = Curation.temperatureRates(df, "lang", budget,
+          exactBudget = true)
+        .collect { case (Some(s), r) => s -> r }.toMap
+      // independent ITERATIVE water-filling (clamp, re-level, repeat)
+      val qs = counts.map { case (s, n) =>
+        (s, n, math.sqrt(n.toDouble / total.toDouble)) }
+      var clamped = Set.empty[String]
+      var ref = Map.empty[String, Double]
+      var done = false
+      while (!done) {
+        val residual = budget.toDouble -
+          qs.filter(c => clamped(c._1)).map(_._2).sum
+        val zu = qs.filterNot(c => clamped(c._1)).map(_._3).sum
+        val lam = residual / zu
+        val newly = qs.filterNot(c => clamped(c._1))
+          .filter(c => lam >= c._2.toDouble / c._3).map(_._1)
+        if (newly.isEmpty) {
+          ref = qs.map { case (s, n, q) =>
+            s -> (if (clamped(s)) 1.0
+                  else math.min(1.0, lam * q / n.toDouble))
+          }.toMap
+          done = true
+        } else clamped ++= newly
+      }
+      for ((s, r) <- got)
+        assert(math.abs(r - ref(s)) < 1e-6,
+          s"round $round (k=$k budget=$budget counts=$counts): " +
+            s"prefix scan vs iterative diverge at $s: $r vs ${ref(s)}")
+      val realized = counts.map { case (s, n) => n * got(s) }.sum
+      val want = math.min(budget.toDouble, total.toDouble)
+      assert(math.abs(realized - want) < 1e-3,
+        s"round $round: expected total $realized != $want " +
+          s"(budget=$budget N=$total counts=$counts rates=$got)")
+    }
+  }
+
   test("knuthDraw samplers: NULL / non-long-castable ids raise loudly (no silent row loss)") {
     // a NULL or garbage id draws NULL, the keep predicate goes NULL, and
     // the row silently vanishes from the sample — the silent-bias hole

@@ -219,4 +219,29 @@ class TokenizeSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSeq
     assert(m == Seq((1L, "a </w>", 3L)), s"got $m")
   }
+
+  test("vocabCoverage: deterministic top-K vocabulary, exact per-doc OOV counts, zero-token docs surface") {
+    // corpus counts: the=6, cat=3, sat=2, qq=2, xylophone=1 — the top-3
+    // vocabulary exercises the TIE-BREAK: sat and qq tie at 2 and the
+    // term-ascending order picks 'qq', so vocab = {the, cat, qq} and
+    // 'sat' is OOV; doc 4 is whitespace-only and must surface with 0.0
+    val docs = Seq(
+      (1L, "the cat sat the cat"),                  // 5 tokens, sat oov
+      (2L, "the cat sat qq"),                       // 4 tokens, sat oov
+      (3L, "the the the xylophone qq"),             // 5 tokens, xylophone oov
+      (4L, "   ")                                   // zero tokens
+    ).toDF("doc_id", "text")
+    val got = Tokenize.vocabCoverage(docs, vocabSize = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 0.2),
+      (2L, 4L, 1L, 0.25),
+      (3L, 5L, 1L, 0.2),
+      (4L, 0L, 0L, 0.0)), s"got $got")
+    // with K >= |distinct terms| every token is in-vocab
+    val all = Tokenize.vocabCoverage(docs, vocabSize = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(all.forall(_._3 == 0L), s"K >= |terms| must cover all: ${all.toSeq}")
+  }
 }
