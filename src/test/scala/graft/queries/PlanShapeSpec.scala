@@ -871,6 +871,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_codeid grew a join or aggregate")
   }
 
+  test("pipeline_c4_clean: the cleaner is a pure narrow map — no exchange but the output sort") {
+    val p = plan("pipeline_c4_clean")
+    val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(ex == 1, s"pipeline_c4_clean: expected 1 exchange (output sort), got $ex")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "pipeline_c4_clean grew a join or aggregate")
+    // and the line-ify + split runs ONCE (the layered projection): the
+    // single-use `lined` alias inlines into the split, but the split
+    // array itself is referenced three times (filter, n_lines,
+    // n_dropped) and must stay materialized once
+    val opt = Catalog.queries("pipeline_c4_clean")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val lineify = java.util.regex.Pattern.quote("((\\S+ ){4}\\S+) ").r
+      .findAllIn(opt).size
+    assert(lineify == 1,
+      s"the line-ify regex appears ${lineify}x in the optimized plan (want 1):\n$opt")
+  }
+
   test("pipeline_temperature_mix: the returned plan is scan + filter only — no corpus shuffle, join, or aggregate") {
     // the |strata|-cell count fit runs at BUILD time as its own bounded
     // job; the plan handed back must be nothing but the Knuth-draw
