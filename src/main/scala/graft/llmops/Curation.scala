@@ -865,4 +865,44 @@ object Curation {
         col("p_new").cast("double").as("p_new"),
         col("delta").cast("double").as("delta"))
   }
+
+  /** Per-source corpus health report — the one-pass dashboard aggregate
+    * a pipeline owner reads per crawl/source/shard: document and token
+    * volume, average length, how much of the source routes to the code
+    * path, and how many replacement characters (broken transcoding) it
+    * carries. Every aggregated value is an INTEGER sum — counts, token
+    * counts, char counts, a code-route flag on the replayable
+    * [[graft.functions.Text.codeScore]] threshold, U+FFFD counts — so
+    * the aggregation is association-free and exact under ANY
+    * partitioning (the sqFit min/max discipline applied to a report:
+    * no double sums whose value depends on partial-aggregation order);
+    * the derived averages are one division + one 6dp round off exact
+    * inputs. One narrow per-row pass into one hash aggregate keyed on
+    * the source — map-side partial combine, |sources| output rows.
+    */
+  def corpusReport(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = graft.functions.Text.tokens(text)
+    val enriched = docs
+      .withColumn("__cr_toks",
+        size(filter(toks, t => length(t) > 0)).cast("long"))
+      .withColumn("__cr_chars", length(text).cast("long"))
+      .withColumn("__cr_code",
+        (graft.functions.Text.codeScore(text) >= 0.5).cast("long"))
+      .withColumn("__cr_repl", regexp_count(text, lit("\uFFFD")).cast("long"))
+    enriched
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__cr_toks")).as("n_tokens"),
+        sum(col("__cr_chars")).as("n_chars"),
+        sum(col("__cr_code")).as("n_code_docs"),
+        sum(col("__cr_repl")).as("n_repl_chars"))
+      .withColumn("avg_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+      .withColumn("avg_chars",
+        round(col("n_chars").cast("double") / col("n_docs"), 6))
+  }
 }

@@ -248,6 +248,47 @@ object Catalog {
         len(ls) - len(kept) AS n_dropped
       FROM k ORDER BY doc_id"""
 
+  /** Shared oracle of pipeline_corpus_report: every aggregated value is
+    * an integer sum of per-document signals the other oracles already
+    * certify (nonempty token counts, char counts, the codeid composite
+    * thresholded at 0.5, U+FFFD counts), so the GROUP BY replays
+    * exactly; the averages are one division + one 6dp round off exact
+    * integer inputs.
+    */
+  private lazy val corpusReportOracleSql: String = {
+    val kw = graft.functions.Text.codeKeywords.map(w => s"'$w'").mkString(", ")
+    s"""WITH lines AS (SELECT doc_id,
+        list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS nel
+      FROM documents),
+    f AS (SELECT d.doc_id, d.source,
+        len(list_filter($toksSql, tk -> len(tk) > 0)) AS ntoks,
+        length(text) AS nchars,
+        len(regexp_extract_all(text, chr(65533))) AS nrepl,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[{}\\[\\]();=<>#_]', '', 'g')))::DOUBLE / length(text) END AS sym,
+        CASE WHEN len($toksSql) = 0 THEN 0.0
+             ELSE len(list_filter($toksSql, tk -> tk IN ($kw)))::DOUBLE / len($toksSql) END AS kw,
+        CASE WHEN len($toksSql) = 0 THEN 0.0
+             ELSE len(list_filter(string_split_regex(text, '\\s+'),
+                 x -> regexp_matches(x, '[a-z][A-Z]')))::DOUBLE / len($toksSql) END AS cam,
+        CASE WHEN len(nel) = 0 THEN 0.0
+             ELSE len(list_filter(nel, l -> regexp_matches(l, '[;{}:] *$$')
+                 OR regexp_matches(l, '^(    |\t)')))::DOUBLE / len(nel) END AS ln
+      FROM documents d JOIN lines ON d.doc_id = lines.doc_id),
+    g AS (SELECT source, ntoks, nchars, nrepl,
+        CASE WHEN round((least(sym * 8.0, 1.0) + least(kw * 10.0, 1.0) +
+          least(cam * 5.0, 1.0) + least(ln * 2.0, 1.0)) / 4.0, 6) >= 0.5
+          THEN 1 ELSE 0 END AS iscode
+      FROM f)
+    SELECT source, count(*)::BIGINT AS n_docs,
+      sum(ntoks)::BIGINT AS n_tokens, sum(nchars)::BIGINT AS n_chars,
+      sum(iscode)::BIGINT AS n_code_docs,
+      sum(nrepl)::BIGINT AS n_repl_chars,
+      round(sum(ntoks)::DOUBLE / count(*), 6) AS avg_tokens,
+      round(sum(nchars)::DOUBLE / count(*), 6) AS avg_chars
+    FROM g GROUP BY source ORDER BY source"""
+  }
+
   // ======================================================== A. relational ==
 
   /** Write-once bucketed copies of (lineitem, orders) per dataset,
@@ -5420,6 +5461,17 @@ object Catalog {
           FROM graft_script('graft_scr_docs', 'text') ORDER BY doc_id""")
       },
       Some(scriptOracleSql)),
+
+    "pipeline_corpus_report" -> QueryDef(
+      // Per-source corpus health report (Curation.corpusReport): doc and
+      // token volume, average length, code-route share, transcoding
+      // damage — the dashboard a pipeline owner reads per crawl/source.
+      // Every aggregate is an INTEGER sum (association-free, exact under
+      // any partitioning — no order-dependent double sums), so the
+      // GROUP BY oracles exactly; averages divide exact inputs once.
+      (s, dir) => Curation.corpusReport(t(s, dir, "documents"))
+        .orderBy("source"),
+      Some(corpusReportOracleSql)),
 
     "pipeline_c4_clean" -> QueryDef(
       // C4-style line cleaning (Text.withC4LineClean — the Raffel et

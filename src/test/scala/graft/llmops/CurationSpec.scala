@@ -614,6 +614,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusReport: per-source integer sums and 6dp averages match a hand computation") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "web"),            // 6 toks, 22 chars
+      (2L, "def f(x):\n    return x;", "web"),          // code-ish
+      (3L, "bro�ken text", "crawl"),                    // 1 repl char
+      (4L, "   ", "crawl")                              // 0 tokens, 3 chars
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.corpusReport(docs).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))
+    val crawl = got(0); val web = got(1)
+    assert(crawl._1 == "crawl" && web._1 == "web")
+    // crawl: 2 docs; tokens 2 + 0; chars 12 + 3; no code; 1 repl char
+    assert(crawl == ("crawl", 2L, 2L, 15L, 0L, 1L, 1.0, 7.5), s"got $crawl")
+    // web: 2 docs; 6 + 4 tokens; 22 + 23 chars; doc 2 routes code
+    val codeScore2 = docs.filter(col("doc_id") === 2L)
+      .select(graft.functions.Text.codeScore(col("text"))).head.getDouble(0)
+    assert(codeScore2 >= 0.5, s"test setup: doc 2 should score code ($codeScore2)")
+    assert(web._2 == 2L && web._3 == 10L && web._5 == 1L && web._6 == 0L,
+      s"got $web")
+    assert(web._7 == 5.0 && web._8 == (web._4.toDouble / 2.0), s"got $web")
+  }
+
   test("knuthDraw samplers: NULL / non-long-castable ids raise loudly (no silent row loss)") {
     // a NULL or garbage id draws NULL, the keep predicate goes NULL, and
     // the row silently vanishes from the sample — the silent-bias hole
