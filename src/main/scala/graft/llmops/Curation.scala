@@ -131,16 +131,30 @@ object Curation {
     * would silently vanish from EVERY knuthDraw-based sampler
     * ([[sampleStrata]], [[sampleByWeight]], [[temperatureMix]]) — the
     * same silent-bias hole the r13 fix closed for the priority family.
-    * Long ids pass through value-identical, so existing draws (and
-    * their oracles) are unchanged.
+    * NON-INTEGRAL numeric ids also raise: `try_cast('long')` silently
+    * TRUNCATES a fractional double/decimal (3.2 and 3.9 both draw as
+    * 3), so distinct ids would collide in the draw — caught by a
+    * double-space roundtrip compare, which is exact for this purpose
+    * because every IEEE double with a fractional part is below 2^52
+    * where doubles are exact (integral values past 2^53 roundtrip
+    * through the same rounding on both sides). Long ids pass through
+    * value-identical, so existing draws (and their oracles) are
+    * unchanged.
     */
   private def knuthDraw(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val idL = when(id.try_cast("long").isNull,
+    val asLong = id.try_cast("long")
+    val idL = when(asLong.isNull,
       raise_error(concat(
         lit("deterministic sampler: the id column must be a " +
           "long-castable unique id (it seeds the keep/drop draw), got "),
         coalesce(id.cast("string"), lit("NULL")))).cast("long"))
-      .otherwise(id.try_cast("long"))
+      .when(!(asLong.cast("double") <=> id.try_cast("double")),
+        raise_error(concat(
+          lit("deterministic sampler: the id column must be INTEGRAL — " +
+            "a fractional id would silently truncate in the draw " +
+            "(3.2 and 3.9 would collide as 3), got "),
+          id.cast("string"))).cast("long"))
+      .otherwise(asLong)
     pmod(
       (pmod(idL, lit(1000003L)) + 1L) * lit(2654435761L) +
         (pmod(idL, lit(999983L)) + 1L) * lit(2246822519L),
@@ -329,10 +343,25 @@ object Curation {
 
   /** The APPLY half of [[temperatureMix]]: keep each row by its
     * stratum's rate through the certified Knuth draw. Every observed
-    * stratum (NULL included) carries its rate into one literal CASE
-    * chain; the 0.0 base only matters for strata absent from `rates`
-    * (a moving input, or a stream with strata the static fit never
-    * saw). STATELESS narrow filter — no shuffle, no RNG state — so it
+    * stratum (NULL included) carries its rate into ONE FLAT literal-map
+    * lookup — `coalesce(try_element_at(map(k₁→f₁, …), stratum),
+    * unseen)` — a single expression node with 2·|strata| children. The
+    * previous form folded a nested `when().otherwise()` per stratum,
+    * which built a |strata|-DEEP expression tree: at the fit's default
+    * `maxStrata = 10000` Catalyst's recursive analyzer/optimizer
+    * traversals risk a driver StackOverflowError far below the fit's
+    * loud guard, turning an in-range input into an opaque JVM error
+    * (spec'd at the full 10k cap). Draws are identical: the same rate
+    * reaches the same stratum either way.
+    *
+    * `unseenRate` governs strata ABSENT from `rates` (a moving input,
+    * or a stream with strata the static fit never saw):
+    * `Some(f)` keeps them at rate `f` (default 0.0 — drop, the
+    * temperature-mix semantics: an unfitted stratum has no budget
+    * share); `None` RAISES on first contact — the loud option a
+    * streaming caller chooses when a never-fitted stratum means the
+    * fit is stale, not that its documents should silently vanish.
+    * STATELESS narrow filter — no shuffle, no RNG state — so it
     * applies unchanged to a streaming DataFrame (spec-proved
     * batch-identical through MemoryStream).
     */
@@ -340,18 +369,43 @@ object Curation {
       df: DataFrame,
       strataCol: String,
       rates: Seq[(Option[String], Double)],
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      unseenRate: Option[Double] = Some(0.0)): DataFrame = {
     require(rates.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
       "applyStratumRates: rates must be in [0, 1]")
+    unseenRate.foreach(f => require(f >= 0.0 && f <= 1.0,
+      "applyStratumRates: unseenRate must be in [0, 1]"))
+    val keyed = rates.collect { case (Some(k), f) => k -> f }
+    require(keyed.map(_._1).distinct.length == keyed.length,
+      "applyStratumRates: duplicate stratum keys in rates")
     val nullRate = rates.collectFirst { case (None, f) => f }
-    val base = nullRate match {
-      case Some(f) => when(col(strataCol).isNull, lit(f)).otherwise(lit(0.0))
-      case None => lit(0.0)
+    // the unseen branch: a literal rate, or a loud per-row raise —
+    // coalesce/CaseWhen evaluate lazily, so the raise only fires for
+    // rows that actually reach an unfitted stratum
+    val unseen: org.apache.spark.sql.Column = unseenRate match {
+      case Some(f) => lit(f)
+      case None => raise_error(concat(
+        lit("applyStratumRates: stratum '"),
+        coalesce(col(strataCol), lit("NULL")),
+        lit("' is absent from the fitted rates (stale fit?) — refit, " +
+          "or pass unseenRate = Some(rate) to keep/drop unseen strata " +
+          "silently"))).cast("double")
     }
-    val frac = rates.collect { case (Some(k), f) => k -> f }
-      .foldLeft(base) { case (acc, (k, f)) =>
-        when(col(strataCol) === k, lit(f)).otherwise(acc)
-      }
+    // flat lookup: try_element_at (NULL on miss — the ANSI-safe form)
+    // over a literal map, one node wide instead of |strata| deep
+    val seen: org.apache.spark.sql.Column =
+      if (keyed.isEmpty) unseen
+      else coalesce(
+        try_element_at(
+          map_from_arrays(
+            typedLit(keyed.map(_._1)),
+            typedLit(keyed.map(_._2))),
+          col(strataCol)),
+        unseen)
+    val frac = nullRate match {
+      case Some(f) => when(col(strataCol).isNull, lit(f)).otherwise(seen)
+      case None => when(col(strataCol).isNull, unseen).otherwise(seen)
+    }
     df.filter(knuthDraw(col(idCol)) < frac * 4294967296.0)
   }
 
@@ -870,21 +924,32 @@ object Curation {
     * a pipeline owner reads per crawl/source/shard: document and token
     * volume, average length, how much of the source routes to the code
     * path, and how many replacement characters (broken transcoding) it
-    * carries. Every aggregated value is an INTEGER sum — counts, token
-    * counts, char counts, a code-route flag on the replayable
-    * [[graft.functions.Text.codeScore]] threshold, U+FFFD counts — so
-    * the aggregation is association-free and exact under ANY
+    * carries — plus control-char counts (binary-in-text, the
+    * [[graft.functions.Text.withEncodingQuality]] C0-minus-whitespace
+    * class) and how many documents are script-confirmed Latin (the
+    * [[graft.functions.Text.withScriptProfile]] integer-count argmax
+    * as a per-doc flag: a non-Latin spike in a Latin-labeled source
+    * means mislabeling or transliteration). Every aggregated value is
+    * an INTEGER sum — counts, token counts, char counts, a code-route
+    * flag on the replayable [[graft.functions.Text.codeScore]]
+    * threshold, U+FFFD counts, control-char counts, the Latin flag —
+    * so the aggregation is association-free and exact under ANY
     * partitioning (the sqFit min/max discipline applied to a report:
     * no double sums whose value depends on partial-aggregation order);
-    * the derived averages are one division + one 6dp round off exact
-    * inputs. One narrow per-row pass into one hash aggregate keyed on
-    * the source — map-side partial combine, |sources| output rows.
+    * the derived averages/shares are one division + one 6dp round off
+    * exact inputs. NULL text counts EXPLICITLY as a zero-length
+    * document (coalesced to '' before every signal): a NULL-skipping
+    * sum would count the doc in n_docs but exclude its damage from
+    * every numerator, silently deflating the averages — the same
+    * silent-bias class the samplers raise on. One narrow per-row pass
+    * into one hash aggregate keyed on the source — map-side partial
+    * combine, |sources| output rows.
     */
   def corpusReport(
       docs: DataFrame,
       sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val text = col(textCol)
+    val text = coalesce(col(textCol), lit(""))
     val toks = graft.functions.Text.tokens(text)
     val enriched = docs
       .withColumn("__cr_toks",
@@ -893,16 +958,34 @@ object Curation {
       .withColumn("__cr_code",
         (graft.functions.Text.codeScore(text) >= 0.5).cast("long"))
       .withColumn("__cr_repl", regexp_count(text, lit("\uFFFD")).cast("long"))
+      .withColumn("__cr_ctrl", regexp_count(text,
+        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).cast("long"))
+      // the withScriptProfile argmax (fixed tie order, Latin first) as a
+      // per-doc integer flag: 1 iff Latin is the tie-winning dominant
+      // listed script — decided on exact integer counts, not ratios
+      .withColumn("__cr_lat", regexp_count(text, lit("\\p{IsLatin}")).cast("long"))
+      .withColumn("__cr_han", regexp_count(text, lit("\\p{IsHan}")).cast("long"))
+      .withColumn("__cr_cyr", regexp_count(text, lit("\\p{IsCyrillic}")).cast("long"))
+      .withColumn("__cr_ara", regexp_count(text, lit("\\p{IsArabic}")).cast("long"))
+      .withColumn("__cr_latdoc",
+        (col("__cr_lat") >= col("__cr_han") &&
+          col("__cr_lat") >= col("__cr_cyr") &&
+          col("__cr_lat") >= col("__cr_ara") &&
+          col("__cr_lat") > 0).cast("long"))
     enriched
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__cr_toks")).as("n_tokens"),
         sum(col("__cr_chars")).as("n_chars"),
         sum(col("__cr_code")).as("n_code_docs"),
-        sum(col("__cr_repl")).as("n_repl_chars"))
+        sum(col("__cr_repl")).as("n_repl_chars"),
+        sum(col("__cr_ctrl")).as("n_ctrl_chars"),
+        sum(col("__cr_latdoc")).as("n_latin_docs"))
       .withColumn("avg_tokens",
         round(col("n_tokens").cast("double") / col("n_docs"), 6))
       .withColumn("avg_chars",
         round(col("n_chars").cast("double") / col("n_docs"), 6))
+      .withColumn("latin_share",
+        round(col("n_latin_docs").cast("double") / col("n_docs"), 6))
   }
 }

@@ -257,13 +257,21 @@ object Catalog {
     */
   private lazy val corpusReportOracleSql: String = {
     val kw = graft.functions.Text.codeKeywords.map(w => s"'$w'").mkString(", ")
-    s"""WITH lines AS (SELECT doc_id,
+    s"""WITH docs0 AS (SELECT doc_id, source, coalesce(text, '') AS text
+        FROM documents),
+    lines AS (SELECT doc_id,
         list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS nel
-      FROM documents),
+      FROM docs0),
     f AS (SELECT d.doc_id, d.source,
         len(list_filter($toksSql, tk -> len(tk) > 0)) AS ntoks,
         length(text) AS nchars,
         len(regexp_extract_all(text, chr(65533))) AS nrepl,
+        len(regexp_extract_all(text,
+          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS nctrl,
+        len(regexp_extract_all(text, '\\p{Latin}')) AS lat,
+        len(regexp_extract_all(text, '\\p{Han}')) AS han,
+        len(regexp_extract_all(text, '\\p{Cyrillic}')) AS cyr,
+        len(regexp_extract_all(text, '\\p{Arabic}')) AS ara,
         CASE WHEN length(text) = 0 THEN 0.0
              ELSE (length(text) - length(regexp_replace(text, '[{}\\[\\]();=<>#_]', '', 'g')))::DOUBLE / length(text) END AS sym,
         CASE WHEN len($toksSql) = 0 THEN 0.0
@@ -274,18 +282,23 @@ object Catalog {
         CASE WHEN len(nel) = 0 THEN 0.0
              ELSE len(list_filter(nel, l -> regexp_matches(l, '[;{}:] *$$')
                  OR regexp_matches(l, '^(    |\t)')))::DOUBLE / len(nel) END AS ln
-      FROM documents d JOIN lines ON d.doc_id = lines.doc_id),
-    g AS (SELECT source, ntoks, nchars, nrepl,
+      FROM docs0 d JOIN lines ON d.doc_id = lines.doc_id),
+    g AS (SELECT source, ntoks, nchars, nrepl, nctrl,
         CASE WHEN round((least(sym * 8.0, 1.0) + least(kw * 10.0, 1.0) +
           least(cam * 5.0, 1.0) + least(ln * 2.0, 1.0)) / 4.0, 6) >= 0.5
-          THEN 1 ELSE 0 END AS iscode
+          THEN 1 ELSE 0 END AS iscode,
+        CASE WHEN lat >= han AND lat >= cyr AND lat >= ara AND lat > 0
+          THEN 1 ELSE 0 END AS islatin
       FROM f)
     SELECT source, count(*)::BIGINT AS n_docs,
       sum(ntoks)::BIGINT AS n_tokens, sum(nchars)::BIGINT AS n_chars,
       sum(iscode)::BIGINT AS n_code_docs,
       sum(nrepl)::BIGINT AS n_repl_chars,
+      sum(nctrl)::BIGINT AS n_ctrl_chars,
+      sum(islatin)::BIGINT AS n_latin_docs,
       round(sum(ntoks)::DOUBLE / count(*), 6) AS avg_tokens,
-      round(sum(nchars)::DOUBLE / count(*), 6) AS avg_chars
+      round(sum(nchars)::DOUBLE / count(*), 6) AS avg_chars,
+      round(sum(islatin)::DOUBLE / count(*), 6) AS latin_share
     FROM g GROUP BY source ORDER BY source"""
   }
 

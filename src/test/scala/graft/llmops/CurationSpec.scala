@@ -614,28 +614,136 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("corpusReport: per-source integer sums and 6dp averages match a hand computation") {
+  test("corpusReport: per-source integer sums and 6dp averages match a hand computation (NULL text = zero-length doc)") {
     val docs = Seq(
-      (1L, "the cat sat on the mat", "web"),            // 6 toks, 22 chars
-      (2L, "def f(x):\n    return x;", "web"),          // code-ish
-      (3L, "bro�ken text", "crawl"),                    // 1 repl char
-      (4L, "   ", "crawl")                              // 0 tokens, 3 chars
+      (1L, Some("the cat sat on the mat"), "web"),       // 6 toks, 22 chars
+      (2L, Some("def f(x):\n    return x;"), "web"),     // code-ish
+      (3L, Some("bro\uFFFDken text\u0001"), "crawl"),  // 1 repl + 1 ctrl
+      (4L, Some("   "), "crawl"),                        // 0 tokens, 3 chars
+      (5L, Option.empty[String], "crawl")                // NULL text
     ).toDF("doc_id", "text", "source")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = Curation.corpusReport(docs).orderBy("source")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
-        r.getDouble(7)))
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8), r.getDouble(9), r.getDouble(10)))
     val crawl = got(0); val web = got(1)
     assert(crawl._1 == "crawl" && web._1 == "web")
-    // crawl: 2 docs; tokens 2 + 0; chars 12 + 3; no code; 1 repl char
-    assert(crawl == ("crawl", 2L, 2L, 15L, 0L, 1L, 1.0, 7.5), s"got $crawl")
-    // web: 2 docs; 6 + 4 tokens; 22 + 23 chars; doc 2 routes code
+    // crawl: 3 docs (the NULL-text doc COUNTS, as a zero-length one —
+    // a NULL-skipping sum would deflate every average); tokens 2+0+0;
+    // chars 13+3+0; no code; 1 repl; 1 ctrl; 1 latin doc (doc 3)
+    assert(crawl == ("crawl", 3L, 2L, 16L, 0L, 1L, 1L, 1L,
+      r6(2.0 / 3), r6(16.0 / 3), r6(1.0 / 3)), s"got $crawl")
+    // web: 2 docs; 6 + 4 tokens; 22 + 23 chars; doc 2 routes code; both latin
     val codeScore2 = docs.filter(col("doc_id") === 2L)
       .select(graft.functions.Text.codeScore(col("text"))).head.getDouble(0)
     assert(codeScore2 >= 0.5, s"test setup: doc 2 should score code ($codeScore2)")
-    assert(web._2 == 2L && web._3 == 10L && web._5 == 1L && web._6 == 0L,
+    assert(web == ("web", 2L, 10L, 45L, 1L, 0L, 0L, 2L, 5.0, 22.5, 1.0),
       s"got $web")
-    assert(web._7 == 5.0 && web._8 == (web._4.toDouble / 2.0), s"got $web")
+  }
+
+  test("applyStratumRates: flat literal-map lookup analyzes + executes at the FULL default maxStrata cap (10k)") {
+    // the r15 form folded a nested when().otherwise() per stratum — a
+    // |strata|-DEEP expression tree that risks an opaque analyzer
+    // StackOverflowError at the fit's default maxStrata = 10000, far
+    // below the fit's loud guard. The flat form is ONE map node with
+    // 2*|strata| children; draws are checked against a direct Scala
+    // replay of the certified Knuth draw (the same semantics the CASE
+    // chain computed), stratum rates 1.0/0.5/0.0 all exercised.
+    val k = 10000
+    def rate(i: Int): Double = (i % 3) * 0.5 // 0.0, 0.5, 1.0 by stratum
+    val rates: Seq[(Option[String], Double)] =
+      (0 until k).map(i => (Option(s"s$i"), rate(i)))
+    val rows = (1L to 600L).map(i => (i, s"s${(i % k).toInt}"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = Curation.applyStratumRates(df, "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def draw(id: Long): Long = Math.floorMod(
+      (Math.floorMod(id, 1000003L) + 1L) * 2654435761L +
+        (Math.floorMod(id, 999983L) + 1L) * 2246822519L, 4294967296L)
+    val exp = rows.filter { case (id, s) =>
+      draw(id) < rate(s.stripPrefix("s").toInt) * 4294967296.0
+    }.map(_._1).toSet
+    assert(got == exp && got.nonEmpty && got.size < rows.size,
+      s"flat lookup draws diverge: ${got.size} kept vs ${exp.size}")
+    // NULL stratum + unseen strata (default: dropped at 0.0) draw the
+    // same as the r15 CASE semantics
+    val small: Seq[(Option[String], Double)] =
+      Seq((Option("a"), 1.0), (Option("b"), 0.5), (None, 0.5))
+    val rows2: Seq[(Long, Option[String])] =
+      (1L to 300L).map(i => (i, Some(Seq("a", "b", "zz")((i % 3).toInt)))) ++
+        (301L to 400L).map(i => (i, Option.empty[String]))
+    val got2 = Curation.applyStratumRates(
+        rows2.toDF("doc_id", "lang"), "lang", small)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exp2 = rows2.filter { case (id, s) =>
+      val r = s match {
+        case Some("a") => 1.0
+        case Some("b") => 0.5
+        case Some(_) => 0.0 // unseen stratum: default Some(0.0) drop
+        case None => 0.5
+      }
+      draw(id) < r * 4294967296.0
+    }.map(_._1).toSet
+    assert(got2 == exp2 && got2.nonEmpty)
+    assert(!exp2.exists(id => id % 3 == 2 && id <= 300),
+      "unseen stratum zz must drop at the 0.0 default")
+  }
+
+  test("applyStratumRates unseenRate: None raises loudly on a never-fitted stratum; Some(r) keeps it at r") {
+    val rates: Seq[(Option[String], Double)] = Seq((Option("a"), 1.0))
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "lang")
+    // default: unseen stratum silently drops (documented mix semantics)
+    val kept = Curation.applyStratumRates(df, "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // Some(1.0): unseen stratum kept wholesale
+    val all = Curation.applyStratumRates(df, "lang", rates,
+        unseenRate = Some(1.0)).count()
+    assert(all == 3L)
+    // None: the STRICT streaming option — first unseen row raises
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val e = intercept[Exception](
+      Curation.applyStratumRates(df, "lang", rates, unseenRate = None)
+        .collect())
+    assert(msgs(e).exists(m => m != null &&
+        m.contains("absent from the fitted rates")),
+      s"expected the strict unseen-stratum guard, got $e")
+    // NULL strata hit the same strict guard when the fit never saw NULL
+    val dfN = Seq((Some(1L), Some("a")), (Some(2L), Option.empty[String]))
+      .toDF("doc_id", "lang")
+    val eN = intercept[Exception](
+      Curation.applyStratumRates(dfN, "lang", rates, unseenRate = None)
+        .collect())
+    assert(msgs(eN).exists(m => m != null &&
+      m.contains("absent from the fitted rates")))
+  }
+
+  test("knuthDraw samplers: fractional numeric ids raise loudly (truncation would collide distinct ids); integral doubles draw value-identically") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // 3.2 and 3.9 both try_cast to 3: without the guard two DISTINCT
+    // ids share one draw fate — silent collision, not a loud error
+    val frac = Seq((3.2, "a"), (3.9, "a")).toDF("doc_id", "lang")
+    val e = intercept[Exception](
+      Curation.sampleStrata(frac, "lang", Map("a" -> 0.5)).collect())
+    assert(msgs(e).exists(m => m != null && m.contains("INTEGRAL")),
+      s"expected the integral-id guard, got $e")
+    val e2 = intercept[Exception](
+      Curation.temperatureMix(frac, "lang", 1L).collect())
+    assert(msgs(e2).exists(m => m != null && m.contains("INTEGRAL")))
+    // integral doubles pass and draw exactly like their long value
+    val dblKeep = Curation.sampleStrata(
+        (1 to 200).map(i => (i.toDouble, "a")).toDF("doc_id", "lang"),
+        "lang", Map("a" -> 0.35))
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val longKeep = Curation.sampleStrata(
+        (1 to 200).map(i => (i.toLong, "a")).toDF("doc_id", "lang"),
+        "lang", Map("a" -> 0.35))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dblKeep == longKeep && dblKeep.nonEmpty)
   }
 
   test("knuthDraw samplers: NULL / non-long-castable ids raise loudly (no silent row loss)") {
