@@ -277,6 +277,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_temperature_mix"),
       new ExpressionInfo(classOf[graft.llmops.Curation.type].getName, "graft_temperature_mix"),
       (args: Seq[Expression]) => GraftExtensions.graftTemperatureMixPlan(args)))
+    //   SELECT * FROM graft_corpus_report('documents', 'source', 'text')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_corpus_report"),
+      new ExpressionInfo(classOf[graft.llmops.Curation.type].getName, "graft_corpus_report"),
+      (args: Seq[Expression]) => GraftExtensions.graftCorpusReportPlan(args)))
+    //   SELECT doc_id, oov_rate FROM graft_oov('documents', 15)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_oov"),
+      new ExpressionInfo(classOf[graft.llmops.Tokenize.type].getName, "graft_oov"),
+      (args: Seq[Expression]) => GraftExtensions.graftOovPlan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -963,6 +973,51 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_corpus_report(table, sourceCol, textCol)`: the per-source
+    * corpus health dashboard from SQL — routes to
+    * [[graft.llmops.Curation.corpusReport]] (one narrow pass into one
+    * hash aggregate; every aggregated value an integer sum, so exact
+    * under any partitioning; NULL text counts as a zero-length doc).
+    * Returns (source, n_docs, n_tokens, n_chars, n_code_docs,
+    * n_repl_chars, n_ctrl_chars, n_latin_docs, avg_tokens, avg_chars,
+    * latin_share).
+    */
+  private[graft] def graftCorpusReportPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      "graft_corpus_report(table, sourceCol, textCol) expects 3 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_corpus_report table"))
+    graft.llmops.Curation.corpusReport(df,
+        sourceCol = stringLit(args(1), "graft_corpus_report sourceCol"),
+        textCol = stringLit(args(2), "graft_corpus_report textCol"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_oov(table, vocabSize[, idCol, textCol])`: per-document
+    * vocabulary coverage / OOV rate from SQL — routes to
+    * [[graft.llmops.Tokenize.vocabCoverage]] (exact top-K vocabulary
+    * fit as a map-side partial count + TakeOrdered, applied as one
+    * broadcast left join — all lazy plan, no eager driver fit).
+    * Returns (idCol, n_tokens, n_oov, oov_rate).
+    */
+  private[graft] def graftOovPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 4,
+      "graft_oov(table, vocabSize[, idCol, textCol]) expects 2 or 4 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_oov table"))
+    graft.llmops.Tokenize.vocabCoverage(df,
+        vocabSize = intLit(args(1), "graft_oov vocabSize"),
+        idCol = if (args.length == 4)
+          stringLit(args(2), "graft_oov idCol") else "doc_id",
+        textCol = if (args.length == 4)
+          stringLit(args(3), "graft_oov textCol") else "text")
+      .queryExecution.analyzed
+  }
+
   /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
     * per-stratum form — exactly k weight-proportional rows from EVERY
     * stratum, routed to
@@ -1200,6 +1255,8 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_c4_clean", graftC4CleanPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_sq8", graftSq8Plan, "built-in")
     treg.createOrReplaceTempFunction("graft_temperature_mix", graftTemperatureMixPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_corpus_report", graftCorpusReportPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_oov", graftOovPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

@@ -302,6 +302,27 @@ object Catalog {
     FROM g GROUP BY source ORDER BY source"""
   }
 
+  /** Shared oracle of text_oov / _sql: replays the exact top-15
+    * vocabulary fit (count DESC, term ASC — a total order) and the
+    * per-document miss counts, with zero-token documents surfaced via
+    * the left join back to the corpus.
+    */
+  private lazy val oovOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, tk
+          FROM documents, unnest($toksSql) AS t(tk) WHERE len(tk) > 0),
+        v AS (SELECT tk FROM (SELECT tk, count(*) AS cnt FROM toks
+          GROUP BY tk ORDER BY cnt DESC, tk LIMIT 15)),
+        c AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+            sum(CASE WHEN tk IN (SELECT tk FROM v) THEN 0 ELSE 1
+              END)::BIGINT AS n_oov
+          FROM toks GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
+        coalesce(c.n_oov, 0)::BIGINT AS n_oov,
+        CASE WHEN coalesce(c.n_tokens, 0) = 0 THEN 0.0
+          ELSE round(c.n_oov::DOUBLE / c.n_tokens, 6) END AS oov_rate
+      FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id"""
+
   // ======================================================== A. relational ==
 
   /** Write-once bucketed copies of (lineitem, orders) per dataset,
@@ -5486,6 +5507,21 @@ object Catalog {
         .orderBy("source"),
       Some(corpusReportOracleSql)),
 
+    "pipeline_corpus_report_sql" -> QueryDef(
+      // the same dashboard from PURE SQL via the graft_corpus_report
+      // TVF; same oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_crp_docs")
+        s.sql("""SELECT source, n_docs, n_tokens, n_chars, n_code_docs,
+            n_repl_chars, n_ctrl_chars, n_latin_docs, avg_tokens,
+            avg_chars, latin_share
+          FROM graft_corpus_report('graft_crp_docs', 'source', 'text')
+          ORDER BY source""")
+      },
+      Some(corpusReportOracleSql)),
+
     "pipeline_c4_clean" -> QueryDef(
       // C4-style line cleaning (Text.withC4LineClean — the Raffel et
       // al. 2020 heuristics): the canonical line filter between "raw
@@ -5530,20 +5566,19 @@ object Catalog {
       (s, dir) => Tokenize.vocabCoverage(t(s, dir, "documents"),
           vocabSize = 15)
         .orderBy("doc_id"),
-      Some(s"""WITH toks AS (SELECT doc_id, tk
-            FROM documents, unnest($toksSql) AS t(tk) WHERE len(tk) > 0),
-          v AS (SELECT tk FROM (SELECT tk, count(*) AS cnt FROM toks
-            GROUP BY tk ORDER BY cnt DESC, tk LIMIT 15)),
-          c AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-              sum(CASE WHEN tk IN (SELECT tk FROM v) THEN 0 ELSE 1
-                END)::BIGINT AS n_oov
-            FROM toks GROUP BY doc_id)
-        SELECT d.doc_id, coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
-          coalesce(c.n_oov, 0)::BIGINT AS n_oov,
-          CASE WHEN coalesce(c.n_tokens, 0) = 0 THEN 0.0
-            ELSE round(c.n_oov::DOUBLE / c.n_tokens, 6) END AS oov_rate
-        FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
-        ORDER BY d.doc_id""")),
+      Some(oovOracleSql)),
+
+    "text_oov_sql" -> QueryDef(
+      // the same coverage from PURE SQL via the graft_oov TVF; same
+      // oracle.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_oov_docs")
+        s.sql("""SELECT doc_id, n_tokens, n_oov, oov_rate
+          FROM graft_oov('graft_oov_docs', 15) ORDER BY doc_id""")
+      },
+      Some(oovOracleSql)),
 
     "text_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")

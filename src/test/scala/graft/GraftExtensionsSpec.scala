@@ -420,6 +420,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_c4_clean"), e.getMessage)
   }
 
+  test("graft_corpus_report / graft_oov TVFs: SQL equals the API, loud arity errors") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat", "web"),
+      (2L, "def f(x):\n    return x;", "web"),
+      (3L, "short text here", "crawl")
+    ).toDF("doc_id", "text", "source")
+    df.createOrReplaceTempView("crp_tvf_in")
+    val viaSql = spark.sql(
+        """SELECT source, n_docs, n_tokens, n_ctrl_chars, n_latin_docs,
+          latin_share FROM graft_corpus_report('crp_tvf_in', 'source', 'text')
+          ORDER BY source""")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.llmops.Curation.corpusReport(df)
+      .select("source", "n_docs", "n_tokens", "n_ctrl_chars",
+        "n_latin_docs", "latin_share")
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    val eCrp = intercept[Exception](
+      spark.sql("SELECT * FROM graft_corpus_report('crp_tvf_in')").collect())
+    assert(eCrp.getMessage.contains("graft_corpus_report"), eCrp.getMessage)
+    val viaOovSql = spark.sql(
+        """SELECT doc_id, n_tokens, n_oov, oov_rate
+          FROM graft_oov('crp_tvf_in', 3) ORDER BY doc_id""")
+      .collect().map(_.toSeq).toSeq
+    val viaOovApi = graft.llmops.Tokenize.vocabCoverage(df, vocabSize = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaOovSql == viaOovApi && viaOovSql.nonEmpty)
+    // a 3-term vocabulary over this corpus leaves real OOV mass
+    assert(viaOovSql.exists(r => r(2).asInstanceOf[Long] > 0L))
+    val eOov = intercept[Exception](
+      spark.sql("SELECT * FROM graft_oov('crp_tvf_in')").collect())
+    assert(eOov.getMessage.contains("graft_oov"), eOov.getMessage)
+    // 4-arg form: explicit id/text columns route identically
+    val viaOov4 = spark.sql(
+        """SELECT doc_id, n_tokens, n_oov, oov_rate
+          FROM graft_oov('crp_tvf_in', 3, 'doc_id', 'text')
+          ORDER BY doc_id""").collect().map(_.toSeq).toSeq
+    assert(viaOov4 == viaOovApi)
+  }
+
   test("resample TVFs: non-numeric ts/value boundaries raise loudly") {
     GraftExtensions.register(spark)
     import spark.implicits._
