@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -360,6 +361,62 @@ object JaroWinkler {
   }
 }
 
+/** `oov_count(tokens, vocab)`: how many of a row's tokens are OUTSIDE a
+  * fixed vocabulary — the apply half of the persisted-vocabulary OOV
+  * signal ([[graft.llmops.Tokenize.oovAgainstVocab]]).
+  *
+  * Why a native expression: the relational form (explode + anti-join +
+  * re-aggregate per document) is the right BATCH plan but is not a
+  * narrow map — a live stream would need a stateful aggregation just to
+  * count per-row misses. This is one hash-set probe per token against a
+  * vocabulary that rides the expression as a driver parameter (the
+  * [[SubwordSplit]] convention — bounded by construction: it is a
+  * LEARNED top-K vocabulary, not corpus data), so the apply is
+  * stateless, codegen'd, and batch/stream identical. Probes compare
+  * UTF8String directly — no per-token String materialization. A NULL
+  * array element (never produced by the tokenizer) counts as OOV.
+  */
+case class OovCount(child: Expression, vocab: Array[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.length * 2)
+    vocab.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    OovCount.compute(input.asInstanceOf[ArrayData], vocabSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = OovCount.getClass.getName.stripSuffix("$")
+    val ref = ctx.addReferenceObj("oovVocab", vocabSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $util.compute($s, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OovCount =
+    copy(child = newChild)
+}
+
+object OovCount {
+  def compute(arr: ArrayData,
+      vocab: java.util.HashSet[UTF8String]): Long = {
+    var c = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (t == null || !vocab.contains(t)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -370,6 +427,11 @@ object TextExpressions {
   /** Column API: single-pass rolling (polynomial) fingerprint. */
   def rolling_hash64(text: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(text)))
+
+  /** Column API: count of tokens outside a fixed vocabulary. */
+  def oov_count(tokens: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(
+      OovCount(ColumnBridge.expression(tokens), vocab.toArray))
 
   /** Column API: greedy subword segmentation against a learned vocab. */
   def subword_split(word: Column, vocab: Seq[String], maxPieceLen: Int): Column =

@@ -317,4 +317,94 @@ object Tokenize {
           .otherwise(round(col("n_oov").cast("double") / col("n_tokens"), 6))
           .as("oov_rate"))
   }
+  /** The FIT half of the persisted-vocabulary OOV signal: the corpus's
+    * exact top-`vocabSize` terms by (count DESC, term ASC — a total
+    * order, so the vocabulary is deterministic and replayable), as a
+    * (term, cnt) DataFrame. Plans as map-side partial counts +
+    * TakeOrdered(K) — never a full sort. Fit once on a STATIC reference
+    * corpus, persist with [[saveVocabModel]], and apply anywhere —
+    * most usefully against a FIXED tokenizer vocabulary across shards
+    * and streams, which a per-call refit ([[vocabCoverage]]) cannot
+    * track drift against.
+    */
+  def vocabFit(
+      docs: DataFrame,
+      vocabSize: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabFit: vocabSize must be positive")
+    docs.select(explode(Text.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+  }
+
+  /** Persist a [[vocabFit]] vocabulary at `dir` — the
+    * [[Similarity.saveSqModel]] convention: a model fits once and
+    * serves any number of later jobs. One small parquet of (term, cnt)
+    * rows, mode=overwrite for atomic re-fit replacement.
+    */
+  def saveVocabModel(vocab: DataFrame, dir: String): Unit =
+    vocab.select(col("term").cast("string"), col("cnt").cast("long"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/model")
+
+  /** Load a [[saveVocabModel]]-persisted vocabulary as the ordered term
+    * list (count DESC, term ASC — the fit's total order, so the reload
+    * is byte-identical to the fit's collect). Raises loudly on a
+    * missing/empty/mis-shaped model rather than applying an empty
+    * vocabulary (which would silently score EVERYTHING as OOV).
+    */
+  def loadVocabModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val rows =
+      try spark.read.parquet(s"$dir/model")
+        .select(col("term").cast("string"), col("cnt").cast("long"))
+        .collect()
+      catch { case e: Exception => throw new IllegalStateException(
+        s"loadVocabModel: corrupt or missing model at $dir — " +
+          s"expected (term, cnt) parquet: ${e.getMessage}", e) }
+    require(rows.nonEmpty,
+      s"loadVocabModel: empty model at $dir — an empty vocabulary would " +
+        "silently score every token as OOV; refit with vocabFit")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      s"loadVocabModel: corrupt model at $dir — NULL term or count")
+    rows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+      .map(_._1).toSeq
+  }
+
+  /** The APPLY half: per-document token and OOV counts against a FIXED
+    * vocabulary — a STATELESS narrow map (one codegen'd hash-set probe
+    * per token via [[graft.functions.expressions.OovCount]], the
+    * vocabulary riding the plan as a driver parameter), so unlike the
+    * relational [[vocabCoverage]] plan (explode + join + re-aggregate)
+    * it applies unchanged to a streaming DataFrame and is batch/stream
+    * identical by construction (spec-proved through MemoryStream).
+    * NULL text counts as a zero-token document (`n_tokens = 0,
+    * oov_rate = 0.0` — the vocabCoverage contract). Output matches
+    * [[vocabCoverage]] column-for-column: (idCol, n_tokens, n_oov,
+    * oov_rate 6dp).
+    */
+  def oovAgainstVocab(
+      docs: DataFrame,
+      vocab: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty,
+      "oovAgainstVocab: empty vocabulary — every token would score OOV; " +
+        "fit with vocabFit / load with loadVocabModel")
+    docs
+      .withColumn("__oov_toks",
+        filter(Text.tokens(coalesce(col(textCol), lit(""))),
+          t => length(t) > 0))
+      .withColumn("n_tokens", size(col("__oov_toks")).cast("long"))
+      .withColumn("n_oov",
+        TextExpressions.oov_count(col("__oov_toks"), vocab))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") / col("n_tokens"), 6)))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("oov_rate"))
+  }
 }

@@ -5580,6 +5580,32 @@ object Catalog {
       },
       Some(oovOracleSql)),
 
+    "text_oov_model" -> QueryDef(
+      // the PERSISTED-vocabulary OOV path: fit once (vocabFit), save +
+      // reload through parquet, then the STATELESS narrow-map apply
+      // (oovAgainstVocab: one codegen'd hash-set probe per token, the
+      // vocabulary riding the plan) — the production shape where OOV is
+      // measured against a FIXED tokenizer vocabulary across shards and
+      // streams, which the per-call refit (text_oov) cannot. The fit is
+      // the same deterministic top-15, so the row shares text_oov's
+      // oracle: the relational and narrow-map applies must agree
+      // bit-for-bit.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mdir = Files.createTempDirectory("graft-vocab-model").toString
+        val terms = try {
+          Tokenize.saveVocabModel(Tokenize.vocabFit(docs, 15), mdir)
+          Tokenize.loadVocabModel(s, mdir)
+        } finally {
+          // the loaded vocabulary is a plan literal — the model dir is
+          // free to go before the (lazy) query ever executes
+          val p = new org.apache.hadoop.fs.Path(mdir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Tokenize.oovAgainstVocab(docs, terms).orderBy("doc_id")
+      },
+      Some(oovOracleSql)),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))

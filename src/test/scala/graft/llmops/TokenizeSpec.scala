@@ -244,4 +244,94 @@ class TokenizeSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
     assert(all.forall(_._3 == 0L), s"K >= |terms| must cover all: ${all.toSeq}")
   }
+  test("vocabFit/save/load roundtrip: byte-identical term order; corrupt/empty models raise loudly") {
+    val docs = Seq(
+      (1L, "the cat sat the cat"),
+      (2L, "the cat sat qq"),
+      (3L, "the the the xylophone qq")
+    ).toDF("doc_id", "text")
+    val fitTerms = Tokenize.vocabFit(docs, vocabSize = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(fitTerms == Seq("the", "cat", "qq"),
+      s"fit order must be (count DESC, term ASC): $fitTerms") // sat|qq tie -> qq
+    val dir = java.nio.file.Files.createTempDirectory("vocab-rt").toString
+    Tokenize.saveVocabModel(Tokenize.vocabFit(docs, vocabSize = 3), dir)
+    assert(Tokenize.loadVocabModel(spark, dir) == fitTerms,
+      "reload must be byte-identical to the fit's collect")
+    // refit-overwrite replaces atomically
+    Tokenize.saveVocabModel(Tokenize.vocabFit(docs, vocabSize = 2), dir)
+    assert(Tokenize.loadVocabModel(spark, dir) == Seq("the", "cat"))
+    // missing model raises loudly
+    val eMissing = intercept[IllegalStateException](
+      Tokenize.loadVocabModel(spark, dir + "-nope"))
+    assert(eMissing.getMessage.contains("corrupt or missing model"))
+    // mis-shaped model (wrong columns) raises loudly
+    val badDir = java.nio.file.Files.createTempDirectory("vocab-bad").toString
+    Seq((1L, "x")).toDF("a", "b")
+      .write.mode("overwrite").parquet(s"$badDir/model")
+    val eBad = intercept[IllegalStateException](
+      Tokenize.loadVocabModel(spark, badDir))
+    assert(eBad.getMessage.contains("corrupt or missing model"))
+    // an EMPTY vocabulary must refuse to load (it would silently score
+    // everything OOV) and refuse to apply
+    val emptyDir = java.nio.file.Files.createTempDirectory("vocab-empty").toString
+    docs.filter(col("doc_id") < 0L)
+      .select(col("text").as("term"), col("doc_id").as("cnt"))
+      .write.mode("overwrite").parquet(s"$emptyDir/model")
+    val eEmpty = intercept[IllegalArgumentException](
+      Tokenize.loadVocabModel(spark, emptyDir))
+    assert(eEmpty.getMessage.contains("empty model"))
+    val eApply = intercept[IllegalArgumentException](
+      Tokenize.oovAgainstVocab(docs, Seq.empty))
+    assert(eApply.getMessage.contains("empty vocabulary"))
+  }
+
+  test("oovAgainstVocab: the narrow-map apply matches the relational vocabCoverage bit-for-bit (NULL + zero-token docs included)") {
+    val docs = Seq(
+      (1L, Some("the cat sat the cat")),
+      (2L, Some("the cat sat qq")),
+      (3L, Some("the the the xylophone qq")),
+      (4L, Some("   ")),
+      (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val vocab = Tokenize.vocabFit(docs, vocabSize = 3)
+      .collect().map(_.getString(0)).toSeq
+    val viaMap = Tokenize.oovAgainstVocab(docs, vocab)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val viaRel = Tokenize.vocabCoverage(docs, vocabSize = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(viaMap == viaRel, s"narrow map $viaMap vs relational $viaRel")
+    assert(viaMap.find(_._1 == 5L).get == ((5L, 0L, 0L, 0.0)),
+      "NULL text must surface as a zero-token doc")
+    assert(viaMap.exists(_._3 > 0L), "test corpus must have real OOV mass")
+  }
+
+  test("oovAgainstVocab: a static vocabulary applies to a STREAM batch-identically") {
+    // the split's purpose: the fit runs on a static reference corpus,
+    // the apply is a stateless narrow map — so a live ingest stream
+    // scores OOV against the SAME fixed tokenizer vocabulary
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows: Seq[(Long, String)] = Seq(
+      (1L, "the cat sat the cat"), (2L, "the cat sat qq"),
+      (3L, "the the the xylophone qq"), (4L, "   "))
+    val batch = rows.toDF("doc_id", "text")
+    val vocab = Tokenize.vocabFit(batch, vocabSize = 3)
+      .collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = Tokenize.oovAgainstVocab(
+        input.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("oov_stream").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = spark.table("oov_stream")
+        .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+      val exp = Tokenize.oovAgainstVocab(batch, vocab)
+        .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got == exp && got.nonEmpty,
+        s"stream OOV diverged from batch: $got vs $exp")
+    } finally q.stop()
+  }
 }
