@@ -255,14 +255,17 @@ object Catalog {
     * exactly; the averages are one division + one 6dp round off exact
     * integer inputs.
     */
-  private lazy val corpusReportOracleSql: String = {
+  /** The corpus-report replay over any (doc_id, source, text) relation
+    * `src` — shared by pipeline_corpus_report (over raw documents) and
+    * pipeline_e2e (over the cleaned/gated/deduped/mixed survivor set).
+    * Continues an open WITH chain: callers prepend `WITH ...src...,`.
+    */
+  private def corpusReportSqlTail(src: String): String = {
     val kw = graft.functions.Text.codeKeywords.map(w => s"'$w'").mkString(", ")
-    s"""WITH docs0 AS (SELECT doc_id, source, coalesce(text, '') AS text
-        FROM documents),
-    lines AS (SELECT doc_id,
+    s"""crlines AS (SELECT doc_id,
         list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS nel
-      FROM docs0),
-    f AS (SELECT d.doc_id, d.source,
+      FROM $src),
+    crf AS (SELECT d.doc_id, d.source,
         len(list_filter($toksSql, tk -> len(tk) > 0)) AS ntoks,
         length(text) AS nchars,
         len(regexp_extract_all(text, chr(65533))) AS nrepl,
@@ -282,14 +285,14 @@ object Catalog {
         CASE WHEN len(nel) = 0 THEN 0.0
              ELSE len(list_filter(nel, l -> regexp_matches(l, '[;{}:] *$$')
                  OR regexp_matches(l, '^(    |\t)')))::DOUBLE / len(nel) END AS ln
-      FROM docs0 d JOIN lines ON d.doc_id = lines.doc_id),
-    g AS (SELECT source, ntoks, nchars, nrepl, nctrl,
+      FROM $src d JOIN crlines ON d.doc_id = crlines.doc_id),
+    crg AS (SELECT source, ntoks, nchars, nrepl, nctrl,
         CASE WHEN round((least(sym * 8.0, 1.0) + least(kw * 10.0, 1.0) +
           least(cam * 5.0, 1.0) + least(ln * 2.0, 1.0)) / 4.0, 6) >= 0.5
           THEN 1 ELSE 0 END AS iscode,
         CASE WHEN lat >= han AND lat >= cyr AND lat >= ara AND lat > 0
           THEN 1 ELSE 0 END AS islatin
-      FROM f)
+      FROM crf)
     SELECT source, count(*)::BIGINT AS n_docs,
       sum(ntoks)::BIGINT AS n_tokens, sum(nchars)::BIGINT AS n_chars,
       sum(iscode)::BIGINT AS n_code_docs,
@@ -299,8 +302,73 @@ object Catalog {
       round(sum(ntoks)::DOUBLE / count(*), 6) AS avg_tokens,
       round(sum(nchars)::DOUBLE / count(*), 6) AS avg_chars,
       round(sum(islatin)::DOUBLE / count(*), 6) AS latin_share
-    FROM g GROUP BY source ORDER BY source"""
+    FROM crg GROUP BY source ORDER BY source"""
   }
+
+  private lazy val corpusReportOracleSql: String =
+    s"""WITH docs0 AS (SELECT doc_id, source, coalesce(text, '') AS text
+        FROM documents),
+    ${corpusReportSqlTail("docs0")}"""
+
+  /** Shared oracle of pipeline_e2e: the full composite replay — C4
+    * line-ification + cleaning (the pipeline_c4_clean recipe), the
+    * encoding/script audit gate on the CLEANED text plus a kept-line
+    * floor (n_kept >= 8 drops ~1/3 of this corpus), exact dedup on the
+    * normalized clean text (min doc_id survives — after cleaning the
+    * synthetic corpus has real duplicate groups), alpha=0.5
+    * temperature mixing over lang at budget 150 (the certified rate
+    * recipe + Knuth draw), and the corpus health report aggregated
+    * over the surviving CLEANED documents.
+    */
+  private lazy val pipelineE2eOracleSql: String =
+    s"""WITH e2f AS (SELECT doc_id, lang, source,
+          string_split(regexp_replace(text,
+            '((\\S+ ){4}\\S+) ', '\\1.' || chr(10), 'g'), chr(10)) AS ls
+        FROM documents),
+      e2c AS (SELECT doc_id, lang, source,
+          array_to_string(list_filter(ls, l -> len(trim(l)) > 0
+            AND len(string_split_regex(trim(l), '\\s+')) >= 3
+            AND regexp_matches(l, '[.!?"\u201d] *$$')
+            AND NOT contains(lower(l), 'javascript')
+            AND NOT contains(l, '{') AND NOT contains(l, '}')), chr(10)) AS ct,
+          len(list_filter(ls, l -> len(trim(l)) > 0
+            AND len(string_split_regex(trim(l), '\\s+')) >= 3
+            AND regexp_matches(l, '[.!?"\u201d] *$$')
+            AND NOT contains(lower(l), 'javascript')
+            AND NOT contains(l, '{') AND NOT contains(l, '}'))) AS nk
+        FROM e2f),
+      e2g AS (SELECT doc_id, lang, source, ct FROM (
+          SELECT doc_id, lang, source, ct, length(ct) AS ncp,
+            len(regexp_extract_all(ct, chr(65533))) AS repl,
+            len(regexp_extract_all(ct,
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS ctrl,
+            len(regexp_extract_all(ct, '\\p{Latin}')) AS lat,
+            len(regexp_extract_all(ct, '\\p{Han}')) AS han,
+            len(regexp_extract_all(ct, '\\p{Cyrillic}')) AS cyr,
+            len(regexp_extract_all(ct, '\\p{Arabic}')) AS ara
+          FROM e2c WHERE nk >= 8)
+        WHERE round(greatest(0.0, 1.0 -
+            ((CASE WHEN ncp = 0 THEN 0.0 ELSE repl::DOUBLE / ncp END) * 25.0
+             + (CASE WHEN ncp = 0 THEN 0.0 ELSE ctrl::DOUBLE / ncp END) * 25.0)),
+            6) >= 0.9
+          AND lat >= han AND lat >= cyr AND lat >= ara AND lat > 0),
+      e2d AS (SELECT doc_id, lang, source, ct FROM e2g WHERE doc_id IN
+        (SELECT min(doc_id) FROM e2g
+          GROUP BY md5(trim(regexp_replace(lower(ct), '\\s+', ' ', 'g'))))),
+      e2cnt AS (SELECT lang AS st, count(*) AS n FROM e2d GROUP BY lang),
+      e2tt AS (SELECT sum(n)::DOUBLE AS nn FROM e2cnt),
+      e2q AS (SELECT st, n,
+          sqrt(n::DOUBLE / (SELECT nn FROM e2tt)) AS qa FROM e2cnt),
+      e2z AS (SELECT max(zz) AS z FROM
+        (SELECT sum(qa) OVER (ORDER BY st NULLS LAST) AS zz FROM e2q)),
+      e2r AS (SELECT st, round(least(1.0,
+          150.0 * (qa / (SELECT z FROM e2z)) / n::DOUBLE), 9) AS rate FROM e2q),
+      docs0 AS (SELECT d.doc_id, d.source, d.ct AS text
+        FROM e2d d JOIN e2r ON d.lang IS NOT DISTINCT FROM e2r.st
+        WHERE ((d.doc_id % 1000003 + 1) * 2654435761
+             + (d.doc_id % 999983 + 1) * 2246822519) % 4294967296
+            < rate * 4294967296),
+      ${corpusReportSqlTail("docs0")}"""
 
   /** Shared oracle of text_oov / _sql: replays the exact top-15
     * vocabulary fit (count DESC, term ASC — a total order) and the
@@ -5521,6 +5589,42 @@ object Catalog {
           ORDER BY source""")
       },
       Some(corpusReportOracleSql)),
+
+    "pipeline_e2e" -> QueryDef(
+      // the END-TO-END pipeline composite: every family is oracled in
+      // isolation elsewhere; this row exercises COMPOSITION — C4 clean
+      // (withC4LineClean over the deterministic line-ification), the
+      // encoding + script audit gate ON THE CLEANED TEXT plus a
+      // kept-line floor (n_kept >= 8 — drops ~1/3 of this corpus),
+      // exact dedup of the cleaned text (cleaning creates real
+      // duplicate groups here; min doc_id survives), alpha=0.5
+      // temperature mixing over lang at budget 150, and the per-source
+      // corpus health report over the survivors. Temp-column hygiene,
+      // plan size, and exchange count under stacking are what a real
+      // pipeline hits first (PlanShapeSpec pins the exchange count);
+      // the oracle replays every stage and hash-matches the final
+      // dashboard. The mix fit (one |strata|-cell count over the
+      // deduped set) runs at plan build — the graft_temperature_mix
+      // convention — so each bench run pays fit + apply by design.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cleaned = Text.withC4LineClean(
+          docs.withColumn("lined",
+            regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1.\n")),
+          col("lined"))
+        val gated = Text.withScriptProfile(
+            Text.withEncodingQuality(cleaned, col("clean_text")),
+            col("clean_text"))
+          .filter(col("n_kept") >= 8 && col("enc_score") >= 0.9 &&
+            col("script_pred") === "latin")
+          .select("doc_id", "lang", "source", "clean_text")
+        val deduped = Dedup.exactSurvivors(gated, textCol = "clean_text")
+        val mixed = Curation.temperatureMix(deduped, "lang", budget = 150L)
+        Curation.corpusReport(mixed, "source", "clean_text")
+          .orderBy("source")
+      },
+      Some(pipelineE2eOracleSql),
+      headline = true),
 
     "pipeline_c4_clean" -> QueryDef(
       // C4-style line cleaning (Text.withC4LineClean — the Raffel et

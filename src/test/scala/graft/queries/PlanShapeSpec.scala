@@ -904,4 +904,23 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("Filter"), s"$name lost its draw filter")
     }
   }
+  test("pipeline_e2e: the composite stays 3 exchanges — clean/gate/mix are narrow, dedup broadcasts its survivor set") {
+    // the end-to-end chain (C4 clean -> encoding/script gate -> exact
+    // dedup -> temperature mix -> corpus report) must not accumulate
+    // exchanges as stages stack: the only shuffles are the dedup
+    // fingerprint aggregate, the report aggregate, and the
+    // presentation sort; the survivor set joins back as a BROADCAST
+    // left-semi (it is an aggregate output, never corpus-sized on the
+    // build side), and the mix keep-filter is a pure narrow map (its
+    // |strata|-cell fit is a separate bounded job at plan build).
+    val p = plan("pipeline_e2e")
+    val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(ex == 3,
+      s"pipeline_e2e: expected exactly 3 exchanges (dedup agg, report agg, output sort), got $ex:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"pipeline_e2e: the dedup survivor join stopped broadcasting:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pipeline_e2e: a cartesian/BNLJ crept into the composite:\n$p")
+  }
 }
