@@ -110,7 +110,14 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        val pre = (0 until runs).map(_ => once()).min
+        // the 51-root degraded read is the suite's most FS-state-
+        // sensitive row (r15 official-vs-rerun spread hit 1.61x): its
+        // first sample was also the roots' FIRST listing, so cold
+        // file-listing + footer reads landed inside the clock. Untimed
+        // probe + min-of-5 — the same pin that stabilized the agg-view
+        // degraded read and search_bm25_minorfold.
+        once()
+        val pre = (0 until runs.max(5)).map(_ => once()).min
         // minor fold first (the streaming-maintenance shape: appends fold,
         // base untouched), then the major fold's one-root floor.
         // Same steady-state pin the _indexed/_deleted probes got in r11:

@@ -287,6 +287,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_oov"),
       new ExpressionInfo(classOf[graft.llmops.Tokenize.type].getName, "graft_oov"),
       (args: Seq[Expression]) => GraftExtensions.graftOovPlan(args)))
+    //   SELECT doc_id, oov_rate FROM graft_oov_model('/model', 'documents')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_oov_model"),
+      new ExpressionInfo(classOf[graft.llmops.Tokenize.type].getName, "graft_oov_model"),
+      (args: Seq[Expression]) => GraftExtensions.graftOovModelPlan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -1018,6 +1023,31 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_oov_model(modelDir, table[, idCol, textCol])`: per-document
+    * OOV against a [[graft.llmops.Tokenize.saveVocabModel]]-PERSISTED
+    * vocabulary — the `graft_pca`/`graft_sq8` convention (fit once
+    * programmatically, consume from any SQL session). The model loads
+    * at plan build (loud on corrupt/empty) and the apply is the
+    * stateless narrow map ([[graft.llmops.Tokenize.oovAgainstVocab]]).
+    * Returns (idCol, n_tokens, n_oov, oov_rate).
+    */
+  private[graft] def graftOovModelPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 4,
+      "graft_oov_model(modelDir, table[, idCol, textCol]) expects 2 or " +
+        s"4 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val vocab = graft.llmops.Tokenize.loadVocabModel(spark,
+      stringLit(args(0), "graft_oov_model modelDir"))
+    val df = spark.table(stringLit(args(1), "graft_oov_model table"))
+    graft.llmops.Tokenize.oovAgainstVocab(df, vocab,
+        idCol = if (args.length == 4)
+          stringLit(args(2), "graft_oov_model idCol") else "doc_id",
+        textCol = if (args.length == 4)
+          stringLit(args(3), "graft_oov_model textCol") else "text")
+      .queryExecution.analyzed
+  }
+
   /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
     * per-stratum form — exactly k weight-proportional rows from EVERY
     * stratum, routed to
@@ -1257,6 +1287,7 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_temperature_mix", graftTemperatureMixPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_corpus_report", graftCorpusReportPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_oov", graftOovPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_oov_model", graftOovModelPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

@@ -311,13 +311,17 @@ object Text {
       .drop("__scr_ncp", "__scr_lat", "__scr_han", "__scr_cyr", "__scr_ara")
   }
 
-  /** Append C4-style line-level cleaning (the Raffel et al. 2020 C4
-    * heuristics — the canonical pre-training line filter): a line
-    * survives iff it is non-empty, has at least 3 whitespace tokens,
-    * ends in terminal punctuation (`.` `!` `?` `"` `”`, modulo trailing
-    * spaces), does not mention "javascript" (case-insensitive — the
-    * boilerplate "enable JavaScript" banner), and contains no curly
-    * brace (leaked code/markup). Emits `clean_text` (surviving lines
+  /** Append C4-INSPIRED line-level cleaning (cf. Raffel et al. 2020's
+    * C4 filters; deliberately NOT a verbatim replay — the paper keeps
+    * lines of >= 5 words and removes whole PAGES containing `{` or
+    * fewer than 3 sentences, where this builder uses a 3-token minimum
+    * and applies every rule per LINE so one bad line never discards a
+    * good document): a line survives iff it is non-empty, has at
+    * least 3 whitespace tokens, ends in terminal punctuation
+    * (`.` `!` `?` `"` `”`, modulo trailing spaces), does not mention
+    * "javascript" (case-insensitive — the boilerplate "enable
+    * JavaScript" banner), and contains no curly brace (leaked
+    * code/markup). Emits `clean_text` (surviving lines
     * re-joined with newlines), `n_lines`, `n_kept`, `n_dropped`. All
     * builtin HOFs over per-row line arrays (cost bounded by document
     * length, never corpus size), layered for single evaluation of the

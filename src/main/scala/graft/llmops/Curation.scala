@@ -920,6 +920,44 @@ object Curation {
         col("delta").cast("double").as("delta"))
   }
 
+  /** The per-document signal block shared by [[corpusReport]] (batch
+    * GROUP BY) and
+    * [[graft.streaming.EventStream.corpusReportStream]] (stateful
+    * integer-sum fold): appends the `__cr_*` integer columns — nonempty
+    * token count, char count, code-route flag, U+FFFD count,
+    * control-char count, the Latin-argmax flag — off ONE narrow pass
+    * over the (NULL-coalesced) text. Because every signal is an
+    * integer, ANY downstream summation (hash aggregate, streaming
+    * state fold, partial/merge) is association-free and exact.
+    */
+  private[graft] def corpusSignals(
+      docs: DataFrame,
+      textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val toks = graft.functions.Text.tokens(text)
+    docs
+      .withColumn("__cr_toks",
+        size(filter(toks, t => length(t) > 0)).cast("long"))
+      .withColumn("__cr_chars", length(text).cast("long"))
+      .withColumn("__cr_code",
+        (graft.functions.Text.codeScore(text) >= 0.5).cast("long"))
+      .withColumn("__cr_repl", regexp_count(text, lit("\uFFFD")).cast("long"))
+      .withColumn("__cr_ctrl", regexp_count(text,
+        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).cast("long"))
+      // the withScriptProfile argmax (fixed tie order, Latin first) as a
+      // per-doc integer flag: 1 iff Latin is the tie-winning dominant
+      // listed script — decided on exact integer counts, not ratios
+      .withColumn("__cr_lat", regexp_count(text, lit("\\p{IsLatin}")).cast("long"))
+      .withColumn("__cr_han", regexp_count(text, lit("\\p{IsHan}")).cast("long"))
+      .withColumn("__cr_cyr", regexp_count(text, lit("\\p{IsCyrillic}")).cast("long"))
+      .withColumn("__cr_ara", regexp_count(text, lit("\\p{IsArabic}")).cast("long"))
+      .withColumn("__cr_latdoc",
+        (col("__cr_lat") >= col("__cr_han") &&
+          col("__cr_lat") >= col("__cr_cyr") &&
+          col("__cr_lat") >= col("__cr_ara") &&
+          col("__cr_lat") > 0).cast("long"))
+  }
+
   /** Per-source corpus health report — the one-pass dashboard aggregate
     * a pipeline owner reads per crawl/source/shard: document and token
     * volume, average length, how much of the source routes to the code
@@ -949,30 +987,7 @@ object Curation {
       docs: DataFrame,
       sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val text = coalesce(col(textCol), lit(""))
-    val toks = graft.functions.Text.tokens(text)
-    val enriched = docs
-      .withColumn("__cr_toks",
-        size(filter(toks, t => length(t) > 0)).cast("long"))
-      .withColumn("__cr_chars", length(text).cast("long"))
-      .withColumn("__cr_code",
-        (graft.functions.Text.codeScore(text) >= 0.5).cast("long"))
-      .withColumn("__cr_repl", regexp_count(text, lit("\uFFFD")).cast("long"))
-      .withColumn("__cr_ctrl", regexp_count(text,
-        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).cast("long"))
-      // the withScriptProfile argmax (fixed tie order, Latin first) as a
-      // per-doc integer flag: 1 iff Latin is the tie-winning dominant
-      // listed script — decided on exact integer counts, not ratios
-      .withColumn("__cr_lat", regexp_count(text, lit("\\p{IsLatin}")).cast("long"))
-      .withColumn("__cr_han", regexp_count(text, lit("\\p{IsHan}")).cast("long"))
-      .withColumn("__cr_cyr", regexp_count(text, lit("\\p{IsCyrillic}")).cast("long"))
-      .withColumn("__cr_ara", regexp_count(text, lit("\\p{IsArabic}")).cast("long"))
-      .withColumn("__cr_latdoc",
-        (col("__cr_lat") >= col("__cr_han") &&
-          col("__cr_lat") >= col("__cr_cyr") &&
-          col("__cr_lat") >= col("__cr_ara") &&
-          col("__cr_lat") > 0).cast("long"))
-    enriched
+    corpusSignals(docs, textCol)
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__cr_toks")).as("n_tokens"),

@@ -5627,9 +5627,10 @@ object Catalog {
       headline = true),
 
     "pipeline_c4_clean" -> QueryDef(
-      // C4-style line cleaning (Text.withC4LineClean — the Raffel et
-      // al. 2020 heuristics): the canonical line filter between "raw
-      // crawl" and every scorer in this catalog. Documents are
+      // C4-inspired line cleaning (Text.withC4LineClean — cf. Raffel
+      // et al. 2020, with documented deviations: 3-token minimum,
+      // line-level drops): the line filter between "raw crawl" and
+      // every scorer in this catalog. Documents are
       // line-ified deterministically first (every 5-token run becomes a
       // period-terminated line; the sub-5-token remainder stays
       // unterminated) so kept AND dropped lines are exercised; the
@@ -5707,6 +5708,29 @@ object Catalog {
           p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         }
         Tokenize.oovAgainstVocab(docs, terms).orderBy("doc_id")
+      },
+      Some(oovOracleSql)),
+
+    "text_oov_model_sql" -> QueryDef(
+      // the persisted-model path from PURE SQL via the graft_oov_model
+      // TVF (fit + save programmatically, consume from SQL — the
+      // graft_pca convention); same oracle as text_oov.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        val docs = t(s, dir, "documents")
+        docs.createOrReplaceTempView("graft_oovm_docs")
+        val mdir = Files.createTempDirectory("graft-vocab-model-sql").toString
+        Tokenize.saveVocabModel(Tokenize.vocabFit(docs, 15), mdir)
+        // NOTE: the TVF loads the model at plan build, so the dir must
+        // survive until the sql() call below has analyzed — then the
+        // vocabulary is a plan literal and the dir is reclaimable
+        val out = s.sql(s"""SELECT doc_id, n_tokens, n_oov, oov_rate
+          FROM graft_oov_model('$mdir', 'graft_oovm_docs')
+          ORDER BY doc_id""")
+        val p = new org.apache.hadoop.fs.Path(mdir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        out
       },
       Some(oovOracleSql)),
 

@@ -266,6 +266,22 @@ final case class HHState(n: Long, items: Seq[(String, Long)])
 final case class HHUpdate(
     key: Long, n: Long, err: Long, items: Seq[(String, Long)])
 
+/** [[EventStream.corpusReportStream]] state and emission: the running
+  * per-source integer sums (the batch [[graft.llmops.Curation.corpusReport]]
+  * aggregates — every one an integer, so the stateful fold is
+  * association-free and EXACTLY equals the batch GROUP BY under any
+  * arrival order/batching), plus the derived 6dp averages/share
+  * recomputed per emission from the exact integers.
+  */
+final case class CRState(
+    nDocs: Long, nTokens: Long, nChars: Long, nCode: Long,
+    nRepl: Long, nCtrl: Long, nLatin: Long)
+final case class CRUpdate(
+    source: Option[String], n_docs: Long, n_tokens: Long, n_chars: Long,
+    n_code_docs: Long, n_repl_chars: Long, n_ctrl_chars: Long,
+    n_latin_docs: Long, avg_tokens: Double, avg_chars: Double,
+    latin_share: Double)
+
 /** [[EventStream.quantilesStream]] state: the KLL compactor stack — per
   * level the retained values (weight 2^level), plus the stream length
   * and the accumulated worst-case rank-error bound, exactly the batch
@@ -1427,6 +1443,57 @@ object EventStream {
           .map(e => (e.getKey, e.getValue)).toSeq
         state.update(HHState(buf.n, items))
         HHUpdate(key, buf.n, (buf.n - buf.retained) / (k + 1), items)
+    }
+  }
+
+  /** Streaming corpus health report — the streaming dual of the batch
+    * [[graft.llmops.Curation.corpusReport]] dashboard: per SOURCE, the
+    * running integer sums (docs, nonempty tokens, chars, code-routed
+    * docs, U+FFFD chars, control chars, Latin-argmax docs) with the
+    * derived 6dp averages/share re-emitted whenever the source sees
+    * data (Update mode). The per-row signals are the SAME expressions
+    * as the batch plan ([[graft.llmops.Curation.corpusSignals]] — one
+    * narrow map before the stateful fold), and every folded value is
+    * an INTEGER, so the stream's final state equals the batch GROUP BY
+    * EXACTLY under any arrival order or batching (the integer-sum
+    * discipline is what makes this dual trivial — no merge-order
+    * float drift to reconcile; spec-proved through MemoryStream).
+    * NULL source is a group of its own (Option key — the batch keys
+    * NULL too; silent group loss is a bias bug). State per source:
+    * seven longs, forever.
+    *
+    * Input columns: `sourceCol` string, `textCol` string.
+    */
+  def corpusReportStream(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): Dataset[CRUpdate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sig = graft.llmops.Curation.corpusSignals(docs, textCol)
+      .select(col(sourceCol).cast("string"), col("__cr_toks"),
+        col("__cr_chars"), col("__cr_code"), col("__cr_repl"),
+        col("__cr_ctrl"), col("__cr_latdoc"))
+      .as[(Option[String], Long, Long, Long, Long, Long, Long)]
+    sig.groupByKey(_._1).mapGroupsWithState[CRState, CRUpdate](
+      GroupStateTimeout.NoTimeout) {
+      (source: Option[String],
+       rows: Iterator[(Option[String], Long, Long, Long, Long, Long, Long)],
+       state: GroupState[CRState]) =>
+        var st = state.getOption.getOrElse(CRState(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+        rows.foreach { r =>
+          st = CRState(st.nDocs + 1L, st.nTokens + r._2, st.nChars + r._3,
+            st.nCode + r._4, st.nRepl + r._5, st.nCtrl + r._6,
+            st.nLatin + r._7)
+        }
+        state.update(st)
+        CRUpdate(source, st.nDocs, st.nTokens, st.nChars, st.nCode,
+          st.nRepl, st.nCtrl, st.nLatin,
+          r6(st.nTokens.toDouble / st.nDocs),
+          r6(st.nChars.toDouble / st.nDocs),
+          r6(st.nLatin.toDouble / st.nDocs))
     }
   }
 

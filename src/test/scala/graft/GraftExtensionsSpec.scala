@@ -462,6 +462,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaOov4 == viaOovApi)
   }
 
+  test("graft_oov_model TVF: persisted vocabulary applies from SQL, loud on missing model and bad arity") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat the cat"), (2L, "the cat sat qq"),
+      (3L, "the the the xylophone qq")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("oovm_tvf_in")
+    val mdir = java.nio.file.Files.createTempDirectory("oovm-tvf").toString
+    graft.llmops.Tokenize.saveVocabModel(
+      graft.llmops.Tokenize.vocabFit(df, vocabSize = 3), mdir)
+    val viaSql = spark.sql(
+        s"""SELECT doc_id, n_tokens, n_oov, oov_rate
+          FROM graft_oov_model('$mdir', 'oovm_tvf_in') ORDER BY doc_id""")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.llmops.Tokenize.oovAgainstVocab(df,
+        graft.llmops.Tokenize.loadVocabModel(spark, mdir))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // a missing model fails at ANALYSIS, loudly — not with an empty scan
+    val eMissing = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_oov_model('$mdir-nope', 'oovm_tvf_in')"))
+    assert(eMissing.getMessage.contains("corrupt or missing model"),
+      eMissing.getMessage)
+    val eArity = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_oov_model('$mdir')"))
+    assert(eArity.getMessage.contains("graft_oov_model"), eArity.getMessage)
+  }
+
   test("resample TVFs: non-numeric ts/value boundaries raise loudly") {
     GraftExtensions.register(spark)
     import spark.implicits._
