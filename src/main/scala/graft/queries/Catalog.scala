@@ -5626,6 +5626,45 @@ object Catalog {
       Some(pipelineE2eOracleSql),
       headline = true),
 
+    "pipeline_e2e_sql" -> QueryDef(
+      // the SAME five-stage composite from PURE SQL: every stage is a
+      // TVF (graft_c4_clean -> graft_encoding -> graft_script ->
+      // graft_temperature_mix -> graft_corpus_report) or plain SQL
+      // (the exact-dedup min-id semi-join), chained through temp views
+      // — proof a SQL-only user can run the whole pipeline. Same
+      // oracle as pipeline_e2e: the TVF chain must reproduce the API
+      // chain's keep set and dashboard bit-for-bit.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents")
+          .withColumn("lined",
+            regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1.\n"))
+          .createOrReplaceTempView("graft_e2e_docs")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_e2e_c4 AS
+          SELECT doc_id, lang, source, clean_text, n_kept
+          FROM graft_c4_clean('graft_e2e_docs', 'lined')""")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_e2e_enc AS
+          SELECT * FROM graft_encoding('graft_e2e_c4', 'clean_text')""")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_e2e_gate AS
+          SELECT doc_id, lang, source, clean_text
+          FROM graft_script('graft_e2e_enc', 'clean_text')
+          WHERE n_kept >= 8 AND enc_score >= 0.9
+            AND script_pred = 'latin'""")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_e2e_dedup AS
+          SELECT d.* FROM graft_e2e_gate d LEFT SEMI JOIN (
+              SELECT min(doc_id) AS doc_id FROM graft_e2e_gate
+              GROUP BY md5(trim(regexp_replace(lower(clean_text),
+                '\\s+', ' ')))) k
+            ON d.doc_id = k.doc_id""")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_e2e_mix AS
+          SELECT * FROM graft_temperature_mix('graft_e2e_dedup', 'lang', 150)""")
+        s.sql("""SELECT * FROM
+          graft_corpus_report('graft_e2e_mix', 'source', 'clean_text')
+          ORDER BY source""")
+      },
+      Some(pipelineE2eOracleSql)),
+
     "pipeline_c4_clean" -> QueryDef(
       // C4-inspired line cleaning (Text.withC4LineClean — cf. Raffel
       // et al. 2020, with documented deviations: 3-token minimum,
