@@ -282,6 +282,18 @@ final case class CRUpdate(
     n_latin_docs: Long, avg_tokens: Double, avg_chars: Double,
     latin_share: Double)
 
+/** [[EventStream.pipelineCleanStream]] emission: one surviving cleaned
+  * document — the unit a streaming curation pipeline sinks to storage
+  * (and feeds onward to [[EventStream.corpusReportStream]] in a second
+  * query: Spark allows one arbitrary-stateful operator per query, so
+  * the dedup and the report run as two chained queries, which is also
+  * the operationally right split — the corpus sink and the dashboard
+  * have different lifecycles).
+  */
+final case class E2ERow(
+    doc_id: Long, lang: Option[String], source: Option[String],
+    clean_text: String)
+
 /** [[EventStream.quantilesStream]] state: the KLL compactor stack — per
   * level the retained values (weight 2^level), plus the stream length
   * and the accumulated worst-case rank-error bound, exactly the batch
@@ -1444,6 +1456,74 @@ object EventStream {
         state.update(HHState(buf.n, items))
         HHUpdate(key, buf.n, (buf.n - buf.retained) / (k + 1), items)
     }
+  }
+
+  /** Streaming ingest twin of the batch `pipeline_e2e` composite's
+    * corpus-producing stages: C4-inspired line cleaning, the
+    * encoding/script audit gate on the CLEANED text plus a kept-line
+    * floor (all stateless narrow maps — the same expressions as the
+    * batch plan), exact keep-first dedup per clean-text fingerprint,
+    * and the temperature-mix keep filter against a STATIC
+    * [[graft.llmops.Curation.temperatureRates]] fit (the fit/apply
+    * split's purpose). Emits the surviving cleaned documents (Append
+    * mode) — the stream a curation pipeline sinks as its corpus.
+    *
+    * Dedup semantics a stream can honestly offer: within one
+    * micro-batch the winner is the MIN doc_id (the batch operator's
+    * deterministic rule — so single-batch delivery reproduces the
+    * batch pipeline exactly, spec-proved); across micro-batches the
+    * earlier batch wins (arrival order). State per distinct cleaned
+    * document is ONE boolean keyed by the md5 fingerprint string,
+    * `NoTimeout` — keep-first against all history is unbounded by
+    * definition; at cluster scale the RocksDB state store carries it.
+    *
+    * Input columns: idCol long-castable, langCol/sourceCol/textCol
+    * string.
+    */
+  def pipelineCleanStream(
+      docs: DataFrame,
+      rates: Seq[(Option[String], Double)],
+      minKeptLines: Int = 8,
+      encScoreFloor: Double = 0.9,
+      expectScript: String = "latin",
+      idCol: String = "doc_id",
+      langCol: String = "lang",
+      sourceCol: String = "source",
+      textCol: String = "text"): Dataset[E2ERow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rates.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      "pipelineCleanStream: rates must be in [0, 1]")
+    val cleaned = graft.functions.Text.withC4LineClean(docs, col(textCol))
+    val gated = graft.functions.Text.withScriptProfile(
+        graft.functions.Text.withEncodingQuality(cleaned, col("clean_text")),
+        col("clean_text"))
+      .filter(col("n_kept") >= minKeptLines &&
+        col("enc_score") >= encScoreFloor &&
+        col("script_pred") === expectScript)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).cast("string").as("lang"),
+        col(sourceCol).cast("string").as("source"),
+        col("clean_text"),
+        graft.functions.Text.fingerprint(col("clean_text")).as("__fp"))
+      .as[(Long, Option[String], Option[String], String, String)]
+    val deduped = gated.groupByKey(_._5)
+      .flatMapGroupsWithState[Boolean, E2ERow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String,
+         rows: Iterator[(Long, Option[String], Option[String], String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            val w = rows.minBy(_._1)
+            Iterator.single(E2ERow(w._1, w._2, w._3, w._4))
+          }
+      }
+    // the mix keep filter is a stateless narrow map over the survivor
+    // stream — Append mode end to end
+    graft.llmops.Curation.applyStratumRates(deduped.toDF(), "lang", rates)
+      .as[E2ERow]
   }
 
   /** Streaming corpus health report — the streaming dual of the batch
