@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftDB, GraftOptions}
 import graft.functions.Text
 import graft.graph.GraphOps
-import graft.llmops.{Classify, Curation, Dedup, Multimodal, NearDupIndex, Recall, Search, Similarity, Tokenize}
+import graft.llmops.{Classify, Curation, Dedup, Importance, Multimodal, NearDupIndex, Recall, Search, Similarity, Tokenize}
 import graft.operators.KVOps
 import graft.streaming.EventStream
 
@@ -390,6 +390,50 @@ object Catalog {
           ELSE round(c.n_oov::DOUBLE / c.n_tokens, 6) END AS oov_rate
       FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
       ORDER BY d.doc_id"""
+
+  /** The shared DSIR CTE prefix (fit + per-doc weights as integer
+    * micros): hashed unigram+bigram buckets (first 8 md5 hex chars mod
+    * 1024 — the engine's md5-bucket convention), add-one log ratios of
+    * the target (lang='en') vs raw (all documents) distributions
+    * rounded to 6dp micros, and each document's integer-micros sum.
+    * Ends with the `w` CTE: (doc_id, n_grams, slw).
+    */
+  private lazy val dsirCtePrefix: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+          list_filter($toksSql, t -> len(t) > 0) AS toks FROM documents),
+      g AS (SELECT doc_id, lang, unnest(toks) AS gr FROM d
+            UNION ALL
+            SELECT doc_id, lang, unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks) - 1)]) AS gr FROM d),
+      gb AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(gr), 1, 8))::BIGINT % 1024 AS bucket FROM g),
+      tc AS (SELECT bucket, count(*) AS ct FROM gb WHERE lang = 'en'
+        GROUP BY bucket),
+      rc AS (SELECT bucket, count(*) AS cr FROM gb GROUP BY bucket),
+      tt AS (SELECT (SELECT sum(ct) FROM tc)::DOUBLE AS nt,
+                    (SELECT sum(cr) FROM rc)::DOUBLE AS nr),
+      m AS (SELECT r.range AS bucket,
+          CAST(round(round(ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0))
+                   - ln((coalesce(cr, 0) + 1.0) / (nr + 1024.0)), 6)
+            * 1000000, 0) AS BIGINT) AS lwm
+        FROM range(1024) r
+        LEFT JOIN tc ON r.range = tc.bucket
+        LEFT JOIN rc ON r.range = rc.bucket, tt),
+      per AS (SELECT gb.doc_id, count(*) AS n_grams,
+          sum(m.lwm)::BIGINT AS slw
+        FROM gb JOIN m ON gb.bucket = m.bucket GROUP BY gb.doc_id),
+      w AS (SELECT d0.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+          coalesce(per.slw, 0)::BIGINT AS slw
+        FROM documents d0 LEFT JOIN per USING (doc_id))"""
+
+  /** Shared oracle of pipeline_dsir_weights / _model: the full
+    * fit-and-apply replay, logw surfaced as the 6dp double.
+    */
+  private lazy val dsirWeightsOracleSql: String =
+    s"""$dsirCtePrefix
+      SELECT doc_id, n_grams,
+        round(slw::DOUBLE / 1000000.0, 6) AS logw
+      FROM w ORDER BY doc_id"""
 
   // ======================================================== A. relational ==
 
@@ -5589,6 +5633,86 @@ object Catalog {
           ORDER BY source""")
       },
       Some(corpusReportOracleSql)),
+
+    "pipeline_dsir_weights" -> QueryDef(
+      // DSIR data selection (Xie et al., NeurIPS 2023): importance
+      // weights over hashed unigram+bigram features — target = the
+      // English slice, raw = the whole pool, 1024 buckets. The fit is
+      // two bucket-bounded hash aggs producing a 1024-row broadcast
+      // model; the apply is one narrow gram explode + broadcast join +
+      // one agg; every per-bucket log ratio is 6dp INTEGER MICROS, so
+      // each document's weight is an exact integer sum and the whole
+      // fit+apply replays hash-exact in SQL (Importance scaladoc).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Importance.dsirWeights(docs,
+          Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+            buckets = 1024),
+          buckets = 1024).orderBy("doc_id")
+      },
+      Some(dsirWeightsOracleSql),
+      headline = true),
+
+    "pipeline_dsir_model" -> QueryDef(
+      // the PERSISTED-model DSIR path: fit once, save + reload through
+      // parquet, then the STATELESS narrow-map apply (dsirScore: the
+      // model rides the plan as a bucket-indexed array literal, one
+      // lookup per gram via builtin HOFs — zero exchanges, stream-safe).
+      // Shares pipeline_dsir_weights' oracle: the relational and
+      // narrow-map applies must agree bit-for-bit (both sum the same
+      // integer micros).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mdir = Files.createTempDirectory("graft-dsir-model").toString
+        val lut = try {
+          Importance.saveDsirModel(
+            Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+              buckets = 1024), mdir)
+          Importance.loadDsirModel(s, mdir)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(mdir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        Importance.dsirScore(docs, lut).orderBy("doc_id")
+      },
+      Some(dsirWeightsOracleSql)),
+
+    "pipeline_dsir_sample" -> QueryDef(
+      // the RESAMPLE step: deterministic Gumbel-top-k of 100 docs keyed
+      // on (length-normalized weight micros + 6dp Gumbel micros from the
+      // md5 uniform) — integer key comparisons, so the EXACT sample
+      // replays in SQL. At sf0.01 the draw visibly over-represents the
+      // target language (en ~36/100 vs its 20% pool share) while keeping
+      // every stratum present — importance resampling, not a hard
+      // filter. Winners are a TakeOrdered(k), joined back broadcast.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Importance.dsirSample(docs,
+          Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+            buckets = 1024),
+          k = 100, buckets = 1024)
+          .select("doc_id", "lang", "source", "n_grams", "logw", "key")
+          .orderBy("doc_id")
+      },
+      Some(s"""$dsirCtePrefix,
+        keyed AS (SELECT doc_id, n_grams, slw,
+            (CASE WHEN n_grams = 0 THEN 0
+              ELSE CAST(round(slw::DOUBLE / n_grams, 0) AS BIGINT) END
+             + CAST(round(round(
+                CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))
+                      ::BIGINT + 1)::DOUBLE / 4503599627370496.0 >= 1.0
+                  THEN 37.0
+                  ELSE -ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))
+                      ::BIGINT + 1)::DOUBLE / 4503599627370496.0)) END,
+                6) * 1000000, 0) AS BIGINT)) AS km
+          FROM w),
+        win AS (SELECT doc_id, n_grams, slw, km FROM keyed
+          ORDER BY km DESC, doc_id LIMIT 100)
+      SELECT d0.doc_id, d0.lang, d0.source, win.n_grams,
+        round(win.slw::DOUBLE / 1000000.0, 6) AS logw,
+        round(win.km::DOUBLE / 1000000.0, 6) AS key
+      FROM documents d0 JOIN win USING (doc_id)
+      ORDER BY doc_id""")),
 
     "pipeline_e2e" -> QueryDef(
       // the END-TO-END pipeline composite: every family is oracled in

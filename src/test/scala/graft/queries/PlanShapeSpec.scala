@@ -904,6 +904,39 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("Filter"), s"$name lost its draw filter")
     }
   }
+  test("pipeline_dsir_weights: eager fit leaves a single-pass apply — one gram explode, model joins broadcast") {
+    val p = plan("pipeline_dsir_weights")
+    // the fit (two bounded bucket aggs) runs at BUILD time; the RETURNED
+    // plan is the apply only: one gram explode over the corpus, the
+    // 1024-row model as a broadcast join, one per-doc aggregate, and the
+    // zero-gram-doc join back. A lazy fit re-aggregated the full gram
+    // stream TWICE per corpus for the smoothing totals (4 corpus passes
+    // where 2 suffice) — the Generate count pins the single pass.
+    val gen = p.linesIterator.count(_.trim.matches("""\(\d+\) Generate.*"""))
+    assert(gen == 1, s"pipeline_dsir_weights: expected exactly 1 gram " +
+      s"explode in the apply plan, got $gen:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pipeline_dsir_weights: the model join must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pipeline_dsir_weights grew an unbounded join:\n$p")
+    // the fit's lang filter must NOT appear: the apply scans only
+    // (doc_id, text)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("lang"),
+      s"pipeline_dsir_weights: the apply scan is not pruned to " +
+        s"(doc_id, text): $reads")
+  }
+
+  test("pipeline_dsir_model: the narrow-map apply is zero-join, zero-agg — one exchange (the output sort)") {
+    val p = plan("pipeline_dsir_model")
+    val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(ex == 1,
+      s"pipeline_dsir_model: expected 1 exchange (output sort), got $ex:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"pipeline_dsir_model: the narrow map grew a join or aggregate:\n$p")
+  }
+
   test("pipeline_e2e: the composite stays 3 exchanges — clean/gate/mix are narrow, dedup broadcasts its survivor set") {
     // the end-to-end chain (C4 clean -> encoding/script gate -> exact
     // dedup -> temperature mix -> corpus report) must not accumulate
