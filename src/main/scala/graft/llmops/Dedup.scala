@@ -687,6 +687,80 @@ object Dedup {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** CCNet-style boilerplate DETECTION: the set of units (paragraphs /
+    * lines / chunks) occurring in at least
+    * `max(minDocs, ceil(minDocFrac * n_docs))` DISTINCT documents —
+    * navigation chrome, cookie banners, templated headers. This is the
+    * FIT half of boilerplate removal: the returned `(unit, doc_freq)`
+    * frame is a static model a streaming cleaner can anti-join
+    * statelessly.
+    *
+    * Scale shape: the doc-frequency aggregate is TWO-LEVEL — first
+    * `groupBy(unit, id)` (map-side combine collapses a document's
+    * repeats of its own unit before any shuffle), then `groupBy(unit)`
+    * counts rows — the skew-safe form of count(distinct) per unit. The
+    * result is inherently SMALL when the threshold is fraction-based:
+    * each surviving unit costs ≥ minDocFrac·n_docs corpus occurrences,
+    * so the set is bounded by unitsPerDoc / minDocFrac regardless of
+    * corpus size — always broadcastable. `ids` fixes the document
+    * domain (one row per doc, the [[dedupUnitsAndReassemble]]
+    * contract); the doc count rides the plan as a one-row broadcast so
+    * the whole fit stays lazy.
+    */
+  def boilerplateUnits(ids: DataFrame, units: DataFrame,
+      minDocFrac: Double = 0.005, minDocs: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDocFrac >= 0.0 && minDocFrac <= 1.0,
+      s"boilerplateUnits: minDocFrac must be in [0, 1], got $minDocFrac")
+    require(minDocs >= 2,
+      "boilerplateUnits: minDocs must be >= 2 — a threshold of 1 would " +
+        s"mark EVERY unit boilerplate and empty the corpus, got $minDocs")
+    val nd = ids.agg(count(lit(1)).as("__nd"))
+    units
+      .groupBy(col("unit"), col(idCol)).agg(lit(1).as("__one"))
+      .groupBy(col("unit")).agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(nd))
+      .filter(col("doc_freq") >=
+        greatest(lit(minDocs.toLong), ceil(lit(minDocFrac) * col("__nd"))))
+      .select(col("unit"), col("doc_freq"))
+  }
+
+  /** CCNet-style boilerplate REMOVAL: units in the
+    * [[boilerplateUnits]] set are removed from EVERY document — unlike
+    * the keep-first dedup family ([[unitDedupKeepFirst]]), which
+    * preserves the first occurrence: a cookie banner's first sighting
+    * is as worthless as its billionth. Returns
+    * `(<idCol>, n_units, n_kept, text_cleaned)` for every input doc —
+    * a doc that was ALL boilerplate cleans to the empty string rather
+    * than vanishing.
+    *
+    * The apply is a broadcast LEFT-ANTI join of the unit stream against
+    * the bounded boilerplate set, then the standard per-doc ordered
+    * reassembly (array_sort over bounded per-doc state, deterministic
+    * across engines).
+    */
+  def removeBoilerplate(ids: DataFrame, units: DataFrame,
+      minDocFrac: Double = 0.005, minDocs: Int = 2,
+      joinSep: String = "\n", idCol: String = "doc_id"): DataFrame = {
+    val bp = boilerplateUnits(ids, units, minDocFrac, minDocs, idCol)
+    val kept = units.join(broadcast(bp.select(col("unit"))),
+      Seq("unit"), "left_anti")
+    val perDoc = units.groupBy(col(idCol)).agg(count(lit(1)).as("n_units"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          w => w.getField("unit")),
+        joinSep).as("text_cleaned"))
+    ids
+      .join(perDoc, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_cleaned"), lit("")).as("text_cleaned"))
+  }
+
   def embeddingPairs(
       emb: DataFrame,
       threshold: Double,

@@ -7444,6 +7444,50 @@ object Catalog {
         FROM w GROUP BY doc_id ORDER BY doc_id"""),
       headline = true),
 
+    "pipeline_boilerplate" -> QueryDef(
+      // CCNet-style boilerplate removal: units occurring in >=
+      // max(3, ceil(0.5% of docs)) DISTINCT documents are removed from
+      // EVERY doc (cookie banners, nav chrome) — unlike keep-first
+      // dedup one row up, which preserves first occurrences. The
+      // doc-frequency fit is a two-level skew-safe aggregate; the
+      // boilerplate set is bounded by unitsPerDoc/minDocFrac regardless
+      // of corpus size, so the apply is a broadcast anti-join (17 units
+      // cross the threshold at sf0.01). Full cleaned strings
+      // hash-matched.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val units = Curation.chunkDocuments(docs, chunkTokens = 8, strideTokens = 8)
+          .select(col("doc_id"), col("chunk_id").as("pos"),
+            col("chunk_text").as("unit"))
+        Dedup.removeBoilerplate(docs.select(col("doc_id")), units,
+          minDocFrac = 0.005, minDocs = 3, joinSep = " ").orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks)::BIGINT AS nt FROM d),
+        c AS (SELECT doc_id, toks, nt,
+          unnest(range(0, CAST(ceil(greatest(nt - 8, 0) / 8.0) AS BIGINT) + 1)) AS pos
+          FROM n),
+        u AS (SELECT doc_id, pos,
+          array_to_string(toks[pos*8+1 : pos*8+8], ' ') AS unit FROM c),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        dfreq AS (SELECT unit, count(DISTINCT doc_id) AS dc FROM u GROUP BY unit),
+        bp AS (SELECT unit FROM dfreq, nd
+          WHERE dc >= greatest(3, ceil(0.005 * n_docs))),
+        k AS (SELECT doc_id, pos, unit FROM u
+          WHERE unit NOT IN (SELECT unit FROM bp))
+      SELECT d0.doc_id,
+        coalesce(pu.n_units, 0)::BIGINT AS n_units,
+        coalesce(kk.n_kept, 0)::BIGINT AS n_kept,
+        coalesce(kk.text_cleaned, '') AS text_cleaned
+      FROM documents d0
+      LEFT JOIN (SELECT doc_id, count(*) AS n_units FROM u
+        GROUP BY doc_id) pu USING (doc_id)
+      LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+          string_agg(unit, ' ' ORDER BY pos) AS text_cleaned
+        FROM k GROUP BY doc_id) kk USING (doc_id)
+      ORDER BY doc_id"""),
+      headline = true),
+
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
         .orderBy("id_a", "id_b"),

@@ -294,4 +294,62 @@ class DedupSpec extends AnyFunSuite {
         s"trial $trial (width=$width) diverged from the model")
     }
   }
+
+  // --- boilerplate removal (CCNet-style document-frequency threshold) ---
+
+  private def unitRows(rows: (Long, Long, String)*) =
+    rows.toDF("doc_id", "pos", "unit")
+
+  test("boilerplateUnits: absolute and fractional thresholds compose as max") {
+    val ids = (0L until 10L).toDF("doc_id")
+    // "banner" in 4 docs (twice in doc 0 — per-doc repeats must not
+    // inflate doc_freq), "rare" in 2, "once" in 1
+    val units = unitRows(
+      (0L, 0L, "banner"), (0L, 1L, "banner"), (1L, 0L, "banner"),
+      (2L, 0L, "banner"), (3L, 0L, "banner"),
+      (4L, 0L, "rare"), (5L, 0L, "rare"), (6L, 0L, "once"))
+    // frac 0.35 of 10 docs -> ceil(3.5) = 4 beats minDocs=2
+    val bp = Dedup.boilerplateUnits(ids, units, minDocFrac = 0.35, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bp.toSeq == Seq(("banner", 4L)))
+    // minDocs=2 with a vacuous frac: "rare" joins the set
+    val bp2 = Dedup.boilerplateUnits(ids, units, minDocFrac = 0.0, minDocs = 2)
+      .collect().map(_.getString(0)).sorted
+    assert(bp2.toSeq == Seq("banner", "rare"))
+  }
+
+  test("removeBoilerplate strips EVERY occurrence (keep-first would spare the first)") {
+    val ids = (0L until 4L).toDF("doc_id")
+    val units = unitRows(
+      (0L, 0L, "banner"), (0L, 1L, "body zero"),
+      (1L, 0L, "banner"), (1L, 1L, "body one"),
+      (2L, 0L, "banner"),
+      (3L, 0L, "body three"))
+    val got = Dedup.removeBoilerplate(ids, units,
+        minDocFrac = 0.0, minDocs = 3, joinSep = " | ")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, "body zero"),
+      (1L, 2L, 1L, "body one"),
+      (2L, 1L, 0L, ""), // ALL boilerplate: cleans to empty, still present
+      (3L, 1L, 1L, "body three")))
+  }
+
+  test("removeBoilerplate reassembles surviving units in position order") {
+    val ids = Seq(7L).toDF("doc_id")
+    val units = unitRows(
+      (7L, 2L, "c"), (7L, 0L, "a"), (7L, 1L, "b"))
+    val got = Dedup.removeBoilerplate(ids, units,
+        minDocFrac = 0.0, minDocs = 2, joinSep = " ")
+      .collect().head
+    assert(got.getString(3) == "a b c")
+  }
+
+  test("boilerplateUnits rejects the corpus-emptying minDocs=1") {
+    val ids = Seq(0L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.boilerplateUnits(ids, unitRows((0L, 0L, "x")), minDocs = 1)
+    }
+    assert(e.getMessage.contains("minDocs"))
+  }
 }
