@@ -292,6 +292,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_oov_model"),
       new ExpressionInfo(classOf[graft.llmops.Tokenize.type].getName, "graft_oov_model"),
       (args: Seq[Expression]) => GraftExtensions.graftOovModelPlan(args)))
+    //   SELECT doc_id, logw FROM graft_dsir('target_docs', 'documents', 1024)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_dsir"),
+      new ExpressionInfo(classOf[graft.llmops.Importance.type].getName, "graft_dsir"),
+      (args: Seq[Expression]) => GraftExtensions.graftDsirPlan(args)))
+    //   SELECT doc_id, logw FROM graft_dsir_model('/model', 'documents')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_dsir_model"),
+      new ExpressionInfo(classOf[graft.llmops.Importance.type].getName, "graft_dsir_model"),
+      (args: Seq[Expression]) => GraftExtensions.graftDsirModelPlan(args)))
+    //   SELECT * FROM graft_boilerplate('documents', 8, 0.005, 3)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_boilerplate"),
+      new ExpressionInfo(classOf[graft.llmops.Dedup.type].getName, "graft_boilerplate"),
+      (args: Seq[Expression]) => GraftExtensions.graftBoilerplatePlan(args)))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_resample"),
       new ExpressionInfo(classOf[graft.operators.Resample.type].getName, "graft_resample"),
@@ -1048,6 +1063,82 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_dsir(targetTable, table[, buckets])`: DSIR importance
+    * weights ([[graft.llmops.Importance]]) from pure SQL — fit hashed
+    * n-gram distributions on `targetTable` (the distribution you want)
+    * vs `table` (the raw pool), score every `table` document. The fit
+    * runs at plan build (the eager bounded-fit discipline); the plan
+    * handed back is the single-pass relational apply. Returns
+    * (doc_id, n_grams, logw).
+    */
+  private[graft] def graftDsirPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_dsir(targetTable, table[, buckets]) expects 2 or 3 " +
+        s"arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val target = spark.table(stringLit(args(0), "graft_dsir targetTable"))
+    val df = spark.table(stringLit(args(1), "graft_dsir table"))
+    val buckets =
+      if (args.length == 3) intLit(args(2), "graft_dsir buckets") else 8192
+    graft.llmops.Importance.dsirWeights(df,
+        graft.llmops.Importance.dsirFit(target, df, buckets), buckets)
+      .queryExecution.analyzed
+  }
+
+  /** `graft_dsir_model(modelDir, table[, idCol, textCol])`: DSIR
+    * weights against a [[graft.llmops.Importance.saveDsirModel]]-
+    * PERSISTED model — the `graft_oov_model` convention (fit once
+    * programmatically, consume from any SQL session). The model loads
+    * at plan build (loud on corrupt/missing/gapped) and the apply is
+    * the zero-exchange narrow map
+    * ([[graft.llmops.Importance.dsirScore]]).
+    */
+  private[graft] def graftDsirModelPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 4,
+      "graft_dsir_model(modelDir, table[, idCol, textCol]) expects 2 " +
+        s"or 4 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val lut = graft.llmops.Importance.loadDsirModel(spark,
+      stringLit(args(0), "graft_dsir_model modelDir"))
+    val df = spark.table(stringLit(args(1), "graft_dsir_model table"))
+    graft.llmops.Importance.dsirScore(df, lut,
+        idCol = if (args.length == 4)
+          stringLit(args(2), "graft_dsir_model idCol") else "doc_id",
+        textCol = if (args.length == 4)
+          stringLit(args(3), "graft_dsir_model textCol") else "text")
+      .queryExecution.analyzed
+  }
+
+  /** `graft_boilerplate(table, chunkTokens, minDocFrac, minDocs)`:
+    * CCNet-style boilerplate removal from pure SQL — documents chunk
+    * into `chunkTokens`-token units and every unit crossing the
+    * document-frequency threshold is removed from EVERY doc
+    * ([[graft.llmops.Dedup.removeBoilerplate]]). Returns
+    * (doc_id, n_units, n_kept, text_cleaned).
+    */
+  private[graft] def graftBoilerplatePlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      "graft_boilerplate(table, chunkTokens, minDocFrac, minDocs) " +
+        s"expects 4 arguments, got ${args.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.table(stringLit(args(0), "graft_boilerplate table"))
+    val units = graft.llmops.Curation.chunkDocuments(df,
+        chunkTokens = intLit(args(1), "graft_boilerplate chunkTokens"),
+        strideTokens = intLit(args(1), "graft_boilerplate chunkTokens"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("chunk_id").as("pos"),
+        org.apache.spark.sql.functions.col("chunk_text").as("unit"))
+    graft.llmops.Dedup.removeBoilerplate(
+        df.select(org.apache.spark.sql.functions.col("doc_id")), units,
+        minDocFrac = doubleLit(args(2), "graft_boilerplate minDocFrac"),
+        minDocs = intLit(args(3), "graft_boilerplate minDocs"),
+        joinSep = " ")
+      .queryExecution.analyzed
+  }
+
   /** `graft_stratum_sample(table, k, weightCol, strataCol, idCol)`: the
     * per-stratum form — exactly k weight-proportional rows from EVERY
     * stratum, routed to
@@ -1288,6 +1379,9 @@ object GraftExtensions {
     treg.createOrReplaceTempFunction("graft_corpus_report", graftCorpusReportPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_oov", graftOovPlan, "built-in")
     treg.createOrReplaceTempFunction("graft_oov_model", graftOovModelPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_dsir", graftDsirPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_dsir_model", graftDsirModelPlan, "built-in")
+    treg.createOrReplaceTempFunction("graft_boilerplate", graftBoilerplatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_resample", graftResamplePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_interpolate", graftInterpolatePlan, "built-in")
     treg.createOrReplaceTempFunction("graft_percent_rank", graftPercentRankPlan, "built-in")

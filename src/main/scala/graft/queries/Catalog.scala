@@ -426,14 +426,45 @@ object Catalog {
           coalesce(per.slw, 0)::BIGINT AS slw
         FROM documents d0 LEFT JOIN per USING (doc_id))"""
 
-  /** Shared oracle of pipeline_dsir_weights / _model: the full
-    * fit-and-apply replay, logw surfaced as the 6dp double.
+  /** Shared oracle of pipeline_dsir_weights / _model / _sql twins: the
+    * full fit-and-apply replay, logw surfaced as the 6dp double.
     */
   private lazy val dsirWeightsOracleSql: String =
     s"""$dsirCtePrefix
       SELECT doc_id, n_grams,
         round(slw::DOUBLE / 1000000.0, 6) AS logw
       FROM w ORDER BY doc_id"""
+
+  /** Shared oracle of pipeline_boilerplate / _sql: replays the 8-token
+    * chunking (the paragraph-dedup construction), the doc-frequency
+    * threshold max(3, ceil(0.5% of docs)), every-occurrence removal,
+    * and the exact position-ordered reassembled strings.
+    */
+  private lazy val boilerplateOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      n AS (SELECT doc_id, toks, len(toks)::BIGINT AS nt FROM d),
+      c AS (SELECT doc_id, toks, nt,
+        unnest(range(0, CAST(ceil(greatest(nt - 8, 0) / 8.0) AS BIGINT) + 1)) AS pos
+        FROM n),
+      u AS (SELECT doc_id, pos,
+        array_to_string(toks[pos*8+1 : pos*8+8], ' ') AS unit FROM c),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      dfreq AS (SELECT unit, count(DISTINCT doc_id) AS dc FROM u GROUP BY unit),
+      bp AS (SELECT unit FROM dfreq, nd
+        WHERE dc >= greatest(3, ceil(0.005 * n_docs))),
+      k AS (SELECT doc_id, pos, unit FROM u
+        WHERE unit NOT IN (SELECT unit FROM bp))
+    SELECT d0.doc_id,
+      coalesce(pu.n_units, 0)::BIGINT AS n_units,
+      coalesce(kk.n_kept, 0)::BIGINT AS n_kept,
+      coalesce(kk.text_cleaned, '') AS text_cleaned
+    FROM documents d0
+    LEFT JOIN (SELECT doc_id, count(*) AS n_units FROM u
+      GROUP BY doc_id) pu USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+        string_agg(unit, ' ' ORDER BY pos) AS text_cleaned
+      FROM k GROUP BY doc_id) kk USING (doc_id)
+    ORDER BY doc_id"""
 
   // ======================================================== A. relational ==
 
@@ -5714,6 +5745,48 @@ object Catalog {
       FROM documents d0 JOIN win USING (doc_id)
       ORDER BY doc_id""")),
 
+    "pipeline_dsir_weights_sql" -> QueryDef(
+      // the DSIR fit+apply from PURE SQL via the graft_dsir TVF (target
+      // and pool as temp views); shares pipeline_dsir_weights' oracle —
+      // the TVF must reproduce the API path bit-for-bit.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        val docs = t(s, dir, "documents")
+        docs.createOrReplaceTempView("graft_dsir_docs")
+        docs.filter(col("lang") === "en")
+          .createOrReplaceTempView("graft_dsir_target")
+        s.sql("""SELECT doc_id, n_grams, logw
+          FROM graft_dsir('graft_dsir_target', 'graft_dsir_docs', 1024)
+          ORDER BY doc_id""")
+      },
+      Some(dsirWeightsOracleSql)),
+
+    "pipeline_dsir_model_sql" -> QueryDef(
+      // the persisted-model path from PURE SQL via graft_dsir_model
+      // (fit + save programmatically, consume from SQL — the
+      // graft_oov_model convention); shares the same oracle: narrow-map
+      // apply == relational apply bit-for-bit.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        val docs = t(s, dir, "documents")
+        val mdir = Files.createTempDirectory("graft-dsir-sql").toString
+        Importance.saveDsirModel(
+          Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+            buckets = 1024), mdir)
+        docs.createOrReplaceTempView("graft_dsirm_docs")
+        // the model loads at plan BUILD (array literal in the plan), so
+        // the dir must outlive only the sql() call, not the execution
+        val out = s.sql(s"""SELECT doc_id, n_grams, logw
+          FROM graft_dsir_model('$mdir', 'graft_dsirm_docs')
+          ORDER BY doc_id""")
+        val p = new org.apache.hadoop.fs.Path(mdir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        out
+      },
+      Some(dsirWeightsOracleSql)),
+
     "pipeline_e2e" -> QueryDef(
       // the END-TO-END pipeline composite: every family is oracled in
       // isolation elsewhere; this row exercises COMPOSITION — C4 clean
@@ -7462,31 +7535,22 @@ object Catalog {
         Dedup.removeBoilerplate(docs.select(col("doc_id")), units,
           minDocFrac = 0.005, minDocs = 3, joinSep = " ").orderBy("doc_id")
       },
-      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        n AS (SELECT doc_id, toks, len(toks)::BIGINT AS nt FROM d),
-        c AS (SELECT doc_id, toks, nt,
-          unnest(range(0, CAST(ceil(greatest(nt - 8, 0) / 8.0) AS BIGINT) + 1)) AS pos
-          FROM n),
-        u AS (SELECT doc_id, pos,
-          array_to_string(toks[pos*8+1 : pos*8+8], ' ') AS unit FROM c),
-        nd AS (SELECT count(*) AS n_docs FROM documents),
-        dfreq AS (SELECT unit, count(DISTINCT doc_id) AS dc FROM u GROUP BY unit),
-        bp AS (SELECT unit FROM dfreq, nd
-          WHERE dc >= greatest(3, ceil(0.005 * n_docs))),
-        k AS (SELECT doc_id, pos, unit FROM u
-          WHERE unit NOT IN (SELECT unit FROM bp))
-      SELECT d0.doc_id,
-        coalesce(pu.n_units, 0)::BIGINT AS n_units,
-        coalesce(kk.n_kept, 0)::BIGINT AS n_kept,
-        coalesce(kk.text_cleaned, '') AS text_cleaned
-      FROM documents d0
-      LEFT JOIN (SELECT doc_id, count(*) AS n_units FROM u
-        GROUP BY doc_id) pu USING (doc_id)
-      LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
-          string_agg(unit, ' ' ORDER BY pos) AS text_cleaned
-        FROM k GROUP BY doc_id) kk USING (doc_id)
-      ORDER BY doc_id"""),
+      Some(boilerplateOracleSql),
       headline = true),
+
+    "pipeline_boilerplate_sql" -> QueryDef(
+      // the same removal from PURE SQL via the graft_boilerplate TVF;
+      // same oracle — the TVF chunking + threshold + reassembly must
+      // reproduce the API path bit-for-bit.
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_bp_docs")
+        s.sql("""SELECT doc_id, n_units, n_kept, text_cleaned
+          FROM graft_boilerplate('graft_bp_docs', 8, 0.005, 3)
+          ORDER BY doc_id""")
+      },
+      Some(boilerplateOracleSql)),
 
     "dedup_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)

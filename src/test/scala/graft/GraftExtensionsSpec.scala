@@ -557,4 +557,67 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(eK.getMessage.toLowerCase.contains("literal"),
       s"got: ${eK.getMessage}")
   }
+
+  test("graft_dsir / graft_dsir_model TVFs equal the API path; loud arity and model errors") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq((0L, "the cat sat", "en"), (1L, "dog runs far", "de"),
+      (2L, "the cat runs", "en"), (3L, "qq vv ww", "de"))
+      .toDF("doc_id", "text", "lang")
+    docs.createOrReplaceTempView("dsir_tvf_docs")
+    docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .createOrReplaceTempView("dsir_tvf_target")
+    val api = graft.llmops.Importance.dsirWeights(docs,
+        graft.llmops.Importance.dsirFit(
+          docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+          docs, buckets = 64), buckets = 64)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val sql = spark.sql(
+      "SELECT * FROM graft_dsir('dsir_tvf_target', 'dsir_tvf_docs', 64) " +
+        "ORDER BY doc_id").collect().map(_.toSeq).toSeq
+    assert(sql == api)
+    // persisted-model TVF: same values through save/load + narrow map
+    val mdir = java.nio.file.Files.createTempDirectory("dsir-tvf").toString
+    graft.llmops.Importance.saveDsirModel(
+      graft.llmops.Importance.dsirFit(
+        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+        docs, buckets = 64), mdir)
+    val sqlM = spark.sql(
+      s"SELECT * FROM graft_dsir_model('$mdir', 'dsir_tvf_docs') " +
+        "ORDER BY doc_id").collect().map(_.toSeq).toSeq
+    assert(sqlM == api)
+    val eArity = intercept[Exception](
+      spark.sql("SELECT * FROM graft_dsir('dsir_tvf_docs')"))
+    assert(eArity.getMessage.contains("graft_dsir"), eArity.getMessage)
+    val eModel = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_dsir_model('$mdir-nope', 'dsir_tvf_docs')"))
+    assert(eModel.getMessage.contains("corrupt or missing"), eModel.getMessage)
+  }
+
+  test("graft_boilerplate TVF equals the API path; loud arity") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // 2-token chunks: "aa bb" is a chunk of 3 of 4 docs -> boilerplate
+    val docs = Seq((0L, "aa bb cc dd"), (1L, "aa bb ee ff"),
+      (2L, "aa bb gg hh"), (3L, "ii jj kk ll")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bp_tvf_docs")
+    val units = graft.llmops.Curation.chunkDocuments(docs,
+        chunkTokens = 2, strideTokens = 2)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("chunk_id").as("pos"),
+        org.apache.spark.sql.functions.col("chunk_text").as("unit"))
+    val api = graft.llmops.Dedup.removeBoilerplate(
+        docs.select(org.apache.spark.sql.functions.col("doc_id")), units,
+        minDocFrac = 0.5, minDocs = 2, joinSep = " ")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val sql = spark.sql(
+      "SELECT * FROM graft_boilerplate('bp_tvf_docs', 2, 0.5, 2) " +
+        "ORDER BY doc_id").collect().map(_.toSeq).toSeq
+    assert(sql == api)
+    // the shared chunk really was removed everywhere
+    assert(sql.forall(r => !r(3).asInstanceOf[String].contains("aa bb")))
+    val eArity = intercept[Exception](
+      spark.sql("SELECT * FROM graft_boilerplate('bp_tvf_docs', 2)"))
+    assert(eArity.getMessage.contains("graft_boilerplate"), eArity.getMessage)
+  }
 }

@@ -199,4 +199,31 @@ class ImportanceSpec extends AnyFunSuite {
     val onTarget = s1.count(_.getLong(0) % 4 == 0)
     assert(onTarget > 5, s"expected on-target docs to dominate, got $onTarget/10")
   }
+
+  test("dsirScore applies unchanged to a stream and is batch-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows: Seq[(Long, String)] = Seq(
+      (1L, "the cat sat on the mat"), (2L, "dog runs far"),
+      (3L, "the the the"), (4L, "   "))
+    val batch = rows.toDF("doc_id", "text")
+    val lut = Importance
+      .dsirFit(batch.filter(col("doc_id") <= 2), batch, buckets = B)
+      .orderBy("bucket").collect().map(_.getLong(2))
+    val input = MemoryStream[(Long, String)]
+    val q = Importance.dsirScore(input.toDF().toDF("doc_id", "text"), lut)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dsir_stream").start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("dsir_stream")
+        .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+      val exp = Importance.dsirScore(batch, lut)
+        .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+      assert(got == exp && got.nonEmpty,
+        s"stream DSIR score diverged from batch: $got vs $exp")
+    } finally q.stop()
+  }
 }
