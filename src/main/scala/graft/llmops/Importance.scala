@@ -241,9 +241,15 @@ object Importance {
     *     (key DESC, id ASC) — never a global sort.
     *
     * The k winners broadcast-join back for their full rows plus
-    * (n_grams, logw, key 6dp). Ids must be long-castable and unique
-    * (the priority-sampler contract — the md5 draw and the join-back
-    * key on them).
+    * (n_grams, logw, key 6dp). Ids must be long-castable, INTEGRAL,
+    * and unique (the priority-sampler contract): the md5 draw and the
+    * join-back key on them, so the id is PLAN-GUARDED — a NULL or
+    * non-long-castable id would draw a NULL Gumbel key and the row
+    * would silently vanish from the sample, and a fractional id would
+    * truncate in the draw (3.2 and 3.9 sharing one fate) — both raise
+    * loudly instead (the [[Curation]] knuthDraw discipline; the
+    * double-space roundtrip compare is exact below 2^52, where every
+    * fractional double lives).
     */
   def dsirSample(
       docs: DataFrame,
@@ -255,7 +261,21 @@ object Importance {
     require(k > 0, "dsirSample: k must be positive")
     requireBuckets(buckets, "dsirSample")
     val w = dsirWeights(docs, model, buckets, idCol, textCol)
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+    val rawId = col(idCol)
+    val asLong = rawId.try_cast("long")
+    val idL = when(asLong.isNull,
+      raise_error(concat(
+        lit("dsirSample: the id column must be a long-castable unique " +
+          "id (it seeds the Gumbel draw and keys the winner join-back), " +
+          "got "),
+        coalesce(rawId.cast("string"), lit("NULL")))).cast("long"))
+      .when(!(asLong.cast("double") <=> rawId.try_cast("double")),
+        raise_error(concat(
+          lit("dsirSample: the id column must be INTEGRAL — a " +
+            "fractional id would silently truncate in the draw, got "),
+          rawId.cast("string"))).cast("long"))
+      .otherwise(asLong)
+    val u = (conv(substring(md5(idL.cast("string")), 1, 13), 16, 10)
       .cast("long") + lit(1L)).cast("double") / lit(4503599627370496.0)
     val gumbel = when(u >= 1.0, lit(37.0)).otherwise(-log(-log(u)))
     // total micros reconstructs exactly from the 6dp logw (it IS

@@ -200,6 +200,26 @@ class ImportanceSpec extends AnyFunSuite {
     assert(onTarget > 5, s"expected on-target docs to dominate, got $onTarget/10")
   }
 
+  test("dsirSample raises loudly on NULL and fractional ids (no silent draw loss)") {
+    val target = Seq((0L, "a b")).toDF("doc_id", "text")
+    val raw = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val m = Importance.dsirFit(target, raw, buckets = B)
+    // a NULL id would draw a NULL Gumbel key and silently vanish
+    val withNull = raw.withColumn("doc_id",
+      when(col("doc_id") === 1L, lit(null).cast("long"))
+        .otherwise(col("doc_id")))
+    val eNull = intercept[Exception] {
+      Importance.dsirSample(withNull, m, k = 1, buckets = B).collect()
+    }
+    assert(eNull.getMessage.contains("long-castable"), eNull.getMessage)
+    // a fractional id truncates in the draw: 3.2 and 3.9 would collide
+    val frac = Seq((3.2, "a b"), (3.9, "c d")).toDF("doc_id", "text")
+    val eFrac = intercept[Exception] {
+      Importance.dsirSample(frac, m, k = 1, buckets = B).collect()
+    }
+    assert(eFrac.getMessage.contains("INTEGRAL"), eFrac.getMessage)
+  }
+
   test("dsirScore applies unchanged to a stream and is batch-identical") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
