@@ -103,8 +103,50 @@ object Importance {
           "smoothing-floor ratio")
       rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
-    val tCells = cells(target, "target")
-    val rCells = cells(raw, "raw")
+    modelFromCells(cells(target, "target"), cells(raw, "raw"), buckets,
+      target.sparkSession)
+  }
+
+  /** ONE-PASS fit for the dominant case where the target is a PREDICATE
+    * over the raw pool itself (e.g. `col("lang") === "en"`): a single
+    * scan+explode+aggregate computes both distributions as conditional
+    * counts — half the corpus passes of [[dsirFit]]'s two-frame form,
+    * which cannot know its target is a subset of its raw. Same model,
+    * bit-for-bit (the counts are identical by construction; a spec pins
+    * it). Rows where the predicate evaluates NULL count toward the raw
+    * pool only (NULL is not target membership).
+    */
+  def dsirFitWhere(
+      docs: DataFrame,
+      targetPred: Column,
+      buckets: Int = 8192,
+      textCol: String = "text"): DataFrame = {
+    requireBuckets(buckets, "dsirFitWhere")
+    val rows = docs
+      .select(targetPred.cast("boolean").as("__t"),
+        explode(grams(col(textCol))).as("__g"))
+      .groupBy(bucketOf(col("__g"), buckets).as("bucket"))
+      .agg(count(when(col("__t"), 1)).as("__ct"), count(lit(1)).as("__cr"))
+      .collect()
+    val tCells = rows.map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    val rCells = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    require(rCells.values.sum > 0,
+      "dsirFitWhere: the raw corpus has zero n-grams — a model fit on " +
+        "an empty corpus would score every document with the vacuous " +
+        "smoothing-floor ratio")
+    require(tCells.values.sum > 0,
+      "dsirFitWhere: no n-grams matched the target predicate — a model " +
+        "fit on an empty target would score every document with the " +
+        "vacuous smoothing-floor ratio")
+    modelFromCells(tCells, rCells, buckets, docs.sparkSession)
+  }
+
+  private def modelFromCells(
+      tCells: Map[Long, Long],
+      rCells: Map[Long, Long],
+      buckets: Int,
+      spark: SparkSession): DataFrame = {
     val nt = tCells.values.sum.toDouble + buckets
     val nr = rCells.values.sum.toDouble + buckets
     val rowsOut = (0 until buckets).map { bk =>
@@ -114,7 +156,6 @@ object Importance {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (bk.toLong, lw, math.round(lw * 1e6))
     }
-    val spark = target.sparkSession
     import spark.implicits._
     rowsOut.toDF("bucket", "logw", "logw_micros")
   }

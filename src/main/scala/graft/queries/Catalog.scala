@@ -5669,7 +5669,9 @@ object Catalog {
       // DSIR data selection (Xie et al., NeurIPS 2023): importance
       // weights over hashed unigram+bigram features — target = the
       // English slice, raw = the whole pool, 1024 buckets. The fit is
-      // two bucket-bounded hash aggs producing a 1024-row broadcast
+      // ONE bucket-bounded hash agg over the pool (dsirFitWhere:
+      // conditional counts, since the target is a predicate over the
+      // pool itself) producing a 1024-row broadcast
       // model; the apply is one narrow gram explode + broadcast join +
       // one agg; every per-bucket log ratio is 6dp INTEGER MICROS, so
       // each document's weight is an exact integer sum and the whole
@@ -5677,7 +5679,7 @@ object Catalog {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Importance.dsirWeights(docs,
-          Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+          Importance.dsirFitWhere(docs, col("lang") === "en",
             buckets = 1024),
           buckets = 1024).orderBy("doc_id")
       },
@@ -5697,7 +5699,7 @@ object Catalog {
         val mdir = Files.createTempDirectory("graft-dsir-model").toString
         val lut = try {
           Importance.saveDsirModel(
-            Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+            Importance.dsirFitWhere(docs, col("lang") === "en",
               buckets = 1024), mdir)
           Importance.loadDsirModel(s, mdir)
         } finally {
@@ -5719,7 +5721,7 @@ object Catalog {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Importance.dsirSample(docs,
-          Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+          Importance.dsirFitWhere(docs, col("lang") === "en",
             buckets = 1024),
           k = 100, buckets = 1024)
           .select("doc_id", "lang", "source", "n_grams", "logw", "key")
@@ -5773,7 +5775,7 @@ object Catalog {
         val docs = t(s, dir, "documents")
         val mdir = Files.createTempDirectory("graft-dsir-sql").toString
         Importance.saveDsirModel(
-          Importance.dsirFit(docs.filter(col("lang") === "en"), docs,
+          Importance.dsirFitWhere(docs, col("lang") === "en",
             buckets = 1024), mdir)
         docs.createOrReplaceTempView("graft_dsirm_docs")
         // the model loads at plan BUILD (array literal in the plan), so

@@ -70,6 +70,30 @@ class ImportanceSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirFitWhere (one-pass predicate fit) is bit-identical to the two-frame fit") {
+    val raw = Seq((0L, "the cat sat", "en"), (1L, "the cat", "en"),
+      (2L, "dog runs far", "de"), (3L, "noise noise noise", "de"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val twoFrame = Importance.dsirFit(raw.filter(col("lang") === "en"),
+        raw, buckets = B).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    // NULL-lang row: predicate evaluates NULL -> raw pool only, exactly
+    // like the filter() on the two-frame side drops it from the target
+    val onePass = Importance.dsirFitWhere(raw, col("lang") === "en",
+        buckets = B).orderBy("bucket")
+      .collect().map(_.toSeq).toSeq
+    assert(onePass == twoFrame)
+  }
+
+  test("dsirFitWhere raises loudly when no grams match the predicate") {
+    val raw = Seq((0L, "a b", "de")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Importance.dsirFitWhere(raw, col("lang") === "en", buckets = B)
+    }
+    assert(e.getMessage.contains("target predicate"))
+  }
+
   test("dsirFit raises loudly on an empty target corpus") {
     val raw = Seq((0L, "a b")).toDF("doc_id", "text")
     val e = intercept[Exception] {
