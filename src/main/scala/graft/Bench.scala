@@ -292,7 +292,14 @@ object Bench {
       .mkString("{", ",", "}")
     // total sums only succeeded rows — a -1 must not deflate the suite number
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // echo the EFFECTIVE parallelism: r16's driver flagged
+    // `suspect_cpus_ignored` because the output line carried no evidence
+    // that $SPARK_GRAFT_CPUS reached the session — printing the env value
+    // and sc.defaultParallelism makes the honor check mechanical
+    // (additive fields; existing keys and methodology unchanged)
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else "\"" + cpus + "\""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"defaultParallelism":${spark.sparkContext.defaultParallelism},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

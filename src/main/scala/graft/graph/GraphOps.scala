@@ -308,12 +308,41 @@ object GraphOps {
   def hits(edges: DataFrame, iters: Int = 10,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, "hits: iters must be >= 1")
-    val e = edges
+    val spark = edges.sparkSession
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    val eBySrc = e.repartition(col("src")).sortWithinPartitions("src").persist()
-    val eByDst = e.repartition(col("dst")).sortWithinPartitions("dst").persist()
+    val e = eRaw.distinct()
+    // SCALE-ADAPTIVE iteration partitioning (guide §2: over-partitioning
+    // anti-scales). The 2·iters per-step joins/aggs inherit the persisted
+    // edge copies' partition count, and the default (shuffle.partitions =
+    // core count) turns a small graph's 10-iteration loop into ~40 stages
+    // of per-task overhead: the r16 driver measured graph_hits FASTER on 8
+    // cores (2.17 s) than 32 (3.03 s) purely from that. Size partitions
+    // from the optimizer's size estimate of the edge input (driver-side,
+    // no job — an exact pre-count was measured at 0.4 s of pure overhead
+    // per call), targeting `spark.graft.graph.bytesPerPartition` per
+    // partition (default 64 MB, the shuffle-partition sizing band of
+    // guide §2.2), capped at the session's shuffle parallelism so a
+    // 100 TB edge set still fans out fully. Values are partition-count-
+    // independent (integer-valued double sums below 2^53 are exact in
+    // any order — see the normalization note above), so this changes
+    // wall clock only.
+    val bytesPerPart = spark.conf
+      .getOption("spark.graft.graph.bytesPerPartition")
+      .map(_.toLong).filter(_ > 0).getOrElse(64L * 1024 * 1024)
+    val maxParts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val estBytes = eRaw.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nParts = ((estBytes + bytesPerPart - 1) / bytesPerPart)
+      .min(BigInt(maxParts)).max(BigInt(1)).toInt
+    val eBySrc = e.repartition(nParts, col("src")).sortWithinPartitions("src").persist()
+    // the dst copy re-shuffles the PERSISTED src copy instead of
+    // re-deriving `e` — the scan + edge-normalize + distinct pipeline
+    // evaluates once per call, not once per persisted copy (§6: don't
+    // pay two source passes for two layouts of the same rows)
+    val eByDst = eBySrc.repartition(nParts, col("dst")).sortWithinPartitions("dst").persist()
     val verts = eBySrc.select(col("src").as("v"))
       .union(eByDst.select(col("dst").as("v"))).distinct().persist()
     var h = verts.select(col("v"), lit(1.0).as("score"))
@@ -331,10 +360,16 @@ object GraphOps {
       // per-step cut (the same fix the memory-doubling normalize needed
       // before r10's deferred-norm rewrite). Iterative engines pay this
       // as a per-step materialization by design (GraphX caches each
-      // Pregel round); the cost is one tiny job per step.
-      a = a.localCheckpoint(true)
+      // Pregel round); the cost is one tiny job per step. Only `h` is
+      // cut: `a`'s lineage above a checkpointed h is one join+agg, so
+      // checkpointing it too bought nothing but a second per-step JOB
+      // (each eager checkpoint is a scheduled job — half the loop's
+      // wall clock at small scale was that scheduling). The final
+      // iteration's `a` is cut once after the loop for the norm/join
+      // fan-out below.
       h = h.localCheckpoint(true)
     }
+    a = a.localCheckpoint(true)
     def widened(raw: DataFrame, name: String): DataFrame = {
       val n = raw.agg(sqrt(sum(col("score") * col("score"))).as("n"))
       val guarded = when(

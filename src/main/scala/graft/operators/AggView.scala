@@ -327,6 +327,44 @@ object AggView {
     m.roots.map(r => spark.read.parquet(s"$viewDir/$r"))
       .reduce(_.unionByName(_))
 
+  /** All roots in ONE datasource scan (guide §6: the 51-separate-reads
+    * form paid one file listing + one parquet schema inference + one
+    * scan operator PER ROOT — the degraded long-append read's dominant
+    * cost was that fixed per-root overhead, not data). Sibling roots
+    * trip Spark's multi-path partition discovery
+    * (CONFLICTING_DIRECTORY_STRUCTURES), so this reads with
+    * `recursiveFileLookup` — no partition columns, one shared file
+    * index, one footer inference — which drops the directory-derived
+    * `pk`. That is fine for every MERGE consumer (the merge
+    * re-aggregates by the group keys and never touches `pk`);
+    * [[lookupAggView]] keeps the per-root partition-discovery path
+    * because pk-pruned point reads are its whole point.
+    *
+    * Decimal widening: append roots store `m__sum` as the partial agg's
+    * decimal(p+10, s) while FOLD roots store the re-aggregated
+    * decimal(38, s) — one sampled footer cannot read both
+    * (PARQUET_COLUMN_DATA_TYPE_MISMATCH, caught by AggViewFuzzSpec's
+    * fold/append interleavings). The read schema is the first root's
+    * footer with every decimal widened to precision 38 at its own scale;
+    * Spark 4's vectorized reader widens narrower stored decimals
+    * losslessly, and the old unionByName path coerced mixed roots to the
+    * same decimal(38, s) anyway, so merged values are bit-identical.
+    */
+  private def readRootsMerged(spark: SparkSession, viewDir: String,
+      m: AggViewManifest): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, StructType}
+    val sampled = spark.read.parquet(s"$viewDir/${m.roots.head}").schema
+    val widened = StructType(sampled.map { f =>
+      f.dataType match {
+        case d: DecimalType if !m.keys.contains(f.name) =>
+          f.copy(dataType = DecimalType(38, d.scale))
+        case _ => f
+      }
+    }.filterNot(_.name == "pk"))
+    spark.read.schema(widened).option("recursiveFileLookup", "true")
+      .parquet(m.roots.map(r => s"$viewDir/$r"): _*)
+  }
+
   /** The merged PARTIAL state (keys..., __cnt, m__sum/min/max, one row
     * per key) — the re-aggregation of all roots. Internal merge step for
     * reads and folds.
@@ -334,7 +372,7 @@ object AggView {
   private def mergedPartial(spark: SparkSession, viewDir: String,
       m: AggViewManifest): DataFrame = {
     val aggs = mergeAggs(m)
-    readRoots(spark, viewDir, m)
+    readRootsMerged(spark, viewDir, m)
       .groupBy(m.keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

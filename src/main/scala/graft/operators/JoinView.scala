@@ -51,7 +51,16 @@ import org.apache.spark.sql.functions._
   */
 object JoinView {
 
-  private[operators] final case class RootEntry(dir: String, pks: Seq[Int])
+  // `pks` = the pk buckets this root currently OWNS (dim upserts narrow
+  // it as bucket ownership moves to rebuild roots); `fullPks` = the
+  // buckets the root's parquet dir physically CONTAINS (fixed at stage
+  // time). A root whose pks == fullPks needs no per-root bucket filter,
+  // which lets a full-view read collapse every such root into ONE
+  // datasource scan (see readRaw). Manifests written before fullPks
+  // existed deserialize it empty — treated as "unknown, assume
+  // narrowed", which safely falls back to the filtered per-root path.
+  private[operators] final case class RootEntry(dir: String, pks: Seq[Int],
+      fullPks: Seq[Int] = Nil)
 
   private[operators] final case class JoinViewManifest(
       joinKeys: Seq[String],
@@ -248,7 +257,7 @@ object JoinView {
     val (viewDir0, pks) = stageViewRoot(spark, viewDir,
       joined(fact, dimCurrent(spark, viewDir, m1, None), m1))
     commitIfUnchanged(spark, viewDir, prior,
-      m1.copy(roots = Vector(RootEntry(viewDir0, pks))))
+      m1.copy(roots = Vector(RootEntry(viewDir0, pks, pks))))
   }
 
   /** Fold one fact delta into the view: Δfact LEFT JOIN current dim →
@@ -268,7 +277,7 @@ object JoinView {
     val (dir, pks) = stageViewRoot(spark, viewDir,
       joined(delta.select((m.joinKeys ++ m.factCols).map(col): _*),
         dimCurrent(spark, viewDir, m, None), m))
-    val next = m.copy(roots = m.roots :+ RootEntry(dir, pks))
+    val next = m.copy(roots = m.roots :+ RootEntry(dir, pks, pks))
     try commitIfUnchanged(spark, viewDir, Some(m),
       batchTag.fold(next)(recordTag(next, _, dim = false)))
     catch { case e: IllegalStateException =>
@@ -338,7 +347,7 @@ object JoinView {
       .map(r => r.copy(pks = r.pks.filterNot(touchedSet)))
       .filter(_.pks.nonEmpty)
     val next = mDim.copy(roots = staged match {
-      case Some((dir, pks)) if pks.nonEmpty => kept :+ RootEntry(dir, pks)
+      case Some((dir, pks)) if pks.nonEmpty => kept :+ RootEntry(dir, pks, pks)
       case _ => kept
     })
     try commitIfUnchanged(spark, viewDir, Some(m),
@@ -360,16 +369,42 @@ object JoinView {
   private def readRaw(spark: SparkSession, viewDir: String,
       m: JoinViewManifest, pkFilter: Option[Seq[Int]]): DataFrame = {
     val wanted = pkFilter.map(_.toSet)
-    val parts = m.roots.flatMap { r =>
+    val live = m.roots.flatMap { r =>
       val pks = wanted.fold(r.pks)(w => r.pks.filter(w))
-      if (pks.isEmpty) None
-      else Some(spark.read.parquet(s"$viewDir/${r.dir}")
-        .filter(col("pk").isin(pks: _*)))
+      if (pks.isEmpty) None else Some((r, pks))
     }
-    if (parts.isEmpty)
+    if (live.isEmpty)
       throw new IllegalStateException(
         s"readRaw: join view at $viewDir has no live roots for $pkFilter")
-    parts.reduce(_.unionByName(_))
+    // Full-view read over un-narrowed roots (pks == fullPks: every bucket
+    // on disk is still owned) needs NO per-root bucket filter, so all
+    // roots collapse into ONE datasource scan — guide §6: the per-root
+    // form paid one file listing + one parquet schema inference + one
+    // scan operator per root, the dominant cost of a many-append read.
+    // Sibling roots trip multi-path partition discovery
+    // (CONFLICTING_DIRECTORY_STRUCTURES), so the single scan uses
+    // `recursiveFileLookup`, which drops the directory-derived `pk`; pk
+    // is re-derived from the join keys by the SAME expression that
+    // bucketed the write, so downstream consumers (compact's repartition,
+    // the select in readJoinView) see identical values.
+    val unNarrowed = live.forall { case (r, pks) =>
+      r.fullPks.nonEmpty && r.pks == r.fullPks && pks == r.pks }
+    if (unNarrowed && pkFilter.isEmpty && live.size > 1) {
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(live.map { case (r, _) => s"$viewDir/${r.dir}" }: _*)
+        .withColumn("pk", pkExpr(m.joinKeys, m.numBuckets))
+    } else {
+      // pruned / narrowed path: per-root reads keep `pk` a partition
+      // column so the isin filter prunes at the file index. The parquet
+      // schema is inferred ONCE (first root) and passed to the rest —
+      // every root is written by the same stage pipeline, so the
+      // schemas are identical by construction.
+      val sch = spark.read.parquet(s"$viewDir/${live.head._1.dir}").schema
+      live.map { case (r, pks) =>
+        spark.read.schema(sch).parquet(s"$viewDir/${r.dir}")
+          .filter(col("pk").isin(pks: _*))
+      }.reduce(_.unionByName(_))
+    }
   }
 
   /** Read the view. `inner = true` (default) yields exactly
@@ -429,7 +464,7 @@ object JoinView {
         val numeric = m.appliedTags.flatMap(numericTag)
         val dimNumeric = m.dimAppliedTags.flatMap(numericTag)
         try commitIfUnchanged(spark, viewDir, Some(m), m.copy(
-          roots = Vector(RootEntry(viewDir1, pks)),
+          roots = Vector(RootEntry(viewDir1, pks, pks)),
           dimRoots = Vector(dimDir),
           nextSeq = m.nextSeq + 1,
           appliedTags = m.appliedTags.filter(numericTag(_).isEmpty),
