@@ -83,8 +83,12 @@ object Classify {
     // (label, tok) counts restricted to the vocabulary; per-label token
     // totals ALSO restricted (an out-of-vocab token is invisible to the
     // model on both sides — that is what makes capped and uncapped
-    // training the same formula)
-    val cnt = toks.join(broadcast(vocab), Seq("tok"))
+    // training the same formula). Uncapped training skips the vocab
+    // semi-join outright: vocab = ALL distinct tokens by construction,
+    // so the join is an identity — building and broadcasting the entire
+    // corpus vocabulary just to keep every row was a full wasted pass.
+    val cnt = (if (maxVocab <= 0) toks
+               else toks.join(broadcast(vocab), Seq("tok")))
       .groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c"))
     val ltot = cnt.groupBy(col("label")).agg(sum(col("c")).as("n_lab"))
     val vSize = vocab.agg(count(lit(1)).as("vs"))
@@ -148,27 +152,42 @@ object Classify {
     val tf = docs.select(col(idCol).as("__id"),
         explode(Text.tokens(col(textCol))).as("tok"))
       .groupBy(col("__id"), col("tok")).agg(count(lit(1)).as("__tf"))
-    // in-vocabulary terms: the dense grid already carries one row per
-    // label, so the broadcast join IS the fan-out — no cross join
-    val seen = tf.join(broadcast(model.weights), Seq("tok"))
+    // OOV accounting is folded into the SEEN terms algebraically:
+    //   Σ_vocab tf·w + Σ_oov tf·oov_w
+    //     = Σ_vocab tf·(w − oov_w) + (Σ_all tf)·oov_w
+    // so in-vocabulary rows score tf·(w − oov_w) and one sentinel row
+    // per (doc, label) carries total_tokens·oov_w. Every step is exact
+    // decimal arithmetic (subtract, multiply by a long, sum), so scores
+    // are bit-identical to the separate-OOV-branch form — and the
+    // tokenize→explode→tf pipeline now evaluates ONCE instead of twice
+    // (the old OOV branch re-derived `tf` for its anti-join; nothing is
+    // cached here — see the minhashLshPairs no-cache note), with the
+    // per-doc token total coming from a NARROW size() pass, no shuffle.
+    // The dense grid already carries one row per label, so the broadcast
+    // join IS the fan-out — no cross join.
+    val wAdj = broadcast(model.weights
+      .join(model.priors.select(col("label"), col("oov_w")), Seq("label"))
+      .select(col("tok"), col("label"), (col("w") - col("oov_w")).as("__wa")))
+    val seen = tf.join(wAdj, Seq("tok"))
       .select(col("__id"), col("label"),
-        (col("__tf") * col("w")).cast(DECW).as("w"))
-    // out-of-vocabulary terms all score the label's oov_w: fold them to
-    // one count per doc, then fan that single row out to the L labels
-    val oov = tf
-      .join(broadcast(model.weights.select("tok").distinct()), Seq("tok"), "left_anti")
-      .groupBy(col("__id")).agg(sum(col("__tf")).as("__oovn"))
-      .crossJoin(broadcast(model.priors.select("label", "oov_w")))
-      .select(col("__id"), col("label"),
-        (col("__oovn") * col("oov_w")).cast(DECW).as("w"))
-    // zero-token docs still classify (prior-only): a zero-weight sentinel
-    // row per (doc, label) rides the SAME hash agg — no corpus-sized
+        (col("__tf") * col("__wa")).cast(DECW).as("w"))
+    // the sentinel doubles as the OOV mass AND the zero-token guard: a
+    // doc with no in-vocab terms (or no terms at all — total 0) still
+    // gets one row per label, so every doc classifies (prior-only when
+    // total is 0). Union into the SAME hash agg — no corpus-sized
     // join-back (a base-vs-sums left join here would sort-merge two
     // corpus-sized sides; the union costs one extra row per doc per label)
-    val sentinels = docs.select(col(idCol).as("__id"))
-      .crossJoin(broadcast(model.priors.select("label")))
-      .select(col("__id"), col("label"), lit(0).cast(DECW).as("w"))
-    val totals = seen.unionByName(oov).unionByName(sentinels)
+    // null-test the RAW text column, not the token array: the array
+    // expression appearing under both `when` branches would evaluate the
+    // normalize regex twice per row (split of a non-null text is never
+    // null, so the tests are equivalent)
+    val sentinels = docs.select(col(idCol).as("__id"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(Text.tokens(col(textCol))).cast("long")).as("__total"))
+      .crossJoin(broadcast(model.priors.select("label", "oov_w")))
+      .select(col("__id"), col("label"),
+        (col("__total") * col("oov_w")).cast(DECW).as("w"))
+    val totals = seen.unionByName(sentinels)
       .groupBy(col("__id"), col("label"))
       .agg(sum(col("w")).as("__sll"))
       .join(broadcast(model.priors.select("label", "prior")), Seq("label"))

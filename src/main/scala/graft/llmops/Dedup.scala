@@ -585,12 +585,26 @@ object Dedup {
           xxhash64(lit(1L), slice(col("__toks"), p + 1, lit(width))).as("h2")))).as("__s"))
       .select(col(idCol), col("__s.p").as("p"),
         col("__s.h1").as("h1"), col("__s.h2").as("h2"))
-    val firstOcc = spans.groupBy(col("h1"), col("h2")).agg(
+    // ONE shuffle of the span stream, reused by both consumers: the
+    // stream is explicitly hash-partitioned on the span-hash pair, the
+    // first-occurrence aggregate rides that partitioning exchange-free,
+    // and the occurrence→first join is co-partitioned on both sides
+    // (the agg output inherits the same partitioning), so Spark's
+    // ReuseExchange serves both from a single shuffle write. The
+    // previous shape evaluated the whole tokenize+span-hash pipeline
+    // TWICE (agg once, join probe once) and shuffled it twice. No new
+    // skew exposure: the join probe already shipped every occurrence of
+    // a hyper-repeated span to one reducer — the map-side combine the
+    // agg loses here never protected the join side. The build side is
+    // prefiltered to spans with >= 2 occurrences (most spans are unique,
+    // so the join's build input shrinks to the duplicated minority;
+    // inner join + the filter commute, same dupOcc set).
+    val spansP = spans.repartition(col("h1"), col("h2"))
+    val firstOcc = spansP.groupBy(col("h1"), col("h2")).agg(
       min(struct(col(idCol), col("p"))).as("__first"),
       count(lit(1)).as("__nocc"))
-    val dupOcc = spans.join(firstOcc, Seq("h1", "h2"))
-      .filter(col("__nocc") >= 2 &&
-        !(col(idCol) === col(s"__first.$idCol") && col("p") === col("__first.p")))
+    val dupOcc = spansP.join(firstOcc.filter(col("__nocc") >= 2), Seq("h1", "h2"))
+      .filter(!(col(idCol) === col(s"__first.$idCol") && col("p") === col("__first.p")))
       .select(col(idCol), col("p"))
     val removed = dupOcc
       .select(col(idCol), explode(sequence(col("p"), col("p") + (width - 1))).as("i"))

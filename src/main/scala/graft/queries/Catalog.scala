@@ -5817,7 +5817,21 @@ object Catalog {
           .filter(col("n_kept") >= 8 && col("enc_score") >= 0.9 &&
             col("script_pred") === "latin")
           .select("doc_id", "lang", "source", "clean_text")
+          // materialize the regex-heavy clean+gate stage ONCE per run
+          // (guide §6/§5: the composite's downstream stages — dedup's
+          // group+probe sides, the mix fit's plan-build count, and the
+          // final report execution — each re-evaluated the whole
+          // C4-clean/encoding/script pipeline, four full regex passes
+          // over the corpus). localCheckpoint is per-invocation
+          // (recomputed from the parquet inputs on every run — nothing
+          // persists across runs) and cuts lineage, so one pass feeds
+          // all four consumers; rows are identical, so the oracle hash
+          // is unchanged.
+          .localCheckpoint(true)
         val deduped = Dedup.exactSurvivors(gated, textCol = "clean_text")
+          // the survivor set likewise feeds the fit count AND the final
+          // apply+report — one dedup aggregation instead of two
+          .localCheckpoint(true)
         val mixed = Curation.temperatureMix(deduped, "lang", budget = 150L)
         Curation.corpusReport(mixed, "source", "clean_text")
           .orderBy("source")
