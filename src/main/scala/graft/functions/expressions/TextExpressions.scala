@@ -417,12 +417,189 @@ object OovCount {
   }
 }
 
+/** `repetition_stats(norm)` -> struct<n_tokens: long, n_distinct: long,
+  * top_word: long, top_bigram: long, dup_trigram: long> — the per-row
+  * kernel of [[graft.llmops.Repetition.signals]] in ONE pass.
+  *
+  * Why a native expression: the HOF formulation materialized and SORTED
+  * three gram arrays per row (tokens, joined bigram strings, joined
+  * trigram strings — O(L log L) string comparisons each) and walked them
+  * with interpreted lambdas (higher-order functions are CodegenFallback:
+  * every filter/zip_with/aggregate call crosses the interpreted boundary
+  * per element). This walks the normalized string's UTF-8 bytes once,
+  * interning tokens / bigrams / trigrams into open hash maps — O(L)
+  * amortized, fully inside whole-stage codegen via one static call.
+  *
+  * Semantics are value-identical to the sorted-run form (and the DuckDB
+  * oracle): tokens are the non-empty single-space splits; counts are
+  * exact per distinct gram; gram length counts CODE POINTS including the
+  * joining spaces (a bigram's length is lenA + 1 + lenB — gram identity
+  * via token identity, which equals joined-string identity because
+  * tokens cannot contain the join character). `top_word`/`top_bigram`
+  * are max(count·len) over distinct 1-/2-grams; `dup_trigram` sums
+  * count·len over 3-grams with count >= 2. Products are computed in
+  * LONG (the old int arithmetic could only differ by overflowing first,
+  * which no real document reaches). Rows with fewer than 3 tokens
+  * report 0 for gram stats that do not exist — callers drop them, as
+  * before.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_word", LongType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false),
+    StructField("dup_trigram", LongType, nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = RepetitionStats.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $util.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+
+  /** One pass over the UTF-8 bytes. Tokens are split on the single
+    * space byte 0x20 (never a UTF-8 continuation byte, so this is
+    * code-point-safe); lengths count code points (every byte that is
+    * not a continuation byte), matching Spark's `length` and DuckDB's
+    * `len`. Gram maps key on interned ids packed into longs: token ids
+    * intern per distinct byte sequence; a bigram keys (idA << 32 | idB)
+    * and also interns its own id, so a trigram keys
+    * (bigramId(i, i+1) << 32 | id(i+2)) — exact identity, no string
+    * building, no collision risk.
+    */
+  def compute(s: UTF8String): InternalRow = {
+    val nb = s.numBytes()
+    // token spans as byte offsets + code-point length per token
+    var tokStart = new Array[Int](16)
+    var tokEnd = new Array[Int](16)
+    var tokCp = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    var st = -1
+    var cp = 0
+    while (i <= nb) {
+      val isSep = i == nb || s.getByte(i) == ' '
+      if (isSep) {
+        if (st >= 0) {
+          if (nTok == tokStart.length) {
+            tokStart = java.util.Arrays.copyOf(tokStart, nTok * 2)
+            tokEnd = java.util.Arrays.copyOf(tokEnd, nTok * 2)
+            tokCp = java.util.Arrays.copyOf(tokCp, nTok * 2)
+          }
+          tokStart(nTok) = st; tokEnd(nTok) = i; tokCp(nTok) = cp
+          nTok += 1
+          st = -1; cp = 0
+        }
+      } else {
+        if (st < 0) st = i
+        if ((s.getByte(i) & 0xc0) != 0x80) cp += 1
+      }
+      i += 1
+    }
+    // intern tokens -> ids; per-id count and code-point length
+    val tokIdOf = new java.util.HashMap[UTF8String, Integer](nTok * 2)
+    val ids = new Array[Int](nTok)
+    val cnt = new Array[Long](math.max(16, nTok))
+    val len = new Array[Int](math.max(16, nTok))
+    var t = 0
+    while (t < nTok) {
+      val lenB = tokEnd(t) - tokStart(t)
+      val arr = new Array[Byte](lenB)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        s.getBaseObject, s.getBaseOffset + tokStart(t),
+        arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, lenB)
+      val tok = UTF8String.fromBytes(arr)
+      val boxed = tokIdOf.get(tok)
+      val id =
+        if (boxed == null) {
+          val nid = tokIdOf.size()
+          tokIdOf.put(tok, nid)
+          len(nid) = tokCp(t)
+          nid
+        } else boxed.intValue()
+      ids(t) = id
+      cnt(id) += 1
+      t += 1
+    }
+    val nDistinct = tokIdOf.size()
+    var w1 = 0L
+    var d = 0
+    while (d < nDistinct) { val v = cnt(d) * len(d); if (v > w1) w1 = v; d += 1 }
+    // bigrams: key (idA << 32 | idB) -> (count, own id, cp length)
+    var w2 = 0L
+    var d3 = 0L
+    if (nTok >= 2) {
+      val bi = new java.util.HashMap[java.lang.Long, Array[Long]](nTok * 2)
+      val biIds = new Array[Int](nTok - 1)
+      var j = 0
+      while (j < nTok - 1) {
+        val key: java.lang.Long = (ids(j).toLong << 32) | (ids(j + 1).toLong & 0xffffffffL)
+        var rec = bi.get(key)
+        if (rec == null) {
+          rec = Array(0L, bi.size().toLong, len(ids(j)).toLong + 1 + len(ids(j + 1)))
+          bi.put(key, rec)
+        }
+        rec(0) += 1
+        biIds(j) = rec(1).toInt
+        j += 1
+      }
+      val bit = bi.values().iterator()
+      while (bit.hasNext) {
+        val r = bit.next(); val v = r(0) * r(2); if (v > w2) w2 = v
+      }
+      // trigrams: key (bigramId(i, i+1) << 32 | id(i+2)) -> (count, cp length)
+      if (nTok >= 3) {
+        val tri = new java.util.HashMap[java.lang.Long, Array[Long]](nTok * 2)
+        var k = 0
+        while (k < nTok - 2) {
+          val key: java.lang.Long = (biIds(k).toLong << 32) | (ids(k + 2).toLong & 0xffffffffL)
+          var rec = tri.get(key)
+          if (rec == null) {
+            rec = Array(0L,
+              len(ids(k)).toLong + 1 + len(ids(k + 1)) + 1 + len(ids(k + 2)))
+            tri.put(key, rec)
+          }
+          rec(0) += 1
+          k += 1
+        }
+        val tit = tri.values().iterator()
+        while (tit.hasNext) {
+          val r = tit.next(); if (r(0) >= 2) d3 += r(0) * r(1)
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](nTok.toLong, nDistinct.toLong, w1, w2, d3))
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column API: struct of (n_chars, punct_ratio, stopword_ratio, quality). */
   def text_stats(text: Column): Column =
     ColumnBridge.column(TextStats(ColumnBridge.expression(text)))
+
+  /** Column API: one-pass repetition-signal kernel over normalized text. */
+  def repetition_stats(norm: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(norm)))
 
   /** Column API: single-pass rolling (polynomial) fingerprint. */
   def rolling_hash64(text: Column): Column =

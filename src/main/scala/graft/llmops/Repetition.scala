@@ -31,14 +31,16 @@ import org.apache.spark.sql.functions._
   *                           which is exactly the signal.
   *
   * Scale shape: ZERO exchanges. Every signal is intra-document, so the
-  * gram counting never leaves the row: sort the gram array, turn it
-  * into (count, length) runs with higher-order array functions, and
-  * fold the runs — a per-row O(L log L) pass instead of shuffling every
-  * gram STRING (plus per-gram metadata) through a doc-id exchange and
-  * aggregating twice (the explode formulation this replaced benched
-  * 10.9 s at sf0.1; the run-length form is pure map work). No corpus-
-  * wide state, no skew beyond a single document's own length:
-  * embarrassingly parallel in the corpus.
+  * gram counting never leaves the row: one native codegen'd pass
+  * (TextExpressions.repetition_stats) interns tokens/bigrams/trigrams
+  * into per-row hash maps — O(L) amortized. History: the explode
+  * formulation shuffled every gram string and benched 10.9 s at sf0.1;
+  * the sorted-run HOF rewrite made it pure map work (2.9 s) but paid
+  * three per-row array sorts plus interpreted lambda calls per element
+  * (higher-order functions are CodegenFallback); the native kernel is
+  * 0.9 s, value-identical (differential spec pins it against the HOF
+  * formula). No corpus-wide state, no skew beyond a single document's
+  * own length: embarrassingly parallel in the corpus.
   *
   * Documents with fewer than 3 tokens are dropped (no trigram exists;
   * the signals are meaningless below that).
@@ -52,74 +54,32 @@ object Repetition {
       docs: DataFrame,
       docIdCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // All gram counting runs in ONE native pass per row
+    // (TextExpressions.repetition_stats — see RepetitionStats): the HOF
+    // formulation materialized and SORTED three gram arrays per row and
+    // walked them with interpreted lambdas (higher-order functions are
+    // CodegenFallback — every call crosses the interpreted boundary per
+    // element); the kernel interns grams into per-row hash maps in one
+    // byte walk, inside whole-stage codegen. Values are identical: same
+    // tokens (non-empty single-space splits of the normalized text),
+    // same exact per-gram counts, same code-point gram lengths.
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    val base = docs
+    docs
       .select(col(docIdCol), norm.as("__norm"))
-      .withColumn("__toks",
-        filter(split(col("__norm"), " "), t => length(t) > lit(0)))
-      .withColumn("__nchars", length(col("__norm")))
-      .withColumn("__ntok", size(col("__toks")))
-      .filter(col("__ntok") >= 3)
-      .withColumn("__ndistinct", size(array_distinct(col("__toks"))))
-    val g2 = zip_with(
-      slice(col("__toks"), lit(1), col("__ntok") - lit(1)),
-      slice(col("__toks"), lit(2), col("__ntok") - lit(1)),
-      (a, b) => concat(a, lit(" "), b))
-    val g3 = zip_with(
-      slice(g2, lit(1), col("__ntok") - lit(2)),
-      slice(col("__toks"), lit(3), col("__ntok") - lit(2)),
-      (a, b) => concat(a, lit(" "), b))
-    // Run-length decomposition of a SORTED gram array: one struct
-    // (cnt, len) per distinct gram — 1-based run starts are the indices
-    // where the sorted array changes value; each run's count is the gap
-    // to the next start. Equivalent to groupBy(doc, gram).count without
-    // the gram strings ever leaving the row.
-    //
-    // CRITICAL: every array a lambda touches is MATERIALIZED as a
-    // projected column first. Interpreted higher-order functions do no
-    // common-subexpression elimination, so `element_at(array_sort(x), i)`
-    // inside a per-element lambda re-sorts the whole array on EVERY
-    // call — O(L² log L) per document (benched 367 s vs 1.6 s at sf0.1
-    // before this materialization). Column references are O(1) inside
-    // the lambdas.
-    def starts(ws: Column): Column =
-      filter(sequence(lit(1), size(ws)),
-        i => (i === lit(1)) || element_at(ws, i) =!= element_at(ws, i - lit(1)))
-    def runs(ws: Column, st: Column): Column = {
-      val nexts = concat(slice(st, lit(2), size(st) - lit(1)),
-        array(size(ws) + lit(1)))
-      zip_with(st, nexts, (a, b) =>
-        struct((b - a).as("cnt"), length(element_at(ws, a)).as("len")))
-    }
-    val sorted = base
-      .withColumn("__ws1", array_sort(col("__toks")))
-      .withColumn("__ws2", array_sort(g2))
-      .withColumn("__ws3", array_sort(g3))
-      .withColumn("__st1", starts(col("__ws1")))
-      .withColumn("__st2", starts(col("__ws2")))
-      .withColumn("__st3", starts(col("__ws3")))
-    // max over distinct grams of count * gramLength; chars inside grams
-    // occurring MORE than once as sum of count * length
-    def maxCov(ws: String, st: String): Column =
-      array_max(transform(runs(col(ws), col(st)), r => r("cnt") * r("len")))
-    def dupChars(ws: String, st: String): Column =
-      aggregate(
-        transform(runs(col(ws), col(st)), r =>
-          when(r("cnt") > 1, (r("cnt") * r("len")).cast("long")).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x)
-    sorted
-      .select(col(docIdCol),
-        col("__nchars"), col("__ntok"), col("__ndistinct"),
-        maxCov("__ws1", "__st1").as("__w1"),
-        maxCov("__ws2", "__st2").as("__w2"),
-        dupChars("__ws3", "__st3").as("__d3"))
+      .select(col(docIdCol), length(col("__norm")).as("__nchars"),
+        graft.functions.expressions.TextExpressions
+          .repetition_stats(col("__norm")).as("__r"))
+      .filter(col("__r.n_tokens") >= 3)
       .select(
         col(docIdCol),
-        col("__ntok").cast("long").as("n_tokens"),
-        round((col("__ntok") - col("__ndistinct")).cast("double") / col("__ntok"), 6)
-          .as("dup_word_frac"),
-        round(col("__w1").cast("double") / col("__nchars"), 6).as("top_word_cov"),
-        round(col("__w2").cast("double") / col("__nchars"), 6).as("top_bigram_cov"),
-        round(col("__d3").cast("double") / col("__nchars"), 6).as("dup_trigram_frac"))
+        col("__r.n_tokens").as("n_tokens"),
+        round((col("__r.n_tokens") - col("__r.n_distinct")).cast("double")
+          / col("__r.n_tokens"), 6).as("dup_word_frac"),
+        round(col("__r.top_word").cast("double") / col("__nchars"), 6)
+          .as("top_word_cov"),
+        round(col("__r.top_bigram").cast("double") / col("__nchars"), 6)
+          .as("top_bigram_cov"),
+        round(col("__r.dup_trigram").cast("double") / col("__nchars"), 6)
+          .as("dup_trigram_frac"))
   }
 }

@@ -5497,9 +5497,10 @@ object Catalog {
       // text_repetition's gram-count fractions:
       // the Gopher-style quality filters — repeated-word fraction, most-
       // covering word/bigram coverage, duplicated-trigram char fraction.
-      // ZERO exchanges (PlanShapeSpec pins it): sorted-gram run-length
-      // algebra per row, never a gram-string shuffle; per-doc work
-      // bounded by the doc's own length.
+      // ZERO exchanges (PlanShapeSpec pins it): one native codegen'd
+      // gram-interning pass per row (repetition_stats), never a
+      // gram-string shuffle; per-doc work bounded by the doc's own
+      // length.
       (s, dir) => graft.llmops.Repetition.signals(t(s, dir, "documents"))
         .orderBy("doc_id"),
       Some(s"""WITH t0 AS (SELECT doc_id, $normSql AS norm FROM documents),
