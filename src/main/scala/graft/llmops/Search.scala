@@ -482,8 +482,8 @@ object Search {
     val delPs = delIds
       .select(pmod(xxhash64(col("doc_id")), lit(m.numBuckets.toLong)).cast("int").as("ps"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val victims0 = readDocLenRoots(spark, indexDir, m.docLens)
-      .filter(col("ps").isin(delPs: _*))
+    val victims0 = readDocLenRoots(spark, indexDir, m.docLens,
+        m.numBuckets, Some(delPs))
       .join(delIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl"))
     val victims = if (m.tombs.isEmpty) victims0
@@ -593,37 +593,84 @@ object Search {
     Some((pDir, dDir, lDir, n, sumDl))
   }
 
-  // one multi-path read would trip partition inference across sibling
-  // roots, so every root is read separately and unioned — `bucket` stays
-  // a partition column per root and filters prune every scan. Shared by
-  // the query path and the fold path so their read shapes can't diverge.
+  // ONE datasource scan over many sibling roots (guide §6: the previous
+  // one-read-per-root union paid a file listing + a scan operator per
+  // root — the dominant cost of a 51-root degraded probe was that fixed
+  // per-root overhead). A plain multi-path read would trip partition
+  // inference across sibling roots (CONFLICTING_DIRECTORY_STRUCTURES),
+  // so the scan reads with `recursiveFileLookup` and the DATA schema and
+  // re-derives the partition column — it is a pure function of a data
+  // column for every family here (`bucket` = hash(tok) % numBuckets,
+  // `ps` = hash(doc_id) % numBuckets, written by exactly the expression
+  // re-derived at read). With `parts` given, ONE Hadoop glob over
+  // roots x values selects the matching partition directories, so the
+  // probe keeps its path-level bucket pruning. Shared by the query path
+  // and the fold path so their read shapes can't diverge.
+  private def readFamilySingle(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      roots: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      partColName: String, derive: org.apache.spark.sql.Column,
+      parts: Option[Seq[Int]]): DataFrame = {
+    val dataSchema =
+      org.apache.spark.sql.types.StructType(schema.filterNot(_.name == partColName))
+    def read(paths: Seq[String]) =
+      spark.read.schema(dataSchema).option("recursiveFileLookup", "true")
+        .parquet(paths: _*).withColumn(partColName, derive)
+    parts match {
+      case None => read(roots.map(r => s"$indexDir/$r"))
+      case Some(vals) =>
+        val existing: Seq[String] =
+          if (vals.isEmpty) Nil
+          else {
+            val pattern = new org.apache.hadoop.fs.Path(
+              s"$indexDir/{${roots.mkString(",")}}/$partColName={${vals.mkString(",")}}")
+            val fs = new org.apache.hadoop.fs.Path(indexDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            Option(fs.globStatus(pattern)).fold(Seq.empty[String])(
+              _.map(_.getPath.toString).toSeq)
+          }
+        if (existing.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else read(existing)
+    }
+  }
+
+  private def bucketOfTok(numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("tok")), lit(numBuckets.toLong)).cast("int")
+
   private def readPostingsRoots(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, roots: Seq[String]): DataFrame =
-    roots.map(p => spark.read.schema(postingsSchema).parquet(s"$indexDir/$p"))
-      .reduce(_.unionByName(_))
+      indexDir: String, roots: Seq[String], numBuckets: Int,
+      buckets: Option[Seq[Int]] = None): DataFrame =
+    readFamilySingle(spark, indexDir, roots, postingsSchema,
+      "bucket", bucketOfTok(numBuckets), buckets)
 
   private def readDictRoots(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, roots: Seq[String]): DataFrame =
-    roots.map(d => spark.read.schema(dictSchema).parquet(s"$indexDir/$d"))
-      .reduce(_.unionByName(_))
+      indexDir: String, roots: Seq[String], numBuckets: Int,
+      buckets: Option[Seq[Int]] = None): DataFrame =
+    readFamilySingle(spark, indexDir, roots, dictSchema,
+      "bucket", bucketOfTok(numBuckets), buckets)
 
   private def readDocLenRoots(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, roots: Seq[String]): DataFrame =
-    roots.map(d => spark.read.schema(docLenSchema).parquet(s"$indexDir/$d"))
-      .reduce(_.unionByName(_))
+      indexDir: String, roots: Seq[String], numBuckets: Int,
+      ps: Option[Seq[Int]] = None): DataFrame =
+    readFamilySingle(spark, indexDir, roots, docLenSchema, "ps",
+      pmod(xxhash64(col("doc_id")), lit(numBuckets.toLong)).cast("int"), ps)
 
   /** All tombstoned ids — roots are disjoint by construction (every
     * delete anti-joins the prior tombstones), so the union IS the set.
+    * Plain unpartitioned dirs: one recursive multi-path scan.
     */
   private def tombIds(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, m: TextIndexManifest): DataFrame =
-    m.tombs.map(d => spark.read.schema(tombSchema).parquet(s"$indexDir/$d"))
-      .reduce(_.unionByName(_)).select(col("doc_id"))
+    spark.read.schema(tombSchema).option("recursiveFileLookup", "true")
+      .parquet(m.tombs.map(d => s"$indexDir/$d"): _*).select(col("doc_id"))
 
-  /** All live postings rows. */
+  /** Live postings rows, optionally path-pruned to the probed buckets. */
   private def postingsFrame(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, m: TextIndexManifest): DataFrame =
-    readPostingsRoots(spark, indexDir, m.postings)
+      indexDir: String, m: TextIndexManifest,
+      buckets: Option[Seq[Int]] = None): DataFrame =
+    readPostingsRoots(spark, indexDir, m.postings, m.numBuckets, buckets)
 
   /** Document frequencies summed across the base dict root and every
     * append's delta root. df values are integer-valued doubles, so the
@@ -631,8 +678,9 @@ object Search {
     * bit-identical to the scan form.
     */
   private def dictFrame(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, m: TextIndexManifest): DataFrame =
-    readDictRoots(spark, indexDir, m.dict +: m.dicts)
+      indexDir: String, m: TextIndexManifest,
+      buckets: Option[Seq[Int]] = None): DataFrame =
+    readDictRoots(spark, indexDir, m.dict +: m.dicts, m.numBuckets, buckets)
 
   /** Fold append roots back together — the text analog of
     * [[Similarity.compactIvfAppends]], and the reference's own lifecycle
@@ -669,18 +717,19 @@ object Search {
   def compactTextIndex(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       includeBase: Boolean = true): Boolean = textLock.synchronized {
-    def foldRoots(postRoots: Seq[String], dictRoots: Seq[String]): (String, Option[String]) = {
+    def foldRoots(postRoots: Seq[String], dictRoots: Seq[String],
+        numBuckets: Int): (String, Option[String]) = {
       val pDir = s"postings-${java.util.UUID.randomUUID}"
       // one task per bucket hash: each bucket partition folds to a
       // bounded file count instead of one file per (root x bucket)
-      readPostingsRoots(spark, indexDir, postRoots)
+      readPostingsRoots(spark, indexDir, postRoots, numBuckets)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$pDir")
       // a legacy manifest (pre-delta-dict format) may fold postings with
       // NO dict deltas in play — nothing to write on that side
       val dDirOpt = if (dictRoots.isEmpty) None else {
         val dDir = s"dict-${java.util.UUID.randomUUID}"
-        readDictRoots(spark, indexDir, dictRoots)
+        readDictRoots(spark, indexDir, dictRoots, numBuckets)
           .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
@@ -708,7 +757,7 @@ object Search {
         // doc-length sidecar folds minus the dead docs, and the manifest
         // absorbs nDeleted/sumDlDeleted into the base totals
         val pDir = s"postings-${java.util.UUID.randomUUID}"
-        val all = readPostingsRoots(spark, indexDir, m.postings)
+        val all = readPostingsRoots(spark, indexDir, m.postings, m.numBuckets)
         val live = if (m.tombs.isEmpty) all
           else all.join(broadcast(tombIds(spark, indexDir, m)), Seq("doc_id"), "left_anti")
         live.repartition(col("bucket"))
@@ -716,7 +765,7 @@ object Search {
         val dDir = s"dict-${java.util.UUID.randomUUID}"
         val foldedDict =
           if (m.tombs.isEmpty)
-            readDictRoots(spark, indexDir, m.dict +: m.dicts)
+            readDictRoots(spark, indexDir, m.dict +: m.dicts, m.numBuckets)
               .groupBy(col("tok"), col("bucket")).agg(sum(col("df")).as("df"))
           else // one postings row per live (doc, tok): the row count IS df
             spark.read.schema(postingsSchema).parquet(s"$indexDir/$pDir")
@@ -726,7 +775,7 @@ object Search {
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/$dDir")
         val lDirOpt = if (m.docLens.isEmpty) None else {
           val lDir = s"doclens-${java.util.UUID.randomUUID}"
-          val lens = readDocLenRoots(spark, indexDir, m.docLens)
+          val lens = readDocLenRoots(spark, indexDir, m.docLens, m.numBuckets)
           (if (m.tombs.isEmpty) lens
            else lens.join(broadcast(tombIds(spark, indexDir, m)), Seq("doc_id"), "left_anti"))
             .repartition(col("ps"))
@@ -744,7 +793,8 @@ object Search {
       case Some(m) if !includeBase && m.postings.size - m.levelRoots >= 2 =>
         // fold ONLY the L0s — prior fold products stay untouched
         val (pDir, dDirOpt) = foldRoots(
-          m.postings.drop(m.levelRoots), m.dicts.drop(m.levelRoots - 1))
+          m.postings.drop(m.levelRoots), m.dicts.drop(m.levelRoots - 1),
+          m.numBuckets)
         commitOrCleanup(m, absorbNumericTags(m).copy(
           postings = m.postings.take(m.levelRoots) :+ pDir,
           dicts = m.dicts.take(m.levelRoots - 1) ++ dDirOpt.toVector,
@@ -831,16 +881,14 @@ object Search {
     val buckets = qterms.select(
         pmod(xxhash64(col("tok")), lit(m.numBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // each root read separately and unioned (one multi-path read would
-    // trip partition inference across sibling roots — same pattern as the
-    // IVF index's sealed-append union); `bucket` stays a partition column
-    // per root, so the filter prunes every scan. The df sum across the
-    // base dict + append deltas runs over the PRUNED buckets only —
-    // bounded by the query terms' vocabulary, not the corpus's.
-    val prunedPostings = postingsFrame(spark, indexDir, m)
-      .filter(col("bucket").isin(buckets: _*))
-    val dictTotals = dictFrame(spark, indexDir, m)
-      .filter(col("bucket").isin(buckets: _*))
+    // ONE datasource scan per family, path-pruned to the probed buckets
+    // (readFamilySingle: a glob over roots x buckets replaces both the
+    // per-root scan operators and the per-root bucket filters). The df
+    // sum across the base dict + append deltas runs over the PRUNED
+    // buckets only — bounded by the query terms' vocabulary, not the
+    // corpus's.
+    val prunedPostings = postingsFrame(spark, indexDir, m, Some(buckets))
+    val dictTotals = dictFrame(spark, indexDir, m, Some(buckets))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
     // tombstones subtract at read (the purge is the major fold's job):
     // dead postings rows still sit in the roots AND in the dict's df

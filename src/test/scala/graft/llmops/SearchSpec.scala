@@ -364,21 +364,41 @@ class SearchSpec extends AnyFunSuite {
     assert(m2.tagHighWater === 6L && m2.appliedTags === Vector("run-a"))
   }
 
-  test("bucket pruning survives appends: every postings/dict root scan carries the partition filter") {
+  test("bucket pruning survives appends: probe scans read ONLY the probed bucket dirs, one scan per family") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textidx-prune").toString
     Search.buildTextIndex(corpus(1L -> "alpha beta", 2L -> "beta gamma"), idx, numBuckets = 16)
     assert(Search.appendToTextIndex(idx, corpus(3L -> "gamma delta"), batchTag = Some("0")))
     assert(Search.appendToTextIndex(idx, corpus(4L -> "beta epsilon"), batchTag = Some("1")))
-    val plan = Search.bm25TopKIndexed(spark, idx, queries(0L -> "beta"), k = 4)
-      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    // 3 postings roots + 3 dict roots (base + 2 deltas): every scan of the
-    // six must prune on bucket — one unpruned root re-reads its whole
-    // table per query at any scale
-    val scans = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
-    assert(scans.size >= 6, s"expected >= 6 partitioned scans, got ${scans.size}:\n$plan")
-    val unpruned = scans.filterNot(_.contains("bucket"))
-    assert(unpruned.isEmpty,
-      s"scans without a bucket partition filter:\n${unpruned.mkString("\n")}")
+    val probe = Search.bm25TopKIndexed(spark, idx, queries(0L -> "beta"), k = 4)
+    // pruning is now PATH-LEVEL (one glob over roots x probed buckets
+    // feeding ONE datasource scan per family, instead of a filtered scan
+    // per root): the plan's scan locations must reference only the
+    // probed term's bucket dir, across all three roots of each family
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    val fileScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("bucket=")))
+    // one postings scan + one dict scan — not one per root
+    assert(fileScans.size == 2,
+      s"expected 2 bucket-pruned family scans, got ${fileScans.size}")
+    val beta = org.apache.spark.unsafe.types.UTF8String.fromString("beta")
+    val expectedBucket = java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        beta, org.apache.spark.sql.types.StringType, 42L), 16L)
+    for (s <- fileScans) {
+      val roots = s.relation.location.rootPaths.map(_.toString)
+      // "beta" lives in the base and the second append — the glob also
+      // skips the root whose batch never touched the probed bucket
+      assert(roots.size == 2, s"expected 2 root paths (the beta-bearing " +
+        s"base + append; the gamma-delta root has no beta bucket), got $roots")
+      assert(roots.forall(_.endsWith(s"bucket=$expectedBucket")),
+        s"scan reads a non-probed bucket dir: $roots")
+    }
   }
 
   test("manifest stamp-cache: repeated queries on an unchanged index parse once") {
