@@ -254,8 +254,60 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `md5_prefix8(s)`: the first 8 hex chars of md5(s) as an unsigned
+  * 32-bit value in a long — BIT-IDENTICAL to
+  * `conv(substring(md5(s), 1, 8), 16, 10)::long` (the engine's
+  * replayable md5-bucket convention; the first 8 hex chars ARE the
+  * first 4 digest bytes big-endian), without materializing the 32-char
+  * hex string, slicing it, and parsing it back through a base
+  * conversion per value. The digest instance is thread-local — no
+  * per-call MessageDigest allocation.
+  */
+case class Md5Prefix8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix8 expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix8.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = Md5Prefix8.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $util.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix8 =
+    copy(child = newChild)
+}
+
+object Md5Prefix8 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** First 8 md5 hex chars as a long (see [[Md5Prefix8]]). */
+  def md5_prefix8(s: Column): Column =
+    ColumnBridge.column(Md5Prefix8(ColumnBridge.expression(s)))
 
   /** Column API for the custom expressions. */
   def minhash_bands(shingles: Column, numBands: Int, rowsPerBand: Int): Column =

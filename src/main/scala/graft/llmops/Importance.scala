@@ -55,10 +55,15 @@ object Importance {
   /** Hash a gram to a bucket in [0, buckets): first 8 hex chars of md5
     * (an exact 32-bit integer) mod `buckets` — the engine's md5-bucket
     * convention, replayable in any SQL engine
-    * (`('0x' || substr(md5(g), 1, 8))::BIGINT % B`).
+    * (`('0x' || substr(md5(g), 1, 8))::BIGINT % B`). Computed by the
+    * native [[graft.functions.expressions.Md5Prefix8]] kernel —
+    * bit-identical to `conv(substring(md5(g), 1, 8), 16, 10)` without
+    * materializing and re-parsing the hex string per gram (this runs
+    * once per gram of every fitted/applied corpus — the hot inner loop
+    * of both DSIR passes).
     */
   private[graft] def bucketOf(gram: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(gram), 1, 8), 16, 10).cast("long"),
+    pmod(graft.functions.expressions.HashExpressions.md5_prefix8(gram),
       lit(buckets.toLong))
 
   private def requireBuckets(buckets: Int, op: String): Unit =

@@ -451,4 +451,24 @@ class FunctionsSpec extends AnyFunSuite {
       .select(jaro_winkler(col("a"), col("b"))).collect()
     assert(withNull.head.isNullAt(0))
   }
+
+  test("md5_prefix8 equals the conv(substring(md5)) convention bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.HashExpressions
+    val rnd = new scala.util.Random(77)
+    val strs = Seq("", "a", "hello world", "\u00e9\u00e9 \u4e2d\u6587 \ud83d\ude00",
+      "the quick brown fox") ++
+      (0 until 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+    val df = strs.toDF("s")
+    val bad = df.select(
+        HashExpressions.md5_prefix8(col("s")).as("fast"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(bad.count() == 0)
+    // null stays null
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(HashExpressions.md5_prefix8(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
