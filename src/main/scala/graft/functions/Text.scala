@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Normalized form used for fingerprinting/dedup: lowercase, whitespace
-    * collapsed, trimmed.
+    * collapsed, trimmed. One native pass
+    * ([[graft.functions.expressions.NormalizeWs]]) — bit-identical to
+    * `trim(regexp_replace(lower(text), "\\s+", " "))` (the form the
+    * DuckDB oracles replay) without running a regex engine over every
+    * document; this is the prefix of nearly every text operator's hot
+    * path.
     */
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    graft.functions.expressions.TextExpressions.normalize_ws(text)
 
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")

@@ -417,6 +417,82 @@ object OovCount {
   }
 }
 
+/** `normalize_ws(text)`: lowercase + whitespace-collapse + trim in ONE
+  * pass — bit-identical to `trim(regexp_replace(lower(text), "\\s+", " "))`,
+  * the normalization every text operator here shares. Lowercasing calls
+  * the SAME `UTF8String.toLowerCase` Spark's `lower()` uses; the
+  * whitespace pass then works on bytes: Java's `\s` (no
+  * UNICODE_CHARACTER_CLASS) is exactly the six ASCII bytes
+  * `[ \t\n\x0B\f\r]`, which never occur inside UTF-8 multibyte
+  * sequences, so collapsing runs of them to one 0x20 and dropping
+  * leading/trailing runs reproduces the regex + trim byte-for-byte —
+  * without compiling/running a regex engine over every document and
+  * materializing the intermediate replaced string.
+  */
+case class NormalizeWs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"normalize_ws expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeWs.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = NormalizeWs.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $util.compute($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeWs =
+    copy(child = newChild)
+}
+
+object NormalizeWs {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(s: UTF8String): UTF8String = {
+    val lower = s.toLowerCase
+    val n = lower.numBytes()
+    // fast path: no whitespace work needed (no leading/trailing ws, no
+    // ws runs, no non-space ws) — return the lowered string as-is
+    var i = 0
+    var needsWork = false
+    var prevWs = true // treat position -1 as ws so leading ws trips it
+    while (i < n && !needsWork) {
+      val b = lower.getByte(i)
+      val ws = isWs(b)
+      if (ws && (b != ' ' || prevWs)) needsWork = true
+      prevWs = ws
+      i += 1
+    }
+    if (!needsWork && !prevWs) return lower
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      val b = lower.getByte(i)
+      if (isWs(b)) {
+        if (o > 0) pendingSpace = true // leading ws drops; interior defers
+      } else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = b
+        o += 1
+      }
+      i += 1
+    }
+    // trailing ws: pendingSpace never flushed — exactly trim()
+    UTF8String.fromBytes(out, 0, o)
+  }
+}
+
 /** `repetition_stats(norm)` -> struct<n_tokens: long, n_distinct: long,
   * top_word: long, top_bigram: long, dup_trigram: long> — the per-row
   * kernel of [[graft.llmops.Repetition.signals]] in ONE pass.
@@ -600,6 +676,10 @@ object TextExpressions {
   /** Column API: one-pass repetition-signal kernel over normalized text. */
   def repetition_stats(norm: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(norm)))
+
+  /** Column API: one-pass lowercase + whitespace-collapse + trim. */
+  def normalize_ws(text: Column): Column =
+    ColumnBridge.column(NormalizeWs(ColumnBridge.expression(text)))
 
   /** Column API: single-pass rolling (polynomial) fingerprint. */
   def rolling_hash64(text: Column): Column =

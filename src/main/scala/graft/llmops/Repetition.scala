@@ -63,7 +63,7 @@ object Repetition {
     // byte walk, inside whole-stage codegen. Values are identical: same
     // tokens (non-empty single-space splits of the normalized text),
     // same exact per-gram counts, same code-point gram lengths.
-    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val norm = graft.functions.Text.normalize(col(textCol))
     docs
       .select(col(docIdCol), norm.as("__norm"))
       .select(col(docIdCol), length(col("__norm")).as("__nchars"),

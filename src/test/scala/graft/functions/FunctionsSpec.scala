@@ -471,4 +471,27 @@ class FunctionsSpec extends AnyFunSuite {
       .select(HashExpressions.md5_prefix8(col("s"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("normalize_ws equals trim(regexp_replace(lower)) bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.TextExpressions
+    val rnd = new scala.util.Random(99)
+    val wsChars = " \t\n\u000b\f\r"
+    val alphabet = "aA zZ.09\u00c9\u00e9\u4e2d\ud83d\ude00\u0130\u00df" + wsChars
+    val strs = Seq("", " ", "   ", "a", " a ", "\t\n x \r\n y\f ",
+      "HeLLo   WoRLD", "\u00c9T\u00c9  \u4e2d \u6587", "\u0130stanbul \u00dfharp",
+      "no_ws_at_all", "trailing ", " leading") ++
+      (0 until 300).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = strs.toDF("s")
+    val bad = df.select(col("s"),
+        TextExpressions.normalize_ws(col("s")).as("fast"),
+        trim(regexp_replace(lower(col("s")), "\\s+", " ")).as("ref"))
+      .filter(!(col("fast") <=> col("ref")))
+    assert(bad.count() == 0, bad.collect().take(5).mkString("; "))
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(TextExpressions.normalize_ws(col("s"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
