@@ -252,20 +252,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "bm25 ranking regressed to a window funnel")
   }
 
-  test("search_bm25_indexed: query-term buckets prune the postings scan's partitions") {
+  test("search_bm25_indexed: query-term buckets prune the postings scan at the PATH level") {
+    // pruning moved from per-root PartitionFilters to path-level: one
+    // glob over roots x probed buckets feeds ONE scan per family whose
+    // Location lists only bucket=N dirs (SearchSpec pins the multi-root
+    // scan-count/locations contract rigorously; this pins the headline
+    // query's shape)
     val p = plan("search_bm25_indexed")
-    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
-    assert(pf.contains("bucket"),
-      s"the postings scan lost partition pruning on bucket — every query " +
-        s"would read the whole index: $pf")
+    val loc = p.linesIterator.filter(_.contains("Location")).mkString
+    assert(loc.contains("bucket="),
+      s"the postings scan lost path-level bucket pruning — every query " +
+        s"would read the whole index: $loc")
     assert(p.contains("partial_topkby"), "indexed bm25 lost map-side top-k truncation")
   }
 
   test("search_bm25_deleted: tombstones broadcast AND query-term buckets still prune") {
     val p = plan("search_bm25_deleted")
-    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
-    assert(pf.contains("bucket"),
-      s"the deleted-index probe lost partition pruning on bucket: $pf")
+    val loc = p.linesIterator.filter(_.contains("Location")).mkString
+    assert(loc.contains("bucket="),
+      s"the deleted-index probe lost path-level bucket pruning: $loc")
     // the tombstone subtraction must ride broadcast joins — a shuffled
     // anti/semi join here would re-shuffle the postings stream per query
     assert(p.contains("BroadcastHashJoin") &&
@@ -381,9 +386,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "agg-view read stopped being a pure union + re-aggregate")
     assert(p.contains("HashAggregate"), "agg-view merge lost its hash aggregate")
     // roots store decimal partials — a double anywhere in the scan schema
-    // means the determinism boundary moved to read time
+    // means the determinism boundary moved to read time. The merged read
+    // widens every partial decimal to precision 38 (fold roots already
+    // store 38; widening is lossless and matches the old unionByName
+    // coercion), so pin the widened form AND the absence of doubles.
     val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString
-    assert(scans.contains("decimal(18,2)"),
+    assert(scans.contains("__sum:decimal(38,2)") && !scans.contains("double"),
       s"partial-agg roots no longer carry decimal sums: $scans")
   }
 
@@ -857,7 +865,7 @@ class PlanShapeSpec extends AnyFunSuite {
       java.util.regex.Pattern.quote(pat).r.findAllIn(opt).size
     for ((label, pat, want) <- Seq(
         ("symbol strip", "[{}\\[\\]();=<>#_]", 1),
-        ("token normalize", "regexp_replace(lower(", 1),
+        ("token normalize", "normalizews(", 1),
         ("camel rlike", "[a-z][A-Z]", 1),
         ("statement-end rlike", "[;{}:] *$", 1)))
       assert(cnt(pat) == want,
@@ -946,12 +954,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // left-semi (it is an aggregate output, never corpus-sized on the
     // build side), and the mix keep-filter is a pure narrow map (its
     // |strata|-cell fit is a separate bounded job at plan build).
+    // r17: the clean/gate stage and the dedup survivor set materialize
+    // ONCE per run via localCheckpoint (they each fed 2+ downstream
+    // consumers — four full regex passes over the corpus before), so the
+    // returned plan is the report over the checkpointed survivors: the
+    // report aggregate and the presentation sort are the only exchanges,
+    // and the corpus sources appear as the checkpoint scan (the dedup
+    // agg + broadcast semi-join run inside the checkpoint job).
     val p = plan("pipeline_e2e")
     val ex = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
-    assert(ex == 3,
-      s"pipeline_e2e: expected exactly 3 exchanges (dedup agg, report agg, output sort), got $ex:\n$p")
-    assert(p.contains("BroadcastHashJoin LeftSemi"),
-      s"pipeline_e2e: the dedup survivor join stopped broadcasting:\n$p")
+    assert(ex == 2,
+      s"pipeline_e2e: expected exactly 2 exchanges (report agg, output sort), got $ex:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"pipeline_e2e: the composite stopped reading its checkpointed survivor set:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"pipeline_e2e: a cartesian/BNLJ crept into the composite:\n$p")
